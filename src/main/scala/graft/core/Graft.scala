@@ -1,0 +1,46 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table registry for the graft engine.
+  *
+  * Scale posture: sessions default to AQE on (runtime shuffle coalescing +
+  * skew-join splitting), 32 shuffle partitions for local[32] testing — on a
+  * real cluster this knob comes from the submitter, everything else in the
+  * engine is partition-count agnostic.
+  */
+object Graft {
+
+  /** Build a local session wired the way the engine expects.
+    * (Reference keeps engine config in `etl/db.py:13-22`; ours is Spark conf.)
+    */
+  def session(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+}
+
+/** Loaders for the driver-generated star schema (TESTDATA.md).
+  *
+  * Dimension tables (region/nation/supplier/part/customer) are small at any
+  * scale factor relative to the facts — join code broadcasts them explicitly.
+  */
+object Tables {
+  val dims  = Seq("region", "nation", "customer", "supplier", "part")
+  val facts = Seq("orders", "lineitem", "events", "documents", "embeddings")
+  val all: Seq[String] = dims ++ facts
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view for the spark.sql surface. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}

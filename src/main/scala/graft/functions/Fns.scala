@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar/aggregate building blocks shared by the query surface.
+  *
+  * Numerical determinism contract: any aggregate over doubles that must
+  * hash-match an external engine (the DuckDB oracle) goes through a decimal
+  * cast internally. Decimal addition is exact and associative, so the result
+  * is independent of Spark's partition/merge order AND bit-identical to any
+  * other engine evaluating the same expression — then a final cast back to
+  * double restores the public type. Plain `sum(double)` is order-dependent
+  * and would flap the oracle hash run-to-run.
+  */
+object Fns {
+
+  private val Dec = DecimalType(27, 6)
+
+  /** Order-independent double sum (see class doc). */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+
+  /** Order-independent double mean: exact decimal sum / count, one IEEE div. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Dollars (double) -> integer cents, half-up.
+    * Reference: `starter:etl/transform.py:14-20` (`cents_from_price`) uses
+    * Python round() (half-even); we deliberately use half-up via
+    * floor(x*100+0.5) because it is expressible identically in every SQL
+    * engine — documented deviation (SURVEY.md §7.4).
+    */
+  def cents(dollars: Column): Column =
+    floor(dollars * lit(100) + lit(0.5)).cast(LongType)
+
+  /** Integer cents -> "$D.CC" display string.
+    * Reference: `app/api.py:61-64` (`cents_to_price`). */
+  def priceDisplay(cents: Column): Column = concat(
+    lit("$"),
+    (cents / lit(100)).cast(LongType).cast(StringType),
+    lit("."),
+    lpad(pmod(cents, lit(100)).cast(StringType), 2, "0"))
+
+  /** Date -> "YYYY-MM-DD" (reference `app/api.py:144` isoformat render). */
+  def isoDate(d: Column): Column = date_format(d, "yyyy-MM-dd")
+
+  /** Case/whitespace normalization (reference `starter:etl/transform.py:43-45`). */
+  def norm(c: Column): Column = lower(trim(c))
+
+  /** Weighted multi-field relevance score — the reference's client-side
+    * search scoring (`app/templates/search.html:177-187`): substring hit in
+    * field i adds weight_i. */
+  def relevance(q: String, fields: Seq[(Column, Int)]): Column =
+    fields.map { case (c, w) =>
+      when(lower(c).contains(lit(q.toLowerCase)), lit(w)).otherwise(lit(0))
+    }.reduce(_ + _).cast(IntegerType)
+
+  /** Tokenize on single spaces (documents fixture is single-space separated). */
+  def toks(c: Column): Column = split(c, " ")
+
+  /** Whitespace token count without split/explode — identical arithmetic in
+    * any engine: #separators + 1. */
+  def tokenCount(c: Column): Column =
+    (length(c) - length(regexp_replace(c, " ", "")) + lit(1)).cast(LongType)
+}

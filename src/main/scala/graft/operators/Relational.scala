@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator library: the reference's load/query-path building
+  * blocks re-expressed as composable DataFrame transforms.
+  *
+  * Everything here is shuffle-conscious: joins against dimension tables take
+  * an explicit broadcast flag, dedup/upsert shuffle exactly once on the key
+  * columns, and nothing ever collects to the driver.
+  */
+object Relational {
+
+  /** Top-k groups by count — the reference's flagship stats query
+    * (`starter:etl/etl.py:56-66`). Partial aggregation happens map-side for
+    * free (HashAggregate partial/final); top-k is TakeOrderedAndProject, so
+    * only k rows per partition reach the driver-side final sort regardless
+    * of group cardinality.
+    */
+  def topKByCount(df: DataFrame, key: Column, k: Int, countName: String = "cnt"): DataFrame =
+    df.groupBy(key)
+      .agg(count(lit(1)).as(countName))
+      .orderBy(desc(countName), key)
+      .limit(k)
+
+  /** Orphan detection (data-quality): child rows whose FK has no parent —
+    * the reference's `quality` check (`starter:etl/etl.py:52`) as a left
+    * anti join.
+    */
+  def orphans(child: DataFrame, parent: DataFrame, childKey: String, parentKey: String,
+              broadcastParent: Boolean = false): DataFrame = {
+    val p = if (broadcastParent) broadcast(parent) else parent
+    child.join(p, child(childKey) === p(parentKey), "left_anti")
+  }
+
+  /** First-wins dedup: keep the first row per key under `order` — the
+    * reference skips re-inserts of already-seen keys
+    * (`etl/seed/seed_from_marvel.py:248-254`), which under parallelism must
+    * become an explicit deterministic choice.
+    */
+  def firstWins(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Idempotent upsert (MERGE): insert-if-absent + update-only-mutable-fields,
+    * the reference's load path (`starter:etl/load.py:26-47`, D3/D4 in
+    * SURVEY.md §2.7). Incoming is deduped first-wins on the key, then:
+    *   - matched target rows take `coalesce(incoming.m, target.m)` for each
+    *     mutable column (never keys / immutables),
+    *   - unmatched incoming rows are inserted whole.
+    * Cost model: one shuffle of each side on `keys` (single sort-merge join
+    * + union with the anti side, which AQE plans off the same exchange).
+    * Running it twice with the same batch is a no-op (idempotence spec'd in
+    * MergeSpec).
+    */
+  def upsert(target: DataFrame, incoming: DataFrame, keys: Seq[String],
+             mutableCols: Seq[String], incomingOrder: Seq[Column]): DataFrame = {
+    val outCols = target.columns.toSeq
+    val inc = firstWins(incoming, keys, incomingOrder)
+    val incSel = inc.select((keys ++ mutableCols).map(col): _*)
+      .toDF(keys.map("__k_" + _) ++ mutableCols.map("__m_" + _): _*)
+    val keyCond = keys.map(k => target(k) === incSel("__k_" + k)).reduce(_ && _)
+    val updated = target.join(incSel, keyCond, "left_outer")
+      .select(outCols.map { c =>
+        if (mutableCols.contains(c)) coalesce(col("__m_" + c), target(c)).as(c)
+        else target(c)
+      }: _*)
+    val inserts = inc.join(target.select(keys.map(col): _*), keys, "left_anti")
+      .select(outCols.map(col): _*)
+    updated.unionByName(inserts)
+  }
+
+  /** Argmax per group, deterministic under ties: the row with max `order`
+    * columns wins (reference's best-scoring-series pick,
+    * `etl/seed/seed_from_marvel.py:126-138`). Window formulation so ties
+    * break identically in any engine.
+    */
+  def argmaxPerGroup(df: DataFrame, groupKeys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(groupKeys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Per-group top-k via rank — search-results-per-section shape
+    * (SURVEY.md §2.5 W2). */
+  def topKPerGroup(df: DataFrame, groupKeys: Seq[String], order: Seq[Column], k: Int,
+                   rankName: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(groupKeys.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankName, row_number().over(w)).filter(col(rankName) <= k)
+  }
+}
