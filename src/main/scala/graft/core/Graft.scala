@@ -22,6 +22,7 @@ object Graft {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }
@@ -37,8 +38,18 @@ object Tables {
   val facts = Seq("orders", "lineitem", "events", "documents", "embeddings")
   val all: Seq[String] = dims ++ facts
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    // long (nanosAsLong) — normalize to a micros TimestampType column.
+    // The fixture has no sub-microsecond precision, so `div 1000` is exact.
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case None => df
+    }
+  }
 
   /** Register every table as a temp view for the spark.sql surface. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -7,22 +7,29 @@ import org.apache.spark.sql.types._
 /** Scalar/aggregate building blocks shared by the query surface.
   *
   * Numerical determinism contract: any aggregate over doubles that must
-  * hash-match an external engine (the DuckDB oracle) goes through a decimal
-  * cast internally. Decimal addition is exact and associative, so the result
-  * is independent of Spark's partition/merge order AND bit-identical to any
-  * other engine evaluating the same expression — then a final cast back to
-  * double restores the public type. Plain `sum(double)` is order-dependent
-  * and would flap the oracle hash run-to-run.
+  * hash-match an external engine (the DuckDB oracle) is quantized first —
+  * `floor(x * scale + 0.5)` evaluated in IEEE double (identical in every
+  * engine), then summed as exact 64-bit integers (associative, so the
+  * result is independent of Spark's partition/merge order), then divided
+  * back by `scale` as one IEEE division. Plain `sum(double)` is
+  * order-dependent and would flap the oracle hash run-to-run; a
+  * double->decimal CAST is engine-implementation-defined in its rounding
+  * (observed: DuckDB and Spark disagree at scale 12) — the explicit
+  * floor-quantization is the only formulation both engines compute
+  * bit-identically.
   */
 object Fns {
 
-  private val Dec = DecimalType(27, 6)
+  /** Micro-unit quantization scale: 6 fractional digits survives the round
+    * trip for business values up to ~9e12 (long holds scale*sum < 2^63). */
+  val QScale = 1e6
 
-  /** Order-independent double sum (see class doc). */
-  def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+  /** Order-independent, engine-portable double sum (see class doc). */
+  def dsum(c: Column, scale: Double = QScale): Column =
+    sum(floor(c * lit(scale) + lit(0.5)).cast(LongType)) / lit(scale)
 
-  /** Order-independent double mean: exact decimal sum / count, one IEEE div. */
-  def davg(c: Column): Column = dsum(c) / count(c)
+  /** Order-independent double mean: quantized sum / count, one IEEE div. */
+  def davg(c: Column, scale: Double = QScale): Column = dsum(c, scale) / count(c)
 
   /** Dollars (double) -> integer cents, half-up.
     * Reference: `starter:etl/transform.py:14-20` (`cents_from_price`) uses

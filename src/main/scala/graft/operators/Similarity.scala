@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Two paths:
+  *  - bruteForceTopK: exact cosine top-k, O(|queries| x |corpus|). The
+  *    baseline; right answer when |queries| is small (queries broadcast).
+  *  - signLsh*: random-hyperplane LSH — deterministic md5-derived
+  *    hyperplane signs, bucket vectors by an nBits-bit signature, search
+  *    only within buckets. The 100 TB path: signature is a narrow per-row
+  *    expression, the join keys on the bucket.
+  *
+  * Numerical determinism: dot products are floor-quantized to integers at
+  * 1e12 and summed exactly (associative), so scores are bit-identical
+  * regardless of partitioning — and to the DuckDB oracle.
+  */
+object Similarity {
+
+  /** Quantization scale for vector math: 12 fractional digits (see
+    * graft.functions.Fns — floor-quantized integer sums are the only
+    * double-aggregation both engines compute bit-identically). */
+  private val VScale = 1e12
+
+  /** Engine-portable exact sum of a double expression at VScale. */
+  private def vsum(c: Column): Column =
+    sum(floor(c * lit(VScale) + lit(0.5)).cast(LongType)) / lit(VScale)
+
+  /** (id, d, x) exploded view of a vector column, x widened to double. */
+  def explodeDims(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "x")))
+      .select(col(idCol), col("d"), col("x").cast(DoubleType).as("x"))
+
+  /** L2 norm per id, computed with exact decimal accumulation. */
+  def norms(dims: DataFrame, idCol: String): DataFrame =
+    dims.groupBy(idCol)
+      .agg(sqrt(vsum(col("x") * col("x"))).as("norm"))
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (self-matches excluded). Query side should be small; the
+    * dimension-join runs queries x corpus x dims through a partial-agg
+    * friendly groupBy.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val cd = explodeDims(corpus, idCol, vecCol).toDF("cid", "d", "cx")
+    val qd = explodeDims(queries, idCol, vecCol).toDF("qid", "d", "qx")
+    val dots = qd.join(cd, "d")
+      .filter(col("qid") =!= col("cid"))
+      .groupBy("qid", "cid")
+      .agg(vsum(col("qx") * col("cx")).as("dot"))
+    val cn = norms(cd.toDF("cid", "d", "x"), "cid").toDF("cid", "cnorm")
+    val qn = norms(qd.toDF("qid", "d", "x"), "qid").toDF("qid", "qnorm")
+    val scored = dots.join(broadcast(qn), "qid").join(cn, "cid")
+      .select(col("qid"), col("cid"),
+        (col("dot") / (col("qnorm") * col("cnorm"))).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("cosine"), col("rank").cast(IntegerType).as("rank"))
+  }
+
+  /** Deterministic hyperplane sign for (hyperplane h, dimension d): the
+    * high bit of md5("h:d")'s first hex char — portable across engines. */
+  private def planeSign(h: Int, d: Column): Column =
+    when(substring(md5(concat(lit(s"$h:"), d.cast(StringType))), 1, 1) >= "8", lit(1.0))
+      .otherwise(lit(-1.0))
+
+  /** nBits-bit sign-LSH bucket id per vector: bit h = [dot(v, plane_h) > 0].
+    * Computed from the exploded dims with one groupBy (partial-agg
+    * friendly); exact decimal accumulation keeps bucketing deterministic.
+    */
+  def signLshBuckets(df: DataFrame, idCol: String, vecCol: String, nBits: Int): DataFrame = {
+    val dims = explodeDims(df, idCol, vecCol)
+    val proj = (0 until nBits).map { h =>
+      vsum(col("x") * planeSign(h, col("d"))).as(s"p_$h")
+    }
+    dims.groupBy(idCol).agg(proj.head, proj.tail: _*)
+      .select(col(idCol),
+        (0 until nBits).map { h =>
+          when(col(s"p_$h") > 0, shiftleft(lit(1L), h)).otherwise(lit(0L))
+        }.reduce(_ + _).cast(LongType).as("bucket"))
+  }
+
+  /** LSH-bucketed near-neighbor pairs: same-bucket candidate pairs with
+    * exact cosine verification. At scale, the only shuffle keys on the
+    * bucket id (skew-safe for nBits >= ~16 via AQE skew split).
+    */
+  def lshNeighborPairs(df: DataFrame, idCol: String, vecCol: String, nBits: Int,
+                       minCosine: Double): DataFrame = {
+    val buckets = signLshBuckets(df, idCol, vecCol, nBits).toDF("id", "bucket")
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val dims = explodeDims(df, idCol, vecCol).toDF("id", "d", "x")
+    val n = norms(dims, "id")
+    val dots = cands.join(dims.toDF("id_a", "d", "xa"), "id_a")
+      .join(dims.toDF("id_b", "d", "xb"), Seq("id_b", "d"))
+      .groupBy("id_a", "id_b")
+      .agg(vsum(col("xa") * col("xb")).as("dot"))
+    dots
+      .join(n.toDF("id_a", "na"), "id_a")
+      .join(n.toDF("id_b", "nb"), "id_b")
+      .select(col("id_a"), col("id_b"), (col("dot") / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** Per-group centroid of an embedding column: exact decimal mean per
+    * dimension. Output: (group, d, centroid). */
+  def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("d", "x")))
+      .select(col(groupCol), col("d"), col("x").cast(DoubleType).as("x"))
+      .groupBy(groupCol, "d")
+      .agg((vsum(col("x")) / count(lit(1))).as("centroid"))
+}

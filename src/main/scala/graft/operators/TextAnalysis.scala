@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristics, document
+  * fingerprinting. All are narrow (per-row) column expressions — no
+  * shuffle, fully codegen'd, safe at any scale.
+  *
+  * Portability contract: every expression here uses only arithmetic /
+  * string ops with identical semantics in ANSI engines, so the DuckDB
+  * oracle can replicate results bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count via separator arithmetic (#spaces + 1). */
+  def tokenCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", "")) + lit(1)).cast(LongType)
+
+  /** Count of tokens in `stop` (exploded-free: higher-order filter). */
+  def stopwordCount(text: Column, stop: Seq[String]): Column =
+    size(filter(split(text, " "), t => t.isInCollection(stop))).cast(LongType)
+
+  /** Mean token length in characters, as an exact double expression. */
+  def avgTokenLen(text: Column): Column = {
+    val nonSpace = length(regexp_replace(text, " ", "")).cast(DoubleType)
+    nonSpace / tokenCount(text)
+  }
+
+  /** Heuristic quality score in [0,1]: a length component (saturating at
+    * `fullLenChars`) minus a stopword-density penalty. Deterministic
+    * double arithmetic (one division per term, no re-association).
+    */
+  def qualityScore(text: Column, stop: Seq[String], fullLenChars: Int = 500): Column = {
+    val lenScore  = least(length(text).cast(DoubleType) / lit(fullLenChars.toDouble), lit(1.0))
+    val stopRatio = stopwordCount(text, stop).cast(DoubleType) / tokenCount(text)
+    greatest(lit(0.0), lenScore - stopRatio)
+  }
+
+  /** Marker-token score for one language: how many tokens appear in the
+    * language's marker list. N-gram-frequency heuristic reduced to token
+    * markers (the fixture corpus is word-based).
+    */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(split(text, " "), t => t.isInCollection(markers))).cast(LongType)
+
+  /** Language-ID: argmax over per-language marker scores; ties break to the
+    * alphabetically-first language (deterministic in any engine via the
+    * same >= chain).
+    */
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val sorted = markers.sortBy(_._1)
+    val scores = sorted.map { case (lang, m) => lang -> langScore(text, m) }
+    // CASE WHEN s_i >= greatest(s_{i+1},...) THEN lang_i chain
+    def chain(rest: List[(String, Column)]): Column = rest match {
+      case (lang, _) :: Nil => lit(lang)
+      case (lang, s) :: tail =>
+        val best = if (tail.size == 1) tail.head._2 else greatest(tail.map(_._2): _*)
+        when(s >= best, lit(lang)).otherwise(chain(tail))
+      case Nil => lit(null).cast(StringType)
+    }
+    chain(scores.toList)
+  }
+
+  /** Content fingerprint: md5 of case/whitespace-normalized text
+    * (reference hashes via md5 too, `etl/utils.py:21-23`). */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** SimHash-63 signature from the token multiset. Bit b (1..32) of the
+    * signature is the majority vote of md5(token)'s b-th hex char's high
+    * bit across all tokens — `substr(md5(t), b, 1) >= '8'` is exactly
+    * "high bit set" for lowercase hex, giving an engine-portable SimHash
+    * with no binary/hex conversion; bits 33..63 repeat the construction
+    * with a salted hash md5("x:" + token). 63 bits, not 64, so the sign
+    * bit stays clear (engines differ on BIGINT shift overflow). Narrow
+    * expression: no shuffle. (Not 32 bits: on a corpus with a shared small
+    * vocabulary, 32-bit signatures collide at hamming<=3 for ~3% of random
+    * pairs, which explodes the banded join at scale.)
+    */
+  def simhash64(text: Column): Column = {
+    val toks = split(text, " ")
+    val n = size(toks)
+    val lo = (1 to 32).map { b =>
+      val hi = size(filter(toks, t => substring(md5(t), b, 1) >= "8"))
+      when(hi * 2 > n, shiftleft(lit(1L), b - 1)).otherwise(lit(0L))
+    }
+    val hiBits = (1 to 31).map { b =>
+      val hi = size(filter(toks, t => substring(md5(concat(lit("x:"), t)), b, 1) >= "8"))
+      when(hi * 2 > n, shiftleft(lit(1L), b + 31)).otherwise(lit(0L))
+    }
+    (lo ++ hiBits).reduce(_ + _).cast(LongType)
+  }
+
+  /** Hamming distance between two simhash signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -37,12 +37,12 @@ object RelationalQueries {
       "q_pricing_summary",
       "multi-aggregate groupBy (sum/avg/count) with decimal-exact double sums",
       """SELECT l_returnflag, l_linestatus,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
-                CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_base_price,
-                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
-                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-                CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+                CAST(SUM(CAST(FLOOR((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_qty,
+                CAST(SUM(CAST(FLOOR((l_extendedprice) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_base_price,
+                CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_disc_price,
+                CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_charge,
+                (CAST(SUM(CAST(FLOOR((l_quantity) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0) / COUNT(l_quantity) AS avg_qty,
+                (CAST(SUM(CAST(FLOOR((l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0) / COUNT(l_discount) AS avg_disc,
                 CAST(COUNT(*) AS BIGINT) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -67,7 +67,7 @@ object RelationalQueries {
       "q_revenue_topk",
       "customer⋈orders⋈lineitem with selective filters, top-10 revenue orders",
       """SELECT l_orderkey,
-                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+                CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS revenue,
                 STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate
          FROM customer JOIN orders ON c_custkey = o_custkey
                        JOIN lineitem ON o_orderkey = l_orderkey
@@ -93,7 +93,7 @@ object RelationalQueries {
       "q_region_revenue",
       "snowflake join lineitem⋈orders⋈customer⋈nation⋈region, groupBy region+year",
       """SELECT r_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
-                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+                CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS revenue,
                 CAST(COUNT(*) AS BIGINT) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                        JOIN customer ON o_custkey = c_custkey
@@ -241,7 +241,7 @@ object RelationalQueries {
       "q_d1_union_dedup",
       "union two overlapping slices then dropDuplicates on key",
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_orders,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+                CAST(SUM(CAST(FLOOR((o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_price
          FROM (SELECT DISTINCT o_orderkey, o_totalprice FROM (
                  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
                  UNION ALL
@@ -283,7 +283,7 @@ object RelationalQueries {
            FROM incoming i WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = i.o_orderkey)),
          merged AS (SELECT * FROM updated UNION ALL SELECT * FROM inserted)
          SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+                CAST(SUM(CAST(FLOOR((o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_price
          FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
       val o = t(s, dir, "orders")
       val target = o.filter(col("o_orderkey") % 3 === 0)

@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables.t
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity-search surface over the `embeddings` table (Array[Float],
+  * 64-dim): exact cosine top-k (baseline), sign-LSH bucketing (scale
+  * path), per-label centroids (vector aggregation).
+  *
+  * Oracle strategy: dot products are floor-quantized at 1e12 over
+  * double-widened floats and summed as exact integers (associative),
+  * divisions/sqrt are single IEEE ops — scores come out bit-identical in
+  * Spark and DuckDB, so even rank ordering by score is safely
+  * deterministic.
+  */
+object VectorQueries {
+
+  /** DuckDB (vec_id, d, x) exploded view; d 0-based, x double. */
+  private val dimsSql: String =
+    """SELECT vec_id, CAST(r.d AS INT) AS d, r.x AS x FROM (
+         SELECT vec_id, unnest(list_transform(embedding, (x, i) -> {'d': i - 1, 'x': CAST(x AS DOUBLE)})) AS r
+         FROM embeddings)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_ann_topk",
+      "exact brute-force cosine top-10 neighbors for 5 query vectors",
+      s"""WITH dims AS ($dimsSql),
+          nrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x * x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0) AS nrm
+                  FROM dims GROUP BY vec_id),
+          dots AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+                   CAST(SUM(CAST(FLOOR((q.x * c.x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dot
+            FROM dims q JOIN dims c ON q.d = c.d AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5
+            GROUP BY 1, 2),
+          scored AS (
+            SELECT qid, cid, dot / (qn.nrm * cn.nrm) AS cosine
+            FROM dots JOIN nrm qn ON qn.vec_id = qid JOIN nrm cn ON cn.vec_id = cid)
+          SELECT qid, cid, cosine, rank FROM (
+            SELECT qid, cid, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS INT) AS rank
+            FROM scored)
+          WHERE rank <= 10 ORDER BY qid, rank""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .withColumnRenamed("vec_id", "qid")
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    QueryDef(
+      "q_emb_centroid",
+      "per-label centroid of the embedding column (exact decimal mean per dim)",
+      s"""WITH dims AS (
+            SELECT label, CAST(r.d AS INT) AS d, r.x AS x FROM (
+              SELECT label, unnest(list_transform(embedding, (x, i) -> {'d': i - 1, 'x': CAST(x AS DOUBLE)})) AS r
+              FROM embeddings))
+          SELECT label, d, (CAST(SUM(CAST(FLOOR((x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0) / COUNT(*) AS centroid
+          FROM dims GROUP BY label, d ORDER BY label, d""") { (s, dir) =>
+      Similarity.centroids(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy(col("label"), col("d"))
+    },
+
+    QueryDef(
+      "q_ann_lsh_buckets",
+      "8-bit sign-LSH bucket assignment: bucket histogram (deterministic hyperplanes)",
+      s"""WITH dims AS ($dimsSql),
+          proj AS (
+            SELECT vec_id,
+                   ${(0 until 8).map { h =>
+                     s"CAST(SUM(CAST(FLOOR((x * (CASE WHEN substr(md5('$h:' || CAST(d AS VARCHAR)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS p_$h"
+                   }.mkString(", ")}
+            FROM dims GROUP BY vec_id),
+          buckets AS (
+            SELECT vec_id,
+                   CAST(${(0 until 8).map(h => s"CASE WHEN p_$h > 0 THEN ${1L << h} ELSE 0 END").mkString(" + ")} AS BIGINT) AS bucket
+            FROM proj)
+          SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                 MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+          FROM buckets GROUP BY bucket ORDER BY bucket""") { (s, dir) =>
+      Similarity.signLshBuckets(t(s, dir, "embeddings"), "vec_id", "embedding", nBits = 8)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec"), max("vec_id").as("max_vec"))
+        .orderBy(col("bucket"))
+    },
+
+    QueryDef(
+      "q_emb_neardup",
+      "embedding-cosine near-dup pairs within LSH buckets (8-bit, cosine >= 0.2)",
+      s"""WITH dims AS ($dimsSql),
+          nrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x * x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0) AS nrm
+                  FROM dims GROUP BY vec_id),
+          proj AS (
+            SELECT vec_id,
+                   ${(0 until 8).map { h =>
+                     s"CAST(SUM(CAST(FLOOR((x * (CASE WHEN substr(md5('$h:' || CAST(d AS VARCHAR)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS p_$h"
+                   }.mkString(", ")}
+            FROM dims GROUP BY vec_id),
+          buckets AS (
+            SELECT vec_id,
+                   CAST(${(0 until 8).map(h => s"CASE WHEN p_$h > 0 THEN ${1L << h} ELSE 0 END").mkString(" + ")} AS BIGINT) AS bucket
+            FROM proj),
+          cand AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          dots AS (
+            SELECT id_a, id_b, CAST(SUM(CAST(FLOOR((da.x * db.x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dot
+            FROM cand JOIN dims da ON da.vec_id = id_a JOIN dims db ON db.vec_id = id_b AND db.d = da.d
+            GROUP BY 1, 2)
+          SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
+          FROM dots JOIN nrm na ON na.vec_id = id_a JOIN nrm nb ON nb.vec_id = id_b
+          WHERE dot / (na.nrm * nb.nrm) >= 0.2
+          ORDER BY id_a, id_b""") { (s, dir) =>
+      Similarity.lshNeighborPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          nBits = 8, minCosine = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+  )
+}
