@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables.t
+import graft.functions.Fns._
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY.md §2.8 X1–X15): money, dates, hashing,
+  * normalization, variant heuristic, explode. All expressions chosen for
+  * bit-identical cross-engine semantics (see Fns).
+  */
+object ScalarQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // X1/X2/X5/X7/X8/X9/X11 in one projection over orders.
+    QueryDef(
+      "q_x_scalars",
+      "scalar suite: cents conversion, money display, ISO dates, md5 hash, normalization, variant heuristic",
+      """SELECT o_orderkey,
+                CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                '$' || CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) // 100 AS VARCHAR)
+                    || '.' || lpad(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS price_display,
+                STRFTIME(o_orderdate, '%Y-%m-%d') AS order_iso,
+                md5(CAST(o_orderkey AS VARCHAR) || o_orderstatus) AS key_hash,
+                lower(trim(o_orderpriority)) AS prio_norm,
+                lower(o_orderpriority) LIKE '%urgent%' AS is_urgent
+         FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""") { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 500)
+        .select(
+          col("o_orderkey"),
+          cents(col("o_totalprice")).as("cents"),
+          priceDisplay(cents(col("o_totalprice"))).as("price_display"),
+          isoDate(col("o_orderdate")).as("order_iso"),
+          md5(concat(col("o_orderkey").cast("string"), col("o_orderstatus"))).as("key_hash"),
+          norm(col("o_orderpriority")).as("prio_norm"),
+          lower(col("o_orderpriority")).contains("urgent").as("is_urgent"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // X12: table-generating explode (the creators.items[] flattening shape).
+    QueryDef(
+      "q_x12_explode",
+      "explode(split(...)) word frequency — the creator-explosion Generator shape",
+      """SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+         FROM (SELECT unnest(string_split(lower(p_name), ' ')) AS word FROM part)
+         GROUP BY word ORDER BY n DESC, word""") { (s, dir) =>
+      t(s, dir, "part")
+        .select(explode(split(lower(col("p_name")), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("word"))
+    },
+
+    // O2: lexicographic TEXT ordering of numeric-looking keys ("10" < "9"),
+    // with the documented numeric-aware alternative alongside.
+    QueryDef(
+      "q_o2_lexsort",
+      "lexicographic vs numeric sort of TEXT issue numbers (reference O2 semantics)",
+      """SELECT num_text, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(ROW_NUMBER() OVER (ORDER BY num_text) AS INT) AS lex_rank,
+                CAST(ROW_NUMBER() OVER (ORDER BY CAST(num_text AS DOUBLE), num_text) AS INT) AS num_rank
+         FROM (SELECT CAST(l_linenumber * 3 AS VARCHAR) AS num_text FROM lineitem)
+         GROUP BY num_text ORDER BY num_text""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "lineitem")
+        .select((col("l_linenumber") * 3).cast("string").as("num_text"))
+        .groupBy("num_text")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lex_rank", row_number().over(Window.orderBy(col("num_text"))).cast("int"))
+        .withColumn("num_rank", row_number().over(
+          Window.orderBy(col("num_text").cast("double"), col("num_text"))).cast("int"))
+        .orderBy(col("num_text"))
+    },
+  )
+}

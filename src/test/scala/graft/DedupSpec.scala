@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Tiny corpus with one planted near-dup pair (1,2), one exact dup (3,4),
+  // and unrelated docs.
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    (3L, "completely different content about spark query engines and shuffles"),
+    (4L, "completely different content about spark query engines and shuffles"),
+    (5L, "unrelated text regarding parquet column pruning and predicate pushdown")
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups finds exact copies only") {
+    val got = Dedup.exactDupGroups(corpus, "doc_id", "text").collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("n_copies") == 2L)
+    assert(got.head.getAs[Long]("first_doc") == 3L)
+  }
+
+  test("jaccardPairs finds planted near-dup and exact pairs") {
+    val got = Dedup.jaccardPairs(corpus, "doc_id", "text", k = 5, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(got.contains((3L, 4L)))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("lshNearDups agrees with exact jaccard on this corpus") {
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", k = 5, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.lshNearDups(corpus, "doc_id", "text", k = 5,
+        numHashes = 8, bandSize = 2, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, distinct far") {
+    val sigs = corpus.select(col("doc_id"),
+        TextAnalysis.simhash64(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(3L) == sigs(4L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 6)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(5L)) > 10)
+  }
+
+  test("simhashNearDups finds the exact-dup pair via banding") {
+    val got = Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((3L, 4L)))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def target = Seq(
+    (1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0)
+  ).toDF("k", "status", "price")
+
+  test("upsert: updates mutable fields on match, inserts when absent") {
+    val inc = Seq((2L, "U", 25.0, 1), (2L, "V", 26.0, 2), (4L, "N", 40.0, 1))
+      .toDF("k", "status", "price", "src")
+    val merged = Relational.upsert(target, inc, Seq("k"), Seq("status", "price"), Seq(col("src")))
+      .orderBy("k").collect()
+    assert(merged.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "A", 10.0), (2L, "U", 25.0), (3L, "C", 30.0), (4L, "N", 40.0)))
+  }
+
+  test("upsert is idempotent: applying the same batch twice is a no-op") {
+    val inc = Seq((2L, "U", 25.0, 1), (4L, "N", 40.0, 1)).toDF("k", "status", "price", "src")
+    val once = Relational.upsert(target, inc, Seq("k"), Seq("status", "price"), Seq(col("src")))
+    val twice = Relational.upsert(once.select("k", "status", "price"), inc,
+      Seq("k"), Seq("status", "price"), Seq(col("src")))
+    assert(once.orderBy("k").collect().toSeq ==
+      twice.orderBy("k").select("k", "status", "price").collect().toSeq)
+  }
+
+  test("firstWins keeps exactly the first row per key under the given order") {
+    val df = Seq((1L, "b", 2), (1L, "a", 1), (2L, "c", 9)).toDF("k", "v", "ord")
+    val got = Relational.firstWins(df, Seq("k"), Seq(col("ord")))
+      .orderBy("k").select("k", "v").as[(Long, String)].collect()
+    assert(got.toSeq == Seq((1L, "a"), (2L, "c")))
+  }
+
+  test("orphans finds child rows with no parent") {
+    val child = Seq((1L, 10L), (2L, 20L), (3L, 99L)).toDF("id", "fk")
+    val parent = Seq((10L, "x"), (20L, "y")).toDF("pk", "name")
+    val got = Relational.orphans(child, parent, "fk", "pk").select("id").as[Long].collect()
+    assert(got.toSeq == Seq(3L))
+  }
+
+  test("topKByCount is deterministic under count ties (key tie-break)") {
+    val df = Seq("b", "b", "a", "a", "c").toDF("g")
+    val got = Relational.topKByCount(df, col("g"), 2)
+      .as[(String, Long)].collect()
+    assert(got.toSeq == Seq(("a", 2L), ("b", 2L)))
+  }
+
+  test("argmaxPerGroup picks the deterministic winner") {
+    val df = Seq((1, "x", 5.0), (1, "y", 5.0), (2, "z", 1.0)).toDF("g", "v", "s")
+    val got = Relational.argmaxPerGroup(df, Seq("g"), Seq(desc("s"), col("v")))
+      .orderBy("g").select("g", "v").as[(Int, String)].collect()
+    assert(got.toSeq == Seq((1, "x"), (2, "z")))
+  }
+}

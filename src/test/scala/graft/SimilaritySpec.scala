@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),   // near vec 1
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks the nearest vector first") {
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1), "vec_id",
+        "embedding", k = 3)
+      .orderBy("rank").select("cid").as[Long].collect()
+    assert(got.head == 2L)           // closest
+    assert(got.toSet == Set(2L, 3L, 4L))
+  }
+
+  test("cosine of an identical direction is 1.0 within quantization") {
+    val dup = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(2.0f, 4.0f, 6.0f)))
+      .toDF("vec_id", "embedding")
+    val cos = Similarity.bruteForceTopK(dup, dup.filter(col("vec_id") === 1), "vec_id",
+        "embedding", k = 1)
+      .select("cosine").as[Double].head()
+    assert(math.abs(cos - 1.0) < 1e-9)
+  }
+
+  test("centroids average per dimension exactly") {
+    val df = Seq((0, Array(1.0f, 3.0f)), (0, Array(3.0f, 5.0f)), (1, Array(10.0f, 10.0f)))
+      .toDF("label", "embedding")
+    val got = Similarity.centroids(df, "label", "embedding")
+      .orderBy("label", "d").select("centroid").as[Double].collect()
+    assert(got.toSeq == Seq(2.0, 4.0, 10.0, 10.0))
+  }
+
+  test("signLshBuckets puts identical vectors in the same bucket") {
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)),
+                 (3L, Array(-5.0f, 1.0f, -2.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Similarity.signLshBuckets(df, "vec_id", "embedding", nBits = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(b(1L) == b(2L))
+  }
+}
