@@ -13,9 +13,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      // noop sink: forces full evaluation of every output column (count()
+      // would let Catalyst prune the projections being measured).
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+    // Warmup pass: JIT + whole-stage-codegen compilation dominates first
+    // executions (measured 6.7s -> 0.8s on a 0.75s query); report
+    // steady-state throughput.
+    SparkEntry.queries.foreach { case (name, fn) => run(name, fn) }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      run(name, fn)
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -54,4 +54,14 @@ object Tables {
   /** Register every table as a temp view for the spark.sql surface. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Spread a small input across the cluster before a compute-heavy narrow
+    * stage. A few-MB parquet file arrives as ONE partition, serializing
+    * e.g. 30M md5 calls onto one core; at cluster scale inputs already have
+    * >= defaultParallelism partitions and this is a no-op.
+    */
+  def ensureParallelism(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

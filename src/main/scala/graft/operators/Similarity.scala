@@ -30,9 +30,11 @@ object Similarity {
   private def vsum(c: Column): Column =
     sum(floor(c * lit(VScale) + lit(0.5)).cast(LongType)) / lit(VScale)
 
-  /** (id, d, x) exploded view of a vector column, x widened to double. */
+  /** (id, d, x) exploded view of a vector column, x widened to double;
+    * input is spread across the cluster first (the explode fans out 64x). */
   def explodeDims(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "x")))
+    graft.core.Tables.ensureParallelism(df)
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "x")))
       .select(col(idCol), col("d"), col("x").cast(DoubleType).as("x"))
 
   /** L2 norm per id, computed with exact decimal accumulation. */

@@ -82,12 +82,16 @@ object TextAnalysis {
   def simhash64(text: Column): Column = {
     val toks = split(text, " ")
     val n = size(toks)
+    // Hash each token ONCE (2 variants), then read one hex char per bit —
+    // naively inlining md5 into each bit term costs 63x the hashing.
+    val hashes = transform(toks, t => md5(t))
+    val salted = transform(toks, t => md5(concat(lit("x:"), t)))
     val lo = (1 to 32).map { b =>
-      val hi = size(filter(toks, t => substring(md5(t), b, 1) >= "8"))
+      val hi = size(filter(hashes, h => substring(h, b, 1) >= "8"))
       when(hi * 2 > n, shiftleft(lit(1L), b - 1)).otherwise(lit(0L))
     }
     val hiBits = (1 to 31).map { b =>
-      val hi = size(filter(toks, t => substring(md5(concat(lit("x:"), t)), b, 1) >= "8"))
+      val hi = size(filter(salted, h => substring(h, b, 1) >= "8"))
       when(hi * 2 > n, shiftleft(lit(1L), b + 31)).otherwise(lit(0L))
     }
     (lo ++ hiBits).reduce(_ + _).cast(LongType)
@@ -95,4 +99,52 @@ object TextAnalysis {
 
   /** Hamming distance between two simhash signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** DataFrame-level simhash64: explode tokens, hash each once in a
+    * codegen'd projection, aggregate the 63 per-bit majority counts with
+    * map-side partial aggregation. Produces (doc_id, sig) with values
+    * identical to the per-row simhash64 Column — use this form when
+    * hashing a whole corpus (the per-row higher-order-function expression
+    * is interpreted and ~3x slower at scale). */
+  def simhashSignatures(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String): org.apache.spark.sql.DataFrame = {
+    val ex = graft.core.Tables.ensureParallelism(docs)
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("t"))
+      .select(col("doc_id"), md5(col("t")).as("h1"),
+              md5(concat(lit("x:"), col("t"))).as("h2"))
+    val counts =
+      (1 to 32).map(b => sum(when(substring(col("h1"), b, 1) >= "8", 1).otherwise(0)).as(s"c_$b")) ++
+      (1 to 31).map(b => sum(when(substring(col("h2"), b, 1) >= "8", 1).otherwise(0)).as(s"d_$b")) :+
+      count(lit(1)).as("n")
+    val agg = ex.groupBy("doc_id").agg(counts.head, counts.tail: _*)
+    val bits =
+      (1 to 32).map(b => when(col(s"c_$b") * 2 > col("n"), shiftleft(lit(1L), b - 1)).otherwise(lit(0L))) ++
+      (1 to 31).map(b => when(col(s"d_$b") * 2 > col("n"), shiftleft(lit(1L), b + 31)).otherwise(lit(0L)))
+    agg.select(col("doc_id"), bits.reduce(_ + _).cast(LongType).as("sig"))
+  }
+
+  /** Per-document corpus statistics via explode + map-side partial
+    * aggregation (one shuffle keyed on doc id): token count, mean token
+    * length, stopword count/ratio, quality score. Arithmetic identical to
+    * the per-row column expressions (single-space tokenization:
+    * length(text) == sum(len(token)) + n - 1). */
+  def docStats(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+               stop: Seq[String], fullLenChars: Int = 500): org.apache.spark.sql.DataFrame = {
+    val ex = graft.core.Tables.ensureParallelism(docs)
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("t"))
+    val agg = ex.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("t").isInCollection(stop), 1).otherwise(0)).cast(LongType).as("n_stop"),
+      sum(length(col("t"))).as("sum_len"))
+    val textLen = (col("sum_len") + col("n_tokens") - 1).cast(DoubleType)
+    val stopRatio = col("n_stop").cast(DoubleType) / col("n_tokens")
+    agg.select(
+      col("doc_id"),
+      col("n_tokens"),
+      (col("sum_len").cast(DoubleType) / col("n_tokens")).as("avg_token_len"),
+      col("n_stop"),
+      stopRatio.as("stop_ratio"),
+      greatest(lit(0.0),
+        least(textLen / lit(fullLenChars.toDouble), lit(1.0)) - stopRatio).as("quality"))
+  }
 }

@@ -42,19 +42,26 @@ object TextQueries {
     s"CASE ${cases.mkString(" ")} END"
   }
 
-  /** DuckDB 63-bit simhash over `toks` (see TextAnalysis.simhash64 for the
-    * hex-high-bit construction). */
+  /** DuckDB 63-bit simhash over precomputed token-hash lists `hs`/`hs2`
+    * (see TextAnalysis.simhash64 for the hex-high-bit construction). */
   private val simhashSql: String = {
     val lo = (1 to 32).map { b =>
-      s"CASE WHEN 2 * len(list_filter(toks, x -> substr(md5(x), $b, 1) >= '8')) > len(toks) " +
+      s"CASE WHEN 2 * len(list_filter(hs, h -> substr(h, $b, 1) >= '8')) > len(hs) " +
         s"THEN CAST(${1L << (b - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }
     val hi = (1 to 31).map { b =>
-      s"CASE WHEN 2 * len(list_filter(toks, x -> substr(md5('x:' || x), $b, 1) >= '8')) > len(toks) " +
+      s"CASE WHEN 2 * len(list_filter(hs2, h -> substr(h, $b, 1) >= '8')) > len(hs) " +
         s"THEN CAST(${1L << (b + 31)} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }
     (lo ++ hi).mkString(" + ")
   }
+
+  /** DuckDB FROM-clause producing the token-hash lists for simhashSql. */
+  private val simhashFromSql: String =
+    """(SELECT doc_id, text,
+              list_transform(string_split(text, ' '), x -> md5(x)) AS hs,
+              list_transform(string_split(text, ' '), x -> md5('x:' || x)) AS hs2
+       FROM documents)"""
 
   private val shinglesSql: String =
     "list_distinct(list_transform(range(1, length(text) - 7), i -> substr(text, CAST(i AS INT), 9)))"
@@ -75,14 +82,7 @@ object TextQueries {
                    - CAST(len(list_filter(string_split(text, ' '), x -> x IN ('a', 'the'))) AS DOUBLE)
                      / (length(text) - length(replace(text, ' ', '')) + 1)) AS quality
           FROM documents ORDER BY doc_id""") { (s, dir) =>
-      t(s, dir, "documents").select(
-          col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-          TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"),
-          TextAnalysis.stopwordCount(col("text"), Stop).as("n_stop"),
-          (TextAnalysis.stopwordCount(col("text"), Stop).cast("double") /
-            TextAnalysis.tokenCount(col("text"))).as("stop_ratio"),
-          TextAnalysis.qualityScore(col("text"), Stop).as("quality"))
+      TextAnalysis.docStats(t(s, dir, "documents"), "doc_id", "text", Stop)
         .orderBy(col("doc_id"))
     },
 
@@ -106,12 +106,12 @@ object TextQueries {
       "document fingerprinting: md5 content hash + portable 63-bit simhash",
       s"""SELECT doc_id, md5(lower(trim(text))) AS fp,
                  CAST($simhashSql AS BIGINT) AS simhash
-          FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+          FROM $simhashFromSql
           ORDER BY doc_id""") { (s, dir) =>
-      t(s, dir, "documents").select(
-          col("doc_id"),
-          TextAnalysis.fingerprint(col("text")).as("fp"),
-          TextAnalysis.simhash64(col("text")).as("simhash"))
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .join(TextAnalysis.simhashSignatures(docs, "doc_id", "text")
+                .withColumnRenamed("sig", "simhash"), "doc_id")
         .orderBy(col("doc_id"))
     },
 
@@ -134,29 +134,41 @@ object TextQueries {
 
     QueryDef(
       "q_dedup_jaccard",
-      "all-pairs char-9-gram Jaccard similarity join (threshold 0.5)",
-      s"""WITH sh AS (SELECT doc_id, unnest($shinglesSql) AS g FROM documents),
-          cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-          pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-            FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-            GROUP BY 1, 2)
-          SELECT doc_a, doc_b, common / (ca.n + cb.n - common) AS jaccard
-          FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-          WHERE common / (ca.n + cb.n - common) >= 0.5
+      "prefix-filtered exact char-9-gram Jaccard join (rare-shingle candidates, threshold 0.5)",
+      s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+          ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          rare AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 5),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM ex a JOIN rare r ON a.g = r.g
+                      JOIN ex b ON b.g = a.g AND a.doc_id < b.doc_id),
+          verified AS (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(sa.sh, sb.sh))
+                     / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+            FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b)
+          SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
           ORDER BY doc_a, doc_b""") { (s, dir) =>
-      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", k = 9, threshold = 0.5)
+      Dedup.jaccardPairsFiltered(t(s, dir, "documents"), "doc_id", "text",
+          k = 9, threshold = 0.5, dfCap = 5)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
     QueryDef(
       "q_dedup_minhash",
-      "MinHash(8)+LSH(4 bands of 2) near-dup pipeline with exact Jaccard verification",
+      "MinHash(8)+LSH(4 bands of 2, df-capped shingles) near-dup pipeline with exact Jaccard verification",
       s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+          ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          rare AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 20),
+          rex AS (SELECT doc_id, md5(ex.g) AS h1, md5('x:' || ex.g) AS h2
+                  FROM ex JOIN rare USING (g)),
           sig AS (
-            SELECT doc_id, sh,
-                   ${(0 until 8).map(h => s"list_min(list_transform(sh, g -> md5('$h:' || g))) AS sig_$h").mkString(", ")}
-            FROM s),
+            SELECT doc_id,
+                   ${(0 until 8).map { h =>
+                     val src = if (h < 4) "h1" else "h2"
+                     s"MIN(substr($src, ${(h % 4) * 8 + 1}, 8)) AS sig_$h"
+                   }.mkString(", ")}
+            FROM rex GROUP BY doc_id),
           bands AS (
             SELECT doc_id, unnest([${(0 until 4).map(b => s"'$b' || ':' || sig_${2 * b} || ':' || sig_${2 * b + 1}").mkString(", ")}]) AS band
             FROM sig),
@@ -171,7 +183,7 @@ object TextQueries {
           SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
           ORDER BY doc_a, doc_b""") { (s, dir) =>
       Dedup.lshNearDups(t(s, dir, "documents"), "doc_id", "text",
-          k = 9, numHashes = 8, bandSize = 2, threshold = 0.5)
+          k = 9, numHashes = 8, bandSize = 2, threshold = 0.5, dfCap = 20)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -180,7 +192,7 @@ object TextQueries {
       "SimHash near-dup pairs via 16-bit pigeonhole banding (hamming <= 3)",
       s"""WITH sig AS (
             SELECT doc_id, CAST($simhashSql AS BIGINT) AS sig
-            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+            FROM $simhashFromSql),
           bands AS (
             SELECT doc_id, sig,
                    unnest([${(0 until 4).map(i => s"'$i' || ':' || CAST((sig >> ${i * 16}) & 65535 AS VARCHAR)").mkString(", ")}]) AS band
