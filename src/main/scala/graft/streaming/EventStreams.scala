@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming operators over the events stream (SURVEY.md §2.9
+  * extension: the reference's incremental micro-batch ingest, given real
+  * event-time semantics — watermarks, windowed aggregation, session
+  * windows, stateful dedup).
+  *
+  * All transforms take/return streaming DataFrames; batch DataFrames work
+  * too (same API), which is how the EventQueries batch analogs stay in
+  * lockstep.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window counts + sums with a watermark bounding
+    * state: late events beyond `lateness` are dropped, window state is
+    * evicted once the watermark passes. */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+                     lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Gap-based session windows per user (Spark's built-in session_window:
+    * state merges adjacent events until a `gap` of silence). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Exactly-once-per-key event dedup within the watermark horizon —
+    * the streaming version of the idempotent-ingest insert-if-absent. */
+  def dedupEvents(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness).dropDuplicates("event_id")
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class KeyedLatest(user_id: Long, event_type: String,
+                               event_id: Long, ts: Timestamp, value: Double)
+
+  /** Custom stateful operator: latest event per (user, type) maintained in
+    * GroupState (flatMapGroupsWithState, Update mode) — the streaming
+    * analog of EventQueries.q_events_latest and the pattern slot for any
+    * reference-lacking stateful semantics (SURVEY.md §7.4).
+    */
+  def latestPerKeyStream(events: Dataset[Event]): Dataset[KeyedLatest] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[KeyedLatest, KeyedLatest](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case ((uid, etype), batch, state: GroupState[KeyedLatest]) =>
+          val candidates = state.getOption.iterator ++ batch.map(e =>
+            KeyedLatest(uid, etype, e.event_id, e.ts, e.value))
+          val latest = candidates.maxBy(k => (k.ts.getTime, k.event_id))
+          val changed = !state.getOption.contains(latest)
+          state.update(latest)
+          if (changed) Iterator(latest) else Iterator.empty
+      }
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("tumblingCounts aggregates per event-time window with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(12), 2, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select(col("event_type"), col("n"), col("sum_value")).collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet ==
+        Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionCounts merges events within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionCounts(input.toDF(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 1.0),   // same session (gap 10 < 30)
+        Event(3, ts(100), 1, "click", 1.0))  // new session
+      q.processAllAvailable()
+      val n = spark.table("sessions").select("n_events").as[Long].collect().sorted
+      assert(n.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("dedupEvents drops replayed event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupEvents(input.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(1, ts(0), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() == 2)
+    } finally q.stop()
+  }
+
+  test("latestPerKeyStream keeps per-key latest across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.latestPerKeyStream(input.toDS())
+      .writeStream.format("memory").queryName("latest")
+      .outputMode("update").start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(2, ts(5), 1, "click", 9.0), Event(3, ts(2), 1, "click", 4.0))
+      q.processAllAvailable()
+      val latest = spark.table("latest")
+        .groupBy("user_id", "event_type").agg(max_by(col("event_id"), col("ts")).as("eid"))
+        .select("eid").as[Long].collect()
+      assert(latest.toSeq == Seq(2L))
+    } finally q.stop()
+  }
+}
