@@ -1,0 +1,215 @@
+package graft.sources.rest
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, StringStartsWith}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.collection.JavaConverters._
+import scala.collection.concurrent.TrieMap
+
+/** DataSource V2 batch source for a paginated REST-style API — the
+  * reference's Marvel/ComicVine extractors (SURVEY.md §2.1 S1-S5, S10)
+  * re-expressed as a Spark connector:
+  *
+  *  - pagination -> one InputPartition per page range (parallel fetch),
+  *    planned from the API's `total` when known
+  *    (`etl/sources/marvel_extract.py:61-87` stop-on-total loop);
+  *  - server-side filters -> SupportsPushDownFilters: EqualTo and
+  *    StringStartsWith become request params (`titleStartsWith`,
+  *    `filter=volume:X` in the reference);
+  *  - field_list projection -> SupportsPushDownRequiredColumns
+  *    (`cv_fetch_covers.py:107`);
+  *  - `limit:1` point reads -> SupportsPushDownLimit.
+  *
+  * Transport is pluggable via [[PageFetcher]]: production would be an HTTP
+  * client with the reference's retry/backoff (see [[RetryingFetcher]]);
+  * this zero-egress environment registers in-memory fetchers through
+  * [[FetcherRegistry]] (option `fetcher=<name>`).
+  *
+  * Usage: `spark.read.format("graft.sources.rest.RestSource")
+  *   .option("fetcher", name).option("pageSize", "100").load()`
+  */
+class RestSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FetcherRegistry.get(options.get("fetcher")).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new RestTable(schema, properties.asScala.toMap)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+/** One page request: filters already translated to API params. */
+trait PageFetcher extends Serializable {
+  def schema: StructType
+  /** Total row count for `params`, if the API reports one (enables
+    * parallel page-range planning). */
+  def total(params: Map[String, String]): Option[Int]
+  /** Fetch rows [offset, offset+limit). A short page ends pagination. */
+  def fetch(params: Map[String, String], offset: Int, limit: Int): Seq[Row]
+}
+
+/** S5 retry/backoff decorator (reference: 5 attempts, exponential 1.5^n —
+  * `etl/seed/seed_from_marvel.py:58-88`). Wraps any fetcher; sleeps grow
+  * exponentially and the last failure propagates. */
+final class RetryingFetcher(inner: PageFetcher, maxRetries: Int = 5,
+                            baseSleepMs: Long = 1500) extends PageFetcher {
+  override def schema: StructType = inner.schema
+  override def total(params: Map[String, String]): Option[Int] = inner.total(params)
+  override def fetch(params: Map[String, String], offset: Int, limit: Int): Seq[Row] = {
+    var attempt = 0
+    while (true) {
+      try return inner.fetch(params, offset, limit)
+      catch {
+        case e: Throwable =>
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+          Thread.sleep((baseSleepMs * math.pow(1.5, attempt - 1)).toLong)
+      }
+    }
+    Nil // unreachable
+  }
+}
+
+/** Name -> fetcher registry: DSV2 instantiates providers reflectively, so
+  * fetchers are wired by name through source options. */
+object FetcherRegistry {
+  private val fetchers = TrieMap.empty[String, PageFetcher]
+  def register(name: String, f: PageFetcher): Unit = fetchers.put(name, f)
+  def get(name: String): PageFetcher =
+    fetchers.getOrElse(name,
+      throw new IllegalArgumentException(s"no fetcher registered as '$name'"))
+}
+
+private[rest] class RestTable(schema: StructType, properties: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"rest(${properties.getOrElse("fetcher", "?")})"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RestScanBuilder(schema, options.asScala.toMap)
+}
+
+private[rest] class RestScanBuilder(fullSchema: StructType, options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+  private var limit: Option[Int] = None
+
+  /** EqualTo / StringStartsWith become API params; everything else stays a
+    * Spark-side residual (returned back to Catalyst). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition {
+      case EqualTo(_, v) => v != null && !v.isInstanceOf[Array[_]]
+      case StringStartsWith(_, _) => true
+      case _ => false
+    }
+    pushed = supported
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
+  override def build(): Scan = {
+    val params = pushed.flatMap {
+      case EqualTo(attr, v) => Some(attr -> v.toString)
+      case StringStartsWith(attr, prefix) => Some(s"${attr}StartsWith" -> prefix)
+      case _ => None
+    }.toMap ++ options.get("extraParams").map(p => "extraParams" -> p)
+    new RestScan(options, params, required, limit)
+  }
+}
+
+private[rest] case class RestPageRange(offset: Int, count: Int) extends InputPartition
+
+private[rest] class RestScan(options: Map[String, String], params: Map[String, String],
+                             required: StructType, limit: Option[Int])
+    extends Scan with Batch {
+
+  private val pageSize = options.getOrElse("pageSize", "100").toInt
+  private val maxItems = options.get("maxItems").map(_.toInt)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"RestScan(params=$params, columns=${required.fieldNames.mkString(",")}, limit=$limit)"
+
+  /** Page-range planning: with a known total, ceil(total/pageSize)
+    * partitions fetch in parallel (the reference's sequential offset loop,
+    * distributed); unknown total degrades to a single partition that
+    * paginates until a short page. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fetcher = FetcherRegistry.get(options("fetcher"))
+    val cap = (maxItems.toSeq ++ limit.toSeq).reduceOption(_ min _)
+    fetcher.total(params) match {
+      case Some(total) =>
+        val n = cap.fold(total)(total min _)
+        (0 until n by pageSize)
+          .map(off => RestPageRange(off, pageSize min (n - off))).toArray
+      case None =>
+        Array(RestPageRange(0, cap.getOrElse(Int.MaxValue)))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestReaderFactory(options("fetcher"), params, required, pageSize)
+}
+
+private[rest] class RestReaderFactory(fetcherName: String, params: Map[String, String],
+                                      required: StructType, pageSize: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new RestPartitionReader(fetcherName, params, required, pageSize,
+      partition.asInstanceOf[RestPageRange])
+}
+
+private[rest] class RestPartitionReader(fetcherName: String, params: Map[String, String],
+                                        required: StructType, pageSize: Int,
+                                        range: RestPageRange)
+    extends PartitionReader[InternalRow] {
+
+  private val fetcher = FetcherRegistry.get(fetcherName)
+  private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(required)
+  private var emitted = 0
+  private var buffer: Iterator[Row] = Iterator.empty
+  private var nextOffset = range.offset
+  private var exhausted = false
+  private var current: InternalRow = _
+
+  private def fieldOrdinals =
+    required.fieldNames.map(n => fetcher.schema.fieldIndex(n))
+
+  override def next(): Boolean = {
+    while (!buffer.hasNext && !exhausted && emitted < range.count) {
+      val want = pageSize min (range.count - emitted)
+      val page = fetcher.fetch(params, nextOffset, want)
+      nextOffset += page.size
+      if (page.size < want) exhausted = true
+      buffer = page.iterator
+    }
+    if (buffer.hasNext && emitted < range.count) {
+      val row = buffer.next()
+      // column pruning: project the fetched row down to the required schema
+      val projected = Row.fromSeq(fieldOrdinals.toSeq.map(row.get))
+      current = toCatalyst(projected).asInstanceOf[InternalRow]
+      emitted += 1
+      true
+    } else false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.sources.rest.{FetcherRegistry, PageFetcher, RetryingFetcher}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.util.concurrent.atomic.AtomicInteger
+
+/** In-memory "API": 250 series rows, supports the reference's param
+  * surface (exact title, titleStartsWith) + total reporting. Records the
+  * params it was called with so pushdown is observable. */
+class FakeApi extends PageFetcher {
+  @volatile var lastParams: Map[String, String] = Map.empty
+  val calls = new AtomicInteger(0)
+
+  override val schema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("title", StringType),
+    StructField("start_year", IntegerType)))
+
+  private val data = (0 until 250).map { i =>
+    Row(i.toLong, (if (i % 3 == 0) "Amazing " else "Spider ") + s"Series $i", 1990 + i % 30)
+  }
+
+  private def filtered(params: Map[String, String]) = {
+    lastParams = params
+    data
+      .filter(r => params.get("title").forall(_ == r.getString(1)))
+      .filter(r => params.get("titleStartsWith").forall(p => r.getString(1).startsWith(p)))
+  }
+
+  override def total(params: Map[String, String]): Option[Int] = Some(filtered(params).size)
+
+  override def fetch(params: Map[String, String], offset: Int, limit: Int): Seq[Row] = {
+    calls.incrementAndGet()
+    filtered(params).slice(offset, offset + limit)
+  }
+}
+
+class RestSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def load(name: String, api: PageFetcher, pageSize: Int = 40) = {
+    FetcherRegistry.register(name, api)
+    spark.read.format("graft.sources.rest.RestSource")
+      .option("fetcher", name).option("pageSize", pageSize.toString).load()
+  }
+
+  test("full scan paginates across parallel page-range partitions") {
+    val api = new FakeApi
+    val df = load("fake_full", api)
+    assert(df.count() == 250)
+    // 7 page-range InputPartitions planned (Spark may pack them into fewer
+    // RDD partitions); the scan must still be parallel, not a driver loop.
+    assert(df.rdd.getNumPartitions >= 2)
+  }
+
+  test("StartsWith filter is pushed down to the API as a param") {
+    val api = new FakeApi
+    val got = load("fake_prefix", api).filter($"title".startsWith("Amazing"))
+      .select("id").as[Long].collect()
+    assert(got.length == 84)
+    assert(api.lastParams.get("titleStartsWith").contains("Amazing"))
+  }
+
+  test("equality filter + column pruning reach the source") {
+    val api = new FakeApi
+    val got = load("fake_eq", api).filter($"title" === "Spider Series 1")
+      .select("id").as[Long].collect()
+    assert(got.toSeq == Seq(1L))
+    assert(api.lastParams.get("title").contains("Spider Series 1"))
+  }
+
+  test("limit pushdown caps the fetched range") {
+    val api = new FakeApi
+    val got = load("fake_limit", api).limit(5).collect()
+    assert(got.length == 5)
+    // one page of 40 max — not the full 250-row scan
+    assert(api.calls.get() <= 2)
+  }
+
+  test("RetryingFetcher retries transient failures with backoff") {
+    val flaky = new PageFetcher {
+      val attempts = new AtomicInteger(0)
+      override val schema: StructType = StructType(Seq(StructField("id", LongType)))
+      override def total(params: Map[String, String]): Option[Int] = Some(1)
+      override def fetch(params: Map[String, String], offset: Int, limit: Int): Seq[Row] = {
+        if (attempts.incrementAndGet() < 3) throw new RuntimeException("503")
+        Seq(Row(7L))
+      }
+    }
+    val r = new RetryingFetcher(flaky, maxRetries = 5, baseSleepMs = 1)
+    assert(r.fetch(Map.empty, 0, 10) == Seq(Row(7L)))
+    assert(flaky.attempts.get() == 3)
+  }
+}
