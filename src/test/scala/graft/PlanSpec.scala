@@ -1,0 +1,44 @@
+package graft
+
+/** Physical-plan shape assertions for the flagship queries: the plans the
+  * 100 TB design depends on (broadcast dim joins, parquet filter pushdown,
+  * partial aggregation, top-k as TakeOrderedAndProject) must actually be
+  * the plans Catalyst produces.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("flagship top-k: broadcast dim join + TakeOrderedAndProject") {
+    val p = plan("q_a1_top_parts")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("compound filter is pushed into the parquet scan") {
+    val p = plan("q_f5_compound_filter")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("EqualTo(c_mktsegment,BUILDING)"), s"filters not pushed:\n$p")
+  }
+
+  test("pricing summary aggregates partially before the exchange") {
+    val p = plan("q_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final agg:\n$p")
+    // column pruning: the scan must not read unused columns like l_orderkey
+    assert(p.contains("ReadSchema") && !p.contains("l_orderkey"),
+      s"scan reads pruned columns:\n$p")
+  }
+
+  test("quality checks use anti joins, not outer-join-plus-filter") {
+    val p = plan("q_quality_checks")
+    assert(p.contains("LeftAnti"), s"expected anti join:\n$p")
+  }
+
+  test("snowflake revenue query broadcasts every dimension") {
+    val p = plan("q_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, s"dims not broadcast:\n$p")
+  }
+}
