@@ -11,8 +11,8 @@ object SparkEntry {
 
   /** Every declared query, keyed by name. */
   def allDefs: Seq[QueryDef] =
-    RelationalQueries.defs ++ ScalarQueries.defs ++ TextQueries.defs ++
-      VectorQueries.defs ++ EventQueries.defs
+    RelationalQueries.defs ++ ScalarQueries.defs ++ ExtendedQueries.defs ++
+      TextQueries.defs ++ VectorQueries.defs ++ EventQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -90,4 +90,22 @@ object Relational {
     val w = Window.partitionBy(groupKeys.map(col): _*).orderBy(order: _*)
     df.withColumn(rankName, row_number().over(w)).filter(col(rankName) <= k)
   }
+
+  /** Skew-salted equi-join: when a handful of hot keys dominate the fact
+    * side, a plain shuffle join lands them on single reducers. Salt the
+    * fact's key with a deterministic `pmod(hash(row-id), saltFactor)` and
+    * replicate the (small) right side across all salts — hot keys spread
+    * over `saltFactor` reducers; result set is identical to the plain
+    * join. AQE's skew-join handles sort-merge cases adaptively; this is
+    * the explicit tool for when the skew is known up front or the join is
+    * not AQE-eligible.
+    */
+  def saltedJoin(fact: DataFrame, right: DataFrame, key: String,
+                 factIdCol: String, saltFactor: Int): DataFrame = {
+    require(saltFactor > 1)
+    val salted = fact.withColumn("__salt", pmod(hash(col(factIdCol)), lit(saltFactor)))
+    val replicated = right.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

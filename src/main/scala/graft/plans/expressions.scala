@@ -1,0 +1,97 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (SURVEY.md §2.10/§7.3: formatMoney and the
+  * similarity hot loop are the two spots worth a codegen'd Expression
+  * instead of expression composition or a Scala UDF).
+  *
+  * Both expressions participate in whole-stage codegen via defineCodeGen —
+  * the generated Java calls a static helper, so the hot loop runs without
+  * boxing, virtual dispatch, or interpreted HOF machinery.
+  */
+
+/** X5 `cents_to_price` (app/api.py:61-64) as a native expression:
+  * BIGINT cents -> "$D.CC". */
+case class FormatMoney(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "format_money"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(FormatMoney.format(input.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        "graft.plans.FormatMoney$.MODULE$.format(" + c + "))")
+
+  override protected def withNewChildInternal(newChild: Expression): FormatMoney =
+    copy(child = newChild)
+}
+
+object FormatMoney {
+  def format(cents: Long): String = {
+    val sign = if (cents < 0) "-" else ""
+    val a = math.abs(cents)
+    sign + "$" + (a / 100) + "." + (if (a % 100 < 10) "0" else "") + (a % 100)
+  }
+}
+
+/** Cosine similarity over two ARRAY<FLOAT> embeddings as one fused loop —
+  * the ANN scoring hot path (vs. posexplode+join+aggregate, which is the
+  * oracle-exact formulation: this one is the throughput kernel). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      "graft.plans.CosineSim$.MODULE$.cosine(" + a + ", " + b + ")")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  /** One pass: dot + both norms; 0.0 when either vector is all-zero. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+}
+
+/** Column wrappers + SQL registration for the native expressions. */
+object GraftFunctions {
+  def format_money(c: Column): Column = ColumnBridge.column(FormatMoney(ColumnBridge.expression(c)))
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Expose as SQL functions (`SELECT format_money(c), cosine_sim(a,b)`). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "format_money", exprs => FormatMoney(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+  }
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables.t
+import graft.functions.Fns._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extension surface beyond strict reference parity (SURVEY.md §2.4/2.5/2.7
+  * notes): rollup aggregates, set operations, frame-spec windows — plus the
+  * remaining reference shapes (M:N bridge materialization J5, cart totals
+  * A5–A7) as oracle-checked queries.
+  */
+object ExtendedQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // J5: the issue_creator bridge — distinct M:N links materialized from
+    // the fact, then resolved against both dimensions.
+    QueryDef(
+      "q_j5_bridge",
+      "M:N bridge materialization: distinct (order, supplier, role) links, counts per supplier nation+role",
+      """WITH bridge AS (SELECT DISTINCT l_orderkey, l_suppkey, l_returnflag AS role FROM lineitem)
+         SELECT s_nationkey, role, CAST(COUNT(*) AS BIGINT) AS n_links,
+                CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+         FROM bridge JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey, role ORDER BY s_nationkey, role""") { (s, dir) =>
+      val bridge = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag").as("role"))
+        .distinct()
+      bridge.join(broadcast(t(s, dir, "supplier")),
+          bridge("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("role"))
+        .agg(count(lit(1)).as("n_links"),
+             countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("s_nationkey"), col("role"))
+    },
+
+    // A5 + A6 + A7: cart subtotal, flat-shipping total, item count
+    // (app/static/js/cart.js:44-161) over a deterministic "cart" slice.
+    QueryDef(
+      "q_cart_totals",
+      "cart aggregation: item count, subtotal cents, conditional flat shipping, total",
+      """WITH cart AS (
+           SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+           FROM orders WHERE o_orderkey % 97 = 0)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                CAST(SUM(price_cents) AS BIGINT) AS subtotal_cents,
+                CASE WHEN COUNT(*) > 0 THEN 599 ELSE 0 END AS shipping_cents,
+                CAST(SUM(price_cents) + CASE WHEN COUNT(*) > 0 THEN 599 ELSE 0 END AS BIGINT) AS total_cents
+         FROM cart""") { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(cents(col("o_totalprice")).as("price_cents"))
+        .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("subtotal_cents"))
+        .select(col("n_items"), col("subtotal_cents"),
+          when(col("n_items") > 0, lit(599)).otherwise(lit(0)).as("shipping_cents"),
+          (col("subtotal_cents") +
+            when(col("n_items") > 0, lit(599L)).otherwise(lit(0L))).as("total_cents"))
+    },
+
+    // Frame-spec window (running total) — §2.5 extension.
+    QueryDef(
+      "q_w_running_total",
+      "running revenue per customer (rows unbounded preceding frame)",
+      """SELECT o_custkey, o_orderkey,
+                CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+         FROM orders WHERE o_custkey < 30
+         ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 30)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(cents(col("o_totalprice"))).over(w).as("running_cents"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // Rollup — §2.4 extension (grouping-sets family).
+    QueryDef(
+      "q_rollup_region",
+      "ROLLUP over (region, nation): per-nation, per-region, grand-total counts",
+      """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+                CAST(COUNT(*) AS BIGINT) AS n_customers
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY region, nation""") { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+                coalesce(col("n_name"), lit("ALL")).as("nation"),
+                col("n_customers"))
+        .orderBy(col("region"), col("nation"))
+    },
+
+    // INTERSECT / EXCEPT — §2.7 extension.
+    QueryDef(
+      "q_setops",
+      "INTERSECT and EXCEPT over customer key sets",
+      """WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         big_spenders AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000),
+         both_sets AS (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM big_spenders),
+         only_building AS (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM big_spenders)
+         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM both_sets) AS n_both,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM only_building) AS n_only_building,
+                (SELECT CAST(MIN(c_custkey) AS BIGINT) FROM both_sets) AS min_both""") { (s, dir) =>
+      val building = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val bigSpenders = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 100000)
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      val both = building.intersect(bigSpenders)
+      val only = building.except(bigSpenders)
+      both.agg(count(lit(1)).as("n_both"), min(col("c_custkey")).as("min_both"))
+        .crossJoin(only.agg(count(lit(1)).as("n_only_building")))
+        .select(col("n_both"), col("n_only_building"), col("min_both"))
+    },
+  )
+}

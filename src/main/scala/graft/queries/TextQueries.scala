@@ -94,7 +94,7 @@ object TextQueries {
             FROM documents)
           SELECT lang, $langCaseSql AS predicted, CAST(COUNT(*) AS BIGINT) AS n
           FROM scored GROUP BY lang, predicted ORDER BY lang, predicted""") { (s, dir) =>
-      t(s, dir, "documents")
+      graft.core.Tables.ensureParallelism(t(s, dir, "documents"))
         .select(col("lang"), TextAnalysis.langId(col("text"), LangMarkers).as("predicted"))
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("n"))

@@ -87,6 +87,28 @@ object VectorQueries {
         .orderBy(col("bucket"))
     },
 
+    // Throughput variant of q_ann_topk: the native CosineSim expression
+    // fuses dot+norms into one codegen'd loop per pair — no explode, no
+    // dimension join, no aggregation. Scores are plain float-accumulated
+    // doubles (not the quantized oracle formulation), hence rows-only.
+    QueryDef.rowsOnly(
+      "q_ann_topk_fast",
+      "fused-kernel cosine top-10 via native CosineSim expression (broadcast queries x corpus)") { (s, dir) =>
+      import graft.plans.GraftFunctions.cosine_sim
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
+      broadcast(q).join(c, col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), cosine_sim(col("qv"), col("cv")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("cid"), col("cosine"), col("rank").cast("int").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     QueryDef(
       "q_emb_neardup",
       "embedding-cosine near-dup pairs within LSH buckets (8-bit, cosine >= 0.2)",

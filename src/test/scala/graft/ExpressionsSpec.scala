@@ -1,0 +1,59 @@
+package graft
+
+import graft.plans.{CosineSim, FormatMoney, GraftFunctions}
+import org.apache.spark.sql.functions._
+
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("format_money native expression matches reference semantics") {
+    val got = Seq(0L, 5L, 99L, 1234L, -250L).toDF("c")
+      .select(GraftFunctions.format_money(col("c")).as("s"))
+      .as[String].collect()
+    assert(got.toSeq == Seq("$0.00", "$0.05", "$0.99", "$12.34", "-$2.50"))
+  }
+
+  test("cosine_sim native expression computes fused cosine") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f), 1.0),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f), 0.0)   // zero-vector guard
+    ).toDF("a", "b", "want")
+    val bad = df.select((GraftFunctions.cosine_sim(col("a"), col("b")) - col("want")).as("d"))
+      .filter(abs(col("d")) > 1e-12).count()
+    assert(bad == 0)
+  }
+
+  test("expressions survive whole-stage codegen (no interpreted fallback)") {
+    // spark.range (not a local Seq, which ConvertToLocalRelation would
+    // pre-evaluate without codegen) keeps the projection in WholeStageCodegen.
+    val df = spark.range(3)
+      .select(col("id"),
+        array((col("id") + 1).cast("float"), lit(2.0f)).as("v"))
+      .select(GraftFunctions.format_money(col("id") * 100).as("s"),
+              GraftFunctions.cosine_sim(col("v"), col("v")).as("cos"))
+    // the `*(n)` prefix marks operators inside a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"no codegen span:\n$plan")
+    val rows = df.as[(String, Double)].collect()
+    assert(rows.head._1 == "$0.00" && math.abs(rows.head._2 - 1.0) < 1e-12)
+    assert(rows(2)._1 == "$2.00" && math.abs(rows(2)._2 - 1.0) < 1e-12)
+  }
+
+  test("SQL registration exposes format_money and cosine_sim") {
+    GraftFunctions.register(spark)
+    Seq((250L, Array(3.0f, 4.0f))).toDF("c", "v").createOrReplaceTempView("m")
+    val row = spark.sql("SELECT format_money(c) AS s, cosine_sim(v, v) AS cos FROM m")
+      .as[(String, Double)].head()
+    assert(row == (("$2.50", 1.0)))
+  }
+
+  test("null inputs propagate null") {
+    val got = Seq((Option.empty[Long], Option(7L))).toDF("a", "b")
+      .select(GraftFunctions.format_money(col("a")).as("sa"),
+              GraftFunctions.format_money(col("b")).as("sb"))
+      .collect().head
+    assert(got.isNullAt(0) && got.getString(1) == "$0.07")
+  }
+}

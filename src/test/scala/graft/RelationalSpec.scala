@@ -49,6 +49,18 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 2L), ("b", 2L)))
   }
 
+  test("saltedJoin equals the plain join on skewed data") {
+    // 90% of fact rows share one hot key
+    val fact = (1 to 200).map(i => (i.toLong, if (i <= 180) 1L else (i % 5).toLong))
+      .toDF("row_id", "k")
+    val dim = Seq((0L, "z"), (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val plain = fact.join(dim, "k").select("row_id", "v")
+    val salted = Relational.saltedJoin(fact, dim, "k", "row_id", saltFactor = 8)
+      .select("row_id", "v")
+    assert(salted.orderBy("row_id").collect().toSeq ==
+      plain.orderBy("row_id").collect().toSeq)
+  }
+
   test("argmaxPerGroup picks the deterministic winner") {
     val df = Seq((1, "x", 5.0), (1, "y", 5.0), (2, "z", 1.0)).toDF("g", "v", "s")
     val got = Relational.argmaxPerGroup(df, Seq("g"), Seq(desc("s"), col("v")))
