@@ -1,0 +1,26 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions installer: wires the native expressions into any
+  * session at build time —
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` — so SQL-only
+  * users (thriftserver, notebooks) get `format_money`/`cosine_sim` without
+  * calling GraftFunctions.register. This is also the registration point
+  * for future optimizer rules/strategies (SURVEY.md §4: none required for
+  * reference parity).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("format_money"),
+      new ExpressionInfo(classOf[FormatMoney].getName, "format_money"),
+      (exprs: Seq[Expression]) => FormatMoney(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.core.Store
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned write enables partition pruning (PartitionFilters, not post-scan)") {
+    val dir = Files.createTempDirectory("store_part").toFile.getAbsolutePath + "/t"
+    val df = (1 to 1000).map(i => (i.toLong, s"r${i % 4}", i * 1.5)).toDF("id", "region", "v")
+    Store.writePartitioned(df, dir, Seq("region"))
+
+    val q = spark.read.parquet(dir).filter(col("region") === "r2")
+    assert(q.count() == 250)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("region"),
+      s"no partition pruning:\n$plan")
+    // pruned read: only the r2 directory's files are touched
+    assert(q.queryExecution.executedPlan.collectLeaves().toString.contains("r2") ||
+      plan.contains("isnotnull(region"), s"plan:\n$plan")
+  }
+
+  test("same-bucketed tables join without an exchange") {
+    val wh = Files.createTempDirectory("store_bucket").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+      val b = (1 to 500).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+      Store.writeBucketed(a, "bucket_a", "k", 4)
+      Store.writeBucketed(b, "bucket_b", "k", 4)
+      val joined = spark.table("bucket_a").join(spark.table("bucket_b"), "k")
+      assert(joined.count() == 500)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bucket_a")
+      spark.sql("DROP TABLE IF EXISTS bucket_b")
+    }
+  }
+
+  test("GraftExtensions injects SQL functions via spark.sql.extensions") {
+    // separate session wiring path: simulate by applying the extension
+    // installer to this session's extension-compatible registry
+    graft.plans.GraftFunctions.register(spark)
+    val v = spark.sql("SELECT format_money(CAST(199 AS BIGINT)) AS s").as[String].head()
+    assert(v == "$1.99")
+  }
+}
