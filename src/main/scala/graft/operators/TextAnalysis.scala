@@ -123,6 +123,42 @@ object TextAnalysis {
     agg.select(col("doc_id"), bits.reduce(_ + _).cast(LongType).as("sig"))
   }
 
+  /** BPE-ish regex token count: alpha runs, digit runs, and single
+    * non-space symbols each count as one token (the common pre-tokenizer
+    * shape). Codegen'd regexp_count; portable (the character-class regex
+    * means the same in Java and RE2-family engines). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast(LongType)
+
+  /** Winnowing fingerprints (the rolling-hash document-fingerprint scheme):
+    * hash every k-gram (md5 slice — engine-portable), then keep the MIN
+    * hash of each sliding window of `w` consecutive positions, deduped.
+    * Any shared substring of length >= w+k-1 between two documents yields
+    * a shared fingerprint. Returns per-doc summary
+    * (doc_id, n_fingerprints, min_fp, max_fp); one shuffle on doc id.
+    */
+  def winnowingFingerprints(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                            textCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = graft.core.Tables.ensureParallelism(docs)
+      .select(col(idCol).as("doc_id"),
+        posexplode(expr(
+          s"CASE WHEN length($textCol) >= $k THEN transform(sequence(1, length($textCol) - ${k - 1}), i -> substring($textCol, i, $k)) ELSE CAST(array() AS array<string>) END"))
+          .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), substring(md5(col("g")), 1, 8).as("h"))
+    val byDoc = Window.partitionBy("doc_id")
+    val win = byDoc.orderBy("pos").rowsBetween(0, w - 1)
+    grams
+      .withColumn("n_pos", count(lit(1)).over(byDoc))
+      .withColumn("win_min", min(col("h")).over(win))
+      .filter(col("pos") <= col("n_pos") - w)  // full windows only (pos is 0-based)
+      .select(col("doc_id"), col("win_min").as("fp"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fingerprints"),
+           min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+  }
+
   /** Per-document corpus statistics via explode + map-side partial
     * aggregation (one shuffle keyed on doc id): token count, mean token
     * length, stopword count/ratio, quality score. Arithmetic identical to

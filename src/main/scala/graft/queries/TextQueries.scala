@@ -116,6 +116,43 @@ object TextQueries {
     },
 
     QueryDef(
+      "q_token_counts",
+      "token counting two ways: whitespace arithmetic + BPE-ish regex pre-tokenizer",
+      """SELECT doc_id,
+                CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_ws,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+         FROM documents ORDER BY doc_id""") { (s, dir) =>
+      graft.core.Tables.ensureParallelism(t(s, dir, "documents")).select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    },
+
+    QueryDef(
+      "q_winnowing",
+      "winnowing rolling-hash fingerprints: per-doc fingerprint-set summary (k=9, w=8)",
+      """WITH grams AS (
+           SELECT doc_id, r.pos AS pos, r.h AS h FROM (
+             SELECT doc_id, unnest(list_transform(range(1, length(text) - 7),
+               i -> {'pos': i, 'h': substr(md5(substr(text, CAST(i AS INT), 9)), 1, 8)})) AS r
+             FROM documents)),
+         wm AS (
+           SELECT doc_id, pos,
+                  COUNT(*) OVER (PARTITION BY doc_id) AS n_pos,
+                  MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win_min
+           FROM grams),
+         fps AS (SELECT DISTINCT doc_id, win_min AS fp FROM wm WHERE pos <= n_pos - 8 + 1)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+                MIN(fp) AS min_fp, MAX(fp) AS max_fp
+         FROM fps GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      TextAnalysis.winnowingFingerprints(t(s, dir, "documents"), "doc_id", "text",
+          k = 9, w = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    QueryDef(
       "q_dedup_exact",
       "exact dedup via content-hash groupBy (corpus unioned with a planted copy slice)",
       """WITH all_docs AS (

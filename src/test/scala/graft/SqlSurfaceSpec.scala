@@ -1,0 +1,47 @@
+package graft
+
+import graft.core.Tables
+import graft.plans.GraftFunctions
+
+/** The reference ran its analytics as SQL text (starter:etl/etl.py:56-66);
+  * the same surface works here via registered temp views + spark.sql,
+  * including the native functions.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("flagship stats query runs as verbatim SQL over registered views") {
+    Tables.registerAll(spark, sf)
+    val got = spark.sql(
+      """SELECT p_name, COUNT(*) AS issue_count
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_name ORDER BY issue_count DESC, p_name LIMIT 3""")
+      .as[(String, Long)].collect()
+    assert(got.length == 3)
+    assert(got.sortBy(-_._2).toSeq == got.toSeq)
+  }
+
+  test("quality checks run as SQL (null count + orphan anti-join)") {
+    Tables.registerAll(spark, sf)
+    val nulls = spark.sql(
+      "SELECT COUNT(*) FROM orders WHERE NULLIF(o_orderstatus, 'O') IS NULL")
+      .as[Long].head()
+    assert(nulls > 0)
+    val orphans = spark.sql(
+      """SELECT COUNT(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)""")
+      .as[Long].head()
+    assert(orphans == 0)
+  }
+
+  test("native functions compose with SQL over views") {
+    Tables.registerAll(spark, sf)
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT format_money(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS disp
+         FROM orders ORDER BY o_orderkey LIMIT 1""").as[String].head()
+    assert(got.startsWith("$") && got.contains("."))
+  }
+}
