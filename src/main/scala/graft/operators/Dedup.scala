@@ -199,4 +199,50 @@ object Dedup {
       .groupBy("fp")
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("first_doc"))
       .filter(col("n_copies") > 1)
+
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: each doc's label converges to the smallest doc id
+    * reachable through the pair graph. Near-dup components are tiny and
+    * shallow (dup chains, not social graphs), so convergence takes a few
+    * iterations; each is one join + one groupBy on doc id. Returns
+    * (doc_id, component) for every doc appearing in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct().withColumn("component", col("doc_id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each doc takes min(own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("component").as("nbr_min"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+        .cache()
+      val changes = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
+        .filter(col("component") =!= col("old")).count()
+      labels = next
+      converged = changes == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup deduplication: LSH near-dup pairs -> duplicate
+    * components -> keep the least doc id per component, drop the rest.
+    * Returns the deduplicated corpus (docs schema unchanged). */
+  def dropNearDups(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                   numHashes: Int, bandSize: Int, threshold: Double,
+                   dfCap: Int = 0): DataFrame = {
+    val pairs = lshNearDups(docs, idCol, textCol, k, numHashes, bandSize, threshold, dfCap)
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("doc_id") =!= col("component")).select("doc_id")
+    docs.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+  }
 }

@@ -111,6 +111,50 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** IVF (inverted-file) ANN — the second scale path alongside sign-LSH:
+    * a coarse quantizer of `nCells` cells (deterministic seed centroids =
+    * the first nCells vectors by id; optional quantized-mean refinement
+    * iterations), every vector assigned to its nearest cell, queries probe
+    * only the `nProbe` closest cells. Metric: squared L2 with quantized
+    * sums, so assignment and ranking are bit-deterministic. At scale the
+    * cell assignment is one (vectors x cells) partial-agg groupBy and the
+    * search touches |probed cells| of the corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              nCells: Int, nProbe: Int, k: Int, refineIters: Int = 0): DataFrame = {
+    val dims = explodeDims(corpus, idCol, vecCol).toDF("vid", "d", "x")
+    var cent = dims.filter(col("vid") < nCells).toDF("cc", "d", "cx")
+    def cellDist(v: DataFrame): DataFrame = v.join(cent, "d")
+      .groupBy(col(v.columns.head), col("cc"))
+      .agg(vsum((col("x") - col("cx")) * (col("x") - col("cx"))).as("d2"))
+    def assign(v: DataFrame): DataFrame = {
+      val w = Window.partitionBy(v.columns.head).orderBy(col("d2"), col("cc"))
+      cellDist(v).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col(v.columns.head), col("cc").as("cell"))
+    }
+    (0 until refineIters).foreach { _ =>
+      cent = assign(dims).join(dims, "vid")
+        .groupBy(col("cell").as("cc"), col("d"))
+        .agg((vsum(col("x")) / count(lit(1))).as("cx"))
+        .select("cc", "d", "cx")
+    }
+    val cells = assign(dims)
+    val qd = explodeDims(queries, idCol, vecCol).toDF("qid", "d", "x")
+    val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cc"))
+    val probes = cellDist(qd).withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe).select(col("qid"), col("cc").as("cell"))
+    val cands = probes.join(cells.toDF("cid", "cell"), "cell")
+      .filter(col("qid") =!= col("cid")).select("qid", "cid")
+    val dists = cands
+      .join(qd.toDF("qid", "d", "qx"), "qid")
+      .join(dims.toDF("cid", "d", "cx2"), Seq("cid", "d"))
+      .groupBy("qid", "cid")
+      .agg(vsum((col("qx") - col("cx2")) * (col("qx") - col("cx2"))).as("dist"))
+    val wK = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
+    dists.withColumn("rank", row_number().over(wK)).filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("dist"), col("rank").cast(IntegerType).as("rank"))
+  }
+
   /** Per-group centroid of an embedding column: exact decimal mean per
     * dimension. Output: (group, d, centroid). */
   def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =

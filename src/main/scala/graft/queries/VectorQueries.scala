@@ -87,6 +87,45 @@ object VectorQueries {
         .orderBy(col("bucket"))
     },
 
+    // IVF scale path: coarse-quantizer cells (seed centroids = first 16
+    // vectors), queries probe the 2 nearest cells, exact quantized-L2
+    // ranking within probed cells.
+    QueryDef(
+      "q_ann_ivf",
+      "IVF ANN: 16-cell coarse quantizer, 2-probe search, top-10 by squared L2",
+      s"""WITH dims AS ($dimsSql),
+          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id < 16),
+          vdist AS (
+            SELECT v.vec_id, c.cc,
+                   CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS d2
+            FROM dims v JOIN cdims c ON v.d = c.d GROUP BY 1, 2),
+          cells AS (
+            SELECT vec_id, cc AS cell FROM (
+              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+              FROM vdist) WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS qid, cc AS cell FROM (
+              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+              FROM vdist WHERE vec_id < 5) WHERE rn <= 2),
+          cand AS (
+            SELECT p.qid, c.vec_id AS cid FROM probes p
+            JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.qid),
+          pd AS (
+            SELECT cand.qid, cand.cid,
+                   CAST(SUM(CAST(FLOOR(((a.x - b.x) * (a.x - b.x)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dist
+            FROM cand JOIN dims a ON a.vec_id = cand.qid
+                      JOIN dims b ON b.vec_id = cand.cid AND b.d = a.d
+            GROUP BY 1, 2)
+          SELECT qid, cid, dist, rank FROM (
+            SELECT qid, cid, dist,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cid) AS INT) AS rank
+            FROM pd) WHERE rank <= 10 ORDER BY qid, rank""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          nCells = 16, nProbe = 2, k = 10)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // Throughput variant of q_ann_topk: the native CosineSim expression
     // fuses dot+norms into one codegen'd loop per pair — no explode, no
     // dimension join, no aggregation. Scores are plain float-accumulated

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents labels chains and disjoint pairs") {
+    // components: {1,2,3} (chain), {7,9}, singleton edges never appear
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L)))
+  }
+
+  test("dropNearDups keeps one canonical doc per duplicate cluster") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (4L, "completely different content about spark query engines and shuffles"),
+      (5L, "another unrelated text regarding parquet pruning and predicate pushdown")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDups(docs, "doc_id", "text", k = 5,
+        numHashes = 8, bandSize = 2, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    // 1,2,3 form one near-dup cluster -> keep 1; 4 and 5 survive
+    assert(kept.toSeq == Seq(1L, 4L, 5L))
+  }
+
+  test("ivfTopK finds the planted nearest neighbor within probed cells") {
+    // 40 vectors in 2 obvious clusters around (1,0) and (0,1); query is a
+    // member of the first cluster.
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+      (i.toLong, Array(base(0) + i * 0.001f, base(1) + i * 0.0005f))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id",
+        "embedding", nCells = 4, nProbe = 2, k = 5)
+      .orderBy("rank").select("cid", "dist").as[(Long, Double)].collect()
+    assert(got.length == 5)
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq)  // ascending dist
+    assert(got.head._1 % 2 == 0)  // nearest neighbor is from the same cluster
+  }
+}
