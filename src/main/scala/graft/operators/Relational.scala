@@ -91,6 +91,51 @@ object Relational {
     df.withColumn(rankName, row_number().over(w)).filter(col(rankName) <= k)
   }
 
+  /** As-of join (composed from existing operators per the custom-operator
+    * preference order: union + ignore-nulls window, no custom SparkPlan
+    * needed): for every left row, attach the payload of the latest right
+    * row with the same key whose timestamp is <= the left timestamp.
+    *
+    * Algorithm: tag both sides, union, then one window per key ordered by
+    * (ts, side, tie) carries the last non-null right payload forward; left
+    * rows read it. ONE shuffle on the key — same cost as a sort-merge
+    * join, with none of the range-explosion a naive
+    * `left.ts >= right.ts` theta join would produce.
+    *
+    * `rightTie` makes ties at equal timestamps deterministic (greatest
+    * wins, matching "latest"); right rows sort before left rows at the
+    * same instant so an exactly-simultaneous right row IS visible.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, payloadCols: Seq[String],
+               rightTie: String): DataFrame = {
+    val leftTagged = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+      .withColumn("__tie", lit(Long.MaxValue))
+    val rightTagged = right.select((keys ++ payloadCols :+ rightTs :+ rightTie).distinct.map(col): _*)
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__tie", col(rightTie).cast("long"))
+    // align schemas for the union: each side gains the other's columns as nulls
+    val allCols = (leftTagged.columns ++ payloadCols.filterNot(leftTagged.columns.contains))
+      .distinct
+    val l2 = allCols.foldLeft(leftTagged)((df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null)))
+    val r2 = allCols.foldLeft(rightTagged)((df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null)))
+    val unioned = l2.select(allCols.map(col): _*).unionByName(r2.select(allCols.map(col): _*))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__asof_$c", last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    val out = carried.filter(col("__side") === 1)
+    val projected = out.select(
+      (left.columns.map(col) ++
+        payloadCols.map(c => col(s"__asof_$c").as(s"asof_$c"))): _*)
+    projected
+  }
+
   /** Skew-salted equi-join: when a handful of hot keys dominate the fact
     * side, a plain shuffle join lands them on single reducers. Salt the
     * fact's key with a deterministic `pmod(hash(row-id), saltFactor)` and

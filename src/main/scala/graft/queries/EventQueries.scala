@@ -70,6 +70,69 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    // As-of join (union + ignore-nulls window — SURVEY §7.3 custom-operator
+    // case (a): composed from existing ops, one shuffle on the key).
+    QueryDef(
+      "q_asof_join",
+      "as-of join: each error event gets the latest preceding click's value per user",
+      """WITH clicks AS (SELECT user_id, ts, value, event_id FROM events
+                         WHERE event_type = 'click' AND user_id < 50),
+         errors AS (SELECT user_id, event_id, ts FROM events
+                    WHERE event_type = 'error' AND user_id < 50),
+         u AS (
+           SELECT user_id, event_id, ts, CAST(NULL AS DOUBLE) AS payload,
+                  1 AS side, CAST(9223372036854775807 AS BIGINT) AS tie FROM errors
+           UNION ALL
+           SELECT user_id, event_id, ts, value AS payload,
+                  0 AS side, event_id AS tie FROM clicks),
+         c AS (
+           SELECT user_id, event_id, side,
+                  LAST_VALUE(CASE WHEN side = 0 THEN payload END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, side, tie
+                          ROWS UNBOUNDED PRECEDING) AS asof_value
+           FROM u)
+         SELECT user_id, event_id, asof_value FROM c WHERE side = 1
+         ORDER BY user_id, event_id""") { (s, dir) =>
+      val ev = t(s, dir, "events").filter(col("user_id") < 50)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      graft.operators.Relational.asofJoin(errors, clicks, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", payloadCols = Seq("value"), rightTie = "event_id")
+        .select(col("user_id"), col("event_id"), col("asof_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // Range (interval) join: small interval table broadcast, BETWEEN
+    // predicate — BroadcastNestedLoopJoin is the right plan at this shape.
+    QueryDef(
+      "q_range_join",
+      "range join: orders bucketed into date intervals, counts + exact sums per bucket",
+      """WITH ranges(start_d, end_d, label) AS (VALUES
+           (TIMESTAMP '1995-01-01 00:00:00', TIMESTAMP '1996-12-31 00:00:00', 'early'),
+           (TIMESTAMP '1997-01-01 00:00:00', TIMESTAMP '1998-12-31 00:00:00', 'mid'),
+           (TIMESTAMP '1999-01-01 00:00:00', TIMESTAMP '2001-12-31 00:00:00', 'late'))
+         SELECT label, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(FLOOR((o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_price
+         FROM orders JOIN ranges ON o_orderdate BETWEEN start_d AND end_d
+         GROUP BY label ORDER BY label""") { (s, dir) =>
+      import org.apache.spark.sql.types.TimestampType
+      val ranges = s.createDataFrame(Seq(
+        ("1995-01-01 00:00:00", "1996-12-31 00:00:00", "early"),
+        ("1997-01-01 00:00:00", "1998-12-31 00:00:00", "mid"),
+        ("1999-01-01 00:00:00", "2001-12-31 00:00:00", "late")))
+        .toDF("start_s", "end_s", "label")
+        .select(col("start_s").cast(TimestampType).as("start_d"),
+                col("end_s").cast(TimestampType).as("end_d"), col("label"))
+      t(s, dir, "orders")
+        .join(broadcast(ranges),
+          col("o_orderdate") >= col("start_d") && col("o_orderdate") <= col("end_d"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("label"))
+    },
+
     QueryDef(
       "q_events_json",
       "JSON props extraction (get_json_object) + modular bucket aggregation",
