@@ -51,6 +51,18 @@ object Dedup {
     graft.core.Tables.ensureParallelism(docs)
       .select(col(idCol).as("doc_id"), charShingles(col(textCol), k).as("sh"))
 
+  /** Exploded (doc_id, g) shingle rows via explode(sequence)+substr — a
+    * fully codegen'd pipeline (the array-building `transform` lambda is
+    * interpreted and ~5x slower). NOT per-doc-deduped: min-aggregations
+    * (MinHash) are duplicate-invariant, and document frequencies below
+    * count distinct docs explicitly, so the dedup shuffle is skipped. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    graft.core.Tables.ensureParallelism(docs)
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        explode(sequence(lit(1), length(col(textCol)) - lit(k - 1))).as("__pos"))
+      .select(col("doc_id"), col("__t").substr(col("__pos"), lit(k)).as("g"))
+
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs: join the
     * shingle SETS back by id and intersect — never materializes all-pairs. */
   private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
@@ -92,17 +104,17 @@ object Dedup {
     * formulation is interpreted and recomputes the hash array per seed —
     * measured 3x slower.)
     */
-  def minhashSignatures(sh: DataFrame, numHashes: Int, dfCap: Int = 0): DataFrame = {
+  def minhashSignatures(exAll: DataFrame, numHashes: Int, dfCap: Int = 0): DataFrame = {
     require(numHashes == 8, "signature layout derives 8 seeds from 2 md5 slices")
-    val exAll = sh.select(col("doc_id"), explode(col("sh")).as("g"))
     // Optional common-shingle exclusion: with a small shingle universe (or
     // natural-language stopword runs) the globally-smallest-hash shingles
     // occur in many documents, so every such doc shares a minhash and LSH
-    // buckets go quadratic. Capping document frequency keeps the argmin on
+    // buckets go quadratic. Capping DOCUMENT frequency (distinct docs — the
+    // input rows are not per-doc-deduped) keeps the argmin on
     // discriminative shingles. Docs with no sub-cap shingle drop out
     // (they have no rare content to collide on).
     val ex = if (dfCap > 0) {
-      val rare = exAll.groupBy("g").agg(count(lit(1)).as("f"))
+      val rare = exAll.groupBy("g").agg(countDistinct("doc_id").as("f"))
         .filter(col("f") <= dfCap).select("g")
       exAll.join(rare, "g")
     } else exAll
@@ -117,10 +129,10 @@ object Dedup {
 
   /** MinHash-LSH candidate pairs: docs sharing any band of `bandSize`
     * consecutive signature values are candidates. Shuffles numBands rows
-    * per doc. */
-  def lshCandidates(sh: DataFrame, numHashes: Int, bandSize: Int, dfCap: Int = 0): DataFrame = {
+    * per doc. Input: exploded (doc_id, g) shingle rows. */
+  def lshCandidates(exRows: DataFrame, numHashes: Int, bandSize: Int, dfCap: Int = 0): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
-    val withSig = minhashSignatures(sh, numHashes, dfCap)
+    val withSig = minhashSignatures(exRows, numHashes, dfCap)
     val nBands = numHashes / bandSize
     val bandKeys = (0 until nBands).map { b =>
       concat_ws(":", (lit(b.toString) +: (0 until bandSize).map(j => col(s"sig_${b * bandSize + j}"))): _*)
@@ -140,12 +152,14 @@ object Dedup {
   def lshNearDups(docs: DataFrame, idCol: String, textCol: String, k: Int,
                   numHashes: Int, bandSize: Int, threshold: Double,
                   dfCap: Int = 0): DataFrame = {
-    // The shingle-set projection feeds signature generation AND both sides
-    // of candidate verification; cache it instead of re-shingling 3x.
-    // (Memory: |corpus| * ~k bytes per distinct shingle — at extreme scale
-    // swap for a checkpointed parquet staging table.)
-    val sh = shingled(docs, idCol, textCol, k).cache()
-    verifyJaccard(lshCandidates(sh, numHashes, bandSize, dfCap), sh, threshold)
+    val cands = lshCandidates(shingleRows(docs, idCol, textCol, k),
+      numHashes, bandSize, dfCap).cache()
+    // Shingle SETS (the interpreted array path) are built only for docs
+    // that appear in a candidate pair — a tiny semi-joined slice.
+    val candIds = cands.select(col("doc_a").as("__cid"))
+      .unionAll(cands.select(col("doc_b").as("__cid"))).distinct()
+    val candDocs = docs.join(candIds, docs(idCol) === col("__cid"), "left_semi")
+    verifyJaccard(cands, shingled(candDocs, idCol, textCol, k), threshold)
   }
 
   /** Prefix-filtered exact Jaccard join: candidate pairs must share at
@@ -159,16 +173,18 @@ object Dedup {
     */
   def jaccardPairsFiltered(docs: DataFrame, idCol: String, textCol: String, k: Int,
                            threshold: Double, dfCap: Int): DataFrame = {
-    val sh = shingled(docs, idCol, textCol, k).cache()  // reused 4x below
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-    val rare = ex.groupBy("g").agg(count(lit(1)).as("f"))
+    val ex = shingleRows(docs, idCol, textCol, k)
+    val rare = ex.groupBy("g").agg(countDistinct("doc_id").as("f"))
       .filter(col("f") <= dfCap).select("g")
-    val rareEx = ex.join(rare, "g")
+    val rareEx = ex.join(rare, "g").select("doc_id", "g").distinct()
     val cands = rareEx.as("a").join(rareEx.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifyJaccard(cands, sh, threshold)
+      .distinct().cache()
+    val candIds = cands.select(col("doc_a").as("__cid"))
+      .unionAll(cands.select(col("doc_b").as("__cid"))).distinct()
+    val candDocs = docs.join(candIds, docs(idCol) === col("__cid"), "left_semi")
+    verifyJaccard(cands, shingled(candDocs, idCol, textCol, k), threshold)
   }
 
   /** SimHash near-dup pairs with banded join: split the 64-bit signature

@@ -140,18 +140,20 @@ object TextAnalysis {
   def winnowingFingerprints(docs: org.apache.spark.sql.DataFrame, idCol: String,
                             textCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // explode(sequence)+substr keeps the whole gram pipeline codegen'd
+    // (an array-building transform lambda is interpreted)
     val grams = graft.core.Tables.ensureParallelism(docs)
-      .select(col(idCol).as("doc_id"),
-        posexplode(expr(
-          s"CASE WHEN length($textCol) >= $k THEN transform(sequence(1, length($textCol) - ${k - 1}), i -> substring($textCol, i, $k)) ELSE CAST(array() AS array<string>) END"))
-          .as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"), substring(md5(col("g")), 1, 8).as("h"))
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        explode(sequence(lit(1), length(col(textCol)) - lit(k - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        substring(md5(col("__t").substr(col("pos"), lit(k))), 1, 8).as("h"))
     val byDoc = Window.partitionBy("doc_id")
     val win = byDoc.orderBy("pos").rowsBetween(0, w - 1)
     grams
       .withColumn("n_pos", count(lit(1)).over(byDoc))
       .withColumn("win_min", min(col("h")).over(win))
-      .filter(col("pos") <= col("n_pos") - w)  // full windows only (pos is 0-based)
+      .filter(col("pos") <= col("n_pos") - (w - 1))  // full windows only (pos is 1-based)
       .select(col("doc_id"), col("win_min").as("fp"))
       .distinct()
       .groupBy("doc_id")
