@@ -102,6 +102,28 @@ object ExtendedQueries {
         .orderBy(col("region"), col("nation"))
     },
 
+    // Custom physical operator (LogicalPlan + Strategy + SparkPlan):
+    // bounded per-key top-k — no full sort, map-side partial heaps.
+    QueryDef(
+      "q_topk_per_key",
+      "custom TopKPerKey operator: top-5 lineitems per returnflag by price",
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+           SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+           FROM lineitem)
+         WHERE rn <= 5
+         ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""") { (s, dir) =>
+      graft.plans.TopKPerKey.topK(
+          t(s, dir, "lineitem")
+            .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+          keys = Seq("l_returnflag"),
+          order = Seq("l_extendedprice" -> false, "l_orderkey" -> true, "l_linenumber" -> true),
+          k = 5)
+        .orderBy(col("l_returnflag"), desc("l_extendedprice"),
+                 col("l_orderkey"), col("l_linenumber"))
+    },
+
     // INTERSECT / EXCEPT — §2.7 extension.
     QueryDef(
       "q_setops",
