@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
   * title-resolution join (`etl/seed/seed_from_marvel.py:126-138`, SURVEY.md
   * §2.3 J7) to corpus scale.
   *
+  * Published foundations: MinHash resemblance estimation (Broder, "On the
+  * resemblance and containment of documents", 1997), banded LSH (Leskovec/
+  * Rajaraman/Ullman, "Mining of Massive Datasets" ch.3), SimHash
+  * (Charikar 2002; Manku/Jain/Sarma, "Detecting Near-Duplicates for Web
+  * Crawling", WWW'07 — incl. the hamming-band pigeonhole trick), prefix
+  * filtering for similarity joins (Chaudhuri/Ganti/Kaushik, ICDE'06).
+  *
   * Scale design:
   *  - Shingling + MinHash signatures are NARROW per-row expressions
   *    (array ops, no explode/shuffle) — at 100 TB this is a single

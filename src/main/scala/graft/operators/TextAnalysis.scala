@@ -130,7 +130,9 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast(LongType)
 
-  /** Winnowing fingerprints (the rolling-hash document-fingerprint scheme):
+  /** Winnowing fingerprints (the rolling-hash document-fingerprint scheme
+    * of Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for
+    * Document Fingerprinting", SIGMOD'03):
     * hash every k-gram (md5 slice — engine-portable), then keep the MIN
     * hash of each sliding window of `w` consecutive positions, deduped.
     * Any shared substring of length >= w+k-1 between two documents yields

@@ -102,6 +102,36 @@ object ExtendedQueries {
         .orderBy(col("region"), col("nation"))
     },
 
+    // Exact median via the window formulation — portable across engines
+    // (interpolating percentile implementations round differently; picking
+    // middle elements and averaging them is bit-deterministic).
+    QueryDef(
+      "q_median",
+      "exact median order price per priority (window formulation, engine-portable)",
+      """WITH ranked AS (
+           SELECT o_orderpriority, o_totalprice,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice, o_orderkey) AS rn,
+                  COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM orders),
+         mid AS (
+           SELECT o_orderpriority, o_totalprice
+           FROM ranked WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2)
+         SELECT o_orderpriority,
+                CAST(SUM(CAST(FLOOR((o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 / COUNT(*) AS median_price
+         FROM mid GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+      val byPrio = Window.partitionBy(col("o_orderpriority"))
+      val ranked = t(s, dir, "orders")
+        .withColumn("rn", row_number().over(byPrio.orderBy(col("o_totalprice"), col("o_orderkey"))))
+        .withColumn("n", count(lit(1)).over(byPrio))
+      ranked
+        .filter(col("rn") === (col("n") + 1).divide(2).cast("long") ||
+                col("rn") === (col("n") + 2).divide(2).cast("long"))
+        .groupBy(col("o_orderpriority"))
+        .agg((dsum(col("o_totalprice")) / count(lit(1))).as("median_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Custom physical operator (LogicalPlan + Strategy + SparkPlan):
     // bounded per-key top-k — no full sort, map-side partial heaps.
     QueryDef(
