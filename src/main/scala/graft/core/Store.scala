@@ -21,6 +21,16 @@ object Store {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Idempotent incremental load: overwrite ONLY the partitions present in
+    * `df` (dynamic partition overwrite), leaving all others untouched —
+    * the partition-level analog of the reference's idempotent upsert, and
+    * the standard backfill/restatement pattern at scale. */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Bucketed + sorted managed table: `numBuckets` files per partition,
     * hashed on `bucketCol`. Joins/aggregations on `bucketCol` between
     * same-bucketed tables skip the exchange entirely. */

@@ -155,6 +155,34 @@ object Similarity {
       .select(col("qid"), col("cid"), col("dist"), col("rank").cast(IntegerType).as("rank"))
   }
 
+  /** Lloyd's k-means over the embedding column with the deterministic
+    * quantized framework: seed centroids = first k vectors by id,
+    * assignments by quantized squared-L2 argmin (ties to the lower cell
+    * id), centroid updates by quantized means — every iteration is
+    * bit-reproducible regardless of partitioning. Returns (id, cell)
+    * assignments after `iters` update steps. Each iteration: one
+    * (vectors x centroids) partial-agg groupBy + one mean groupBy.
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                   iters: Int): DataFrame = {
+    val dims = explodeDims(df, idCol, vecCol).toDF("vid", "d", "x")
+    var cent = dims.filter(col("vid") < k).toDF("cc", "d", "cx")
+    def assign(): DataFrame = {
+      val w = Window.partitionBy("vid").orderBy(col("d2"), col("cc"))
+      dims.join(cent, "d")
+        .groupBy("vid", "cc")
+        .agg(vsum((col("x") - col("cx")) * (col("x") - col("cx"))).as("d2"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vid"), col("cc").as("cell"))
+    }
+    (0 until iters).foreach { _ =>
+      cent = assign().join(dims, "vid")
+        .groupBy(col("cell").as("cc"), col("d"))
+        .agg((vsum(col("x")) / count(lit(1))).as("cx"))
+    }
+    assign().toDF(idCol, "cell")
+  }
+
   /** Per-group centroid of an embedding column: exact decimal mean per
     * dimension. Output: (group, d, centroid). */
   def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =

@@ -133,6 +133,36 @@ object EventQueries {
         .orderBy(col("label"))
     },
 
+    // Outlier flagging: z-score per event type from quantized mean/std —
+    // sqrt/div are single IEEE ops over deterministic inputs.
+    QueryDef(
+      "q_events_anomaly",
+      "z-score anomaly counts per event type (quantized mean/stddev, |z| > 3)",
+      """WITH stats AS (
+           SELECT event_type,
+                  (CAST(SUM(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0) / COUNT(*) AS mu,
+                  (CAST(SUM(CAST(FLOOR((value * value) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0) / COUNT(*) AS m2,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type)
+         SELECT e.event_type,
+                CAST(COUNT(*) FILTER (WHERE abs((e.value - s.mu) / sqrt(s.m2 - s.mu * s.mu)) > 3) AS BIGINT) AS n_outliers,
+                s.n AS n_events
+         FROM events e JOIN stats s ON e.event_type = s.event_type
+         GROUP BY e.event_type, s.n ORDER BY e.event_type""") { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val stats = ev.groupBy(col("event_type").as("et"))
+        .agg(davg(col("value")).as("mu"),
+             davg(col("value") * col("value")).as("m2"),
+             count(lit(1)).as("n"))
+      ev.join(broadcast(stats), ev("event_type") === col("et"))
+        .groupBy(col("event_type"), col("n"))
+        .agg(sum(when(abs((col("value") - col("mu")) /
+               sqrt(col("m2") - col("mu") * col("mu"))) > 3, 1).otherwise(0))
+          .cast("long").as("n_outliers"))
+        .select(col("event_type"), col("n_outliers"), col("n").as("n_events"))
+        .orderBy(col("event_type"))
+    },
+
     QueryDef(
       "q_events_json",
       "JSON props extraction (get_json_object) + modular bucket aggregation",

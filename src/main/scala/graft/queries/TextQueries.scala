@@ -152,6 +152,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic stratified sampling for training-data pipelines: the
+    // sampling decision is a pure function of the row key (md5 hex-char
+    // band), so samples are reproducible across engines, runs, and
+    // cluster layouts — no RNG state to coordinate.
+    QueryDef(
+      "q_sample_stratified",
+      "deterministic 25% hash-sample per language (md5 key band), sampled vs total counts",
+      """SELECT lang,
+                CAST(COUNT(*) AS BIGINT) AS n_total,
+                CAST(COUNT(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4') AS BIGINT) AS n_sampled
+         FROM documents GROUP BY lang ORDER BY lang""") { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+             sum(when(substring(md5(col("doc_id").cast("string")), 1, 1) < "4", 1)
+               .otherwise(0)).cast("long").as("n_sampled"))
+        .orderBy(col("lang"))
+    },
+
     QueryDef(
       "q_dedup_exact",
       "exact dedup via content-hash groupBy (corpus unioned with a planted copy slice)",

@@ -41,6 +41,34 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("overwritePartitions restates only the touched partitions") {
+    val dir = Files.createTempDirectory("store_dyn").toFile.getAbsolutePath + "/t"
+    val v1 = Seq((1L, "r0", 1.0), (2L, "r1", 2.0), (3L, "r2", 3.0)).toDF("id", "region", "v")
+    Store.writePartitioned(v1, dir, Seq("region"))
+    // restate r1 only; r0/r2 must survive untouched
+    val patch = Seq((20L, "r1", 99.0)).toDF("id", "region", "v")
+    Store.overwritePartitions(patch, dir, Seq("region"))
+    val got = spark.read.parquet(dir).orderBy("id")
+      .select("id", "region").as[(Long, String)].collect()
+    assert(got.toSeq == Seq((1L, "r0"), (3L, "r2"), (20L, "r1")))
+  }
+
+  test("kmeansAssign separates obvious clusters deterministically") {
+    val vecs = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) Array(5.0f, 0.0f) else Array(0.0f, 5.0f)
+      (i.toLong, Array(base(0) + (i % 7) * 0.01f, base(1) + (i % 5) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val a = graft.operators.Similarity.kmeansAssign(vecs, "vec_id", "embedding", k = 2, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val cells0 = (0 until 60 by 2).map(i => a(i.toLong)).toSet
+    val cells1 = (1 until 60 by 2).map(i => a(i.toLong)).toSet
+    assert(cells0.size == 1 && cells1.size == 1 && cells0 != cells1)
+    // deterministic: rerun gives identical assignment
+    val b = graft.operators.Similarity.kmeansAssign(vecs, "vec_id", "embedding", k = 2, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("GraftExtensions injects SQL functions via spark.sql.extensions") {
     // separate session wiring path: simulate by applying the extension
     // installer to this session's extension-compatible registry
