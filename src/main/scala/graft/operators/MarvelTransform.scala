@@ -32,13 +32,13 @@ object MarvelTransform {
     * the entry of the requested type from dates[], tolerate the non-ISO
     * offset format by taking the leading date part. */
   def parseMarvelDate(dates: Column, dateType: String): Column = {
-    val entry = element_at(filter(dates, d => d.getField("type") === dateType), 1)
+    val entry = try_element_at(filter(dates, d => d.getField("type") === dateType), lit(1))
     to_date(substring(entry.getField("date"), 1, 10), "yyyy-MM-dd")
   }
 
   /** X2-shaped price pick: printPrice (dollars) -> integer cents. */
   def printPriceCents(prices: Column): Column = {
-    val entry = element_at(filter(prices, p => p.getField("type") === "printPrice"), 1)
+    val entry = try_element_at(filter(prices, p => p.getField("type") === "printPrice"), lit(1))
     graft.functions.Fns.cents(entry.getField("price"))
   }
 
@@ -60,19 +60,25 @@ object MarvelTransform {
 
   /** P1 field-whitelist projection (starter:etl/transform.py:31-40): raw
     * comic document -> fixed issue row. Everything not selected is
-    * dropped. */
-  def flattenComics(raw: DataFrame): DataFrame =
+    * dropped; optional payload fields absent from a landed batch's
+    * inferred schema surface as nulls (API payloads omit empty fields).
+    */
+  def flattenComics(raw: DataFrame): DataFrame = {
+    val present = raw.columns.toSet
+    def opt(name: String): Column =
+      if (present.contains(name)) col(name) else lit(null).cast(StringType)
     raw.select(
       col("id").as("marvel_comic_id"),
       col("title"),
       normalizeIssueNumber(col("issueNumber")).as("issue_number"),
       parseMarvelDate(col("dates"), "onsaleDate").as("onsale_date"),
       printPriceCents(col("prices")).as("price_cents"),
-      col("isbn"),
-      col("upc"),
-      col("description"),
+      opt("isbn").as("isbn"),
+      opt("upc").as("upc"),
+      opt("description").as("description"),
       normalizeThumb(col("thumbnail")).as("cover_url"),
-      isVariant(col("title"), col("variantDescription")).as("is_variant"))
+      isVariant(col("title"), opt("variantDescription")).as("is_variant"))
+  }
 
   /** X12 creator explosion (starter:etl/transform.py:41-46): one comic ->
     * N (comic, creator, role) credit rows, names case/space-normalized

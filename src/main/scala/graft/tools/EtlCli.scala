@@ -1,0 +1,117 @@
+package graft.tools
+
+import graft.core.Graft
+import graft.operators.{Audit, MarvelTransform, Relational}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's ETL CLI (`python -m etl.etl {initdb,marvel,quality,
+  * stats}` — starter:etl/etl.py:70-93) rebuilt on the Spark engine over a
+  * parquet warehouse:
+  *
+  *   runMain graft.tools.EtlCli init    <warehouse>
+  *   runMain graft.tools.EtlCli ingest  <warehouse> <rawComicsJson>
+  *   runMain graft.tools.EtlCli quality <warehouse>
+  *   runMain graft.tools.EtlCli stats   <warehouse> [topN]
+  *
+  * ingest = extract(landed JSON) -> MarvelTransform flatten/explode ->
+  * idempotent upsert into issue/creator/bridge tables -> etl_run audit row
+  * (the full reference lifecycle, SURVEY.md §3.1). Re-running ingest with
+  * the same input is a no-op on the tables (asserted in EtlCliSpec).
+  */
+object EtlCli {
+
+  def main(args: Array[String]): Unit = {
+    val spark = Graft.session("graft-etl")
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toSeq)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, args: Seq[String]): Unit = args match {
+    case Seq("init", wh)           => init(spark, wh)
+    case Seq("ingest", wh, raw)    => ingest(spark, wh, raw)
+    case Seq("quality", wh)        => quality(spark, wh).show(truncate = false)
+    case Seq("stats", wh)          => stats(spark, wh, 10).show(truncate = false)
+    case Seq("stats", wh, top)     => stats(spark, wh, top.toInt).show(truncate = false)
+    case other => sys.error(s"usage: init|ingest|quality|stats ... (got $other)")
+  }
+
+  private def issuesPath(wh: String)  = s"$wh/issue"
+  private def creatorsPath(wh: String) = s"$wh/creator"
+  private def bridgePath(wh: String)  = s"$wh/issue_creator"
+
+  /** Create empty tables with the canonical schemas. */
+  def init(spark: SparkSession, wh: String): Unit = {
+    import spark.implicits._
+    Seq.empty[(Long, String, String, java.sql.Date, Long, Boolean)]
+      .toDF("marvel_comic_id", "title", "issue_number", "onsale_date",
+        "price_cents", "is_variant")
+      .write.mode(SaveMode.Overwrite).parquet(issuesPath(wh))
+    Seq.empty[String].toDF("creator_name")
+      .write.mode(SaveMode.Overwrite).parquet(creatorsPath(wh))
+    Seq.empty[(Long, String, String)].toDF("marvel_comic_id", "creator_name", "role")
+      .write.mode(SaveMode.Overwrite).parquet(bridgePath(wh))
+  }
+
+  /** Extract -> transform -> idempotent load -> audit. */
+  def ingest(spark: SparkSession, wh: String, rawJsonPath: String): Audit.EtlRun =
+    Audit.audited(spark, "marvel", s"$wh/etl_run") { (readObs, loadObs) =>
+      val raw = Audit.observed(spark.read.json(rawJsonPath), readObs)
+
+      // transform (P1/X1-X7): whitelist + normalize
+      val incomingIssues = MarvelTransform.flattenComics(raw)
+        .select("marvel_comic_id", "title", "issue_number", "onsale_date",
+          "price_cents", "is_variant")
+
+      // load: insert-if-absent + update-mutable (J4/D3/D4), first-wins
+      val target = spark.read.parquet(issuesPath(wh))
+      val merged = Relational.upsert(target, incomingIssues,
+        keys = Seq("marvel_comic_id"),
+        mutableCols = Seq("title", "onsale_date", "price_cents", "is_variant"),
+        incomingOrder = Seq(col("marvel_comic_id")))
+      val loaded = Audit.observed(merged, loadObs)
+      writeBack(loaded, issuesPath(wh))
+
+      // creators dimension + M:N bridge (J5), insert-if-absent
+      val credits = MarvelTransform.explodeCreators(raw)
+      val existingCreators = spark.read.parquet(creatorsPath(wh))
+      val newCreators = credits.select(col("creator_name")).distinct()
+        .join(existingCreators, Seq("creator_name"), "left_anti")
+      writeBack(existingCreators.unionByName(newCreators), creatorsPath(wh))
+
+      val existingBridge = spark.read.parquet(bridgePath(wh))
+      val newLinks = credits.select("marvel_comic_id", "creator_name", "role").distinct()
+        .join(existingBridge, Seq("marvel_comic_id", "creator_name", "role"), "left_anti")
+      writeBack(existingBridge.unionByName(newLinks), bridgePath(wh))
+    }
+
+  // read-modify-write on the same parquet path needs a materialization
+  // barrier (write target == read source): stage then swap
+  private def writeBack(df: DataFrame, path: String): Unit = {
+    val tmp = path + "__staged"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val spark = df.sparkSession
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** The reference `quality` command: null counts + orphan bridge rows. */
+  def quality(spark: SparkSession, wh: String): DataFrame = {
+    val issues = spark.read.parquet(issuesPath(wh))
+    val bridge = spark.read.parquet(bridgePath(wh))
+    val nullDates = issues.filter(col("onsale_date").isNull)
+      .agg(count(lit(1)).as("issues_null_onsale_date"))
+    val orphans = Relational.orphans(bridge, issues, "marvel_comic_id", "marvel_comic_id")
+      .agg(count(lit(1)).as("orphan_credit_rows"))
+    nullDates.crossJoin(orphans)
+  }
+
+  /** The reference `stats` command: top titles by credit count. */
+  def stats(spark: SparkSession, wh: String, top: Int): DataFrame = {
+    val issues = spark.read.parquet(issuesPath(wh))
+    val bridge = spark.read.parquet(bridgePath(wh))
+    Relational.topKByCount(
+      bridge.join(broadcast(issues), "marvel_comic_id"),
+      col("title"), top, "credit_count")
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.tools.EtlCli
+import java.nio.file.Files
+
+/** Drives the full reference ETL lifecycle end-to-end: init -> ingest ->
+  * re-ingest (idempotence) -> quality -> stats, over a parquet warehouse.
+  */
+class EtlCliSpec extends SparkSpec {
+
+  // newline-delimited JSON: one comic document per line
+  private val rawJson = Seq(
+    """{"id": 1, "title": "Amazing Tales #1", "issueNumber": "1",
+        "dates": [{"type": "onsaleDate", "date": "2010-01-06T00:00:00-0500"}],
+        "prices": [{"type": "printPrice", "price": 3.99}],
+        "creators": {"items": [{"name": "Stan Writer", "role": "writer"},
+                               {"name": "Jack Artist", "role": "penciller"}]},
+        "thumbnail": {"path": "p", "extension": "jpg"}, "variantDescription": ""}""",
+    """{"id": 2, "title": "Amazing Tales #2", "issueNumber": "2",
+        "dates": [], "prices": [{"type": "printPrice", "price": 3.99}],
+        "creators": {"items": [{"name": "Stan Writer", "role": "writer"}]},
+        "thumbnail": {"path": "p", "extension": "jpg"}, "variantDescription": ""}"""
+  ).map(_.replaceAll("\n\\s+", " ")).mkString("\n")
+
+  test("init -> ingest -> re-ingest is idempotent; quality and stats read back") {
+    val dir = Files.createTempDirectory("etlcli").toFile.getAbsolutePath
+    val wh = s"$dir/wh"
+    val raw = s"$dir/raw.json"
+    Files.writeString(java.nio.file.Paths.get(raw), rawJson)
+
+    EtlCli.init(spark, wh)
+    val run1 = EtlCli.ingest(spark, wh, raw)
+    assert(run1.status == "SUCCESS" && run1.records_read == 2)
+    assert(spark.read.parquet(s"$wh/issue").count() == 2)
+    assert(spark.read.parquet(s"$wh/creator").count() == 2)
+    assert(spark.read.parquet(s"$wh/issue_creator").count() == 3)
+
+    // idempotence: same batch again changes nothing
+    EtlCli.ingest(spark, wh, raw)
+    assert(spark.read.parquet(s"$wh/issue").count() == 2)
+    assert(spark.read.parquet(s"$wh/creator").count() == 2)
+    assert(spark.read.parquet(s"$wh/issue_creator").count() == 3)
+    assert(spark.read.parquet(s"$wh/etl_run").count() == 2)
+
+    val q = EtlCli.quality(spark, wh).collect().head
+    assert(q.getAs[Long]("issues_null_onsale_date") == 1) // issue 2 has no date
+    assert(q.getAs[Long]("orphan_credit_rows") == 0)
+
+    val top = EtlCli.stats(spark, wh, 5).collect()
+    assert(top.head.getString(0) == "Amazing Tales #1")
+    assert(top.head.getLong(1) == 2)
+  }
+}
