@@ -122,7 +122,7 @@ object Relational {
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null)))
     val r2 = allCols.foldLeft(rightTagged)((df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null)))
-    val unioned = l2.select(allCols.map(col): _*).unionByName(r2.select(allCols.map(col): _*))
+    val unioned = l2.select(allCols.toSeq.map(col): _*).unionByName(r2.select(allCols.toSeq.map(col): _*))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -131,7 +131,7 @@ object Relational {
     }
     val out = carried.filter(col("__side") === 1)
     val projected = out.select(
-      (left.columns.map(col) ++
+      (left.columns.toSeq.map(col) ++
         payloadCols.map(c => col(s"__asof_$c").as(s"asof_$c"))): _*)
     projected
   }

@@ -68,7 +68,7 @@ final case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOr
           heap.add(row.copy())
         }
       }
-      import scala.collection.JavaConverters._
+      import scala.jdk.CollectionConverters._
       heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
   }
