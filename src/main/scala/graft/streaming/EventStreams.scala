@@ -40,6 +40,24 @@ object EventStreams {
   def dedupEvents(events: DataFrame, lateness: String = "1 hour"): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicates("event_id")
 
+  /** Stream-stream interval join: each left event matches right events of
+    * the same user within `[left.ts - window, left.ts]`. Both sides carry
+    * watermarks so join state is bounded and evicted — the streaming
+    * generalization of the batch as-of/range joins. */
+  def intervalJoin(left: DataFrame, right: DataFrame, window: String,
+                   lateness: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", lateness)
+      .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", lateness)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+              col("ts").as("r_ts"), col("value").as("r_value"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $window") &&
+        col("r_ts") <= col("l_ts"))
+      .select(col("user_id"), col("l_id"), col("l_ts"), col("r_id"), col("r_value"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class KeyedLatest(user_id: Long, event_type: String,

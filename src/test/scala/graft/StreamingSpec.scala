@@ -62,6 +62,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches right events within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val errors = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStreams.intervalJoin(errors.toDF(), clicks.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("interval_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(1, ts(0), 1, "click", 1.0),    // 12 min before error: outside
+        Event(2, ts(5), 1, "click", 5.0),    // 7 min before: inside
+        Event(3, ts(20), 1, "click", 9.0),   // after the error: outside
+        Event(4, ts(8), 2, "click", 8.0))    // other user
+      errors.addData(Event(10, ts(12), 1, "error", 0.0))
+      q.processAllAvailable()
+      // push watermarks forward so joined results emit in append mode
+      clicks.addData(Event(5, ts(200), 9, "click", 0.0))
+      errors.addData(Event(11, ts(200), 9, "error", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("interval_join")
+        .filter(col("l_id") === 10).select("r_id").as[Long].collect().toSet
+      assert(got == Set(2L))
+    } finally q.stop()
+  }
+
   test("latestPerKeyStream keeps per-key latest across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
