@@ -54,10 +54,23 @@ object EtlCli {
       .write.mode(SaveMode.Overwrite).parquet(bridgePath(wh))
   }
 
-  /** Extract -> transform -> idempotent load -> audit. */
+  /** Extract -> transform -> idempotent load -> audit. Malformed JSON
+    * lines divert to a quarantine table (F7) instead of failing the batch
+    * or loading garbage. */
   def ingest(spark: SparkSession, wh: String, rawJsonPath: String): Audit.EtlRun =
     Audit.audited(spark, "marvel", s"$wh/etl_run") { (readObs, loadObs) =>
-      val raw = Audit.observed(spark.read.json(rawJsonPath), readObs)
+      // cache: Spark disallows queries touching only _corrupt_record on a
+      // raw JSON scan; a materialized batch lifts the restriction (and a
+      // landed batch is read 3x below anyway)
+      val landed = spark.read.json(rawJsonPath).cache()
+      val raw0 =
+        if (landed.columns.contains("_corrupt_record")) {
+          landed.filter(col("_corrupt_record").isNotNull)
+            .select(col("_corrupt_record").as("raw_line"))
+            .write.mode(SaveMode.Append).parquet(s"$wh/quarantine")
+          landed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+        } else landed
+      val raw = Audit.observed(raw0, readObs)
 
       // transform (P1/X1-X7): whitelist + normalize
       val incomingIssues = MarvelTransform.flattenComics(raw)

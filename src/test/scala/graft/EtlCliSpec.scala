@@ -20,7 +20,8 @@ class EtlCliSpec extends SparkSpec {
         "dates": [], "prices": [{"type": "printPrice", "price": 3.99}],
         "creators": {"items": [{"name": "Stan Writer", "role": "writer"}]},
         "thumbnail": {"path": "p", "extension": "jpg"}, "variantDescription": ""}"""
-  ).map(_.replaceAll("\n\\s+", " ")).mkString("\n")
+  ).map(_.replaceAll("\n\\s+", " ")).mkString("\n") +
+    "\n{this is not valid json at all"  // F7: malformed line -> quarantine
 
   test("init -> ingest -> re-ingest is idempotent; quality and stats read back") {
     val dir = Files.createTempDirectory("etlcli").toFile.getAbsolutePath
@@ -31,6 +32,7 @@ class EtlCliSpec extends SparkSpec {
     EtlCli.init(spark, wh)
     val run1 = EtlCli.ingest(spark, wh, raw)
     assert(run1.status == "SUCCESS" && run1.records_read == 2)
+    assert(spark.read.parquet(s"$wh/quarantine").count() == 1) // malformed line
     assert(spark.read.parquet(s"$wh/issue").count() == 2)
     assert(spark.read.parquet(s"$wh/creator").count() == 2)
     assert(spark.read.parquet(s"$wh/issue_creator").count() == 3)
