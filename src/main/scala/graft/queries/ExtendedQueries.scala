@@ -154,6 +154,19 @@ object ExtendedQueries {
                  col("l_orderkey"), col("l_linenumber"))
     },
 
+    // Sketch aggregate (§2.4 note: HLL distinct) — approx values are
+    // engine-specific, so rows-only; exact distinct shown alongside in the
+    // same pass for the error-vs-cost story.
+    QueryDef.rowsOnly(
+      "q_approx_distinct",
+      "HLL approx_count_distinct vs exact countDistinct per returnflag") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+             approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // INTERSECT / EXCEPT — §2.7 extension.
     QueryDef(
       "q_setops",
