@@ -41,4 +41,20 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_region_revenue")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, s"dims not broadcast:\n$p")
   }
+
+  test("range join plans as a broadcast nested-loop, not a shuffle") {
+    val p = plan("q_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"range join not broadcast:\n$p")
+  }
+
+  test("as-of join runs as one union + one window (no theta join)") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), s"as-of should be join-free (union+window):\n$p")
+    assert(p.contains("Window") && p.contains("Union"), s"plan:\n$p")
+  }
+
+  test("scalar suite stays in a single codegen'd scan stage (no shuffle)") {
+    val p = plan("q_x_scalars")
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+  }
 }
