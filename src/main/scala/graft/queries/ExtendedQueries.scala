@@ -154,6 +154,23 @@ object ExtendedQueries {
                  col("l_orderkey"), col("l_linenumber"))
     },
 
+    // Edit-distance fuzzy matching (the J7 title-resolution family beyond
+    // token overlap): exact integer DP, identical in every engine.
+    QueryDef(
+      "q_levenshtein",
+      "fuzzy match: min edit distance per brand to a probe title + near-match counts",
+      """SELECT p_brand,
+                CAST(MIN(levenshtein(lower(p_name), 'red widget')) AS INT) AS min_dist,
+                CAST(COUNT(*) FILTER (WHERE levenshtein(lower(p_name), 'red widget') <= 5) AS BIGINT) AS near_matches
+         FROM part GROUP BY p_brand ORDER BY p_brand""") { (s, dir) =>
+      t(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(min(levenshtein(lower(col("p_name")), lit("red widget"))).cast("int").as("min_dist"),
+             sum(when(levenshtein(lower(col("p_name")), lit("red widget")) <= 5, 1)
+               .otherwise(0)).cast("long").as("near_matches"))
+        .orderBy(col("p_brand"))
+    },
+
     // Sketch aggregate (§2.4 note: HLL distinct) — approx values are
     // engine-specific, so rows-only; exact distinct shown alongside in the
     // same pass for the error-vs-cost story.
