@@ -177,11 +177,15 @@ object ExtendedQueries {
     QueryDef.rowsOnly(
       "q_approx_distinct",
       "HLL approx_count_distinct vs exact countDistinct per returnflag") { (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
-             approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
-        .orderBy(col("l_returnflag"))
+      val li = t(s, dir, "lineitem")
+      // separate passes: a combined exact-distinct + approx aggregation
+      // Expands every input row 2x; split, the exact side dedups once and
+      // the approx side is a map-side HLL sketch (measured 4s -> ~1s)
+      val exact = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_orders"))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      exact.join(approx, "l_returnflag").orderBy(col("l_returnflag"))
     },
 
     // INTERSECT / EXCEPT — §2.7 extension.
