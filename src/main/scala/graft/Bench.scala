@@ -20,13 +20,18 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
     // Warmup pass: JIT + whole-stage-codegen compilation dominates first
-    // executions (measured 6.7s -> 0.8s on a 0.75s query); report
-    // steady-state throughput.
+    // executions (measured 6.7s -> 0.8s on a 0.75s query). Then two
+    // measured passes, min per query — C2 compilation keeps running in the
+    // background after warmup and single measurements catch multi-second
+    // spikes that vanish on the next run.
     SparkEntry.queries.foreach { case (name, fn) => run(name, fn) }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       run(name, fn)
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> math.min(timed(name, fn), timed(name, fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
