@@ -70,9 +70,17 @@ object Dedup {
         explode(sequence(lit(1), length(col(textCol)) - lit(k - 1))).as("__pos"))
       .select(col("doc_id"), col("__t").substr(col("__pos"), lit(k)).as("g"))
 
-  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs: join the
-    * shingle SETS back by id and intersect — never materializes all-pairs. */
-  private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs: build
+    * shingle SETS for the candidate docs only (a tiny semi-joined slice —
+    * no ensureParallelism repartition, whose `.rdd` probe would force an
+    * extra plan execution) and join them back by id — never materializes
+    * all-pairs. */
+  private def verifyJaccard(cands: DataFrame, docs: DataFrame, idCol: String,
+                            textCol: String, k: Int, threshold: Double): DataFrame = {
+    val candIds = cands.select(col("doc_a").as("__cid"))
+      .unionAll(cands.select(col("doc_b").as("__cid"))).distinct()
+    val sh = docs.join(candIds, docs(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol).as("doc_id"), charShingles(col(textCol), k).as("sh"))
     cands
       .join(sh.toDF("doc_a", "sh_a"), "doc_a")
       .join(sh.toDF("doc_b", "sh_b"), "doc_b")
@@ -80,6 +88,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
 
   /** Exact all-pairs n-gram Jaccard similarity join (the O(n·m) baseline:
     * explode shingles, equi-join on shingle, count per pair). Correct at
@@ -120,10 +129,19 @@ object Dedup {
     // input rows are not per-doc-deduped) keeps the argmin on
     // discriminative shingles. Docs with no sub-cap shingle drop out
     // (they have no rare content to collide on).
+    //
+    // ONE bounded-memory pass: the capped distinct-set aggregation keeps at
+    // most cap+1 doc ids per shingle at every stage (hot shingles
+    // degenerate to an overflow marker, never a posting list), then the
+    // surviving sets re-explode to (doc_id, g) rows. This replaces the
+    // two-pass plan (countDistinct aggregation + semi-join of the full
+    // exploded projection back against the rare keys) — same result, half
+    // the passes, and still skew-proof at corpus scale.
     val ex = if (dfCap > 0) {
-      val rare = exAll.groupBy("g").agg(countDistinct("doc_id").as("f"))
-        .filter(col("f") <= dfCap).select("g")
-      exAll.join(rare, "g")
+      exAll.groupBy("g")
+        .agg(graft.functions.CappedSetAgg.cappedDistinct(col("doc_id"), dfCap).as("__docs"))
+        .filter(col("__docs").isNotNull)
+        .select(explode(col("__docs")).as("doc_id"), col("g"))
     } else exAll
     val hashed = ex.select(col("doc_id"), md5(col("g")).as("h1"),
       md5(concat(lit("x:"), col("g"))).as("h2"))
@@ -159,14 +177,18 @@ object Dedup {
   def lshNearDups(docs: DataFrame, idCol: String, textCol: String, k: Int,
                   numHashes: Int, bandSize: Int, threshold: Double,
                   dfCap: Int = 0): DataFrame = {
-    val cands = lshCandidates(shingleRows(docs, idCol, textCol, k),
-      numHashes, bandSize, dfCap).cache()
-    // Shingle SETS (the interpreted array path) are built only for docs
-    // that appear in a candidate pair — a tiny semi-joined slice.
-    val candIds = cands.select(col("doc_a").as("__cid"))
-      .unionAll(cands.select(col("doc_b").as("__cid"))).distinct()
-    val candDocs = docs.join(candIds, docs(idCol) === col("__cid"), "left_semi")
-    verifyJaccard(cands, shingled(candDocs, idCol, textCol, k), threshold)
+    // The exploded shingle projection feeds both the df-cap aggregation and
+    // the signature join; it is deliberately NOT materialized — the
+    // scan+explode subtree is map-only and pipelines into each consumer,
+    // which beats serializing ~40B/shingle through the block manager
+    // (measured: +2-3s at sf0.1). The candidate set IS eagerly
+    // localCheckpoint'ed (not cache()d): it is traversed three times by the
+    // verification joins, checkpointing truncates the whole LSH tower,
+    // hands AQE its exact (tiny) size so every verify join broadcasts, and
+    // the blocks are GC'd with the plan instead of pinned in CacheManager.
+    val ex = shingleRows(docs, idCol, textCol, k)
+    val cands = lshCandidates(ex, numHashes, bandSize, dfCap).localCheckpoint(true)
+    verifyJaccard(cands, docs, idCol, textCol, k, threshold)
   }
 
   /** Prefix-filtered exact Jaccard join: candidate pairs must share at
@@ -180,18 +202,25 @@ object Dedup {
     */
   def jaccardPairsFiltered(docs: DataFrame, idCol: String, textCol: String, k: Int,
                            threshold: Double, dfCap: Int): DataFrame = {
+    // ONE bounded-memory pass over the exploded shingles (see
+    // minhashSignatures for the capped-set rationale): per rare shingle the
+    // sorted doc set is at hand, so candidate pairs come straight from the
+    // in-array combinations — no semi-join back, no self-join shuffle. The
+    // pair-expansion lambda is interpreted but runs on |rare shingles| tiny
+    // rows (each array <= dfCap elements, <= cap*(cap-1)/2 pairs).
     val ex = shingleRows(docs, idCol, textCol, k)
-    val rare = ex.groupBy("g").agg(countDistinct("doc_id").as("f"))
-      .filter(col("f") <= dfCap).select("g")
-    val rareEx = ex.join(rare, "g").select("doc_id", "g").distinct()
-    val cands = rareEx.as("a").join(rareEx.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct().cache()
-    val candIds = cands.select(col("doc_a").as("__cid"))
-      .unionAll(cands.select(col("doc_b").as("__cid"))).distinct()
-    val candDocs = docs.join(candIds, docs(idCol) === col("__cid"), "left_semi")
-    verifyJaccard(cands, shingled(candDocs, idCol, textCol, k), threshold)
+    val docSets = ex.groupBy("g")
+      .agg(graft.functions.CappedSetAgg.cappedDistinct(col("doc_id"), dfCap).as("__docs"))
+      .filter(col("__docs").isNotNull && size(col("__docs")) >= 2)
+    // __docs is sorted ascending, so pairing each element with its
+    // successors yields doc_a < doc_b directly.
+    val pairs = flatten(transform(col("__docs"), (x, i) =>
+      transform(slice(col("__docs"), i + lit(2), size(col("__docs"))),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))
+    val cands = docSets.select(explode(pairs).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct().localCheckpoint(true)
+    verifyJaccard(cands, docs, idCol, textCol, k, threshold)
   }
 
   /** SimHash near-dup pairs with banded join: split the 64-bit signature
@@ -223,19 +252,25 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("first_doc"))
       .filter(col("n_copies") > 1)
 
-  /** Connected components over near-dup pairs by iterative min-label
-    * propagation: each doc's label converges to the smallest doc id
-    * reachable through the pair graph. Near-dup components are tiny and
-    * shallow (dup chains, not social graphs), so convergence takes a few
-    * iterations; each is one join + one groupBy on doc id. Returns
-    * (doc_id, component) for every doc appearing in `pairs`.
+  /** Connected components over near-dup pairs: min-label propagation plus
+    * pointer doubling (each doc also adopts its component's own component —
+    * path halving, cf. hash-to-min in Rastogi et al., "Finding Connected
+    * Components in MapReduce", ICDE'13), so a chain of length n converges
+    * in O(log n) rounds instead of O(n). Each round is eagerly
+    * localCheckpoint'ed: lineage stays one-round deep (no optimizer blow-up
+    * on long chains) and superseded label frames are GC'd by the context
+    * cleaner rather than pinned in the CacheManager. Returns
+    * (doc_id, component) — component = smallest reachable doc id — for
+    * every doc appearing in `pairs`; logs a warning if maxIter is hit
+    * before convergence (labels may then split one true component).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id"))
       .distinct().withColumn("component", col("doc_id"))
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -244,16 +279,27 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("component").as("nbr_min"))
-      val next = labels.join(viaNeighbors, Seq("doc_id"), "left_outer")
+      val hop1 = labels.join(viaNeighbors, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-        .cache()
+      // pointer doubling: follow the component's own label one more hop
+      // (component ids are always doc ids present in `labels`, so the
+      // lookup join below covers every non-root label)
+      val ptr = hop1.select(col("doc_id").as("__c"), col("component").as("__cc"))
+      val next = hop1.join(ptr, col("component") === col("__c"), "left_outer")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("__cc"), col("component"))).as("component"))
+        .localCheckpoint(true)
       val changes = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
         .filter(col("component") =!= col("old")).count()
       labels = next
       converged = changes == 0
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponents did not converge within $maxIter iterations; " +
+          "component labels may split true components")
     labels
   }
 

@@ -14,6 +14,21 @@ class ClusterSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L)))
   }
 
+  test("connectedComponents converges on a 50-deep dup chain in O(log n) rounds") {
+    // A 51-node chain 0-1-2-...-50: plain min-label propagation needs 50
+    // rounds (and the old default maxIter=20 would silently mislabel);
+    // pointer doubling converges well inside maxIter, and per-round
+    // localCheckpoint keeps lineage one round deep.
+    val pairs = (0L until 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs, maxIter = 12)
+    val comps = labels.select("component").distinct().as[Long].collect()
+    assert(comps.toSeq == Seq(0L))
+    assert(labels.count() == 51)
+    // lineage stays shallow: the returned frame is a checkpoint scan, not a
+    // 50-join tower
+    assert(labels.queryExecution.optimizedPlan.toString.linesIterator.size < 10)
+  }
+
   test("dropNearDups keeps one canonical doc per duplicate cluster") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
