@@ -28,6 +28,31 @@ object Graft {
   }
 }
 
+/** Materialization strategy for eagerly-reused intermediates (LSH candidate
+  * sets, verification shingle slices, connected-components rounds).
+  *
+  * Default `localCheckpoint`: truncates lineage (no optimizer blow-up on
+  * iteration), hands AQE the exact materialized size (tiny candidate sets
+  * then broadcast in every downstream join), and blocks are GC'd with the
+  * plan instead of pinned in the CacheManager. CAVEAT (cluster mode): a
+  * localCheckpoint is NOT recomputable — losing an executor (or a
+  * dynamic-allocation decommission) fails the job instead of recomputing
+  * the lost blocks. On clusters with dynamic allocation set
+  * `spark.graft.materialization=cache` (recomputable, pinned until GC) or
+  * `=checkpoint` (reliable storage; requires `setCheckpointDir`).
+  */
+object Materialize {
+  def pin(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get("spark.graft.materialization", "localCheckpoint") match {
+      case "cache" =>
+        df.persist(); df.count(); df // eager, like localCheckpoint(true)
+      case "checkpoint" => df.checkpoint(eager = true)
+      case "localCheckpoint" => df.localCheckpoint(true)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.materialization must be cache|checkpoint|localCheckpoint, got $other")
+    }
+}
+
 /** Loaders for the driver-generated star schema (TESTDATA.md).
   *
   * Dimension tables (region/nation/supplier/part/customer) are small at any
@@ -59,9 +84,20 @@ object Tables {
     * stage. A few-MB parquet file arrives as ONE partition, serializing
     * e.g. 30M md5 calls onto one core; at cluster scale inputs already have
     * >= defaultParallelism partitions and this is a no-op.
+    *
+    * The partition estimate is METADATA-ONLY: optimizer statistics
+    * (file-size sum for file sources) over maxPartitionBytes — the previous
+    * `df.rdd.getNumPartitions` probe built the physical plan + RDD DAG, an
+    * extra plan execution on every call. Unknown-size relations estimate
+    * huge -> no repartition, the safe default.
     */
   def ensureParallelism(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val maxPartBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val estPartitions = df.queryExecution.optimizedPlan.stats.sizeInBytes /
+      BigInt(maxPartBytes max 1L) + 1
+    if (estPartitions < p) df.repartition(p) else df
   }
 }

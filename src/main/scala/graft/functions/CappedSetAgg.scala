@@ -30,12 +30,16 @@ object CappedSetAgg {
   final case class Buf(var vals: Array[Long], var cap: Int)
 
   private final class CappedDistinct(cap: Int)
-      extends Aggregator[Long, Buf, Array[Long]] {
+      extends Aggregator[java.lang.Long, Buf, Array[Long]] {
     private val limit = cap + 1
 
     override def zero: Buf = Buf(Array.empty, cap)
 
-    override def reduce(b: Buf, v: Long): Buf = {
+    // Boxed input: a null value must be SKIPPED (countDistinct semantics),
+    // not deserialized to 0L and inserted as a phantom element.
+    override def reduce(b: Buf, boxed: java.lang.Long): Buf = {
+      if (boxed == null) return b
+      val v = boxed.longValue()
       if (b.vals.length < limit && !b.vals.contains(v)) {
         val next = new Array[Long](b.vals.length + 1)
         System.arraycopy(b.vals, 0, next, 0, b.vals.length)

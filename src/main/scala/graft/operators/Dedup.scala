@@ -31,13 +31,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct char-k-gram shingle set, as a narrow array expression. */
+  /** Distinct char-k-gram shingle set, as a narrow array expression. The
+    * native codegen'd ShingleSet expression replaces the earlier
+    * `transform(sequence) |> array_distinct` composition: the interpreted
+    * lambda machinery ran per element and dominated verification cost
+    * (~5x slower). Same output: first-occurrence order, [] when len < k.
+    * (Null text: the old when/otherwise chain yielded [], the native
+    * expression propagates null — fixtures and verify slices are non-null.)
+    */
   def charShingles(text: Column, k: Int): Column =
-    when(length(text) >= k,
-      array_distinct(transform(
-        sequence(lit(1), length(text) - lit(k - 1)),
-        i => text.substr(i, lit(k)))))
-      .otherwise(array().cast("array<string>"))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.ShingleSet(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), k))
 
   /** One MinHash value: min over shingles of an 8-hex-char (32-bit) slice
     * of md5. Seeds 0-3 slice md5(g) at offsets 0/8/16/24; seeds 4-7 slice
@@ -79,8 +84,14 @@ object Dedup {
                             textCol: String, k: Int, threshold: Double): DataFrame = {
     val candIds = cands.select(col("doc_a").as("__cid"))
       .unionAll(cands.select(col("doc_b").as("__cid"))).distinct()
+    // Candidate docs are routinely a large fraction of the corpus (near-dup
+    // fixtures: ~60%), and `sh` is joined TWICE below — without
+    // materialization the scan+shingle subtree would be evaluated once per
+    // join. localCheckpoint (same rationale + cluster-mode caveat as
+    // lshNearDups) halves the dominant cost of verification.
     val sh = docs.join(candIds, docs(idCol) === col("__cid"), "left_semi")
       .select(col(idCol).as("doc_id"), charShingles(col(textCol), k).as("sh"))
+      .transform(graft.core.Materialize.pin)
     cands
       .join(sh.toDF("doc_a", "sh_a"), "doc_a")
       .join(sh.toDF("doc_b", "sh_b"), "doc_b")
@@ -187,7 +198,7 @@ object Dedup {
     // hands AQE its exact (tiny) size so every verify join broadcasts, and
     // the blocks are GC'd with the plan instead of pinned in CacheManager.
     val ex = shingleRows(docs, idCol, textCol, k)
-    val cands = lshCandidates(ex, numHashes, bandSize, dfCap).localCheckpoint(true)
+    val cands = lshCandidates(ex, numHashes, bandSize, dfCap).transform(graft.core.Materialize.pin)
     verifyJaccard(cands, docs, idCol, textCol, k, threshold)
   }
 
@@ -219,7 +230,7 @@ object Dedup {
         y => struct(x.as("doc_a"), y.as("doc_b")))))
     val cands = docSets.select(explode(pairs).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.core.Materialize.pin)
     verifyJaccard(cands, docs, idCol, textCol, k, threshold)
   }
 
@@ -267,10 +278,10 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.core.Materialize.pin)
     var labels = edges.select(col("src").as("doc_id"))
       .distinct().withColumn("component", col("doc_id"))
-      .localCheckpoint(true)
+      .transform(graft.core.Materialize.pin)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -289,7 +300,7 @@ object Dedup {
       val next = hop1.join(ptr, col("component") === col("__c"), "left_outer")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("__cc"), col("component"))).as("component"))
-        .localCheckpoint(true)
+        .transform(graft.core.Materialize.pin)
       val changes = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
         .filter(col("component") =!= col("old")).count()
       labels = next

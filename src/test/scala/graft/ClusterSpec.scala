@@ -24,9 +24,15 @@ class ClusterSpec extends SparkSpec {
     val comps = labels.select("component").distinct().as[Long].collect()
     assert(comps.toSeq == Seq(0L))
     assert(labels.count() == 51)
-    // lineage stays shallow: the returned frame is a checkpoint scan, not a
-    // 50-join tower
-    assert(labels.queryExecution.optimizedPlan.toString.linesIterator.size < 10)
+    // lineage stays shallow: the returned frame is a checkpoint scan (an
+    // RDD leaf), not a 50-join tower — structural assertion, not plan-text
+    // rendering, so a Spark upgrade can't break it cosmetically
+    val plan = labels.queryExecution.optimizedPlan
+    assert(plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.isEmpty,
+      s"checkpointed labels still carry joins:\n$plan")
+    assert(plan.collectLeaves().forall(_.getClass.getSimpleName == "LogicalRDD"),
+      s"expected checkpoint-scan leaves:\n$plan")
   }
 
   test("dropNearDups keeps one canonical doc per duplicate cluster") {

@@ -54,4 +54,19 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(got.contains((3L, 4L)))
   }
+
+  test("cappedDistinct: bounded set, null overflow marker, null values skipped") {
+    import graft.functions.CappedSetAgg
+    val rows = Seq(
+      ("small", Some(3L)), ("small", Some(1L)), ("small", Some(1L)), ("small", None),
+      ("big", Some(1L)), ("big", Some(2L)), ("big", Some(3L)), ("big", Some(4L)),
+      ("nulls", None), ("nulls", None)
+    ).toDF("g", "doc_id")
+    val got = rows.groupBy("g")
+      .agg(CappedSetAgg.cappedDistinct(col("doc_id"), 3).as("s"))
+      .as[(String, Option[Seq[Long]])].collect().toMap
+    assert(got("small") == Some(Seq(1L, 3L)))  // sorted, null input skipped (no phantom 0)
+    assert(got("big").isEmpty)                 // > cap distinct -> overflow marker
+    assert(got("nulls") == Some(Seq.empty))    // all-null group = empty set, not Seq(0)
+  }
 }

@@ -49,6 +49,48 @@ class ExpressionsSpec extends SparkSpec {
     assert(row == (("$2.50", 1.0)))
   }
 
+  test("input-type contract: misuse is an analysis error, not silent garbage") {
+    // cosine_sim reads 4-byte strides; an ARRAY<DOUBLE> would be
+    // reinterpreted as garbage floats without the ExpectsInputTypes contract.
+    val dbl = Seq((Array(1.0, 2.0), Array(1.0f, 2.0f))).toDF("d", "f")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      dbl.select(GraftFunctions.cosine_sim(col("d"), col("f"))).collect()
+    }
+    assert(e1.getMessage.toLowerCase.contains("cosine_sim"))
+    // format_money must take BIGINT cents, not a DOUBLE price.
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1.99).toDF("p").select(GraftFunctions.format_money(col("p"))).collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("format_money"))
+    // ...and the same contract holds through the SQL registration path.
+    GraftFunctions.register(spark)
+    Seq(Array(1.0, 2.0)).toDF("v").createOrReplaceTempView("typed_misuse")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(v, v) FROM typed_misuse").collect()
+    }
+  }
+
+  test("shingle_set matches the declarative HOF formulation") {
+    // old formulation kept as the spec oracle
+    def hofShingles(text: org.apache.spark.sql.Column, k: Int) =
+      when(length(text) >= k,
+        array_distinct(transform(
+          sequence(lit(1), length(text) - lit(k - 1)),
+          i => text.substr(i, lit(k)))))
+        .otherwise(array().cast("array<string>"))
+    val df = Seq("abcdefgh", "aaaaaaaaaa", "abcabcabc", "short", "ab", "",
+        "unicodeééxé").toDF("t")
+    val bad = df.select(
+        graft.operators.Dedup.charShingles(col("t"), 3).as("got"),
+        hofShingles(col("t"), 3).as("want"))
+      .filter(not(col("got") === col("want"))).count()
+    assert(bad == 0)
+    // below-k text yields an empty array, not null
+    val empty = df.filter(col("t") === "ab")
+      .select(graft.operators.Dedup.charShingles(col("t"), 3).as("s")).head()
+    assert(!empty.isNullAt(0) && empty.getSeq[String](0).isEmpty)
+  }
+
   test("null inputs propagate null") {
     val got = Seq((Option.empty[Long], Option(7L))).toDF("a", "b")
       .select(GraftFunctions.format_money(col("a")).as("sa"),
