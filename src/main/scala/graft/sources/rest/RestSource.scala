@@ -3,7 +3,7 @@ package graft.sources.rest
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, StringStartsWith}
 import org.apache.spark.sql.types.StructType
@@ -57,7 +57,13 @@ trait PageFetcher extends Serializable {
 
 /** S5 retry/backoff decorator (reference: 5 attempts, exponential 1.5^n —
   * `etl/seed/seed_from_marvel.py:58-88`). Wraps any fetcher; sleeps grow
-  * exponentially and the last failure propagates. */
+  * exponentially and the last failure propagates.
+  *
+  * Only NonFatal failures are retried: OOM/LinkageError must surface
+  * immediately, and an InterruptedException (task kill) must cancel the
+  * fetch rather than linger through 5 growing backoffs. A backoff sleep
+  * that is itself interrupted restores the interrupt flag and rethrows the
+  * pending failure, so speculative-execution kills take effect promptly. */
 final class RetryingFetcher(inner: PageFetcher, maxRetries: Int = 5,
                             baseSleepMs: Long = 1500) extends PageFetcher {
   override def schema: StructType = inner.schema
@@ -67,10 +73,15 @@ final class RetryingFetcher(inner: PageFetcher, maxRetries: Int = 5,
     while (true) {
       try return inner.fetch(params, offset, limit)
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           attempt += 1
           if (attempt >= maxRetries) throw e
-          Thread.sleep((baseSleepMs * math.pow(1.5, attempt - 1)).toLong)
+          try Thread.sleep((baseSleepMs * math.pow(1.5, attempt - 1)).toLong)
+          catch {
+            case _: InterruptedException =>
+              Thread.currentThread().interrupt()
+              throw e
+          }
       }
     }
     Nil // unreachable
@@ -99,11 +110,13 @@ private[rest] class RestTable(schema: StructType, properties: Map[String, String
 
 private[rest] class RestScanBuilder(fullSchema: StructType, options: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
+  private var orderBy: Option[String] = None
 
   /** EqualTo / StringStartsWith become API params; everything else stays a
     * Spark-side residual (returned back to Catalyst). */
@@ -123,12 +136,42 @@ private[rest] class RestScanBuilder(fullSchema: StructType, options: Map[String,
 
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
+  /** O7 API-pushed sort (reference: `orderBy=issueNumber` /
+    * `orderBy=-onsaleDate` request params — `etl/sources/marvel_extract.py:17`,
+    * `etl/seed/seed_from_marvel.py:160`): ORDER BY + LIMIT over this source
+    * becomes an `orderBy` param in Marvel's `-`-prefix-for-descending
+    * encoding, and the Spark-side Sort is removed entirely
+    * (isPartiallyPushed = false — the scan then plans a SINGLE ordered
+    * partition, because parallel page ranges cannot guarantee a global
+    * order). Only simple column sorts with the direction's default null
+    * ordering are pushed; anything else stays a Spark-side Sort. */
+  override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
+    val encoded = orders.toSeq.map { o =>
+      o.expression() match {
+        case nr: NamedReference
+            if nr.fieldNames().length == 1 &&
+              o.nullOrdering() == o.direction().defaultNullOrdering() =>
+          Some((if (o.direction() == SortDirection.DESCENDING) "-" else "") +
+            nr.fieldNames()(0))
+        case _ => None
+      }
+    }
+    if (encoded.nonEmpty && encoded.forall(_.isDefined)) {
+      orderBy = Some(encoded.flatten.mkString(","))
+      limit = Some(l)
+      true
+    } else false
+  }
+  override def isPartiallyPushed(): Boolean = false
+
   override def build(): Scan = {
     val params = pushed.flatMap {
       case EqualTo(attr, v) => Some(attr -> v.toString)
       case StringStartsWith(attr, prefix) => Some(s"${attr}StartsWith" -> prefix)
       case _ => None
-    }.toMap ++ options.get("extraParams").map(p => "extraParams" -> p)
+    }.toMap ++
+      orderBy.map("orderBy" -> _) ++
+      options.get("extraParams").map(p => "extraParams" -> p)
     new RestScan(options, params, required, limit)
   }
 }
@@ -155,10 +198,16 @@ private[rest] class RestScan(options: Map[String, String], params: Map[String, S
     val fetcher = FetcherRegistry.get(options("fetcher"))
     val cap = (maxItems.toSeq ++ limit.toSeq).reduceOption(_ min _)
     fetcher.total(params) match {
-      case Some(total) =>
+      case Some(total) if !params.contains("orderBy") =>
         val n = cap.fold(total)(total min _)
         (0 until n by pageSize)
           .map(off => RestPageRange(off, pageSize min (n - off))).toArray
+      case Some(total) =>
+        // A fully-pushed TopN removed the Spark-side Sort, so the scan's own
+        // row order IS the result order: one partition paginating the
+        // API's sorted listing front-to-back (the reference's sequential
+        // orderBy'd offset loop), capped at the pushed limit.
+        Array(RestPageRange(0, cap.fold(total)(total min _)))
       case None =>
         Array(RestPageRange(0, cap.getOrElse(Int.MaxValue)))
     }
@@ -189,8 +238,10 @@ private[rest] class RestPartitionReader(fetcherName: String, params: Map[String,
   private var exhausted = false
   private var current: InternalRow = _
 
-  private def fieldOrdinals =
-    required.fieldNames.map(n => fetcher.schema.fieldIndex(n))
+  // val, not def: name->index resolution and the array allocation must not
+  // run once per row in the read hot loop.
+  private val fieldOrdinals: Seq[Int] =
+    required.fieldNames.map(n => fetcher.schema.fieldIndex(n)).toSeq
 
   override def next(): Boolean = {
     while (!buffer.hasNext && !exhausted && emitted < range.count) {
@@ -203,7 +254,7 @@ private[rest] class RestPartitionReader(fetcherName: String, params: Map[String,
     if (buffer.hasNext && emitted < range.count) {
       val row = buffer.next()
       // column pruning: project the fetched row down to the required schema
-      val projected = Row.fromSeq(fieldOrdinals.toSeq.map(row.get))
+      val projected = Row.fromSeq(fieldOrdinals.map(row.get))
       current = toCatalyst(projected).asInstanceOf[InternalRow]
       emitted += 1
       true

@@ -23,9 +23,26 @@ class FakeApi extends PageFetcher {
 
   private def filtered(params: Map[String, String]) = {
     lastParams = params
-    data
+    val rows = data
       .filter(r => params.get("title").forall(_ == r.getString(1)))
       .filter(r => params.get("titleStartsWith").forall(p => r.getString(1).startsWith(p)))
+    // Marvel-style orderBy param: comma-separated fields, `-` prefix = desc.
+    // foldRight: later terms are applied first, so stable sort makes the
+    // first term the primary key.
+    params.get("orderBy").fold(rows) { spec =>
+      spec.split(",").foldRight(rows) { (term, acc) =>
+        val desc = term.startsWith("-")
+        val f = schema.fieldIndex(if (desc) term.drop(1) else term)
+        val sorted = acc.sortBy { r =>
+          r.get(f) match {
+            case l: Long => f"$l%020d"
+            case i: Int => f"$i%020d"
+            case s: String => s
+          }
+        }
+        if (desc) sorted.reverse else sorted
+      }
+    }
   }
 
   override def total(params: Map[String, String]): Option[Int] = Some(filtered(params).size)
@@ -76,6 +93,44 @@ class RestSourceSpec extends SparkSpec {
     assert(got.length == 5)
     // one page of 40 max — not the full 250-row scan
     assert(api.calls.get() <= 2)
+  }
+
+  test("ORDER BY + LIMIT is pushed to the API; no Spark-side Sort remains") {
+    val api = new FakeApi
+    val df = load("fake_topn", api).orderBy($"start_year".desc).limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort"), s"Spark-side Sort survived TopN pushdown:\n$plan")
+    val got = df.select("start_year").as[Int].collect()
+    assert(got.toSeq == Seq(2019, 2019, 2019, 2019, 2019))
+    assert(api.lastParams.get("orderBy").contains("-start_year"))
+    // single ordered partition paginating front-to-back, capped at the limit
+    assert(df.rdd.getNumPartitions == 1)
+  }
+
+  test("multi-column ascending sort pushes in API encoding") {
+    val api = new FakeApi
+    val df = load("fake_topn2", api).orderBy($"start_year", $"id".desc).limit(3)
+    val got = df.select("id").as[Long].collect()
+    assert(api.lastParams.get("orderBy").contains("start_year,-id"))
+    // start_year == 1990 rows are id % 30 == 0; desc id within the year
+    assert(got.toSeq == Seq(240L, 210L, 180L))
+  }
+
+  test("RetryingFetcher does not retry task interruption") {
+    val interrupting = new PageFetcher {
+      val attempts = new AtomicInteger(0)
+      override val schema: StructType = StructType(Seq(StructField("id", LongType)))
+      override def total(params: Map[String, String]): Option[Int] = Some(1)
+      override def fetch(params: Map[String, String], offset: Int, limit: Int): Seq[Row] = {
+        attempts.incrementAndGet()
+        throw new InterruptedException("task killed")
+      }
+    }
+    val r = new RetryingFetcher(interrupting, maxRetries = 5, baseSleepMs = 1)
+    intercept[InterruptedException] { r.fetch(Map.empty, 0, 10) }
+    // fatal-to-the-task failures surface on the FIRST attempt — a killed
+    // task must not linger through 5 growing backoffs
+    assert(interrupting.attempts.get() == 1)
   }
 
   test("RetryingFetcher retries transient failures with backoff") {
