@@ -40,13 +40,21 @@ object Fns {
   def cents(dollars: Column): Column =
     floor(dollars * lit(100) + lit(0.5)).cast(LongType)
 
-  /** Integer cents -> "$D.CC" display string.
-    * Reference: `app/api.py:61-64` (`cents_to_price`). */
-  def priceDisplay(cents: Column): Column = concat(
-    lit("$"),
-    (cents / lit(100)).cast(LongType).cast(StringType),
-    lit("."),
-    lpad(pmod(cents, lit(100)).cast(StringType), 2, "0"))
+  /** Integer cents -> "$D.CC" display string, sign-prefix form for
+    * negatives ("-$2.50") — normalized with the native FormatMoney
+    * expression and the oracle SQL (PropertySpec holds the three-way law).
+    * Reference: `app/api.py:61-64` (`cents_to_price`; reference renders
+    * positive catalog prices only, so the negative form is ours to define).
+    */
+  def priceDisplay(cents: Column): Column = {
+    val a = abs(cents)
+    concat(
+      when(cents < 0, lit("-")).otherwise(lit("")),
+      lit("$"),
+      (a / lit(100)).cast(LongType).cast(StringType),
+      lit("."),
+      lpad(pmod(a, lit(100)).cast(StringType), 2, "0"))
+  }
 
   /** Date -> "YYYY-MM-DD" (reference `app/api.py:144` isoformat render). */
   def isoDate(d: Column): Column = date_format(d, "yyyy-MM-dd")
@@ -69,4 +77,22 @@ object Fns {
     * any engine: #separators + 1. */
   def tokenCount(c: Column): Column =
     (length(c) - length(regexp_replace(c, " ", "")) + lit(1)).cast(LongType)
+
+  /** X14 HTML escape (reference `app/templates/search.html:174`
+    * `escapeHTML`): & < > " ' -> entities. Chained codegen'd replace()s —
+    * `&` first so entity ampersands are not double-escaped. */
+  def htmlEscape(c: Column): Column =
+    Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;",
+        "\"" -> "&quot;", "'" -> "&#039;")
+      .foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+
+  /** X13 image-URL extension swap (reference `app/templates/search.html:70-75`:
+    * strip a trailing .png/.jpg/.jpeg/.webp, then try each fallback
+    * extension). `swapExt` rewrites to one extension; `extCandidates`
+    * yields the reference's full fallback candidate list. */
+  def swapExt(url: Column, ext: String): Column =
+    concat(regexp_replace(url, "(?i)\\.(png|jpg|jpeg|webp)$", ""), lit(s".$ext"))
+
+  def extCandidates(url: Column): Column =
+    array(Seq("jpg", "jpeg", "png", "webp").map(e => swapExt(url, e)): _*)
 }

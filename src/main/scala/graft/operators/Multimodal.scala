@@ -86,4 +86,43 @@ object Multimodal {
   def readBinaryDir(spark: SparkSession, path: String): DataFrame =
     spark.read.format("binaryFile").load(path)
       .select(col("path"), col("content").as("bytes"), col("length"))
+
+  /** S11 write side — binary media sink (reference `cv_fetch_covers.py:
+    * 116-126` download_image writes covers/<id>.jpg): write one file per
+    * row under `dir`, named by `nameCol` (a relative path; subdirectories
+    * are created), bytes from `bytesCol`. Round-trips readBinaryDir
+    * byte-identically (asserted in MultimodalSpec).
+    *
+    * Scale: the write runs foreachPartition on the EXECUTORS — each task
+    * opens its own FileSystem handle and streams its partition's rows, so
+    * a 100 TB media dump fans out across the cluster with no driver
+    * collect. Hadoop conf is rebuilt per task from the session's
+    * serialized entries, so object stores configured on the session
+    * (s3a/abfs credentials etc.) work unchanged.
+    */
+  def writeBinaryFiles(df: DataFrame, dir: String,
+                       nameCol: String = "name", bytesCol: String = "bytes"): Unit = {
+    val confEntries: Array[(String, String)] = {
+      val c = df.sparkSession.sessionState.newHadoopConf()
+      val it = c.iterator()
+      val buf = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
+      buf.result()
+    }
+    df.select(col(nameCol).cast(StringType), col(bytesCol))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fsys = base.getFileSystem(conf)
+        rows.foreach { r =>
+          val name = r.getString(0)
+          require(!name.startsWith("/") && !name.split("/").contains(".."),
+            s"media file name must be a relative path without ..: $name")
+          val out = fsys.create(new org.apache.hadoop.fs.Path(base, name), true)
+          try out.write(r.getAs[Array[Byte]](1))
+          finally out.close()
+        }
+      }
+  }
 }

@@ -19,8 +19,9 @@ object ScalarQueries {
       "scalar suite: cents conversion, money display, ISO dates, md5 hash, normalization, variant heuristic",
       """SELECT o_orderkey,
                 CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
-                '$' || CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) // 100 AS VARCHAR)
-                    || '.' || lpad(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS price_display,
+                CASE WHEN FLOOR(o_totalprice * 100 + 0.5) < 0 THEN '-' ELSE '' END
+                    || '$' || CAST(ABS(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) // 100 AS VARCHAR)
+                    || '.' || lpad(CAST(ABS(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) % 100 AS VARCHAR), 2, '0') AS price_display,
                 STRFTIME(o_orderdate, '%Y-%m-%d') AS order_iso,
                 md5(CAST(o_orderkey AS VARCHAR) || o_orderstatus) AS key_hash,
                 lower(trim(o_orderpriority)) AS prio_norm,
@@ -66,10 +67,12 @@ object ScalarQueries {
       import org.apache.spark.sql.expressions.Window
       // The global rank windows run on the POST-aggregation frame, whose
       // cardinality is distinct(l_linenumber*3) — bounded (7 rows) at any
-      // scale factor, so the single-partition window is safe; partitionBy a
-      // constant to mark it deliberate (and keep WindowExec's global-window
-      // warning pointing at real offenders only).
-      val g = Window.partitionBy(lit(0))
+      // scale factor, so the single-partition window is safe. partitionBy
+      // `n * 0`: constant 0 per row (count is never null) but NOT
+      // constant-foldable — a literal 0 here is folded away by the
+      // optimizer, leaving an empty partitionSpec and WindowExec's
+      // global-window warning pointing at a deliberate, bounded frame.
+      val g = Window.partitionBy(col("n") * 0)
       t(s, dir, "lineitem")
         .select((col("l_linenumber") * 3).cast("string").as("num_text"))
         .groupBy("num_text")

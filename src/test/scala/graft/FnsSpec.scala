@@ -34,6 +34,25 @@ class FnsSpec extends SparkSpec {
     assert(math.abs(a - 500050.0) < 1e-6)
   }
 
+  test("htmlEscape matches the reference escapeHTML map (X14)") {
+    // reference app/templates/search.html:174
+    val got = Seq("""<a href="x">Tom & Jerry's</a>""", "plain", "&amp;").toDF("t")
+      .select(Fns.htmlEscape(col("t")).as("e")).as[String].collect()
+    assert(got.toSeq == Seq(
+      "&lt;a href=&quot;x&quot;&gt;Tom &amp; Jerry&#039;s&lt;/a&gt;",
+      "plain",
+      "&amp;amp;"))  // ampersands escape first, never double-escaped beyond
+  }
+
+  test("swapExt/extCandidates mirror the reference ext-swap fallback (X13)") {
+    val got = Seq("covers/1.PNG", "covers/2.jpeg", "noext").toDF("u")
+      .select(Fns.swapExt(col("u"), "jpg").as("s")).as[String].collect()
+    assert(got.toSeq == Seq("covers/1.jpg", "covers/2.jpg", "noext.jpg"))
+    val cands = Seq("a.webp").toDF("u")
+      .select(Fns.extCandidates(col("u")).as("c")).as[Seq[String]].head()
+    assert(cands == Seq("a.jpg", "a.jpeg", "a.png", "a.webp"))
+  }
+
   test("relevance weights substring hits") {
     val r = Seq(("red widget", "ECONOMY"), ("blue bolt", "STANDARD")).toDF("name", "typ")
       .select(

@@ -24,6 +24,27 @@ class MultimodalSpec extends SparkSpec {
     assert(got.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
 
+  test("writeBinaryFiles round-trips readBinaryDir byte-identically (S11)") {
+    val dir = java.nio.file.Files.createTempDirectory("mediaout").toFile.getAbsolutePath
+    val payloads = Map(
+      "covers/1.jpg" -> Array[Byte](-1, -40, 0, 127, -128, 13, 10, 26),  // JPEG-ish + binary-unsafe bytes
+      "covers/2.png" -> Array[Byte](-119, 80, 78, 71),
+      "flat.bin" -> Array.tabulate[Byte](4096)(i => (i * 31).toByte))
+    Multimodal.writeBinaryFiles(
+      payloads.toSeq.toDF("name", "bytes"), dir)
+    val back = Multimodal.readBinaryDir(spark, dir + "/covers")
+      .unionByName(Multimodal.readBinaryDir(spark, dir + "/flat.bin"))
+      .select(col("path"), col("bytes")).collect()
+      .map(r => r.getString(0).split("/").takeRight(1).head -> r.getAs[Array[Byte]](1))
+    assert(back.length == 3)
+    assert(back.forall { case (n, b) =>
+      payloads(payloads.keys.find(_.endsWith(n)).get).toSeq == b.toSeq })
+    // path traversal and absolute names are rejected
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.writeBinaryFiles(Seq(("../evil", Array[Byte](1))).toDF("name", "bytes"), dir)
+    }
+  }
+
   test("sampleFrames chunks video payloads with a stride") {
     val video = Seq((10L, "video", Array.tabulate[Byte](16)(_.toByte)))
       .toDF("media_id", "kind", "bytes")

@@ -27,6 +27,19 @@ class PropertySpec extends SparkSpec {
     assert(back == 0L)
   }
 
+  test("money rendering law: priceDisplay == native format_money for any sign") {
+    val cents = sample(Gen.listOfN(400, Gen.chooseNum(-999999999L, 999999999L)))
+    val mismatches = (cents ++ Seq(0L, -1L, -99L, -100L, -250L, 99L)).toDF("c")
+      .select(Fns.priceDisplay(col("c")).as("composed"),
+              graft.plans.GraftFunctions.format_money(col("c")).as("native"))
+      .filter(col("composed") =!= col("native")).count()
+    assert(mismatches == 0L)
+    // sign-prefix form spot checks
+    val got = Seq(-250L, -5L, 305L).toDF("c")
+      .select(Fns.priceDisplay(col("c")).as("s")).as[String].collect()
+    assert(got.toSeq == Seq("-$2.50", "-$0.05", "$3.05"))
+  }
+
   test("upsert idempotence: merge(merge(T,B),B) == merge(T,B) on random batches") {
     val keys = sample(Gen.listOfN(120, Gen.chooseNum(0L, 60L)))
     val target = keys.zipWithIndex.map { case (k, i) => (k, s"t$i", i.toDouble) }
