@@ -44,14 +44,12 @@ object EtlCli {
   /** Create empty tables with the canonical schemas. */
   def init(spark: SparkSession, wh: String): Unit = {
     import spark.implicits._
-    Seq.empty[(Long, String, String, java.sql.Date, Long, Boolean)]
+    writeBack(Seq.empty[(Long, String, String, java.sql.Date, Long, Boolean)]
       .toDF("marvel_comic_id", "title", "issue_number", "onsale_date",
-        "price_cents", "is_variant")
-      .write.mode(SaveMode.Overwrite).parquet(issuesPath(wh))
-    Seq.empty[String].toDF("creator_name")
-      .write.mode(SaveMode.Overwrite).parquet(creatorsPath(wh))
-    Seq.empty[(Long, String, String)].toDF("marvel_comic_id", "creator_name", "role")
-      .write.mode(SaveMode.Overwrite).parquet(bridgePath(wh))
+        "price_cents", "is_variant"), issuesPath(wh))
+    writeBack(Seq.empty[String].toDF("creator_name"), creatorsPath(wh))
+    writeBack(Seq.empty[(Long, String, String)]
+      .toDF("marvel_comic_id", "creator_name", "role"), bridgePath(wh))
   }
 
   /** Extract -> transform -> idempotent load -> audit. Malformed JSON
@@ -78,7 +76,7 @@ object EtlCli {
           "price_cents", "is_variant")
 
       // load: insert-if-absent + update-mutable (J4/D3/D4), first-wins
-      val target = spark.read.parquet(issuesPath(wh))
+      val target = readTable(spark, issuesPath(wh))
       val merged = Relational.upsert(target, incomingIssues,
         keys = Seq("marvel_comic_id"),
         mutableCols = Seq("title", "onsale_date", "price_cents", "is_variant"),
@@ -88,30 +86,87 @@ object EtlCli {
 
       // creators dimension + M:N bridge (J5), insert-if-absent
       val credits = MarvelTransform.explodeCreators(raw)
-      val existingCreators = spark.read.parquet(creatorsPath(wh))
+      val existingCreators = readTable(spark, creatorsPath(wh))
       val newCreators = credits.select(col("creator_name")).distinct()
         .join(existingCreators, Seq("creator_name"), "left_anti")
       writeBack(existingCreators.unionByName(newCreators), creatorsPath(wh))
 
-      val existingBridge = spark.read.parquet(bridgePath(wh))
+      val existingBridge = readTable(spark, bridgePath(wh))
       val newLinks = credits.select("marvel_comic_id", "creator_name", "role").distinct()
         .join(existingBridge, Seq("marvel_comic_id", "creator_name", "role"), "left_anti")
       writeBack(existingBridge.unionByName(newLinks), bridgePath(wh))
     }
 
-  // read-modify-write on the same parquet path needs a materialization
-  // barrier (write target == read source): stage then swap
-  private def writeBack(df: DataFrame, path: String): Unit = {
-    val tmp = path + "__staged"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val spark = df.sparkSession
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+  // ---- versioned table layout -------------------------------------------
+  //
+  // A logical table at `path` is a directory of immutable versioned data
+  // dirs plus commit markers:
+  //
+  //   path/data_v3/...parquet     path/_committed_v3
+  //   path/data_v4/...parquet     path/_committed_v4   <- current
+  //
+  // Readers resolve max(committed version); writers stage data_v{N+1} fully,
+  // then create the marker (one atomic file create = the commit point), then
+  // prune superseded versions. A crash anywhere before the marker leaves the
+  // old version untouched and readable — unlike the previous
+  // stage-then-overwrite double-write, which destroyed the live table if
+  // the process died between the two writes. This also solves
+  // read-modify-write on the same logical table without a materialization
+  // barrier (the new version is a DIFFERENT directory than the one the
+  // plan reads), and halves the write volume (one data write, not two).
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def committedVersion(spark: SparkSession, path: String): Option[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val f = fs(spark, path)
+    if (!f.exists(dir)) None
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("_committed_v") => n.drop("_committed_v".length).toLong }
+      .maxOption
   }
+
+  /** Resolve the current committed version of a versioned table. */
+  def readTable(spark: SparkSession, path: String): DataFrame =
+    committedVersion(spark, path) match {
+      case Some(v) => spark.read.parquet(s"$path/data_v$v")
+      case None => sys.error(s"no committed version at $path — run `init` first")
+    }
+
+  /** Stage the next version's data dir WITHOUT committing it (the spec's
+    * crash-simulation seam; writeBack = stage + commit + prune). */
+  private[graft] def stage(df: DataFrame, path: String): Long = {
+    val next = committedVersion(df.sparkSession, path).getOrElse(0L) + 1
+    df.write.mode(SaveMode.Overwrite).parquet(s"$path/data_v$next")
+    next
+  }
+
+  private[graft] def commit(spark: SparkSession, path: String, version: Long): Unit = {
+    val f = fs(spark, path)
+    f.create(new org.apache.hadoop.fs.Path(s"$path/_committed_v$version"), true).close()
+    // prune superseded + abandoned versions (anything but the new current)
+    f.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
+      val n = st.getPath.getName
+      val stale =
+        (n.startsWith("_committed_v") && n.drop("_committed_v".length).toLong < version) ||
+        (n.startsWith("data_v") && n.drop("data_v".length).toLong != version)
+      if (stale) f.delete(st.getPath, true)
+    }
+  }
+
+  private def writeBack(df: DataFrame, path: String): Unit =
+    commit(df.sparkSession, path, stage(df, path))
+
+  private[graft] def writeBackForTest(df: DataFrame, path: String): Unit =
+    writeBack(df, path)
 
   /** The reference `quality` command: null counts + orphan bridge rows. */
   def quality(spark: SparkSession, wh: String): DataFrame = {
-    val issues = spark.read.parquet(issuesPath(wh))
-    val bridge = spark.read.parquet(bridgePath(wh))
+    val issues = readTable(spark, issuesPath(wh))
+    val bridge = readTable(spark, bridgePath(wh))
     val nullDates = issues.filter(col("onsale_date").isNull)
       .agg(count(lit(1)).as("issues_null_onsale_date"))
     val orphans = Relational.orphans(bridge, issues, "marvel_comic_id", "marvel_comic_id")
@@ -121,8 +176,8 @@ object EtlCli {
 
   /** The reference `stats` command: top titles by credit count. */
   def stats(spark: SparkSession, wh: String, top: Int): DataFrame = {
-    val issues = spark.read.parquet(issuesPath(wh))
-    val bridge = spark.read.parquet(bridgePath(wh))
+    val issues = readTable(spark, issuesPath(wh))
+    val bridge = readTable(spark, bridgePath(wh))
     Relational.topKByCount(
       bridge.join(broadcast(issues), "marvel_comic_id"),
       col("title"), top, "credit_count")

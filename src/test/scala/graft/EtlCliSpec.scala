@@ -33,15 +33,15 @@ class EtlCliSpec extends SparkSpec {
     val run1 = EtlCli.ingest(spark, wh, raw)
     assert(run1.status == "SUCCESS" && run1.records_read == 2)
     assert(spark.read.parquet(s"$wh/quarantine").count() == 1) // malformed line
-    assert(spark.read.parquet(s"$wh/issue").count() == 2)
-    assert(spark.read.parquet(s"$wh/creator").count() == 2)
-    assert(spark.read.parquet(s"$wh/issue_creator").count() == 3)
+    assert(EtlCli.readTable(spark, s"$wh/issue").count() == 2)
+    assert(EtlCli.readTable(spark, s"$wh/creator").count() == 2)
+    assert(EtlCli.readTable(spark, s"$wh/issue_creator").count() == 3)
 
     // idempotence: same batch again changes nothing
     EtlCli.ingest(spark, wh, raw)
-    assert(spark.read.parquet(s"$wh/issue").count() == 2)
-    assert(spark.read.parquet(s"$wh/creator").count() == 2)
-    assert(spark.read.parquet(s"$wh/issue_creator").count() == 3)
+    assert(EtlCli.readTable(spark, s"$wh/issue").count() == 2)
+    assert(EtlCli.readTable(spark, s"$wh/creator").count() == 2)
+    assert(EtlCli.readTable(spark, s"$wh/issue_creator").count() == 3)
     assert(spark.read.parquet(s"$wh/etl_run").count() == 2)
 
     val q = EtlCli.quality(spark, wh).collect().head
@@ -51,5 +51,31 @@ class EtlCliSpec extends SparkSpec {
     val top = EtlCli.stats(spark, wh, 5).collect()
     assert(top.head.getString(0) == "Amazing Tales #1")
     assert(top.head.getLong(1) == 2)
+
+    // superseded versions are pruned: one data dir + one marker per table
+    val issueDir = new java.io.File(s"$wh/issue")
+    assert(issueDir.list().count(_.startsWith("data_v")) == 1)
+    assert(issueDir.list().count(_.startsWith("_committed_v")) == 1)
+  }
+
+  test("crash between stage and commit leaves the old table intact") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("etlcrash").toFile.getAbsolutePath
+    val path = s"$wh/t"
+    EtlCli.writeBackForTest(Seq((1L, "old")).toDF("k", "v"), path)
+
+    // simulated crash: the next version's data lands fully, but the process
+    // dies before the commit marker — readers must still see the old table
+    EtlCli.stage(Seq((2L, "new")).toDF("k", "v"), path)
+    val survived = EtlCli.readTable(spark, path).as[(Long, String)].collect()
+    assert(survived.toSeq == Seq((1L, "old")))
+
+    // the next successful writeBack commits v3 and prunes the abandoned v2
+    EtlCli.writeBackForTest(Seq((3L, "next")).toDF("k", "v"), path)
+    assert(EtlCli.readTable(spark, path).as[(Long, String)].collect().toSeq
+      == Seq((3L, "next")))
+    val names = new java.io.File(path).list().toSeq
+    assert(names.count(_.startsWith("data_v")) == 1)
+    assert(names.count(_.startsWith("_committed_v")) == 1)
   }
 }
