@@ -1,6 +1,8 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Physical storage layout helpers — the 100 TB posture's write side
   * (SURVEY.md §4: "Parquet storage partitioned by stable keys; bucketing
@@ -41,4 +43,33 @@ object Store {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Data-skipping layout (the min/max-stats analog of partition pruning,
+    * for columns too high-cardinality to directory-partition): range-
+    * repartition + sort-within-partition on the cluster key(s), so every
+    * output file (and every parquet row group inside it) covers a NARROW
+    * slice of the key space. A selective filter then reads only the row
+    * groups whose min/max straddle the predicate — at 100 TB this is the
+    * difference between scanning a few hundred MB and the whole table.
+    * Skipping is asserted observable in StoreSpec (records actually read).
+    */
+  def writeClustered(df: DataFrame, path: String, clusterCols: Seq[String],
+                     numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Z-order bit-interleave of two non-negative integer keys: clustering by
+    * this single key preserves locality in BOTH dimensions, so min/max
+    * skipping works for filters on either column (the classic Z-order
+    * curve used by lakehouse OPTIMIZE ZORDER BY). `bits` low bits of each
+    * input are interleaved — a at odd positions, b at even. */
+  def zorderKey(a: Column, b: Column, bits: Int = 16): Column = {
+    val la = a.cast(LongType)
+    val lb = b.cast(LongType)
+    (0 until bits).map { i =>
+      shiftleft(shiftright(la, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(lb, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+  }
 }

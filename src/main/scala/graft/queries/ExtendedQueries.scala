@@ -174,9 +174,18 @@ object ExtendedQueries {
     // Sketch aggregate (§2.4 note: HLL distinct) — approx values are
     // engine-specific, so rows-only; exact distinct shown alongside in the
     // same pass for the error-vs-cost story.
-    QueryDef.rowsOnly(
+    // The sketch value itself is engine-specific, so the oracle checks the
+    // exact column plus a BOUNDED-ERROR indicator: |approx - exact| must
+    // stay within 3x the sketch's target relative standard deviation
+    // (rsd 0.02 -> 6%), which the oracle renders as constant TRUE. A
+    // drifting HLL implementation flips the boolean and fails the hash.
+    QueryDef(
       "q_approx_distinct",
-      "HLL approx_count_distinct vs exact countDistinct per returnflag") { (s, dir) =>
+      "HLL approx_count_distinct vs exact countDistinct per returnflag, bounded-error checked",
+      """SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+               TRUE AS approx_within_3rsd
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, dir) =>
       val li = t(s, dir, "lineitem")
       // separate passes: a combined exact-distinct + approx aggregation
       // Expands every input row 2x; split, the exact side dedups once and
@@ -185,7 +194,11 @@ object ExtendedQueries {
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_orders"))
       val approx = li.groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
-      exact.join(approx, "l_returnflag").orderBy(col("l_returnflag"))
+      exact.join(approx, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders"))
+            <= col("exact_orders") * 0.06).as("approx_within_3rsd"))
+        .orderBy(col("l_returnflag"))
     },
 
     // INTERSECT / EXCEPT — §2.7 extension.

@@ -68,11 +68,11 @@ object ScalarQueries {
       // The global rank windows run on the POST-aggregation frame, whose
       // cardinality is distinct(l_linenumber*3) — bounded (7 rows) at any
       // scale factor, so the single-partition window is safe. partitionBy
-      // `n * 0`: constant 0 per row (count is never null) but NOT
-      // constant-foldable — a literal 0 here is folded away by the
-      // optimizer, leaving an empty partitionSpec and WindowExec's
-      // global-window warning pointing at a deliberate, bounded frame.
-      val g = Window.partitionBy(col("n") * 0)
+      // `pmod(n, n)`: 0 for every row (count >= 1) but opaque to the
+      // optimizer — literal 0 and `n * 0` are both folded away, leaving an
+      // empty partitionSpec and WindowExec's global-window warning pointing
+      // at a deliberate, bounded frame.
+      val g = Window.partitionBy(pmod(col("n"), col("n")))
       t(s, dir, "lineitem")
         .select((col("l_linenumber") * 3).cast("string").as("num_text"))
         .groupBy("num_text")

@@ -6,6 +6,24 @@ import org.apache.spark.sql.functions._
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("q_ann_topk_fast returns the same neighbor sets as the verified q_ann_topk") {
+    // The fused-kernel variant accumulates floats (not the quantized oracle
+    // formulation), so its SCORES are rows-only — but its top-10 per query
+    // must agree with the oracle-verified exact query's neighbor sets.
+    val dir = "/root/testdata/sf0.001"
+    def rankSets(name: String): Map[Long, Set[Long]] =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .select(col("qid").cast("long"), col("cid").cast("long"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = rankSets("q_ann_topk")
+    val fast = rankSets("q_ann_topk_fast")
+    assert(fast.keySet == exact.keySet)
+    exact.foreach { case (qid, cids) =>
+      assert(fast(qid) == cids, s"neighbor set diverged for query $qid")
+    }
+  }
+
   private def vecs = Seq(
     (1L, Array(1.0f, 0.0f, 0.0f)),
     (2L, Array(0.9f, 0.1f, 0.0f)),   // near vec 1

@@ -53,6 +53,50 @@ class StoreSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "r0"), (3L, "r2"), (20L, "r1")))
   }
 
+  test("clustered layout skips row groups on selective scans (data skipping)") {
+    val base = Files.createTempDirectory("store_cluster").toFile.getAbsolutePath
+    val n = 64000
+    // high-cardinality key in RANDOM row order — the worst case for min/max
+    // stats without clustering
+    val df = spark.range(n)
+      .select(col("id"), pmod(col("id") * 2654435761L, lit(n.toLong)).as("k"))
+    Store.writeClustered(df, s"$base/clustered", Seq("k"), numFiles = 8)
+    df.coalesce(8).write.parquet(s"$base/control")   // same data, random order
+
+    def recordsRead(path: String): Long = {
+      // rows EMITTED by the parquet scan node = rows of the row groups that
+      // survived min/max pruning (the residual filter runs above the scan)
+      val q = spark.read.parquet(path)
+        .filter(col("k") >= 100 && col("k") < 200)
+      assert(q.collect().length == 100)
+      val scans = q.queryExecution.executedPlan.collect {
+        case p if p.getClass.getSimpleName == "FileSourceScanExec" =>
+          p.metrics("numOutputRows").value
+      }
+      assert(scans.nonEmpty, s"no parquet scan node:\n${q.queryExecution.executedPlan}")
+      scans.sum
+    }
+
+    val clustered = recordsRead(s"$base/clustered")
+    val control = recordsRead(s"$base/control")
+    // every control file straddles the predicate range -> full scan; the
+    // clustered layout confines [100, 200) to one file's row groups
+    assert(control >= n * 0.9, s"control unexpectedly pruned: $control of $n")
+    assert(clustered <= n / 4, s"no data skipping: read $clustered of $n rows")
+  }
+
+  test("zorderKey interleaves bits so both dimensions keep locality") {
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (2L, 1L)).toDF("a", "b")
+      .select(Store.zorderKey(col("a"), col("b")).as("z")).as[Long].collect()
+    // a at odd bit positions, b at even: z(1,0)=2, z(0,1)=1, z(3,3)=15, z(2,1)=9
+    assert(got.toSeq == Seq(0L, 2L, 1L, 15L, 9L))
+    // locality: small (a,b) boxes map to small z ranges — max z of the 4x4
+    // box is 15, strictly below z of anything outside the box
+    val outside = Seq((4L, 0L), (0L, 4L), (4L, 4L)).toDF("a", "b")
+      .select(Store.zorderKey(col("a"), col("b")).as("z")).as[Long].collect()
+    assert(outside.forall(_ > 15L))
+  }
+
   test("kmeansAssign separates obvious clusters deterministically") {
     val vecs = (0 until 60).map { i =>
       val base = if (i % 2 == 0) Array(5.0f, 0.0f) else Array(0.0f, 5.0f)
