@@ -14,11 +14,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       // noop sink: forces full evaluation of every output column (count()
       // would let Catalyst prune the projections being measured).
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      // Each timed run is self-contained (the next run rebuilds its plan),
+      // so blocks pinned by this run's localCheckpoints/caches are dead
+      // weight; drop them eagerly instead of letting them squeeze the
+      // storage pool (and force shuffle spills) for the queries that follow.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     // Warmup pass: JIT + whole-stage-codegen compilation dominates first
     // executions (measured 6.7s -> 0.8s on a 0.75s query). Then two
     // measured passes, min per query — C2 compilation keeps running in the

@@ -82,20 +82,29 @@ object Dedup {
     * all-pairs. */
   private def verifyJaccard(cands: DataFrame, docs: DataFrame, idCol: String,
                             textCol: String, k: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val candIds = cands.select(col("doc_a").as("__cid"))
       .unionAll(cands.select(col("doc_b").as("__cid"))).distinct()
     // Candidate docs are routinely a large fraction of the corpus (near-dup
     // fixtures: ~60%), and `sh` is joined TWICE below — without
     // materialization the scan+shingle subtree would be evaluated once per
-    // join. localCheckpoint (same rationale + cluster-mode caveat as
-    // lshNearDups) halves the dominant cost of verification.
+    // join; Materialize.pin (cluster-mode caveat: see core/Graft) halves
+    // the dominant cost of verification. Shingle sets are SORTED XXH64
+    // LONG arrays, not strings: 8 bytes/element through the pin + joins,
+    // and the per-pair intersection is an allocation-free merge instead of
+    // a hash-set build over UTF8Strings (counts identical to the string
+    // formulation modulo ~2^-64 collisions, enforced by the oracle
+    // hash-match).
     val sh = docs.join(candIds, docs(idCol) === col("__cid"), "left_semi")
-      .select(col(idCol).as("doc_id"), charShingles(col(textCol), k).as("sh"))
+      .select(col(idCol).as("doc_id"),
+        column(graft.plans.HashedShingleSet(expression(col(textCol)), k)).as("sh"))
       .transform(graft.core.Materialize.pin)
+    val common = column(graft.plans.SortedIntersectCount(
+      expression(col("sh_a")), expression(col("sh_b"))))
     cands
       .join(sh.toDF("doc_a", "sh_a"), "doc_a")
       .join(sh.toDF("doc_b", "sh_b"), "doc_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("common", common)
       .select(col("doc_a"), col("doc_b"),
         (col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -219,7 +228,12 @@ object Dedup {
     // in-array combinations — no semi-join back, no self-join shuffle. The
     // pair-expansion lambda is interpreted but runs on |rare shingles| tiny
     // rows (each array <= dfCap elements, <= cap*(cap-1)/2 pairs).
+    // Aggregation keys are xxhash64 longs, not raw 9-char strings: smaller
+    // shuffle keys, cheaper hash/compare in the UDAF map. A key collision
+    // merges two shingles' doc sets (possibly overflowing the cap) with
+    // probability ~#shingles^2/2^64 — negligible, oracle-checked.
     val ex = shingleRows(docs, idCol, textCol, k)
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
     val docSets = ex.groupBy("g")
       .agg(graft.functions.CappedSetAgg.cappedDistinct(col("doc_id"), dfCap).as("__docs"))
       .filter(col("__docs").isNotNull && size(col("__docs")) >= 2)

@@ -136,6 +136,88 @@ object ShingleSet {
   }
 }
 
+/** Sorted distinct XXH64 hashes of the k-char shingles of `child` — the
+  * verification-side representation of a shingle set. 8 bytes per element
+  * (vs 9+ char UTF8Strings), pre-sorted so intersection is an allocation-
+  * free merge instead of a per-pair hash-set build. Seed 42 = Spark's
+  * builtin xxhash64, asserted equal in ExpressionsSpec. Hash collisions
+  * would perturb a Jaccard count with probability ~|set|^2/2^64 per pair —
+  * vanishingly unlikely and caught by the oracle hash-match. */
+case class HashedShingleSet(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, "shingle length must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq[DataType](StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hashed_shingle_set"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashedShingleSet.hashedShingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "graft.plans.HashedShingleSet$.MODULE$.hashedShingles(" + c + ", " + k + ")")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShingleSet =
+    copy(child = newChild)
+}
+
+object HashedShingleSet {
+  def hashedShingles(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = s.numChars()
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i + k <= n) {
+      val g = s.substring(i, i + k)
+      seen.add(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, 42L))
+      i += 1
+    }
+    val arr = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next().longValue(); j += 1 }
+    java.util.Arrays.sort(arr)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
+/** Intersection size of two SORTED long arrays as one merge pass — no
+  * per-pair hash-set build, no allocation. The Jaccard-verification inner
+  * loop over candidate pairs. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq[DataType](ArrayType(LongType), ArrayType(LongType))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      "graft.plans.SortedIntersectCount$.MODULE$.count(" + a + ", " + b + ")")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  def count(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 /** Column wrappers + SQL registration for the native expressions. */
 object GraftFunctions {
   def format_money(c: Column): Column = ColumnBridge.column(FormatMoney(ColumnBridge.expression(c)))

@@ -91,6 +91,31 @@ class ExpressionsSpec extends SparkSpec {
     assert(!empty.isNullAt(0) && empty.getSeq[String](0).isEmpty)
   }
 
+  test("hashed_shingle_set = sorted xxhash64 of shingle_set; merge-count = intersect size") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def hashed(c: org.apache.spark.sql.Column, k: Int) =
+      column(graft.plans.HashedShingleSet(expression(c), k))
+    // cross-check against the builtin xxhash64 (same seed 42) applied to
+    // the string shingle set
+    val df = Seq("abcdefgh", "abcabcabc", "xy", "aaaa").toDF("t")
+    val bad = df.select(
+        hashed(col("t"), 3).as("got"),
+        array_sort(transform(graft.operators.Dedup.charShingles(col("t"), 3),
+          g => xxhash64(g))).as("want"))
+      .filter(not(col("got") === col("want"))).count()
+    assert(bad == 0)
+    // merge-count over sorted arrays == size(array_intersect)
+    val pairs = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),
+      (Seq.empty[Long], Seq(1L)),
+      (Seq(4L, 8L), Seq(4L, 8L))
+    ).toDF("a", "b")
+    val cnt = pairs.select(
+      column(graft.plans.SortedIntersectCount(expression(col("a")), expression(col("b")))).as("c"))
+      .as[Long].collect()
+    assert(cnt.toSeq == Seq(2L, 0L, 2L))
+  }
+
   test("null inputs propagate null") {
     val got = Seq((Option.empty[Long], Option(7L))).toDF("a", "b")
       .select(GraftFunctions.format_money(col("a")).as("sa"),
