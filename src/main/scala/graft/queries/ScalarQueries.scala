@@ -54,6 +54,62 @@ object ScalarQueries {
         .orderBy(desc("n"), col("word"))
     },
 
+    // PII scrubbing (TextClean): regex redaction with Java/RE2-portable
+    // patterns over deterministic synthesized PII (the fixtures carry no
+    // real contact data, so the profile string is constructed from keys —
+    // same construction in both engines).
+    QueryDef(
+      "q_pii_scrub",
+      "PII redaction: email/IP/phone scrub, suffix-preserving mask, per-row PII count",
+      s"""SELECT c_custkey, scrubbed, masked_phone, n_pii FROM (
+            SELECT c_custkey,
+                   regexp_replace(regexp_replace(regexp_replace(profile,
+                     '${graft.operators.TextClean.EmailPattern}', '[EMAIL]', 'g'),
+                     '${graft.operators.TextClean.IpPattern}', '[IP]', 'g'),
+                     '${graft.operators.TextClean.PhonePattern}', '[PHONE]', 'g') AS scrubbed,
+                   CASE WHEN len(phone) <= 4 THEN phone
+                        ELSE repeat('*', len(phone) - 4) || substr(phone, len(phone) - 3, 4)
+                   END AS masked_phone,
+                   CAST(len(regexp_extract_all(profile, '${graft.operators.TextClean.EmailPattern}'))
+                      + len(regexp_extract_all(regexp_replace(profile, '${graft.operators.TextClean.EmailPattern}', '[EMAIL]', 'g'),
+                            '${graft.operators.TextClean.IpPattern}'))
+                      + len(regexp_extract_all(regexp_replace(regexp_replace(profile,
+                              '${graft.operators.TextClean.EmailPattern}', '[EMAIL]', 'g'),
+                              '${graft.operators.TextClean.IpPattern}', '[IP]', 'g'),
+                            '${graft.operators.TextClean.PhonePattern}')) AS BIGINT) AS n_pii
+            FROM (
+              SELECT c_custkey, phone,
+                     'Contact me at ' || email || ' or ' || phone || ' from ' || ip AS profile
+              FROM (
+                SELECT c_custkey,
+                       lower(replace(c_name, '#', '.')) || '@example.com' AS email,
+                       '+1-' || CAST(c_custkey * 7 % 900 + 100 AS VARCHAR) || '-' ||
+                         lpad(CAST(c_custkey * 13 % 10000 AS VARCHAR), 4, '0') AS phone,
+                       '10.' || CAST(c_nationkey AS VARCHAR) || '.' ||
+                         CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+                         CAST(1 + c_custkey % 250 AS VARCHAR) AS ip
+                FROM customer WHERE c_custkey < 300)))
+          ORDER BY c_custkey""") { (s, dir) =>
+      import graft.operators.TextClean
+      val base = t(s, dir, "customer")
+        .filter(col("c_custkey") < 300)
+        .select(col("c_custkey"),
+          concat(lower(regexp_replace(col("c_name"), "#", ".")), lit("@example.com")).as("email"),
+          concat(lit("+1-"), (col("c_custkey") * 7 % 900 + 100).cast("string"), lit("-"),
+            lpad((col("c_custkey") * 13 % 10000).cast("string"), 4, "0")).as("phone"),
+          concat(lit("10."), col("c_nationkey").cast("string"), lit("."),
+            (col("c_custkey") % 256).cast("string"), lit("."),
+            (col("c_custkey") % 250 + 1).cast("string")).as("ip"))
+        .withColumn("profile",
+          concat(lit("Contact me at "), col("email"), lit(" or "), col("phone"),
+            lit(" from "), col("ip")))
+      base.select(col("c_custkey"),
+          TextClean.scrubPii(col("profile")).as("scrubbed"),
+          TextClean.maskKeepLast(col("phone"), 4).as("masked_phone"),
+          TextClean.piiCount(col("profile")).as("n_pii"))
+        .orderBy(col("c_custkey"))
+    },
+
     // O2: lexicographic TEXT ordering of numeric-looking keys ("10" < "9"),
     // with the documented numeric-aware alternative alongside.
     QueryDef(

@@ -47,4 +47,42 @@ class StreamingFileSpec extends SparkSpec {
     assert(streamed.count() > 0)
     assert(joined.filter(col("n") =!= col("n_batch")).count() == 0)
   }
+
+  test("checkpointed parquet sink resumes exactly-once across restarts") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val root = java.nio.file.Files.createTempDirectory("stream_resume")
+    val in = root.resolve("in"); val out = root.resolve("out"); val chk = root.resolve("chk")
+    java.nio.file.Files.createDirectory(in)
+    val n = spark.read.parquet(s"$dir/events.parquet").count()
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in.toString)
+        .select(col("event_id"), col("event_type"))
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", chk.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    // run 1: one input file -> n rows in the sink
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      in.resolve("f1.parquet"))
+    runOnce()
+    assert(spark.read.parquet(out.toString).count() == n)
+
+    // restart with NO new files: the checkpoint knows f1 is done — nothing
+    // is reprocessed, the sink is unchanged
+    runOnce()
+    assert(spark.read.parquet(out.toString).count() == n)
+
+    // a new file after restart is processed exactly once
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      in.resolve("f2.parquet"))
+    runOnce()
+    assert(spark.read.parquet(out.toString).count() == 2 * n)
+  }
 }
