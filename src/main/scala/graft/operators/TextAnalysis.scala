@@ -187,4 +187,27 @@ object TextAnalysis {
       greatest(lit(0.0),
         least(textLen / lit(fullLenChars.toDouble), lit(1.0)) - stopRatio).as("quality"))
   }
+
+  /** Repetition signals (the Gopher-family quality filters): repeated-token
+    * ratio (1 - distinct/total) and the most-frequent token's share. Two
+    * hash aggregations with map-side partials (shuffle carries (doc, token)
+    * partial counts, then per-doc triples) — no per-row set building, so a
+    * pathological 10 GB single document costs memory proportional to its
+    * DISTINCT tokens, not its length. Ratios are exact-integer divisions
+    * evaluated once in IEEE double: bit-identical in any engine. */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                      maxRepRatio: Double = 0.7, maxTopShare: Double = 0.2): org.apache.spark.sql.DataFrame = {
+    val perTok = graft.core.Tables.ensureParallelism(docs)
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val repRatio = lit(1.0) - col("n_distinct") / col("n_tokens")
+    val topShare = col("max_tok") / col("n_tokens")
+    perTok.groupBy("doc_id").agg(
+        sum("c").cast(LongType).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("max_tok"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        repRatio.as("rep_ratio"), topShare.as("top_share"),
+        (repRatio > maxRepRatio || topShare > maxTopShare).as("is_repetitive"))
+  }
 }

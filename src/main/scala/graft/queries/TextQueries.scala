@@ -86,6 +86,26 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Repetition quality filter (Gopher-style): repeated-token ratio and
+    // top-token share, thresholded into a keep/drop flag.
+    QueryDef(
+      "q_repetition",
+      "per-doc repetition signals: repeated-token ratio, top-token share, keep/drop flag",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          pt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+          agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                         CAST(MAX(c) AS BIGINT) AS max_tok
+                  FROM pt GROUP BY 1)
+          SELECT doc_id, n_tokens, n_distinct,
+                 1.0 - n_distinct / n_tokens AS rep_ratio,
+                 max_tok / n_tokens AS top_share,
+                 (1.0 - n_distinct / n_tokens) > 0.7 OR (max_tok / n_tokens) > 0.2 AS is_repetitive
+          FROM agg ORDER BY doc_id""") { (s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     QueryDef(
       "q_lang_id",
       "marker-token language-ID heuristic, confusion counts vs labeled lang",

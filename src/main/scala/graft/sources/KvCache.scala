@@ -17,8 +17,15 @@ import org.apache.spark.sql.functions._
 object KvCache {
 
   /** Parse a k=v cache file. Duplicate keys: last line wins (dict
-    * semantics in the reference), implemented ordinally by line offset. */
+    * semantics in the reference), implemented ordinally by line offset.
+    * A missing file is an EMPTY cache (reference `load_cache` returns {}),
+    * not an error — first runs start cold. */
   def read(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)) {
+      import spark.implicits._
+      return Seq.empty[(String, String)].toDF("key", "value")
+    }
     val lines = spark.read.text(path)
       .filter(col("value").contains("="))
       .select(

@@ -41,30 +41,30 @@ object DedupBreakdown {
     (1 to 3).foreach { pass =>
       println(s"--- pass $pass ---")
       val docs = Tables.t(spark, sfDir, "documents")
-      val ex = time("shingleRows.count") {
-        val e = Dedup.shingleRows(docs, "doc_id", "text", 9); e.count(); e
+      val ex = Dedup.shingleRows(docs, "doc_id", "text", 9)
+      time("minhash P1 df-cap agg (cap 20)") {
+        ex.groupBy("g")
+          .agg(graft.functions.CappedSetAgg.cappedDistinct(col("doc_id"), 20).as("__docs"))
+          .filter(col("__docs").isNotNull)
+          .write.format("noop").mode("overwrite").save()
       }
-      val rare = time("rare agg (df<=5)") {
-        val r = ex.groupBy("g").agg(countDistinct("doc_id").as("f"))
-          .filter(col("f") <= 5).select("g")
-        r.count(); r
+      time("minhash P2 signatures") {
+        Dedup.minhashSignatures(ex, 8, 20)
+          .write.format("noop").mode("overwrite").save()
       }
-      val rareEx = ex.join(rare, "g").select("doc_id", "g").distinct()
-      val cands = time("cands self-join + checkpoint") {
-        rareEx.as("a").join(rareEx.as("b"),
-            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct().localCheckpoint(true)
-      }
-      time("full q_dedup_jaccard") {
-        Dedup.jaccardPairsFiltered(docs, "doc_id", "text", 9, 0.5, 5)
+      time("minhash P3 candidates") {
+        Dedup.lshCandidates(ex, 8, 2, 20)
           .write.format("noop").mode("overwrite").save()
       }
       time("full q_dedup_minhash") {
         Dedup.lshNearDups(docs, "doc_id", "text", 9, 8, 2, 0.5, 20)
           .write.format("noop").mode("overwrite").save()
       }
-      cands.unpersist()
+      time("full q_dedup_jaccard") {
+        Dedup.jaccardPairsFiltered(docs, "doc_id", "text", 9, 0.5, 5)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()
   }

@@ -27,6 +27,12 @@ class KvCacheSpec extends SparkSpec {
       "Title " -> " With Spaces=303"))        // split on FIRST '=' only
   }
 
+  test("missing cache file reads as an empty cache (cold first run)") {
+    val got = KvCache.read(spark, "/tmp/kvcache-does-not-exist-anywhere")
+    assert(got.columns.toSeq == Seq("key", "value"))
+    assert(got.count() == 0)
+  }
+
   test("write renders k=v lines that read() round-trips") {
     val dir = Files.createTempDirectory("kvcache2").toFile.getAbsolutePath
     val path = s"$dir/out"

@@ -37,4 +37,20 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.avgTokenLen(col("t"))).as[Double].head()
     assert(v == 2.0)
   }
+
+  test("repetitionStats flags degenerate docs, passes varied ones") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),  // one token repeated
+      (2L, "the quick brown fox jumps over a lazy dog today"),    // all distinct
+      (3L, "ab cd ab cd ab cd ab cd ab cd")                       // 2 tokens alternating
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_distinct", "is_repetitive")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 10L, 1L, true),    // rep_ratio 0.9, top_share 1.0
+      (2L, 10L, 10L, false),  // rep_ratio 0, top_share 0.1
+      (3L, 10L, 2L, true)))   // rep_ratio 0.8, top_share 0.5
+  }
 }
