@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    // the custom bounded-heap top-k-per-key physical operator plans itself
+    // for sessions built with this extension (same effect as
+    // TopKPerKey.install on a programmatic session)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }
