@@ -63,6 +63,36 @@ object EventStreams {
   final case class KeyedLatest(user_id: Long, event_type: String,
                                event_id: Long, ts: Timestamp, value: Double)
 
+  /** Streaming CDC-style upsert sink: each micro-batch merges into a
+    * versioned warehouse table via the same idempotent first-wins upsert
+    * the batch ETL uses (insert-if-absent + update-mutable), committed
+    * atomically (EtlCli's staged-version + marker layout). foreachBatch
+    * is the standard Structured Streaming escape hatch for sinks Spark
+    * cannot express declaratively; idempotence of the merge makes batch
+    * REPLAYS safe (at-least-once delivery -> exactly-once table state),
+    * which is the actual exactly-once contract at 100 TB.
+    *
+    * Returns a started DataStreamWriter-driven query; caller awaits. */
+  def upsertSink(incoming: DataFrame, tablePath: String, keys: Seq[String],
+                 mutableCols: Seq[String], checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val target = graft.tools.EtlCli.readTable(spark, tablePath)
+        val merged = graft.operators.Relational.upsert(
+          target, batch, keys, mutableCols,
+          incomingOrder = keys.map(col))
+        // writeTable stages the merge into a NEW version dir (reading the
+        // current one), then commits atomically — no barrier needed
+        graft.tools.EtlCli.writeTable(merged, tablePath)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Custom stateful operator: latest event per (user, type) maintained in
     * GroupState (flatMapGroupsWithState, Update mode) — the streaming
     * analog of EventQueries.q_events_latest and the pattern slot for any

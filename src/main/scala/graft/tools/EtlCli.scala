@@ -157,11 +157,13 @@ object EtlCli {
     }
   }
 
-  private def writeBack(df: DataFrame, path: String): Unit =
+  /** Atomically replace the table at `path` with `df` (stage + commit +
+    * prune). Public: the streaming upsert sink and any bespoke loader use
+    * the same commit protocol as the ETL. */
+  def writeTable(df: DataFrame, path: String): Unit =
     commit(df.sparkSession, path, stage(df, path))
 
-  private[graft] def writeBackForTest(df: DataFrame, path: String): Unit =
-    writeBack(df, path)
+  private def writeBack(df: DataFrame, path: String): Unit = writeTable(df, path)
 
   /** The reference `quality` command: null counts + orphan bridge rows. */
   def quality(spark: SparkSession, wh: String): DataFrame = {

@@ -62,7 +62,7 @@ class EtlCliSpec extends SparkSpec {
     import spark.implicits._
     val wh = Files.createTempDirectory("etlcrash").toFile.getAbsolutePath
     val path = s"$wh/t"
-    EtlCli.writeBackForTest(Seq((1L, "old")).toDF("k", "v"), path)
+    EtlCli.writeTable(Seq((1L, "old")).toDF("k", "v"), path)
 
     // simulated crash: the next version's data lands fully, but the process
     // dies before the commit marker — readers must still see the old table
@@ -71,7 +71,7 @@ class EtlCliSpec extends SparkSpec {
     assert(survived.toSeq == Seq((1L, "old")))
 
     // the next successful writeBack commits v3 and prunes the abandoned v2
-    EtlCli.writeBackForTest(Seq((3L, "next")).toDF("k", "v"), path)
+    EtlCli.writeTable(Seq((3L, "next")).toDF("k", "v"), path)
     assert(EtlCli.readTable(spark, path).as[(Long, String)].collect().toSeq
       == Seq((3L, "next")))
     val names = new java.io.File(path).list().toSeq

@@ -104,4 +104,37 @@ class StreamingSpec extends SparkSpec {
       assert(latest.toSeq == Seq(2L))
     } finally q.stop()
   }
+
+  test("upsertSink merges micro-batches into the versioned warehouse idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stream_upsert")
+    val table = root.resolve("t").toString
+
+    // seed the versioned table: one existing row that a batch will update
+    graft.tools.EtlCli.writeTable(
+      Seq((1L, "stale", 0.0)).toDF("k", "v", "p"), table)
+
+    def runBatch(rows: (Long, String, Double)*): Unit = {
+      val input = MemoryStream[(Long, String, Double)]
+      input.addData(rows: _*)
+      val q = EventStreams.upsertSink(
+        input.toDF().toDF("k", "v", "p"), table,
+        keys = Seq("k"), mutableCols = Seq("v", "p"),
+        checkpointDir = java.nio.file.Files.createTempDirectory("chk").toString)
+      q.awaitTermination(120000)
+    }
+
+    // batch 1: update key 1, insert key 2
+    runBatch((1L, "fresh", 1.5), (2L, "new", 2.5))
+    val after1 = graft.tools.EtlCli.readTable(spark, table)
+      .orderBy("k").as[(Long, String, Double)].collect()
+    assert(after1.toSeq == Seq((1L, "fresh", 1.5), (2L, "new", 2.5)))
+
+    // REPLAY of the same data (at-least-once delivery): table unchanged —
+    // the idempotent merge is what makes the sink effectively exactly-once
+    runBatch((1L, "fresh", 1.5), (2L, "new", 2.5))
+    val after2 = graft.tools.EtlCli.readTable(spark, table)
+      .orderBy("k").as[(Long, String, Double)].collect()
+    assert(after2.toSeq == after1.toSeq)
+  }
 }
