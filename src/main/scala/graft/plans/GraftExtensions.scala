@@ -24,7 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
     // the custom bounded-heap top-k-per-key physical operator plans itself
     // for sessions built with this extension (same effect as
-    // TopKPerKey.install on a programmatic session)
+    // TopKPerKey.install on a programmatic session), and the optimizer
+    // rewrites the window top-k idiom onto it automatically
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => TopKRewriteRule)
   }
 }
