@@ -176,13 +176,7 @@ object Dedup {
     * consecutive signature values are candidates. Shuffles numBands rows
     * per doc. Input: exploded (doc_id, g) shingle rows. */
   def lshCandidates(exRows: DataFrame, numHashes: Int, bandSize: Int, dfCap: Int = 0): DataFrame = {
-    require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
-    val withSig = minhashSignatures(exRows, numHashes, dfCap)
-    val nBands = numHashes / bandSize
-    val bandKeys = (0 until nBands).map { b =>
-      concat_ws(":", (lit(b.toString) +: (0 until bandSize).map(j => col(s"sig_${b * bandSize + j}"))): _*)
-    }
-    val bands = withSig.select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
+    val bands = bandTable(minhashSignatures(exRows, numHashes, dfCap), numHashes, bandSize)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -326,6 +320,51 @@ object Dedup {
         .warn(s"connectedComponents did not converge within $maxIter iterations; " +
           "component labels may split true components")
     labels
+  }
+
+  /** LSH band table (doc_id, band) from a signature table — the persisted
+    * index shape for INCREMENTAL dedup: sign each ingest batch once, store
+    * its bands, and every later batch probes the stored bands instead of
+    * re-signing the historical corpus. */
+  def bandTable(signatures: DataFrame, numHashes: Int, bandSize: Int): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    val nBands = numHashes / bandSize
+    val bandKeys = (0 until nBands).map { b =>
+      concat_ws(":", (lit(b.toString) +: (0 until bandSize).map(j => col(s"sig_${b * bandSize + j}"))): _*)
+    }
+    signatures.select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
+  }
+
+  /** Incremental near-dup detection: find near-dups of `newDocs` against a
+    * PREVIOUSLY SIGNED corpus plus themselves, touching only the new
+    * batch's text. At 100 TB this is the production shape — a daily
+    * increment probes the stored band index in O(|batch|), instead of
+    * re-shingling the historical corpus per run.
+    *
+    * `corpusBands` is bandTable(minhashSignatures(corpus...)) persisted by
+    * an earlier run (same numHashes/bandSize, and the same dfCap policy if
+    * any); `corpusDocs` supplies text ONLY for the candidate slice (a
+    * point-lookup-shaped semi-join, not a scan-everything).
+    * Returns (doc_a, doc_b, jaccard) where at least one side is new.
+    */
+  def incrementalNearDups(newDocs: DataFrame, corpusDocs: DataFrame,
+                          corpusBands: DataFrame, idCol: String, textCol: String,
+                          k: Int, numHashes: Int, bandSize: Int,
+                          threshold: Double): DataFrame = {
+    val newBands = bandTable(
+      minhashSignatures(shingleRows(newDocs, idCol, textCol, k), numHashes), numHashes, bandSize)
+    val allBands = corpusBands.unionByName(newBands)
+    // probe: every candidate pair involves >= 1 new doc (new x corpus and
+    // new x new); corpus x corpus pairs were already found when those
+    // batches ingested
+    val cands = newBands.as("a").join(allBands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct().transform(graft.core.Materialize.pin)
+    val allDocs = corpusDocs.select(col(idCol), col(textCol))
+      .unionByName(newDocs.select(col(idCol), col(textCol)))
+    verifyJaccard(cands, allDocs, idCol, textCol, k, threshold)
   }
 
   /** End-to-end near-dup deduplication: LSH near-dup pairs -> duplicate

@@ -55,6 +55,33 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((3L, 4L)))
   }
 
+  test("incrementalNearDups probes stored corpus bands; finds cross and in-batch dups only") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),  // corpus-internal near-dup of 1
+      (3L, "completely different content about spark query engines and shuffles")
+    ).toDF("doc_id", "text")
+    // an earlier ingest signed the corpus and persisted its band index
+    val corpusBands = Dedup.bandTable(
+      Dedup.minhashSignatures(Dedup.shingleRows(corpus, "doc_id", "text", 5), 8), 8, 2)
+
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today!"),  // near-dup of corpus doc 1
+      (11L, "fresh unique text regarding adaptive execution and partition pruning"),
+      (12L, "fresh unique text regarding adaptive execution and partition pruning!") // in-batch near-dup of 11
+    ).toDF("doc_id", "text")
+
+    val got = Dedup.incrementalNearDups(batch, corpus, corpusBands,
+        "doc_id", "text", k = 5, numHashes = 8, bandSize = 2, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 10L)), s"cross batch-vs-corpus dup missed: $got")
+    assert(got.contains((11L, 12L)), s"in-batch dup missed: $got")
+    // corpus-internal pairs were found when THAT batch ingested — an
+    // increment must not re-emit them
+    assert(!got.contains((1L, 2L)))
+    assert(got.forall { case (a, b) => a >= 10L || b >= 10L })
+  }
+
   test("cappedDistinct: bounded set, null overflow marker, null values skipped") {
     import graft.functions.CappedSetAgg
     val rows = Seq(

@@ -61,6 +61,20 @@ class PropertySpec extends SparkSpec {
     assert(once.orderBy("k").collect().toSeq == twice.orderBy("k").collect().toSeq)
   }
 
+  test("cappedDistinct law: equals exact distinct under the cap, null over it") {
+    val rows = sample(Gen.listOfN(3000,
+      Gen.zip(Gen.chooseNum(0, 50), Gen.chooseNum(0L, 12L))))
+    val df = rows.toDF("g", "v").repartition(7)   // exercise partial/merge paths
+    val got = df.groupBy("g")
+      .agg(graft.functions.CappedSetAgg.cappedDistinct(col("v"), 6).as("s"))
+      .as[(Int, Option[Seq[Long]])].collect().toMap
+    val exact = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted.toSeq).toMap
+    exact.foreach { case (g, vs) =>
+      if (vs.size <= 6) assert(got(g) == Some(vs), s"group $g")
+      else assert(got(g).isEmpty, s"group $g should overflow (${vs.size} distinct)")
+    }
+  }
+
   test("simhash64 is token-order invariant (bag-of-words semantics)") {
     val docs = sample(Gen.listOfN(40, Gen.listOfN(12,
       Gen.oneOf("spark", "query", "join", "scan", "the", "a", "merge", "sort"))))
