@@ -350,9 +350,12 @@ object Dedup {
   def incrementalNearDups(newDocs: DataFrame, corpusDocs: DataFrame,
                           corpusBands: DataFrame, idCol: String, textCol: String,
                           k: Int, numHashes: Int, bandSize: Int,
-                          threshold: Double): DataFrame = {
+                          threshold: Double, dfCap: Int = 0): DataFrame = {
+    // dfCap applies BATCH-locally (document frequency within newDocs);
+    // use the same cap policy the stored corpus bands were built with
     val newBands = bandTable(
-      minhashSignatures(shingleRows(newDocs, idCol, textCol, k), numHashes), numHashes, bandSize)
+      minhashSignatures(shingleRows(newDocs, idCol, textCol, k), numHashes, dfCap),
+      numHashes, bandSize)
     val allBands = corpusBands.unionByName(newBands)
     // probe: every candidate pair involves >= 1 new doc (new x corpus and
     // new x new); corpus x corpus pairs were already found when those

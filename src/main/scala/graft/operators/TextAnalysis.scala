@@ -163,6 +163,29 @@ object TextAnalysis {
            min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
   }
 
+  /** Character-window document chunking with overlap — the standard
+    * long-document preprocessing for context-bounded training: chunk i
+    * covers [1 + i*(chunkLen-overlap), +chunkLen). One codegen'd
+    * explode(sequence)+substr pipeline, no shuffle: at 100 TB chunking is
+    * a map-only pass that fuses into the scan. The final chunk may be
+    * shorter than chunkLen; a document shorter than chunkLen yields one
+    * chunk. */
+  def chunkByChars(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                   chunkLen: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkLen > overlap && overlap >= 0, "need chunkLen > overlap >= 0")
+    val step = chunkLen - overlap
+    graft.core.Tables.ensureParallelism(docs)
+      .filter(length(col(textCol)) >= 1)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        posexplode(sequence(lit(1), length(col(textCol)), lit(step)))
+          .as(Seq("chunk_idx", "__start")))
+      // drop a trailing zero-progress window fully covered by its
+      // predecessor (starts inside the last chunk's overlap tail)
+      .filter(col("chunk_idx") === 0 || col("__start") + overlap <= length(col("__t")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("__t").substr(col("__start"), lit(chunkLen)).as("chunk"))
+  }
+
   /** Per-document corpus statistics via explode + map-side partial
     * aggregation (one shuffle keyed on doc id): token count, mean token
     * length, stopword count/ratio, quality score. Arithmetic identical to

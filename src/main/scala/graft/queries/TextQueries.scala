@@ -86,6 +86,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Character-window chunking with overlap (context-bounded training
+    // preprocessing); map-only explode+substr, oracle-replicated exactly.
+    QueryDef(
+      "q_chunking",
+      "200-char chunks with 40-char overlap over documents (doc_id < 50)",
+      """WITH ex AS (
+           SELECT doc_id, text, unnest(range(1, length(text) + 1, 160)) AS s
+           FROM documents WHERE length(text) >= 1 AND doc_id < 50)
+         SELECT doc_id, CAST((s - 1) // 160 AS INT) AS chunk_idx,
+                substr(text, CAST(s AS INT), 200) AS chunk
+         FROM ex
+         WHERE s = 1 OR s + 40 <= length(text)
+         ORDER BY doc_id, chunk_idx""") { (s, dir) =>
+      TextAnalysis.chunkByChars(
+          t(s, dir, "documents").filter(col("doc_id") < 50),
+          "doc_id", "text", chunkLen = 200, overlap = 40)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // Repetition quality filter (Gopher-style): repeated-token ratio and
     // top-token share, thresholded into a keep/drop flag.
     QueryDef(

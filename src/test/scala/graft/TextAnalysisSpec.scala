@@ -38,6 +38,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(v == 2.0)
   }
 
+  test("chunkByChars covers the document with overlapping windows") {
+    val docs = Seq((1L, "a" * 500), (2L, "short"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByChars(docs, "doc_id", "text", chunkLen = 200, overlap = 40)
+      .select("doc_id", "chunk_idx", "chunk")
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: starts 1, 161, 321, 481 -> but 481+40 > 500, so the last
+    // window (fully inside chunk 2's coverage through 500) is dropped
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2))
+    assert(d1(0)._3.length == 200 && d1(2)._3.length == 180)
+    // contiguous coverage with 40-char overlap
+    assert(d1.map(_._3).mkString.length == 200 + 200 + 180)
+    // short doc -> one chunk, empty doc -> none
+    assert(got.filter(_._1 == 2L).map(_._3).toSeq == Seq("short"))
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("repetitionStats flags degenerate docs, passes varied ones") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam"),  // one token repeated
