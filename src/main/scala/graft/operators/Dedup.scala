@@ -248,13 +248,25 @@ object Dedup {
     * instead of all-pairs, then verifies true hamming distance.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, maxBucket: Int = 0): DataFrame = {
     require(maxHamming <= 3, "4-band banding only guarantees recall for hamming <= 3")
     val sig = TextAnalysis.simhashSignatures(docs, idCol, textCol)
-    val bands = sig.select(col("doc_id"), col("sig"),
+    val bands0 = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map { i =>
         concat_ws(":", lit(i.toString), shiftright(col("sig"), i * 16).bitwiseAND(lit(65535L)))
       }: _*)).as("band"))
+    // Optional skew guard for boilerplate-heavy corpora: a band shared by
+    // m docs expands to m^2/2 candidate pairs, so one hot 16-bit band
+    // (every doc carrying the same template header) can go quadratic at
+    // corpus scale. Dropping over-cap buckets trades recall ONLY for pairs
+    // whose every band is hot — near-dup pairs collide on 4 independent
+    // bands, so a real pair survives unless all four exceed the cap.
+    // Off by default (recall-exact, matches the oracle).
+    val bands = if (maxBucket > 0) {
+      val hot = bands0.groupBy("band").agg(count(lit(1)).as("__m"))
+        .filter(col("__m") > maxBucket).select("band")
+      bands0.join(broadcast(hot), Seq("band"), "left_anti")
+    } else bands0
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -163,6 +163,22 @@ object EtlCli {
   def writeTable(df: DataFrame, path: String): Unit =
     commit(df.sparkSession, path, stage(df, path))
 
+  /** Small-files compaction (the OPTIMIZE of this warehouse): rewrite the
+    * current version into ceil(bytes / targetFileBytes) files via the same
+    * atomic stage+commit, so readers never see a half-compacted table.
+    * Streaming upserts and frequent small batches accrete one file per
+    * shuffle partition per write — at 100 TB unbounded file counts rot
+    * scan planning and open-cost; compaction restores a healthy layout. */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val v = committedVersion(spark, path)
+      .getOrElse(sys.error(s"no committed version at $path"))
+    val dataDir = new org.apache.hadoop.fs.Path(s"$path/data_v$v")
+    val bytes = fs(spark, path).getContentSummary(dataDir).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    writeTable(readTable(spark, path).coalesce(nFiles), path)
+  }
+
   private def writeBack(df: DataFrame, path: String): Unit = writeTable(df, path)
 
   /** The reference `quality` command: null counts + orphan bridge rows. */

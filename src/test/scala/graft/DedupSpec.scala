@@ -55,6 +55,21 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((3L, 4L)))
   }
 
+  test("simhash bucket cap drops only hot-band pairs, keeps multi-band near-dups") {
+    // 30 docs share heavy boilerplate (hot bands); docs 3 and 4 are exact
+    // dups colliding on ALL bands, so they survive any single-band drop
+    val noisy = (100L until 130L).map(i =>
+      (i, s"shared template header boilerplate text here unique${i} tail"))
+    val df = (corpus.as[(Long, String)].collect().toSeq ++ noisy).toDF("doc_id", "text")
+    val capped = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 3, maxBucket = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((3L, 4L)), s"exact dup lost to the cap: $capped")
+    // uncapped finds at least as much
+    val full = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(full))
+  }
+
   test("incrementalNearDups probes stored corpus bands; finds cross and in-batch dups only") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

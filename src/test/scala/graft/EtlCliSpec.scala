@@ -58,6 +58,23 @@ class EtlCliSpec extends SparkSpec {
     assert(issueDir.list().count(_.startsWith("_committed_v")) == 1)
   }
 
+  test("compact rewrites many small files into few, contents unchanged") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("etlcompact").toFile.getAbsolutePath
+    val path = s"$wh/t"
+    // simulate small-batch accretion: 64 files for a few thousand rows
+    EtlCli.writeTable((1 to 5000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(64), path)
+    val before = EtlCli.readTable(spark, path)
+    assert(before.inputFiles.length == 64)
+    val want = before.orderBy("k").as[(Long, String)].collect().toSeq
+
+    EtlCli.compact(spark, path)
+    val after = EtlCli.readTable(spark, path)
+    assert(after.inputFiles.length <= 2, s"still ${after.inputFiles.length} files")
+    assert(after.orderBy("k").as[(Long, String)].collect().toSeq == want)
+  }
+
   test("crash between stage and commit leaves the old table intact") {
     import spark.implicits._
     val wh = Files.createTempDirectory("etlcrash").toFile.getAbsolutePath
