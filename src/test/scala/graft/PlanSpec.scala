@@ -57,4 +57,38 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_x_scalars")
     assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
   }
+
+  test("chunking is map-only: no hash shuffle, explode fused in codegen") {
+    val p = plan("q_chunking")
+    // the only exchange allowed is the presentation sort's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"), s"chunking shuffled:\n$p")
+    assert(p.contains("Generate posexplode"), s"expected codegen explode:\n$p")
+  }
+
+  test("PII scrub is one projection over a pruned, filtered scan") {
+    val p = plan("q_pii_scrub")
+    assert(!p.contains("Exchange hashpartitioning"), s"scrub shuffled:\n$p")
+    // the key filter reaches the scan; the scan reads only the 3 used cols
+    assert(p.contains("LessThan(c_custkey,300)"), s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_nationkey:int>"),
+      s"scan not pruned:\n$p")
+  }
+
+  test("repetition signals aggregate partially at both levels") {
+    val p = plan("q_repetition")
+    // (doc,token) counts then per-doc triple: partial+final at each level
+    assert("HashAggregate".r.findAllIn(p).size >= 4, s"missing partial aggs:\n$p")
+  }
+
+  test("jaccard verification runs on hashed shingle sets with merge intersects") {
+    // the shingle-set build is inside the eagerly-pinned (checkpointed)
+    // subtree, so assert on the ANALYZED plan, where the whole pipeline is
+    // still visible
+    val df = SparkEntry.queries("q_dedup_jaccard")(spark, sf)
+    val a = df.queryExecution.analyzed.toString
+    assert(a.contains("sorted_intersect_count"),
+      s"merge-count intersect not in the plan:\n${a.take(4000)}")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), s"verification joins should broadcast:\n$p")
+  }
 }
