@@ -218,6 +218,82 @@ object SortedIntersectCount {
   }
 }
 
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+  * as ONE per-row pass: k-gram md5 prefixes, sliding-window minima via a
+  * monotonic deque (O(n)), distinct minima out. Winnowing is per-document,
+  * so the declarative explode+window formulation — which shuffles and
+  * sorts one row PER GRAM (30M rows at sf0.1) just to compute a per-doc
+  * value — wastes a full sort; this expression keeps the whole algorithm
+  * inside the projection. Hashes are `substr(md5(gram),1,8)` exactly
+  * (first 4 digest bytes, lower-hex), so results match the SQL oracle
+  * bit-for-bit; minima compare lexicographically on hex = unsigned on the
+  * 32-bit value. Documents with no full window yield an empty array. */
+case class WinnowingFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1 && w >= 1, "need gram length k >= 1 and window w >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes = Seq[DataType](StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnowing_fps"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowingFps.fps(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "graft.plans.WinnowingFps$.MODULE$.fps(" + c + ", " + k + ", " + w + ")")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowingFps =
+    copy(child = newChild)
+}
+
+object WinnowingFps {
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  def fps(s: UTF8String, k: Int, w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = s.numChars()
+    val m = n - k + 1                       // number of grams
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    if (m < w) return empty                 // no full window
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      val d = md.digest(s.substring(i, i + k).getBytes)
+      hashes(i) = ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) |
+        ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+      i += 1
+    }
+    // monotonic deque of indices; front = min of the current window
+    // (unsigned compare = lexicographic on the hex rendering)
+    val deque = new Array[Int](m)
+    var head = 0; var tail = 0              // [head, tail)
+    val seen = new java.util.LinkedHashSet[Integer]()
+    i = 0
+    while (i < m) {
+      while (tail > head &&
+        java.lang.Integer.compareUnsigned(hashes(deque(tail - 1)), hashes(i)) >= 0) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) seen.add(hashes(deque(head)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      val v = it.next().intValue()
+      val cs = new Array[Char](8)
+      var b = 0
+      while (b < 8) { cs(b) = hexDigits((v >>> ((7 - b) * 4)) & 0xf); b += 1 }
+      out(j) = UTF8String.fromString(new String(cs))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Column wrappers + SQL registration for the native expressions. */
 object GraftFunctions {
   def format_money(c: Column): Column = ColumnBridge.column(FormatMoney(ColumnBridge.expression(c)))
