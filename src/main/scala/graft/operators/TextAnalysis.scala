@@ -100,27 +100,18 @@ object TextAnalysis {
   /** Hamming distance between two simhash signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** DataFrame-level simhash64: explode tokens, hash each once in a
-    * codegen'd projection, aggregate the 63 per-bit majority counts with
-    * map-side partial aggregation. Produces (doc_id, sig) with values
-    * identical to the per-row simhash64 Column — use this form when
-    * hashing a whole corpus (the per-row higher-order-function expression
-    * is interpreted and ~3x slower at scale). */
+  /** DataFrame-level simhash64: the whole per-document algorithm fused
+    * into one codegen'd native expression (graft.plans.SimhashSig) — a
+    * map-only projection, no explode, no 64-column partial aggregation,
+    * no shuffle. Produces (doc_id, sig) with values identical to the
+    * per-row simhash64 Column (asserted in TextAnalysisSpec) and the SQL
+    * oracle. */
   def simhashSignatures(docs: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String): org.apache.spark.sql.DataFrame = {
-    val ex = graft.core.Tables.ensureParallelism(docs)
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("t"))
-      .select(col("doc_id"), md5(col("t")).as("h1"),
-              md5(concat(lit("x:"), col("t"))).as("h2"))
-    val counts =
-      (1 to 32).map(b => sum(when(substring(col("h1"), b, 1) >= "8", 1).otherwise(0)).as(s"c_$b")) ++
-      (1 to 31).map(b => sum(when(substring(col("h2"), b, 1) >= "8", 1).otherwise(0)).as(s"d_$b")) :+
-      count(lit(1)).as("n")
-    val agg = ex.groupBy("doc_id").agg(counts.head, counts.tail: _*)
-    val bits =
-      (1 to 32).map(b => when(col(s"c_$b") * 2 > col("n"), shiftleft(lit(1L), b - 1)).otherwise(lit(0L))) ++
-      (1 to 31).map(b => when(col(s"d_$b") * 2 > col("n"), shiftleft(lit(1L), b + 31)).otherwise(lit(0L)))
-    agg.select(col("doc_id"), bits.reduce(_ + _).cast(LongType).as("sig"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    graft.core.Tables.ensureParallelism(docs)
+      .select(col(idCol).as("doc_id"),
+        column(graft.plans.SimhashSig(expression(col(textCol)))).as("sig"))
   }
 
   /** BPE-ish regex token count: alpha runs, digit runs, and single

@@ -294,6 +294,78 @@ object WinnowingFps {
   }
 }
 
+/** Portable 63-bit SimHash signature (Charikar 2002) in ONE per-row pass.
+  * Bit semantics identical to TextAnalysis.simhash64 and the SQL oracle:
+  * tokens split on single spaces (empties kept, like Spark's split with
+  * limit -1); bit b of the low word is the majority vote of md5(token)'s
+  * b-th hex char >= '8' (= that nibble's high bit), the 31 high-word bits
+  * use the salted md5("x:"+token). Replaces an explode + 64-column
+  * partial aggregation (one row per token, 63 sums each) with a fused
+  * per-document loop — signatures become a map-only projection. */
+case class SimhashSig(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq[DataType](StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimhashSig.sig(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => "graft.plans.SimhashSig$.MODULE$.sig(" + c + ")")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashSig =
+    copy(child = newChild)
+}
+
+object SimhashSig {
+  private val saltBytes = "x:".getBytes("UTF-8")
+
+  def sig(s: UTF8String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counters = new Array[Int](63)
+    // a space byte (0x20) never occurs inside a UTF-8 multi-byte sequence,
+    // so byte scanning splits exactly like character scanning
+    val bytes = s.getBytes
+    var n = 0
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        n += 1
+        md.reset()
+        md.update(bytes, start, i - start)
+        tally(md.digest(), counters, 0, 32)
+        md.reset()
+        md.update(saltBytes)
+        md.update(bytes, start, i - start)
+        tally(md.digest(), counters, 32, 31)
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 32) { if (counters(j) * 2 > n) sig |= 1L << j; j += 1 }
+    j = 0
+    while (j < 31) { if (counters(32 + j) * 2 > n) sig |= 1L << (32 + j); j += 1 }
+    sig
+  }
+
+  /** Count high nibble-bits of the first `bits` hex chars of the digest
+    * (hex char b >= '8' == nibble b's top bit set). */
+  private def tally(d: Array[Byte], counters: Array[Int], off: Int, bits: Int): Unit = {
+    var b = 0
+    while (b < bits) {
+      val by = d(b >> 1) & 0xff
+      val nib = if ((b & 1) == 0) by >>> 4 else by & 0xf
+      if (nib >= 8) counters(off + b) += 1
+      b += 1
+    }
+  }
+}
+
 /** Column wrappers + SQL registration for the native expressions. */
 object GraftFunctions {
   def format_money(c: Column): Column = ColumnBridge.column(FormatMoney(ColumnBridge.expression(c)))

@@ -38,6 +38,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(v == 2.0)
   }
 
+  test("native simhash signature equals the declarative simhash64 column") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "double  space"),          // split keeps the empty token
+      (3L, ""),                        // one empty token
+      (4L, "unicode tokéns über alles"),
+      (5L, "a")
+    ).toDF("doc_id", "text")
+    val native = TextAnalysis.simhashSignatures(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val hof = docs.select(col("doc_id"), TextAnalysis.simhash64(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == hof)
+  }
+
   test("chunkByChars covers the document with overlapping windows") {
     val docs = Seq((1L, "a" * 500), (2L, "short"), (3L, "")).toDF("doc_id", "text")
     val got = TextAnalysis.chunkByChars(docs, "doc_id", "text", chunkLen = 200, overlap = 40)
