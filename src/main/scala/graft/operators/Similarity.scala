@@ -30,6 +30,20 @@ object Similarity {
   private def vsum(c: Column): Column =
     sum(floor(c * lit(VScale) + lit(0.5)).cast(LongType)) / lit(VScale)
 
+  // ---- fused per-row kernels (plans/vectorExpressions.scala) ----------
+  // Same quantized arithmetic as vsum, computed in one loop per PAIR
+  // instead of a posexplode + dimension join + groupBy (which shuffles 64
+  // rows per pair just to add them back together). Embeddings are cast to
+  // ARRAY<DOUBLE> once (float->double widening is exact, matching the
+  // oracle's CAST(x AS DOUBLE)).
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column => pcol, expression => pexpr}
+  private def dvec(c: Column): Column = c.cast("array<double>")
+  private def qdot(a: Column, b: Column): Column =
+    pcol(graft.plans.QuantizedDotSum(pexpr(a), pexpr(b))) / lit(VScale)
+  private def ql2(a: Column, b: Column): Column =
+    pcol(graft.plans.QuantizedL2Sum(pexpr(a), pexpr(b))) / lit(VScale)
+  private def qnorm(a: Column): Column = sqrt(qdot(a, a))
+
   /** (id, d, x) exploded view of a vector column, x widened to double;
     * input is spread across the cluster first (the explode fans out 64x). */
   def explodeDims(df: DataFrame, idCol: String, vecCol: String): DataFrame =
@@ -49,65 +63,47 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val cd = explodeDims(corpus, idCol, vecCol).toDF("cid", "d", "cx")
-    val qd = explodeDims(queries, idCol, vecCol).toDF("qid", "d", "qx")
-    val dots = qd.join(cd, "d")
-      .filter(col("qid") =!= col("cid"))
-      .groupBy("qid", "cid")
-      .agg(vsum(col("qx") * col("cx")).as("dot"))
-    val cn = norms(cd.toDF("cid", "d", "x"), "cid").toDF("cid", "cnorm")
-    val qn = norms(qd.toDF("qid", "d", "x"), "qid").toDF("qid", "qnorm")
-    val scored = dots.join(broadcast(qn), "qid").join(cn, "cid")
+    val c = graft.core.Tables.ensureParallelism(corpus)
+      .select(col(idCol).as("cid"), dvec(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
+    // queries broadcast against the corpus; each pair's dot and both norms
+    // are one fused loop — no dimension explode anywhere
+    val scored = broadcast(q).join(c, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        (col("dot") / (col("qnorm") * col("cnorm"))).as("cosine"))
+        (qdot(col("qv"), col("cv")) / (qnorm(col("qv")) * qnorm(col("cv")))).as("cosine"))
     val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("cid"), col("cosine"), col("rank").cast(IntegerType).as("rank"))
   }
 
-  /** Deterministic hyperplane sign for (hyperplane h, dimension d): the
-    * high bit of md5("h:d")'s first hex char — portable across engines. */
-  private def planeSign(h: Int, d: Column): Column =
-    when(substring(md5(concat(lit(s"$h:"), d.cast(StringType))), 1, 1) >= "8", lit(1.0))
-      .otherwise(lit(-1.0))
-
-  /** nBits-bit sign-LSH bucket id per vector: bit h = [dot(v, plane_h) > 0].
-    * Computed from the exploded dims with one groupBy (partial-agg
-    * friendly); exact decimal accumulation keeps bucketing deterministic.
+  /** nBits-bit sign-LSH bucket id per vector: bit h = [dot(v, plane_h) > 0]
+    * with deterministic hyperplane signs (the high bit of md5("h:d")'s
+    * first hex char — portable across engines; precomputed inside the
+    * fused SignLshBucketExpr). One map-only projection, no explode/agg.
     */
-  def signLshBuckets(df: DataFrame, idCol: String, vecCol: String, nBits: Int): DataFrame = {
-    val dims = explodeDims(df, idCol, vecCol)
-    val proj = (0 until nBits).map { h =>
-      vsum(col("x") * planeSign(h, col("d"))).as(s"p_$h")
-    }
-    dims.groupBy(idCol).agg(proj.head, proj.tail: _*)
+  def signLshBuckets(df: DataFrame, idCol: String, vecCol: String, nBits: Int): DataFrame =
+    graft.core.Tables.ensureParallelism(df)
       .select(col(idCol),
-        (0 until nBits).map { h =>
-          when(col(s"p_$h") > 0, shiftleft(lit(1L), h)).otherwise(lit(0L))
-        }.reduce(_ + _).cast(LongType).as("bucket"))
-  }
+        pcol(graft.plans.SignLshBucketExpr(pexpr(dvec(col(vecCol))), nBits)).as("bucket"))
 
   /** LSH-bucketed near-neighbor pairs: same-bucket candidate pairs with
     * exact cosine verification. At scale, the only shuffle keys on the
-    * bucket id (skew-safe for nBits >= ~16 via AQE skew split).
+    * bucket id (skew-safe for nBits >= ~16 via AQE skew split); the join
+    * carries the embedding arrays (bytes per row), and every pair's
+    * cosine is one fused loop.
     */
   def lshNeighborPairs(df: DataFrame, idCol: String, vecCol: String, nBits: Int,
                        minCosine: Double): DataFrame = {
-    val buckets = signLshBuckets(df, idCol, vecCol, nBits).toDF("id", "bucket")
-    val cands = buckets.as("a").join(buckets.as("b"),
+    val bv = graft.core.Tables.ensureParallelism(df)
+      .select(col(idCol).as("id"), dvec(col(vecCol)).as("v"))
+      .select(col("id"), col("v"),
+        pcol(graft.plans.SignLshBucketExpr(pexpr(col("v")), nBits)).as("bucket"))
+    bv.as("a").join(bv.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val dims = explodeDims(df, idCol, vecCol).toDF("id", "d", "x")
-    val n = norms(dims, "id")
-    val dots = cands.join(dims.toDF("id_a", "d", "xa"), "id_a")
-      .join(dims.toDF("id_b", "d", "xb"), Seq("id_b", "d"))
-      .groupBy("id_a", "id_b")
-      .agg(vsum(col("xa") * col("xb")).as("dot"))
-    dots
-      .join(n.toDF("id_a", "na"), "id_a")
-      .join(n.toDF("id_b", "nb"), "id_b")
-      .select(col("id_a"), col("id_b"), (col("dot") / (col("na") * col("nb"))).as("cosine"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (qdot(col("a.v"), col("b.v")) /
+          (qnorm(col("a.v")) * qnorm(col("b.v")))).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 
@@ -122,34 +118,47 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               nCells: Int, nProbe: Int, k: Int, refineIters: Int = 0): DataFrame = {
-    val dims = explodeDims(corpus, idCol, vecCol).toDF("vid", "d", "x")
-    var cent = dims.filter(col("vid") < nCells).toDF("cc", "d", "cx")
-    def cellDist(v: DataFrame): DataFrame = v.join(cent, "d")
-      .groupBy(col(v.columns.head), col("cc"))
-      .agg(vsum((col("x") - col("cx")) * (col("x") - col("cx"))).as("d2"))
-    def assign(v: DataFrame): DataFrame = {
-      val w = Window.partitionBy(v.columns.head).orderBy(col("d2"), col("cc"))
-      cellDist(v).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col(v.columns.head), col("cc").as("cell"))
-    }
+    val vecs = graft.core.Tables.ensureParallelism(corpus)
+      .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v"))
+    // centroid table as (cc, cv array): seed = first nCells vectors;
+    // refinement keeps the per-dim quantized means of the old formulation
+    // (dimension-level aggregation is genuinely per-dim, so it stays on
+    // the exploded view; the table is nCells x dims — tiny)
+    var cent = vecs.filter(col("vid") < nCells).select(col("vid").as("cc"), col("v").as("cv"))
+    def distances(v: DataFrame, idName: String): DataFrame =
+      v.crossJoin(broadcast(cent))
+        .select(col(idName), col("cc"), ql2(col("v"), col("cv")).as("d2"))
     (0 until refineIters).foreach { _ =>
-      cent = assign(dims).join(dims, "vid")
+      val w = Window.partitionBy("vid").orderBy(col("d2"), col("cc"))
+      val cells = distances(vecs, "vid")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vid"), col("cc").as("cell"))
+      val dims = vecs.select(col("vid"), posexplode(col("v")).as(Seq("d", "x")))
+      cent = cells.join(dims, "vid")
         .groupBy(col("cell").as("cc"), col("d"))
         .agg((vsum(col("x")) / count(lit(1))).as("cx"))
-        .select("cc", "d", "cx")
+        .groupBy("cc")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+          s => s.getField("cx")).as("cv"))
     }
-    val cells = assign(dims)
-    val qd = explodeDims(queries, idCol, vecCol).toDF("qid", "d", "x")
+    // corpus assignment: argmin cell per vector as a partial-agg min over
+    // (d2, cc) structs — no window over vectors x cells
+    val cells = distances(vecs, "vid")
+      .groupBy("vid")
+      .agg(min(struct(col("d2"), col("cc"))).as("m"))
+      .select(col("vid").as("cid"), col("m.cc").as("cell"))
+    val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
     val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cc"))
-    val probes = cellDist(qd).withColumn("rn", row_number().over(wProbe))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("qid"), col("cc"), ql2(col("qv"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe).select(col("qid"), col("cc").as("cell"))
-    val cands = probes.join(cells.toDF("cid", "cell"), "cell")
+    val cands = probes.join(cells, "cell")
       .filter(col("qid") =!= col("cid")).select("qid", "cid")
     val dists = cands
-      .join(qd.toDF("qid", "d", "qx"), "qid")
-      .join(dims.toDF("cid", "d", "cx2"), Seq("cid", "d"))
-      .groupBy("qid", "cid")
-      .agg(vsum((col("qx") - col("cx2")) * (col("qx") - col("cx2"))).as("dist"))
+      .join(broadcast(q), "qid")
+      .join(vecs.select(col("vid").as("cid"), col("v").as("cv2")), "cid")
+      .select(col("qid"), col("cid"), ql2(col("qv"), col("cv2")).as("dist"))
     val wK = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
     dists.withColumn("rank", row_number().over(wK)).filter(col("rank") <= k)
       .select(col("qid"), col("cid"), col("dist"), col("rank").cast(IntegerType).as("rank"))

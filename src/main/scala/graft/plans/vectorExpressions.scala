@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Oracle-exact quantized vector kernels.
+  *
+  * The determinism contract (Similarity.vsum / SURVEY §5) quantizes every
+  * per-dimension product to an integer at 1e12 and sums exactly, so
+  * results are bit-identical across partitionings and engines. These
+  * expressions compute the SAME long sums in one fused per-row loop,
+  * replacing the posexplode + 64-way dimension join + groupBy formulation
+  * (which shuffles 64 rows per pair just to add them back together).
+  * Callers divide by 1e12 outside, exactly like the SQL oracle.
+  *
+  * Inputs are ARRAY<DOUBLE> (cast float embeddings at the call site —
+  * float->double widening is exact, and refined centroids are natively
+  * double).
+  */
+object QuantizedVec {
+  final val Scale = 1e12
+
+  def dotSum(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += math.floor(a.getDouble(i) * b.getDouble(i) * Scale + 0.5).toLong
+      i += 1
+    }
+    s
+  }
+
+  def l2Sum(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += math.floor(d * d * Scale + 0.5).toLong
+      i += 1
+    }
+    s
+  }
+}
+
+abstract class QuantizedBinaryVecSum extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq[DataType](ArrayType(DoubleType), ArrayType(DoubleType))
+  override def nullIntolerant: Boolean = true
+}
+
+/** sum_i floor(a_i * b_i * 1e12 + 0.5) as a long — the quantized dot. */
+case class QuantizedDotSum(left: Expression, right: Expression) extends QuantizedBinaryVecSum {
+  override def prettyName: String = "quantized_dot_sum"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    QuantizedVec.dotSum(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      "graft.plans.QuantizedVec$.MODULE$.dotSum(" + a + ", " + b + ")")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizedDotSum =
+    copy(left = l, right = r)
+}
+
+/** sum_i floor((a_i - b_i)^2 * 1e12 + 0.5) as a long — quantized squared L2. */
+case class QuantizedL2Sum(left: Expression, right: Expression) extends QuantizedBinaryVecSum {
+  override def prettyName: String = "quantized_l2_sum"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    QuantizedVec.l2Sum(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      "graft.plans.QuantizedVec$.MODULE$.l2Sum(" + a + ", " + b + ")")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizedL2Sum =
+    copy(left = l, right = r)
+}
+
+/** nBits-bit sign-LSH bucket id in one per-row pass: bit h is set iff the
+  * quantized projection of the vector onto deterministic hyperplane h is
+  * positive. Hyperplane signs are the md5("h:d") high-bit convention of
+  * Similarity.planeSign, precomputed once on the driver (the division by
+  * 1e12 cannot change the sign, so the bit test runs on the long sum). */
+case class SignLshBucketExpr(child: Expression, nBits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nBits >= 1 && nBits <= 62, "nBits must be in [1, 62]")
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq[DataType](ArrayType(DoubleType))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_lsh_bucket"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SignLshBucketExpr.bucket(input.asInstanceOf[ArrayData], nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "graft.plans.SignLshBucketExpr$.MODULE$.bucket(" + c + ", " + nBits + ")")
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshBucketExpr =
+    copy(child = newChild)
+}
+
+object SignLshBucketExpr {
+  final val MaxBits = 62
+  final val MaxDim = 1024
+
+  /** signs(h)(d) = +1.0 / -1.0 from the first hex char of md5("h:d") —
+    * identical to Similarity.planeSign and the SQL oracle. Deterministic,
+    * so precomputing on the driver (and re-deriving on executors via this
+    * lazy val) is safe. */
+  private lazy val signs: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(MaxBits, MaxDim) { (h, d) =>
+      md.reset()
+      val digest = md.digest(s"$h:$d".getBytes("UTF-8"))
+      // first hex char >= '8' == top bit of the first byte
+      if ((digest(0) & 0x80) != 0) 1.0 else -1.0
+    }
+  }
+
+  def bucket(v: ArrayData, nBits: Int): Long = {
+    val n = v.numElements()
+    require(n <= MaxDim, s"sign-LSH supports up to $MaxDim dims, got $n")
+    val sums = new Array[Long](nBits)
+    var d = 0
+    while (d < n) {
+      val x = v.getDouble(d)
+      var h = 0
+      while (h < nBits) {
+        sums(h) += math.floor(x * signs(h)(d) * QuantizedVec.Scale + 0.5).toLong
+        h += 1
+      }
+      d += 1
+    }
+    var b = 0L
+    var h = 0
+    while (h < nBits) { if (sums(h) > 0) b |= 1L << h; h += 1 }
+    b
+  }
+}
