@@ -10,6 +10,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // ObjectHashAggregate falls back to SORT-based aggregation at 128
+      // distinct keys per partition — for the dedup UDAF passes (millions
+      // of shingle keys, buffers bounded at cap+1 longs by construction)
+      // that means a full sort of the exploded rows. Raise the threshold
+      // so the bounded-buffer aggregation stays hash-based; worst-case
+      // memory = groups/partition x ~100B, well inside executor budgets.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
