@@ -20,6 +20,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.plans.TopKRewrite.install(spark)
     spark.sparkContext.setLogLevel("WARN")
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       // noop sink: forces full evaluation of every output column (count()

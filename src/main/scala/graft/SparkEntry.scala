@@ -12,7 +12,8 @@ object SparkEntry {
   /** Every declared query, keyed by name. */
   def allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ ScalarQueries.defs ++ ExtendedQueries.defs ++
-      TextQueries.defs ++ VectorQueries.defs ++ EventQueries.defs
+      TextQueries.defs ++ VectorQueries.defs ++ EventQueries.defs ++
+      PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -16,6 +16,7 @@ object Verify {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.plans.TopKRewrite.install(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

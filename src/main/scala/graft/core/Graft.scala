@@ -16,7 +16,7 @@ object Graft {
     */
   def session(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    SparkSession.builder()
+    val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,6 +32,11 @@ object Graft {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // The engine's own optimizer surface is part of the session contract:
+    // the window-top-k idiom lowers to the bounded-heap TopKPerKey operator
+    // wherever its safety conditions hold (see TopKRewriteRule scaladoc).
+    graft.plans.TopKRewrite.install(spark)
+    spark
   }
 }
 

@@ -183,6 +183,79 @@ object HashedShingleSet {
   }
 }
 
+/** Sorted distinct XXH64 hashes (seed 42, Spark's builtin xxhash64) of the
+  * word n-grams of a SINGLE-SPACE-tokenized text, in one zero-copy pass.
+  *
+  * With single-space separation the gram "w1 w2 w3 w4" is a contiguous byte
+  * span of the input, so each gram hashes in place — no split allocation,
+  * no per-gram string build, no interpreted higher-order chain, and the
+  * value equals xxhash64 of `concat_ws(' ', slice(split(text,' '), i, n))`.
+  * Word boundaries are byte 0x20, which never occurs in UTF-8 continuation
+  * bytes, so multi-byte text is handled correctly. Texts with consecutive
+  * / leading / trailing spaces deviate from the split-based formulation
+  * (split yields empty tokens there); the engine's corpus contract is
+  * single-spaced normalized text (see TextClean).
+  */
+case class WordGramHashSet(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "gram width must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq[DataType](StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_gram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordGramHashSet.grams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "graft.plans.WordGramHashSet$.MODULE$.grams(" + c + ", " + n + ")")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramHashSet =
+    copy(child = newChild)
+}
+object WordGramHashSet {
+  def grams(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val len = s.numBytes()
+    if (len == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // word start byte-offsets (single-space separated: starts follow 0x20)
+    var nWords = 1
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) nWords += 1
+      i += 1
+    }
+    if (nWords < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nWords + 1)
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        starts(w) = i + 1; w += 1
+      }
+      i += 1
+    }
+    starts(nWords) = len + 1 // sentinel: "space" one past the end
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var g = 0
+    while (g + n <= nWords) {
+      val from = starts(g)
+      val until = starts(g + n) - 1 // drop the trailing separator
+      seen.add(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + from, until - from, 42L))
+      g += 1
+    }
+    val arr = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next().longValue(); j += 1 }
+    java.util.Arrays.sort(arr)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
 /** Intersection size of two SORTED long arrays as one merge pass — no
   * per-pair hash-set build, no allocation. The Jaccard-verification inner
   * loop over candidate pairs. */
@@ -371,6 +444,8 @@ object GraftFunctions {
   def format_money(c: Column): Column = ColumnBridge.column(FormatMoney(ColumnBridge.expression(c)))
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def word_gram_hashes(c: Column, n: Int): Column =
+    ColumnBridge.column(WordGramHashSet(ColumnBridge.expression(c), n))
 
   /** Expose as SQL functions (`SELECT format_money(c), cosine_sim(a,b)`). */
   def register(spark: SparkSession): Unit = {

@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables.t
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline analytics beyond the dedup/ANN family:
+  * lang-by-source pivot, Gopher-style quality gates, rarity-weighted
+  * top terms per document, and benchmark decontamination. All four are
+  * oracle-checked; each is shaped so the corpus side stays map-only and
+  * shuffles carry per-document summaries, never text.
+  */
+object PipelineQueries {
+
+  private val Langs = Seq("de", "en", "es", "fr", "zh")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // PIVOT — wide per-source language profile. Spark lowers this to two
+    // aggregate levels ((source,lang) then pivotfirst on source), each
+    // with map-side partial aggregation, so both exchanges carry one row
+    // per distinct group per partition — never corpus rows. Fixed pivot
+    // values keep the schema static, as a 100 TB job must (inferring
+    // pivot values triggers a separate distinct scan of the corpus).
+    QueryDef(
+      "q_pivot",
+      "per-source doc count + avg length pivoted by language (fixed values)",
+      {
+        val cols = Langs.map { l =>
+          s"""CAST(count(CASE WHEN lang = '$l' THEN 1 END) AS BIGINT) AS ${l}_cnt,
+              avg(CASE WHEN lang = '$l' THEN n_chars END) AS ${l}_avg_chars"""
+        }.mkString(",\n                ")
+        s"""SELECT source, $cols
+           FROM documents GROUP BY source ORDER BY source"""
+      }) { (s, dir) =>
+      val wide = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", Langs)
+        .agg(count(lit(1)).as("cnt"), avg(col("n_chars")).as("avg_chars"))
+      // Spark leaves empty pivot cells null where COUNT would say 0;
+      // normalize counts to 0 (avg stays null on both engines).
+      val outCols = col("source") +: Langs.flatMap { l =>
+        Seq(coalesce(col(s"${l}_cnt"), lit(0L)).as(s"${l}_cnt"),
+          col(s"${l}_avg_chars"))
+      }
+      wide.select(outCols: _*).orderBy(col("source"))
+    },
+
+    // Gopher-style quality gates (Rae et al. 2021, arXiv:2112.11446 §A.1.1
+    // adapted to the single-line fixture corpus): word-count bounds, mean
+    // word length, distinct-word ratio, stopword presence. Map-only per
+    // document; the only shuffle is the final presentation sort.
+    QueryDef(
+      "q_quality_gopher",
+      "composite document-quality gates (word count, mean length, uniqueness, stopwords)",
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS mean_word_len,
+                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS uniq_ratio,
+                CAST(len(list_filter(string_split(text, ' '), w -> length(w) < 3)) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS short_ratio,
+                len(list_filter(string_split(text, ' '), w -> w IN ('a', 'the'))) > 0 AS has_stop,
+                (len(string_split(text, ' ')) BETWEEN 30 AND 120)
+                  AND (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                         / len(string_split(text, ' ')) BETWEEN 3 AND 10)
+                  AND (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                         / len(string_split(text, ' ')) >= 0.3)
+                  AND (len(list_filter(string_split(text, ' '), w -> w IN ('a', 'the'))) > 0)
+                  AS pass
+         FROM documents ORDER BY doc_id""") { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val nWords = size(toks).cast("bigint")
+      // single-space separated: total word chars = chars minus separators
+      val meanLen = (length(regexp_replace(col("text"), " ", "")).cast("double") / size(toks))
+      val uniqRatio = size(array_distinct(toks)).cast("double") / size(toks)
+      val shortRatio = size(filter(toks, w => length(w) < 3)).cast("double") / size(toks)
+      val hasStop = size(filter(toks, w => w.isin("a", "the"))) > 0
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        meanLen.as("mean_word_len"),
+        uniqRatio.as("uniq_ratio"),
+        shortRatio.as("short_ratio"),
+        hasStop.as("has_stop"),
+        (nWords.between(30, 120) && meanLen.between(3, 10) &&
+          uniqRatio >= 0.3 && hasStop).as("pass"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Rarity-weighted top terms per document: tf scaled by inverse
+    // document frequency, expressed as the exact rational tf/df so the
+    // score is a single IEEE division on both engines (ln() would be
+    // libm-dependent). The df side aggregates to vocabulary size —
+    // orders of magnitude smaller than the corpus — and broadcasts; the
+    // per-doc top-3 is the row_number idiom TopKRewrite lowers to the
+    // bounded-heap TopKPerKey operator.
+    QueryDef(
+      "q_tfidf",
+      "top-3 rarity-weighted terms per document (tf/df score, bounded-heap top-k)",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+              tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                     FROM tok GROUP BY doc_id, token),
+              df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+              scored AS (SELECT doc_id, tf.token AS token, tf, df,
+                                CAST(tf AS DOUBLE) / df AS score,
+                                ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                   ORDER BY CAST(tf AS DOUBLE) / df DESC, tf.token) AS rn
+                         FROM tf JOIN df USING (token))
+         SELECT doc_id, token, tf, df, score
+         FROM scored WHERE rn <= 3 ORDER BY doc_id, score DESC, token""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val score = col("tf").cast("double") / col("df")
+      tf.join(broadcast(df), "token")
+        .withColumn("score", score)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score"))
+        .orderBy(col("doc_id"), col("score").desc, col("token"))
+    },
+
+    // Benchmark decontamination: flag training documents sharing any word
+    // 4-gram with the held-out eval slice (source = src0). The eval side
+    // collapses to a distinct-gram set (benchmarks are tiny next to a
+    // corpus) and broadcasts; the corpus side is explode + broadcast-hash
+    // semi-probe, entirely map-side — the only thing ever shuffled is one
+    // row per *contaminated* document. Grams travel as the native
+    // WordGramHashSet xxhash64 longs, not strings: the in-row distinct
+    // set builds in one zero-copy pass (InferFiltersFromGenerate
+    // re-evaluates the generator input in its pre-filter, so the per-row
+    // expression must be cheap), and the broadcast carries 8-byte keys.
+    // The oracle joins gram STRINGS — identical counts barring a 64-bit
+    // collision inside one document span (~1e-12 at benchmark scale).
+    QueryDef(
+      "q_decontaminate",
+      "training docs sharing a word 4-gram with the eval slice (broadcast n-gram probe)",
+      """WITH g AS (SELECT doc_id, source,
+                           list_distinct(list_transform(
+                             range(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                             i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))) AS gs
+                    FROM documents),
+              eval_g AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE source = 'src0'),
+              train AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram
+                        FROM g WHERE source <> 'src0')
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                CAST(n_grams AS BIGINT) AS n_grams,
+                CAST(count(*) AS DOUBLE) / n_grams AS contamination
+         FROM train JOIN eval_g USING (gram)
+         GROUP BY doc_id, n_grams ORDER BY doc_id""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val withGrams = docs.select(col("doc_id"), col("source"),
+        graft.plans.GraftFunctions.word_gram_hashes(col("text"), 4).as("gs"))
+      val evalGrams = withGrams.filter(col("source") === "src0")
+        .select(explode(col("gs")).as("gram")).distinct()
+      withGrams.filter(col("source") =!= "src0")
+        .select(col("doc_id"), size(col("gs")).cast("bigint").as("n_grams"),
+          explode(col("gs")).as("gram"))
+        .join(broadcast(evalGrams), "gram")
+        .groupBy(col("doc_id"), col("n_grams"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("doc_id"), col("n_hits"), col("n_grams"),
+          (col("n_hits").cast("double") / col("n_grams")).as("contamination"))
+        .orderBy(col("doc_id"))
+    },
+  )
+}

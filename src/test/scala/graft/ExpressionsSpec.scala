@@ -116,6 +116,32 @@ class ExpressionsSpec extends SparkSpec {
     assert(cnt.toSeq == Seq(2L, 0L, 2L))
   }
 
+  test("word_gram_hashes = sorted xxhash64 of the composed split/slice grams") {
+    // composed-builtins formulation: distinct word 4-grams as strings,
+    // hashed with the builtin xxhash64 (same seed 42 as the native pass)
+    def composed(c: org.apache.spark.sql.Column, n: Int) = {
+      val toks = split(c, " ")
+      when(size(toks) >= n,
+        array_sort(array_distinct(transform(
+          sequence(lit(0), size(toks) - n),
+          i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(n))))))))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    val df = Seq(
+      "a b c d e f",            // plain
+      "a b c d a b c d a b c d", // repeated grams → distinct set
+      "a b c",                  // fewer words than n → empty
+      "a b c d",                // exactly n → one gram
+      "héllo wörld ünicode gram bytes", // multi-byte UTF-8 spans
+      "x"                       // single word
+    ).toDF("t")
+    val bad = df.select(
+        GraftFunctions.word_gram_hashes(col("t"), 4).as("got"),
+        composed(col("t"), 4).as("want"))
+      .filter(not(col("got") === col("want"))).count()
+    assert(bad == 0)
+  }
+
   test("null inputs propagate null") {
     val got = Seq((Option.empty[Long], Option(7L))).toDF("a", "b")
       .select(GraftFunctions.format_money(col("a")).as("sa"),

@@ -91,4 +91,34 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("SortMergeJoin"), s"verification joins should broadcast:\n$p")
   }
+
+  test("pivot aggregates partially at both levels; exchanges carry groups only") {
+    val p = plan("q_pivot")
+    // (source,lang) partial+final, then pivotfirst partial+final
+    assert(p.contains("partial_pivotfirst"), s"pivot level not partial-agg'd:\n$p")
+    assert(p.contains("partial_count"), s"group level not partial-agg'd:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"pivot should shuffle at most twice (groups, then sources):\n$p")
+  }
+
+  test("tfidf lowers the window top-k idiom to the bounded-heap operator") {
+    val p = plan("q_tfidf")
+    assert(p.contains("TopKPerKey"), s"TopKRewrite did not fire:\n$p")
+    assert(!p.contains("Window"), s"window formulation survived:\n$p")
+    // df side is vocabulary-sized and must broadcast
+    assert(p.contains("BroadcastHashJoin"), s"df join should broadcast:\n$p")
+  }
+
+  test("decontamination probes a broadcast gram set; corpus side is map-only") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle for the probe:\n$p")
+  }
+
+  test("quality gates are map-only over a pruned scan") {
+    val p = plan("q_quality_gopher")
+    assert(!p.contains("Exchange hashpartitioning"), s"quality gates shuffled:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned to doc_id,text:\n$p")
+  }
 }

@@ -14,6 +14,9 @@ object TestSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // Same optimizer surface as Graft.session (the engine installs its
+    // TopKRewrite rule as part of the session contract).
+    graft.plans.TopKRewrite.install(s)
     s.sparkContext.setLogLevel("WARN")
     s
   }
