@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data preparation pipeline, composed from the
+  * operator library the way a real corpus job would run it:
+  *
+  *   quality gates -> exact dedup -> near-dup dedup (MinHash-LSH +
+  *   connected components) -> benchmark decontamination -> chunking
+  *
+  * One declarative DataFrame per stage, so Catalyst sees the whole plan:
+  * the quality gates and fingerprints fuse into the scan projection, each
+  * dedup stage shuffles signatures/ids (never text — see Dedup scaladocs),
+  * decontamination is a broadcast probe, and chunking is map-only. Stage
+  * row counts are attached as named `observe` metrics, which piggyback on
+  * the job's single action instead of forcing per-stage counts.
+  */
+object CorpusPipeline {
+
+  /** Knobs with defaults sized for the synthetic corpus; production jobs
+    * tune per-corpus. `chunkLen <= 0` skips chunking.
+    */
+  final case class Config(
+      stop: Seq[String] = Seq("a", "the"),
+      minWords: Int = 30, maxWords: Int = 120,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minUniqRatio: Double = 0.3,
+      shingleK: Int = 9, numHashes: Int = 8, bandSize: Int = 2,
+      nearDupThreshold: Double = 0.8, dfCap: Int = 0,
+      decontaminateGramN: Int = 4,
+      chunkLen: Int = 200, chunkOverlap: Int = 20)
+
+  /** Clean `docs` against the held-out `evalDocs`; returns chunk rows
+    * `(doc_id, chunk_idx, chunk)` (or the cleaned documents unchanged when
+    * chunking is disabled). Survivorship is deterministic: first-wins by
+    * doc id within exact-dup groups and near-dup components.
+    */
+  def clean(docs: DataFrame, evalDocs: DataFrame,
+            idCol: String, textCol: String,
+            cfg: Config = Config()): DataFrame = {
+    val gated = TextAnalysis.qualityGates(docs, textCol, cfg.stop,
+        cfg.minWords, cfg.maxWords, cfg.minMeanLen, cfg.maxMeanLen, cfg.minUniqRatio)
+      .filter(col("pass"))
+      .select(docs.columns.map(col): _*)
+      .observe("graft_quality", count(lit(1)).as("rows_after_quality"))
+
+    val exactDeduped = Relational.firstWins(
+        gated.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
+        Seq("__fp"), Seq(col(idCol)))
+      .drop("__fp")
+      .observe("graft_exact_dedup", count(lit(1)).as("rows_after_exact"))
+
+    val nearDeduped = Dedup.dropNearDups(exactDeduped, idCol, textCol,
+        cfg.shingleK, cfg.numHashes, cfg.bandSize, cfg.nearDupThreshold, cfg.dfCap)
+      .observe("graft_near_dedup", count(lit(1)).as("rows_after_near"))
+
+    val decontaminated = Dedup.decontaminate(nearDeduped, evalDocs,
+        idCol, textCol, cfg.decontaminateGramN)
+      .observe("graft_decontaminate", count(lit(1)).as("rows_after_decontaminate"))
+
+    if (cfg.chunkLen <= 0) decontaminated
+    else TextAnalysis.chunkByChars(decontaminated, idCol, textCol,
+      cfg.chunkLen, cfg.chunkOverlap)
+  }
+}

@@ -393,4 +393,38 @@ object Dedup {
     val losers = comps.filter(col("doc_id") =!= col("component")).select("doc_id")
     docs.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
   }
+
+  /** Per-document benchmark-overlap counts: distinct word n-grams of each
+    * `train` document that also occur in `evalDocs` (the held-out
+    * benchmark). Gram sets build in-row via the native WordGramHashSet
+    * (xxhash64 longs, zero-copy); the eval side collapses to a distinct
+    * 8-byte-key set and broadcasts; the corpus side is explode +
+    * broadcast-hash probe — entirely map-side, so the only shuffle carries
+    * one row per contaminated document.
+    */
+  def contaminationHits(train: DataFrame, evalDocs: DataFrame,
+                        idCol: String, textCol: String, n: Int): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(graft.plans.GraftFunctions.word_gram_hashes(col(textCol), n)).as("gram"))
+      .distinct()
+    train
+      .select(col(idCol),
+        graft.plans.GraftFunctions.word_gram_hashes(col(textCol), n).as("__gs"))
+      .select(col(idCol), size(col("__gs")).cast("bigint").as("n_grams"),
+        explode(col("__gs")).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Benchmark decontamination: drop every `train` document sharing at
+    * least one word n-gram with `evalDocs`. Schema passes through
+    * unchanged; the anti join's right side is the (tiny) contaminated-id
+    * set, so it broadcasts.
+    */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame,
+                    idCol: String, textCol: String, n: Int): DataFrame = {
+    val contaminated = contaminationHits(train, evalDocs, idCol, textCol, n).select(col(idCol))
+    train.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
 }

@@ -223,4 +223,34 @@ object TextAnalysis {
         repRatio.as("rep_ratio"), topShare.as("top_share"),
         (repRatio > maxRepRatio || topShare > maxTopShare).as("is_repetitive"))
   }
+
+  /** Gopher-style quality gates (Rae et al. 2021, arXiv:2112.11446 §A.1.1,
+    * adapted to the single-line normalized corpus): word-count bounds,
+    * mean word length, distinct-word ratio, stopword presence. Appends the
+    * per-document metric columns plus a `pass` verdict to `docs` — a
+    * map-only projection, no shuffle. Exact double arithmetic (single
+    * divisions) so the gate is engine-portable.
+    */
+  def qualityGates(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                   stop: Seq[String] = Seq("a", "the"),
+                   minWords: Int = 30, maxWords: Int = 120,
+                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                   minUniqRatio: Double = 0.3): org.apache.spark.sql.DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nWords = size(toks).cast(LongType)
+    // single-space separated: total word chars = chars minus separators
+    val meanLen = length(regexp_replace(col(textCol), " ", "")).cast(DoubleType) / size(toks)
+    val uniqRatio = size(array_distinct(toks)).cast(DoubleType) / size(toks)
+    val shortRatio = size(filter(toks, w => length(w) < 3)).cast(DoubleType) / size(toks)
+    val hasStop = size(filter(toks, w => w.isInCollection(stop))) > 0
+    docs.withColumns(Map(
+      "n_words" -> nWords,
+      "mean_word_len" -> meanLen,
+      "uniq_ratio" -> uniqRatio,
+      "short_ratio" -> shortRatio,
+      "has_stop" -> hasStop,
+      "pass" -> (nWords.between(minWords, maxWords) &&
+        meanLen.between(minMeanLen, maxMeanLen) &&
+        uniqRatio >= minUniqRatio && hasStop)))
+  }
 }

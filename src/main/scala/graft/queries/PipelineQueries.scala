@@ -71,22 +71,9 @@ object PipelineQueries {
                   AND (len(list_filter(string_split(text, ' '), w -> w IN ('a', 'the'))) > 0)
                   AS pass
          FROM documents ORDER BY doc_id""") { (s, dir) =>
-      val toks = split(col("text"), " ")
-      val nWords = size(toks).cast("bigint")
-      // single-space separated: total word chars = chars minus separators
-      val meanLen = (length(regexp_replace(col("text"), " ", "")).cast("double") / size(toks))
-      val uniqRatio = size(array_distinct(toks)).cast("double") / size(toks)
-      val shortRatio = size(filter(toks, w => length(w) < 3)).cast("double") / size(toks)
-      val hasStop = size(filter(toks, w => w.isin("a", "the"))) > 0
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        nWords.as("n_words"),
-        meanLen.as("mean_word_len"),
-        uniqRatio.as("uniq_ratio"),
-        shortRatio.as("short_ratio"),
-        hasStop.as("has_stop"),
-        (nWords.between(30, 120) && meanLen.between(3, 10) &&
-          uniqRatio >= 0.3 && hasStop).as("pass"))
+      graft.operators.TextAnalysis.qualityGates(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("uniq_ratio"), col("short_ratio"), col("has_stop"), col("pass"))
         .orderBy(col("doc_id"))
     },
 
@@ -156,16 +143,10 @@ object PipelineQueries {
          FROM train JOIN eval_g USING (gram)
          GROUP BY doc_id, n_grams ORDER BY doc_id""") { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val withGrams = docs.select(col("doc_id"), col("source"),
-        graft.plans.GraftFunctions.word_gram_hashes(col("text"), 4).as("gs"))
-      val evalGrams = withGrams.filter(col("source") === "src0")
-        .select(explode(col("gs")).as("gram")).distinct()
-      withGrams.filter(col("source") =!= "src0")
-        .select(col("doc_id"), size(col("gs")).cast("bigint").as("n_grams"),
-          explode(col("gs")).as("gram"))
-        .join(broadcast(evalGrams), "gram")
-        .groupBy(col("doc_id"), col("n_grams"))
-        .agg(count(lit(1)).as("n_hits"))
+      graft.operators.Dedup.contaminationHits(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", 4)
         .select(col("doc_id"), col("n_hits"), col("n_grams"),
           (col("n_hits").cast("double") / col("n_grams")).as("contamination"))
         .orderBy(col("doc_id"))
