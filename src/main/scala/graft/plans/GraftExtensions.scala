@@ -22,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("word_gram_hashes"),
+      new ExpressionInfo(classOf[WordGramHashSet].getName, "word_gram_hashes"),
+      (exprs: Seq[Expression]) =>
+        WordGramHashSet(exprs(0), GraftFunctions.litInt(exprs(1), "word_gram_hashes(text, n)"))))
     // the custom bounded-heap top-k-per-key physical operator plans itself
     // for sessions built with this extension (same effect as
     // TopKPerKey.install on a programmatic session), and the optimizer

@@ -447,11 +447,23 @@ object GraftFunctions {
   def word_gram_hashes(c: Column, n: Int): Column =
     ColumnBridge.column(WordGramHashSet(ColumnBridge.expression(c), n))
 
+  /** Second argument of a SQL call that must be a foldable INT literal. */
+  private[plans] def litInt(e: Expression, usage: String): Int = e match {
+    case lit if lit.foldable && lit.dataType == IntegerType =>
+      lit.eval().asInstanceOf[Int]
+    case other => throw new IllegalArgumentException(
+      s"$usage requires a constant INT, got $other")
+  }
+
   /** Expose as SQL functions (`SELECT format_money(c), cosine_sim(a,b)`). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "format_money", exprs => FormatMoney(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_gram_hashes",
+      exprs => WordGramHashSet(exprs(0), litInt(exprs(1), "word_gram_hashes(text, n)")),
+      "built-in")
   }
 }

@@ -44,4 +44,20 @@ class SqlSurfaceSpec extends SparkSpec {
          FROM orders ORDER BY o_orderkey LIMIT 1""").as[String].head()
     assert(got.startsWith("$") && got.contains("."))
   }
+
+  test("word_gram_hashes is SQL-callable and rejects a non-constant width") {
+    GraftFunctions.register(spark)
+    val n = spark.sql(
+      "SELECT size(word_gram_hashes('a b c d e', 4)) AS n").as[Int].head()
+    assert(n == 2)
+    // any foldable INT works ("length('xx')" folds to 2); a genuinely
+    // non-constant width must fail at resolution
+    val folded = spark.sql(
+      "SELECT size(word_gram_hashes('a b c', length('xx'))) AS n").as[Int].head()
+    assert(folded == 2)
+    val err = intercept[Exception] {
+      spark.sql("SELECT word_gram_hashes('a b', CAST(rand() * 4 AS INT))").collect()
+    }
+    assert(err.getMessage.contains("constant INT"))
+  }
 }
