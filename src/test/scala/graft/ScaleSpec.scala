@@ -44,4 +44,32 @@ class ScaleSpec extends SparkSpec {
       assert(n == expected)
     }
   }
+
+  test("bucketed fact-fact join is co-located: no exchange, no sort") {
+    // Bucketing pre-shuffles at WRITE time: both sides hash-bucketed on the
+    // join key join with zero runtime exchanges — at 100 TB this converts
+    // the recurring fact-fact shuffle into a one-time layout cost.
+    val db = "graft_bucket_spec"
+    val loc = java.nio.file.Files.createTempDirectory("bucket_wh").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    try {
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+               "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+        t(spark, sf, "lineitem").write
+          .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable(s"$db.li_b")
+        t(spark, sf, "orders").write
+          .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable(s"$db.ord_b")
+        val joined = spark.table(s"$db.li_b")
+          .join(spark.table(s"$db.ord_b"), col("l_orderkey") === col("o_orderkey"))
+        val p = joined.queryExecution.executedPlan.toString
+        assert(!p.contains("Exchange hashpartitioning"),
+          s"bucketed join still shuffles:\n$p")
+        assert(joined.count() ==
+          t(spark, sf, "lineitem").join(t(spark, sf, "orders"),
+            col("l_orderkey") === col("o_orderkey")).count())
+      }
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
 }
