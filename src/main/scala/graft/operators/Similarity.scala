@@ -199,4 +199,83 @@ object Similarity {
       .select(col(groupCol), col("d"), col("x").cast(DoubleType).as("x"))
       .groupBy(groupCol, "d")
       .agg((vsum(col("x")) / count(lit(1))).as("centroid"))
+
+  // ---- product quantization (Jegou/Douze/Schmid, TPAMI 2011) ----------
+  // The third scale path alongside sign-LSH and IVF: vectors compress to m
+  // small codes (one per subspace), so a 100 TB corpus's search structure
+  // is m bytes/vector instead of 4*dims — it fits where the vectors don't.
+  // Distances are asymmetric (ADC): the query stays exact, corpus vectors
+  // are approximated by their per-subspace centroids.
+
+  /** (vid, sub, sv) subvector view: dims split into m equal slices. */
+  private def subvectors(df: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame = {
+    val v = dvec(col(vecCol))
+    graft.core.Tables.ensureParallelism(df)
+      .select(col(idCol).as("vid"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(v, s * (size(v) / m) + lit(1), size(v) / m)))
+        .as(Seq("sub", "sv")))
+  }
+
+  /** Train the PQ codebook: independent deterministic k-means per subspace
+    * (seed = subvectors of the first ksub ids; quantized argmin with ties
+    * to the lower cell; quantized means), all m subspaces refined in the
+    * SAME aggregation pass — `sub` rides the grouping key, so training m
+    * codebooks costs one k-means, not m. Returns (sub, cc, cv). */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                 m: Int, ksub: Int, iters: Int): DataFrame = {
+    val sv = subvectors(corpus, idCol, vecCol, m)
+    var cent = sv.filter(col("vid") < ksub)
+      .select(col("sub"), col("vid").as("cc"), col("sv").as("cv"))
+    (0 until iters).foreach { _ =>
+      val assigned = sv.join(broadcast(cent), "sub")
+        .select(col("vid"), col("sub"), col("cc"), ql2(col("sv"), col("cv")).as("d2"))
+        .groupBy("vid", "sub")
+        .agg(min(struct(col("d2"), col("cc"))).as("mn"))
+        .select(col("vid"), col("sub"), col("mn.cc").as("cc"))
+      val dims = sv.select(col("vid"), col("sub"), posexplode(col("sv")).as(Seq("d", "x")))
+      cent = assigned.join(dims, Seq("vid", "sub"))
+        .groupBy("sub", "cc", "d")
+        .agg((vsum(col("x")) / count(lit(1))).as("cx"))
+        .groupBy("sub", "cc")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+          s => s.getField("cx")).as("cv"))
+    }
+    cent
+  }
+
+  /** Encode vectors to their m-code PQ representation (vid, codes). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, m: Int): DataFrame =
+    subvectors(df, idCol, vecCol, m).join(broadcast(codebook), "sub")
+      .select(col("vid"), col("sub"), col("cc"), ql2(col("sv"), col("cv")).as("d2"))
+      .groupBy("vid", "sub")
+      .agg(min(struct(col("d2"), col("cc"))).as("mn"))
+      .groupBy("vid")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("mn.cc")))),
+        s => s.getField("cc")).as("codes"))
+
+  /** ADC top-k: per-query distance table to every (sub, centroid) — a
+    * (m x ksub)-row broadcast — then each corpus vector's approximate
+    * distance is the sum of its codes' table entries. The scan side
+    * touches only the m-byte codes; the window top-k lowers to the
+    * bounded-heap TopKPerKey. Output (qid, cid, adist, rank). */
+  def pqTopK(corpusCodes: DataFrame, queries: DataFrame, codebook: DataFrame,
+             idCol: String, vecCol: String, m: Int, k: Int): DataFrame = {
+    val table = subvectors(queries, idCol, vecCol, m)
+      .join(broadcast(codebook), "sub")
+      .select(col("vid").as("qid"), col("sub"), col("cc"),
+        ql2(col("sv"), col("cv")).as("d2"))
+    val codes = corpusCodes.select(col("vid").as("cid"),
+      posexplode(col("codes")).as(Seq("sub", "cc")))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
+    codes.join(broadcast(table), Seq("sub", "cc"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy("qid", "cid")
+      .agg(vsum(col("d2")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("adist"),
+        col("rank").cast(IntegerType).as("rank"))
+  }
 }

@@ -24,6 +24,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ: codes compress to m entries; ADC recall vs exact L2 is high; deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val (m, ksub) = (16, 32)
+    val codebook = Similarity.pqCodebook(emb, "vec_id", "embedding", m, ksub, iters = 3)
+    assert(codebook.count() == m.toLong * ksub)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", codebook, m)
+    assert(codes.select(size(col("codes"))).distinct().as[Int].collect().toSeq == Seq(m))
+    // encoding is deterministic: two runs produce identical codes
+    val c1 = codes.orderBy("vid").collect().toSeq
+    val c2 = Similarity.pqEncode(emb, "vec_id", "embedding", codebook, m)
+      .orderBy("vid").collect().toSeq
+    assert(c1 == c2)
+
+    val k = 10
+    val pq = Similarity.pqTopK(codes, queries, codebook, "vec_id", "embedding", m, k)
+      .select(col("qid").cast("long"), col("cid").cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // exact L2 top-k baseline (same tie-break: distance, then cid)
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cv"))
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("cid"))
+    val exact = q.crossJoin(c).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x).as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid").cast("long"), col("cid").cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.sorted.map { qid =>
+      (pq(qid) intersect exact(qid)).size.toDouble / k
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.5, s"ADC recall@$k too low: $meanRecall ($recalls)")
+  }
+
   private def vecs = Seq(
     (1L, Array(1.0f, 0.0f, 0.0f)),
     (2L, Array(0.9f, 0.1f, 0.0f)),   // near vec 1
