@@ -95,7 +95,12 @@ object Dedup {
     // a hash-set build over UTF8Strings (counts identical to the string
     // formulation modulo ~2^-64 collisions, enforced by the oracle
     // hash-match).
-    val sh = docs.join(candIds, docs(idCol) === col("__cid"), "left_semi")
+    // semi-join FIRST (so only candidate text moves), then spread: the
+    // candidate slice is byte-small and single-file scans plan as one
+    // partition, which would serialize the shingle builds AND the
+    // checkpoint write into a single task
+    val sh = graft.core.Tables.ensureParallelism(
+        docs.join(candIds, docs(idCol) === col("__cid"), "left_semi"))
       .select(col(idCol).as("doc_id"),
         column(graft.plans.HashedShingleSet(expression(col(textCol)), k)).as("sh"))
       .transform(graft.core.Materialize.pin)
