@@ -162,14 +162,19 @@ object Dedup {
     // two-pass plan (countDistinct aggregation + semi-join of the full
     // exploded projection back against the rare keys) — same result, half
     // the passes, and still skew-proof at corpus scale.
-    val ex = if (dfCap > 0) {
+    // Hash BEFORE the doc-set re-explode: after the capped aggregation each
+    // shingle is one row, so md5 runs once per distinct shingle instead of
+    // once per surviving (doc, shingle) pair (~df x fewer digests).
+    val hashed = if (dfCap > 0) {
       exAll.groupBy("g")
         .agg(graft.functions.CappedSetAgg.cappedDistinct(col("doc_id"), dfCap).as("__docs"))
         .filter(col("__docs").isNotNull)
-        .select(explode(col("__docs")).as("doc_id"), col("g"))
-    } else exAll
-    val hashed = ex.select(col("doc_id"), md5(col("g")).as("h1"),
-      md5(concat(lit("x:"), col("g"))).as("h2"))
+        .select(md5(col("g")).as("h1"), md5(concat(lit("x:"), col("g"))).as("h2"),
+          explode(col("__docs")).as("doc_id"))
+    } else {
+      exAll.select(col("doc_id"), md5(col("g")).as("h1"),
+        md5(concat(lit("x:"), col("g"))).as("h2"))
+    }
     val aggs = (0 until numHashes).map { s =>
       val src = if (s < 4) col("h1") else col("h2")
       min(substring(src, (s % 4) * 8 + 1, 8)).as(s"sig_$s")
