@@ -164,6 +164,55 @@ object Similarity {
       .select(col("qid"), col("cid"), col("dist"), col("rank").cast(IntegerType).as("rank"))
   }
 
+  // ---- semantic dedup (SemDeDup: Abbas et al., arXiv:2303.09540) -------
+  // Embedding-space near-duplicate removal at corpus scale: a coarse
+  // quantizer partitions the corpus into cells (same deterministic
+  // first-nCells seed as ivfTopK), candidate pairs form only WITHIN a
+  // cell, and every candidate is verified by exact quantized cosine. The
+  // cross-cell pair space never materializes — at 100 TB the only wide
+  // shuffle keys on the cell id (AQE skew-splits hot cells), and the
+  // per-pair cosine is one fused loop.
+
+  /** Within-cell cosine near-dup pairs: (id_a, id_b, cell, cosine) with
+    * id_a < id_b and cosine >= minCosine. Recall is bounded by the cell
+    * partition (a true near-dup pair split across a cell boundary is
+    * missed — the SemDeDup trade; lshNeighborPairs is the
+    * boundary-insensitive alternative). */
+  def semanticNearDups(df: DataFrame, idCol: String, vecCol: String,
+                       nCells: Int, minCosine: Double): DataFrame = {
+    val vecs = graft.core.Tables.ensureParallelism(df)
+      .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v"))
+    val cent = vecs.filter(col("vid") < nCells)
+      .select(col("vid").as("cc"), col("v").as("cv"))
+    // argmin cell per vector as a partial-agg min over (d2, cc) structs;
+    // the vector itself rides the aggregation (constant per vid), so the
+    // assignment needs no join back against the input
+    val cv = vecs.crossJoin(broadcast(cent))
+      .select(col("vid"), col("v"), col("cc"), ql2(col("v"), col("cv")).as("d2"))
+      .groupBy("vid")
+      .agg(min(struct(col("d2"), col("cc"))).as("m"), first(col("v")).as("v"))
+      .select(col("vid"), col("m.cc").as("cell"), col("v"))
+    cv.as("a").join(cv.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        col("a.cell").as("cell"),
+        (qdot(col("a.v"), col("b.v")) /
+          (qnorm(col("a.v")) * qnorm(col("b.v")))).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** SemDeDup keep-set: drops every vector cosine-similar (>= minCosine)
+    * to a LOWER-id vector in its cell. Lowest-id-wins is the deterministic
+    * representative choice; a chain a~b, b~c drops both b and c even when
+    * a is not similar to c — matching the paper's collapse of each similar
+    * group to one kept example. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int, minCosine: Double): DataFrame = {
+    val dropped = semanticNearDups(df, idCol, vecCol, nCells, minCosine)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Lloyd's k-means over the embedding column with the deterministic
     * quantized framework: seed centroids = first k vectors by id,
     * assignments by quantized squared-L2 argmin (ties to the lower cell

@@ -148,6 +148,44 @@ object VectorQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // SemDeDup (Abbas et al. 2023): coarse-quantizer cells bound the pair
+    // space, within-cell quantized cosine verifies, lowest-id wins. The
+    // query emits the DROPPED vectors — the side semanticDedup removes.
+    QueryDef(
+      "q_semantic_dedup",
+      "SemDeDup: 16-cell coarse quantizer, within-cell cosine >= 0.35, dropped duplicates",
+      s"""WITH dims AS ($dimsSql),
+          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id < 16),
+          vdist AS (
+            SELECT v.vec_id, c.cc,
+                   CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS d2
+            FROM dims v JOIN cdims c ON v.d = c.d GROUP BY 1, 2),
+          cells AS (
+            SELECT vec_id, cc AS cell FROM (
+              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+              FROM vdist) WHERE rn = 1),
+          nrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x * x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0) AS nrm
+                  FROM dims GROUP BY vec_id),
+          cand AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell
+            FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+          dots AS (
+            SELECT id_a, id_b, MIN(cell) AS cell,
+                   CAST(SUM(CAST(FLOOR((da.x * db.x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dot
+            FROM cand JOIN dims da ON da.vec_id = id_a
+                      JOIN dims db ON db.vec_id = id_b AND db.d = da.d
+            GROUP BY 1, 2)
+          SELECT DISTINCT id_b AS vec_id, cell FROM dots
+          JOIN nrm na ON na.vec_id = id_a JOIN nrm nb ON nb.vec_id = id_b
+          WHERE dot / (na.nrm * nb.nrm) >= 0.35
+          ORDER BY vec_id""") { (s, dir) =>
+      Similarity.semanticNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+          nCells = 16, minCosine = 0.35)
+        .select(col("id_b").as("vec_id"), col("cell"))
+        .distinct()
+        .orderBy(col("vec_id"))
+    },
+
     QueryDef(
       "q_emb_neardup",
       "embedding-cosine near-dup pairs within LSH buckets (8-bit, cosine >= 0.2)",

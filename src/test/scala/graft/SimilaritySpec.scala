@@ -96,6 +96,44 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq(2.0, 4.0, 10.0, 10.0))
   }
 
+  test("semanticNearDups/semanticDedup: in-cell near-dups dropped, lowest id kept") {
+    // seeds: vec 0 -> cell 0 centroid (1,0), vec 1 -> cell 1 centroid (0,1);
+    // 2 is near-parallel to 0 (same cell), 3 near-parallel to 1 (same cell),
+    // 4 lands in cell 0 but at cosine < 0.9 to everything there
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(2.0f, 0.1f)), (3L, Array(0.1f, 3.0f)), (4L, Array(5.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticNearDups(df, "vec_id", "embedding", nCells = 2, minCosine = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 2L), (1L, 3L)))
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding", nCells = 2, minCosine = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 4L))
+  }
+
+  test("semanticNearDups pairs are a subset of the all-pairs baseline with equal cosines") {
+    // nCells = 1 degenerates to the exact all-pairs cosine join — the
+    // brute-force baseline; 16-cell pairs must be a subset with
+    // bit-identical scores (quantized arithmetic), and the dedup keep-set
+    // must be exactly corpus minus distinct dropped ids.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairsAt(cells: Int): Map[(Long, Long), Double] =
+      Similarity.semanticNearDups(emb, "vec_id", "embedding", cells, minCosine = 0.35)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, c) => (a, b) -> c }.toMap
+    val sem = pairsAt(16)
+    val all = pairsAt(1)
+    assert(sem.nonEmpty)
+    sem.foreach { case (k, c) =>
+      assert(all.get(k).contains(c), s"pair $k missing or score diverged vs all-pairs")
+    }
+    val dropped = sem.keySet.map(_._2)
+    val kept = Similarity.semanticDedup(emb, "vec_id", "embedding", 16, 0.35).count()
+    assert(kept == emb.count() - dropped.size)
+  }
+
   test("signLshBuckets puts identical vectors in the same bucket") {
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)),
                  (3L, Array(-5.0f, 1.0f, -2.0f)))
