@@ -13,7 +13,7 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ ScalarQueries.defs ++ ExtendedQueries.defs ++
       TextQueries.defs ++ VectorQueries.defs ++ EventQueries.defs ++
-      PipelineQueries.defs
+      PipelineQueries.defs ++ ExportQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -59,6 +59,40 @@ object Store {
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Deterministic hash-shard id in [0, nShards): first two md5 hex chars
+    * of the key → 0..255 → mod nShards. A pure function of the key, so
+    * re-running an export — or extending the corpus incrementally — never
+    * reassigns an existing key's shard; downstream training jobs can rely
+    * on shard membership being stable across runs. All codegen'd builtins
+    * (md5/substring/conv), no UDF. nShards ≤ 256 keeps the two-hex-char
+    * band unbiased (256 % nShards buckets get one extra 1/256 band; at
+    * ≤256 shards the imbalance is ≤ one band, drowned by hash variance).
+    */
+  def shardId(key: Column, nShards: Int): Column = {
+    require(nShards >= 1 && nShards <= 256, s"nShards must be in [1,256], got $nShards")
+    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast(LongType) % nShards
+  }
+
+  /** Export into `nShards` hash shards of ~`filesPerShard` parquet files
+    * each, laid out as shard=N directories. The repartition keys each
+    * writer task to one (shard, file-band) slice, so partitionBy never
+    * fans out nShards files from every input task (the small-files storm);
+    * at 100 TB you scale `filesPerShard` up so each file stays in the
+    * 128 MB–1 GB band — shard count itself stays fixed because consumers
+    * key on it. Hash collisions between (shard, band) pairs can merge two
+    * bands into one file, so a shard holds between 1 and filesPerShard
+    * files — never more. */
+  def writeShards(df: DataFrame, path: String, keyCol: String,
+                  nShards: Int, filesPerShard: Int = 1): Unit = {
+    val key = col(keyCol).cast("string")
+    val band = conv(substring(md5(key), 3, 2), 16, 10).cast(LongType) % filesPerShard
+    df.withColumn("shard", shardId(col(keyCol), nShards))
+      .withColumn("_band", band)
+      .repartition(nShards * filesPerShard, col("shard"), col("_band"))
+      .drop("_band")
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+  }
+
   /** Z-order bit-interleave of two non-negative integer keys: clustering by
     * this single key preserves locality in BOTH dimensions, so min/max
     * skipping works for filters on either column (the classic Z-order

@@ -85,6 +85,35 @@ class StoreSpec extends SparkSpec {
     assert(clustered <= n / 4, s"no data skipping: read $clustered of $n rows")
   }
 
+  test("writeShards: stable hash shards, bounded file fan-out, lossless round-trip") {
+    val dir = Files.createTempDirectory("store_shards").toFile.getAbsolutePath + "/t"
+    val df = (1 to 2000).map(i => (i.toLong, s"doc body $i")).toDF("doc_id", "text")
+      .repartition(16) // many input tasks: partitionBy alone would fan out 16 files/shard
+    Store.writeShards(df, dir, "doc_id", nShards = 8, filesPerShard = 2)
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2000)
+    // every row sits in the directory its key hashes to
+    val misplaced = back
+      .filter(col("shard") =!= Store.shardId(col("doc_id"), 8)).count()
+    assert(misplaced == 0)
+    // shard dirs: exactly 8; per-shard files within [1, filesPerShard]
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length == 8, s"expected 8 shard dirs, got ${shardDirs.toSeq.map(_.getName)}")
+    shardDirs.foreach { d =>
+      val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files >= 1 && files <= 2, s"${d.getName} has $files files")
+    }
+    // stability: a key's shard never changes when the corpus grows
+    val before = back.groupBy("shard").count().as[(Long, Long)].collect().toMap
+    Store.writeShards(df.union(Seq((9999L, "new doc")).toDF("doc_id", "text")),
+      dir, "doc_id", nShards = 8, filesPerShard = 2)
+    val after = spark.read.parquet(dir).groupBy("shard").count()
+      .as[(Long, Long)].collect().toMap
+    assert(after.values.sum == 2001 &&
+      before.forall { case (s, n) => after(s) == n || after(s) == n + 1 })
+  }
+
   test("zorderKey interleaves bits so both dimensions keep locality") {
     val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (2L, 1L)).toDF("a", "b")
       .select(Store.zorderKey(col("a"), col("b")).as("z")).as[Long].collect()
