@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.core.Store
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data export operators: sequence packing and mixture
+  * resampling — the last mile between a cleaned corpus and a trainer.
+  *
+  * Both are deterministic (hash bands, no RNG state), so a re-run after a
+  * failure produces byte-identical shards — the same idempotency contract
+  * as the reference's upsert ETL (`/root/reference/etl/load.py`), applied
+  * to corpus exports.
+  */
+object Export {
+
+  /** Assign each document to a fixed-token-budget pack within its hash
+    * shard: documents are laid out in stable (shard, key) order, and a
+    * pack is the run of consecutive documents whose cumulative token
+    * count starts inside the same budget window — the streaming-friendly
+    * variant of greedy bin packing (no global sort, no driver state).
+    *
+    * Scale shape: ONE shuffle, on shard. The running sum is sequential
+    * per shard, so parallelism = nShards — at 100 TB you raise nShards
+    * (Store.shardId supports up to 256; compose bands for more) and packs
+    * stay independent across shards by construction. `budget` must be a
+    * power of two so the floor-division is FP-exact on every engine.
+    */
+  def packAssignments(docs: DataFrame, keyCol: String, textCol: String,
+                      nShards: Int, budget: Int): DataFrame = {
+    require(budget > 0 && (budget & (budget - 1)) == 0, s"budget must be a power of two, got $budget")
+    val w = Window.partitionBy("shard").orderBy(keyCol)
+    docs.select(col(keyCol),
+        Store.shardId(col(keyCol), nShards).as("shard"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack", floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)))
+      .drop("cum")
+  }
+
+  /** Deterministic mixture resampling: down-sample each over-represented
+    * group so the kept corpus approaches `targets` (group → share summing
+    * to ≤ 1). Acceptance rate per group = min(1, target_share · total /
+    * group_count); a document is kept when its md5 band (0..255, a pure
+    * function of the key) falls under rate·256 — no RNG, so the kept set
+    * is stable across runs and machines.
+    *
+    * Scale shape: the rate table is one row per group (computed from a
+    * map-side-partial count aggregate) and broadcasts; the corpus side is
+    * a map-only probe+filter. Nothing wider than group counts ever
+    * shuffles.
+    */
+  def mixtureSample(docs: DataFrame, keyCol: String, groupCol: String,
+                    targets: Map[String, Double]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("group_n"))
+    val total = counts.agg(sum(col("group_n")).as("total"))
+    val rates = counts.crossJoin(broadcast(total)).join(
+        broadcast(targets.toSeq.toDF(groupCol, "target_share")), groupCol)
+      .withColumn("rate", least(lit(1.0), col("target_share") * col("total") / col("group_n")))
+      .select(col(groupCol), col("rate"))
+    val band = conv(substring(md5(col(keyCol).cast("string")), 1, 2), 16, 10)
+      .cast("long")
+    docs.join(broadcast(rates), groupCol)
+      .withColumn("keep", band < col("rate") * lit(256.0))
+  }
+}

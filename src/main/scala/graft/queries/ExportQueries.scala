@@ -41,5 +41,98 @@ object ExportQueries {
           countDistinct(col("source")).as("n_sources"))
         .orderBy(col("shard"))
     },
+
+    // Sequence packing audit: per (shard, pack) document counts, token
+    // totals, and fill ratio against the 2048-token budget. The pack
+    // assignment is a running sum windowed WITHIN each hash shard —
+    // parallelism = nShards, no global sort — see Export.packAssignments.
+    QueryDef(
+      "q_pack_sequences",
+      "fixed-token-budget packing within hash shards: docs/tokens/fill per pack",
+      s"""WITH toks AS (SELECT doc_id,
+                               CAST(${oracleBand256("CAST(doc_id AS VARCHAR)")} % 8 AS BIGINT) AS shard,
+                               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                        FROM documents),
+               c AS (SELECT shard, n_tokens,
+                            SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+                     FROM toks)
+          SELECT shard, CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS tokens,
+                 CAST(sum(n_tokens) AS BIGINT) / 2048.0 AS fill
+          FROM c GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      graft.operators.Export.packAssignments(
+          t(s, dir, "documents"), "doc_id", "text", nShards = 8, budget = 2048)
+        .groupBy(col("shard"), col("pack"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens"),
+          (sum(col("n_tokens")) / lit(2048.0)).as("fill"))
+        .orderBy(col("shard"), col("pack"))
+    },
+
+    // Mixture reweighting audit: deterministic down-sample toward target
+    // corpus shares. Rates come from a one-row-per-source count table
+    // (broadcast); the keep decision is a pure md5-band predicate, so the
+    // kept set is identical on every run/engine — see Export.mixtureSample.
+    // Sources outside the target mix are dropped by the inner rate join.
+    QueryDef(
+      "q_mix_resample",
+      "deterministic mixture resampling toward target source shares (kept vs total)",
+      s"""WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) AS group_n
+                          FROM documents GROUP BY source),
+               tot AS (SELECT CAST(sum(group_n) AS BIGINT) AS total FROM counts),
+               rates AS (SELECT source,
+                                least(1.0, target_share * total / group_n) AS rate
+                         FROM counts CROSS JOIN tot
+                         JOIN (VALUES ('src0', 0.01), ('src1', 0.02),
+                                      ('src2', 0.05), ('src3', 0.08))
+                              AS tgt(source, target_share) USING (source))
+          SELECT source, rate,
+                 CAST(count(*) AS BIGINT) AS n_total,
+                 CAST(count(*) FILTER (
+                   WHERE ${oracleBand256("CAST(doc_id AS VARCHAR)")} < rate * 256.0
+                 ) AS BIGINT) AS n_kept
+          FROM documents JOIN rates USING (source)
+          GROUP BY 1, 2 ORDER BY 1""") { (s, dir) =>
+      graft.operators.Export.mixtureSample(
+          t(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 0.01, "src1" -> 0.02, "src2" -> 0.05, "src3" -> 0.08))
+        .groupBy(col("source"), col("rate"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .select(col("source"), col("rate"), col("n_total"), col("n_kept"))
+        .orderBy(col("source"))
+    },
+
+    // Within-source curriculum quartiles: ntile(4) over the total order
+    // (n_chars, doc_id) inside each source. Partitioning by source keeps
+    // the window parallel across domains — the global-curriculum variant
+    // would serialize the corpus through one task and is exactly what NOT
+    // to ship at 100 TB.
+    QueryDef(
+      "q_curriculum",
+      "per-source curriculum quartiles by document length (ntile within source)",
+      """WITH b AS (SELECT source, n_chars,
+                           ntile(4) OVER (PARTITION BY source
+                                          ORDER BY n_chars, doc_id) AS bin
+                    FROM documents)
+         SELECT source, CAST(bin AS BIGINT) AS bin,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(min(n_chars) AS BIGINT) AS min_chars,
+                CAST(max(n_chars) AS BIGINT) AS max_chars,
+                avg(n_chars) AS avg_chars
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "documents")
+        .select(col("source"), col("n_chars"),
+          ntile(4).over(Window.partitionBy(col("source"))
+            .orderBy(col("n_chars"), col("doc_id"))).cast("long").as("bin"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"),
+          avg(col("n_chars")).as("avg_chars"))
+        .orderBy(col("source"), col("bin"))
+    },
   )
 }

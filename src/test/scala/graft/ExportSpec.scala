@@ -1,0 +1,67 @@
+package graft
+
+import graft.core.Store
+import graft.operators.Export
+import org.apache.spark.sql.functions._
+
+class ExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packAssignments fills budget windows in stable key order") {
+    // 10 docs of 5 tokens each, one shard: starts 0,5,10,... -> //16
+    val docs = (1 to 10).map(i => (i.toLong, "a b c d e")).toDF("doc_id", "text")
+    val got = Export.packAssignments(docs, "doc_id", "text", nShards = 1, budget = 16)
+      .select("doc_id", "pack").as[(Long, Long)].collect().toMap
+    val want = (1 to 10).map(i => i.toLong -> (5L * (i - 1) / 16)).toMap
+    assert(got == want)
+    // rerun is byte-identical (no RNG, no partition-order dependence)
+    val again = Export.packAssignments(docs, "doc_id", "text", nShards = 1, budget = 16)
+      .select("doc_id", "pack").as[(Long, Long)].collect().toMap
+    assert(again == got)
+  }
+
+  test("packAssignments packs are per-shard: one shard never sees another's docs") {
+    val docs = (1 to 400).map(i => (i.toLong, "w " * 9 + "w")).toDF("doc_id", "text")
+    val a = Export.packAssignments(docs, "doc_id", "text", nShards = 8, budget = 64)
+    // pack ids within each shard are dense from 0 (contiguous fill)
+    val byShard = a.groupBy("shard").agg(max(col("pack")).as("mx"),
+        countDistinct(col("pack")).as("n")).as[(Long, Long, Long)].collect()
+    byShard.foreach { case (sh, mx, n) => assert(n == mx + 1, s"shard $sh has gaps") }
+    // shard assignment matches Store.shardId exactly
+    assert(a.filter(col("shard") =!= Store.shardId(col("doc_id"), 8)).count() == 0)
+  }
+
+  test("packAssignments rejects non-power-of-two budgets") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Export.packAssignments(docs, "doc_id", "text", nShards = 1, budget = 1000)
+    }
+  }
+
+  test("mixtureSample downsamples over-represented groups deterministically") {
+    val docs = ((1 to 100).map(i => (i.toLong, "A")) ++
+      (101 to 200).map(i => (i.toLong, "B")) ++
+      (201 to 220).map(i => (i.toLong, "C"))).toDF("doc_id", "grp")
+    val out = Export.mixtureSample(docs, "doc_id", "grp",
+      Map("A" -> 0.25, "B" -> 0.5))
+    // C is outside the target mix: dropped by the rate join
+    assert(out.filter(col("grp") === "C").count() == 0)
+    // B's rate caps at 1.0 -> everything kept
+    val b = out.filter(col("grp") === "B")
+    assert(b.count() == 100 && b.filter(!col("keep")).count() == 0)
+    // A's rate = 0.25 * 220 / 100 = 0.55; kept = docs whose md5 band < 140.8
+    val aKept = out.filter(col("grp") === "A" && col("keep"))
+      .select("doc_id").as[Long].collect().toSet
+    val wantKept = (1 to 100).map(_.toLong).filter { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).take(1).map("%02x".format(_)).mkString
+      Integer.parseInt(hex, 16) < 0.55 * 256.0
+    }.toSet
+    assert(aKept == wantKept)
+    // stable across runs
+    val again = Export.mixtureSample(docs, "doc_id", "grp",
+        Map("A" -> 0.25, "B" -> 0.5))
+      .filter(col("grp") === "A" && col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(again == aKept)
+  }
+}
