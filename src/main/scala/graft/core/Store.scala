@@ -81,15 +81,26 @@ object Store {
     * 128 MB–1 GB band — shard count itself stays fixed because consumers
     * key on it. Hash collisions between (shard, band) pairs can merge two
     * bands into one file, so a shard holds between 1 and filesPerShard
-    * files — never more. */
+    * files — never more.
+    *
+    * `shuffleOrder = true` additionally lays rows out in md5-of-key order
+    * inside each file — a deterministic pseudo-random training order with
+    * NO extra shuffle (sortWithinPartitions only; its [shard, md5] output
+    * ordering also satisfies the partitionBy writer's required [shard]
+    * ordering, so the writer skips its own sort). Epoch-stable: every
+    * re-export reproduces the identical order. */
   def writeShards(df: DataFrame, path: String, keyCol: String,
-                  nShards: Int, filesPerShard: Int = 1): Unit = {
+                  nShards: Int, filesPerShard: Int = 1,
+                  shuffleOrder: Boolean = false): Unit = {
     val key = col(keyCol).cast("string")
     val band = conv(substring(md5(key), 3, 2), 16, 10).cast(LongType) % filesPerShard
-    df.withColumn("shard", shardId(col(keyCol), nShards))
+    val sharded = df.withColumn("shard", shardId(col(keyCol), nShards))
       .withColumn("_band", band)
       .repartition(nShards * filesPerShard, col("shard"), col("_band"))
-      .drop("_band")
+    val ordered =
+      if (shuffleOrder) sharded.sortWithinPartitions(col("shard"), md5(key))
+      else sharded
+    ordered.drop("_band")
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
   }
 

@@ -28,14 +28,23 @@ object Export {
     * power of two so the floor-division is FP-exact on every engine.
     */
   def packAssignments(docs: DataFrame, keyCol: String, textCol: String,
-                      nShards: Int, budget: Int): DataFrame = {
+                      nShards: Int, budget: Int): DataFrame =
+    packByWeight(
+      docs.withColumn("n_tokens", size(split(col(textCol), " ")).cast("long")),
+      keyCol, "n_tokens", nShards, budget)
+      .select(col(keyCol), col("shard"), col("n_tokens"), col("pack"))
+
+  /** The general packing core: any non-negative long weight column —
+    * token counts for trainer sequences, payload bytes for inference
+    * micro-batches (Multimodal.batchForInference). Same scale shape as
+    * packAssignments (one shuffle on shard; per-shard running sum). */
+  def packByWeight(df: DataFrame, keyCol: String, weightCol: String,
+                   nShards: Int, budget: Long): DataFrame = {
     require(budget > 0 && (budget & (budget - 1)) == 0, s"budget must be a power of two, got $budget")
     val w = Window.partitionBy("shard").orderBy(keyCol)
-    docs.select(col(keyCol),
-        Store.shardId(col(keyCol), nShards).as("shard"),
-        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("pack", floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)))
+    df.withColumn("shard", Store.shardId(col(keyCol), nShards))
+      .withColumn("cum", sum(col(weightCol)).over(w))
+      .withColumn("pack", floor((col("cum") - col(weightCol)) / lit(budget.toDouble)))
       .drop("cum")
   }
 

@@ -81,6 +81,22 @@ object Multimodal {
           s"i -> substring(bytes, i * $frameBytes + 1, $frameBytes))")).as(Seq("frame_idx", "frame")))
   }
 
+  /** Plan GPU-inference micro-batches over variable-size payloads: batch
+    * membership is bounded by TOTAL BYTES (the real accelerator-memory
+    * constraint), not row count, via the same per-shard running-sum
+    * packing as trainer sequences (Export.packByWeight). Output adds
+    * (shard, batch) — repartitioning on them lands each micro-batch in
+    * one task, so the per-partition decoder in `featurize` sees exactly
+    * one batch's payloads at a time. Deterministic: a re-run after a
+    * failed inference job rebuilds identical batches. */
+  def batchForInference(media: DataFrame, byteBudget: Long,
+                        nShards: Int = 64): DataFrame =
+    graft.operators.Export.packByWeight(
+        media.withColumn("n_bytes",
+          coalesce(length(col("bytes")).cast(LongType), lit(0L))),
+        "media_id", "n_bytes", nShards, byteBudget)
+      .withColumnRenamed("pack", "batch")
+
   /** Read a directory of raw media files as (path, bytes, length) — the
     * binaryFile source is the ingestion edge for multimodal data. */
   def readBinaryDir(spark: SparkSession, path: String): DataFrame =

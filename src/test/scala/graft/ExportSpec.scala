@@ -38,6 +38,41 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("writeShards shuffleOrder lays rows out in md5 order inside each file") {
+    val dir = java.nio.file.Files.createTempDirectory("shuf").toFile.getAbsolutePath + "/t"
+    val docs = (1 to 500).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+    Store.writeShards(docs, dir, "doc_id", nShards = 4, shuffleOrder = true)
+    val shard0 = new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+      .head.listFiles().filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    // a single parquet file reads back as one ordered partition
+    val ids = spark.read.parquet(shard0).select("doc_id").as[Long].collect().toSeq
+    assert(ids.length > 10)
+    val md5Order = ids.sortBy(i => java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes).map("%02x".format(_)).mkString)
+    assert(ids == md5Order, "rows not in md5 pseudo-shuffle order")
+    assert(ids != ids.sorted, "md5 order degenerated to key order")
+  }
+
+  test("batchForInference bounds micro-batches by payload bytes, not rows") {
+    val media = (1 to 60).map { i =>
+      (i.toLong, "image", Array.fill[Byte](if (i % 3 == 0) 300 else 100)(i.toByte))
+    }.toDF("media_id", "kind", "bytes")
+    val b = graft.operators.Multimodal.batchForInference(media, byteBudget = 1024, nShards = 2)
+    // every batch STARTS under the budget boundary: within a shard the
+    // start offset of batch k is < (k+1)*budget by construction
+    val perBatch = b.groupBy("shard", "batch")
+      .agg(sum(col("n_bytes")).as("bytes"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(perBatch.nonEmpty)
+    // no batch except a single-oversized-row one exceeds budget + max row
+    assert(perBatch.forall { case (_, _, bytes, n) => bytes <= 1024 + 300 || n == 1 })
+    // batches are dense per shard and deterministic across runs
+    val again = graft.operators.Multimodal.batchForInference(media, 1024, 2)
+      .select("media_id", "batch").as[(Long, Long)].collect().toMap
+    val first = b.select("media_id", "batch").as[(Long, Long)].collect().toMap
+    assert(again == first)
+  }
+
   test("mixtureSample downsamples over-represented groups deterministically") {
     val docs = ((1 to 100).map(i => (i.toLong, "A")) ++
       (101 to 200).map(i => (i.toLong, "B")) ++

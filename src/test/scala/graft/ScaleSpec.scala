@@ -45,6 +45,40 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    import spark.implicits._
+    // one hot key carrying ~98% of the left side's bytes — the classic
+    // power-law shape (one viral user / one boilerplate domain). Thresholds
+    // scaled to fixture bytes; production defaults (256MB/partition) fire
+    // at real scale. Salting (Relational.saltedJoin) remains the static
+    // fallback when AQE is off or the skew is inside one key.
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      // per-row md5 payload: shuffle blocks are lz4-compressed, so a
+      // constant pad would compress the "skewed" partition under the
+      // detection threshold — skew is about BYTES, not rows
+      val left = spark.range(50100)
+        .select(when(col("id") < 50000, 0L).otherwise(col("id") - 49999).as("k"),
+          concat(md5(col("id").cast("string")),
+            md5((col("id") + 1).cast("string")),
+            md5((col("id") + 2).cast("string"))).as("payload"))
+      val right = (0L to 100L).toDF("k").withColumn("r", col("k") * 2)
+      // collect() (not count()) so THIS queryExecution is the one that
+      // runs — count() would build a separate, aggregate-shaped plan
+      val joined = left.join(right, "k")
+      assert(joined.collect().length == 50000 + 100)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$finalPlan")
+    }
+  }
+
   test("bucketed fact-fact join is co-located: no exchange, no sort") {
     // Bucketing pre-shuffles at WRITE time: both sides hash-bucketed on the
     // join key join with zero runtime exchanges — at 100 TB this converts
