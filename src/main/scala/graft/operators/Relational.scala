@@ -153,4 +153,32 @@ object Relational {
       explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Big-big range (interval) join as an EQUI join: each interval explodes
+    * into the fixed-width bands it covers, points key into the single band
+    * they fall in, and the band equi-join + residual BETWEEN filter
+    * replaces the nested-loop scan. A (point, interval) match surfaces
+    * exactly once — the interval's expansion contains the point's band
+    * exactly once — so no dedup pass is needed.
+    *
+    * Scale: BroadcastNestedLoopJoin (the default plan for a BETWEEN join)
+    * requires one side to fit in memory and compares every pair; banding
+    * shuffles both sides by band and hash-joins. Replication factor on the
+    * interval side is len/bandWidth + 1, so pick bandWidth near the
+    * typical interval length. Point and bound columns must be numeric
+    * (cast timestamps to epoch first).
+    */
+  def bandedRangeJoin(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, startCol: String, endCol: String,
+                      bandWidth: Long): DataFrame = {
+    require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
+    val p = points.withColumn("__band",
+      floor(col(pointCol) / lit(bandWidth)).cast("long"))
+    val iv = intervals.withColumn("__band",
+      explode(sequence(floor(col(startCol) / lit(bandWidth)).cast("long"),
+        floor(col(endCol) / lit(bandWidth)).cast("long"))))
+    p.join(iv, Seq("__band"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__band")
+  }
 }

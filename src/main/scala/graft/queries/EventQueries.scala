@@ -133,6 +133,45 @@ object EventQueries {
         .orderBy(col("label"))
     },
 
+    // The same interval bucketing as q_range_join, but through the banded
+    // EQUI-join rewrite (Relational.bandedRangeJoin) — the plan that
+    // survives when BOTH sides are big and BroadcastNestedLoopJoin can't
+    // hold the build side. Bands are 256-day epoch windows (near the
+    // interval lengths, so each interval expands into ≤ 5 band rows).
+    // Same oracle as q_range_join: the rewrite must be result-invisible.
+    QueryDef(
+      "q_range_join_banded",
+      "interval bucketing via banded equi-join rewrite (big-big capable range join)",
+      """WITH ranges(start_d, end_d, label) AS (VALUES
+           (TIMESTAMP '1995-01-01 00:00:00', TIMESTAMP '1996-12-31 00:00:00', 'early'),
+           (TIMESTAMP '1997-01-01 00:00:00', TIMESTAMP '1998-12-31 00:00:00', 'mid'),
+           (TIMESTAMP '1999-01-01 00:00:00', TIMESTAMP '2001-12-31 00:00:00', 'late'))
+         SELECT label, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(FLOOR((o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_price
+         FROM orders JOIN ranges ON o_orderdate BETWEEN start_d AND end_d
+         GROUP BY label ORDER BY label""") { (s, dir) =>
+      import org.apache.spark.sql.types.TimestampType
+      val ranges = s.createDataFrame(Seq(
+        ("1995-01-01 00:00:00", "1996-12-31 00:00:00", "early"),
+        ("1997-01-01 00:00:00", "1998-12-31 00:00:00", "mid"),
+        ("1999-01-01 00:00:00", "2001-12-31 00:00:00", "late")))
+        .toDF("start_s", "end_s", "label")
+        .select(col("start_s").cast(TimestampType).as("start_d"),
+                col("end_s").cast(TimestampType).as("end_d"), col("label"))
+        .withColumn("start_e", col("start_d").cast("long"))
+        .withColumn("end_e", col("end_d").cast("long"))
+      // o_orderdate is TIMESTAMP_NTZ: no direct long cast — go through
+      // TimestampType (session TZ pinned UTC, so the mapping is identity)
+      val orders = t(s, dir, "orders")
+        .withColumn("o_epoch", col("o_orderdate").cast(TimestampType).cast("long"))
+      graft.operators.Relational
+        .bandedRangeJoin(orders, ranges, "o_epoch", "start_e", "end_e",
+          bandWidth = 256L * 86400)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("label"))
+    },
+
     // Outlier flagging: z-score per event type from quantized mean/std —
     // sqrt/div are single IEEE ops over deterministic inputs.
     QueryDef(

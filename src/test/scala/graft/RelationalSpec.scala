@@ -61,6 +61,28 @@ class RelationalSpec extends SparkSpec {
       plain.orderBy("row_id").collect().toSeq)
   }
 
+  test("bandedRangeJoin equals the nested-loop range join, without a nested loop") {
+    // intervals shorter than, equal to, and spanning multiple bands;
+    // boundary points land exactly on starts/ends (BETWEEN is inclusive)
+    val points = (0L to 400L).map(p => (p, s"p$p")).toDF("x", "pv")
+    val intervals = Seq(
+      (0L, 9L, "tiny"), (10L, 10L, "degenerate"), (50L, 149L, "one-band"),
+      (100L, 399L, "spanning"), (395L, 500L, "tail"), (401L, 500L, "empty"))
+      .toDF("s", "e", "label")
+    val naive = points.join(intervals, col("x") >= col("s") && col("x") <= col("e"))
+      .select("x", "label")
+    val banded = Relational.bandedRangeJoin(points, intervals, "x", "s", "e", bandWidth = 100)
+      .select("x", "label")
+    assert(banded.orderBy("x", "label").collect().toSeq ==
+      naive.orderBy("x", "label").collect().toSeq)
+    // the rewrite's point: an EQUI join plan, not a nested-loop scan
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"banded range join fell back to a pair scan:\n$plan")
+    // and each match surfaced exactly once (no band-overlap duplicates)
+    assert(banded.count() == banded.distinct().count())
+  }
+
   test("argmaxPerGroup picks the deterministic winner") {
     val df = Seq((1, "x", 5.0), (1, "y", 5.0), (2, "z", 1.0)).toDF("g", "v", "s")
     val got = Relational.argmaxPerGroup(df, Seq("g"), Seq(desc("s"), col("v")))
