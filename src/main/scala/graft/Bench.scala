@@ -3,6 +3,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Measurement protocol (see BASELINE.md): warmup pass, then N measured
+    // passes per query, min-of-N. Single unwarmed runs on a shared VM are
+    // contention noise, not signal — rounds 1-3 driver totals all were.
+    val minOf = args.sliding(2).collectFirst { case Array("--min-of", n) => n.toInt }
+      .orElse(sys.env.get("SPARK_GRAFT_MIN_OF").map(_.toInt))
+      .getOrElse(2)
+    require(minOf >= 1, s"--min-of must be >= 1, got $minOf")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -45,7 +52,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timed(name, fn), timed(name, fn))
+      name -> (1 to minOf).map(_ => timed(name, fn)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

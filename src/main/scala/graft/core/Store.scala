@@ -59,18 +59,26 @@ object Store {
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
-  /** Deterministic hash-shard id in [0, nShards): first two md5 hex chars
-    * of the key → 0..255 → mod nShards. A pure function of the key, so
-    * re-running an export — or extending the corpus incrementally — never
-    * reassigns an existing key's shard; downstream training jobs can rely
-    * on shard membership being stable across runs. All codegen'd builtins
-    * (md5/substring/conv), no UDF. nShards ≤ 256 keeps the two-hex-char
-    * band unbiased (256 % nShards buckets get one extra 1/256 band; at
-    * ≤256 shards the imbalance is ≤ one band, drowned by hash variance).
+  /** Deterministic hash-shard id in [0, nShards): a leading md5 hex slice
+    * of the key → mod nShards. A pure function of the key, so re-running
+    * an export — or extending the corpus incrementally — never reassigns
+    * an existing key's shard; downstream training jobs can rely on shard
+    * membership being stable across runs. All codegen'd builtins
+    * (md5/substring/conv), no UDF.
+    *
+    * Two-level band width: nShards ≤ 256 reads TWO hex chars (the
+    * historical layout — existing shard assignments never move), larger
+    * nShards reads FOUR (0..65535), lifting the ceiling to 256² = 65536.
+    * That is the parallelism ceiling of every per-shard sequential scan
+    * built on this id (Export.packByWeight's running-sum window): at
+    * 100 TB, 65536 shards ≈ 1.5 GB/shard — single-task-sized. Bias: the
+    * band space % nShards residue buckets get one extra 1/2^(8·level)
+    * band — ≤ one band either way, drowned by hash variance.
     */
   def shardId(key: Column, nShards: Int): Column = {
-    require(nShards >= 1 && nShards <= 256, s"nShards must be in [1,256], got $nShards")
-    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast(LongType) % nShards
+    require(nShards >= 1 && nShards <= 65536, s"nShards must be in [1,65536], got $nShards")
+    val width = if (nShards <= 256) 2 else 4
+    conv(substring(md5(key.cast("string")), 1, width), 16, 10).cast(LongType) % nShards
   }
 
   /** Export into `nShards` hash shards of ~`filesPerShard` parquet files

@@ -314,6 +314,12 @@ object Dedup {
       .transform(graft.core.Materialize.pin)
     var iter = 0
     var converged = false
+    // Convergence is tested against the labels from the LAST CHECK, every
+    // other round: labels only ever decrease, so "unchanged across two
+    // rounds" ⇔ "unchanged in each" — same fixpoint, half the
+    // driver-blocking count() jobs (each check is a full Spark job whose
+    // only output is one number).
+    var atLastCheck = labels
     while (iter < maxIter && !converged) {
       // each doc takes min(own label, neighbors' labels)
       val viaNeighbors = edges
@@ -331,11 +337,14 @@ object Dedup {
         .select(col("doc_id"),
           least(col("component"), coalesce(col("__cc"), col("component"))).as("component"))
         .transform(graft.core.Materialize.pin)
-      val changes = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
-        .filter(col("component") =!= col("old")).count()
       labels = next
-      converged = changes == 0
       iter += 1
+      if (iter % 2 == 0 || iter == maxIter) {
+        val changes = next.join(atLastCheck.withColumnRenamed("component", "old"), "doc_id")
+          .filter(col("component") =!= col("old")).count()
+        converged = changes == 0
+        atLastCheck = next
+      }
     }
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass)

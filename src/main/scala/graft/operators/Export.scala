@@ -23,7 +23,8 @@ object Export {
     *
     * Scale shape: ONE shuffle, on shard. The running sum is sequential
     * per shard, so parallelism = nShards — at 100 TB you raise nShards
-    * (Store.shardId supports up to 256; compose bands for more) and packs
+    * (Store.shardId supports up to 65536 via its two-level hex band, so
+    * the per-shard sequential scan stays single-task-sized) and packs
     * stay independent across shards by construction. `budget` must be a
     * power of two so the floor-division is FP-exact on every engine.
     */

@@ -177,9 +177,20 @@ object Similarity {
     * id_a < id_b and cosine >= minCosine. Recall is bounded by the cell
     * partition (a true near-dup pair split across a cell boundary is
     * missed — the SemDeDup trade; lshNeighborPairs is the
-    * boundary-insensitive alternative). */
+    * boundary-insensitive alternative).
+    *
+    * `maxCell` (off by default — recall-exact, matches the oracle) guards
+    * the quadratic hot cell: the within-cell self-join is m²/2 pairs per
+    * cell, and seeds are the first nCells vectors by id, so a clustered
+    * corpus can drop a large fraction of vectors into ONE cell. Over-cap
+    * cells are dropped whole (the same skew guard as
+    * Dedup.simhashNearDups.maxBucket). Recall trade: pairs inside a
+    * dropped cell are lost — but a cell that dense is exactly the one
+    * whose pairs are redundant for dedup purposes (any member stands in
+    * for the cluster); raise nCells or pre-split with kmeansAssign when
+    * that recall matters. */
   def semanticNearDups(df: DataFrame, idCol: String, vecCol: String,
-                       nCells: Int, minCosine: Double): DataFrame = {
+                       nCells: Int, minCosine: Double, maxCell: Int = 0): DataFrame = {
     val vecs = graft.core.Tables.ensureParallelism(df)
       .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v"))
     val cent = vecs.filter(col("vid") < nCells)
@@ -187,11 +198,19 @@ object Similarity {
     // argmin cell per vector as a partial-agg min over (d2, cc) structs;
     // the vector itself rides the aggregation (constant per vid), so the
     // assignment needs no join back against the input
-    val cv = vecs.crossJoin(broadcast(cent))
+    val cv0 = vecs.crossJoin(broadcast(cent))
       .select(col("vid"), col("v"), col("cc"), ql2(col("v"), col("cv")).as("d2"))
       .groupBy("vid")
       .agg(min(struct(col("d2"), col("cc"))).as("m"), first(col("v")).as("v"))
       .select(col("vid"), col("m.cc").as("cell"), col("v"))
+    // hot-cell guard: the cell-count aggregate is one row per cell (tiny,
+    // broadcasts); the anti join is map-side, so the guard costs one extra
+    // pass over the assignments and nothing quadratic ever forms
+    val cv = if (maxCell > 0) {
+      val hot = cv0.groupBy("cell").agg(count(lit(1)).as("__m"))
+        .filter(col("__m") > maxCell).select("cell")
+      cv0.join(broadcast(hot), Seq("cell"), "left_anti")
+    } else cv0
     cv.as("a").join(cv.as("b"),
         col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),

@@ -31,6 +31,32 @@ class ExportSpec extends SparkSpec {
     assert(a.filter(col("shard") =!= Store.shardId(col("doc_id"), 8)).count() == 0)
   }
 
+  test("packByWeight parallelism scales past 256 shards with stable pack ids") {
+    // the old Store.shardId cap made 256 the packing parallelism ceiling;
+    // the two-level (4-hex-char) band lifts it to 65536 — same pure
+    // function of the key, so pack ids are stable across re-runs
+    val docs = (1 to 4000).map(i => (i.toLong, "w " * 9 + "w")).toDF("doc_id", "text")
+    val a = Export.packAssignments(docs, "doc_id", "text", nShards = 1024, budget = 64)
+    val assigned = a.select("doc_id", "shard", "pack")
+      .as[(Long, Long, Long)].collect()
+    val nShardsSeen = assigned.map(_._2).distinct.length
+    assert(nShardsSeen > 256, s"only $nShardsSeen effective shards — ceiling not lifted")
+    assert(assigned.forall { case (_, sh, _) => sh >= 0 && sh < 1024 })
+    // shard = first FOUR md5 hex chars % nShards for nShards > 256
+    assigned.foreach { case (id, sh, _) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).take(2).map("%02x".format(_)).mkString
+      assert(sh == Integer.parseInt(hex, 16) % 1024, s"doc $id shard mismatch")
+    }
+    // byte-identical re-run (pack assignment is a pure function of the keys)
+    val again = Export.packAssignments(docs, "doc_id", "text", nShards = 1024, budget = 64)
+      .select("doc_id", "shard", "pack").as[(Long, Long, Long)].collect()
+    assert(again.toSet == assigned.toSet)
+    // the <= 256 layout is untouched: two-hex-char band as before
+    assert(docs.filter(Store.shardId(col("doc_id"), 8) =!=
+      Store.shardId(col("doc_id"), 256) % 8).count() == 0)
+  }
+
   test("packAssignments rejects non-power-of-two budgets") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -134,6 +134,30 @@ class SimilaritySpec extends SparkSpec {
     assert(kept == emb.count() - dropped.size)
   }
 
+  test("semanticNearDups maxCell guard drops the quadratic hot cell only") {
+    // planted skew: seeds are vids 0 (→ cell around (1,0)) and 1 (→ cell
+    // around (0,1)); vids 2..41 all cluster on (1,0) making cell 0 hot
+    // (41 members → m²/2 ≈ 800 candidate pairs), vids 42-43 sit with seed
+    // 1 in a 3-member cell
+    val hot = (2 to 41).map(i => (i.toLong, Array(1.0f, i * 1e-4f)))
+    val cold = Seq((42L, Array(0.01f, 1.0f)), (43L, Array(0.02f, 1.0f)))
+    val df = (Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f))) ++ hot ++ cold)
+      .toDF("vec_id", "embedding")
+    val unguarded = Similarity.semanticNearDups(df, "vec_id", "embedding",
+      nCells = 2, minCosine = 0.9)
+    assert(unguarded.filter(col("cell") === 0).count() > 100,
+      "fixture failed to make cell 0 quadratic")
+    val guarded = Similarity.semanticNearDups(df, "vec_id", "embedding",
+      nCells = 2, minCosine = 0.9, maxCell = 10)
+      .select("id_a", "id_b", "cell").as[(Long, Long, Long)].collect()
+    // the hot cell is dropped whole; the small cell's pairs survive intact
+    assert(guarded.forall(_._3 == 1L), "over-cap cell 0 leaked pairs")
+    assert(guarded.length <= 3) // 3-member cell -> at most 3 pairs
+    assert(guarded.map(p => (p._1, p._2)).toSet ==
+      unguarded.filter(col("cell") === 1).select("id_a", "id_b")
+        .as[(Long, Long)].collect().toSet)
+  }
+
   test("signLshBuckets puts identical vectors in the same bucket") {
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)),
                  (3L, Array(-5.0f, 1.0f, -2.0f)))
