@@ -366,27 +366,43 @@ object Dedup {
     signatures.select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
   }
 
+  /** (doc_id, band) signing of a document batch — the rows a production
+    * pipeline PERSISTS as its incremental band index (map-only signatures,
+    * numBands rows per doc). */
+  def signBands(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                numHashes: Int, bandSize: Int, dfCap: Int = 0): DataFrame =
+    bandTable(minhashSignatures(shingleRows(docs, idCol, textCol, k), numHashes, dfCap),
+      numHashes, bandSize)
+
   /** Incremental near-dup detection: find near-dups of `newDocs` against a
     * PREVIOUSLY SIGNED corpus plus themselves, touching only the new
     * batch's text. At 100 TB this is the production shape — a daily
     * increment probes the stored band index in O(|batch|), instead of
     * re-shingling the historical corpus per run.
     *
-    * `corpusBands` is bandTable(minhashSignatures(corpus...)) persisted by
-    * an earlier run (same numHashes/bandSize, and the same dfCap policy if
-    * any); `corpusDocs` supplies text ONLY for the candidate slice (a
+    * `corpusBands` is signBands(corpus...) persisted by an earlier run
+    * (same numHashes/bandSize, and the same dfCap policy if any);
+    * `corpusDocs` supplies text ONLY for the candidate slice (a
     * point-lookup-shaped semi-join, not a scan-everything).
     * Returns (doc_a, doc_b, jaccard) where at least one side is new.
     */
   def incrementalNearDups(newDocs: DataFrame, corpusDocs: DataFrame,
                           corpusBands: DataFrame, idCol: String, textCol: String,
                           k: Int, numHashes: Int, bandSize: Int,
-                          threshold: Double, dfCap: Int = 0): DataFrame = {
+                          threshold: Double, dfCap: Int = 0): DataFrame =
     // dfCap applies BATCH-locally (document frequency within newDocs);
     // use the same cap policy the stored corpus bands were built with
-    val newBands = bandTable(
-      minhashSignatures(shingleRows(newDocs, idCol, textCol, k), numHashes, dfCap),
-      numHashes, bandSize)
+    incrementalNearDupsFromBands(
+      signBands(newDocs, idCol, textCol, k, numHashes, bandSize, dfCap),
+      newDocs, corpusDocs, corpusBands, idCol, textCol, k, threshold)
+
+  /** The probe half of incrementalNearDups, for callers that sign the
+    * batch once and reuse the bands (the streaming sink persists them into
+    * the index AND probes with them — one signing, two uses). */
+  def incrementalNearDupsFromBands(newBands: DataFrame, newDocs: DataFrame,
+                                   corpusDocs: DataFrame, corpusBands: DataFrame,
+                                   idCol: String, textCol: String,
+                                   k: Int, threshold: Double): DataFrame = {
     val allBands = corpusBands.unionByName(newBands)
     // probe: every candidate pair involves >= 1 new doc (new x corpus and
     // new x new); corpus x corpus pairs were already found when those

@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus partition-batched feature extraction.
   *
   * The Spark-side shape is real (schema, partitioning, batch iteration,
-  * output contract); the media DECODE itself is a clearly-marked STUB — a
-  * deterministic fake standing in for the codec libraries this container
-  * does not ship (in PySpark the same seam is a Pandas UDF under
-  * `mapInPandas`; in Scala the per-partition iterator below is the
-  * equivalent batch boundary: one decoder init per partition, streaming
-  * row batches through it).
+  * output contract). IMAGE decode is real too: the JDK ships
+  * `javax.imageio` (PNG/BMP/GIF/JPEG), so `kind = "image"` payloads
+  * decode to true width/height/pixel features with no external codec.
+  * AUDIO/VIDEO decode remains a clearly-marked STUB — a deterministic
+  * fake standing in for codec libraries this container does not ship (in
+  * PySpark the same seam is a Pandas UDF under `mapInPandas`; in Scala
+  * the per-partition iterator below is the equivalent batch boundary: one
+  * decoder init per partition, streaming row batches through it).
   */
 object Multimodal {
 
@@ -32,13 +34,67 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                                  features: Array[Float])
 
-  /** STUB decoder: a real implementation would hand `bytes` to an image/
-    * audio codec and pool model features. This deterministic fake derives
-    * `dim` floats from the payload so the plumbing (schema, batching,
-    * ordering, null-safety) is testable end-to-end.
+  /** Real image decode via the JDK's `javax.imageio` (PNG/BMP/GIF/JPEG —
+    * no external codec). Feature layout in `dim` floats:
+    *
+    *   [0] width   [1] height   [2..4] mean R/G/B in [0,1]
+    *   [5..dim)    mean luma ((r+g+b)/3/255) per equal-width column
+    *               stripe — a coarse spatial profile (stripes beyond the
+    *               image width stay 0)
+    *
+    * One pass over the pixels; integer accumulation, so the result is
+    * bit-deterministic. Returns None when the payload is not a decodable
+    * image — the caller falls back to the deterministic stub, keeping the
+    * plumbing contract intact for synthetic fixtures. */
+  private[graft] def decodeImage(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    val nStripes = math.max(dim - 5, 0)
+    val stripeSum = new Array[Long](math.max(nStripes, 1))
+    val stripeN = new Array[Long](math.max(nStripes, 1))
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        if (nStripes > 0) {
+          val s = math.min(x * nStripes / w, nStripes - 1)
+          stripeSum(s) += r + g + b
+          stripeN(s) += 3
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Float](dim)
+    def put(i: Int, v: Float): Unit = if (i < dim) out(i) = v
+    put(0, w.toFloat); put(1, h.toFloat)
+    val n = w.toLong * h * 255L
+    if (n > 0) { put(2, sr.toFloat / n); put(3, sg.toFloat / n); put(4, sb.toFloat / n) }
+    var s = 0
+    while (s < nStripes) {
+      if (stripeN(s) > 0) put(5 + s, stripeSum(s).toFloat / (stripeN(s) * 255L))
+      s += 1
+    }
+    Some(out)
+  }
+
+  /** STUB decoder for AUDIO/VIDEO (and undecodable image payloads): a real
+    * implementation would hand `bytes` to a codec and pool model features.
+    * This deterministic fake derives `dim` floats from the payload so the
+    * plumbing (schema, batching, ordering, null-safety) is testable
+    * end-to-end.
     */
-  private[operators] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real codec goes here; deterministic fake below.
+  private[graft] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    // ??? <- real audio/video codec goes here; deterministic fake below.
     val out = new Array[Float](dim)
     if (bytes != null && bytes.nonEmpty) {
       var i = 0
@@ -52,17 +108,23 @@ object Multimodal {
 
   /** Partition-batched feature extraction: one "decoder" per partition
     * (expensive init amortized across the partition's rows), rows stream
-    * through without materializing the partition. Returns a typed Dataset
+    * through without materializing the partition. Images decode for real
+    * (javax.imageio); audio/video (and image payloads no installed reader
+    * accepts) fall back to the deterministic stub. Returns a typed Dataset
     * ready to join back on media_id.
     */
   def featurize(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // decoder/session init would happen HERE, once per partition
+      // (ImageIO reader instances are per-call; heavier codecs cache here)
       rows.map { r =>
+        val feats =
+          if (r.kind == "image") decodeImage(r.bytes, dim).getOrElse(decodeStub(r.bytes, dim))
+          else decodeStub(r.bytes, dim)
         MediaFeatures(r.media_id, r.kind,
           if (r.bytes == null) 0L else r.bytes.length.toLong,
-          decodeStub(r.bytes, dim))
+          feats)
       }
     }
   }

@@ -282,6 +282,55 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // Incremental dedup, oracle-hardened: the Spark side signs the corpus
+    // (doc_id % 4 != 0) SEPARATELY — exactly the band index a previous
+    // ingest run would have persisted — and probes it with the batch
+    // (doc_id % 4 == 0). The oracle recomputes near-dups FROM SCRATCH over
+    // corpus+batch and keeps pairs touching the batch. With no df cap a
+    // MinHash signature is a pure per-document function, so the
+    // incremental probe provably equals the from-scratch batch run — the
+    // hash-match IS that proof. (At 100 TB this equivalence is the whole
+    // point: a daily increment costs O(|batch|), not O(|corpus|).)
+    QueryDef(
+      "q_dedup_incremental",
+      "incremental MinHash-LSH dedup: batch (doc_id%4=0) probes the separately-signed corpus band index; oracle recomputes from scratch over the union",
+      s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+          ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          rex AS (SELECT doc_id, md5(g) AS h1, md5('x:' || g) AS h2 FROM ex),
+          sig AS (
+            SELECT doc_id,
+                   ${(0 until 8).map { h =>
+                     val src = if (h < 4) "h1" else "h2"
+                     s"MIN(substr($src, ${(h % 4) * 8 + 1}, 8)) AS sig_$h"
+                   }.mkString(", ")}
+            FROM rex GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, unnest([${(0 until 4).map(b => s"'$b' || ':' || sig_${2 * b} || ':' || sig_${2 * b + 1}").mkString(", ")}]) AS band
+            FROM sig),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+            WHERE a.doc_id % 4 = 0 OR b.doc_id % 4 = 0),
+          verified AS (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(sa.sh, sb.sh))
+                     / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+            FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b)
+          SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
+          ORDER BY doc_a, doc_b""") { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+      // the "persisted index": corpus bands computed independently of the
+      // batch, as the previous ingest run would have left them
+      val corpusBands = Dedup.bandTable(
+        Dedup.minhashSignatures(Dedup.shingleRows(corpus, "doc_id", "text", 9), 8),
+        numHashes = 8, bandSize = 2)
+      Dedup.incrementalNearDups(batch, corpus, corpusBands, "doc_id", "text",
+          k = 9, numHashes = 8, bandSize = 2, threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     QueryDef(
       "q_dedup_simhash",
       "SimHash near-dup pairs via 16-bit pigeonhole banding (hamming <= 3)",

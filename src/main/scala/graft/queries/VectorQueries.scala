@@ -148,6 +148,56 @@ object VectorQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // PQ ADC (Jegou/Douze/Schmid TPAMI'11): the query trains the codebook
+    // and encodes the corpus (deterministic quantized k-means), PERSISTS
+    // both to parquet, then scores with the asymmetric distance
+    // computation READING BACK the persisted artifacts — so the result
+    // provably derives from them. The oracle takes the same parquet as
+    // given and independently recomputes the whole scoring path (query
+    // distance table, code lookup, quantized sums, ranking): the
+    // engine-portable ADC math is hash-checked end-to-end. Path embeds
+    // the sf dir name; the correctness gate always runs at sf0.01.
+    QueryDef(
+      "q_pq_adc",
+      "product-quantization ANN: m=8/ksub=16 codebook + codes persisted to parquet; ADC top-10 recomputed by the oracle from the same artifacts",
+      s"""WITH cb AS (SELECT sub, cc, cv FROM read_parquet('/tmp/graft_pq/sf0.01/codebook/*.parquet')),
+          cx AS (
+            SELECT vid, r.sub AS sub, r.cc AS cc FROM (
+              SELECT vid, unnest(list_transform(range(1, len(codes) + 1), i -> {'sub': i - 1, 'cc': codes[i]})) AS r
+              FROM read_parquet('/tmp/graft_pq/sf0.01/codes/*.parquet'))),
+          qsub AS (
+            SELECT vec_id AS qid, r.sub AS sub, r.sv AS sv FROM (
+              SELECT vec_id, unnest(list_transform(range(0, 8),
+                s -> {'sub': s, 'sv': list_transform(embedding[s * 8 + 1 : s * 8 + 8], x -> CAST(x AS DOUBLE))})) AS r
+              FROM embeddings WHERE vec_id < 5)),
+          tbl AS (
+            SELECT qid, sub, cc,
+                   CAST(list_sum(list_transform(range(1, len(sv) + 1),
+                     i -> CAST(FLOOR(((sv[i] - cv[i]) * (sv[i] - cv[i])) * 1000000000000.0 + 0.5) AS BIGINT))) AS BIGINT) / 1000000000000.0 AS d2
+            FROM qsub JOIN cb USING (sub)),
+          ad AS (
+            SELECT t.qid, x.vid AS cid,
+                   CAST(SUM(CAST(FLOOR(t.d2 * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS adist
+            FROM cx x JOIN tbl t ON t.sub = x.sub AND t.cc = x.cc
+            WHERE t.qid <> x.vid
+            GROUP BY 1, 2)
+          SELECT qid, cid, adist, rank FROM (
+            SELECT qid, cid, adist,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS INT) AS rank
+            FROM ad) WHERE rank <= 10 ORDER BY qid, rank""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val base = s"/tmp/graft_pq/${new java.io.File(dir).getName}"
+      Similarity.pqCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+        .write.mode("overwrite").parquet(s"$base/codebook")
+      val codebook = s.read.parquet(s"$base/codebook")
+      Similarity.pqEncode(emb, "vec_id", "embedding", codebook, m = 8)
+        .write.mode("overwrite").parquet(s"$base/codes")
+      val codes = s.read.parquet(s"$base/codes")
+      Similarity.pqTopK(codes, emb.filter(col("vec_id") < 5), codebook,
+          "vec_id", "embedding", m = 8, k = 10)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // SemDeDup (Abbas et al. 2023): coarse-quantizer cells bound the pair
     // space, within-cell quantized cosine verifies, lowest-id wins. The
     // query emits the DROPPED vectors — the side semanticDedup removes.

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.core.Graft
-import graft.operators.{Audit, MarvelTransform, Relational}
+import graft.operators.{Audit, CorpusPipeline, Export, MarvelTransform, Relational}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -34,7 +34,9 @@ object EtlCli {
     case Seq("quality", wh)        => quality(spark, wh).show(truncate = false)
     case Seq("stats", wh)          => stats(spark, wh, 10).show(truncate = false)
     case Seq("stats", wh, top)     => stats(spark, wh, top.toInt).show(truncate = false)
-    case other => sys.error(s"usage: init|ingest|quality|stats ... (got $other)")
+    case Seq("export", wh, docs, eval)     => export(spark, wh, docs, eval)
+    case Seq("export", wh, docs, eval, n)  => export(spark, wh, docs, eval, n.toInt)
+    case other => sys.error(s"usage: init|ingest|quality|stats|export ... (got $other)")
   }
 
   private def issuesPath(wh: String)  = s"$wh/issue"
@@ -95,6 +97,50 @@ object EtlCli {
       val newLinks = credits.select("marvel_comic_id", "creator_name", "role").distinct()
         .join(existingBridge, Seq("marvel_comic_id", "creator_name", "role"), "left_anti")
       writeBack(existingBridge.unionByName(newLinks), bridgePath(wh))
+    }
+
+  /** Training-data EXPORT: the full corpus pipeline composed end-to-end on
+    * the versioned warehouse —
+    *
+    *   CorpusPipeline.clean (quality gates → exact dedup → LSH near-dup →
+    *   decontaminate) → Export.mixtureSample (uniform target share per
+    *   source) → Export.packAssignments → Store.writeShards into
+    *   `wh`/export under the same atomic commit protocol as the ETL
+    *   tables, with read/loaded counters observed into the etl_run audit
+    *   row.
+    *
+    * Everything downstream of the scan is deterministic (hash bands, no
+    * RNG, md5 pseudo-shuffle row order inside each shard file), so a
+    * re-run commits a byte-identical next version — asserted in
+    * EtlCliSpec. Failure anywhere leaves the previous export version live.
+    */
+  def export(spark: SparkSession, wh: String, docsPath: String, evalPath: String,
+             nShards: Int = 8, budget: Int = 2048): Audit.EtlRun =
+    Audit.audited(spark, "export", s"$wh/etl_run") { (readObs, loadObs) =>
+      val docs = Audit.observed(spark.read.parquet(docsPath), readObs)
+      val evalDocs = spark.read.parquet(evalPath)
+      // pin: the cleaned slice feeds the source census, both mixture scans,
+      // and the packing join — without it the LSH dedup tower would re-run
+      // per consumer
+      val cleaned = CorpusPipeline.clean(docs, evalDocs, "doc_id", "text",
+          CorpusPipeline.Config(chunkLen = 0))
+        .transform(graft.core.Materialize.pin)
+      // uniform target share per surviving source: "balance the mixture".
+      // The census is config-sized (distinct sources), not a data collect.
+      val sources = cleaned.select("source").distinct()
+        .collect().map(_.getString(0)).sorted
+      val targets = sources.map(_ -> 1.0 / sources.length).toMap
+      val mixed = Export.mixtureSample(cleaned, "doc_id", "source", targets)
+        .filter(col("keep"))
+        .select(cleaned.columns.map(col): _*)
+      val packed = Export.packAssignments(mixed, "doc_id", "text", nShards, budget)
+      val out = mixed.join(packed.select("doc_id", "n_tokens", "pack"), "doc_id")
+      val loaded = Audit.observed(out, loadObs)
+      val path = s"$wh/export"
+      val next = committedVersion(spark, path).getOrElse(0L) + 1
+      graft.core.Store.writeShards(loaded, s"$path/data_v$next", "doc_id",
+        nShards, shuffleOrder = true)
+      commit(spark, path, next)
     }
 
   // ---- versioned table layout -------------------------------------------

@@ -58,6 +58,56 @@ class EtlCliSpec extends SparkSpec {
     assert(issueDir.list().count(_.startsWith("_committed_v")) == 1)
   }
 
+  test("export: clean -> mixture -> pack -> shards end-to-end; re-run is byte-identical") {
+    import org.apache.spark.sql.functions.col
+    val wh = Files.createTempDirectory("etlexport").toFile.getAbsolutePath
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    // held-out eval slice: doc_id < 5 — any surviving doc sharing a 4-gram
+    // with these must be decontaminated away (including themselves)
+    val eval = s"$wh/eval.parquet"
+    spark.read.parquet(docs).filter(col("doc_id") < 5).write.parquet(eval)
+
+    val run1 = EtlCli.export(spark, wh, docs, eval, nShards = 4, budget = 2048)
+    assert(run1.status == "SUCCESS" && run1.records_read == 500)
+    val t1 = EtlCli.readTable(spark, s"$wh/export")
+    val n1 = t1.count()
+    assert(n1 > 0, "export produced no rows — pipeline config filtered everything")
+    assert(run1.records_loaded == n1)
+    assert(t1.columns.toSet ==
+      Set("doc_id", "text", "lang", "source", "n_chars", "n_tokens", "pack", "shard"))
+    assert(t1.filter(col("doc_id") < 5).count() == 0, "eval docs not decontaminated")
+    // shard dirs match Store.shardId, packs respect the budget start rule
+    assert(t1.filter(col("shard") =!= graft.core.Store.shardId(col("doc_id"), 4)).count() == 0)
+
+    // per-shard content hashes (file NAMES carry job UUIDs; content must not)
+    def shardHashes(path: String): Map[String, Seq[String]] = {
+      val vdir = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("data_v")).head
+      vdir.listFiles().filter(_.getName.startsWith("shard=")).map { sh =>
+        val md5s = sh.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+        }.toSeq.sorted
+        sh.getName -> md5s
+      }.toMap
+    }
+    val h1 = shardHashes(s"$wh/export")
+    assert(h1.nonEmpty)
+
+    val run2 = EtlCli.export(spark, wh, docs, eval, nShards = 4, budget = 2048)
+    assert(run2.status == "SUCCESS")
+    val h2 = shardHashes(s"$wh/export")
+    assert(h1 == h2, "re-run export is not byte-identical")
+    // versioned: the re-run committed a NEW version and pruned the old
+    val names = new java.io.File(s"$wh/export").list().toSeq
+    assert(names.count(_.startsWith("data_v")) == 1)
+    assert(names.contains("_committed_v2"))
+    // both runs audited
+    assert(spark.read.parquet(s"$wh/etl_run")
+      .filter(col("source_system") === "export").count() == 2)
+  }
+
   test("compact rewrites many small files into few, contents unchanged") {
     import spark.implicits._
     val wh = Files.createTempDirectory("etlcompact").toFile.getAbsolutePath

@@ -24,6 +24,44 @@ class MultimodalSpec extends SparkSpec {
     assert(got.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
 
+  private def encode(fmt: String): Array[Byte] = {
+    // 2x2 image: top row red, bottom row blue
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0xff0000)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0x0000ff)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no $fmt writer in JDK")
+    baos.toByteArray
+  }
+
+  test("featurize decodes real PNG and BMP payloads via javax.imageio") {
+    val rows = Seq(
+      MediaRow(1L, "image", encode("png")),
+      MediaRow(2L, "image", encode("bmp")),
+      MediaRow(3L, "image", Array[Byte](1, 2, 3)),     // not an image -> stub
+      MediaRow(4L, "audio", Array[Byte](1, 2, 3))      // audio stays stubbed
+    ).toDS()
+    val got = Multimodal.featurize(rows, dim = 8).collect()
+      .map(f => f.media_id -> f.features).toMap
+    for (id <- Seq(1L, 2L)) {
+      val f = got(id)
+      assert(f(0) == 2.0f && f(1) == 2.0f, s"wrong dims for $id: ${f.toSeq}")
+      // 2 red + 2 blue pixels: mean R = mean B = 0.5, mean G = 0
+      assert(f(2) == 0.5f && f(3) == 0.0f && f(4) == 0.5f, s"wrong RGB for $id: ${f.toSeq}")
+      // column-stripe luma profile: 3 stripes over width 2 -> stripes 0,1
+      // hold mean (255+0+0)/3/255 = 1/3, stripe 2 is empty
+      assert(math.abs(f(5) - 1f / 3) < 1e-6 && math.abs(f(6) - 1f / 3) < 1e-6)
+      assert(f(7) == 0.0f)
+    }
+    // PNG and BMP decode to the same pixels -> identical features
+    assert(got(1L).toSeq == got(2L).toSeq)
+    // undecodable image payload falls back to the same stub as audio
+    assert(got(3L).toSeq == got(4L).toSeq)
+    val b0 = (1 - 128) / 128.0f // stub formula on first payload byte
+    assert(got(4L)(0) == b0)
+  }
+
   test("writeBinaryFiles round-trips readBinaryDir byte-identically (S11)") {
     val dir = java.nio.file.Files.createTempDirectory("mediaout").toFile.getAbsolutePath
     val payloads = Map(

@@ -48,6 +48,71 @@ class StreamingFileSpec extends SparkSpec {
     assert(joined.filter(col("n") =!= col("n_batch")).count() == 0)
   }
 
+  test("incrementalDedupSink: micro-batches probe + extend the band index; pairs equal the batch-mode run") {
+    import graft.streaming.CorpusStreams
+    import spark.implicits._
+    // 8 docs, near-dup pairs WITHIN batch 1 (1~2), ACROSS batches (3~5)
+    // and WITHIN batch 2 (6~7); 4 and 8 are unique
+    val base = "the quick brown fox jumps over the lazy dog again and again "
+    val b1 = Seq(
+      (1L, base + "today extra tail"),
+      (2L, base + "today extra tails"),
+      (3L, base + "tonight for fun"),
+      (4L, "completely different content about spark query engines and shuffles"))
+    val b2 = Seq(
+      (5L, base + "tonight for funs"),
+      (6L, "another unrelated text regarding parquet pruning and predicate pushdowns"),
+      (7L, "another unrelated text regarding parquet pruning and predicate pushdown"),
+      (8L, "a third standalone document mentioning broadcast joins and skew salting"))
+    val root = java.nio.file.Files.createTempDirectory("inc_dedup")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectory(in)
+    def paths(n: String) = root.resolve(n).toString
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, in.resolve(name + ".parquet"))
+    }
+    stage("b1", b1)
+    stage("b2", b2)
+    val schema = spark.read.parquet(in.resolve("b1.parquet").toString).schema
+
+    def runStream(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1) // one file per micro-batch
+        .parquet(in.toString)
+      val q = CorpusStreams.incrementalDedupSink(stream, "doc_id", "text",
+        paths("index"), paths("pairs"), paths("corpus"), paths("chk"),
+        k = 5, numHashes = 8, bandSize = 2, threshold = 0.5)
+      q.awaitTermination(120000)
+    }
+    runStream()
+
+    val allDocs = (b1 ++ b2).toDF("doc_id", "text")
+    val want = graft.operators.Dedup.lshNearDups(allDocs, "doc_id", "text",
+        k = 5, numHashes = 8, bandSize = 2, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(want.exists { case (a, b) => a <= 4 && b >= 5 },
+      "fixture must have a cross-batch pair")
+    val got = graft.tools.EtlCli.readTable(spark, paths("pairs"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == want, s"streamed pairs $got != batch-mode $want")
+    // band index covers every ingested doc (numBands rows per signed doc)
+    val idx = graft.tools.EtlCli.readTable(spark, paths("index"))
+    assert(idx.select("doc_id").distinct().count() == 8)
+    assert(graft.tools.EtlCli.readTable(spark, paths("corpus")).count() == 8)
+
+    // restart with the same checkpoint and no new files: nothing replays,
+    // tables unchanged (version numbers stable = no new commits)
+    val vBefore = new java.io.File(paths("pairs")).list().filter(_.startsWith("_committed")).toSeq
+    runStream()
+    val vAfter = new java.io.File(paths("pairs")).list().filter(_.startsWith("_committed")).toSeq
+    assert(vBefore == vAfter)
+    assert(graft.tools.EtlCli.readTable(spark, paths("pairs"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet == want)
+  }
+
   test("checkpointed parquet sink resumes exactly-once across restarts") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
