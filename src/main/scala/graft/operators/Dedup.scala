@@ -429,6 +429,53 @@ object Dedup {
     docs.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Hot-span scrub — exact-substring deduplication at word-n-gram
+    * granularity: find word n-grams occurring in >= minDocs distinct
+    * documents (boilerplate: shared headers, license blocks, templated
+    * spans) and delete every word covered by one, keeping the rest of each
+    * document. The word-gram approximation of suffix-array substring dedup
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22); corpus-level span removal as applied by
+    * RefinedWeb (Penedo et al. 2023).
+    *
+    * Scale shape:
+    *  - document frequencies: the per-doc DISTINCT gram-hash set builds
+    *    in-row (native WordGramHashSet), so a plain count(*) over the
+    *    exploded sets IS the distinct-doc count — no countDistinct
+    *    shuffle, and the aggregation carries 8-byte hashes, never text.
+    *  - the hot set (grams over the threshold) is the boilerplate tail —
+    *    tiny relative to the corpus — and broadcasts; if a pathological
+    *    corpus made it large, swap the broadcast for a shuffle join (the
+    *    plan is otherwise unchanged).
+    *  - hot-start positions: position-carrying grams (WordGramPosHashes)
+    *    probe the broadcast map-side; only matched (doc, pos) rows — the
+    *    hot hits themselves — ever shuffle, into a per-doc sorted list.
+    *  - rebuild: one native O(words + spans) pass (ScrubSpans), map-only.
+    * Returns (doc_id, n_hot_starts, clean_text).
+    */
+  def scrubHotSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int, minDocs: Int): DataFrame = {
+    import graft.plans.GraftFunctions.{word_gram_hashes, word_gram_pos_hashes, scrub_spans}
+    val base = graft.core.Tables.ensureParallelism(docs)
+    val hot = base
+      .select(explode(word_gram_hashes(col(textCol), n)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("h")
+    val starts = base
+      .select(col(idCol).as("doc_id"),
+        explode(word_gram_pos_hashes(col(textCol), n)).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+      .join(broadcast(hot), "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    docs.join(starts, docs(idCol) === starts("doc_id"), "left_outer")
+      .select(docs(idCol).as("doc_id"),
+        coalesce(size(col("__starts")), lit(0)).cast("bigint").as("n_hot_starts"),
+        scrub_spans(col(textCol),
+          coalesce(col("__starts"), typedLit(Array.empty[Int])), n).as("clean_text"))
+  }
+
   /** Per-document benchmark-overlap counts: distinct word n-grams of each
     * `train` document that also occur in `evalDocs` (the held-out
     * benchmark). Gram sets build in-row via the native WordGramHashSet

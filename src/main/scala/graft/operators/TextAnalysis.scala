@@ -253,4 +253,32 @@ object TextAnalysis {
         meanLen.between(minMeanLen, maxMeanLen) &&
         uniqRatio >= minUniqRatio && hasStop)))
   }
+
+  /** Unigram corpus-frequency scoring — the LM-free stand-in for CCNet's
+    * perplexity bucketing (Wenzek et al., LREC'20): score each document by
+    * the mean corpus frequency of its tokens, so documents of common
+    * well-attested words rank apart from ones full of rare junk/noise
+    * tokens. Two aggregations: corpus term frequencies (map-side partial
+    * combine), then a per-doc rollup after joining frequencies back onto
+    * the token stream. Both shuffles key on the 8-byte xxhash64 of the
+    * token, never the string (a collision merges two counts with
+    * probability ~vocab^2/2^64 — oracle-checked); the frequency table is
+    * vocabulary-sized, so AQE broadcasts it when small, and the join
+    * degrades to a plain shuffle join on a web-scale vocabulary — both
+    * plans are sane, which is why the broadcast is NOT forced.
+    * Score arithmetic is one BIGINT/BIGINT division in IEEE double:
+    * engine-portable bit-for-bit. Returns
+    * (doc_id, n_tokens, freq_sum, avg_tf). */
+  def unigramScores(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = graft.core.Tables.ensureParallelism(docs)
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val tf = tok.groupBy("h").agg(count(lit(1)).as("tf"))
+    tok.join(tf, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("tf").as("freq_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("freq_sum"),
+        (col("freq_sum") / col("n_tokens")).as("avg_tf"))
+  }
 }

@@ -439,6 +439,136 @@ object SimhashSig {
   }
 }
 
+/** Every word n-gram of a SINGLE-SPACE-tokenized text as (pos, h) structs:
+  * pos = 0-based index of the gram's first word, h = XXH64 (seed 42 =
+  * Spark's builtin xxhash64) of the gram's contiguous byte span. The
+  * position-carrying sibling of WordGramHashSet (which is distinct +
+  * sorted, for set semantics): this one keeps EVERY occurrence in order,
+  * so a consumer can map matched grams back onto word positions — the
+  * representation hot-span scrubbing needs. Same single-space corpus
+  * contract and zero-copy in-place hashing as WordGramHashSet.
+  */
+case class WordGramPosHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "gram width must be >= 1")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))), containsNull = false)
+  override def inputTypes = Seq[DataType](StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_gram_pos_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordGramPosHashes.grams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "graft.plans.WordGramPosHashes$.MODULE$.grams(" + c + ", " + n + ")")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramPosHashes =
+    copy(child = newChild)
+}
+object WordGramPosHashes {
+  def grams(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val len = s.numBytes()
+    if (len == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var nWords = 1
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) nWords += 1
+      i += 1
+    }
+    if (nWords < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nWords + 1)
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        starts(w) = i + 1; w += 1
+      }
+      i += 1
+    }
+    starts(nWords) = len + 1 // sentinel: "space" one past the end
+    val out = new Array[Any](nWords - n + 1)
+    var g = 0
+    while (g + n <= nWords) {
+      val from = starts(g)
+      val until = starts(g + n) - 1 // drop the trailing separator
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + from, until - from, 42L)
+      out(g) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](g, h))
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Drop every word covered by an n-word span starting at any index in
+  * `starts` (sorted ascending, 0-based word indices), rejoining survivors
+  * with single spaces — the rebuild half of hot-span scrubbing. One merged
+  * O(words + starts) pass: a cursor over the sorted starts maintains the
+  * current coverage horizon, so no per-word scan of the span list (the
+  * equivalent `filter(words, (w,i) -> !exists(starts, ...))` HOF chain is
+  * interpreted per element AND quadratic in spans). Fully covered text
+  * yields the empty string, matching `concat_ws` on an empty array. */
+case class ScrubSpans(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(n >= 1, "span width must be >= 1")
+  override def dataType: DataType = StringType
+  override def inputTypes = Seq[DataType](StringType, ArrayType(IntegerType))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "scrub_spans"
+
+  override protected def nullSafeEval(text: Any, starts: Any): Any =
+    ScrubSpans.scrub(text.asInstanceOf[UTF8String], starts.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, st) =>
+      "graft.plans.ScrubSpans$.MODULE$.scrub(" + t + ", " + st + ", " + n + ")")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ScrubSpans =
+    copy(left = newLeft, right = newRight)
+}
+object ScrubSpans {
+  def scrub(s: UTF8String, starts: ArrayData, n: Int): UTF8String = {
+    val ns = starts.numElements()
+    if (ns == 0) return s
+    val len = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val out = new Array[Byte](len)
+    var outLen = 0
+    var wordIdx = 0
+    var wordStart = 0
+    var ptr = 0
+    var coverEnd = 0 // word indices < coverEnd are covered by a seen span
+    var i = 0
+    while (i <= len) {
+      if (i == len || org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        while (ptr < ns && starts.getInt(ptr) <= wordIdx) {
+          val e = starts.getInt(ptr) + n
+          if (e > coverEnd) coverEnd = e
+          ptr += 1
+        }
+        if (wordIdx >= coverEnd) {
+          if (outLen > 0) { out(outLen) = ' '; outLen += 1 }
+          val w = i - wordStart
+          org.apache.spark.unsafe.Platform.copyMemory(base, off + wordStart,
+            out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + outLen, w)
+          outLen += w
+        }
+        wordIdx += 1
+        wordStart = i + 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, outLen)
+  }
+}
+
 /** Column wrappers + SQL registration for the native expressions. */
 object GraftFunctions {
   def format_money(c: Column): Column = ColumnBridge.column(FormatMoney(ColumnBridge.expression(c)))
@@ -446,6 +576,11 @@ object GraftFunctions {
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def word_gram_hashes(c: Column, n: Int): Column =
     ColumnBridge.column(WordGramHashSet(ColumnBridge.expression(c), n))
+  def word_gram_pos_hashes(c: Column, n: Int): Column =
+    ColumnBridge.column(WordGramPosHashes(ColumnBridge.expression(c), n))
+  def scrub_spans(text: Column, starts: Column, n: Int): Column =
+    ColumnBridge.column(ScrubSpans(
+      ColumnBridge.expression(text), ColumnBridge.expression(starts), n))
 
   /** Second argument of a SQL call that must be a foldable INT literal. */
   private[plans] def litInt(e: Expression, usage: String): Int = e match {
@@ -464,6 +599,14 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_gram_hashes",
       exprs => WordGramHashSet(exprs(0), litInt(exprs(1), "word_gram_hashes(text, n)")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_gram_pos_hashes",
+      exprs => WordGramPosHashes(exprs(0), litInt(exprs(1), "word_gram_pos_hashes(text, n)")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "scrub_spans",
+      exprs => ScrubSpans(exprs(0), exprs(1), litInt(exprs(2), "scrub_spans(text, starts, n)")),
       "built-in")
   }
 }

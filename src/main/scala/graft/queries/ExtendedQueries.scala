@@ -102,6 +102,31 @@ object ExtendedQueries {
         .orderBy(col("region"), col("nation"))
     },
 
+    // CUBE: all four grouping combinations in one pass — Spark expands the
+    // grouping sets into a single partial-aggregated shuffle, not four
+    // scans. Aggregates are order-independent (count/min/max) so the
+    // result is engine-portable without float-summation caveats.
+    QueryDef(
+      "q_cube_orders",
+      "CUBE over (status, priority): counts and price bounds for every grouping combination",
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                COALESCE(o_orderpriority, 'ALL') AS priority,
+                CAST(COUNT(*) AS BIGINT) AS n_orders,
+                MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""") { (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+             min(col("o_totalprice")).as("min_price"),
+             max(col("o_totalprice")).as("max_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+                coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+                col("n_orders"), col("min_price"), col("max_price"))
+        .orderBy(col("status"), col("priority"))
+    },
+
     // Exact median via the window formulation — portable across engines
     // (interpolating percentile implementations round differently; picking
     // middle elements and averaging them is bit-deterministic).

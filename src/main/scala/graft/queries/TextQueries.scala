@@ -210,6 +210,79 @@ object TextQueries {
         .orderBy(col("lang"))
     },
 
+    // Exact-substring dedup at word-8-gram granularity (hot-span scrub):
+    // grams in >= 2 distinct docs are boilerplate; every covered word is
+    // deleted and survivors rejoin. The oracle rebuilds by gram STRING
+    // while Spark matches 8-byte xxhash64 grams — the hash-match proves
+    // the collision-free equivalence. (DuckDB: list slices are 1-based
+    // INCLUSIVE; array_to_string([]) is NULL, hence the COALESCE to match
+    // Spark's concat_ws('') on fully-scrubbed docs.)
+    QueryDef(
+      "q_span_scrub",
+      "hot-span scrub: delete word 8-grams shared by >= 2 docs (exact-substring dedup), rebuild survivors",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          g AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS gm
+                FROM w, unnest(range(1, len(ws) - 8 + 2)) AS t(i)),
+          hot AS (SELECT gm FROM g GROUP BY gm HAVING COUNT(DISTINCT doc_id) >= 2),
+          st AS (SELECT doc_id, list(pos) AS ps FROM g JOIN hot USING (gm) GROUP BY doc_id)
+          SELECT w.doc_id,
+                 CAST(COALESCE(len(ps), 0) AS BIGINT) AS n_hot_starts,
+                 COALESCE(array_to_string(
+                   list_transform(
+                     list_filter(range(1, len(ws) + 1),
+                       i -> ps IS NULL OR len(list_filter(ps, s -> s <= i AND i < s + 8)) = 0),
+                     i -> ws[i]),
+                   ' '), '') AS clean_text
+          FROM w LEFT JOIN st USING (doc_id)
+          ORDER BY doc_id""") { (s, dir) =>
+      Dedup.scrubHotSpans(t(s, dir, "documents"), "doc_id", "text",
+          n = 8, minDocs = 2)
+        .orderBy(col("doc_id"))
+    },
+
+    // Unigram corpus-frequency scoring (CCNet-flavored quality signal
+    // without a language model): mean corpus frequency of each doc's
+    // tokens. DuckDB SUM(BIGINT) widens to HUGEINT — cast back before
+    // hashing; the avg division is BIGINT/BIGINT -> double in both
+    // engines, bit-identical.
+    QueryDef(
+      "q_unigram_score",
+      "per-doc mean corpus token frequency (unigram quality score, LM-free CCNet analog)",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          tf AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(c) AS BIGINT) AS freq_sum,
+                 CAST(SUM(c) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS avg_tf
+          FROM tok JOIN tf USING (t) GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      TextAnalysis.unigramScores(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-source document cap (the per-domain cap of web-corpus curation):
+    // keep at most 10 docs per source, chosen by deterministic md5 rank so
+    // the sample is reproducible across engines/runs/layouts. Spark lowers
+    // the rank filter to WindowGroupLimit with a PARTIAL pass before the
+    // shuffle (asserted in PlanSpec), so at most k rows per source per map
+    // partition ever move — the bounded-heap plan, from the builtin rule.
+    QueryDef(
+      "q_source_cap",
+      "deterministic per-source cap: top-10 docs per source by md5 rank (domain-cap curation)",
+      """SELECT source, doc_id, CAST(rn AS INT) AS rn FROM (
+           SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 10 ORDER BY source, rn""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 10)
+        .orderBy(col("source"), col("rn"))
+    },
+
     QueryDef(
       "q_dedup_exact",
       "exact dedup via content-hash groupBy (corpus unioned with a planted copy slice)",

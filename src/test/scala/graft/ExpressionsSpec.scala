@@ -142,6 +142,67 @@ class ExpressionsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("word_gram_pos_hashes = every gram in order with its split/slice hash") {
+    // composed formulation: (pos, xxhash64(gram string)) for every start
+    def composed(c: org.apache.spark.sql.Column, n: Int) = {
+      val toks = split(c, " ")
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n), i =>
+          struct(i.cast("int").as("pos"),
+            xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(n)))).as("h"))))
+        .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
+    }
+    val df = Seq(
+      "a b c d e f",             // plain
+      "a b c d a b c d",         // repeats KEPT (unlike word_gram_hashes)
+      "a b c",                   // fewer words than n → empty
+      "héllo wörld ünicode gram bytes" // multi-byte UTF-8 spans
+    ).toDF("t")
+    val bad = df.select(
+        GraftFunctions.word_gram_pos_hashes(col("t"), 4).as("got"),
+        composed(col("t"), 4).as("want"))
+      .filter(not(col("got") === col("want"))).count()
+    assert(bad == 0)
+  }
+
+  test("scrub_spans drops covered words, merges overlaps, keeps the rest") {
+    def starts(xs: Int*) = typedLit(xs.toArray)
+    val rows = Seq(
+      // starts 1,2 with n=2 cover words 1..3: drop b,c,d
+      ("a b c d e", starts(1, 2), "a e"),
+      // overlapping + adjacent spans merge into one horizon
+      ("a b c d e f g", starts(0, 1, 3), "f g"),
+      // full coverage → empty string (concat_ws semantics)
+      ("a b c", starts(0, 1), ""),
+      // no spans → text passes through untouched
+      ("a b c", typedLit(Array.empty[Int]), "a b c"),
+      // span at the tail
+      ("a b c d", starts(2), "a b"))
+    rows.zipWithIndex.foreach { case ((text, st, want), i) =>
+      val got = Seq(text).toDF("t")
+        .select(GraftFunctions.scrub_spans(col("t"), st, 2).as("s"))
+        .as[String].head()
+      assert(got == want, s"case $i: got '$got', want '$want'")
+    }
+  }
+
+  test("scrubHotSpans deletes exactly the shared 8-gram spans") {
+    // two docs share an 8-word boilerplate span at different offsets, a
+    // third is untouched; minDocs=2 → only the shared span is scrubbed
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = Seq(
+      (1L, s"u1 u2 $boiler t1 t2"),
+      (2L, s"$boiler v1 v2 v3"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.scrubHotSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, "u1 u2 t1 t2"),
+      (2L, 1L, "v1 v2 v3"),
+      (3L, 0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")))
+  }
+
   test("null inputs propagate null") {
     val got = Seq((Option.empty[Long], Option(7L))).toDF("a", "b")
       .select(GraftFunctions.format_money(col("a")).as("sa"),

@@ -121,4 +121,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"scan not pruned to doc_id,text:\n$p")
   }
+
+  test("per-source cap group-limits BEFORE the shuffle (bounded per-key heap)") {
+    val p = plan("q_source_cap")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"expected partial (map-side) WindowGroupLimit:\n$p")
+  }
+
+  test("hot-span scrub: hot grams broadcast; rebuild side never shuffles text") {
+    val p = plan("q_span_scrub")
+    assert(p.contains("BroadcastHashJoin"), s"hot gram set should broadcast:\n$p")
+    // the only hash shuffles may carry (h) counts and (doc_id, pos) hits —
+    // never the document text
+    val textShuffles = "Exchange hashpartitioning\\([^)]*text".r.findAllIn(p).size
+    assert(textShuffles == 0, s"document text crossed a shuffle:\n$p")
+  }
 }
