@@ -476,6 +476,29 @@ object Dedup {
           coalesce(col("__starts"), typedLit(Array.empty[Int])), n).as("clean_text"))
   }
 
+  /** Near-dup deduplication keeping the BEST document per duplicate
+    * cluster instead of the least id — the production policy when a
+    * quality score exists (keep the highest-quality member, drop its
+    * near-copies). `score` is any per-document numeric column expression
+    * over `docs` (e.g. TextAnalysis.qualityScore); ties break to the
+    * lowest doc id, so the choice is deterministic. Scale: the winner
+    * argmax is a partial-agg min over (negScore, id) structs keyed on the
+    * component — only clustered docs (the near-dup slice, tiny vs the
+    * corpus) ever aggregate, and the final keep is a broadcast-friendly
+    * semi/anti join pair on ids. Docs in no cluster pass through. */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
+                         score: Column): DataFrame = {
+    val comps = connectedComponents(pairs).withColumnRenamed("doc_id", idCol)
+    val clustered = docs.join(comps, Seq(idCol))
+    val winners = clustered
+      .groupBy("component")
+      .agg(min(struct((score * -1).as("ns"), col(idCol).as("id"))).as("w"))
+      .select(col("w.id").as(idCol))
+    val losers = comps.select(idCol)
+      .join(winners, Seq(idCol), "left_anti")
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Per-document benchmark-overlap counts: distinct word n-grams of each
     * `train` document that also occur in `evalDocs` (the held-out
     * benchmark). Gram sets build in-row via the native WordGramHashSet

@@ -164,6 +164,58 @@ object Similarity {
       .select(col("qid"), col("cid"), col("dist"), col("rank").cast(IntegerType).as("rank"))
   }
 
+  /** IVF-PQ composition (the FAISS-style full scale path, Jegou et al.
+    * TPAMI'11 §V): the coarse quantizer restricts the search to `nProbe`
+    * probed cells, and within them distances come from the PQ codes via
+    * ADC — so a query touches nProbe/nCells of the corpus and reads only
+    * m-byte codes, never raw vectors. Codes here encode the RAW vectors
+    * (not residuals): residual encoding sharpens recall but couples the
+    * codebook to the coarse quantizer; the uncoupled variant keeps both
+    * artifacts independently reusable and the oracle math composable.
+    * `corpusCodes`/`codebook` are pqEncode/pqCodebook output (typically
+    * read back from their persisted parquet); cells and probes recompute
+    * from the deterministic first-nCells seed exactly as ivfTopK.
+    * Output (qid, cid, adist, rank).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                nCells: Int, nProbe: Int, corpusCodes: DataFrame,
+                codebook: DataFrame, m: Int, k: Int): DataFrame = {
+    val vecs = graft.core.Tables.ensureParallelism(corpus)
+      .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v"))
+    val cent = vecs.filter(col("vid") < nCells).select(col("vid").as("cc"), col("v").as("cv"))
+    val cells = vecs.crossJoin(broadcast(cent))
+      .select(col("vid"), col("cc"), ql2(col("v"), col("cv")).as("d2"))
+      .groupBy("vid")
+      .agg(min(struct(col("d2"), col("cc"))).as("mn"))
+      .select(col("vid").as("cid"), col("mn.cc").as("cell"))
+    val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cc"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("qid"), col("cc"), ql2(col("qv"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe).select(col("qid"), col("cc").as("cell"))
+    // candidates: members of probed cells only — the IVF pruning
+    val cands = probes.join(cells, "cell")
+      .filter(col("qid") =!= col("cid")).select("qid", "cid")
+    // ADC: per-query (sub, centroid) distance table broadcasts; each
+    // candidate's distance is the sum of its codes' table entries
+    val table = subvectors(queries, idCol, vecCol, m)
+      .join(broadcast(codebook), "sub")
+      .select(col("vid").as("qid"), col("sub"), col("cc"),
+        ql2(col("sv"), col("cv")).as("d2"))
+    val codes = corpusCodes.select(col("vid").as("cid"),
+      posexplode(col("codes")).as(Seq("sub", "cc")))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
+    cands.join(codes, "cid")
+      .join(broadcast(table), Seq("qid", "sub", "cc"))
+      .groupBy("qid", "cid")
+      .agg(vsum(col("d2")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("adist"),
+        col("rank").cast(IntegerType).as("rank"))
+  }
+
   // ---- semantic dedup (SemDeDup: Abbas et al., arXiv:2303.09540) -------
   // Embedding-space near-duplicate removal at corpus scale: a coarse
   // quantizer partitions the corpus into cells (same deterministic

@@ -58,7 +58,10 @@ final case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOr
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk + 1, revOrd)
+          // initial capacity bounded: PriorityQueue grows on demand, and a
+          // huge k (rank cutoff above the group size) must not pre-allocate
+          // k slots — or overflow the capacity int at k = Int.MaxValue
+          heap = new java.util.PriorityQueue[InternalRow](math.min(kk, 64) + 1, revOrd)
           heaps.put(key.copy(), heap)
         }
         if (heap.size < kk) {

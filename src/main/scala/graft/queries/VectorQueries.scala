@@ -198,6 +198,71 @@ object VectorQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // IVF-PQ (FAISS-style composition): the coarse quantizer prunes the
+    // candidate set to 2 probed cells of 16, then candidates are scored
+    // from their persisted 8-byte PQ codes via ADC — at 100 TB a query
+    // touches nProbe/nCells of the corpus and reads codes, never vectors.
+    // Artifacts (codebook + codes) persist to their own parquet dir; the
+    // oracle reads them back and recomputes cells, probes, and the whole
+    // ADC path from scratch.
+    QueryDef(
+      "q_ann_ivfpq",
+      "IVF-PQ ANN: 16-cell coarse quantizer, 2-probe search, ADC scoring from persisted m=8 PQ codes",
+      s"""WITH dims AS ($dimsSql),
+          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id < 16),
+          vdist AS (
+            SELECT v.vec_id, c.cc,
+                   CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS d2
+            FROM dims v JOIN cdims c ON v.d = c.d GROUP BY 1, 2),
+          cells AS (
+            SELECT vec_id, cc AS cell FROM (
+              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+              FROM vdist) WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS qid, cc AS cell FROM (
+              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+              FROM vdist WHERE vec_id < 5) WHERE rn <= 2),
+          cand AS (
+            SELECT p.qid, c.vec_id AS cid FROM probes p
+            JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.qid),
+          cb AS (SELECT sub, cc, cv FROM read_parquet('/tmp/graft_ivfpq/sf0.01/codebook/*.parquet')),
+          cx AS (
+            SELECT vid, r.sub AS sub, r.cc AS cc FROM (
+              SELECT vid, unnest(list_transform(range(1, len(codes) + 1), i -> {'sub': i - 1, 'cc': codes[i]})) AS r
+              FROM read_parquet('/tmp/graft_ivfpq/sf0.01/codes/*.parquet'))),
+          qsub AS (
+            SELECT vec_id AS qid, r.sub AS sub, r.sv AS sv FROM (
+              SELECT vec_id, unnest(list_transform(range(0, 8),
+                s -> {'sub': s, 'sv': list_transform(embedding[s * 8 + 1 : s * 8 + 8], x -> CAST(x AS DOUBLE))})) AS r
+              FROM embeddings WHERE vec_id < 5)),
+          tbl AS (
+            SELECT qid, sub, cc,
+                   CAST(list_sum(list_transform(range(1, len(sv) + 1),
+                     i -> CAST(FLOOR(((sv[i] - cv[i]) * (sv[i] - cv[i])) * 1000000000000.0 + 0.5) AS BIGINT))) AS BIGINT) / 1000000000000.0 AS d2
+            FROM qsub JOIN cb USING (sub)),
+          ad AS (
+            SELECT cand.qid, cand.cid,
+                   CAST(SUM(CAST(FLOOR(t.d2 * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS adist
+            FROM cand JOIN cx x ON x.vid = cand.cid
+                      JOIN tbl t ON t.qid = cand.qid AND t.sub = x.sub AND t.cc = x.cc
+            GROUP BY 1, 2)
+          SELECT qid, cid, adist, rank FROM (
+            SELECT qid, cid, adist,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS INT) AS rank
+            FROM ad) WHERE rank <= 10 ORDER BY qid, rank""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val base = s"/tmp/graft_ivfpq/${new java.io.File(dir).getName}"
+      Similarity.pqCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+        .write.mode("overwrite").parquet(s"$base/codebook")
+      val codebook = s.read.parquet(s"$base/codebook")
+      Similarity.pqEncode(emb, "vec_id", "embedding", codebook, m = 8)
+        .write.mode("overwrite").parquet(s"$base/codes")
+      val codes = s.read.parquet(s"$base/codes")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          nCells = 16, nProbe = 2, codes, codebook, m = 8, k = 10)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // SemDeDup (Abbas et al. 2023): coarse-quantizer cells bound the pair
     // space, within-cell quantized cosine verifies, lowest-id wins. The
     // query emits the DROPPED vectors — the side semanticDedup removes.

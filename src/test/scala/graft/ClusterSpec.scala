@@ -50,6 +50,18 @@ class ClusterSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L, 5L))
   }
 
+  test("keepBestPerCluster keeps the highest-quality member, not the least id") {
+    val docs = Seq(
+      (1L, "dup", 0.2), (2L, "dup", 0.9), (3L, "dup", 0.9), // cluster: best=2 (tie 2/3 -> lower id)
+      (7L, "dup2", 0.1), (9L, "dup2", 0.8),                 // cluster: best=9
+      (5L, "solo", 0.0)                                     // unclustered passthrough
+    ).toDF("doc_id", "text", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.keepBestPerCluster(docs, pairs, "doc_id", col("quality"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 5L, 9L))
+  }
+
   test("ivfTopK finds the planted nearest neighbor within probed cells") {
     // 40 vectors in 2 obvious clusters around (1,0) and (0,1); query is a
     // member of the first cluster.

@@ -64,6 +64,30 @@ class SimilaritySpec extends SparkSpec {
     assert(meanRecall >= 0.5, s"ADC recall@$k too low: $meanRecall ($recalls)")
   }
 
+  test("IVF-PQ candidates are a subset of probed cells; agrees with unpruned ADC there") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val (m, ksub, nCells, nProbe, k) = (8, 16, 16, 2, 10)
+    val codebook = Similarity.pqCodebook(emb, "vec_id", "embedding", m, ksub, iters = 2)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", codebook, m)
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        nCells, nProbe, codes, codebook, m, k)
+      .select(col("qid").cast("long"), col("cid").cast("long"), col("adist"))
+      .as[(Long, Long, Double)].collect()
+    assert(ivfpq.map(_._1).distinct.length == 5)
+    // every (qid, cid, adist) must appear in the UNPRUNED ADC ranking with
+    // the identical quantized distance — IVF only prunes, never rescores
+    val full = Similarity.pqTopK(codes, queries, codebook, "vec_id", "embedding",
+        m, k = Int.MaxValue)
+      .select(col("qid").cast("long"), col("cid").cast("long"), col("adist"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, c, d) => (q, c) -> d }.toMap
+    ivfpq.foreach { case (q, c, d) =>
+      assert(full.get((q, c)).contains(d), s"($q,$c) adist $d diverged from unpruned ADC")
+    }
+  }
+
   private def vecs = Seq(
     (1L, Array(1.0f, 0.0f, 0.0f)),
     (2L, Array(0.9f, 0.1f, 0.0f)),   // near vec 1
