@@ -112,6 +112,30 @@ object Store {
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
   }
 
+  /** JSONL (one JSON object per line) variant of writeShards — the
+    * interchange format most training stacks ingest directly. Same
+    * deterministic layout contract: hash shards, bounded file fan-out,
+    * optional epoch-stable pseudo-shuffled row order. Serialization is the
+    * codegen'd to_json over a struct of every column (field order = df
+    * column order, so the line bytes are deterministic too); compression
+    * stays at Spark's text default (none) because trainers seek into
+    * shards. */
+  def writeJsonlShards(df: DataFrame, path: String, keyCol: String,
+                       nShards: Int, filesPerShard: Int = 1,
+                       shuffleOrder: Boolean = false): Unit = {
+    val key = col(keyCol).cast("string")
+    val band = conv(substring(md5(key), 3, 2), 16, 10).cast(LongType) % filesPerShard
+    val line = to_json(struct(df.columns.map(col).toSeq: _*)).as("value")
+    val sharded = df.withColumn("shard", shardId(col(keyCol), nShards))
+      .withColumn("_band", band)
+      .repartition(nShards * filesPerShard, col("shard"), col("_band"))
+    val ordered =
+      if (shuffleOrder) sharded.sortWithinPartitions(col("shard"), md5(key))
+      else sharded
+    ordered.select(line, col("shard"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").text(path)
+  }
+
   /** Z-order bit-interleave of two non-negative integer keys: clustering by
     * this single key preserves locality in BOTH dimensions, so min/max
     * skipping works for filters on either column (the classic Z-order

@@ -81,7 +81,17 @@ object Dedup {
     * extra plan execution) and join them back by id — never materializes
     * all-pairs. */
   private def verifyJaccard(cands: DataFrame, docs: DataFrame, idCol: String,
-                            textCol: String, k: Int, threshold: Double): DataFrame = {
+                            textCol: String, k: Int, threshold: Double): DataFrame =
+    verifiedCommonCounts(cands, docs, idCol, textCol, k)
+      .select(col("doc_a"), col("doc_b"),
+        (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** Shared verification core: exact shingle-set overlap counts
+    * (doc_a, doc_b, common, na, nb) for the candidate pairs — the input to
+    * any set-similarity measure (Jaccard, containment, dice). */
+  private def verifiedCommonCounts(cands: DataFrame, docs: DataFrame, idCol: String,
+                                   textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val candIds = cands.select(col("doc_a").as("__cid"))
       .unionAll(cands.select(col("doc_b").as("__cid"))).distinct()
@@ -110,9 +120,8 @@ object Dedup {
       .join(sh.toDF("doc_a", "sh_a"), "doc_a")
       .join(sh.toDF("doc_b", "sh_b"), "doc_b")
       .withColumn("common", common)
-      .select(col("doc_a"), col("doc_b"),
-        (col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
   }
 
   /** Exact all-pairs n-gram Jaccard similarity join (the O(n·m) baseline:
@@ -225,17 +234,23 @@ object Dedup {
     * design; jaccardPairs above is the O(n*m) reference baseline.
     */
   def jaccardPairsFiltered(docs: DataFrame, idCol: String, textCol: String, k: Int,
-                           threshold: Double, dfCap: Int): DataFrame = {
-    // ONE bounded-memory pass over the exploded shingles (see
-    // minhashSignatures for the capped-set rationale): per rare shingle the
-    // sorted doc set is at hand, so candidate pairs come straight from the
-    // in-array combinations — no semi-join back, no self-join shuffle. The
-    // pair-expansion lambda is interpreted but runs on |rare shingles| tiny
-    // rows (each array <= dfCap elements, <= cap*(cap-1)/2 pairs).
-    // Aggregation keys are xxhash64 longs, not raw 9-char strings: smaller
-    // shuffle keys, cheaper hash/compare in the UDAF map. A key collision
-    // merges two shingles' doc sets (possibly overflowing the cap) with
-    // probability ~#shingles^2/2^64 — negligible, oracle-checked.
+                           threshold: Double, dfCap: Int): DataFrame =
+    verifyJaccard(rareShingleCands(docs, idCol, textCol, k, dfCap),
+      docs, idCol, textCol, k, threshold)
+
+  /** Rare-shingle candidate pairs (the prefix filter): ONE bounded-memory
+    * pass over the exploded shingles (see minhashSignatures for the
+    * capped-set rationale): per rare shingle the sorted doc set is at
+    * hand, so candidate pairs come straight from the in-array
+    * combinations — no semi-join back, no self-join shuffle. The
+    * pair-expansion lambda is interpreted but runs on |rare shingles| tiny
+    * rows (each array <= dfCap elements, <= cap*(cap-1)/2 pairs).
+    * Aggregation keys are xxhash64 longs, not raw 9-char strings: smaller
+    * shuffle keys, cheaper hash/compare in the UDAF map. A key collision
+    * merges two shingles' doc sets (possibly overflowing the cap) with
+    * probability ~#shingles^2/2^64 — negligible, oracle-checked. */
+  private def rareShingleCands(docs: DataFrame, idCol: String, textCol: String,
+                               k: Int, dfCap: Int): DataFrame = {
     val ex = shingleRows(docs, idCol, textCol, k)
       .select(col("doc_id"), xxhash64(col("g")).as("g"))
     val docSets = ex.groupBy("g")
@@ -246,11 +261,27 @@ object Dedup {
     val pairs = flatten(transform(col("__docs"), (x, i) =>
       transform(slice(col("__docs"), i + lit(2), size(col("__docs"))),
         y => struct(x.as("doc_a"), y.as("doc_b")))))
-    val cands = docSets.select(explode(pairs).as("p"))
+    docSets.select(explode(pairs).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct().transform(graft.core.Materialize.pin)
-    verifyJaccard(cands, docs, idCol, textCol, k, threshold)
   }
+
+  /** Containment similarity join (Broder's asymmetric resemblance
+    * companion): C(A in B) = |A∩B| / |A|. Catches subset/excerpt
+    * relations — a quote or a doc embedded inside a larger one — that
+    * Jaccard misses (a small A inside a huge B has tiny Jaccard but
+    * containment ~1). Same rare-shingle prefix filter and exact
+    * verification machinery as jaccardPairsFiltered; emits both
+    * directions, filtered on the larger one. Returns
+    * (doc_a, doc_b, cont_a, cont_b) with doc_a < doc_b. */
+  def containmentPairsFiltered(docs: DataFrame, idCol: String, textCol: String,
+                               k: Int, threshold: Double, dfCap: Int): DataFrame =
+    verifiedCommonCounts(rareShingleCands(docs, idCol, textCol, k, dfCap),
+        docs, idCol, textCol, k)
+      .select(col("doc_a"), col("doc_b"),
+        (col("common") / col("na")).as("cont_a"),
+        (col("common") / col("nb")).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
 
   /** SimHash near-dup pairs with banded join: split the 64-bit signature
     * into 4 16-bit bands; by pigeonhole any pair within hamming distance

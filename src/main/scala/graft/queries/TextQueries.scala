@@ -322,6 +322,32 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // Containment join: the asymmetric companion to q_dedup_jaccard —
+    // finds subset/excerpt relations (C(A in B) = |A∩B|/|A|) the
+    // symmetric measure dilutes. Same candidates, both directions scored.
+    QueryDef(
+      "q_dedup_containment",
+      "prefix-filtered containment join (char-9-grams): subset/excerpt pairs at max-containment >= 0.5",
+      s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+          ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          rare AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 5),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM ex a JOIN rare r ON a.g = r.g
+                      JOIN ex b ON b.g = a.g AND a.doc_id < b.doc_id),
+          verified AS (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(sa.sh, sb.sh)) / len(sa.sh) AS cont_a,
+                   len(list_intersect(sa.sh, sb.sh)) / len(sb.sh) AS cont_b
+            FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b)
+          SELECT doc_a, doc_b, cont_a, cont_b FROM verified
+          WHERE GREATEST(cont_a, cont_b) >= 0.5
+          ORDER BY doc_a, doc_b""") { (s, dir) =>
+      Dedup.containmentPairsFiltered(t(s, dir, "documents"), "doc_id", "text",
+          k = 9, threshold = 0.5, dfCap = 5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     QueryDef(
       "q_dedup_minhash",
       "MinHash(8)+LSH(4 bands of 2, df-capped shingles) near-dup pipeline with exact Jaccard verification",

@@ -79,6 +79,43 @@ class ExportSpec extends SparkSpec {
     assert(ids != ids.sorted, "md5 order degenerated to key order")
   }
 
+  test("writeJsonlShards: parseable lines, stable layout, byte-identical re-runs") {
+    val base = java.nio.file.Files.createTempDirectory("jsonl").toFile.getAbsolutePath
+    val docs = (1 to 300).map(i => (i.toLong, s"text $i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    def md5Of(dir: String): Map[String, String] = {
+      def files(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(files)
+        else if (f.getName.endsWith(".txt")) Seq(f) else Nil
+      files(new java.io.File(dir)).map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        f.getParentFile.getName -> java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).map("%02x".format(_)).mkString
+      }.toMap  // keyed by shard dir: file names carry job UUIDs, content doesn't
+    }
+    Store.writeJsonlShards(docs, s"$base/a", "doc_id", nShards = 4, shuffleOrder = true)
+    Store.writeJsonlShards(docs, s"$base/b", "doc_id", nShards = 4, shuffleOrder = true)
+    assert(md5Of(s"$base/a") == md5Of(s"$base/b"), "re-export not byte-identical")
+    // every row survives as one parseable JSON line with all fields
+    val back = spark.read.schema("doc_id LONG, text STRING, source STRING")
+      .json(spark.read.text(s"$base/a/shard=*").as[String])
+    assert(back.count() == 300)
+    assert(back.filter(col("doc_id").isNull || col("text").isNull).count() == 0)
+    // shard assignment matches the parquet exporter's (same shardId)
+    val ids0 = spark.read.text(s"$base/a/shard=0").as[String]
+      .collect().map(s => ujsonField(s, "doc_id")).toSet
+    val expected = docs.withColumn("s", Store.shardId(col("doc_id"), 4))
+      .filter(col("s") === 0).select("doc_id").as[Long].collect().map(_.toString).toSet
+    assert(ids0 == expected)
+  }
+
+  /** Tiny field extractor so the test doesn't depend on a JSON library:
+    * pulls the numeric value of `"name":<digits>`. */
+  private def ujsonField(line: String, name: String): String = {
+    val m = ("\"" + name + "\":(\\d+)").r.findFirstMatchIn(line)
+    m.map(_.group(1)).getOrElse(sys.error(s"no $name in $line"))
+  }
+
   test("batchForInference bounds micro-batches by payload bytes, not rows") {
     val media = (1 to 60).map { i =>
       (i.toLong, "image", Array.fill[Byte](if (i % 3 == 0) 300 else 100)(i.toByte))

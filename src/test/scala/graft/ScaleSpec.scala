@@ -79,6 +79,38 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("incremental-dedup probe of a BUCKETED band index shuffles only the batch") {
+    // The production composition at 100 TB: the persisted band index is
+    // O(corpus)-sized and accretes daily; bucketing it by band at write
+    // time means every later probe joins it IN PLACE — the only runtime
+    // exchange on the band key is the O(batch) side. (When the batch is
+    // tiny AQE would broadcast it instead; both plans leave the index
+    // unmoved, this asserts the general big-batch shape.)
+    val db = "graft_bandidx_spec"
+    val loc = java.nio.file.Files.createTempDirectory("bandidx_wh").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    try {
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+               "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+        val docs = t(spark, sf, "documents").select(col("doc_id"), col("text"))
+        val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+        val batch = docs.filter(col("doc_id") % 4 === 0)
+        graft.operators.Dedup.signBands(corpus, "doc_id", "text",
+            k = 9, numHashes = 8, bandSize = 2)
+          .write.bucketBy(4, "band").sortBy("band")
+          .mode("overwrite").saveAsTable(s"$db.band_idx")
+        val idx = spark.table(s"$db.band_idx")
+        val probe = graft.operators.Dedup.signBands(batch, "doc_id", "text",
+            k = 9, numHashes = 8, bandSize = 2)
+          .join(idx.withColumnRenamed("doc_id", "corpus_doc"), "band")
+        val p = probe.queryExecution.executedPlan.toString
+        val bandExchanges = "Exchange hashpartitioning\\(band".r.findAllIn(p).size
+        assert(bandExchanges == 1, s"expected ONE band exchange (batch side only):\n$p")
+        assert(probe.count() > 0)
+      }
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
   test("bucketed fact-fact join is co-located: no exchange, no sort") {
     // Bucketing pre-shuffles at WRITE time: both sides hash-bucketed on the
     // join key join with zero runtime exchanges — at 100 TB this converts
