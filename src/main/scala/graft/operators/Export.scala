@@ -61,6 +61,40 @@ object Export {
     * a map-only probe+filter. Nothing wider than group counts ever
     * shuffles.
     */
+  /** Epoch-weighted repetition — the upsampling half of mixture building
+    * (mixtureSample only drops): group g's documents appear
+    * floor(epochs(g)) times, plus once more for the deterministic
+    * md5-band fraction covering the remainder — so "2.5 epochs of wiki"
+    * means every wiki doc twice and a stable half of them a third time.
+    * Groups absent from `epochs` default to 1.0 (pass through once);
+    * fractional epochs < 1 downsample (floor 0 + fractional band).
+    * No RNG: the copy count is a pure function of (key, group), so
+    * re-exports are identical and the extra copies are the SAME docs
+    * every run (the trainer sees a stable dataset, not a resample).
+    *
+    * Scale shape: the epochs table broadcasts; the corpus side is one
+    * map-only projection + explode — output rows ≈ sum(epochs_g · n_g),
+    * exactly the training-set size, nothing wider ever materializes.
+    * Output: input columns + epochs + n_copies + copy (1-based). */
+  def mixtureRepeat(docs: DataFrame, keyCol: String, groupCol: String,
+                    epochs: Map[String, Double]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val eps = epochs.toSeq.toDF(groupCol, "epochs")
+    val band = conv(substring(md5(col(keyCol).cast("string")), 1, 2), 16, 10)
+      .cast("long")
+    docs.join(broadcast(eps), Seq(groupCol), "left_outer")
+      .withColumn("epochs", coalesce(col("epochs"), lit(1.0)))
+      .withColumn("n_copies",
+        floor(col("epochs")).cast("long") +
+          when(band < (col("epochs") - floor(col("epochs"))) * lit(256.0), 1L)
+            .otherwise(0L))
+      // the filter must precede the explode: Spark's sequence(1, 0) is the
+      // DESCENDING [1, 0], not empty
+      .filter(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
+  }
+
   def mixtureSample(docs: DataFrame, keyCol: String, groupCol: String,
                     targets: Map[String, Double]): DataFrame = {
     val spark = docs.sparkSession

@@ -104,6 +104,33 @@ object ExportQueries {
         .orderBy(col("source"))
     },
 
+    // Epoch-weighted repetition (the upsampling half of mixture building):
+    // src0 at 2.5 epochs (every doc twice + a stable md5-band half a third
+    // time), src1 at 0.25 (keep a quarter), everything else 1.0. The copy
+    // count is a pure function of (doc_id, source) — no RNG.
+    QueryDef(
+      "q_mix_epochs",
+      "deterministic epoch-weighted repetition: src0 x2.5, src1 x0.25, rest x1 — exploded copies",
+      s"""WITH e(source, epochs) AS (VALUES ('src0', 2.5), ('src1', 0.25)),
+          d AS (SELECT doc_id, documents.source AS source, COALESCE(epochs, 1.0) AS epochs
+                FROM documents LEFT JOIN e USING (source)),
+          c AS (SELECT doc_id, source,
+                       CAST(FLOOR(epochs) AS BIGINT)
+                         + (CASE WHEN ${oracleBand256("CAST(doc_id AS VARCHAR)")}
+                                      < (epochs - FLOOR(epochs)) * 256.0
+                            THEN 1 ELSE 0 END) AS n_copies
+                FROM d)
+          SELECT doc_id, source, CAST(t.copy AS BIGINT) AS copy
+          FROM c, unnest(range(1, n_copies + 1)) AS t(copy)
+          WHERE n_copies > 0
+          ORDER BY doc_id, copy""") { (s, dir) =>
+      graft.operators.Export.mixtureRepeat(
+          t(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 0.25))
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    },
+
     // Within-source curriculum quartiles: ntile(4) over the total order
     // (n_chars, doc_id) inside each source. Partitioning by source keeps
     // the window parallel across domains — the global-curriculum variant

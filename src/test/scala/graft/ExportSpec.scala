@@ -136,6 +136,28 @@ class ExportSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("mixtureRepeat upsamples by epochs, downsamples fractions, is deterministic") {
+    val docs = (1 to 200).map(i => (i.toLong, if (i <= 100) "A" else "B"))
+      .toDF("doc_id", "source")
+    val r = Export.mixtureRepeat(docs, "doc_id", "source",
+        Map("A" -> 2.5, "B" -> 0.25))
+      .select("doc_id", "source", "copy")
+    val perDoc = r.groupBy("doc_id", "source").count()
+      .as[(Long, String, Long)].collect()
+    val aCounts = perDoc.filter(_._2 == "A").map(_._3)
+    val bDocs = perDoc.filter(_._2 == "B")
+    assert(aCounts.forall(c => c == 2 || c == 3), "A docs must appear 2 or 3 times")
+    assert(aCounts.count(_ == 3) > 10 && aCounts.count(_ == 3) < 90,
+      s"~half of A should get the 3rd copy, got ${aCounts.count(_ == 3)}")
+    assert(bDocs.forall(_._3 == 1) && bDocs.length > 5 && bDocs.length < 60,
+      s"~quarter of B kept once, got ${bDocs.length}")
+    // stable across runs: identical exploded rows
+    val again = Export.mixtureRepeat(docs, "doc_id", "source",
+        Map("A" -> 2.5, "B" -> 0.25)).select("doc_id", "source", "copy")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(again == r.as[(Long, String, Long)].collect().sorted.toSeq)
+  }
+
   test("mixtureSample downsamples over-represented groups deterministically") {
     val docs = ((1 to 100).map(i => (i.toLong, "A")) ++
       (101 to 200).map(i => (i.toLong, "B")) ++
