@@ -8,14 +8,16 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus partition-batched feature extraction.
   *
   * The Spark-side shape is real (schema, partitioning, batch iteration,
-  * output contract). IMAGE decode is real too: the JDK ships
-  * `javax.imageio` (PNG/BMP/GIF/JPEG), so `kind = "image"` payloads
-  * decode to true width/height/pixel features with no external codec.
-  * AUDIO/VIDEO decode remains a clearly-marked STUB — a deterministic
-  * fake standing in for codec libraries this container does not ship (in
-  * PySpark the same seam is a Pandas UDF under `mapInPandas`; in Scala
-  * the per-partition iterator below is the equivalent batch boundary: one
-  * decoder init per partition, streaming row batches through it).
+  * output contract). IMAGE decode is real: the JDK ships `javax.imageio`
+  * (PNG/BMP/GIF/JPEG), so `kind = "image"` payloads decode to true
+  * width/height/pixel features with no external codec. AUDIO decode is
+  * real for PCM containers: `javax.sound.sampled` (WAV/AIFF/AU, 8/16-bit)
+  * yields true sample-rate/duration/energy features. VIDEO decode remains
+  * a clearly-marked STUB — a deterministic fake standing in for demuxer
+  * libraries this container does not ship (in PySpark the same seam is a
+  * Pandas UDF under `mapInPandas`; in Scala the per-partition iterator
+  * below is the equivalent batch boundary: one decoder init per
+  * partition, streaming row batches through it).
   */
 object Multimodal {
 
@@ -87,14 +89,95 @@ object Multimodal {
     Some(out)
   }
 
-  /** STUB decoder for AUDIO/VIDEO (and undecodable image payloads): a real
+  /** Real audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * containers, PCM 8/16-bit — no external codec). Feature layout in
+    * `dim` floats:
+    *
+    *   [0] sample rate   [1] channels   [2] frame count
+    *   [3] RMS amplitude in [0,1]   [4] mean |amplitude| in [0,1]
+    *   [5..dim)  RMS per equal-width TIME stripe — a coarse temporal
+    *             energy profile (the audio analog of the image decoder's
+    *             column stripes)
+    *
+    * Samples normalize to the signed-16-bit domain and accumulate as
+    * exact integer sums (one pass), so results are bit-deterministic.
+    * Returns None for non-PCM encodings or payloads no installed reader
+    * accepts — the caller falls back to the deterministic stub. */
+  private[graft] def decodeAudio(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    if (bytes == null || bytes.isEmpty) return None
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (ais == null) return None
+    try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+      if ((!signed && enc != AudioFormat.Encoding.PCM_UNSIGNED) ||
+        (bits != 8 && bits != 16)) return None
+      val data = ais.readAllBytes()
+      val channels = fmt.getChannels
+      val frameSize = (bits / 8) * channels
+      val nFrames = data.length / frameSize
+      if (nFrames == 0) return None
+      val big = fmt.isBigEndian
+      val nStripes = math.max(dim - 5, 0)
+      val stripeSq = new Array[Long](math.max(nStripes, 1))
+      val stripeN = new Array[Long](math.max(nStripes, 1))
+      var sumSq = 0L
+      var sumAbs = 0L
+      var f = 0
+      while (f < nFrames) {
+        val s = if (nStripes > 0) math.min(f * nStripes / nFrames, nStripes - 1) else 0
+        var c = 0
+        while (c < channels) {
+          val off = f * frameSize + c * (bits / 8)
+          // normalize every sample to the signed-16-bit domain
+          val v =
+            if (bits == 8) {
+              val raw = if (signed) data(off).toInt else (data(off) & 0xff) - 128
+              raw << 8
+            } else {
+              val (b0, b1) = if (big) (data(off), data(off + 1)) else (data(off + 1), data(off))
+              val raw = (b0 << 8) | (b1 & 0xff)
+              if (signed) raw else raw - 32768
+            }
+          sumSq += v.toLong * v
+          sumAbs += math.abs(v.toLong)
+          if (nStripes > 0) { stripeSq(s) += v.toLong * v; stripeN(s) += 1 }
+          c += 1
+        }
+        f += 1
+      }
+      val n = nFrames.toLong * channels
+      val out = new Array[Float](dim)
+      def put(i: Int, v: Float): Unit = if (i < dim) out(i) = v
+      put(0, fmt.getSampleRate)
+      put(1, channels.toFloat)
+      put(2, nFrames.toFloat)
+      put(3, (math.sqrt(sumSq.toDouble / n) / 32768.0).toFloat)
+      put(4, (sumAbs.toDouble / n / 32768.0).toFloat)
+      var s = 0
+      while (s < nStripes) {
+        if (stripeN(s) > 0)
+          put(5 + s, (math.sqrt(stripeSq(s).toDouble / stripeN(s)) / 32768.0).toFloat)
+        s += 1
+      }
+      Some(out)
+    } finally ais.close()
+  }
+
+  /** STUB decoder for VIDEO (and image/audio payloads no installed reader
+    * accepts): a real
     * implementation would hand `bytes` to a codec and pool model features.
     * This deterministic fake derives `dim` floats from the payload so the
     * plumbing (schema, batching, ordering, null-safety) is testable
     * end-to-end.
     */
   private[graft] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real audio/video codec goes here; deterministic fake below.
+    // ??? <- real video demuxer/codec goes here; deterministic fake below.
     val out = new Array[Float](dim)
     if (bytes != null && bytes.nonEmpty) {
       var i = 0
@@ -109,9 +192,10 @@ object Multimodal {
   /** Partition-batched feature extraction: one "decoder" per partition
     * (expensive init amortized across the partition's rows), rows stream
     * through without materializing the partition. Images decode for real
-    * (javax.imageio); audio/video (and image payloads no installed reader
-    * accepts) fall back to the deterministic stub. Returns a typed Dataset
-    * ready to join back on media_id.
+    * (javax.imageio), audio decodes for real (javax.sound PCM); video —
+    * and any payload no installed reader accepts — falls back to the
+    * deterministic stub. Returns a typed Dataset ready to join back on
+    * media_id.
     */
   def featurize(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -119,9 +203,11 @@ object Multimodal {
       // decoder/session init would happen HERE, once per partition
       // (ImageIO reader instances are per-call; heavier codecs cache here)
       rows.map { r =>
-        val feats =
-          if (r.kind == "image") decodeImage(r.bytes, dim).getOrElse(decodeStub(r.bytes, dim))
-          else decodeStub(r.bytes, dim)
+        val feats = (r.kind match {
+          case "image" => decodeImage(r.bytes, dim)
+          case "audio" => decodeAudio(r.bytes, dim)
+          case _ => None
+        }).getOrElse(decodeStub(r.bytes, dim))
         MediaFeatures(r.media_id, r.kind,
           if (r.bytes == null) 0L else r.bytes.length.toLong,
           feats)

@@ -40,7 +40,7 @@ class MultimodalSpec extends SparkSpec {
       MediaRow(1L, "image", encode("png")),
       MediaRow(2L, "image", encode("bmp")),
       MediaRow(3L, "image", Array[Byte](1, 2, 3)),     // not an image -> stub
-      MediaRow(4L, "audio", Array[Byte](1, 2, 3))      // audio stays stubbed
+      MediaRow(4L, "audio", Array[Byte](1, 2, 3))      // undecodable audio -> stub
     ).toDS()
     val got = Multimodal.featurize(rows, dim = 8).collect()
       .map(f => f.media_id -> f.features).toMap
@@ -60,6 +60,30 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L).toSeq == got(4L).toSeq)
     val b0 = (1 - 128) / 128.0f // stub formula on first payload byte
     assert(got(4L)(0) == b0)
+  }
+
+  test("featurize decodes real WAV payloads via javax.sound: exact energy features") {
+    // 800-sample mono 16-bit square wave at +-8192: RMS and mean|amp| are
+    // EXACTLY 0.25 of full scale, in every time stripe
+    val samples = Array.tabulate[Short](800)(i => if (i % 2 == 0) 8192 else -8192)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val got = Multimodal.featurize(Seq(MediaRow(1L, "audio", bos.toByteArray)).toDS(), dim = 8)
+      .collect().head.features
+    assert(got(0) == 8000.0f && got(1) == 1.0f && got(2) == 800.0f,
+      s"wrong rate/channels/frames: ${got.toSeq}")
+    assert(got(3) == 0.25f && got(4) == 0.25f, s"wrong RMS/mean-abs: ${got.toSeq}")
+    assert(got(5) == 0.25f && got(6) == 0.25f && got(7) == 0.25f,
+      s"wrong stripe energies: ${got.toSeq}")
   }
 
   test("writeBinaryFiles round-trips readBinaryDir byte-identically (S11)") {

@@ -45,6 +45,26 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(got.startsWith("$") && got.contains("."))
   }
 
+  test("span-scrub pipeline is expressible in pure SQL via the native functions") {
+    GraftFunctions.register(spark)
+    Seq((1L, "a b c d x y"), (2L, "a b c d p q"), (3L, "u v w z k m"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sd")
+    // hot 4-grams (here: "a b c d", in docs 1+2) scrub out of every doc
+    val got = spark.sql(
+      """WITH hot AS (
+           SELECT h FROM (SELECT explode(word_gram_hashes(text, 4)) AS h FROM sd)
+           GROUP BY h HAVING COUNT(*) >= 2),
+         st AS (
+           SELECT doc_id, sort_array(collect_list(g.pos)) AS starts
+           FROM (SELECT doc_id, explode(word_gram_pos_hashes(text, 4)) AS g FROM sd)
+           JOIN hot ON g.h = hot.h GROUP BY doc_id)
+         SELECT sd.doc_id,
+                scrub_spans(text, coalesce(starts, array()), 4) AS clean
+         FROM sd LEFT JOIN st USING (doc_id) ORDER BY doc_id""")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "x y"), (2L, "p q"), (3L, "u v w z k m")))
+  }
+
   test("word_gram_hashes is SQL-callable and rejects a non-constant width") {
     GraftFunctions.register(spark)
     val n = spark.sql(
