@@ -569,6 +569,82 @@ object ScrubSpans {
   }
 }
 
+/** Unicode NFC normalization (java.text.Normalizer) as a native
+  * expression — Spark ships no normalization builtin, yet mixed-form text
+  * (decomposed "e" + U+0301 vs composed U+00E9) breaks exact dedup,
+  * shingling, and token equality. Run BEFORE any hashing/fingerprint
+  * stage; NFC is idempotent, so re-normalizing committed data is safe. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = StringType
+  override def inputTypes = Seq[DataType](StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcNormalize.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => "graft.plans.NfcNormalize$.MODULE$.nfc(" + c + ")")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+object NfcNormalize {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: NFC-normalized already (the overwhelmingly common case) —
+    // skip the rebuild and return the input buffer untouched
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Accent/diacritic stripping: NFD-decompose, drop combining marks
+  * (\\p{M}), keep everything else — "café" -> "cafe", "naïve" -> "naive".
+  * The classic search/dedup folding step; pairs with lower() for
+  * accent-insensitive matching. */
+case class StripAccents(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = StringType
+  override def inputTypes = Seq[DataType](StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "strip_accents"
+
+  override protected def nullSafeEval(input: Any): Any =
+    StripAccents.strip(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => "graft.plans.StripAccents$.MODULE$.strip(" + c + ")")
+
+  override protected def withNewChildInternal(newChild: Expression): StripAccents =
+    copy(child = newChild)
+}
+object StripAccents {
+  def strip(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var hasNonAscii = false
+    var i = 0
+    while (i < str.length && !hasNonAscii) {
+      if (str.charAt(i) >= 0x80) hasNonAscii = true
+      i += 1
+    }
+    if (!hasNonAscii) return s // ASCII never decomposes
+    val d = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    i = 0
+    while (i < d.length) {
+      val cp = d.codePointAt(i)
+      val t = Character.getType(cp)
+      if (t != Character.NON_SPACING_MARK && t != Character.COMBINING_SPACING_MARK &&
+        t != Character.ENCLOSING_MARK) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
 /** Column wrappers + SQL registration for the native expressions. */
 object GraftFunctions {
   def format_money(c: Column): Column = ColumnBridge.column(FormatMoney(ColumnBridge.expression(c)))
@@ -581,6 +657,10 @@ object GraftFunctions {
   def scrub_spans(text: Column, starts: Column, n: Int): Column =
     ColumnBridge.column(ScrubSpans(
       ColumnBridge.expression(text), ColumnBridge.expression(starts), n))
+  def nfc_normalize(c: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+  def strip_accents(c: Column): Column =
+    ColumnBridge.column(StripAccents(ColumnBridge.expression(c)))
 
   /** Second argument of a SQL call that must be a foldable INT literal. */
   private[plans] def litInt(e: Expression, usage: String): Int = e match {
@@ -608,5 +688,9 @@ object GraftFunctions {
       "scrub_spans",
       exprs => ScrubSpans(exprs(0), exprs(1), litInt(exprs(2), "scrub_spans(text, starts, n)")),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "strip_accents", exprs => StripAccents(exprs.head), "built-in")
   }
 }

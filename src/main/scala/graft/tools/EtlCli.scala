@@ -36,6 +36,8 @@ object EtlCli {
     case Seq("stats", wh, top)     => stats(spark, wh, top.toInt).show(truncate = false)
     case Seq("export", wh, docs, eval)     => export(spark, wh, docs, eval)
     case Seq("export", wh, docs, eval, n)  => export(spark, wh, docs, eval, n.toInt)
+    case Seq("export", wh, docs, eval, n, fmt) =>
+      export(spark, wh, docs, eval, n.toInt, format = fmt)
     case other => sys.error(s"usage: init|ingest|quality|stats|export ... (got $other)")
   }
 
@@ -115,7 +117,8 @@ object EtlCli {
     * EtlCliSpec. Failure anywhere leaves the previous export version live.
     */
   def export(spark: SparkSession, wh: String, docsPath: String, evalPath: String,
-             nShards: Int = 8, budget: Int = 2048): Audit.EtlRun =
+             nShards: Int = 8, budget: Int = 2048,
+             format: String = "parquet"): Audit.EtlRun =
     Audit.audited(spark, "export", s"$wh/etl_run") { (readObs, loadObs) =>
       val docs = Audit.observed(spark.read.parquet(docsPath), readObs)
       val evalDocs = spark.read.parquet(evalPath)
@@ -138,8 +141,15 @@ object EtlCli {
       val loaded = Audit.observed(out, loadObs)
       val path = s"$wh/export"
       val next = committedVersion(spark, path).getOrElse(0L) + 1
-      graft.core.Store.writeShards(loaded, s"$path/data_v$next", "doc_id",
-        nShards, shuffleOrder = true)
+      format match {
+        case "parquet" =>
+          graft.core.Store.writeShards(loaded, s"$path/data_v$next", "doc_id",
+            nShards, shuffleOrder = true)
+        case "jsonl" =>
+          graft.core.Store.writeJsonlShards(loaded, s"$path/data_v$next", "doc_id",
+            nShards, shuffleOrder = true)
+        case other => sys.error(s"export format must be parquet|jsonl, got $other")
+      }
       commit(spark, path, next)
     }
 

@@ -106,6 +106,14 @@ class EtlCliSpec extends SparkSpec {
     // both runs audited
     assert(spark.read.parquet(s"$wh/etl_run")
       .filter(col("source_system") === "export").count() == 2)
+
+    // jsonl format: same pipeline, text shards, next version, same row count
+    val run3 = EtlCli.export(spark, wh, docs, eval, nShards = 4, format = "jsonl")
+    assert(run3.status == "SUCCESS")
+    val v3 = s"$wh/export/data_v3"
+    val lines = spark.read.textFile(s"$v3/shard=*")
+    assert(lines.count() == n1)
+    assert(lines.head().startsWith("{\"doc_id\""), "not a JSON object line")
   }
 
   test("compact rewrites many small files into few, contents unchanged") {

@@ -203,6 +203,36 @@ class ExpressionsSpec extends SparkSpec {
       (3L, 0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")))
   }
 
+  test("nfc_normalize unifies composed/decomposed forms; strip_accents folds marks") {
+    val composed = "café"            // é as one code point
+    val decomposed = "café"         // e + combining acute
+    val rows = Seq((composed, decomposed, "naïve résumé", "plain ascii"))
+      .toDF("c", "d", "accented", "ascii")
+    val got = rows.select(
+      GraftFunctions.nfc_normalize(col("d")).as("nfc_d"),
+      GraftFunctions.nfc_normalize(col("c")).as("nfc_c"),
+      GraftFunctions.strip_accents(col("accented")).as("folded"),
+      GraftFunctions.strip_accents(col("ascii")).as("ascii_out"))
+      .as[(String, String, String, String)].head()
+    assert(got._1 == composed, "decomposed input must normalize to the composed form")
+    assert(got._2 == composed, "NFC is idempotent on composed input")
+    assert(got._3 == "naive resume")
+    assert(got._4 == "plain ascii")
+    // the dedup motivation: mixed-form duplicates hash identically after NFC
+    val fps = rows.select(
+      md5(GraftFunctions.nfc_normalize(col("c"))).as("a"),
+      md5(GraftFunctions.nfc_normalize(col("d"))).as("b"))
+      .as[(String, String)].head()
+    assert(fps._1 == fps._2)
+    // SQL registration
+    GraftFunctions.register(spark)
+    rows.createOrReplaceTempView("nrm")
+    val viaSql = spark.sql(
+      "SELECT nfc_normalize(d) = nfc_normalize(c) AS eq, strip_accents(accented) AS f FROM nrm")
+      .as[(Boolean, String)].head()
+    assert(viaSql == ((true, "naive resume")))
+  }
+
   test("null inputs propagate null") {
     val got = Seq((Option.empty[Long], Option(7L))).toDF("a", "b")
       .select(GraftFunctions.format_money(col("a")).as("sa"),
