@@ -75,6 +75,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("scrub_spans law: equals the filter-by-coverage reference on random inputs") {
+    // random word lists + random span starts, vs a plain Scala reference
+    val cases = sample(Gen.listOfN(150, Gen.zip(
+      Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n,
+        Gen.oneOf("aa", "b", "ccc", "dddd", "é"))),
+      Gen.listOf(Gen.chooseNum(0, 27)))))
+    val n = 3
+    def reference(words: Seq[String], starts: Seq[Int]): String =
+      words.zipWithIndex
+        .filterNot { case (_, i) => starts.exists(s => s <= i && i < s + n) }
+        .map(_._1).mkString(" ")
+    val df = cases.zipWithIndex.map { case ((ws, st), i) =>
+      (i, ws.mkString(" "), st.distinct.sorted.toArray) }
+      .toDF("id", "text", "starts")
+    val got = df.select(col("id"),
+        graft.plans.GraftFunctions.scrub_spans(col("text"), col("starts"), n).as("s"))
+      .as[(Int, String)].collect().toMap
+    cases.zipWithIndex.foreach { case ((ws, st), i) =>
+      val want = reference(ws, st.distinct.sorted)
+      assert(got(i) == want, s"case $i: words=$ws starts=${st.distinct.sorted}")
+    }
+  }
+
+  test("word_gram_pos_hashes positions tile the text: gram count law") {
+    val docs = sample(Gen.listOfN(60, Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("x", "yy", "zzz")))))
+    val n = 4
+    val df = docs.zipWithIndex.map { case (ws, i) => (i, ws.mkString(" ")) }
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        graft.plans.GraftFunctions.word_gram_pos_hashes(col("text"), n).as("g"))
+      .select(col("id"), size(col("g")).as("cnt"),
+        coalesce(get(col("g"), lit(0)).getField("pos"), lit(-1)).as("first"))
+      .as[(Int, Int, Int)].collect().map { case (i, c, f) => i -> ((c, f)) }.toMap
+    docs.zipWithIndex.foreach { case (ws, i) =>
+      // "" splits to one empty word; expression returns [] only for len==0
+      val nWords = if (ws.isEmpty) 1 else ws.length
+      val expect = if (ws.isEmpty) 0 else math.max(nWords - n + 1, 0)
+      assert(got(i)._1 == expect, s"case $i words=$nWords")
+      if (expect > 0) assert(got(i)._2 == 0)
+    }
+  }
+
   test("simhash64 is token-order invariant (bag-of-words semantics)") {
     val docs = sample(Gen.listOfN(40, Gen.listOfN(12,
       Gen.oneOf("spark", "query", "join", "scan", "the", "a", "merge", "sort"))))
