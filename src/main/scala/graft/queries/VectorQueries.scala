@@ -155,16 +155,18 @@ object VectorQueries {
     // provably derives from them. The oracle takes the same parquet as
     // given and independently recomputes the whole scoring path (query
     // distance table, code lookup, quantized sums, ranking): the
-    // engine-portable ADC math is hash-checked end-to-end. Path embeds
-    // the sf dir name; the correctness gate always runs at sf0.01.
+    // engine-portable ADC math is hash-checked end-to-end. The artifact
+    // dir is FIXED (not per-sf) so the static oracle SQL matches at any
+    // scale factor; runs at different sf are sequential, each writes
+    // before it reads.
     QueryDef(
       "q_pq_adc",
       "product-quantization ANN: m=8/ksub=16 codebook + codes persisted to parquet; ADC top-10 recomputed by the oracle from the same artifacts",
-      s"""WITH cb AS (SELECT sub, cc, cv FROM read_parquet('/tmp/graft_pq/sf0.01/codebook/*.parquet')),
+      s"""WITH cb AS (SELECT sub, cc, cv FROM read_parquet('/tmp/graft_pq/current/codebook/*.parquet')),
           cx AS (
             SELECT vid, r.sub AS sub, r.cc AS cc FROM (
               SELECT vid, unnest(list_transform(range(1, len(codes) + 1), i -> {'sub': i - 1, 'cc': codes[i]})) AS r
-              FROM read_parquet('/tmp/graft_pq/sf0.01/codes/*.parquet'))),
+              FROM read_parquet('/tmp/graft_pq/current/codes/*.parquet'))),
           qsub AS (
             SELECT vec_id AS qid, r.sub AS sub, r.sv AS sv FROM (
               SELECT vec_id, unnest(list_transform(range(0, 8),
@@ -186,7 +188,7 @@ object VectorQueries {
                    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS INT) AS rank
             FROM ad) WHERE rank <= 10 ORDER BY qid, rank""") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val base = s"/tmp/graft_pq/${new java.io.File(dir).getName}"
+      val base = "/tmp/graft_pq/current"
       Similarity.pqCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
         .write.mode("overwrite").parquet(s"$base/codebook")
       val codebook = s.read.parquet(s"$base/codebook")
@@ -225,11 +227,11 @@ object VectorQueries {
           cand AS (
             SELECT p.qid, c.vec_id AS cid FROM probes p
             JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.qid),
-          cb AS (SELECT sub, cc, cv FROM read_parquet('/tmp/graft_ivfpq/sf0.01/codebook/*.parquet')),
+          cb AS (SELECT sub, cc, cv FROM read_parquet('/tmp/graft_ivfpq/current/codebook/*.parquet')),
           cx AS (
             SELECT vid, r.sub AS sub, r.cc AS cc FROM (
               SELECT vid, unnest(list_transform(range(1, len(codes) + 1), i -> {'sub': i - 1, 'cc': codes[i]})) AS r
-              FROM read_parquet('/tmp/graft_ivfpq/sf0.01/codes/*.parquet'))),
+              FROM read_parquet('/tmp/graft_ivfpq/current/codes/*.parquet'))),
           qsub AS (
             SELECT vec_id AS qid, r.sub AS sub, r.sv AS sv FROM (
               SELECT vec_id, unnest(list_transform(range(0, 8),
@@ -251,7 +253,7 @@ object VectorQueries {
                    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS INT) AS rank
             FROM ad) WHERE rank <= 10 ORDER BY qid, rank""") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val base = s"/tmp/graft_ivfpq/${new java.io.File(dir).getName}"
+      val base = "/tmp/graft_ivfpq/current"
       Similarity.pqCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
         .write.mode("overwrite").parquet(s"$base/codebook")
       val codebook = s.read.parquet(s"$base/codebook")
