@@ -102,6 +102,59 @@ object ExtendedQueries {
         .orderBy(col("region"), col("nation"))
     },
 
+    // Portable correlation/covariance: builtin corr()/covar_pop() are
+    // float-summation-order dependent (not reproducible across engines or
+    // even partitionings), so the moments are accumulated as quantized
+    // integer sums (Fns.dsum) and the textbook formulas evaluate in a few
+    // deterministic IEEE ops on top. One partial-agg'd shuffle.
+    QueryDef(
+      "q_stats_corr",
+      "per-returnflag correlation + population covariance of (quantity, discount) from exact quantized moments",
+      """WITH m AS (
+           SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(FLOOR(l_quantity * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sx,
+                  CAST(SUM(CAST(FLOOR(l_discount * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sy,
+                  CAST(SUM(CAST(FLOOR(l_quantity * l_quantity * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sxx,
+                  CAST(SUM(CAST(FLOOR(l_discount * l_discount * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS syy,
+                  CAST(SUM(CAST(FLOOR(l_quantity * l_discount * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+                (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qd,
+                (sxy - sx * sy / n) / n AS covar_pop_qd
+         FROM m ORDER BY l_returnflag""") { (s, dir) =>
+      import graft.functions.Fns.dsum
+      val m = t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sx"),
+        dsum(col("l_discount")).as("sy"),
+        dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+        dsum(col("l_discount") * col("l_discount")).as("syy"),
+        dsum(col("l_quantity") * col("l_discount")).as("sxy"))
+      m.select(col("l_returnflag"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qd"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")).as("covar_pop_qd"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Fixed-width histogram: bucket = floor(value / width) capped at the
+    // top bucket — pure integer-from-double math, identical in any
+    // engine; one partial-agg'd shuffle of (bucket, count) rows.
+    QueryDef(
+      "q_histogram",
+      "20-bucket fixed-width histogram of order totals (width 25000, top bucket open)",
+      """SELECT CAST(LEAST(FLOOR(o_totalprice / 25000.0), 19) AS INT) AS bucket,
+                CAST(COUNT(*) AS BIGINT) AS n_orders,
+                MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+         FROM orders GROUP BY 1 ORDER BY bucket""") { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(least(floor(col("o_totalprice") / 25000.0), lit(19)).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+             min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+        .orderBy(col("bucket"))
+    },
+
     // CUBE: all four grouping combinations in one pass — Spark expands the
     // grouping sets into a single partial-aggregated shuffle, not four
     // scans. Aggregates are order-independent (count/min/max) so the
