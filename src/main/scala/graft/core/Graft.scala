@@ -34,8 +34,11 @@ object Graft {
       .getOrCreate()
     // The engine's own optimizer surface is part of the session contract:
     // the window-top-k idiom lowers to the bounded-heap TopKPerKey operator
-    // wherever its safety conditions hold (see TopKRewriteRule scaladoc).
+    // wherever its safety conditions hold (see TopKRewriteRule scaladoc),
+    // and the native expressions are SQL-callable (format_money,
+    // cosine_sim, word_gram_hashes, scrub_spans, nfc_normalize, ...).
     graft.plans.TopKRewrite.install(spark)
+    graft.plans.GraftFunctions.register(spark)
     spark
   }
 }
