@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * operator library the way a real corpus job would run it:
   *
   *   quality gates -> exact dedup -> near-dup dedup (MinHash-LSH +
-  *   connected components) -> benchmark decontamination -> chunking
+  *   connected components) -> [hot-span scrub] -> benchmark
+  *   decontamination -> chunking
   *
   * One declarative DataFrame per stage, so Catalyst sees the whole plan:
   * the quality gates and fingerprints fuse into the scan projection, each
@@ -28,6 +29,7 @@ object CorpusPipeline {
       minUniqRatio: Double = 0.3,
       shingleK: Int = 9, numHashes: Int = 8, bandSize: Int = 2,
       nearDupThreshold: Double = 0.8, dfCap: Int = 0,
+      scrubSpanN: Int = 0, scrubMinDocs: Int = 2,
       decontaminateGramN: Int = 4,
       chunkLen: Int = 200, chunkOverlap: Int = 20)
 
@@ -55,7 +57,24 @@ object CorpusPipeline {
         cfg.shingleK, cfg.numHashes, cfg.bandSize, cfg.nearDupThreshold, cfg.dfCap)
       .observe("graft_near_dedup", count(lit(1)).as("rows_after_near"))
 
-    val decontaminated = Dedup.decontaminate(nearDeduped, evalDocs,
+    // optional exact-substring pass (RefinedWeb-style, AFTER fuzzy dedup:
+    // whole near-copies are already gone, this removes the boilerplate
+    // spans surviving documents still share). Documents keep their rows —
+    // re-run the quality gates afterwards if empty/short survivors should
+    // drop.
+    val scrubbed =
+      if (cfg.scrubSpanN <= 0) nearDeduped
+      else {
+        val s = Dedup.scrubHotSpans(nearDeduped, idCol, textCol,
+            cfg.scrubSpanN, cfg.scrubMinDocs)
+          .select(col("doc_id").as(idCol), col("clean_text"))
+        nearDeduped.drop(textCol).join(s, Seq(idCol))
+          .withColumnRenamed("clean_text", textCol)
+          .select(nearDeduped.columns.map(col): _*)
+          .observe("graft_span_scrub", count(lit(1)).as("rows_after_scrub"))
+      }
+
+    val decontaminated = Dedup.decontaminate(scrubbed, evalDocs,
         idCol, textCol, cfg.decontaminateGramN)
       .observe("graft_decontaminate", count(lit(1)).as("rows_after_decontaminate"))
 

@@ -56,4 +56,21 @@ class CorpusPipelineSpec extends SparkSpec {
       evalDocs, "doc_id", "text", CorpusPipeline.Config(chunkLen = 0))
     assert(cleaned.select("doc_id").as[Long].collect().toSet == Set(7L, 8L))
   }
+
+  test("optional span-scrub stage deletes shared boilerplate from survivors") {
+    // two otherwise-distinct docs share an 8-word boilerplate header; they
+    // are NOT near-dups (jaccard way below threshold), so they survive to
+    // the scrub stage, which removes exactly the shared span
+    val boiler = (1 to 8).map(i => s"hdr$i").mkString(" ")
+    val d7 = s"$boiler ${(words("delta") :+ "the").mkString(" ")}"
+    val d8 = s"$boiler ${(words("epsln") :+ "a").mkString(" ")}"
+    val cleaned = CorpusPipeline.clean(
+      Seq((7L, d7), (8L, d8)).toDF("doc_id", "text"),
+      evalDocs, "doc_id", "text",
+      CorpusPipeline.Config(chunkLen = 0, scrubSpanN = 8, scrubMinDocs = 2))
+    val got = cleaned.orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (7L, (words("delta") :+ "the").mkString(" ")),
+      (8L, (words("epsln") :+ "a").mkString(" "))), s"got $got")
+  }
 }
