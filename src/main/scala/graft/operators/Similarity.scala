@@ -216,6 +216,77 @@ object Similarity {
         col("rank").cast(IntegerType).as("rank"))
   }
 
+  /** RESIDUAL IVF-PQ (the full FAISS IndexIVFPQ design, Jegou et al.
+    * TPAMI'11 §V-A): the PQ codebook is trained on RESIDUALS
+    * v − centroid(cell), so the quantizer spends its codes on the
+    * within-cell variation instead of re-describing the coarse structure —
+    * sharper distances than ivfPqTopK's raw-vector codes at the price of
+    * coupling codebook to coarse quantizer. The query side builds one ADC
+    * table PER PROBED CELL (the query's residual differs per cell):
+    * queries × nProbe × m × ksub rows — still a broadcast. Candidates are
+    * restricted to probed cells by the (cell, sub, cc) table join itself.
+    * Same quantized arithmetic as every vector path, so results are
+    * bit-deterministic; spec-checked against exact L2 recall (the
+    * unconditionally-verifiable raw-code variant q_ann_ivfpq is the
+    * oracle-checked one — a per-cell-table oracle SQL would be enormous).
+    */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, nCells: Int, nProbe: Int,
+                        m: Int, ksub: Int, iters: Int, k: Int): DataFrame = {
+    val vecs = graft.core.Tables.ensureParallelism(corpus)
+      .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v"))
+    val cent = vecs.filter(col("vid") < nCells).select(col("vid").as("cc"), col("v").as("cv"))
+    val cells = vecs.crossJoin(broadcast(cent))
+      .select(col("vid"), col("v"), col("cc"), ql2(col("v"), col("cv")).as("d2"))
+      .groupBy("vid")
+      .agg(min(struct(col("d2"), col("cc"))).as("mn"), first(col("v")).as("v"))
+      .select(col("vid"), col("mn.cc").as("cell"), col("v"))
+    // corpus residuals against the OWN cell's centroid (exact IEEE
+    // subtraction, no quantization loss before encoding)
+    // pinned: k-means training re-scans its input per iteration, and the
+    // encode pass scans it again — without the pin the assignment tower
+    // above would re-execute each time
+    val resid = cells.join(broadcast(cent.select(col("cc").as("cell"), col("cv"))), "cell")
+      .select(col("vid"), col("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
+      .transform(graft.core.Materialize.pin)
+    // Seed correction: pqCodebook seeds with the first ksub ids, but ids
+    // < nCells ARE the coarse centroids — their residuals are (near-)zero
+    // vectors, which would collapse the k-means seeds into one point.
+    // Shifting the training ids by nCells makes the seeds the first ksub
+    // NON-centroid residuals (and drops the degenerate ones from
+    // training); encoding still runs over every vector.
+    val codebook = pqCodebook(
+      resid.select((col("vid") - nCells).as("vid"), col("r")).filter(col("vid") >= 0),
+      "vid", "r", m, ksub, iters)
+    val codes = pqEncode(resid, "vid", "r", codebook, m)
+      .join(resid.select(col("vid"), col("cell")), "vid")
+      .select(col("vid").as("cid"), col("cell"), col("codes"))
+    val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cc"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("qid"), col("qv"), col("cc"), col("cv"),
+        ql2(col("qv"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
+      .select(struct(col("qid"), col("cc").as("cell")).as("qc"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qr"))
+    val table = subvectors(probes, "qc", "qr", m)
+      .join(broadcast(codebook), "sub")
+      .select(col("vid.qid").as("qid"), col("vid.cell").as("cell"),
+        col("sub"), col("cc"), ql2(col("sv"), col("cv")).as("d2"))
+    val codesEx = codes.select(col("cid"), col("cell"),
+      posexplode(col("codes")).as(Seq("sub", "cc")))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
+    codesEx.join(broadcast(table), Seq("cell", "sub", "cc"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy("qid", "cid")
+      .agg(vsum(col("d2")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("adist"),
+        col("rank").cast(IntegerType).as("rank"))
+  }
+
   // ---- semantic dedup (SemDeDup: Abbas et al., arXiv:2303.09540) -------
   // Embedding-space near-duplicate removal at corpus scale: a coarse
   // quantizer partitions the corpus into cells (same deterministic

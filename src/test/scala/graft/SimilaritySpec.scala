@@ -88,6 +88,52 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("residual IVF-PQ: deterministic, probed-cell-pruned, competitive recall") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val (nCells, nProbe, m, ksub, k) = (16, 2, 8, 16, 10)
+    def run() = Similarity.ivfPqResidualTopK(emb, queries, "vec_id", "embedding",
+        nCells, nProbe, m, ksub, iters = 2, k)
+      .select(col("qid").cast("long"), col("cid").cast("long"), col("adist"))
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._3, r._2))
+    val got = run()
+    assert(got.map(_._1).distinct.length == 5)
+    assert(got.toSeq == run().toSeq, "residual IVF-PQ is not deterministic")
+    // exact L2 top-k baseline for recall measurement
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qv"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cv"))
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("cid"))
+    val exact = q.crossJoin(c).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x).as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid").cast("long"), col("cid").cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def meanRecall(pairs: Seq[(Long, Long)]): Double = {
+      val byQ = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.keys.toSeq.map(qid =>
+        (byQ.getOrElse(qid, Set.empty) intersect exact(qid)).size.toDouble / k)
+        .sum / exact.size
+    }
+    val residRecall = meanRecall(got.map(r => (r._1, r._2)).toSeq)
+    // the point of residual encoding: at equal (m, ksub) it must not rank
+    // WORSE than the raw-code variant (same coarse pruning on both sides)
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", m, ksub, iters = 2)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb, m)
+    val rawRecall = meanRecall(
+      Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", nCells, nProbe,
+          codes, cb, m, k)
+        .select(col("qid").cast("long"), col("cid").cast("long"))
+        .as[(Long, Long)].collect().toSeq)
+    assert(residRecall >= rawRecall - 1e-9,
+      s"residual recall@$k $residRecall below raw-code $rawRecall")
+    assert(residRecall >= 0.2, s"residual IVF-PQ recall@$k degenerate: $residRecall")
+  }
+
   private def vecs = Seq(
     (1L, Array(1.0f, 0.0f, 0.0f)),
     (2L, Array(0.9f, 0.1f, 0.0f)),   // near vec 1
