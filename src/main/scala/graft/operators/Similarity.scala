@@ -44,6 +44,31 @@ object Similarity {
     pcol(graft.plans.QuantizedL2Sum(pexpr(a), pexpr(b))) / lit(VScale)
   private def qnorm(a: Column): Column = sqrt(qdot(a, a))
 
+  // ---- in-row argmin kernels ------------------------------------------
+  // Coarse-cell assignment and PQ encoding are ARGMINS against a tiny
+  // centroid table — there is no reason to shuffle the corpus for them.
+  // The table reshapes to ONE row (array of structs), broadcasts via
+  // crossJoin, and the per-vector argmin folds over the array with least()
+  // on (d2, cc) structs. least is the lexicographic struct min —
+  // associative and commutative — so the collect_list order cannot matter,
+  // and ties break to the lower cc exactly like the previous
+  // min(struct(d2, cc)) aggregation. At 100 TB this turns the widest stage
+  // of every IVF/PQ build (assigning/encoding EVERY corpus vector) into a
+  // map-only projection: the scan never exchanges.
+
+  /** (cc, cv) centroid table reshaped to one broadcastable row. */
+  private def centOneRow(cent: DataFrame): DataFrame =
+    cent.groupBy().agg(collect_list(
+      struct(col("cc").cast(LongType).as("cc"), col("cv").as("cv"))).as("cents"))
+
+  /** Nearest-centroid id for one vector, folded in-row over `cents`. */
+  private def argminCell(v: Column, cents: Column): Column =
+    aggregate(cents,
+      struct(lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("cc")),
+      (acc, e) => least(acc,
+        struct(ql2(v, e.getField("cv")).as("d2"), e.getField("cc").as("cc"))),
+      acc => acc.getField("cc"))
+
   /** (id, d, x) exploded view of a vector column, x widened to double;
     * input is spread across the cluster first (the explode fans out 64x). */
   def explodeDims(df: DataFrame, idCol: String, vecCol: String): DataFrame =
@@ -125,28 +150,21 @@ object Similarity {
     // (dimension-level aggregation is genuinely per-dim, so it stays on
     // the exploded view; the table is nCells x dims — tiny)
     var cent = vecs.filter(col("vid") < nCells).select(col("vid").as("cc"), col("v").as("cv"))
-    def distances(v: DataFrame, idName: String): DataFrame =
-      v.crossJoin(broadcast(cent))
-        .select(col(idName), col("cc"), ql2(col("v"), col("cv")).as("d2"))
     (0 until refineIters).foreach { _ =>
-      val w = Window.partitionBy("vid").orderBy(col("d2"), col("cc"))
-      val cells = distances(vecs, "vid")
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vid"), col("cc").as("cell"))
-      val dims = vecs.select(col("vid"), posexplode(col("v")).as(Seq("d", "x")))
-      cent = cells.join(dims, "vid")
-        .groupBy(col("cell").as("cc"), col("d"))
+      // map-only reassignment (in-row argmin against the one-row centroid
+      // table); the only shuffle per iteration is the quantized-mean update
+      val assigned = vecs.crossJoin(broadcast(centOneRow(cent)))
+        .select(argminCell(col("v"), col("cents")).as("cc"), col("v"))
+      cent = assigned.select(col("cc"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cc", "d")
         .agg((vsum(col("x")) / count(lit(1))).as("cx"))
         .groupBy("cc")
         .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
           s => s.getField("cx")).as("cv"))
     }
-    // corpus assignment: argmin cell per vector as a partial-agg min over
-    // (d2, cc) structs — no window over vectors x cells
-    val cells = distances(vecs, "vid")
-      .groupBy("vid")
-      .agg(min(struct(col("d2"), col("cc"))).as("m"))
-      .select(col("vid").as("cid"), col("m.cc").as("cell"))
+    // corpus assignment: in-row argmin — the full-corpus stage is map-only
+    val cells = vecs.crossJoin(broadcast(centOneRow(cent)))
+      .select(col("vid").as("cid"), argminCell(col("v"), col("cents")).as("cell"))
     val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
     val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cc"))
     val probes = q.crossJoin(broadcast(cent))
@@ -183,11 +201,9 @@ object Similarity {
     val vecs = graft.core.Tables.ensureParallelism(corpus)
       .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v"))
     val cent = vecs.filter(col("vid") < nCells).select(col("vid").as("cc"), col("v").as("cv"))
-    val cells = vecs.crossJoin(broadcast(cent))
-      .select(col("vid"), col("cc"), ql2(col("v"), col("cv")).as("d2"))
-      .groupBy("vid")
-      .agg(min(struct(col("d2"), col("cc"))).as("mn"))
-      .select(col("vid").as("cid"), col("mn.cc").as("cell"))
+    // full-corpus cell assignment is map-only (in-row argmin)
+    val cells = vecs.crossJoin(broadcast(centOneRow(cent)))
+      .select(col("vid").as("cid"), argminCell(col("v"), col("cents")).as("cell"))
     val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
     val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cc"))
     val probes = q.crossJoin(broadcast(cent))
@@ -236,11 +252,9 @@ object Similarity {
     val vecs = graft.core.Tables.ensureParallelism(corpus)
       .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v"))
     val cent = vecs.filter(col("vid") < nCells).select(col("vid").as("cc"), col("v").as("cv"))
-    val cells = vecs.crossJoin(broadcast(cent))
-      .select(col("vid"), col("v"), col("cc"), ql2(col("v"), col("cv")).as("d2"))
-      .groupBy("vid")
-      .agg(min(struct(col("d2"), col("cc"))).as("mn"), first(col("v")).as("v"))
-      .select(col("vid"), col("mn.cc").as("cell"), col("v"))
+    // full-corpus cell assignment is map-only (in-row argmin)
+    val cells = vecs.crossJoin(broadcast(centOneRow(cent)))
+      .select(col("vid"), argminCell(col("v"), col("cents")).as("cell"), col("v"))
     // corpus residuals against the OWN cell's centroid (exact IEEE
     // subtraction, no quantization loss before encoding)
     // pinned: k-means training re-scans its input per iteration, and the
@@ -318,14 +332,11 @@ object Similarity {
       .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v"))
     val cent = vecs.filter(col("vid") < nCells)
       .select(col("vid").as("cc"), col("v").as("cv"))
-    // argmin cell per vector as a partial-agg min over (d2, cc) structs;
-    // the vector itself rides the aggregation (constant per vid), so the
-    // assignment needs no join back against the input
-    val cv0 = vecs.crossJoin(broadcast(cent))
-      .select(col("vid"), col("v"), col("cc"), ql2(col("v"), col("cv")).as("d2"))
-      .groupBy("vid")
-      .agg(min(struct(col("d2"), col("cc"))).as("m"), first(col("v")).as("v"))
-      .select(col("vid"), col("m.cc").as("cell"), col("v"))
+    // map-only assignment: in-row argmin against the one-row centroid
+    // table — the full-corpus stage never shuffles, and the vector stays
+    // in its row with no join-back or first() reconstruction
+    val cv0 = vecs.crossJoin(broadcast(centOneRow(cent)))
+      .select(col("vid"), argminCell(col("v"), col("cents")).as("cell"), col("v"))
     // hot-cell guard: the cell-count aggregate is one row per cell (tiny,
     // broadcasts); the anti join is map-side, so the guard costs one extra
     // pass over the assignments and nothing quadratic ever forms
@@ -408,24 +419,47 @@ object Similarity {
         .as(Seq("sub", "sv")))
   }
 
+  /** (sub, cc, cv) codebook reshaped to one broadcastable row. */
+  private def cbOneRow(codebook: DataFrame): DataFrame =
+    codebook.groupBy().agg(collect_list(struct(col("sub"),
+      col("cc").cast(LongType).as("cc"), col("cv").as("cv"))).as("cb"))
+
+  /** All m PQ codes for one vector, computed in-row: per subspace, the
+    * argmin centroid of that subspace's slice, folded with least() over
+    * the one-row codebook (order-independent; ties to the lower cc). The
+    * production encode shape — FAISS encodes in one scan — with zero
+    * shuffles and zero row fan-out. */
+  private def pqCodes(v: Column, cb: Column, m: Int): Column = {
+    val dsub = size(v) / m
+    transform(sequence(lit(0), lit(m - 1)), s =>
+      aggregate(filter(cb, e => e.getField("sub") === s),
+        struct(lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("cc")),
+        (acc, e) => least(acc,
+          struct(ql2(slice(v, s * dsub + lit(1), dsub), e.getField("cv")).as("d2"),
+            e.getField("cc").as("cc"))),
+        acc => acc.getField("cc")))
+  }
+
   /** Train the PQ codebook: independent deterministic k-means per subspace
     * (seed = subvectors of the first ksub ids; quantized argmin with ties
     * to the lower cell; quantized means), all m subspaces refined in the
     * SAME aggregation pass — `sub` rides the grouping key, so training m
-    * codebooks costs one k-means, not m. Returns (sub, cc, cv). */
+    * codebooks costs one k-means, not m. Assignment is the map-only
+    * in-row encode; the only shuffle per iteration is the quantized-mean
+    * update. Returns (sub, cc, cv). */
   def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
                  m: Int, ksub: Int, iters: Int): DataFrame = {
-    val sv = subvectors(corpus, idCol, vecCol, m)
-    var cent = sv.filter(col("vid") < ksub)
+    val vecs = graft.core.Tables.ensureParallelism(corpus)
+      .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v"))
+    var cent = subvectors(corpus, idCol, vecCol, m).filter(col("vid") < ksub)
       .select(col("sub"), col("vid").as("cc"), col("sv").as("cv"))
     (0 until iters).foreach { _ =>
-      val assigned = sv.join(broadcast(cent), "sub")
-        .select(col("vid"), col("sub"), col("cc"), ql2(col("sv"), col("cv")).as("d2"))
-        .groupBy("vid", "sub")
-        .agg(min(struct(col("d2"), col("cc"))).as("mn"))
-        .select(col("vid"), col("sub"), col("mn.cc").as("cc"))
-      val dims = sv.select(col("vid"), col("sub"), posexplode(col("sv")).as(Seq("d", "x")))
-      cent = assigned.join(dims, Seq("vid", "sub"))
+      val assigned = vecs.crossJoin(broadcast(cbOneRow(cent)))
+        .select(col("v"), posexplode(pqCodes(col("v"), col("cb"), m)).as(Seq("sub", "cc")))
+      val dsub = size(col("v")) / m
+      cent = assigned
+        .select(col("sub"), col("cc"),
+          posexplode(slice(col("v"), col("sub") * dsub + lit(1), dsub)).as(Seq("d", "x")))
         .groupBy("sub", "cc", "d")
         .agg((vsum(col("x")) / count(lit(1))).as("cx"))
         .groupBy("sub", "cc")
@@ -435,16 +469,14 @@ object Similarity {
     cent
   }
 
-  /** Encode vectors to their m-code PQ representation (vid, codes). */
+  /** Encode vectors to their m-code PQ representation (vid, codes) —
+    * map-only: one in-row argmin pass against the broadcast codebook. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
                codebook: DataFrame, m: Int): DataFrame =
-    subvectors(df, idCol, vecCol, m).join(broadcast(codebook), "sub")
-      .select(col("vid"), col("sub"), col("cc"), ql2(col("sv"), col("cv")).as("d2"))
-      .groupBy("vid", "sub")
-      .agg(min(struct(col("d2"), col("cc"))).as("mn"))
-      .groupBy("vid")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("mn.cc")))),
-        s => s.getField("cc")).as("codes"))
+    graft.core.Tables.ensureParallelism(df)
+      .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v"))
+      .crossJoin(broadcast(cbOneRow(codebook)))
+      .select(col("vid"), pqCodes(col("v"), col("cb"), m).as("codes"))
 
   /** ADC top-k: per-query distance table to every (sub, centroid) — a
     * (m x ksub)-row broadcast — then each corpus vector's approximate
