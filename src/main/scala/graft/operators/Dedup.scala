@@ -434,11 +434,15 @@ object Dedup {
                                    corpusDocs: DataFrame, corpusBands: DataFrame,
                                    idCol: String, textCol: String,
                                    k: Int, threshold: Double): DataFrame = {
-    val allBands = corpusBands.unionByName(newBands)
+    // the batch bands feed BOTH the probe side and the index union below —
+    // pin them so the batch's sign tower (scan+shingle+md5+min-agg) runs
+    // once, not once per consumer
+    val nb = newBands.transform(graft.core.Materialize.pin)
+    val allBands = corpusBands.unionByName(nb)
     // probe: every candidate pair involves >= 1 new doc (new x corpus and
     // new x new); corpus x corpus pairs were already found when those
     // batches ingested
-    val cands = newBands.as("a").join(allBands.as("b"),
+    val cands = nb.as("a").join(allBands.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
