@@ -17,21 +17,35 @@ import org.apache.spark.sql.types.LongType
   */
 object Store {
 
-  /** Directory-partitioned parquet: one dir per distinct partition value.
-    * Keep partition columns low-cardinality (day, region, source) — a
-    * high-cardinality partition column creates a small-files storm. */
-  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
-    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+  /** Columnar formats the layout helpers accept. Parquet is the default;
+    * ORC is the drop-in alternative (both ship in Spark, both carry
+    * min/max stats + predicate pushdown, so every layout trick below —
+    * pruning, clustering, skipping — works identically). */
+  val Formats: Set[String] = Set("parquet", "orc")
+
+  private def checkFormat(format: String): String = {
+    require(Formats(format), s"format must be one of $Formats, got $format")
+    format
+  }
+
+  /** Directory-partitioned columnar files: one dir per distinct partition
+    * value. Keep partition columns low-cardinality (day, region, source) —
+    * a high-cardinality partition column creates a small-files storm. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       format: String = "parquet"): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
+      .format(checkFormat(format)).save(path)
 
   /** Idempotent incremental load: overwrite ONLY the partitions present in
     * `df` (dynamic partition overwrite), leaving all others untouched —
     * the partition-level analog of the reference's idempotent upsert, and
     * the standard backfill/restatement pattern at scale. */
-  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String],
+                          format: String = "parquet"): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
-      .parquet(path)
+      .format(checkFormat(format)).save(path)
 
   /** Bucketed + sorted managed table: `numBuckets` files per partition,
     * hashed on `bucketCol`. Joins/aggregations on `bucketCol` between
@@ -54,10 +68,10 @@ object Store {
     * Skipping is asserted observable in StoreSpec (records actually read).
     */
   def writeClustered(df: DataFrame, path: String, clusterCols: Seq[String],
-                     numFiles: Int): Unit =
+                     numFiles: Int, format: String = "parquet"): Unit =
     df.repartitionByRange(numFiles, clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite).parquet(path)
+      .write.mode(SaveMode.Overwrite).format(checkFormat(format)).save(path)
 
   /** Deterministic hash-shard id in [0, nShards): a leading md5 hex slice
     * of the key → mod nShards. A pure function of the key, so re-running
@@ -99,7 +113,8 @@ object Store {
     * re-export reproduces the identical order. */
   def writeShards(df: DataFrame, path: String, keyCol: String,
                   nShards: Int, filesPerShard: Int = 1,
-                  shuffleOrder: Boolean = false): Unit = {
+                  shuffleOrder: Boolean = false,
+                  format: String = "parquet"): Unit = {
     val key = col(keyCol).cast("string")
     val band = conv(substring(md5(key), 3, 2), 16, 10).cast(LongType) % filesPerShard
     val sharded = df.withColumn("shard", shardId(col(keyCol), nShards))
@@ -109,7 +124,8 @@ object Store {
       if (shuffleOrder) sharded.sortWithinPartitions(col("shard"), md5(key))
       else sharded
     ordered.drop("_band")
-      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+      .write.mode(SaveMode.Overwrite).partitionBy("shard")
+      .format(checkFormat(format)).save(path)
   }
 
   /** JSONL (one JSON object per line) variant of writeShards — the

@@ -142,13 +142,13 @@ object EtlCli {
       val path = s"$wh/export"
       val next = committedVersion(spark, path).getOrElse(0L) + 1
       format match {
-        case "parquet" =>
+        case "parquet" | "orc" =>
           graft.core.Store.writeShards(loaded, s"$path/data_v$next", "doc_id",
-            nShards, shuffleOrder = true)
+            nShards, shuffleOrder = true, format = format)
         case "jsonl" =>
           graft.core.Store.writeJsonlShards(loaded, s"$path/data_v$next", "doc_id",
             nShards, shuffleOrder = true)
-        case other => sys.error(s"export format must be parquet|jsonl, got $other")
+        case other => sys.error(s"export format must be parquet|orc|jsonl, got $other")
       }
       commit(spark, path, next)
     }
@@ -185,18 +185,36 @@ object EtlCli {
       .maxOption
   }
 
-  /** Resolve the current committed version of a versioned table. */
+  /** Resolve the current committed version of a versioned table. The data
+    * format is self-describing: the reader sniffs the staged files'
+    * extension (.orc vs .parquet), so a table can be written in either
+    * format — or migrate between them across versions — with no catalog. */
   def readTable(spark: SparkSession, path: String): DataFrame =
     committedVersion(spark, path) match {
-      case Some(v) => spark.read.parquet(s"$path/data_v$v")
+      case Some(v) =>
+        val dir = s"$path/data_v$v"
+        spark.read.format(sniffFormat(spark, dir)).load(dir)
       case None => sys.error(s"no committed version at $path — run `init` first")
     }
 
+  private def sniffFormat(spark: SparkSession, dataDir: String): String = {
+    val it = fs(spark, dataDir).listFiles(new org.apache.hadoop.fs.Path(dataDir), true)
+    var fmt = "parquet"
+    var found = false
+    while (it.hasNext && !found) {
+      val n = it.next().getPath.getName
+      if (n.endsWith(".orc")) { fmt = "orc"; found = true }
+      else if (n.endsWith(".parquet")) found = true
+    }
+    fmt
+  }
+
   /** Stage the next version's data dir WITHOUT committing it (the spec's
     * crash-simulation seam; writeBack = stage + commit + prune). */
-  private[graft] def stage(df: DataFrame, path: String): Long = {
+  private[graft] def stage(df: DataFrame, path: String,
+                           format: String = "parquet"): Long = {
     val next = committedVersion(df.sparkSession, path).getOrElse(0L) + 1
-    df.write.mode(SaveMode.Overwrite).parquet(s"$path/data_v$next")
+    df.write.mode(SaveMode.Overwrite).format(format).save(s"$path/data_v$next")
     next
   }
 
@@ -215,9 +233,12 @@ object EtlCli {
 
   /** Atomically replace the table at `path` with `df` (stage + commit +
     * prune). Public: the streaming upsert sink and any bespoke loader use
-    * the same commit protocol as the ETL. */
-  def writeTable(df: DataFrame, path: String): Unit =
-    commit(df.sparkSession, path, stage(df, path))
+    * the same commit protocol as the ETL. `format` is parquet or orc —
+    * readers sniff it back, so the choice is per-version, not per-table. */
+  def writeTable(df: DataFrame, path: String, format: String = "parquet"): Unit = {
+    require(graft.core.Store.Formats(format), s"unsupported table format $format")
+    commit(df.sparkSession, path, stage(df, path, format))
+  }
 
   /** Small-files compaction (the OPTIMIZE of this warehouse): rewrite the
     * current version into ceil(bytes / targetFileBytes) files via the same

@@ -114,6 +114,38 @@ class StoreSpec extends SparkSpec {
       before.forall { case (s, n) => after(s) == n || after(s) == n + 1 })
   }
 
+  test("ORC is a first-class warehouse format: layout helpers + versioned tables") {
+    val base = Files.createTempDirectory("store_orc").toFile.getAbsolutePath
+    val df = (1 to 1000).map(i => (i.toLong, s"r${i % 4}", i * 1.5)).toDF("id", "region", "v")
+
+    // partitioned ORC prunes directories exactly like parquet
+    Store.writePartitioned(df, s"$base/part", Seq("region"), format = "orc")
+    val pq = spark.read.orc(s"$base/part").filter(col("region") === "r2")
+    assert(pq.count() == 250)
+    assert(pq.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+
+    // clustered ORC: the selective predicate reaches the ORC scan
+    Store.writeClustered(df, s"$base/clu", Seq("id"), numFiles = 4, format = "orc")
+    val sel = spark.read.orc(s"$base/clu").filter(col("id") === 7L)
+    assert(sel.count() == 1)
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(id,7)"),
+      s"ORC pushdown missing:\n$plan")
+
+    // hash shards round-trip in ORC with the same layout contract
+    Store.writeShards(df.withColumnRenamed("id", "doc_id"), s"$base/sh", "doc_id",
+      nShards = 4, format = "orc")
+    assert(spark.read.orc(s"$base/sh").count() == 1000)
+
+    // versioned table: an ORC version commits atomically, the reader
+    // sniffs the format, and the next version can migrate back to parquet
+    val t = s"$base/vt"
+    graft.tools.EtlCli.writeTable(df, t, format = "orc")
+    assert(graft.tools.EtlCli.readTable(spark, t).count() == 1000)
+    graft.tools.EtlCli.writeTable(df.filter(col("id") <= 10), t)
+    assert(graft.tools.EtlCli.readTable(spark, t).count() == 10)
+  }
+
   test("zorderKey interleaves bits so both dimensions keep locality") {
     val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (2L, 1L)).toDF("a", "b")
       .select(Store.zorderKey(col("a"), col("b")).as("z")).as[Long].collect()
