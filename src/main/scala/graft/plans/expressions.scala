@@ -661,6 +661,8 @@ object GraftFunctions {
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
   def strip_accents(c: Column): Column =
     ColumnBridge.column(StripAccents(ColumnBridge.expression(c)))
+  def bpe_encode(c: Column, merges: Seq[String]): Column =
+    ColumnBridge.column(BpeEncodeExpr(ColumnBridge.expression(c), merges))
 
   /** Second argument of a SQL call that must be a foldable INT literal. */
   private[plans] def litInt(e: Expression, usage: String): Int = e match {
@@ -668,6 +670,16 @@ object GraftFunctions {
       lit.eval().asInstanceOf[Int]
     case other => throw new IllegalArgumentException(
       s"$usage requires a constant INT, got $other")
+  }
+
+  /** Argument that must be a foldable ARRAY<STRING> literal. */
+  private[plans] def litStringSeq(e: Expression, usage: String): Seq[String] = e match {
+    case arr if arr.foldable && arr.dataType == ArrayType(StringType, false) ||
+        arr.foldable && arr.dataType == ArrayType(StringType, true) =>
+      arr.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toArray[UTF8String](StringType).map(_.toString).toSeq
+    case other => throw new IllegalArgumentException(
+      s"$usage requires a constant ARRAY<STRING>, got $other")
   }
 
   /** Expose as SQL functions (`SELECT format_money(c), cosine_sim(a,b)`). */
@@ -692,5 +704,9 @@ object GraftFunctions {
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "strip_accents", exprs => StripAccents(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_encode",
+      exprs => BpeEncodeExpr(exprs(0), litStringSeq(exprs(1), "bpe_encode(text, merges)")),
+      "built-in")
   }
 }

@@ -14,6 +14,24 @@ object TextQueries {
 
   private val Stop = Seq("a", "the")
 
+  /** BPE merge table for q_bpe_tokens, learned-order rules over the
+    * fixture vocabulary (so common words actually compress: table/scan ->
+    * 1 token, row/key -> 1 token, -er suffixes pair up). */
+  private val BpeMerges = Seq(
+    "t a", "ta b", "tab l", "tabl e",
+    "s c", "sc a", "sca n",
+    "r o", "ro w",
+    "k e", "ke y",
+    "e r")
+
+  /** DuckDB rendering of BpeEncodeExpr over a word column `w`: spaced
+    * symbols, then every merge rule as a replace applied to fixpoint. */
+  private def bpeEncodeSql: String =
+    BpeMerges.foldLeft("""' ' || regexp_replace(w, '(.)', '\1 ', 'g')""") { (acc, rule) =>
+      val Array(a, b) = rule.split(' ')
+      (0 until 5).foldLeft(acc)((e, _) => s"replace($e, ' $a $b ', ' ${a + b} ')")
+    }
+
   /** Marker tokens per language, drawn from the fixture vocabulary so the
     * scores actually vary; deterministic argmax with alphabetical
     * tie-break. */
@@ -165,6 +183,39 @@ object TextQueries {
           col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("n_ws"),
           TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Real BPE (Sennrich ACL'16 ordered-merge encode, the native
+    // BpeEncodeExpr): token counts per document under a fixture-vocab
+    // merge table. The oracle replays the same sequential semantics as
+    // iterated string replaces over a spaced-symbol rendering
+    // ("low" -> " l o w "): each rule's replace runs 5 times because
+    // leftmost non-overlapping matches share a delimiter space, so a run
+    // of adjacent occurrences needs extra passes to reach the fixpoint
+    // the Spark-side single array pass computes directly.
+    QueryDef(
+      "q_bpe_tokens",
+      "real BPE tokenizer: per-doc token and word counts under a 12-rule merge table",
+      s"""WITH words AS (
+            SELECT doc_id, w FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE len(w) > 0),
+          enc AS (SELECT doc_id, $bpeEncodeSql AS s FROM words),
+          agg AS (
+            SELECT doc_id, CAST(SUM(len(string_split(trim(s), ' '))) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_words
+            FROM enc GROUP BY doc_id)
+          SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+                 COALESCE(a.n_words, 0) AS n_words
+          FROM documents d LEFT JOIN agg a USING (doc_id)
+          ORDER BY d.doc_id""") { (s, dir) =>
+      import graft.plans.GraftFunctions.bpe_encode
+      graft.core.Tables.ensureParallelism(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          size(bpe_encode(col("text"), BpeMerges)).cast("long").as("n_tokens"),
+          size(filter(split(col("text"), " "), w => length(w) > 0))
+            .cast("long").as("n_words"))
         .orderBy(col("doc_id"))
     },
 

@@ -1,0 +1,65 @@
+package graft
+
+import graft.plans.GraftFunctions.bpe_encode
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val classic = Seq("l o", "lo w", "e r")
+
+  test("classic merges: lower -> [low, er], unseen words stay code points") {
+    val got = Seq("lower newest low").toDF("text")
+      .select(bpe_encode(col("text"), classic).as("t"))
+      .as[Seq[String]].head()
+    assert(got == Seq("low", "er", "n", "e", "w", "e", "s", "t", "low"))
+  }
+
+  test("merge order matters: rules apply in table order, one fixpoint pass each") {
+    // ("a b" before "b c"): "abc" -> ab, c — the later rule never sees b|c
+    val s = Seq("abc").toDF("text")
+    assert(s.select(bpe_encode(col("text"), Seq("a b", "b c")).as("t"))
+      .as[Seq[String]].head() == Seq("ab", "c"))
+    assert(s.select(bpe_encode(col("text"), Seq("b c", "a b")).as("t"))
+      .as[Seq[String]].head() == Seq("a", "bc"))
+    // repeated-pair run merges left-to-right non-overlapping: oooo -> oo oo
+    assert(Seq("ooooo").toDF("text")
+      .select(bpe_encode(col("text"), Seq("o o")).as("t"))
+      .as[Seq[String]].head() == Seq("oo", "oo", "o"))
+  }
+
+  test("lossless: concatenated tokens rebuild the text minus whitespace") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Seq("t a", "ta b", "tab l", "tabl e", "s c", "sc a", "sca n",
+      "r o", "ro w", "k e", "ke y", "e r")
+    val bad = docs.select(col("text"),
+        bpe_encode(col("text"), merges).as("toks"))
+      .filter(concat_ws("", col("toks")) =!=
+        regexp_replace(col("text"), "\\s+", ""))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("null and empty inputs") {
+    val got = Seq(Some(""), None, Some("  ")).toDF("text")
+      .select(bpe_encode(col("text"), classic).as("t"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[String](0))
+    assert(got(0) == Seq.empty && got(1) == null && got(2) == Seq.empty)
+  }
+
+  test("SQL surface: bpe_encode with an array literal") {
+    graft.plans.GraftFunctions.register(spark)
+    Seq(("lower", 1L)).toDF("text", "id").createOrReplaceTempView("bpe_in")
+    val got = spark.sql(
+      "SELECT bpe_encode(text, array('l o', 'lo w', 'e r')) AS t FROM bpe_in")
+      .as[Seq[String]].head()
+    assert(got == Seq("low", "er"))
+  }
+
+  test("unicode: symbols are code points, never split surrogate pairs") {
+    val got = Seq("a😀b").toDF("text")  // a😀b
+      .select(bpe_encode(col("text"), Seq("a 😀")).as("t"))
+      .as[Seq[String]].head()
+    assert(got == Seq("a😀", "b"))
+  }
+}
