@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -53,6 +53,35 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[String])
     copy(child = newChild)
 }
 
+/** Training-side companion of BpeEncodeExpr: the within-word adjacent
+  * token pairs of `text` under the CURRENT merge table — the rows a BPE
+  * trainer counts to pick the next merges. The merge table is a runtime
+  * ARRAY<STRING> column here (it grows per training round, so it cannot
+  * be a plan-time constant); it is parsed per evaluation, which is fine
+  * for the training loop's scale — vocab learning runs on a corpus
+  * sample, and the per-eval parse is O(current rules). Production encode
+  * uses BpeEncodeExpr with the learned table as a constant. Pairs stay
+  * WITHIN words: cross-word adjacencies are never emitted because encode
+  * could never merge them. */
+case class BpePairsExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes = Seq[DataType](StringType, ArrayType(StringType))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_pairs"
+
+  override protected def nullSafeEval(text: Any, merges: Any): Any =
+    BpeEncodeExpr.pairs(text.asInstanceOf[UTF8String],
+      merges.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, m) =>
+      "graft.plans.BpeEncodeExpr$.MODULE$.pairs(" + t + ", " + m + ")")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BpePairsExpr =
+    copy(left = l, right = r)
+}
+
 object BpeEncodeExpr {
 
   /** Parsed merge rules in application order (parallel arrays — compact,
@@ -75,21 +104,54 @@ object BpeEncodeExpr {
     new MergeTable(l, r)
   }
 
+  def parseArray(merges: org.apache.spark.sql.catalyst.util.ArrayData): MergeTable = {
+    val n = merges.numElements()
+    val rules = new Array[String](n)
+    var i = 0
+    while (i < n) { rules(i) = merges.getUTF8String(i).toString; i += 1 }
+    parse(rules.toIndexedSeq)
+  }
+
   def encode(text: UTF8String, t: MergeTable): GenericArrayData = {
-    val s = text.toString
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    eachWord(text.toString, t) { (syms, n) =>
+      var k = 0
+      while (k < n) { out += UTF8String.fromString(syms(k)); k += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Within-word adjacent token pairs ("a b" rows) under merge table `m`. */
+  def pairs(text: UTF8String,
+            m: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
+    val t = parseArray(m)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    eachWord(text.toString, t) { (syms, n) =>
+      var k = 0
+      while (k < n - 1) {
+        out += UTF8String.fromString(syms(k) + " " + syms(k + 1)); k += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Tokenize each whitespace-delimited word of `s` and hand the merged
+    * symbol array (first n slots valid) to `f`. */
+  private def eachWord(s: String, t: MergeTable)(f: (Array[String], Int) => Unit): Unit = {
     var i = 0
     while (i < s.length) {
       while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
       val start = i
       while (i < s.length && !Character.isWhitespace(s.charAt(i))) i += 1
-      if (i > start) encodeWord(s, start, i, t, out)
+      if (i > start) {
+        val (syms, n) = mergeWord(s, start, i, t)
+        f(syms, n)
+      }
     }
-    new GenericArrayData(out.toArray)
   }
 
-  private def encodeWord(s: String, from: Int, until: Int, t: MergeTable,
-                         out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+  private def mergeWord(s: String, from: Int, until: Int,
+                        t: MergeTable): (Array[String], Int) = {
     // initial symbols: one per code point
     val syms = new Array[String](until - from)
     var n = 0
@@ -119,7 +181,6 @@ object BpeEncodeExpr {
       n = w
       m += 1
     }
-    var k = 0
-    while (k < n) { out += UTF8String.fromString(syms(k)); k += 1 }
+    (syms, n)
   }
 }

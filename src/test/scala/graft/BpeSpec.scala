@@ -56,6 +56,36 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq("low", "er"))
   }
 
+  test("learnBpeMerges: ranks follow corpus pair frequency, ties lexicographic") {
+    val docs = Seq("low low low", "lower lower", "lowest").toDF("text")
+    val got = graft.operators.Tokenize.learnBpeMerges(docs, "text",
+        nMerges = 4, batchSize = 1)
+      .orderBy("rank").as[(Int, String)].collect()
+    // round counts: (l,o)=6 ties (o,w)=6 -> lex; then (lo,w)=6; then
+    // (low,e)=3 beats (e,r)=2; then (lowe,r)=2 beats (lowe,s)=1
+    assert(got.toSeq == Seq((0, "l o"), (1, "lo w"), (2, "low e"), (3, "lowe r")))
+    // learned table drives the constant-table encoder
+    val rules = got.map(_._2).toSeq
+    val enc = Seq("lower lowest").toDF("text")
+      .select(bpe_encode(col("text"), rules).as("t")).as[Seq[String]].head()
+    assert(enc == Seq("lower", "lowe", "s", "t"))
+  }
+
+  test("learnBpeMerges: batched rounds are deterministic; exhausts gracefully") {
+    val docs = Seq("low low low", "lower lower", "lowest").toDF("text")
+    val a = graft.operators.Tokenize.learnBpeMerges(docs, "text", 6, batchSize = 3)
+      .orderBy("rank").as[(Int, String)].collect().toSeq
+    val b = graft.operators.Tokenize.learnBpeMerges(docs, "text", 6, batchSize = 3)
+      .orderBy("rank").as[(Int, String)].collect().toSeq
+    assert(a == b && a.size == 6)
+    assert(a.map(_._1) == (0 until 6))
+    // a corpus of single-char words has no within-word pairs: training
+    // stops instead of spinning (and cross-word pairs are never counted)
+    val flat = graft.operators.Tokenize.learnBpeMerges(
+      Seq("x y", "x y z").toDF("text"), "text", 4)
+    assert(flat.count() == 0)
+  }
+
   test("unicode: symbols are code points, never split surrogate pairs") {
     val got = Seq("a😀b").toDF("text")  // a😀b
       .select(bpe_encode(col("text"), Seq("a 😀")).as("t"))
