@@ -136,4 +136,27 @@ class PlanSpec extends SparkSpec {
     val textShuffles = "Exchange hashpartitioning\\([^)]*text".r.findAllIn(p).size
     assert(textShuffles == 0, s"document text crossed a shuffle:\n$p")
   }
+
+  test("PQ encode is map-only: the corpus side never exchanges") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cb = graft.operators.Similarity.pqCodebook(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 1)
+    val enc = graft.operators.Similarity.pqEncode(emb, "vec_id", "embedding", cb, m = 8)
+    val p = enc.queryExecution.executedPlan.toString
+    // the one-row codebook reshape aggregates (single-row exchange); the
+    // corpus scan side must reach the output through projections only —
+    // no hash exchange keyed on vector rows
+    val corpusShuffles = "Exchange hashpartitioning\\([^)]*vid".r.findAllIn(p).size
+    assert(corpusShuffles == 0, s"corpus rows crossed a hash shuffle:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct") ||
+      p.contains("BroadcastExchange"), s"codebook should broadcast:\n$p")
+  }
+
+  test("BPE token counting is one codegen'd projection over a pruned scan") {
+    val p = plan("q_bpe_tokens")
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("n_chars"),
+      s"scan reads pruned columns:\n$p")
+  }
 }

@@ -111,6 +111,41 @@ class ScaleSpec extends SparkSpec {
     } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
   }
 
+  test("incremental ANN index: new batch encodes against the persisted codebook, append-only") {
+    // The ANN analog of the incremental-dedup composition: train the PQ
+    // codebook ONCE on the initial corpus and persist it; every later
+    // embedding batch encodes against the stored codebook in a MAP-ONLY
+    // pass (in-row argmin — no shuffle, no retraining) and its codes
+    // append through the versioned warehouse. PQ codes are a pure
+    // per-vector function of (codebook, vector), so incremental equals
+    // from-scratch EXACTLY — asserted, not approximated.
+    val wh = java.nio.file.Files.createTempDirectory("ann_idx").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    // day 0: train + encode corpus, persist both
+    val cb0 = graft.operators.Similarity.pqCodebook(corpus, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2)
+    graft.tools.EtlCli.writeTable(cb0, s"$wh/codebook")
+    graft.tools.EtlCli.writeTable(
+      graft.operators.Similarity.pqEncode(corpus, "vec_id", "embedding", cb0, m = 8),
+      s"$wh/codes")
+    // day 1: batch encodes against the STORED codebook; codes append
+    val cb = graft.tools.EtlCli.readTable(spark, s"$wh/codebook")
+    val newCodes = graft.operators.Similarity.pqEncode(batch, "vec_id", "embedding", cb, m = 8)
+    graft.tools.EtlCli.writeTable(
+      graft.tools.EtlCli.readTable(spark, s"$wh/codes").unionByName(newCodes),
+      s"$wh/codes")
+    // equality with a from-scratch encode of the union under the same codebook
+    val incr = graft.tools.EtlCli.readTable(spark, s"$wh/codes")
+      .select(col("vid"), col("codes").cast("array<long>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    val scratch = graft.operators.Similarity.pqEncode(emb, "vec_id", "embedding", cb, m = 8)
+      .select(col("vid"), col("codes").cast("array<long>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    assert(incr.toSeq == scratch.toSeq)
+  }
+
   test("bucketed fact-fact join is co-located: no exchange, no sort") {
     // Bucketing pre-shuffles at WRITE time: both sides hash-bucketed on the
     // join key join with zero runtime exchanges — at 100 TB this converts
