@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.Store
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,11 +29,22 @@ object Export {
     * power of two so the floor-division is FP-exact on every engine.
     */
   def packAssignments(docs: DataFrame, keyCol: String, textCol: String,
-                      nShards: Int, budget: Int): DataFrame =
+                      nShards: Int, budget: Int,
+                      tokens: Column => Column = whitespaceTokens): DataFrame =
     packByWeight(
-      docs.withColumn("n_tokens", size(split(col(textCol), " ")).cast("long")),
+      docs.withColumn("n_tokens", tokens(col(textCol))),
       keyCol, "n_tokens", nShards, budget)
       .select(col(keyCol), col("shard"), col("n_tokens"), col("pack"))
+
+  /** Default packing weight: whitespace token count. */
+  def whitespaceTokens: Column => Column = c => size(split(c, " ")).cast("long")
+
+  /** Packing weight measured in REAL tokens: BPE encode under a learned
+    * merge table (Tokenize.learnBpeMerges output, rules in rank order) —
+    * what a trainer's sequence budget actually means. Map-only like the
+    * default (the merge table is a plan-time constant). */
+  def bpeTokens(merges: Seq[String]): Column => Column =
+    c => size(graft.plans.GraftFunctions.bpe_encode(c, merges)).cast("long")
 
   /** The general packing core: any non-negative long weight column —
     * token counts for trainer sequences, payload bytes for inference

@@ -38,7 +38,12 @@ object EtlCli {
     case Seq("export", wh, docs, eval, n)  => export(spark, wh, docs, eval, n.toInt)
     case Seq("export", wh, docs, eval, n, fmt) =>
       export(spark, wh, docs, eval, n.toInt, format = fmt)
-    case other => sys.error(s"usage: init|ingest|quality|stats|export ... (got $other)")
+    case Seq("export", wh, docs, eval, n, fmt, "bpe") =>
+      export(spark, wh, docs, eval, n.toInt, format = fmt, bpeTokens = true)
+    case Seq("learn-bpe", wh, docs, nMerges) =>
+      learnBpe(spark, wh, docs, nMerges.toInt)
+    case other =>
+      sys.error(s"usage: init|ingest|quality|stats|export|learn-bpe ... (got $other)")
   }
 
   private def issuesPath(wh: String)  = s"$wh/issue"
@@ -116,10 +121,31 @@ object EtlCli {
     * re-run commits a byte-identical next version — asserted in
     * EtlCliSpec. Failure anywhere leaves the previous export version live.
     */
+  /** Learn a BPE merge table from a corpus and commit it as the versioned
+    * `wh`/bpe_merges table — the tokenizer-training half of the export
+    * story. `export ... bpe` then measures sequence budgets in REAL
+    * tokens under this table. */
+  def learnBpe(spark: SparkSession, wh: String, docsPath: String,
+               nMerges: Int): Unit =
+    writeTable(
+      graft.operators.Tokenize.learnBpeMerges(
+        spark.read.parquet(docsPath), "text", nMerges),
+      s"$wh/bpe_merges")
+
   def export(spark: SparkSession, wh: String, docsPath: String, evalPath: String,
              nShards: Int = 8, budget: Int = 2048,
-             format: String = "parquet"): Audit.EtlRun =
+             format: String = "parquet", bpeTokens: Boolean = false): Audit.EtlRun =
     Audit.audited(spark, "export", s"$wh/etl_run") { (readObs, loadObs) =>
+      // token measure for packing: whitespace by default; with bpeTokens
+      // the learned merge table loads from the warehouse and becomes a
+      // plan-time constant (vocab-sized — a config read, not a data
+      // collect, same footing as the source census below)
+      val tokens: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (bpeTokens) {
+          val rules = readTable(spark, s"$wh/bpe_merges").orderBy("rank")
+            .select("rule").collect().map(_.getString(0)).toSeq
+          Export.bpeTokens(rules)
+        } else Export.whitespaceTokens
       val docs = Audit.observed(spark.read.parquet(docsPath), readObs)
       val evalDocs = spark.read.parquet(evalPath)
       // pin: the cleaned slice feeds the source census, both mixture scans,
@@ -136,7 +162,7 @@ object EtlCli {
       val mixed = Export.mixtureSample(cleaned, "doc_id", "source", targets)
         .filter(col("keep"))
         .select(cleaned.columns.map(col): _*)
-      val packed = Export.packAssignments(mixed, "doc_id", "text", nShards, budget)
+      val packed = Export.packAssignments(mixed, "doc_id", "text", nShards, budget, tokens)
       val out = mixed.join(packed.select("doc_id", "n_tokens", "pack"), "doc_id")
       val loaded = Audit.observed(out, loadObs)
       val path = s"$wh/export"

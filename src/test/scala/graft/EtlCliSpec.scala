@@ -58,6 +58,36 @@ class EtlCliSpec extends SparkSpec {
     assert(issueDir.list().count(_.startsWith("_committed_v")) == 1)
   }
 
+  test("learn-bpe -> export bpe: packs measured in learned-tokenizer tokens") {
+    import org.apache.spark.sql.functions.{col, size => asize}
+    import graft.plans.GraftFunctions.bpe_encode
+    val wh = Files.createTempDirectory("etlbpe").toFile.getAbsolutePath
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val eval = s"$wh/eval.parquet"
+    spark.read.parquet(docs).filter(col("doc_id") < 5).write.parquet(eval)
+
+    // train the tokenizer on the corpus; merges commit as a versioned table
+    EtlCli.run(spark, Seq("learn-bpe", wh, docs, "24"))
+    val merges = EtlCli.readTable(spark, s"$wh/bpe_merges").orderBy("rank")
+    val rules = merges.select("rule").collect().map(_.getString(0)).toSeq
+    assert(rules.size == 24 && rules.distinct.size == 24)
+
+    // export with bpe token measure: n_tokens must equal the BPE encode
+    // length of each surviving doc's text under the learned table
+    val run = EtlCli.export(spark, wh, docs, eval, nShards = 4, budget = 2048,
+      bpeTokens = true)
+    assert(run.status == "SUCCESS")
+    val out = EtlCli.readTable(spark, s"$wh/export")
+    assert(out.count() > 0)
+    val mismatched = out.filter(
+      col("n_tokens") =!= asize(bpe_encode(col("text"), rules)).cast("long")).count()
+    assert(mismatched == 0, "export n_tokens is not the learned-BPE token count")
+    // and the measure is genuinely different from whitespace words
+    assert(out.filter(
+      col("n_tokens") =!= asize(org.apache.spark.sql.functions.split(col("text"), " "))
+        .cast("long")).count() > 0)
+  }
+
   test("export: clean -> mixture -> pack -> shards end-to-end; re-run is byte-identical") {
     import org.apache.spark.sql.functions.col
     val wh = Files.createTempDirectory("etlexport").toFile.getAbsolutePath
