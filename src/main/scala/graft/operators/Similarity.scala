@@ -242,13 +242,26 @@ object Similarity {
     * queries × nProbe × m × ksub rows — still a broadcast. Candidates are
     * restricted to probed cells by the (cell, sub, cc) table join itself.
     * Same quantized arithmetic as every vector path, so results are
-    * bit-deterministic; spec-checked against exact L2 recall (the
-    * unconditionally-verifiable raw-code variant q_ann_ivfpq is the
-    * oracle-checked one — a per-cell-table oracle SQL would be enormous).
+    * bit-deterministic; oracle-checked end-to-end (q_ann_ivfpq_res reads
+    * the persisted codebook + codes back and recomputes cells, probes,
+    * per-cell residual tables, and the ADC ranking from scratch) plus
+    * spec-checked against exact L2 recall.
     */
   def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                         vecCol: String, nCells: Int, nProbe: Int,
                         m: Int, ksub: Int, iters: Int, k: Int): DataFrame = {
+    val (codebook, codes) =
+      ivfPqResidualBuild(corpus, idCol, vecCol, nCells, m, ksub, iters)
+    ivfPqResidualScore(corpus, queries, idCol, vecCol, nCells, nProbe,
+      codes, codebook, m, k)
+  }
+
+  /** Train-and-encode half of residual IVF-PQ: returns (codebook, codes)
+    * — codes carry their cell, (cid, cell, codes) — the two artifacts a
+    * production index PERSISTS. */
+  def ivfPqResidualBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                         nCells: Int, m: Int, ksub: Int,
+                         iters: Int): (DataFrame, DataFrame) = {
     val vecs = graft.core.Tables.ensureParallelism(corpus)
       .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v"))
     val cent = vecs.filter(col("vid") < nCells).select(col("vid").as("cc"), col("v").as("cv"))
@@ -276,6 +289,20 @@ object Similarity {
     val codes = pqEncode(resid, "vid", "r", codebook, m)
       .join(resid.select(col("vid"), col("cell")), "vid")
       .select(col("vid").as("cid"), col("cell"), col("codes"))
+    (codebook, codes)
+  }
+
+  /** Scoring half of residual IVF-PQ, against GIVEN artifacts (typically
+    * read back from parquet): per-probed-cell query residual tables +
+    * ADC over the stored codes. Cells/probes recompute from the
+    * deterministic first-nCells seed exactly as the build did. */
+  def ivfPqResidualScore(corpus: DataFrame, queries: DataFrame, idCol: String,
+                         vecCol: String, nCells: Int, nProbe: Int,
+                         codes: DataFrame, codebook: DataFrame,
+                         m: Int, k: Int): DataFrame = {
+    val vecs = graft.core.Tables.ensureParallelism(corpus)
+      .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v"))
+    val cent = vecs.filter(col("vid") < nCells).select(col("vid").as("cc"), col("v").as("cv"))
     val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
     val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cc"))
     val probes = q.crossJoin(broadcast(cent))

@@ -265,6 +265,64 @@ object VectorQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Residual IVF-PQ (FAISS IndexIVFPQ): codes encode v - centroid(cell),
+    // so the oracle must rebuild the QUERY residual per probed cell before
+    // the ADC table. Codebook + cell-tagged codes persist to parquet; the
+    // oracle takes them as given and recomputes cells, probes, per-cell
+    // residual tables, and the ranking from scratch.
+    QueryDef(
+      "q_ann_ivfpq_res",
+      "residual IVF-PQ ANN: 16-cell coarse quantizer, 2-probe search, per-cell residual ADC from persisted codes",
+      s"""WITH dims AS ($dimsSql),
+          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id < 16),
+          vdist AS (
+            SELECT v.vec_id, c.cc,
+                   CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS d2
+            FROM dims v JOIN cdims c ON v.d = c.d GROUP BY 1, 2),
+          probes AS (
+            SELECT vec_id AS qid, cc AS cell FROM (
+              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+              FROM vdist WHERE vec_id < 5) WHERE rn <= 2),
+          cb AS (SELECT sub, cc, cv FROM read_parquet('/tmp/graft_ivfpqres/current/codebook/*.parquet')),
+          cx AS (
+            SELECT cid, cell, r.sub AS sub, r.cc AS cc FROM (
+              SELECT cid, cell, unnest(list_transform(range(1, len(codes) + 1), i -> {'sub': i - 1, 'cc': codes[i]})) AS r
+              FROM read_parquet('/tmp/graft_ivfpqres/current/codes/*.parquet'))),
+          qr AS (
+            SELECT p.qid, p.cell, v.d, v.x - c.cx AS rx
+            FROM probes p JOIN dims v ON v.vec_id = p.qid
+                 JOIN cdims c ON c.cc = p.cell AND c.d = v.d),
+          qsub AS (
+            SELECT qid, cell, CAST(d // 8 AS INT) AS sub, list(rx ORDER BY d) AS sv
+            FROM qr GROUP BY 1, 2, 3),
+          tbl AS (
+            SELECT qid, cell, sub, cb.cc,
+                   CAST(list_sum(list_transform(range(1, len(sv) + 1),
+                     i -> CAST(FLOOR(((sv[i] - cv[i]) * (sv[i] - cv[i])) * 1000000000000.0 + 0.5) AS BIGINT))) AS BIGINT) / 1000000000000.0 AS d2
+            FROM qsub JOIN cb USING (sub)),
+          ad AS (
+            SELECT t.qid, x.cid,
+                   CAST(SUM(CAST(FLOOR(t.d2 * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS adist
+            FROM cx x JOIN tbl t ON t.cell = x.cell AND t.sub = x.sub AND t.cc = x.cc
+            WHERE t.qid <> x.cid
+            GROUP BY 1, 2)
+          SELECT qid, cid, adist, rank FROM (
+            SELECT qid, cid, adist,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS INT) AS rank
+            FROM ad) WHERE rank <= 10 ORDER BY qid, rank""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val base = "/tmp/graft_ivfpqres/current"
+      val (cb0, codes0) = Similarity.ivfPqResidualBuild(emb, "vec_id", "embedding",
+        nCells = 16, m = 8, ksub = 16, iters = 2)
+      cb0.write.mode("overwrite").parquet(s"$base/codebook")
+      codes0.write.mode("overwrite").parquet(s"$base/codes")
+      Similarity.ivfPqResidualScore(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", nCells = 16, nProbe = 2,
+          s.read.parquet(s"$base/codes"), s.read.parquet(s"$base/codebook"),
+          m = 8, k = 10)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // SemDeDup (Abbas et al. 2023): coarse-quantizer cells bound the pair
     // space, within-cell quantized cosine verifies, lowest-id wins. The
     // query emits the DROPPED vectors — the side semanticDedup removes.
