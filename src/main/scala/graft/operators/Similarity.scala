@@ -283,9 +283,13 @@ object Similarity {
     // Shifting the training ids by nCells makes the seeds the first ksub
     // NON-centroid residuals (and drops the degenerate ones from
     // training); encoding still runs over every vector.
+    // pinned: the trained codebook is embedded in the codes lineage AND
+    // returned for its own persistence — without the pin, materializing
+    // codes would re-run the whole k-means
     val codebook = pqCodebook(
       resid.select((col("vid") - nCells).as("vid"), col("r")).filter(col("vid") >= 0),
       "vid", "r", m, ksub, iters)
+      .transform(graft.core.Materialize.pin)
     val codes = pqEncode(resid, "vid", "r", codebook, m)
       .join(resid.select(col("vid"), col("cell")), "vid")
       .select(col("vid").as("cid"), col("cell"), col("codes"))
