@@ -53,9 +53,16 @@ object CorpusPipeline {
       .drop("__fp")
       .observe("graft_exact_dedup", count(lit(1)).as("rows_after_exact"))
 
-    val nearDeduped = Dedup.dropNearDups(exactDeduped, idCol, textCol,
+    val nearDeduped0 = Dedup.dropNearDups(exactDeduped, idCol, textCol,
         cfg.shingleK, cfg.numHashes, cfg.bandSize, cfg.nearDupThreshold, cfg.dfCap)
       .observe("graft_near_dedup", count(lit(1)).as("rows_after_near"))
+
+    // the scrub branch consumes this frame ~4 times (hot-gram count,
+    // positional probe, scrubHotSpans' join, and the join-back below) —
+    // pin it so the MinHash-LSH + connected-components tower above runs once
+    val nearDeduped =
+      if (cfg.scrubSpanN <= 0) nearDeduped0
+      else graft.core.Materialize.pin(nearDeduped0)
 
     // optional exact-substring pass (RefinedWeb-style, AFTER fuzzy dedup:
     // whole near-copies are already gone, this removes the boilerplate

@@ -103,6 +103,14 @@ object Multimodal {
     * exact integer sums (one pass), so results are bit-deterministic.
     * Returns None for non-PCM encodings or payloads no installed reader
     * accepts — the caller falls back to the deterministic stub. */
+  /** One 16-bit PCM sample (high byte first) to the signed-16 domain.
+    * Signed keeps b0's sign extension; unsigned must NOT sign-extend the
+    * high byte (0xFF00 is 65280, not -256) before the midpoint shift —
+    * sign-extending would decode samples >= 0x8000 a full 65536 too low. */
+  private[graft] def pcm16Sample(b0: Byte, b1: Byte, signed: Boolean): Int =
+    if (signed) (b0 << 8) | (b1 & 0xff)
+    else (((b0 & 0xff) << 8) | (b1 & 0xff)) - 32768
+
   private[graft] def decodeAudio(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
     if (bytes == null || bytes.isEmpty) return None
     import javax.sound.sampled.{AudioFormat, AudioSystem}
@@ -141,8 +149,7 @@ object Multimodal {
               raw << 8
             } else {
               val (b0, b1) = if (big) (data(off), data(off + 1)) else (data(off + 1), data(off))
-              val raw = (b0 << 8) | (b1 & 0xff)
-              if (signed) raw else raw - 32768
+              pcm16Sample(b0, b1, signed)
             }
           sumSq += v.toLong * v
           sumAbs += math.abs(v.toLong)
@@ -218,7 +225,14 @@ object Multimodal {
   /** Frame sampling for video payloads: every `stride`-th fixed-size chunk
     * is treated as a frame (STUB chunking; a real demuxer yields frames).
     * Output explodes to one row per sampled frame — downstream image ops
-    * apply uniformly. */
+    * apply uniformly.
+    *
+    * Output contract: (media_id, frame_idx, frame, frame_source) where
+    * `frame_source` is the constant `"stub_chunk"` — the column marks, in
+    * the data itself, that these frames are fixed-size byte chunks from
+    * the stub chunker, not demuxed video frames; a real demuxer
+    * implementation would emit `"demux"` here so downstream consumers can
+    * tell the two apart (the same honesty contract as decodeStub). */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
     require(frameBytes > 0 && stride > 0)
     media
@@ -227,6 +241,7 @@ object Multimodal {
         posexplode(expr(
           s"transform(sequence(0, CAST(floor((length(bytes) - 1) / $frameBytes) AS INT), $stride), " +
           s"i -> substring(bytes, i * $frameBytes + 1, $frameBytes))")).as(Seq("frame_idx", "frame")))
+      .withColumn("frame_source", lit("stub_chunk"))
   }
 
   /** Plan GPU-inference micro-batches over variable-size payloads: batch

@@ -676,8 +676,11 @@ object GraftFunctions {
   private[plans] def litStringSeq(e: Expression, usage: String): Seq[String] = e match {
     case arr if arr.foldable && arr.dataType == ArrayType(StringType, false) ||
         arr.foldable && arr.dataType == ArrayType(StringType, true) =>
-      arr.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        .toArray[UTF8String](StringType).map(_.toString).toSeq
+      val elems = arr.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toArray[UTF8String](StringType).toSeq
+      if (elems.contains(null)) throw new IllegalArgumentException(
+        s"$usage requires non-null ARRAY<STRING> elements, got a NULL element")
+      elems.map(_.toString)
     case other => throw new IllegalArgumentException(
       s"$usage requires a constant ARRAY<STRING>, got $other")
   }

@@ -231,6 +231,10 @@ object EtlCli {
       val n = it.next().getPath.getName
       if (n.endsWith(".orc")) { fmt = "orc"; found = true }
       else if (n.endsWith(".parquet")) found = true
+      else if (n.endsWith(".txt") || n.endsWith(".json")) sys.error(
+        s"table at $dataDir holds text shards (jsonl export) — jsonl exports " +
+          "are trainer interchange files, not readTable/compact-compatible " +
+          "columnar tables; read them with spark.read.text/json directly")
     }
     fmt
   }

@@ -56,6 +56,20 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq("low", "er"))
   }
 
+  test("SQL surface: bpe_encode rejects NULL merge elements with a clear error") {
+    graft.plans.GraftFunctions.register(spark)
+    Seq(("lower", 1L)).toDF("text", "id").createOrReplaceTempView("bpe_in_null")
+    val e = intercept[Exception] {
+      spark.sql("SELECT bpe_encode(text, array('l o', NULL)) AS t FROM bpe_in_null")
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("bpe_encode(text, merges)")),
+      s"expected a clear non-null-element error, got $e")
+  }
+
   test("learnBpeMerges: ranks follow corpus pair frequency, ties lexicographic") {
     val docs = Seq("low low low", "lower lower", "lowest").toDF("text")
     val got = graft.operators.Tokenize.learnBpeMerges(docs, "text",

@@ -144,6 +144,11 @@ class EtlCliSpec extends SparkSpec {
     val lines = spark.read.textFile(s"$v3/shard=*")
     assert(lines.count() == n1)
     assert(lines.head().startsWith("{\"doc_id\""), "not a JSON object line")
+
+    // the columnar table reader refuses jsonl shards with a CLEAR error
+    // instead of mis-reading .txt files as parquet
+    val e = intercept[RuntimeException] { EtlCli.readTable(spark, s"$wh/export") }
+    assert(e.getMessage.contains("jsonl"), s"unclear error: ${e.getMessage}")
   }
 
   test("compact rewrites many small files into few, contents unchanged") {

@@ -115,5 +115,20 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length == 2)
     val first = frames.head.getAs[Array[Byte]]("frame")
     assert(first.toSeq == Seq[Byte](0, 1, 2, 3))
+    // the output contract labels stub chunking in the data itself
+    assert(frames.forall(_.getAs[String]("frame_source") == "stub_chunk"))
+  }
+
+  test("pcm16Sample: unsigned 16-bit does not sign-extend the high byte") {
+    // signed: 0xFF00 is -256 (sign extension is the point)
+    assert(Multimodal.pcm16Sample(0xff.toByte, 0x00, signed = true) == -256)
+    assert(Multimodal.pcm16Sample(0x7f.toByte, 0xff.toByte, signed = true) == 32767)
+    // unsigned: 0xFF00 is 65280 -> 65280 - 32768 = 32512 (the bug decoded
+    // this as -256 - 32768 = -33024, outside the signed-16 domain)
+    assert(Multimodal.pcm16Sample(0xff.toByte, 0x00, signed = false) == 32512)
+    assert(Multimodal.pcm16Sample(0x80.toByte, 0x00, signed = false) == 0)
+    assert(Multimodal.pcm16Sample(0x00, 0x00, signed = false) == -32768)
+    // full unsigned range maps exactly onto [-32768, 32767]
+    assert(Multimodal.pcm16Sample(0xff.toByte, 0xff.toByte, signed = false) == 32767)
   }
 }
