@@ -270,6 +270,55 @@ object EtlCli {
     commit(df.sparkSession, path, stage(df, path, format))
   }
 
+  // ---- epoch-partitioned versioned tables --------------------------------
+  //
+  // A table whose data accretes in INGEST EPOCHS (one per streaming
+  // micro-batch / daily increment) is laid out as independent versioned
+  // tables, one per epoch directory:
+  //
+  //   path/epoch=0/data_v1/...  path/epoch=0/_committed_v1
+  //   path/epoch=7/data_v1/...  path/epoch=7/_committed_v1
+  //
+  // Appending epoch N stages + commits ONLY path/epoch=N — commit compute
+  // and I/O are O(|batch|), prior epochs' files are never rewritten or even
+  // listed by the writer. Each epoch dir carries the SAME atomic marker
+  // protocol as a flat table (writeTable), so a replayed epoch rewrites its
+  // own directory idempotently (new version, identical deterministic
+  // content) and a crash mid-append leaves every other epoch readable.
+  // This is the 100 TB ingest posture: the flat-table alternative
+  // (union + rewrite per batch) is O(|corpus|) per increment.
+
+  /** Append `df` as ingest epoch `epoch` of the table at `path` — an
+    * atomic commit scoped to that one epoch's directory. Re-appending an
+    * existing epoch replaces it (idempotent replay). */
+  def appendEpoch(df: DataFrame, path: String, epoch: Long,
+                  format: String = "parquet"): Unit =
+    writeTable(df, s"$path/epoch=$epoch", format)
+
+  /** Epochs of `path` that have a committed version, ascending. Driver-side
+    * metadata listing only (one dir list + one marker probe per epoch). */
+  def committedEpochs(spark: SparkSession, path: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val f = fs(spark, path)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("epoch=") => n.drop("epoch=".length).toLong }
+      .filter(e => committedVersion(spark, s"$path/epoch=$e").isDefined)
+      .sorted
+  }
+
+  /** Read the union of every committed epoch of the table at `path` (the
+    * epoch-partitioned analog of readTable). Errors when no epoch has ever
+    * committed. */
+  def readEpochTable(spark: SparkSession, path: String): DataFrame = {
+    val dirs = committedEpochs(spark, path).map { e =>
+      val p = s"$path/epoch=$e"
+      s"$p/data_v${committedVersion(spark, p).get}"
+    }
+    if (dirs.isEmpty) sys.error(s"no committed epochs at $path — nothing ingested yet")
+    spark.read.format(sniffFormat(spark, dirs.head)).load(dirs: _*)
+  }
+
   /** Small-files compaction (the OPTIMIZE of this warehouse): rewrite the
     * current version into ceil(bytes / targetFileBytes) files via the same
     * atomic stage+commit, so readers never see a half-compacted table.

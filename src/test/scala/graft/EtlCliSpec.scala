@@ -151,6 +151,24 @@ class EtlCliSpec extends SparkSpec {
     assert(e.getMessage.contains("jsonl"), s"unclear error: ${e.getMessage}")
   }
 
+  test("epoch-partitioned tables: append is scoped to one epoch, replay idempotent") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("etlepoch").toFile.getAbsolutePath
+    val path = s"$wh/t"
+    intercept[RuntimeException] { EtlCli.readEpochTable(spark, path) }
+    EtlCli.appendEpoch(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path, epoch = 0)
+    EtlCli.appendEpoch(Seq((3L, "c")).toDF("k", "v"), path, epoch = 1)
+    assert(EtlCli.committedEpochs(spark, path) == Seq(0L, 1L))
+    assert(EtlCli.readEpochTable(spark, path).orderBy("k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // re-appending an epoch REPLACES that epoch only (replay idempotence)
+    EtlCli.appendEpoch(Seq((3L, "c")).toDF("k", "v"), path, epoch = 1)
+    assert(EtlCli.readEpochTable(spark, path).count() == 3)
+    // each epoch dir carries its own marker protocol
+    assert(new java.io.File(s"$path/epoch=1").list().toSeq.contains("_committed_v2"))
+    assert(new java.io.File(s"$path/epoch=0").list().toSeq.contains("_committed_v1"))
+  }
+
   test("compact rewrites many small files into few, contents unchanged") {
     import spark.implicits._
     val wh = Files.createTempDirectory("etlcompact").toFile.getAbsolutePath

@@ -75,7 +75,6 @@ class StreamingFileSpec extends SparkSpec {
       java.nio.file.Files.copy(part.toPath, in.resolve(name + ".parquet"))
     }
     stage("b1", b1)
-    stage("b2", b2)
     val schema = spark.read.parquet(in.resolve("b1.parquet").toString).schema
 
     def runStream(): Unit = {
@@ -87,7 +86,32 @@ class StreamingFileSpec extends SparkSpec {
         k = 5, numHashes = 8, bandSize = 2, threshold = 0.5)
       q.awaitTermination(120000)
     }
+    // full recursive file inventory of a table: path -> (mtime, size)
+    def inventory(table: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(table))
+        .map(f => f.getPath -> (f.lastModified() -> f.length())).toMap
+    }
+
+    // batch 1 alone -> epoch 0 of all three tables
     runStream()
+    val epoch0 = Seq("pairs", "index", "corpus").map(t => t -> inventory(paths(t))).toMap
+    assert(epoch0("corpus").keys.exists(_.contains("epoch=0")),
+      "corpus epoch-0 partition missing")
+
+    // batch 2 arrives after a restart -> commits epoch 1 ONLY; every file
+    // of epoch 0 is untouched (same paths, mtimes, sizes) — the commit is
+    // O(batch), not a whole-table rewrite
+    stage("b2", b2)
+    runStream()
+    for (t <- Seq("pairs", "index", "corpus")) {
+      val now = inventory(paths(t))
+      val prior = epoch0(t).filter(_._1.contains("epoch="))
+      assert(prior.forall { case (p, sig) => now.get(p).contains(sig) },
+        s"$t: epoch-0 files were rewritten by the epoch-1 commit")
+      assert(now.keys.exists(_.contains("epoch=1")), s"$t: epoch-1 partition missing")
+    }
 
     val allDocs = (b1 ++ b2).toDF("doc_id", "text")
     val want = graft.operators.Dedup.lshNearDups(allDocs, "doc_id", "text",
@@ -95,21 +119,21 @@ class StreamingFileSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(want.exists { case (a, b) => a <= 4 && b >= 5 },
       "fixture must have a cross-batch pair")
-    val got = graft.tools.EtlCli.readTable(spark, paths("pairs"))
+    val got = graft.tools.EtlCli.readEpochTable(spark, paths("pairs"))
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(got == want, s"streamed pairs $got != batch-mode $want")
     // band index covers every ingested doc (numBands rows per signed doc)
-    val idx = graft.tools.EtlCli.readTable(spark, paths("index"))
+    val idx = graft.tools.EtlCli.readEpochTable(spark, paths("index"))
     assert(idx.select("doc_id").distinct().count() == 8)
-    assert(graft.tools.EtlCli.readTable(spark, paths("corpus")).count() == 8)
+    assert(graft.tools.EtlCli.readEpochTable(spark, paths("corpus")).count() == 8)
 
     // restart with the same checkpoint and no new files: nothing replays,
-    // tables unchanged (version numbers stable = no new commits)
-    val vBefore = new java.io.File(paths("pairs")).list().filter(_.startsWith("_committed")).toSeq
+    // tables unchanged (full inventories stable = no new commits anywhere)
+    val before = Seq("pairs", "index", "corpus").map(t => inventory(paths(t)))
     runStream()
-    val vAfter = new java.io.File(paths("pairs")).list().filter(_.startsWith("_committed")).toSeq
-    assert(vBefore == vAfter)
-    assert(graft.tools.EtlCli.readTable(spark, paths("pairs"))
+    val after = Seq("pairs", "index", "corpus").map(t => inventory(paths(t)))
+    assert(before == after)
+    assert(graft.tools.EtlCli.readEpochTable(spark, paths("pairs"))
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet == want)
   }
 
