@@ -500,5 +500,64 @@ object TextQueries {
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
+
+    // keepBestPerCluster, oracle-checked: the production canonical-
+    // selection policy — near-dup pairs (same MinHash-LSH pipeline as
+    // q_dedup_minhash) -> connected components -> keep the highest-n_chars
+    // member per cluster (ties to least id), unclustered docs pass
+    // through. The oracle recomputes components as a recursive
+    // reachability closure (component = min reachable id) — exact, with
+    // no iteration bound to tune — then applies the same argmax.
+    QueryDef(
+      "q_keep_best",
+      "near-dup clusters keep the best member by n_chars (canonical selection); oracle recomputes components via recursive closure",
+      s"""WITH RECURSIVE s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+          ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          rare AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 20),
+          rex AS (SELECT doc_id, md5(ex.g) AS h1, md5('x:' || ex.g) AS h2
+                  FROM ex JOIN rare USING (g)),
+          sig AS (
+            SELECT doc_id,
+                   ${(0 until 8).map { h =>
+                     val src = if (h < 4) "h1" else "h2"
+                     s"MIN(substr($src, ${(h % 4) * 8 + 1}, 8)) AS sig_$h"
+                   }.mkString(", ")}
+            FROM rex GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, unnest([${(0 until 4).map(b => s"'$b' || ':' || sig_${2 * b} || ':' || sig_${2 * b + 1}").mkString(", ")}]) AS band
+            FROM sig),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+          pairs AS (
+            SELECT doc_a, doc_b
+            FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
+            WHERE len(list_intersect(sa.sh, sb.sh))
+                    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+          reach AS (
+            SELECT src AS node, src AS r FROM edges
+            UNION
+            SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+          comps AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
+          winners AS (
+            SELECT doc_id FROM (
+              SELECT c.doc_id,
+                     row_number() OVER (PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, c.doc_id) AS rn
+              FROM comps c JOIN documents d USING (doc_id)) WHERE rn = 1),
+          losers AS (SELECT doc_id FROM comps
+                     WHERE doc_id NOT IN (SELECT doc_id FROM winners))
+          SELECT doc_id, n_chars FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+          ORDER BY doc_id""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.lshNearDups(docs, "doc_id", "text",
+        k = 9, numHashes = 8, bandSize = 2, threshold = 0.5, dfCap = 20)
+      Dedup.keepBestPerCluster(docs, pairs, "doc_id", col("n_chars"))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
   )
 }
