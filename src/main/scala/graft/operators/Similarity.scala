@@ -56,6 +56,21 @@ object Similarity {
   // of every IVF/PQ build (assigning/encoding EVERY corpus vector) into a
   // map-only projection: the scan never exchanges.
 
+  /** Coarse-quantizer seed centroids for the IVF family: the `n` corpus
+    * vectors ranked first by (md5(vid), vid) — a deterministic,
+    * engine-portable hash-rank sample (the oracle reproduces it as
+    * `ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT n`). Seeding by lowest
+    * ids (the previous policy) skews the cells whenever low ids are
+    * homogeneous — ingest order = crawl order is the common case at
+    * 100 TB — which silently degrades nProbe recall; a hash-rank sample
+    * is uniform over the corpus regardless of id layout (IvfSeedSpec
+    * measures the recall gap on a planted crawl-prefix cluster).
+    * orderBy+limit lowers to TakeOrderedAndProject — a distributed
+    * partial top-n, no global sort. Returns (cc, cv), cc = seed vid. */
+  private def coarseSeeds(vecs: DataFrame, n: Int): DataFrame =
+    vecs.orderBy(md5(col("vid").cast("string")), col("vid")).limit(n)
+      .select(col("vid").as("cc"), col("v").as("cv"))
+
   /** (cc, cv) centroid table reshaped to one broadcastable row. */
   private def centOneRow(cent: DataFrame): DataFrame =
     cent.groupBy().agg(collect_list(
@@ -133,8 +148,8 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN — the second scale path alongside sign-LSH:
-    * a coarse quantizer of `nCells` cells (deterministic seed centroids =
-    * the first nCells vectors by id; optional quantized-mean refinement
+    * a coarse quantizer of `nCells` cells (deterministic hash-rank seed
+    * centroids — see coarseSeeds; optional quantized-mean refinement
     * iterations), every vector assigned to its nearest cell, queries probe
     * only the `nProbe` closest cells. Metric: squared L2 with quantized
     * sums, so assignment and ranking are bit-deterministic. At scale the
@@ -145,11 +160,11 @@ object Similarity {
               nCells: Int, nProbe: Int, k: Int, refineIters: Int = 0): DataFrame = {
     val vecs = graft.core.Tables.ensureParallelism(corpus)
       .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v"))
-    // centroid table as (cc, cv array): seed = first nCells vectors;
+    // centroid table as (cc, cv array): seed = hash-rank sample;
     // refinement keeps the per-dim quantized means of the old formulation
     // (dimension-level aggregation is genuinely per-dim, so it stays on
     // the exploded view; the table is nCells x dims — tiny)
-    var cent = vecs.filter(col("vid") < nCells).select(col("vid").as("cc"), col("v").as("cv"))
+    var cent = coarseSeeds(vecs, nCells)
     (0 until refineIters).foreach { _ =>
       // map-only reassignment (in-row argmin against the one-row centroid
       // table); the only shuffle per iteration is the quantized-mean update
@@ -192,7 +207,7 @@ object Similarity {
     * artifacts independently reusable and the oracle math composable.
     * `corpusCodes`/`codebook` are pqEncode/pqCodebook output (typically
     * read back from their persisted parquet); cells and probes recompute
-    * from the deterministic first-nCells seed exactly as ivfTopK.
+    * from the deterministic hash-rank seed exactly as ivfTopK.
     * Output (qid, cid, adist, rank).
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
@@ -200,7 +215,7 @@ object Similarity {
                 codebook: DataFrame, m: Int, k: Int): DataFrame = {
     val vecs = graft.core.Tables.ensureParallelism(corpus)
       .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v"))
-    val cent = vecs.filter(col("vid") < nCells).select(col("vid").as("cc"), col("v").as("cv"))
+    val cent = coarseSeeds(vecs, nCells)
     // full-corpus cell assignment is map-only (in-row argmin)
     val cells = vecs.crossJoin(broadcast(centOneRow(cent)))
       .select(col("vid").as("cid"), argminCell(col("v"), col("cents")).as("cell"))
@@ -264,7 +279,7 @@ object Similarity {
                          iters: Int): (DataFrame, DataFrame) = {
     val vecs = graft.core.Tables.ensureParallelism(corpus)
       .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v"))
-    val cent = vecs.filter(col("vid") < nCells).select(col("vid").as("cc"), col("v").as("cv"))
+    val cent = coarseSeeds(vecs, nCells)
     // full-corpus cell assignment is map-only (in-row argmin)
     val cells = vecs.crossJoin(broadcast(centOneRow(cent)))
       .select(col("vid"), argminCell(col("v"), col("cents")).as("cell"), col("v"))
@@ -277,17 +292,16 @@ object Similarity {
       .select(col("vid"), col("cell"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
       .transform(graft.core.Materialize.pin)
-    // Seed correction: pqCodebook seeds with the first ksub ids, but ids
-    // < nCells ARE the coarse centroids — their residuals are (near-)zero
-    // vectors, which would collapse the k-means seeds into one point.
-    // Shifting the training ids by nCells makes the seeds the first ksub
-    // NON-centroid residuals (and drops the degenerate ones from
-    // training); encoding still runs over every vector.
+    // Seed correction: the coarse centroids' own residuals are (near-)zero
+    // vectors, which would collapse pqCodebook's hash-rank seeds toward
+    // one point if any centroid hash-ranked into the seed set — so the
+    // centroid rows are excluded from TRAINING (a broadcast anti-join on
+    // the nCells seed ids); encoding still runs over every vector.
     // pinned: the trained codebook is embedded in the codes lineage AND
     // returned for its own persistence — without the pin, materializing
     // codes would re-run the whole k-means
     val codebook = pqCodebook(
-      resid.select((col("vid") - nCells).as("vid"), col("r")).filter(col("vid") >= 0),
+      resid.join(broadcast(cent.select(col("cc").as("vid"))), Seq("vid"), "left_anti"),
       "vid", "r", m, ksub, iters)
       .transform(graft.core.Materialize.pin)
     val codes = pqEncode(resid, "vid", "r", codebook, m)
@@ -299,14 +313,14 @@ object Similarity {
   /** Scoring half of residual IVF-PQ, against GIVEN artifacts (typically
     * read back from parquet): per-probed-cell query residual tables +
     * ADC over the stored codes. Cells/probes recompute from the
-    * deterministic first-nCells seed exactly as the build did. */
+    * deterministic hash-rank seed exactly as the build did. */
   def ivfPqResidualScore(corpus: DataFrame, queries: DataFrame, idCol: String,
                          vecCol: String, nCells: Int, nProbe: Int,
                          codes: DataFrame, codebook: DataFrame,
                          m: Int, k: Int): DataFrame = {
     val vecs = graft.core.Tables.ensureParallelism(corpus)
       .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v"))
-    val cent = vecs.filter(col("vid") < nCells).select(col("vid").as("cc"), col("v").as("cv"))
+    val cent = coarseSeeds(vecs, nCells)
     val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
     val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cc"))
     val probes = q.crossJoin(broadcast(cent))
@@ -472,17 +486,22 @@ object Similarity {
   }
 
   /** Train the PQ codebook: independent deterministic k-means per subspace
-    * (seed = subvectors of the first ksub ids; quantized argmin with ties
-    * to the lower cell; quantized means), all m subspaces refined in the
-    * SAME aggregation pass — `sub` rides the grouping key, so training m
-    * codebooks costs one k-means, not m. Assignment is the map-only
-    * in-row encode; the only shuffle per iteration is the quantized-mean
-    * update. Returns (sub, cc, cv). */
+    * (seed = subvectors of the ksub hash-rank-first ids — the same
+    * ingest-order-decorrelated sample as coarseSeeds, and the reason the
+    * residual build can train on an id set with holes; quantized argmin
+    * with ties to the lower cell; quantized means), all m subspaces
+    * refined in the SAME aggregation pass — `sub` rides the grouping key,
+    * so training m codebooks costs one k-means, not m. Assignment is the
+    * map-only in-row encode; the only shuffle per iteration is the
+    * quantized-mean update. Returns (sub, cc, cv) with cc = seed vid. */
   def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
                  m: Int, ksub: Int, iters: Int): DataFrame = {
     val vecs = graft.core.Tables.ensureParallelism(corpus)
       .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v"))
-    var cent = subvectors(corpus, idCol, vecCol, m).filter(col("vid") < ksub)
+    val seedIds = vecs.orderBy(md5(col("vid").cast("string")), col("vid"))
+      .limit(ksub).select(col("vid"))
+    var cent = subvectors(corpus, idCol, vecCol, m)
+      .join(broadcast(seedIds), "vid")
       .select(col("sub"), col("vid").as("cc"), col("sv").as("cv"))
     (0 until iters).foreach { _ =>
       val assigned = vecs.crossJoin(broadcast(cbOneRow(cent)))

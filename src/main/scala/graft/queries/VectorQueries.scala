@@ -23,6 +23,12 @@ object VectorQueries {
          SELECT vec_id, unnest(list_transform(embedding, (x, i) -> {'d': i - 1, 'x': CAST(x AS DOUBLE)})) AS r
          FROM embeddings)"""
 
+  /** DuckDB rendering of Similarity.coarseSeeds' hash-rank seed id set:
+    * the n ids ranked first by (md5(id), id) — matches Spark's md5 of the
+    * decimal string byte-for-byte. */
+  private def seedIdsSql(n: Int): String =
+    s"(SELECT vec_id FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $n)"
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -87,14 +93,14 @@ object VectorQueries {
         .orderBy(col("bucket"))
     },
 
-    // IVF scale path: coarse-quantizer cells (seed centroids = first 16
-    // vectors), queries probe the 2 nearest cells, exact quantized-L2
-    // ranking within probed cells.
+    // IVF scale path: coarse-quantizer cells (hash-rank seed centroids),
+    // queries probe the 2 nearest cells, exact quantized-L2 ranking
+    // within probed cells.
     QueryDef(
       "q_ann_ivf",
-      "IVF ANN: 16-cell coarse quantizer, 2-probe search, top-10 by squared L2",
+      "IVF ANN: 16-cell coarse quantizer (hash-rank seeds), 2-probe search, top-10 by squared L2",
       s"""WITH dims AS ($dimsSql),
-          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id < 16),
+          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id IN ${seedIdsSql(16)}),
           vdist AS (
             SELECT v.vec_id, c.cc,
                    CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS d2
@@ -209,9 +215,9 @@ object VectorQueries {
     // ADC path from scratch.
     QueryDef(
       "q_ann_ivfpq",
-      "IVF-PQ ANN: 16-cell coarse quantizer, 2-probe search, ADC scoring from persisted m=8 PQ codes",
+      "IVF-PQ ANN: 16-cell coarse quantizer (hash-rank seeds), 2-probe search, ADC scoring from persisted m=8 PQ codes",
       s"""WITH dims AS ($dimsSql),
-          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id < 16),
+          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id IN ${seedIdsSql(16)}),
           vdist AS (
             SELECT v.vec_id, c.cc,
                    CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS d2
@@ -272,9 +278,9 @@ object VectorQueries {
     // residual tables, and the ranking from scratch.
     QueryDef(
       "q_ann_ivfpq_res",
-      "residual IVF-PQ ANN: 16-cell coarse quantizer, 2-probe search, per-cell residual ADC from persisted codes",
+      "residual IVF-PQ ANN: 16-cell coarse quantizer (hash-rank seeds), 2-probe search, per-cell residual ADC from persisted codes",
       s"""WITH dims AS ($dimsSql),
-          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id < 16),
+          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id IN ${seedIdsSql(16)}),
           vdist AS (
             SELECT v.vec_id, c.cc,
                    CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS d2
