@@ -23,6 +23,21 @@ object VectorQueries {
          SELECT vec_id, unnest(list_transform(embedding, (x, i) -> {'d': i - 1, 'x': CAST(x AS DOUBLE)})) AS r
          FROM embeddings)"""
 
+  /** Per-RUN artifact root for the persisted-ANN queries (q_pq_adc,
+    * q_ann_ivfpq, q_ann_ivfpq_res). The dir must be a plan-time constant
+    * (the oracle SQL embeds it as a literal read_parquet path), but a
+    * FIXED constant lets two concurrent sessions — driver bench + judge
+    * re-run, or two users on one machine — silently clobber each other's
+    * codebooks mid-query. A per-JVM token (the pid) keeps query and
+    * oracle consistent (both render from this val, and the driver's
+    * DuckDB pass reads the oracle_sql.json this JVM wrote) while giving
+    * every concurrent run its own directory. Not per-sf: one JVM serves
+    * all scale factors, each query writes before it reads.
+    * GRAFT_ANN_ARTIFACT_DIR overrides for debugging. */
+  private[graft] val annArtifactRoot: String =
+    sys.env.getOrElse("GRAFT_ANN_ARTIFACT_DIR",
+      s"/tmp/graft_ann_run_${ProcessHandle.current().pid()}")
+
   /** DuckDB rendering of Similarity.coarseSeeds' hash-rank seed id set:
     * the n ids ranked first by (md5(id), id) — matches Spark's md5 of the
     * decimal string byte-for-byte. */
@@ -168,11 +183,11 @@ object VectorQueries {
     QueryDef(
       "q_pq_adc",
       "product-quantization ANN: m=8/ksub=16 codebook + codes persisted to parquet; ADC top-10 recomputed by the oracle from the same artifacts",
-      s"""WITH cb AS (SELECT sub, cc, cv FROM read_parquet('/tmp/graft_pq/current/codebook/*.parquet')),
+      s"""WITH cb AS (SELECT sub, cc, cv FROM read_parquet('${annArtifactRoot}/pq/codebook/*.parquet')),
           cx AS (
             SELECT vid, r.sub AS sub, r.cc AS cc FROM (
               SELECT vid, unnest(list_transform(range(1, len(codes) + 1), i -> {'sub': i - 1, 'cc': codes[i]})) AS r
-              FROM read_parquet('/tmp/graft_pq/current/codes/*.parquet'))),
+              FROM read_parquet('${annArtifactRoot}/pq/codes/*.parquet'))),
           qsub AS (
             SELECT vec_id AS qid, r.sub AS sub, r.sv AS sv FROM (
               SELECT vec_id, unnest(list_transform(range(0, 8),
@@ -194,7 +209,7 @@ object VectorQueries {
                    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS INT) AS rank
             FROM ad) WHERE rank <= 10 ORDER BY qid, rank""") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val base = "/tmp/graft_pq/current"
+      val base = s"$annArtifactRoot/pq"
       Similarity.pqCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
         .write.mode("overwrite").parquet(s"$base/codebook")
       val codebook = s.read.parquet(s"$base/codebook")
@@ -233,11 +248,11 @@ object VectorQueries {
           cand AS (
             SELECT p.qid, c.vec_id AS cid FROM probes p
             JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.qid),
-          cb AS (SELECT sub, cc, cv FROM read_parquet('/tmp/graft_ivfpq/current/codebook/*.parquet')),
+          cb AS (SELECT sub, cc, cv FROM read_parquet('${annArtifactRoot}/ivfpq/codebook/*.parquet')),
           cx AS (
             SELECT vid, r.sub AS sub, r.cc AS cc FROM (
               SELECT vid, unnest(list_transform(range(1, len(codes) + 1), i -> {'sub': i - 1, 'cc': codes[i]})) AS r
-              FROM read_parquet('/tmp/graft_ivfpq/current/codes/*.parquet'))),
+              FROM read_parquet('${annArtifactRoot}/ivfpq/codes/*.parquet'))),
           qsub AS (
             SELECT vec_id AS qid, r.sub AS sub, r.sv AS sv FROM (
               SELECT vec_id, unnest(list_transform(range(0, 8),
@@ -259,7 +274,7 @@ object VectorQueries {
                    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS INT) AS rank
             FROM ad) WHERE rank <= 10 ORDER BY qid, rank""") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val base = "/tmp/graft_ivfpq/current"
+      val base = s"$annArtifactRoot/ivfpq"
       Similarity.pqCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
         .write.mode("overwrite").parquet(s"$base/codebook")
       val codebook = s.read.parquet(s"$base/codebook")
@@ -289,11 +304,11 @@ object VectorQueries {
             SELECT vec_id AS qid, cc AS cell FROM (
               SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
               FROM vdist WHERE vec_id < 5) WHERE rn <= 2),
-          cb AS (SELECT sub, cc, cv FROM read_parquet('/tmp/graft_ivfpqres/current/codebook/*.parquet')),
+          cb AS (SELECT sub, cc, cv FROM read_parquet('${annArtifactRoot}/ivfpqres/codebook/*.parquet')),
           cx AS (
             SELECT cid, cell, r.sub AS sub, r.cc AS cc FROM (
               SELECT cid, cell, unnest(list_transform(range(1, len(codes) + 1), i -> {'sub': i - 1, 'cc': codes[i]})) AS r
-              FROM read_parquet('/tmp/graft_ivfpqres/current/codes/*.parquet'))),
+              FROM read_parquet('${annArtifactRoot}/ivfpqres/codes/*.parquet'))),
           qr AS (
             SELECT p.qid, p.cell, v.d, v.x - c.cx AS rx
             FROM probes p JOIN dims v ON v.vec_id = p.qid
@@ -317,7 +332,7 @@ object VectorQueries {
                    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS INT) AS rank
             FROM ad) WHERE rank <= 10 ORDER BY qid, rank""") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val base = "/tmp/graft_ivfpqres/current"
+      val base = s"$annArtifactRoot/ivfpqres"
       val (cb0, codes0) = Similarity.ivfPqResidualBuild(emb, "vec_id", "embedding",
         nCells = 16, m = 8, ksub = 16, iters = 2)
       cb0.write.mode("overwrite").parquet(s"$base/codebook")

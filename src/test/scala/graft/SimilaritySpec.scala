@@ -228,6 +228,20 @@ class SimilaritySpec extends SparkSpec {
         .as[(Long, Long)].collect().toSet)
   }
 
+  test("persisted-ANN artifacts are per-run scoped and the oracle reads the same dir") {
+    // two concurrent sessions (driver bench + judge re-run) must not
+    // clobber each other's codebooks: the artifact root embeds this JVM's
+    // pid (unless explicitly overridden), and every persisted-ANN oracle
+    // reads the exact dir the query writes
+    val root = graft.queries.VectorQueries.annArtifactRoot
+    if (!sys.env.contains("GRAFT_ANN_ARTIFACT_DIR"))
+      assert(root.endsWith(s"_${ProcessHandle.current().pid()}"),
+        s"artifact root $root is not scoped to this run")
+    for (q <- Seq("q_pq_adc", "q_ann_ivfpq", "q_ann_ivfpq_res"))
+      assert(graft.SparkEntry.oracleSql(q).contains(root),
+        s"$q oracle does not read this run's artifact dir")
+  }
+
   test("signLshBuckets puts identical vectors in the same bucket") {
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)),
                  (3L, Array(-5.0f, 1.0f, -2.0f)))
