@@ -271,6 +271,47 @@ object Similarity {
       codes, codebook, m, k)
   }
 
+  /** Coarse centroid table (cc, cv) for the IVF family — the hash-rank
+    * seeds over the corpus, exposed so a production index can PERSIST its
+    * coarse quantizer: incremental encode (the streaming ANN-index sink)
+    * must assign against the ORIGINAL centroids — re-deriving seeds over
+    * a grown corpus would shift the hash-rank seed set and silently
+    * invalidate every stored cell assignment. */
+  def coarseCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCells: Int): DataFrame =
+    coarseSeeds(
+      graft.core.Tables.ensureParallelism(corpus)
+        .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v")),
+      nCells)
+
+  /** (cid, cell, codes) from a pinned residual frame — one in-row argmin
+    * pass against the broadcast codebook, cell rides the row (no join
+    * back, no shuffle). */
+  private def encodeResiduals(resid: DataFrame, codebook: DataFrame, m: Int): DataFrame =
+    resid.crossJoin(broadcast(cbOneRow(codebook)))
+      .select(col("vid").as("cid"), col("cell"),
+        pqCodes(col("r"), col("cb"), m).as("codes"))
+
+  /** Map-only residual-PQ encode of a batch against GIVEN artifacts —
+    * coarse centroids + residual codebook, typically read back from their
+    * persisted tables: in-row argmin cell assignment, broadcast-join
+    * residual subtraction, in-row code argmin. Zero shuffles, no
+    * retraining — the O(|batch|) incremental half of the ANN index
+    * (codes are a pure function of (centroids, codebook, vector), so
+    * incremental equals from-scratch exactly; ScaleSpec asserts it and
+    * the streaming sink builds on it). Returns (cid, cell, codes). */
+  def ivfPqResidualEncode(batch: DataFrame, idCol: String, vecCol: String,
+                          cent: DataFrame, codebook: DataFrame, m: Int): DataFrame = {
+    val vecs = graft.core.Tables.ensureParallelism(batch)
+      .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v"))
+    val cells = vecs.crossJoin(broadcast(centOneRow(cent)))
+      .select(col("vid"), argminCell(col("v"), col("cents")).as("cell"), col("v"))
+    val resid = cells.join(broadcast(cent.select(col("cc").as("cell"), col("cv"))), "cell")
+      .select(col("vid"), col("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
+    encodeResiduals(resid, codebook, m)
+  }
+
   /** Train-and-encode half of residual IVF-PQ: returns (codebook, codes)
     * — codes carry their cell, (cid, cell, codes) — the two artifacts a
     * production index PERSISTS. */
@@ -304,10 +345,8 @@ object Similarity {
       resid.join(broadcast(cent.select(col("cc").as("vid"))), Seq("vid"), "left_anti"),
       "vid", "r", m, ksub, iters)
       .transform(graft.core.Materialize.pin)
-    val codes = pqEncode(resid, "vid", "r", codebook, m)
-      .join(resid.select(col("vid"), col("cell")), "vid")
-      .select(col("vid").as("cid"), col("cell"), col("codes"))
-    (codebook, codes)
+    // cell rides the pinned residual row — no join-back needed
+    (codebook, encodeResiduals(resid, codebook, m))
   }
 
   /** Scoring half of residual IVF-PQ, against GIVEN artifacts (typically

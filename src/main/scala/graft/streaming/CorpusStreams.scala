@@ -87,4 +87,46 @@ object CorpusStreams {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming ANN-index sink — the ANN analog of incrementalDedupSink:
+    * each micro-batch of (idCol, vecCol) embeddings encodes against the
+    * PERSISTED coarse centroids + residual PQ codebook (map-only: in-row
+    * argmin cell assignment + in-row code argmin — no retraining, no
+    * shuffle) and appends its (cid, cell, codes) as its own epoch
+    * partition of the codes table: O(|batch|) compute AND commit I/O per
+    * increment.
+    *
+    * `centroidsPath`/`codebookPath` hold the day-0 artifacts
+    * (Similarity.coarseCentroids + ivfPqResidualBuild's codebook,
+    * committed via EtlCli.writeTable). They are pinned by design:
+    * re-deriving hash-rank seeds over the grown corpus would shift the
+    * seed set and silently invalidate every stored cell assignment —
+    * retrain and re-encode explicitly when the quantizer should move.
+    *
+    * Replay safety: codes are a pure function of (centroids, codebook,
+    * vector), so a replayed batch re-appends ITS OWN epoch idempotently
+    * (appendEpoch replaces that one epoch) — at-least-once delivery
+    * yields exactly-once table state with no replay anti-join. Vector
+    * ids are assumed unique across batches (the embedding pipeline's
+    * contract); a violation yields duplicate rows with IDENTICAL codes,
+    * never divergent ones.
+    */
+  def annIndexSink(incoming: DataFrame, idCol: String, vecCol: String,
+                   centroidsPath: String, codebookPath: String, codesPath: String,
+                   checkpointDir: String, m: Int): StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val cent = EtlCli.readTable(spark, centroidsPath)
+        val cb = EtlCli.readTable(spark, codebookPath)
+        EtlCli.appendEpoch(
+          graft.operators.Similarity.ivfPqResidualEncode(
+            batch.select(col(idCol), col(vecCol)), idCol, vecCol, cent, cb, m),
+          codesPath, batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

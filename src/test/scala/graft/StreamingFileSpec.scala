@@ -137,6 +137,70 @@ class StreamingFileSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet == want)
   }
 
+  test("annIndexSink: micro-batched codes equal a from-scratch encode; commits are epoch appends") {
+    import graft.streaming.CorpusStreams
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("ann_sink")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectory(in)
+    def paths(n: String) = root.resolve(n).toString
+
+    // day 0: train on the initial corpus, persist the pinned artifacts
+    val (cb0, _) = graft.operators.Similarity.ivfPqResidualBuild(
+      corpus, "vec_id", "embedding", nCells = 16, m = 8, ksub = 16, iters = 2)
+    graft.tools.EtlCli.writeTable(
+      graft.operators.Similarity.coarseCentroids(corpus, "vec_id", "embedding", 16),
+      paths("centroids"))
+    graft.tools.EtlCli.writeTable(cb0, paths("codebook"))
+
+    // stream: the corpus itself, then the held-out quarter in two files
+    def stage(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, in.resolve(name + ".parquet"))
+    }
+    stage("b0", corpus)
+    stage("b1", emb.filter(col("vec_id") % 4 === 0 && col("vec_id") % 8 === 0))
+    stage("b2", emb.filter(col("vec_id") % 4 === 0 && col("vec_id") % 8 =!= 0))
+
+    def runStream(): Unit = {
+      val stream = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+      val q = CorpusStreams.annIndexSink(stream, "vec_id", "embedding",
+        paths("centroids"), paths("codebook"), paths("codes"), paths("chk"), m = 8)
+      q.awaitTermination(120000)
+    }
+    runStream()
+
+    // three epoch partitions, one per micro-batch
+    assert(graft.tools.EtlCli.committedEpochs(spark, paths("codes")).size == 3)
+    def codesOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Seq[Long])] =
+      df.select(col("cid").cast("long"), col("cell").cast("long"),
+          col("codes").cast("array<long>"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+        .toSeq.sortBy(_._1)
+    val streamed = codesOf(graft.tools.EtlCli.readEpochTable(spark, paths("codes")))
+    // incremental ≡ from-scratch: codes are a pure function of the pinned
+    // artifacts, regardless of how the corpus was batched
+    val scratch = codesOf(graft.operators.Similarity.ivfPqResidualEncode(
+      emb, "vec_id", "embedding",
+      graft.tools.EtlCli.readTable(spark, paths("centroids")),
+      graft.tools.EtlCli.readTable(spark, paths("codebook")), m = 8))
+    assert(streamed.size == emb.count())
+    assert(streamed == scratch, "streamed codes diverge from from-scratch encode")
+
+    // replay with the same checkpoint and no new files: zero new commits
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f.getPath)
+    val before = walk(new java.io.File(paths("codes"))).sorted
+    runStream()
+    assert(walk(new java.io.File(paths("codes"))).sorted == before)
+  }
+
   test("checkpointed parquet sink resumes exactly-once across restarts") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
