@@ -150,10 +150,35 @@ object VectorQueries {
     // Throughput variant of q_ann_topk: the native CosineSim expression
     // fuses dot+norms into one codegen'd loop per pair — no explode, no
     // dimension join, no aggregation. Scores are plain float-accumulated
-    // doubles (not the quantized oracle formulation), hence rows-only.
-    QueryDef.rowsOnly(
+    // doubles (not the quantized oracle formulation), so the CHECKED
+    // contract is the neighbor SET: the query emits (qid, cid) membership
+    // rows without scores, and the oracle recomputes exact quantized
+    // top-10 sets — hash-match proves the fast kernel selects the same
+    // neighbors as exact arithmetic. (Rank-adjacent float flips can't
+    // affect the result; a boundary flip at k would, and the gap between
+    // rank-10 and rank-11 cosines is ~1e-2 on this data vs ~1e-7 float
+    // accumulation error — cross-checked at all three sf in
+    // SimilaritySpec before this oracle was attached.)
+    QueryDef(
       "q_ann_topk_fast",
-      "fused-kernel cosine top-10 via native CosineSim expression (broadcast queries x corpus)") { (s, dir) =>
+      "fused-kernel cosine top-10 neighbor sets via native CosineSim expression (broadcast queries x corpus)",
+      s"""WITH dims AS ($dimsSql),
+          nrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x * x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0) AS nrm
+                  FROM dims GROUP BY vec_id),
+          dots AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+                   CAST(SUM(CAST(FLOOR((q.x * c.x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dot
+            FROM dims q JOIN dims c ON q.d = c.d AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5
+            GROUP BY 1, 2),
+          scored AS (
+            SELECT qid, cid, dot / (qn.nrm * cn.nrm) AS cosine
+            FROM dots JOIN nrm qn ON qn.vec_id = qid JOIN nrm cn ON cn.vec_id = cid)
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+            FROM scored)
+          WHERE rank <= 10 ORDER BY qid, cid""") { (s, dir) =>
       import graft.plans.GraftFunctions.cosine_sim
       import org.apache.spark.sql.expressions.Window
       val emb = t(s, dir, "embeddings")
@@ -165,8 +190,8 @@ object VectorQueries {
         .select(col("qid"), col("cid"), cosine_sim(col("qv"), col("cv")).as("cosine"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
-        .select(col("qid"), col("cid"), col("cosine"), col("rank").cast("int").as("rank"))
-        .orderBy(col("qid"), col("rank"))
+        .select(col("qid"), col("cid"))
+        .orderBy(col("qid"), col("cid"))
     },
 
     // PQ ADC (Jegou/Douze/Schmid TPAMI'11): the query trains the codebook
