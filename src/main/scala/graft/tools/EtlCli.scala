@@ -36,10 +36,15 @@ object EtlCli {
     case Seq("stats", wh, top)     => stats(spark, wh, top.toInt).show(truncate = false)
     case Seq("export", wh, docs, eval)     => export(spark, wh, docs, eval)
     case Seq("export", wh, docs, eval, n)  => export(spark, wh, docs, eval, n.toInt)
-    case Seq("export", wh, docs, eval, n, fmt) =>
-      export(spark, wh, docs, eval, n.toInt, format = fmt)
-    case Seq("export", wh, docs, eval, n, fmt, "bpe") =>
-      export(spark, wh, docs, eval, n.toInt, format = fmt, bpeTokens = true)
+    case Seq("export", wh, docs, eval, n, fmt, flags @ _*) =>
+      val unknown = flags.filterNot(f => f == "bpe" || f.startsWith("epochs="))
+      if (unknown.nonEmpty)
+        sys.error(s"unknown export flags: ${unknown.mkString(", ")} " +
+          "(expected 'bpe' and/or 'epochs=src:2.5,other:0.5')")
+      export(spark, wh, docs, eval, n.toInt, format = fmt,
+        bpeTokens = flags.contains("bpe"),
+        epochs = flags.find(_.startsWith("epochs="))
+          .map(f => parseEpochs(f.stripPrefix("epochs="))).getOrElse(Map.empty))
     case Seq("learn-bpe", wh, docs, nMerges) =>
       learnBpe(spark, wh, docs, nMerges.toInt)
     case other =>
@@ -132,9 +137,20 @@ object EtlCli {
         spark.read.parquet(docsPath), "text", nMerges),
       s"$wh/bpe_merges")
 
+  /** Parse "web:2.5,books:1.5" into an epochs map (source → repetition
+    * factor for Export.mixtureRepeat). */
+  private[graft] def parseEpochs(s: String): Map[String, Double] =
+    s.split(",").iterator.filter(_.nonEmpty).map { kv =>
+      kv.split(":") match {
+        case Array(g, e) => g -> e.toDouble
+        case _ => sys.error(s"bad epochs entry '$kv' (expected source:factor)")
+      }
+    }.toMap
+
   def export(spark: SparkSession, wh: String, docsPath: String, evalPath: String,
              nShards: Int = 8, budget: Int = 2048,
-             format: String = "parquet", bpeTokens: Boolean = false): Audit.EtlRun =
+             format: String = "parquet", bpeTokens: Boolean = false,
+             epochs: Map[String, Double] = Map.empty): Audit.EtlRun =
     Audit.audited(spark, "export", s"$wh/etl_run") { (readObs, loadObs) =>
       // token measure for packing: whitespace by default; with bpeTokens
       // the learned merge table loads from the warehouse and becomes a
@@ -162,17 +178,30 @@ object EtlCli {
       val mixed = Export.mixtureSample(cleaned, "doc_id", "source", targets)
         .filter(col("keep"))
         .select(cleaned.columns.map(col): _*)
-      val packed = Export.packAssignments(mixed, "doc_id", "text", nShards, budget, tokens)
-      val out = mixed.join(packed.select("doc_id", "n_tokens", "pack"), "doc_id")
+      // epochs: the UPSAMPLING half of mixture building — repeat each
+      // group per its factor (mixtureRepeat; deterministic md5-band
+      // fractional copies). Every copy gets a unique export_id so the
+      // packing order, shard layout, and shuffleOrder's md5 sort stay
+      // TOTALLY ordered — duplicate keys would tie in the md5 sort and
+      // leak reduce-side fetch order into the shard bytes, breaking the
+      // byte-identical re-run contract.
+      val (toPack, key) =
+        if (epochs.isEmpty) (mixed, "doc_id")
+        else (Export.mixtureRepeat(mixed, "doc_id", "source", epochs)
+                .withColumn("export_id", concat_ws("#", col("doc_id"), col("copy")))
+                .drop("epochs", "n_copies"),
+              "export_id")
+      val packed = Export.packAssignments(toPack, key, "text", nShards, budget, tokens)
+      val out = toPack.join(packed.select(key, "n_tokens", "pack"), key)
       val loaded = Audit.observed(out, loadObs)
       val path = s"$wh/export"
       val next = committedVersion(spark, path).getOrElse(0L) + 1
       format match {
         case "parquet" | "orc" =>
-          graft.core.Store.writeShards(loaded, s"$path/data_v$next", "doc_id",
+          graft.core.Store.writeShards(loaded, s"$path/data_v$next", key,
             nShards, shuffleOrder = true, format = format)
         case "jsonl" =>
-          graft.core.Store.writeJsonlShards(loaded, s"$path/data_v$next", "doc_id",
+          graft.core.Store.writeJsonlShards(loaded, s"$path/data_v$next", key,
             nShards, shuffleOrder = true)
         case other => sys.error(s"export format must be parquet|orc|jsonl, got $other")
       }

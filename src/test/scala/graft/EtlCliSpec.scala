@@ -151,6 +151,59 @@ class EtlCliSpec extends SparkSpec {
     assert(e.getMessage.contains("jsonl"), s"unclear error: ${e.getMessage}")
   }
 
+  test("export with epochs: deterministic upsampled copies, byte-identical re-run") {
+    import org.apache.spark.sql.functions.{col, size => asize, split, countDistinct, count => acount, min => amin, max => amax}
+    val wh = Files.createTempDirectory("etlepochs").toFile.getAbsolutePath
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val eval = s"$wh/eval.parquet"
+    spark.read.parquet(docs).filter(col("doc_id") < 5).write.parquet(eval)
+
+    val eps = Map("src1" -> 2.5)
+    val run1 = EtlCli.export(spark, wh, docs, eval, nShards = 4, budget = 2048,
+      epochs = eps)
+    assert(run1.status == "SUCCESS")
+    val t1 = EtlCli.readTable(spark, s"$wh/export")
+    // every copy has a unique export id (total order for packing + layout)
+    assert(t1.count() == t1.select(countDistinct(col("export_id"))).head().getLong(0))
+    // src1 docs appear floor(2.5)=2 times plus a stable md5-band third copy
+    val perDoc = t1.filter(col("source") === "src1")
+      .groupBy("doc_id").agg(acount(col("copy")).as("n"))
+      .agg(amin("n").as("lo"), amax("n").as("hi")).head()
+    assert(perDoc.getLong(0) >= 2 && perDoc.getLong(1) <= 3,
+      s"src1 copy counts outside [2,3]: $perDoc")
+    // unlisted sources pass through exactly once
+    assert(t1.filter(col("source") =!= "src1")
+      .groupBy("doc_id").agg(acount(col("copy")).as("n"))
+      .filter(col("n") =!= 1L).count() == 0)
+    // the token measure still cross-checks per COPY (budget math is real)
+    assert(t1.filter(
+      col("n_tokens") =!= asize(split(col("text"), " ")).cast("long")).count() == 0)
+
+    // byte-identical re-run: the extra copies are the SAME docs every run
+    def shardHashes(path: String): Map[String, Seq[String]] = {
+      val vdir = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("data_v")).head
+      vdir.listFiles().filter(_.getName.startsWith("shard=")).map { sh =>
+        val md5s = sh.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+        }.toSeq.sorted
+        sh.getName -> md5s
+      }.toMap
+    }
+    val h1 = shardHashes(s"$wh/export")
+    val run2 = EtlCli.export(spark, wh, docs, eval, nShards = 4, budget = 2048,
+      epochs = eps)
+    assert(run2.status == "SUCCESS")
+    assert(h1 == shardHashes(s"$wh/export"), "epochs re-run is not byte-identical")
+
+    // CLI flag round-trip
+    assert(EtlCli.parseEpochs("src1:2.5,src2:0.5") ==
+      Map("src1" -> 2.5, "src2" -> 0.5))
+    intercept[RuntimeException] { EtlCli.parseEpochs("src1=2.5") }
+  }
+
   test("epoch-partitioned tables: append is scoped to one epoch, replay idempotent") {
     import spark.implicits._
     val wh = Files.createTempDirectory("etlepoch").toFile.getAbsolutePath
