@@ -47,8 +47,11 @@ object EtlCli {
           .map(f => parseEpochs(f.stripPrefix("epochs="))).getOrElse(Map.empty))
     case Seq("learn-bpe", wh, docs, nMerges) =>
       learnBpe(spark, wh, docs, nMerges.toInt)
+    case Seq("versions", path)      => println(versions(spark, path).mkString(","))
+    case Seq("vacuum", path)        => vacuum(spark, path)
+    case Seq("vacuum", path, n)     => vacuum(spark, path, n.toInt)
     case other =>
-      sys.error(s"usage: init|ingest|quality|stats|export|learn-bpe ... (got $other)")
+      sys.error(s"usage: init|ingest|quality|stats|export|learn-bpe|versions|vacuum ... (got $other)")
   }
 
   private def issuesPath(wh: String)  = s"$wh/issue"
@@ -277,26 +280,72 @@ object EtlCli {
     next
   }
 
-  private[graft] def commit(spark: SparkSession, path: String, version: Long): Unit = {
+  /** All committed versions at `path`, ascending. */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
     val f = fs(spark, path)
-    f.create(new org.apache.hadoop.fs.Path(s"$path/_committed_v$version"), true).close()
-    // prune superseded + abandoned versions (anything but the new current)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("_committed_v") => n.drop("_committed_v".length).toLong }
+      .sorted
+  }
+
+  /** Time-travel read: a SPECIFIC committed version (readTable resolves the
+    * newest). Versions exist while retention keeps them — writeTable's
+    * `retain` bounds how far back a reader can travel, and vacuum prunes
+    * explicitly. Storage cost is retain × table size (versions share no
+    * files), which is why retain defaults to 1: history is an opt-in cost
+    * the operator sizes, exactly like lakehouse VACUUM retention. */
+  def readTableAt(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val f = fs(spark, path)
+    if (!f.exists(new org.apache.hadoop.fs.Path(s"$path/_committed_v$version")))
+      sys.error(s"version $version at $path is not committed (vacuumed or never " +
+        s"written; committed: ${versions(spark, path).mkString(",")})")
+    val dir = s"$path/data_v$version"
+    spark.read.format(sniffFormat(spark, dir)).load(dir)
+  }
+
+  /** Drop all but the newest `retain` committed versions, plus any
+    * abandoned (never-committed) stage dirs. Single-maintenance-window
+    * assumption as compact: don't vacuum while a writer is staging. */
+  def vacuum(spark: SparkSession, path: String, retain: Int = 1): Unit = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
+    val keep = versions(spark, path).takeRight(retain).toSet
+    if (keep.isEmpty) sys.error(s"no committed version at $path — nothing to vacuum")
+    prune(spark, path, keep)
+  }
+
+  private def prune(spark: SparkSession, path: String, keep: Set[Long]): Unit = {
+    val f = fs(spark, path)
     f.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
       val n = st.getPath.getName
       val stale =
-        (n.startsWith("_committed_v") && n.drop("_committed_v".length).toLong < version) ||
-        (n.startsWith("data_v") && n.drop("data_v".length).toLong != version)
+        (n.startsWith("_committed_v") && !keep(n.drop("_committed_v".length).toLong)) ||
+        (n.startsWith("data_v") && !keep(n.drop("data_v".length).toLong))
       if (stale) f.delete(st.getPath, true)
     }
+  }
+
+  private[graft] def commit(spark: SparkSession, path: String, version: Long,
+                            retain: Int = 1): Unit = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
+    val f = fs(spark, path)
+    f.create(new org.apache.hadoop.fs.Path(s"$path/_committed_v$version"), true).close()
+    // keep the newest `retain` committed versions (the one just committed
+    // included); prune the rest + abandoned stage dirs
+    prune(spark, path, versions(spark, path).takeRight(retain).toSet + version)
   }
 
   /** Atomically replace the table at `path` with `df` (stage + commit +
     * prune). Public: the streaming upsert sink and any bespoke loader use
     * the same commit protocol as the ETL. `format` is parquet or orc —
-    * readers sniff it back, so the choice is per-version, not per-table. */
-  def writeTable(df: DataFrame, path: String, format: String = "parquet"): Unit = {
+    * readers sniff it back, so the choice is per-version, not per-table.
+    * `retain` keeps that many committed versions readable via readTableAt
+    * (time travel); the default keeps only the new current. */
+  def writeTable(df: DataFrame, path: String, format: String = "parquet",
+                 retain: Int = 1): Unit = {
     require(graft.core.Store.Formats(format), s"unsupported table format $format")
-    commit(df.sparkSession, path, stage(df, path, format))
+    commit(df.sparkSession, path, stage(df, path, format), retain)
   }
 
   // ---- epoch-partitioned versioned tables --------------------------------

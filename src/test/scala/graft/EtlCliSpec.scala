@@ -151,6 +151,38 @@ class EtlCliSpec extends SparkSpec {
     assert(e.getMessage.contains("jsonl"), s"unclear error: ${e.getMessage}")
   }
 
+  test("time travel: retained versions readable at their pin; vacuum prunes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val wh = Files.createTempDirectory("etltt").toFile.getAbsolutePath
+    val path = s"$wh/t"
+    // three committed versions under retain=3 — all stay readable
+    (1 to 3).foreach { v =>
+      EtlCli.writeTable(Seq((v.toLong, s"v$v")).toDF("k", "v"), path, retain = 3)
+    }
+    assert(EtlCli.versions(spark, path) == Seq(1L, 2L, 3L))
+    (1 to 3).foreach { v =>
+      assert(EtlCli.readTableAt(spark, path, v).select("v").head().getString(0) == s"v$v")
+    }
+    // readTable still resolves the newest
+    assert(EtlCli.readTable(spark, path).select("v").head().getString(0) == "v3")
+    // a fourth commit under retain=2 prunes version 1 and 2
+    EtlCli.writeTable(Seq((4L, "v4")).toDF("k", "v"), path, retain = 2)
+    assert(EtlCli.versions(spark, path) == Seq(3L, 4L))
+    val e = intercept[RuntimeException] { EtlCli.readTableAt(spark, path, 1) }
+    assert(e.getMessage.contains("committed: 3,4"), s"unclear error: ${e.getMessage}")
+    // time travel works across a format migration
+    assert(EtlCli.readTableAt(spark, path, 3).select("v").head().getString(0) == "v3")
+    // vacuum to 1 + an abandoned stage dir from a simulated crash
+    EtlCli.stage(Seq((9L, "crash")).toDF("k", "v"), path)
+    EtlCli.vacuum(spark, path, retain = 1)
+    assert(EtlCli.versions(spark, path) == Seq(4L))
+    // ignore Hadoop local-FS .crc side files
+    val left = new java.io.File(path).list().toSet.filterNot(_.endsWith(".crc"))
+    assert(left == Set("data_v4", "_committed_v4"), s"vacuum left: $left")
+    assert(EtlCli.readTable(spark, path).filter(col("v") === "v4").count() == 1)
+  }
+
   test("export with epochs: deterministic upsampled copies, byte-identical re-run") {
     import org.apache.spark.sql.functions.{col, size => asize, split, countDistinct, count => acount, min => amin, max => amax}
     val wh = Files.createTempDirectory("etlepochs").toFile.getAbsolutePath
