@@ -281,4 +281,37 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("freq_sum"),
         (col("freq_sum") / col("n_tokens")).as("avg_tf"))
   }
+
+  /** The md5 two-hex-char feature bucket (0..255) used by the hashed
+    * bag-of-words classifier — engine-portable (oracles decode the same
+    * two chars), same construction as Store.shardId. */
+  def md5Bucket(c: Column): Column =
+    conv(substring(md5(c), 1, 2), 16, 10).cast("long")
+
+  /** fastText-shape linear quality classifier: hashed bag-of-words
+    * features scored against a WEIGHTS TABLE (bucket → integer-quantized
+    * weight — in production the output of an offline training run; the
+    * hashing trick caps the feature space so the table is bucket-count
+    * sized regardless of vocabulary). logit = Σ w[bucket(token)], an
+    * exact integer sum — no sigmoid in the distributed path (it's
+    * monotone, so thresholding the logit IS thresholding the
+    * probability, and the caller can apply it driver-side for display).
+    *
+    * Scale shape: tokenize+bucket is a map-only explode + codegen'd md5
+    * projection (never an interpreted per-token lambda — invariant 4);
+    * the weights table broadcasts (≤ 64K rows by construction); the one
+    * shuffle carries per-doc partial (count, sum) pairs from map-side
+    * combine. Tokens missing from the table score 0 (left join), so a
+    * sparse trained table keeps counts honest. */
+  def hashedBowScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, weights: org.apache.spark.sql.DataFrame,
+                     keepThreshold: Long = 0L): org.apache.spark.sql.DataFrame =
+    graft.core.Tables.ensureParallelism(docs)
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("t"))
+      .select(col("doc_id"), md5Bucket(col("t")).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(coalesce(col("w"), lit(0L))).as("logit"))
+      .withColumn("keep", col("logit") >= lit(keepThreshold))
 }

@@ -14,6 +14,12 @@ object TextQueries {
 
   private val Stop = Seq("a", "the")
 
+  /** DuckDB-portable md5 two-hex-char band (0..255) — the oracle twin of
+    * TextAnalysis.md5Bucket (DuckDB lacks conv(); strpos decodes hex). */
+  private def duckBand256(expr: String): String =
+    s"""((strpos('0123456789abcdef', substr(md5($expr), 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5($expr), 2, 1)) - 1))"""
+
   /** BPE merge table for q_bpe_tokens, learned-order rules over the
     * fixture vocabulary (so common words actually compress: table/scan ->
     * 1 token, row/key -> 1 token, -er suffixes pair up). */
@@ -306,6 +312,34 @@ object TextQueries {
                  CAST(SUM(c) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS avg_tf
           FROM tok JOIN tf USING (t) GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
       TextAnalysis.unigramScores(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // fastText-shape linear quality classifier: hashed bag-of-words
+    // (md5 two-hex-char buckets) scored against a 256-row weights table.
+    // The weights here are md5-derived stand-ins for an offline training
+    // run's output — what the oracle checks is the SCORING path: bucket
+    // assignment, broadcast weight lookup, exact integer logit sum,
+    // threshold. No sigmoid in the distributed path (monotone, so the
+    // logit threshold IS the probability threshold).
+    QueryDef(
+      "q_quality_lr",
+      "hashed-bag-of-words linear quality classifier: per-doc integer logit + keep flag",
+      s"""WITH w AS (
+            SELECT b AS bucket,
+                   CAST(${duckBand256("'w:' || CAST(b AS VARCHAR)")} - 128 AS BIGINT) AS w
+            FROM (SELECT unnest(range(0, 256)) AS b)),
+          tb AS (SELECT doc_id, ${duckBand256("tok")} AS bucket FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents))
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+                 CAST(SUM(w.w) AS BIGINT) AS logit,
+                 (CAST(SUM(w.w) AS BIGINT) >= 0) AS keep
+          FROM tb JOIN w USING (bucket)
+          GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      val weights = s.range(256).select(col("id").as("bucket"))
+        .withColumn("w",
+          TextAnalysis.md5Bucket(concat(lit("w:"), col("bucket").cast("string"))) - 128)
+      TextAnalysis.hashedBowScore(t(s, dir, "documents"), "doc_id", "text", weights)
         .orderBy(col("doc_id"))
     },
 

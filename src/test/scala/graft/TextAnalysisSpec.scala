@@ -70,6 +70,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.exists(_._1 == 3L))
   }
 
+  test("hashedBowScore: sparse weights score 0 for unlisted buckets, counts stay honest") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "gamma")
+    ).toDF("doc_id", "text")
+    // weights listing ONLY alpha's bucket at +7 — beta/gamma buckets are
+    // absent and must contribute 0 without dropping the token from n_toks
+    val alphaBucket = Seq("alpha").toDF("t")
+      .select(TextAnalysis.md5Bucket(col("t")).as("bucket"))
+      .head().getLong(0)
+    val weights = Seq((alphaBucket, 7L)).toDF("bucket", "w")
+    val got = TextAnalysis.hashedBowScore(docs, "doc_id", "text", weights)
+      .orderBy("doc_id")
+      .select("doc_id", "n_toks", "logit", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.toSeq == Seq((1L, 3L, 14L, true), (2L, 1L, 0L, true)))
+    // threshold above doc 2's logit flips only its keep flag
+    val kept = TextAnalysis.hashedBowScore(docs, "doc_id", "text", weights,
+        keepThreshold = 1L)
+      .orderBy("doc_id").select("doc_id", "keep").as[(Long, Boolean)].collect()
+    assert(kept.toSeq == Seq((1L, true), (2L, false)))
+    // the full-table query path: md5-derived stand-in weights are stable
+    val w256 = spark.range(256).select(col("id").as("bucket"))
+      .withColumn("w", TextAnalysis.md5Bucket(concat(lit("w:"), col("bucket").cast("string"))) - 128)
+    assert(w256.count() == 256)
+    assert(w256.filter(col("w") < -128 || col("w") > 127).count() == 0)
+  }
+
   test("repetitionStats flags degenerate docs, passes varied ones") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam"),  // one token repeated
