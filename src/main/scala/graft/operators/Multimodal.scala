@@ -222,6 +222,54 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor resample to exactly (w2, h2): output pixel (x, y)
+    * copies source pixel (x·w/w2, y·h/h2) — integer floor mapping, no
+    * interpolation, so the result is bit-deterministic (Graphics2D's
+    * scaling filters are implementation-defined; direct indexing is not).
+    * Re-encodes as PNG (lossless — the pixels, not the encoder, are the
+    * contract). None when the payload is not a decodable image. */
+  private[graft] def resizeImageBytes(bytes: Array[Byte], w2: Int, h2: Int): Option[Array[Byte]] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0) return None
+    val out = new java.awt.image.BufferedImage(w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h2) {
+      val sy = (y.toLong * h / h2).toInt
+      var x = 0
+      while (x < w2) {
+        out.setRGB(x, y, img.getRGB((x.toLong * w / w2).toInt, sy))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", baos)
+    Some(baos.toByteArray)
+  }
+
+  /** Map-only image resize over a media table: image payloads that decode
+    * re-encode at (width, height) as PNG with meta `format = "png"`
+    * marked `resized = true`; everything else (audio/video rows,
+    * undecodable payloads) passes through unchanged with
+    * `resized = false`. Same per-partition batch seam as featurize —
+    * decoder init amortizes across each partition's rows, rows stream
+    * through, nothing materializes. */
+  def resizeImages(media: Dataset[MediaRow], width: Int, height: Int): DataFrame = {
+    require(width > 0 && height > 0, s"target dims must be positive, got ${width}x$height")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val resized = if (r.kind == "image") resizeImageBytes(r.bytes, width, height) else None
+        (r.media_id, r.kind, resized.getOrElse(r.bytes), resized.isDefined)
+      }
+    }.toDF("media_id", "kind", "bytes", "resized")
+  }
+
   /** Frame sampling for video payloads: every `stride`-th fixed-size chunk
     * is treated as a frame (STUB chunking; a real demuxer yields frames).
     * Output explodes to one row per sampled frame — downstream image ops

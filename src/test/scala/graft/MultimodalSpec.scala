@@ -62,6 +62,39 @@ class MultimodalSpec extends SparkSpec {
     assert(got(4L)(0) == b0)
   }
 
+  test("resizeImages: exact nearest-neighbor pixels, non-images pass through") {
+    def pixels(bytes: Array[Byte]): Seq[Seq[Int]] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      (0 until img.getHeight).map(y =>
+        (0 until img.getWidth).map(x => img.getRGB(x, y) & 0xffffff))
+    }
+    val rows = Seq(
+      MediaRow(1L, "image", encode("png")),            // 2x2 red-over-blue
+      MediaRow(2L, "image", Array[Byte](9, 9)),        // undecodable image
+      MediaRow(3L, "audio", Array[Byte](1, 2, 3))      // non-image kind
+    ).toDS()
+    // upscale 2x2 -> 4x4: each source pixel tiles a 2x2 quadrant exactly
+    val up = Multimodal.resizeImages(rows, 4, 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(up(1L).getBoolean(3))
+    val px = pixels(up(1L).getAs[Array[Byte]](2))
+    assert(px(0) == Seq(0xff0000, 0xff0000, 0xff0000, 0xff0000))
+    assert(px(1) == Seq(0xff0000, 0xff0000, 0xff0000, 0xff0000))
+    assert(px(2) == Seq(0x0000ff, 0x0000ff, 0x0000ff, 0x0000ff))
+    assert(px(3) == Seq(0x0000ff, 0x0000ff, 0x0000ff, 0x0000ff))
+    // undecodable / non-image payloads pass through byte-identical
+    assert(!up(2L).getBoolean(3) && up(2L).getAs[Array[Byte]](2).toSeq == Seq[Byte](9, 9))
+    assert(!up(3L).getBoolean(3) && up(3L).getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2, 3))
+    // downscale 2x2 -> 1x1: floor mapping picks the top-left source pixel
+    val down = Multimodal.resizeImages(rows, 1, 1).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(pixels(down(1L).getAs[Array[Byte]](2)) == Seq(Seq(0xff0000)))
+    // deterministic: identical bytes across runs
+    val again = Multimodal.resizeImages(rows, 4, 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](2).toSeq).toMap
+    assert(again(1L) == up(1L).getAs[Array[Byte]](2).toSeq)
+  }
+
   test("featurize decodes real WAV payloads via javax.sound: exact energy features") {
     // 800-sample mono 16-bit square wave at +-8192: RMS and mean|amp| are
     // EXACTLY 0.25 of full scale, in every time stripe
