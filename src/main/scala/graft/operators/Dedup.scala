@@ -534,6 +534,101 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** In-DOCUMENT self-dedup at word n-gram granularity — the within-doc
+    * half of exact-substring span removal (Lee et al. ACL'22 treat the
+    * corpus; boilerplate also repeats INSIDE documents: headers, nav
+    * blocks, chat-log echoes). Every occurrence of an n-gram after its
+    * first in the same document becomes a scrub span; covered words are
+    * removed by the same native ScrubSpans rebuild as scrubHotSpans.
+    *
+    * Scale shape: grams hash in-row (native WordGramPosHashes, zero-copy);
+    * both aggregations key on (doc_id, 8-byte hash) and carry ints — text
+    * never shuffles, and there is no hot-key risk because every key is
+    * doc-scoped. A gram-hash collision within one doc scrubs a false span
+    * with probability ~n_grams²/2⁶⁴ per doc — the oracle hash-match
+    * enforces collision-freedom at test scale, same argument as the other
+    * hashed dedup paths. Returns (doc_id, n_repeat_starts, clean_text). */
+  def scrubRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame = {
+    import graft.plans.GraftFunctions.{word_gram_pos_hashes, scrub_spans}
+    val base = graft.core.Tables.ensureParallelism(docs)
+    val starts = base
+      .select(col(idCol).as("doc_id"),
+        explode(word_gram_pos_hashes(col(textCol), n)).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+      .groupBy("doc_id", "h")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      // all positions after the first occurrence are scrub starts
+      .select(col("doc_id"), explode(expr("slice(ps, 2, size(ps) - 1)")).as("pos"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    docs.join(starts, docs(idCol) === starts("doc_id"), "left_outer")
+      .select(docs(idCol).as("doc_id"),
+        coalesce(size(col("__starts")), lit(0)).cast("bigint").as("n_repeat_starts"),
+        scrub_spans(col(textCol),
+          coalesce(col("__starts"), typedLit(Array.empty[Int])), n).as("clean_text"))
+  }
+
+  /** Fuzzy benchmark contamination pairs: MinHash-LSH candidates between
+    * the training corpus and a held-out eval set, verified by exact
+    * n-gram Jaccard — catches paraphrased/lightly-edited benchmark
+    * leakage that exact-gram decontamination (contaminationHits) misses
+    * (the GPT-3/RefinedWeb fuzzy-decontamination shape).
+    *
+    * Scale shape: both sides sign independently (map-only fused towers);
+    * the eval side is benchmark-sized, so ITS band table broadcasts and
+    * candidates are band collisions only — train×train pairs never form
+    * and the corpus never self-joins. Verification builds shingle sets
+    * for the candidate slices alone (the eval set entire — it is tiny;
+    * the train side via semi-join), so no text wider than the candidates
+    * ever moves. Returns (doc_id, eval_id, jaccard) ≥ threshold. */
+  def fuzzyContaminationPairs(train: DataFrame, evalDocs: DataFrame,
+                              idCol: String, textCol: String, k: Int,
+                              numHashes: Int, bandSize: Int,
+                              threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val tb = signBands(train, idCol, textCol, k, numHashes, bandSize)
+    val eb = signBands(evalDocs, idCol, textCol, k, numHashes, bandSize)
+      .withColumnRenamed("doc_id", "eval_id")
+    val cands = tb.join(broadcast(eb), "band")
+      .select(col("doc_id"), col("eval_id")).distinct()
+      .transform(graft.core.Materialize.pin)
+    val shingleSet = (c: Column) => column(graft.plans.HashedShingleSet(expression(c), k))
+    val tSets = graft.core.Tables.ensureParallelism(
+        train.join(cands.select(col("doc_id").as("__cid")).distinct(),
+          train(idCol) === col("__cid"), "left_semi"))
+      .select(col(idCol).as("doc_id"), shingleSet(col(textCol)).as("sh_a"))
+      .transform(graft.core.Materialize.pin)
+    val eSets = evalDocs
+      .select(col(idCol).as("eval_id"), shingleSet(col(textCol)).as("sh_b"))
+    val common = column(graft.plans.SortedIntersectCount(
+      expression(col("sh_a")), expression(col("sh_b"))))
+    cands
+      .join(tSets, "doc_id")
+      .join(broadcast(eSets), "eval_id")
+      .withColumn("common", common)
+      .select(col("doc_id"), col("eval_id"),
+        (col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Fuzzy benchmark decontamination: drop every train document whose
+    * exact n-gram Jaccard against ANY eval document reaches `threshold`
+    * (candidates via MinHash-LSH banding — see fuzzyContaminationPairs).
+    * Schema passes through; the anti-join side is the contaminated-id
+    * set, which broadcasts. */
+  def decontaminateFuzzy(train: DataFrame, evalDocs: DataFrame,
+                         idCol: String, textCol: String, k: Int,
+                         numHashes: Int, bandSize: Int,
+                         threshold: Double): DataFrame = {
+    val contaminated = fuzzyContaminationPairs(train, evalDocs, idCol, textCol,
+        k, numHashes, bandSize, threshold)
+      .select(col("doc_id").as(idCol)).distinct()
+    train.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
   /** Per-document benchmark-overlap counts: distinct word n-grams of each
     * `train` document that also occur in `evalDocs` (the held-out
     * benchmark). Gram sets build in-row via the native WordGramHashSet

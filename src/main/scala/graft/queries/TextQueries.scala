@@ -297,6 +297,78 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // In-document self-dedup: every word 3-gram occurrence AFTER its
+    // first in the same doc becomes a scrub span (in-doc boilerplate:
+    // headers, nav blocks, chat echoes). The oracle recomputes repeated
+    // positions from raw gram STRINGS — hash-match proves the xxhash64
+    // doc-scoped grouping is collision-free at test scale. Rebuild SQL
+    // mirrors q_span_scrub (1-based inclusive slices, COALESCE for the
+    // fully-scrubbed case).
+    QueryDef(
+      "q_doc_selfdedup",
+      "in-document span dedup: scrub repeated word 3-grams (keep first occurrence), rebuild survivors",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          g AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+2], ' ') AS gm
+                FROM w, unnest(range(1, len(ws) - 3 + 2)) AS t(i)),
+          firsts AS (SELECT doc_id, gm, MIN(pos) AS p0 FROM g GROUP BY doc_id, gm),
+          rep AS (SELECT g.doc_id, g.pos FROM g JOIN firsts
+                  ON g.doc_id = firsts.doc_id AND g.gm = firsts.gm
+                  WHERE g.pos > firsts.p0),
+          st AS (SELECT doc_id, list(pos) AS ps FROM rep GROUP BY doc_id)
+          SELECT w.doc_id,
+                 CAST(COALESCE(len(ps), 0) AS BIGINT) AS n_repeat_starts,
+                 COALESCE(array_to_string(
+                   list_transform(
+                     list_filter(range(1, len(ws) + 1),
+                       i -> ps IS NULL OR len(list_filter(ps, s -> s <= i AND i < s + 3)) = 0),
+                     i -> ws[i]),
+                   ' '), '') AS clean_text
+          FROM w LEFT JOIN st USING (doc_id)
+          ORDER BY doc_id""") { (s, dir) =>
+      Dedup.scrubRepeatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    },
+
+    // Fuzzy decontamination (GPT-3/RefinedWeb shape): train docs whose
+    // exact 9-gram Jaccard against any eval doc (doc_id < 25 here stands
+    // in for the benchmark) reaches 0.5, candidates via MinHash-LSH
+    // banding with NO df cap — signatures are pure per-doc functions, so
+    // the oracle recomputes the whole path from scratch.
+    QueryDef(
+      "q_decontaminate_fuzzy",
+      "fuzzy benchmark decontamination: MinHash-LSH train x eval candidates, exact-Jaccard >= 0.5 contamination pairs",
+      s"""WITH s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+          ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          rex AS (SELECT doc_id, md5(ex.g) AS h1, md5('x:' || ex.g) AS h2 FROM ex),
+          sig AS (
+            SELECT doc_id,
+                   ${(0 until 8).map { h =>
+                     val src = if (h < 4) "h1" else "h2"
+                     s"MIN(substr($src, ${(h % 4) * 8 + 1}, 8)) AS sig_$h"
+                   }.mkString(", ")}
+            FROM rex GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, unnest([${(0 until 4).map(b => s"'$b' || ':' || sig_${2 * b} || ':' || sig_${2 * b + 1}").mkString(", ")}]) AS band
+            FROM sig),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS eval_id
+            FROM bands a JOIN bands b ON a.band = b.band
+            WHERE a.doc_id >= 25 AND b.doc_id < 25),
+          verified AS (
+            SELECT cand.doc_id AS doc_id, cand.eval_id AS eval_id,
+                   len(list_intersect(sa.sh, sb.sh))
+                     / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+            FROM cand JOIN s sa ON sa.doc_id = cand.doc_id
+                      JOIN s sb ON sb.doc_id = cand.eval_id)
+          SELECT doc_id, eval_id, jaccard FROM verified WHERE jaccard >= 0.5
+          ORDER BY doc_id, eval_id""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.fuzzyContaminationPairs(
+          docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+          "doc_id", "text", k = 9, numHashes = 8, bandSize = 2, threshold = 0.5)
+        .orderBy(col("doc_id"), col("eval_id"))
+    },
+
     // Unigram corpus-frequency scoring (CCNet-flavored quality signal
     // without a language model): mean corpus frequency of each doc's
     // tokens. DuckDB SUM(BIGINT) widens to HUGEINT — cast back before

@@ -97,6 +97,50 @@ class DedupSpec extends SparkSpec {
     assert(got.forall { case (a, b) => a >= 10L || b >= 10L })
   }
 
+  test("scrubRepeatedSpans: second occurrence scrubbed, first kept, clean docs untouched") {
+    val docs = Seq(
+      (1L, "a b c x a b c y"),                    // 'a b c' repeats at pos 4
+      (2L, "all distinct words here today"),      // no repeated 3-gram
+      (3L, "p q p q p q p q")                     // overlapping repeats
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubRepeatedSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_repeat_starts", "clean_text")
+      .as[(Long, Long, String)].collect().toSeq
+    // doc 1: span [4,7) covers the echo, survivors re-join around it
+    assert(got(0) == ((1L, 1L, "a b c x y")))
+    assert(got(1) == ((2L, 0L, "all distinct words here today")))
+    // doc 3: grams 'p q p'(0,2,4) 'q p q'(1,3,5) -> starts 2,3,4,5 cover
+    // words 2..7; only the first occurrence's two words survive
+    assert(got(2) == ((3L, 4L, "p q")))
+  }
+
+  test("fuzzy decontamination: near-copy of eval dropped, unrelated kept, exact path blind to it") {
+    val eval = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today")
+    ).toDF("doc_id", "text")
+    // doc 10 edits a word every ~6 positions (jumps->leaps, today->tonight),
+    // so NO word 8-gram survives verbatim — exact-gram decontamination is
+    // blind to it — while the char-shingle Jaccard stays high
+    val train = Seq(
+      (10L, "the quick brown fox leaps over the lazy dog again and again tonight"),
+      (11L, "completely different content about spark query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.fuzzyContaminationPairs(train, eval, "doc_id", "text",
+        k = 5, numHashes = 8, bandSize = 2, threshold = 0.5)
+      .select("doc_id", "eval_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 1L)), s"unexpected contamination pairs: $pairs")
+    val kept = Dedup.decontaminateFuzzy(train, eval, "doc_id", "text",
+        k = 5, numHashes = 8, bandSize = 2, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L))
+    // the exact-gram path (word 8-grams) keeps BOTH — no verbatim 8-gram
+    // survives doc 10's spaced edits — which is precisely the leakage the
+    // fuzzy path exists to catch
+    assert(Dedup.decontaminate(train, eval, "doc_id", "text", n = 8)
+      .select("doc_id").as[Long].collect().toSet == Set(10L, 11L))
+  }
+
   test("cappedDistinct: bounded set, null overflow marker, null values skipped") {
     import graft.functions.CappedSetAgg
     val rows = Seq(
