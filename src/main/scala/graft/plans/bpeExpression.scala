@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * nBits): parsed once per executor, shared across rows via the codegen
   * reference object — no per-row parsing, no UDF closure capture.
   */
-case class BpeEncodeExpr(child: Expression, merges: Seq[String])
+case class BpeEncodeExpr(child: Expression, merges: Seq[String],
+                         marker: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def inputTypes = Seq[DataType](StringType)
@@ -40,13 +41,13 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[String])
     BpeEncodeExpr.parse(merges)
 
   override protected def nullSafeEval(input: Any): Any =
-    BpeEncodeExpr.encode(input.asInstanceOf[UTF8String], table)
+    BpeEncodeExpr.encode(input.asInstanceOf[UTF8String], table, marker)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val t = ctx.addReferenceObj("bpeMerges", table,
       classOf[BpeEncodeExpr.MergeTable].getName)
     defineCodeGen(ctx, ev, c =>
-      "graft.plans.BpeEncodeExpr$.MODULE$.encode(" + c + ", " + t + ")")
+      "graft.plans.BpeEncodeExpr$.MODULE$.encode(" + c + ", " + t + ", " + marker + ")")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
@@ -112,11 +113,24 @@ object BpeEncodeExpr {
     parse(rules.toIndexedSeq)
   }
 
-  def encode(text: UTF8String, t: MergeTable): GenericArrayData = {
+  /** SentencePiece-style word-boundary marker for the reversible mode:
+    * prefixes each word's FIRST token. The marker is annotation added
+    * AFTER merging (merges operate on un-marked symbols), so the token
+    * stream under marker=true is the marker=false stream with boundaries
+    * made explicit — and bpe_decode can reconstruct single-space-
+    * normalized text exactly. Input text must not contain the marker
+    * char itself (the standard SentencePiece assumption). */
+  val Marker = "▁"
+
+  def encode(text: UTF8String, t: MergeTable, marker: Boolean): GenericArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     eachWord(text.toString, t) { (syms, n) =>
       var k = 0
-      while (k < n) { out += UTF8String.fromString(syms(k)); k += 1 }
+      while (k < n) {
+        out += UTF8String.fromString(
+          if (marker && k == 0) Marker + syms(0) else syms(k))
+        k += 1
+      }
     }
     new GenericArrayData(out.toArray)
   }

@@ -661,8 +661,18 @@ object GraftFunctions {
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
   def strip_accents(c: Column): Column =
     ColumnBridge.column(StripAccents(ColumnBridge.expression(c)))
-  def bpe_encode(c: Column, merges: Seq[String]): Column =
-    ColumnBridge.column(BpeEncodeExpr(ColumnBridge.expression(c), merges))
+  def bpe_encode(c: Column, merges: Seq[String], marker: Boolean = false): Column =
+    ColumnBridge.column(BpeEncodeExpr(ColumnBridge.expression(c), merges, marker))
+
+  /** Inverse of `bpe_encode(_, _, marker = true)` on single-space-
+    * normalized text: join tokens, turn each word-boundary marker back
+    * into a space, drop the leading one. Pure builtins (translate is a
+    * codegen'd single-char map) — no custom kernel needed, which is the
+    * point of the marker design. */
+  def bpe_decode(tokens: Column): Column = {
+    import org.apache.spark.sql.functions.{array_join, ltrim, translate}
+    ltrim(translate(array_join(tokens, ""), BpeEncodeExpr.Marker, " "))
+  }
 
   /** Second argument of a SQL call that must be a foldable INT literal. */
   private[plans] def litInt(e: Expression, usage: String): Int = e match {
@@ -709,7 +719,16 @@ object GraftFunctions {
       "strip_accents", exprs => StripAccents(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_encode",
-      exprs => BpeEncodeExpr(exprs(0), litStringSeq(exprs(1), "bpe_encode(text, merges)")),
+      exprs => BpeEncodeExpr(exprs(0), litStringSeq(exprs(1), "bpe_encode(text, merges)"),
+        marker = exprs.lift(2).exists(litBool(_, "bpe_encode(text, merges, marker)"))),
       "built-in")
+  }
+
+  /** Argument that must be a foldable BOOLEAN literal. */
+  private[plans] def litBool(e: Expression, usage: String): Boolean = e match {
+    case lit if lit.foldable && lit.dataType == BooleanType =>
+      lit.eval().asInstanceOf[Boolean]
+    case other => throw new IllegalArgumentException(
+      s"$usage requires a constant BOOLEAN, got $other")
   }
 }

@@ -15,6 +15,34 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq("low", "er", "n", "e", "w", "e", "s", "t", "low"))
   }
 
+  test("marker mode round-trips: bpe_decode(bpe_encode(text, marker)) == text") {
+    import graft.plans.GraftFunctions.bpe_decode
+    // marker prefixes each word's FIRST token; merges are unaffected
+    val got = Seq("lower newest low").toDF("text")
+      .select(bpe_encode(col("text"), classic, marker = true).as("t"))
+      .as[Seq[String]].head()
+    assert(got == Seq("▁low", "er", "▁n", "e", "w", "e", "s", "t", "▁low"))
+    // round-trip on real corpus text (single-space-normalized fixture)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    val bad = docs.select(col("text"),
+        bpe_decode(bpe_encode(col("text"), classic, marker = true)).as("rt"))
+      .filter(col("rt") =!= col("text")).count()
+    assert(bad == 0, "decode(encode(marker=true)) is not the identity on the corpus")
+    // edge cases: empty text, single word
+    val edges = Seq("", "word").toDF("text")
+      .select(bpe_decode(bpe_encode(col("text"), classic, marker = true)).as("rt"))
+      .as[String].collect().toSeq
+    assert(edges == Seq("", "word"))
+    // SQL surface: optional third arg
+    Seq("lower").toDF("text").createOrReplaceTempView("bpe_rt")
+    graft.plans.GraftFunctions.register(spark)
+    val sql = spark.sql(
+      "SELECT bpe_encode(text, array('l o','lo w','e r'), true) AS t FROM bpe_rt")
+      .as[Seq[String]].head()
+    assert(sql == Seq("▁low", "er"))
+  }
+
   test("merge order matters: rules apply in table order, one fixpoint pass each") {
     // ("a b" before "b c"): "abc" -> ab, c — the later rule never sees b|c
     val s = Seq("abc").toDF("text")
