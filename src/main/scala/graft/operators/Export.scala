@@ -30,10 +30,11 @@ object Export {
     */
   def packAssignments(docs: DataFrame, keyCol: String, textCol: String,
                       nShards: Int, budget: Int,
-                      tokens: Column => Column = whitespaceTokens): DataFrame =
+                      tokens: Column => Column = whitespaceTokens,
+                      sortByWeight: Boolean = false): DataFrame =
     packByWeight(
       docs.withColumn("n_tokens", tokens(col(textCol))),
-      keyCol, "n_tokens", nShards, budget)
+      keyCol, "n_tokens", nShards, budget, sortByWeight)
       .select(col(keyCol), col("shard"), col("n_tokens"), col("pack"))
 
   /** Default packing weight: whitespace token count. */
@@ -49,11 +50,23 @@ object Export {
   /** The general packing core: any non-negative long weight column —
     * token counts for trainer sequences, payload bytes for inference
     * micro-batches (Multimodal.batchForInference). Same scale shape as
-    * packAssignments (one shuffle on shard; per-shard running sum). */
+    * packAssignments (one shuffle on shard; per-shard running sum).
+    *
+    * `sortByWeight` lays each shard out in (weight DESC, key) order
+    * before the running sum — length-sorted batching: a pack then holds
+    * similar-length items, which is what bounds PADDING waste when the
+    * consumer pads to the longest member (inference micro-batches,
+    * un-concatenated trainer batches). Default keeps key order (best for
+    * concatenation-style packing where only fill matters). Both orders
+    * are total, so either way re-runs are deterministic. */
   def packByWeight(df: DataFrame, keyCol: String, weightCol: String,
-                   nShards: Int, budget: Long): DataFrame = {
+                   nShards: Int, budget: Long,
+                   sortByWeight: Boolean = false): DataFrame = {
     require(budget > 0 && (budget & (budget - 1)) == 0, s"budget must be a power of two, got $budget")
-    val w = Window.partitionBy("shard").orderBy(keyCol)
+    val order =
+      if (sortByWeight) Seq(col(weightCol).desc, col(keyCol))
+      else Seq(col(keyCol))
+    val w = Window.partitionBy("shard").orderBy(order: _*)
     df.withColumn("shard", Store.shardId(col(keyCol), nShards))
       .withColumn("cum", sum(col(weightCol)).over(w))
       .withColumn("pack", floor((col("cum") - col(weightCol)) / lit(budget.toDouble)))

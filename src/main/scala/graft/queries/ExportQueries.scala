@@ -70,6 +70,40 @@ object ExportQueries {
         .orderBy(col("shard"), col("pack"))
     },
 
+    // Length-sorted packing (padding-bounded batching): each shard laid
+    // out in (n_tokens DESC, doc_id) order before the running-sum pack
+    // assignment, so packs hold similar-length docs — max-min token
+    // spread per pack is what a pad-to-longest consumer wastes. Same
+    // single shuffle as q_pack_sequences; only the within-shard order
+    // differs.
+    QueryDef(
+      "q_pack_sorted",
+      "length-sorted packing within hash shards: per-pack doc count, token sum, and length spread",
+      s"""WITH toks AS (SELECT doc_id,
+                               CAST(${oracleBand256("CAST(doc_id AS VARCHAR)")} % 8 AS BIGINT) AS shard,
+                               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                        FROM documents),
+               c AS (SELECT shard, n_tokens,
+                            SUM(n_tokens) OVER (PARTITION BY shard
+                              ORDER BY n_tokens DESC, doc_id) AS cum
+                     FROM toks)
+          SELECT shard, CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS tokens,
+                 CAST(min(n_tokens) AS BIGINT) AS min_toks,
+                 CAST(max(n_tokens) AS BIGINT) AS max_toks
+          FROM c GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      graft.operators.Export.packAssignments(
+          t(s, dir, "documents"), "doc_id", "text", nShards = 8, budget = 2048,
+          sortByWeight = true)
+        .groupBy(col("shard"), col("pack"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens"),
+          min(col("n_tokens")).as("min_toks"),
+          max(col("n_tokens")).as("max_toks"))
+        .orderBy(col("shard"), col("pack"))
+    },
+
     // Mixture reweighting audit: deterministic down-sample toward target
     // corpus shares. Rates come from a one-row-per-source count table
     // (broadcast); the keep decision is a pure md5-band predicate, so the
