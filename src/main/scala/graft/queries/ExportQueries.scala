@@ -70,6 +70,37 @@ object ExportQueries {
         .orderBy(col("shard"), col("pack"))
     },
 
+    // Deterministic train/val/test split: the assignment is a pure md5
+    // band of the doc key (no RNG, no state), so every engine, run, and
+    // re-partitioning produces the same split — the property that makes
+    // a held-out set actually held out across pipeline re-runs. Bands
+    // 0-7 -> test (~3%), 8-15 -> val (~3%), rest train. Map-only; the
+    // audit aggregation is the only shuffle.
+    QueryDef(
+      "q_split_stratified",
+      "deterministic md5-band train/val/test split: per-source split sizes",
+      s"""WITH b AS (SELECT source, doc_id,
+                            ${oracleBand256("CAST(doc_id AS VARCHAR)")} AS band
+                     FROM documents),
+          s AS (SELECT source, doc_id,
+                       CASE WHEN band < 8 THEN 'test'
+                            WHEN band < 16 THEN 'val'
+                            ELSE 'train' END AS split
+                FROM b)
+          SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+          FROM s GROUP BY source, split ORDER BY source, split""") { (s, dir) =>
+      val band = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long")
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(band < 8, "test").when(band < 16, "val").otherwise("train"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy(col("source"), col("split"))
+    },
+
     // Length-sorted packing (padding-bounded batching): each shard laid
     // out in (n_tokens DESC, doc_id) order before the running-sum pack
     // assignment, so packs hold similar-length docs — max-min token

@@ -387,6 +387,31 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Unicode normalization round-trip over REAL non-ASCII data derived
+    // deterministically from the corpus: every 'a' becomes 'a'+combining
+    // acute (U+0301), NFC composes that to 'á' (U+00E1), strip_accents
+    // NFD-decomposes and drops the mark back to 'a'. The boolean + both
+    // lengths prove the native NfcNormalize/StripAccents kernels agree
+    // with DuckDB's nfc_normalize/strip_accents on composition AND
+    // codepoint counting — not just on ASCII identity.
+    QueryDef(
+      "q_unicode_norm",
+      "NFC + accent-strip round-trip on deterministically accented corpus text",
+      """SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars_orig,
+                CAST(length(nfc_normalize(replace(text, 'a', 'a' || chr(769)))) AS BIGINT) AS n_chars_nfc,
+                (strip_accents(nfc_normalize(replace(text, 'a', 'a' || chr(769)))) = text) AS roundtrip_ok
+         FROM documents ORDER BY doc_id""") { (s, dir) =>
+      import graft.plans.GraftFunctions.{nfc_normalize, strip_accents}
+      val accented = regexp_replace(col("text"), "a", "á")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_orig"),
+          length(nfc_normalize(accented)).cast("long").as("n_chars_nfc"),
+          (strip_accents(nfc_normalize(accented)) === col("text")).as("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    },
+
     // fastText-shape linear quality classifier: hashed bag-of-words
     // (md5 two-hex-char buckets) scored against a 256-row weights table.
     // The weights here are md5-derived stand-ins for an offline training

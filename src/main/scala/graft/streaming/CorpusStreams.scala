@@ -88,6 +88,102 @@ object CorpusStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** The full streaming CURATION loop — quality gates → benchmark
+    * decontamination → incremental near-dup dedup — composed into one
+    * exactly-once sink whose committed corpus table IS the clean corpus
+    * (incrementalDedupSink only RECORDS pairs; this one enforces
+    * survivorship). Per micro-batch, each stage is the batch operator it
+    * names, applied to O(|batch|) data:
+    *
+    *  1. quality gates: map-only projection + filter
+    *  2. exact-gram decontamination vs `evalDocs`: broadcast gram probe
+    *  3. near-dup vs committed corpus + in-batch: band-index probe; a
+    *     batch doc drops when paired with any corpus doc (corpus member
+    *     wins — it is already training data), else the least id per
+    *     in-batch duplicate component survives (exact connected
+    *     components over the batch-internal pair slice, which is tiny;
+    *     swap for a greedy smaller-id rule if micro-batches are so
+    *     frequent the CC driver iterations matter)
+    *
+    * Tables: `indexPath` holds SURVIVOR bands only (future batches probe
+    * the clean corpus), `corpusPath` the survivors, `droppedPath` a
+    * (doc_id, reason) log — reason ∈ quality|contaminated|near_dup, first
+    * failing stage wins. All three commit as epoch=batchId appends;
+    * commit order dropped → index → corpus keeps the corpus commit as the
+    * replay-guard fencepost (same argument as incrementalDedupSink: every
+    * stage is deterministic given committed state, so a replayed batch
+    * re-appends its own epochs idempotently). */
+  def curatedIngestSink(incoming: DataFrame, evalDocs: DataFrame,
+                        idCol: String, textCol: String,
+                        indexPath: String, corpusPath: String,
+                        droppedPath: String, checkpointDir: String,
+                        cfg: graft.operators.CorpusPipeline.Config =
+                          graft.operators.CorpusPipeline.Config())
+      : StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        import graft.core.Materialize.pin
+        def tableOr(path: String, empty: => DataFrame): DataFrame =
+          scala.util.Try(EtlCli.readEpochTable(spark, path)).getOrElse(empty)
+        val batch = batch0.select(col(idCol), col(textCol))
+        val corpus = tableOr(corpusPath, batch.limit(0))
+        val corpusBands = tableOr(indexPath,
+          batch.select(col(idCol).as("doc_id"), lit("").as("band")).limit(0))
+        val newDocs = pin(batch
+          .join(corpus.select(col(idCol)), Seq(idCol), "left_anti"))
+        if (newDocs.limit(1).count() > 0) {
+          val gated = pin(graft.operators.TextAnalysis.qualityGates(newDocs,
+            textCol, cfg.stop, cfg.minWords, cfg.maxWords,
+            cfg.minMeanLen, cfg.maxMeanLen, cfg.minUniqRatio))
+          val passed = gated.filter(col("pass")).select(col(idCol), col(textCol))
+          val contaminated = Dedup.contaminationHits(passed, evalDocs,
+              idCol, textCol, cfg.decontaminateGramN)
+            .select(col(idCol)).distinct()
+          val decon = pin(passed.join(contaminated, Seq(idCol), "left_anti"))
+          val newBands = pin(Dedup.signBands(decon, idCol, textCol,
+            cfg.shingleK, cfg.numHashes, cfg.bandSize, cfg.dfCap))
+          val pairs = pin(Dedup.incrementalNearDupsFromBands(newBands, decon,
+            corpus, corpusBands, idCol, textCol, cfg.shingleK,
+            cfg.nearDupThreshold))
+          val cset = corpus.select(col(idCol).as("__cid"))
+          // corpus member wins: its batch-side partner drops
+          val corpusDrops = pairs.join(cset, col("doc_a") === col("__cid"))
+              .select(col("doc_b").as("doc_id"))
+            .unionAll(pairs.join(cset, col("doc_b") === col("__cid"))
+              .select(col("doc_a").as("doc_id")))
+            .distinct()
+          // in-batch components: least id survives
+          val internal = pairs
+            .join(cset, col("doc_a") === col("__cid"), "left_anti")
+            .join(cset, col("doc_b") === col("__cid"), "left_anti")
+          val internalDrops =
+            if (internal.limit(1).count() == 0) internal.select(col("doc_a").as("doc_id"))
+            else Dedup.connectedComponents(internal)
+              .filter(col("doc_id") =!= col("component")).select("doc_id")
+          val dupDrops = corpusDrops.unionAll(internalDrops).distinct()
+          val survivors = pin(decon
+            .join(dupDrops, decon(idCol) === dupDrops("doc_id"), "left_anti"))
+          val dropped =
+            gated.filter(!col("pass"))
+              .select(col(idCol).as("doc_id"), lit("quality").as("reason"))
+            .unionAll(contaminated
+              .select(col(idCol).as("doc_id"), lit("contaminated").as("reason")))
+            .unionAll(dupDrops.select(col("doc_id"), lit("near_dup").as("reason")))
+          EtlCli.appendEpoch(dropped, droppedPath, batchId)
+          EtlCli.appendEpoch(
+            newBands.join(survivors.select(col(idCol).as("__sid")),
+              col("doc_id") === col("__sid"), "left_semi"),
+            indexPath, batchId)
+          EtlCli.appendEpoch(survivors, corpusPath, batchId)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming ANN-index sink — the ANN analog of incrementalDedupSink:
     * each micro-batch of (idCol, vecCol) embeddings encodes against the
     * PERSISTED coarse centroids + residual PQ codebook (map-only: in-row

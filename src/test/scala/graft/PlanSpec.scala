@@ -159,4 +159,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema") && !p.contains("n_chars"),
       s"scan reads pruned columns:\n$p")
   }
+
+  test("quality classifier: weights broadcast; the one shuffle carries per-doc partials") {
+    val p = plan("q_quality_lr")
+    assert(p.contains("BroadcastHashJoin"), s"weights table should broadcast:\n$p")
+    // partial + final aggregation around a single per-doc exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final agg:\n$p")
+    val textShuffles = "Exchange hashpartitioning\\([^)]*text".r.findAllIn(p).size
+    assert(textShuffles == 0, s"document text crossed a shuffle:\n$p")
+  }
+
+  test("fuzzy decontamination: eval side broadcasts, text never shuffles") {
+    val p = plan("q_decontaminate_fuzzy")
+    assert(p.contains("BroadcastHashJoin"), s"eval band/set tables should broadcast:\n$p")
+    val textShuffles = "Exchange hashpartitioning\\([^)]*text".r.findAllIn(p).size
+    assert(textShuffles == 0, s"document text crossed a shuffle:\n$p")
+  }
+
+  test("in-doc self-dedup: aggregations carry doc-scoped hashes, never text") {
+    val p = plan("q_doc_selfdedup")
+    val textShuffles = "Exchange hashpartitioning\\([^)]*text".r.findAllIn(p).size
+    assert(textShuffles == 0, s"document text crossed a shuffle:\n$p")
+    // gram aggregation keys on (doc_id, h)
+    assert(p.contains("hashpartitioning(doc_id"), s"expected doc-scoped agg keys:\n$p")
+  }
+
+  test("stratified split is map-only up to the audit aggregation") {
+    val p = plan("q_split_stratified")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected partial+final agg:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("text"),
+      s"scan should not read text for a metadata split:\n$p")
+  }
 }

@@ -137,6 +137,74 @@ class StreamingFileSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet == want)
   }
 
+  test("curatedIngestSink: quality, contamination, and dedup enforced; corpus table is the clean corpus") {
+    import graft.streaming.CorpusStreams
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again "
+    val eval = Seq((100L, "benchmark question about predicate pushdown ordering semantics today"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (1L, base + "today extra tail"),                       // survives
+      (2L, base + "today extra tails"),                      // in-batch near-dup of 1 -> drops
+      (3L, "too short"),                                     // quality fail
+      (4L, "a study of benchmark question about predicate pushdown ordering semantics here"), // shares a 4-gram with eval
+      (5L, "a completely different text about spark query engines and shuffle behavior"))  // survives
+    val b2 = Seq(
+      (6L, base + "today extra tailed"),                     // cross-batch near-dup of 1 -> drops
+      (7L, "a fresh unique document regarding adaptive execution and partition pruning")) // survives
+    val root = java.nio.file.Files.createTempDirectory("curated")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectory(in)
+    def paths(n: String) = root.resolve(n).toString
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, in.resolve(name + ".parquet"))
+    }
+    stage("b1", b1)
+    val schema = spark.read.parquet(in.resolve("b1.parquet").toString).schema
+    val cfg = graft.operators.CorpusPipeline.Config(
+      minWords = 5, shingleK = 5, nearDupThreshold = 0.5, decontaminateGramN = 4)
+    def runStream(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+      val q = CorpusStreams.curatedIngestSink(stream, eval, "doc_id", "text",
+        paths("index"), paths("corpus"), paths("dropped"), paths("chk"), cfg)
+      q.awaitTermination(120000)
+    }
+    runStream()
+    stage("b2", b2)
+    runStream()
+
+    import graft.tools.EtlCli
+    val corpus = EtlCli.readEpochTable(spark, paths("corpus"))
+    assert(corpus.select("doc_id").as[Long].collect().toSet == Set(1L, 5L, 7L),
+      "clean corpus should hold exactly the survivors")
+    val dropped = EtlCli.readEpochTable(spark, paths("dropped"))
+      .select("doc_id", "reason").as[(Long, String)].collect().toSet
+    assert(dropped == Set((2L, "near_dup"), (3L, "quality"),
+      (4L, "contaminated"), (6L, "near_dup")), s"wrong drop log: $dropped")
+    // the band index covers survivors ONLY — future probes see the clean corpus
+    assert(EtlCli.readEpochTable(spark, paths("index"))
+      .select("doc_id").distinct().as[Long].collect().toSet == Set(1L, 5L, 7L))
+    // cross-batch dup landed in epoch 1 of the drop log
+    assert(EtlCli.readTable(spark, paths("dropped") + "/epoch=1")
+      .select("doc_id").as[Long].collect().toSet == Set(6L))
+
+    // replay with no new input: zero new commits anywhere
+    def inventory(table: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(table))
+        .map(f => f.getPath -> (f.lastModified() -> f.length())).toMap
+    }
+    val before = Seq("index", "corpus", "dropped").map(t => inventory(paths(t)))
+    runStream()
+    assert(Seq("index", "corpus", "dropped").map(t => inventory(paths(t))) == before)
+  }
+
   test("annIndexSink: micro-batched codes equal a from-scratch encode; commits are epoch appends") {
     import graft.streaming.CorpusStreams
     val dir = "/root/testdata/sf0.001"
