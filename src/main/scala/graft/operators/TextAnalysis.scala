@@ -314,4 +314,120 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_toks"),
         sum(coalesce(col("w"), lit(0L))).as("logit"))
       .withColumn("keep", col("logit") >= lit(keepThreshold))
+
+  /** Bigram-LM fluency scoring — the CCNet shape (Wenzek et al., LREC'20:
+    * score a web corpus with an LM trained on a held-out reference slice)
+    * with the libm-dependent ln()/perplexity replaced by an exact-rational
+    * statistic: the REFERENCE slice is the deterministic md5-band sample
+    * of documents (band < trainBands of 256), an add-one-smoothed bigram
+    * LM is counted over it, and every document scores the arithmetic mean
+    * of p(w_i | w_{i-1}) = (c2 + 1) / (c1 + V) over its bigrams. Each p is
+    * one integer-ratio IEEE division and the mean is floor-quantized at
+    * 1e6 before the exact integer sum (Fns.dsum contract), so the score is
+    * bit-identical in any engine. NOTE: this is the arithmetic mean of the
+    * conditional probabilities, not the geometric mean perplexity uses —
+    * a deliberate portability trade, documented rather than hidden; it
+    * separates fluent from junk documents on the same signal (attested
+    * transitions score high, unseen ones score ~1/V).
+    *
+    * Scale shape: bigram extraction is an in-row zip_with over the token
+    * array + explode — map-only, codegen'd, no per-token lambda on the
+    * hot path wider than the row. Both count aggregations and the
+    * score-time joins key on 8-byte xxhash64 values, never strings (same
+    * collision argument as unigramScores). The c1/c2 tables are
+    * vocabulary- and bigram-vocabulary-sized — deliberately NOT
+    * force-broadcast (web-scale vocabularies degrade to a sane shuffle
+    * join; AQE broadcasts when they are small). V is a one-row
+    * crossJoin broadcast. Returns (doc_id, n_bigrams, n_unseen, mean_p);
+    * documents with fewer than two tokens have no bigrams and drop out,
+    * matching the SQL rendering's join semantics. */
+  def bigramFluency(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, trainBands: Int = 128): org.apache.spark.sql.DataFrame = {
+    val toks = split(col(textCol), " ")
+    val pairs = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bg = graft.core.Tables.ensureParallelism(docs)
+      .select(col(idCol).as("doc_id"),
+        md5Bucket(col(idCol).cast("string")).as("band"),
+        explode(pairs).as("p"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(col("p.w1")).as("h1"),
+        xxhash64(col("p.w1"), col("p.w2")).as("h2"))
+    val train = bg.filter(col("band") < trainBands)
+    val c2 = train.groupBy("h2").agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy("h1").agg(count(lit(1)).as("c1"))
+    val vocab = docs
+      .filter(md5Bucket(col(idCol).cast("string")) < trainBands)
+      .select(explode(toks).as("t"))
+      .agg(count_distinct(xxhash64(col("t"))).as("v"))
+    val p = (coalesce(col("c2"), lit(0L)) + 1).cast(DoubleType) /
+      (coalesce(col("c1"), lit(0L)) + col("v"))
+    bg.join(c2, Seq("h2"), "left_outer")
+      .join(c1, Seq("h1"), "left_outer")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        sum(floor(p * lit(1e6) + lit(0.5)).cast(LongType)).as("qsum"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+        (col("qsum").cast(DoubleType) / lit(1e6) / col("n_bigrams")).as("mean_p"))
+  }
+
+  /** DSIR-shaped importance weighting (Xie et al. 2023, arXiv:2302.03169
+    * "Data Selection for Language Models via Importance Resampling"):
+    * hashed-bigram bag-of-features models of a TARGET distribution (the
+    * domain you want more of) and the RAW pool, and a per-document
+    * importance score that ranks raw documents by how target-like they
+    * are. DSIR's log importance weight Σ c_f·(ln p_t[f] − ln q_r[f]) is
+    * libm-dependent; the portable formulation here scores each feature
+    * occurrence with the posterior preference p_t[f] / (p_t[f] + q_r[f])
+    * (the probability the occurrence came from target under a 50/50
+    * prior — monotone in the same per-feature likelihood ratio DSIR
+    * ranks by) and averages over the document via the 1e6
+    * floor-quantized exact integer sum. Both model terms are add-one
+    * smoothed over the B hashed buckets: p = (c + 1) / (T + B), each a
+    * single integer-ratio IEEE division.
+    *
+    * Scale shape: feature extraction is the same in-row zip_with bigram
+    * pass as bigramFluency, then a codegen'd md5 bucket projection — the
+    * corpus side is map-only. Both model tables are bucket-count sized
+    * (≤ B rows) by the hashing trick, independent of vocabulary, and
+    * broadcast; totals ride one-row crossJoin broadcasts. The single
+    * shuffle carries per-doc (count, qsum) partials from map-side
+    * combine. Returns (doc_id, n_feats, mean_pref) over raw documents. */
+  def dsirPreference(raw: org.apache.spark.sql.DataFrame,
+                     target: org.apache.spark.sql.DataFrame,
+                     idCol: String, textCol: String,
+                     buckets: Int = 256): org.apache.spark.sql.DataFrame = {
+    def feats(docs: org.apache.spark.sql.DataFrame) = {
+      val toks = split(col(textCol), " ")
+      val pairs = zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b))
+      docs.select(col(idCol).as("doc_id"), explode(pairs).as("bg"))
+        .select(col("doc_id"), md5Bucket(col("bg")).as("bucket"))
+    }
+    val rawF = feats(graft.core.Tables.ensureParallelism(raw))
+    val tgtF = feats(target)
+    val ct = tgtF.groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val cr = rawF.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val totals = ct.agg(sum("ct").as("tt")).crossJoin(cr.agg(sum("cr").as("tr")))
+    val pt = (coalesce(col("ct"), lit(0L)) + 1).cast(DoubleType) /
+      (col("tt") + buckets)
+    val qr = (coalesce(col("cr"), lit(0L)) + 1).cast(DoubleType) /
+      (col("tr") + buckets)
+    val pref = pt / (pt + qr)
+    rawF
+      .join(broadcast(ct), Seq("bucket"), "left_outer")
+      .join(broadcast(cr), Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        sum(floor(pref * lit(1e6) + lit(0.5)).cast(LongType)).as("qsum"))
+      .select(col("doc_id"), col("n_feats"),
+        (col("qsum").cast(DoubleType) / lit(1e6) / col("n_feats")).as("mean_pref"))
+  }
 }

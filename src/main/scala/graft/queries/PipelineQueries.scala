@@ -15,6 +15,12 @@ object PipelineQueries {
 
   private val Langs = Seq("de", "en", "es", "fr", "zh")
 
+  /** DuckDB twin of TextAnalysis.md5Bucket (same construction as
+    * TextQueries.duckBand256 — DuckDB lacks conv()). */
+  private def duckBand256Sql(expr: String): String =
+    s"""((strpos('0123456789abcdef', substr(md5($expr), 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5($expr), 2, 1)) - 1))"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // PIVOT — wide per-source language profile. Spark lowers this to two
@@ -149,6 +155,78 @@ object PipelineQueries {
           "doc_id", "text", 4)
         .select(col("doc_id"), col("n_hits"), col("n_grams"),
           (col("n_hits").cast("double") / col("n_grams")).as("contamination"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-source quality calibration (the FineWeb/per-dump-threshold
+    // shape): instead of one global score cutoff — which lets a
+    // high-scoring source crowd out every other — keep the top half of
+    // each source by score, so the selection pressure is calibrated to
+    // each source's own distribution. Score is the distinct-token ratio
+    // (one exact-integer IEEE division); the cut is percent_rank, whose
+    // (rank-1)/(n-1) arithmetic is engine-portable, with doc_id as the
+    // deterministic tie-break.
+    //
+    // Scale shape: one shuffle, keyed by source; the window sorts within
+    // each source, and distinct sources parallelize across the cluster.
+    // A single pathologically-huge source serializes its own sort — the
+    // production escape hatch at that extreme is an approximate
+    // per-source threshold (percentile_approx) applied as a map-side
+    // filter, traded here for the exact rank the oracle can replay.
+    QueryDef(
+      "q_quality_calibrated",
+      "per-source calibrated quality gate: top half of each source by distinct-token ratio",
+      """WITH s AS (SELECT source, doc_id,
+                           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                             / len(string_split(text, ' ')) AS score
+                    FROM documents),
+          r AS (SELECT source, doc_id, score,
+                       percent_rank() OVER (PARTITION BY source
+                                            ORDER BY score, doc_id) AS pr
+                FROM s)
+         SELECT source, doc_id, score, pr FROM r
+         WHERE pr >= 0.5 ORDER BY source, doc_id""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = split(col("text"), " ")
+      val score = size(array_distinct(toks)).cast("double") / size(toks)
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), score.as("score"))
+        .withColumn("pr", percent_rank().over(
+          Window.partitionBy(col("source")).orderBy(col("score"), col("doc_id"))))
+        .filter(col("pr") >= 0.5)
+        .orderBy(col("source"), col("doc_id"))
+    },
+
+    // DSIR-shaped importance weights: rank the raw pool (source <> src0)
+    // by how target-like (src0) each document's hashed-bigram features
+    // are. See TextAnalysis.dsirPreference for the ln-free formulation.
+    QueryDef(
+      "q_dsir_weights",
+      "DSIR importance score: hashed-bigram target-vs-raw preference per raw doc",
+      s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+          f AS (SELECT doc_id, source, ${duckBand256Sql("bg")} AS bucket FROM (
+                  SELECT doc_id, source,
+                         unnest(list_transform(range(1, len(l)),
+                           i -> l[i] || ' ' || l[i + 1])) AS bg
+                  FROM tok)),
+          ct AS (SELECT bucket, COUNT(*) AS ct FROM f WHERE source = 'src0' GROUP BY bucket),
+          cr AS (SELECT bucket, COUNT(*) AS cr FROM f WHERE source <> 'src0' GROUP BY bucket),
+          tot AS (SELECT (SELECT SUM(ct) FROM ct) AS tt, (SELECT SUM(cr) FROM cr) AS tr),
+          scored AS (
+            SELECT f.doc_id,
+                   (COALESCE(ct.ct, 0) + 1) / CAST(tot.tt + 256 AS DOUBLE) AS pt,
+                   (COALESCE(cr.cr, 0) + 1) / CAST(tot.tr + 256 AS DOUBLE) AS qr
+            FROM f LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket) CROSS JOIN tot
+            WHERE f.source <> 'src0')
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+                 CAST(SUM(CAST(FLOOR((pt / (pt + qr)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   / 1000000.0 / COUNT(*) AS mean_pref
+          FROM scored GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.dsirPreference(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text")
         .orderBy(col("doc_id"))
     },
   )

@@ -387,6 +387,40 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // CCNet-shape LM fluency: add-one bigram LM trained on the md5-band
+    // reference half of the corpus, every doc scored by mean conditional
+    // probability (exact-rational perplexity analog; see
+    // TextAnalysis.bigramFluency for the portability argument).
+    QueryDef(
+      "q_lm_fluency",
+      "bigram-LM fluency score vs md5-band reference slice (mean smoothed conditional probability)",
+      s"""WITH tok AS (SELECT doc_id,
+                              ${duckBand256("CAST(doc_id AS VARCHAR)")} AS band,
+                              string_split(text, ' ') AS l
+                       FROM documents),
+          b AS (SELECT doc_id, band, p['w1'] AS w1, p['w2'] AS w2 FROM (
+                  SELECT doc_id, band,
+                         unnest(list_transform(range(1, len(l)),
+                           i -> {'w1': l[i], 'w2': l[i + 1]})) AS p
+                  FROM tok)),
+          c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM b WHERE band < 128 GROUP BY w1, w2),
+          c1 AS (SELECT w1, COUNT(*) AS c1 FROM b WHERE band < 128 GROUP BY w1),
+          v AS (SELECT COUNT(DISTINCT t) AS v FROM (
+                  SELECT unnest(l) AS t FROM tok WHERE band < 128)),
+          scored AS (
+            SELECT b.doc_id,
+                   (COALESCE(c2.c2, 0) + 1) / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE) AS p_cond,
+                   CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS unseen
+            FROM b LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+                 CAST(SUM(CAST(FLOOR(p_cond * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   / 1000000.0 / COUNT(*) AS mean_p
+          FROM scored GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      TextAnalysis.bigramFluency(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // Unicode normalization round-trip over REAL non-ASCII data derived
     // deterministically from the corpus: every 'a' becomes 'a'+combining
     // acute (U+0301), NFC composes that to 'á' (U+00E1), strip_accents

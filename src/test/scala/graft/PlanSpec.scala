@@ -190,4 +190,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema") && !p.contains("text"),
       s"scan should not read text for a metadata split:\n$p")
   }
+
+  test("LM fluency: shuffles carry 8-byte hashes, text never crosses an exchange") {
+    val p = plan("q_lm_fluency")
+    val textShuffles = "Exchange hashpartitioning\\([^)]*text".r.findAllIn(p).size
+    assert(textShuffles == 0, s"document text crossed a shuffle:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"vocab scalar should ride a broadcast:\n$p")
+  }
+
+  test("DSIR preference: bucket model tables broadcast, text never shuffles") {
+    val p = plan("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), s"bucket tables should broadcast:\n$p")
+    val textShuffles = "Exchange hashpartitioning\\([^)]*text".r.findAllIn(p).size
+    assert(textShuffles == 0, s"document text crossed a shuffle:\n$p")
+  }
 }

@@ -114,4 +114,50 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 10L, 10L, false),  // rep_ratio 0, top_share 0.1
       (3L, 10L, 2L, true)))   // rep_ratio 0.8, top_share 0.5
   }
+
+  test("bigramFluency: attested transitions outscore novel ones; short docs drop") {
+    // find ids on each side of the md5-band train/held-out cut
+    val bands = spark.range(1, 60)
+      .select(col("id"), TextAnalysis.md5Bucket(col("id").cast("string")).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val trainIds = bands.filter(_._2 < 128).keys.toSeq.sorted
+    val testIds = bands.filter(_._2 >= 128).keys.toSeq.sorted
+    assert(trainIds.size >= 2 && testIds.size >= 2)
+    val fluent = "alpha beta gamma delta alpha beta gamma delta"
+    val docs = (
+      trainIds.take(2).map(id => (id, fluent)) ++            // the LM's world
+      Seq((testIds(0), "alpha beta gamma delta"),            // all transitions attested
+          (testIds(1), "zeta eta theta iota"),               // all transitions novel
+          (trainIds(1) * 1000 + 7, "solo"))                  // 1 token -> no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramFluency(docs, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "n_unseen", "mean_p")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // the single-token doc produced no bigrams: absent no matter its band
+    assert(!got.contains(trainIds(1) * 1000 + 7))
+    val attested = got(testIds(0)); val novel = got(testIds(1))
+    assert(attested._3 == 0L, s"attested doc saw unseen bigrams: $attested")
+    assert(novel._3 == novel._2, s"novel doc should be all-unseen: $novel")
+    assert(attested._4 > novel._4,
+      s"fluency must separate attested from novel: $attested vs $novel")
+    assert(got.values.forall(r => r._4 > 0.0 && r._4 <= 1.0))
+  }
+
+  test("dsirPreference: target-like raw docs outrank junk; scores stay in (0,1)") {
+    val target = Seq(
+      (101L, "alpha beta alpha beta alpha beta"),
+      (102L, "beta alpha beta alpha")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta alpha beta"),                  // mimics target bigrams
+      (2L, "zeta eta theta iota kappa"),              // nothing in common
+      (3L, "alpha beta zeta eta")                     // half and half
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dsirPreference(raw, target, "doc_id", "text")
+      .select("doc_id", "n_feats", "mean_pref")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 3L && got(2L)._2 == 4L && got(3L)._2 == 3L)
+    assert(got(1L)._3 > got(3L)._3 && got(3L)._3 > got(2L)._3,
+      s"preference must rank target-like > mixed > junk: $got")
+    assert(got.values.forall(r => r._3 > 0.0 && r._3 < 1.0))
+  }
 }
