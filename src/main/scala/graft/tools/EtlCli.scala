@@ -373,29 +373,106 @@ object EtlCli {
                   format: String = "parquet"): Unit =
     writeTable(df, s"$path/epoch=$epoch", format)
 
-  /** Epochs of `path` that have a committed version, ascending. Driver-side
-    * metadata listing only (one dir list + one marker probe per epoch). */
+  /** Epoch ceiling covered by the newest epoch-compaction fencepost, if
+    * any (`_epochs_compacted_E` top-level marker — see compactEpochs). */
+  private def epochsCompactedThrough(spark: SparkSession, path: String): Option[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val f = fs(spark, path)
+    if (!f.exists(dir)) None
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("_epochs_compacted_") =>
+        n.drop("_epochs_compacted_".length).toLong }
+      .maxOption
+  }
+
+  /** Epochs of `path` that have a committed version AND are not superseded
+    * by an epoch compaction, ascending. Driver-side metadata listing only
+    * (one dir list + one marker probe per epoch). */
   def committedEpochs(spark: SparkSession, path: String): Seq[Long] = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val f = fs(spark, path)
+    val floor = epochsCompactedThrough(spark, path).getOrElse(Long.MinValue)
     if (!f.exists(dir)) Nil
     else f.listStatus(dir).toSeq.map(_.getPath.getName)
       .collect { case n if n.startsWith("epoch=") => n.drop("epoch=".length).toLong }
-      .filter(e => committedVersion(spark, s"$path/epoch=$e").isDefined)
+      .filter(e => e > floor && committedVersion(spark, s"$path/epoch=$e").isDefined)
       .sorted
   }
 
   /** Read the union of every committed epoch of the table at `path` (the
-    * epoch-partitioned analog of readTable). Errors when no epoch has ever
-    * committed. */
+    * epoch-partitioned analog of readTable): the newest compaction's
+    * folded data, plus every epoch appended after it. Errors when no epoch
+    * has ever committed. */
   def readEpochTable(spark: SparkSession, path: String): DataFrame = {
-    val dirs = committedEpochs(spark, path).map { e =>
+    val compacted = epochsCompactedThrough(spark, path).map { e =>
+      val p = s"$path/compact=$e"
+      s"$p/data_v${committedVersion(spark, p).get}"
+    }
+    val dirs = compacted.toSeq ++ committedEpochs(spark, path).map { e =>
       val p = s"$path/epoch=$e"
       s"$p/data_v${committedVersion(spark, p).get}"
     }
     if (dirs.isEmpty) sys.error(s"no committed epochs at $path — nothing ingested yet")
     spark.read.format(sniffFormat(spark, dirs.head)).load(dirs: _*)
   }
+
+  /** Fold every visible epoch (plus any prior compaction) of the table at
+    * `path` into one size-targeted `compact=E` dir — the maintenance
+    * counterpart of the streaming sinks' O(batch) epoch appends. A year of
+    * 5-minute micro-batches is ~100k epoch dirs whose per-read listing and
+    * tiny files eventually dominate scan cost; compaction folds them back
+    * to ~table-size/targetFileBytes files without ever blocking the
+    * writer.
+    *
+    * Protocol: the folded union stages + commits under `compact=E` (E =
+    * newest folded epoch) via the same versioned-marker protocol as any
+    * table, INVISIBLE to readers; the top-level `_epochs_compacted_E`
+    * fencepost — one atomic file create, same primitive as the version
+    * markers — then flips reads to (compact=E) ∪ (epochs > E). A crash
+    * anywhere before the fencepost leaves the old view fully intact; a
+    * crash after it loses nothing (superseded dirs are garbage, not
+    * truth). Safe against a concurrently-running sink: the stream only
+    * appends NEW epochs (> E by construction), which stay visible through
+    * the filter; a checkpoint-replayed epoch ≤ E re-appends byte-identical
+    * content whose rows compact=E already holds. Superseded dirs are
+    * reclaimed lazily by vacuumEpochs, never inline, so concurrent readers
+    * mid-plan keep their files. */
+  def compactEpochs(spark: SparkSession, path: String,
+                    format: String = "parquet",
+                    targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val live = committedEpochs(spark, path)
+    if (live.isEmpty) return // nothing appended since the last fold
+    val upTo = live.max
+    val union = readEpochTable(spark, path)
+    val srcDirs = epochsCompactedThrough(spark, path).map(e => s"$path/compact=$e").toSeq ++
+      live.map(e => s"$path/epoch=$e")
+    val bytes = srcDirs.map { d =>
+      val p = s"$d/data_v${committedVersion(spark, d).get}"
+      fs(spark, path).getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+    }.sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    writeTable(union.coalesce(nFiles), s"$path/compact=$upTo", format)
+    fs(spark, path)
+      .create(new org.apache.hadoop.fs.Path(s"$path/_epochs_compacted_$upTo"), true)
+      .close()
+  }
+
+  /** Reclaim epoch/compact dirs superseded by the newest compaction
+    * fencepost (the epoch-table vacuum; run it when no reader still holds
+    * a pre-compaction plan). */
+  def vacuumEpochs(spark: SparkSession, path: String): Unit =
+    epochsCompactedThrough(spark, path).foreach { e =>
+      val f = fs(spark, path)
+      f.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq.foreach { st =>
+        val n = st.getPath.getName
+        val stale =
+          (n.startsWith("epoch=") && n.drop("epoch=".length).toLong <= e) ||
+          (n.startsWith("compact=") && n.drop("compact=".length).toLong < e) ||
+          (n.startsWith("_epochs_compacted_") &&
+            n.drop("_epochs_compacted_".length).toLong < e)
+        if (stale) f.delete(st.getPath, true)
+      }
+    }
 
   /** Small-files compaction (the OPTIMIZE of this warehouse): rewrite the
     * current version into ceil(bytes / targetFileBytes) files via the same

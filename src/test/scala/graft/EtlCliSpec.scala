@@ -254,6 +254,49 @@ class EtlCliSpec extends SparkSpec {
     assert(new java.io.File(s"$path/epoch=0").list().toSeq.contains("_committed_v1"))
   }
 
+  test("compactEpochs folds epochs behind an atomic fencepost; appends keep flowing; vacuum reclaims") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("etlepochcompact").toFile.getAbsolutePath
+    val path = s"$wh/t"
+    (0L to 3L).foreach(e =>
+      EtlCli.appendEpoch(Seq((e, s"v$e")).toDF("k", "v"), path, epoch = e))
+    def contents() = EtlCli.readEpochTable(spark, path)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    val before = contents()
+
+    // crash-sim: folded data staged+committed but the process dies BEFORE
+    // the fencepost — readers must still see the epoch view, unchanged
+    EtlCli.writeTable(EtlCli.readEpochTable(spark, path), s"$path/compact=3")
+    assert(contents() == before, "un-fenceposted compaction leaked into reads")
+    assert(EtlCli.committedEpochs(spark, path) == Seq(0L, 1L, 2L, 3L))
+
+    EtlCli.compactEpochs(spark, path)
+    assert(contents() == before, "compaction changed table contents")
+    assert(EtlCli.committedEpochs(spark, path).isEmpty,
+      "folded epochs should no longer be listed")
+    assert(new java.io.File(path).list().toSeq.contains("_epochs_compacted_3"))
+
+    // the stream keeps appending new epochs after the fold
+    EtlCli.appendEpoch(Seq((9L, "v9")).toDF("k", "v"), path, epoch = 4)
+    assert(contents() == before :+ (9L, "v9"))
+    assert(EtlCli.committedEpochs(spark, path) == Seq(4L))
+
+    // a checkpoint-replayed epoch <= E re-appends content compact=3 already
+    // holds: invisible as an epoch dir, so nothing double-counts
+    EtlCli.appendEpoch(Seq((2L, "v2")).toDF("k", "v"), path, epoch = 2)
+    assert(contents() == before :+ (9L, "v9"))
+
+    // second fold covers the new epoch; vacuum reclaims superseded dirs
+    EtlCli.compactEpochs(spark, path)
+    assert(contents() == before :+ (9L, "v9"))
+    EtlCli.vacuumEpochs(spark, path)
+    val names = new java.io.File(path).list().toSeq
+    assert(!names.exists(_.startsWith("epoch=")), s"stale epoch dirs survive: $names")
+    assert(names.filter(_.startsWith("compact=")) == Seq("compact=4"))
+    assert(names.filter(_.startsWith("_epochs_compacted_")) == Seq("_epochs_compacted_4"))
+    assert(contents() == before :+ (9L, "v9"))
+  }
+
   test("compact rewrites many small files into few, contents unchanged") {
     import spark.implicits._
     val wh = Files.createTempDirectory("etlcompact").toFile.getAbsolutePath
