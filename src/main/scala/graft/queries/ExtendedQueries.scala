@@ -210,6 +210,46 @@ object ExtendedQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Histogram-sketch quantiles — the quantile formulation that survives
+    // 100 TB. q_median's exact window rank sorts every row of a partition;
+    // this one reduces the corpus to a fixed-width histogram (bounded at
+    // 64 buckets per group, shuffles carry (source, bucket) partial
+    // counts), then reads p50/p90 off the bucket cumsum — the window runs
+    // over <= 64 rows per source, not over documents. Error is bounded by
+    // the bucket width (spec asserts it); every comparison is exact
+    // integer (2*cum >= n picks ceil-median, 10*cum >= 9*n the p90), so
+    // no libm, no float order-dependence.
+    QueryDef(
+      "q_quantile_hist",
+      "per-source approx p50/p90 of doc length via 64-bucket histogram cumsum",
+      """WITH h AS (SELECT source,
+                           CAST(LEAST(n_chars // 20, 63) AS INT) AS bucket,
+                           COUNT(*) AS c
+                    FROM documents GROUP BY source, bucket),
+          cum AS (SELECT source, bucket, c,
+                         SUM(c) OVER (PARTITION BY source ORDER BY bucket
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                         SUM(c) OVER (PARTITION BY source) AS n
+                  FROM h)
+         SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+                CAST(MIN(CASE WHEN 2 * cum >= n THEN bucket * 20 END) AS BIGINT) AS p50_approx,
+                CAST(MIN(CASE WHEN 10 * cum >= 9 * n THEN bucket * 20 END) AS BIGINT) AS p90_approx
+         FROM cum GROUP BY source ORDER BY source""") { (s, dir) =>
+      val bucket = least(floor(col("n_chars") / 20), lit(63)).cast("int")
+      val bySrc = Window.partitionBy(col("source"))
+      val cum = t(s, dir, "documents")
+        .groupBy(col("source"), bucket.as("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          bySrc.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", sum(col("c")).over(bySrc))
+      cum.groupBy(col("source"))
+        .agg(max(col("n")).cast("long").as("n_docs"),
+          min(when(col("cum") * 2 >= col("n"), col("bucket") * 20)).cast("long").as("p50_approx"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("bucket") * 20)).cast("long").as("p90_approx"))
+        .orderBy(col("source"))
+    },
+
     // Custom physical operator (LogicalPlan + Strategy + SparkPlan):
     // bounded per-key top-k — no full sort, map-side partial heaps.
     QueryDef(

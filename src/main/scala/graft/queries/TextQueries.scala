@@ -387,6 +387,46 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Inverted-index build — the search-engine primitive over the corpus:
+    // per token, document frequency plus a CAPPED posting list (the 8
+    // lowest doc ids). The cap is what makes this a 100 TB plan: a
+    // stopword's postings are corpus-sized, so the list must be bounded
+    // BEFORE anything collects — the row_number idiom lowers to the
+    // bounded-heap TopKPerKey operator (asserted in PlanSpec), so at most
+    // k rows per token reach the collect_list and no executor ever holds
+    // an unbounded array. df still counts every posting via ordinary
+    // partial-agg'd counts. Postings render as a sorted comma-joined
+    // string (engine-portable, hash-stable).
+    QueryDef(
+      "q_inverted_index",
+      "capped inverted index: per-token df + 8 lowest doc ids (bounded-heap postings)",
+      """WITH post AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+                       FROM documents),
+          df AS (SELECT token, COUNT(*) AS df FROM post GROUP BY token),
+          topk AS (SELECT token, doc_id FROM (
+                     SELECT token, doc_id,
+                            row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+                     FROM post) WHERE rn <= 8)
+          SELECT token, CAST(df.df AS BIGINT) AS df,
+                 array_to_string(list_sort(list(doc_id)), ',') AS postings
+          FROM topk JOIN df USING (token)
+          GROUP BY token, df.df ORDER BY token""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val post = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .distinct()
+      val df = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      post
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("token")).orderBy(col("doc_id"))))
+        .filter(col("rn") <= 8)
+        .groupBy(col("token"))
+        .agg(concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"))
+        .join(df, "token")
+        .select(col("token"), col("df"), col("postings"))
+        .orderBy(col("token"))
+    },
+
     // CCNet-shape LM fluency: add-one bigram LM trained on the md5-band
     // reference half of the corpus, every doc scored by mean conditional
     // probability (exact-rational perplexity analog; see

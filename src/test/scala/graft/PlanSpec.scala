@@ -199,6 +199,13 @@ class PlanSpec extends SparkSpec {
       s"vocab scalar should ride a broadcast:\n$p")
   }
 
+  test("inverted index: postings cap lowers to the bounded-heap operator") {
+    val p = plan("q_inverted_index")
+    assert(p.contains("TopKPerKey"), s"row_number cap should lower to TopKPerKey:\n$p")
+    val textShuffles = "Exchange hashpartitioning\\([^)]*text".r.findAllIn(p).size
+    assert(textShuffles == 0, s"document text crossed a shuffle:\n$p")
+  }
+
   test("DSIR preference: bucket model tables broadcast, text never shuffles") {
     val p = plan("q_dsir_weights")
     assert(p.contains("BroadcastHashJoin"), s"bucket tables should broadcast:\n$p")

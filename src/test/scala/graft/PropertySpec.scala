@@ -129,4 +129,35 @@ class PropertySpec extends SparkSpec {
       .as[(Int, Long)].collect().toMap
     assert(sigs(forward) == sigs(shuffled))
   }
+
+  test("histogram-sketch quantile law: within one bucket width of the exact quantile") {
+    // the q_quantile_hist construction (width 20, 64 buckets, 2*cum >= n /
+    // 10*cum >= 9n thresholds) against exact rank quantiles on random data
+    val vals = sample(Gen.listOfN(500, Gen.chooseNum(0L, 1200L)))
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong % 4, v) }.toDF("g", "v")
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy(col("g"))
+    val got = df
+      .groupBy(col("g"), least(floor(col("v") / 20), lit(63)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        bySrc.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("c")).over(bySrc))
+      .groupBy(col("g"))
+      .agg(min(when(col("cum") * 2 >= col("n"), col("bucket") * 20)).as("p50"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("bucket") * 20)).as("p90"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val byG = vals.zipWithIndex.groupBy(_._2.toLong % 4)
+      .view.mapValues(_.map(_._1).sorted).toMap
+    byG.foreach { case (g, sorted) =>
+      val n = sorted.size
+      val exact50 = sorted((n - 1) / 2)            // value at rank ceil(n/2)
+      val exact90 = sorted(((9 * n + 9) / 10) - 1) // value at rank ceil(9n/10)
+      val cap = (v: Long) => math.min(v, 63L * 20) // top bucket is open
+      assert(math.abs(got(g)._1 - cap(exact50)) <= 20,
+        s"g=$g p50 ${got(g)._1} vs exact $exact50")
+      assert(math.abs(got(g)._2 - cap(exact90)) <= 20,
+        s"g=$g p90 ${got(g)._2} vs exact $exact90")
+    }
+  }
 }
