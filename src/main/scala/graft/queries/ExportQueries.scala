@@ -196,6 +196,47 @@ object ExportQueries {
         .orderBy(col("doc_id"), col("copy"))
     },
 
+    // Token-budget mixture solver — the planning step that turns "train on
+    // B tokens at these source shares" into the (epochs, sample_rate)
+    // knobs mixtureRepeat/mixtureSample apply: wanted = share·B; epochs =
+    // ceil(wanted/available) full passes over the source; sample_rate
+    // thins the last pass so expected tokens hit wanted exactly. The
+    // corpus-sized work is one map-side token count + partial-agg'd sum;
+    // the solver arithmetic runs on the source-count-sized aggregate
+    // (shares and budget are plan literals, divisions single IEEE ops —
+    // engine-portable).
+    QueryDef(
+      "q_mix_budget",
+      "token-budget solver: per-source epochs + sample rate for a 50k-token target mixture",
+      """WITH avail AS (SELECT source,
+                               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_avail
+                        FROM documents GROUP BY source),
+          plan AS (SELECT source, n_tokens_avail,
+                          target_share,
+                          target_share * 50000 AS tokens_wanted
+                   FROM avail
+                   JOIN (VALUES ('src0', 0.30), ('src1', 0.25),
+                                ('src2', 0.25), ('src3', 0.20))
+                        AS tgt(source, target_share) USING (source))
+          SELECT source, n_tokens_avail, target_share, tokens_wanted,
+                 CAST(CEIL(tokens_wanted / n_tokens_avail) AS BIGINT) AS epochs,
+                 tokens_wanted / (n_tokens_avail
+                   * CAST(CEIL(tokens_wanted / n_tokens_avail) AS BIGINT)) AS sample_rate
+          FROM plan ORDER BY source""") { (s, dir) =>
+      val targets = Seq(("src0", 0.30), ("src1", 0.25), ("src2", 0.25), ("src3", 0.20))
+      val tgt = s.createDataFrame(targets).toDF("source", "target_share")
+      val wanted = col("target_share") * 50000
+      val epochs = ceil(wanted / col("n_tokens_avail")).cast("long")
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens_avail"))
+        .join(broadcast(tgt), "source")
+        .select(col("source"), col("n_tokens_avail"), col("target_share"),
+          wanted.as("tokens_wanted"), epochs.as("epochs"),
+          (wanted / (col("n_tokens_avail") * epochs)).as("sample_rate"))
+        .orderBy(col("source"))
+    },
+
     // Within-source curriculum quartiles: ntile(4) over the total order
     // (n_chars, doc_id) inside each source. Partitioning by source keeps
     // the window parallel across domains — the global-curriculum variant
