@@ -337,20 +337,30 @@ object Dedup {
     * before convergence (labels may then split one true component).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().transform(graft.core.Materialize.pin)
-    var labels = edges.select(col("src").as("doc_id"))
-      .distinct().withColumn("component", col("doc_id"))
+    // Pin the pair slice BEFORE symmetrizing: the union's two branches are
+    // otherwise two full executions of whatever produced `pairs` (for the
+    // LSH callers, the entire shingle/minhash/verify tower — Spark reuses
+    // identical exchanges, not arbitrary shared subplans), and the labels
+    // init below would be a third.
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+      .transform(graft.core.Materialize.pin)
+    // Symmetrize lazily over the pinned pairs: a narrow double-read of
+    // pinned partitions per consumer, cheaper than materializing (and
+    // far cheaper than shuffling) a deduplicated edge table. Duplicate
+    // edges are harmless — every consumer is a min-aggregation.
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Init IS round one's neighbor hop: against identity labels,
+    // min(own, neighbors' labels) = min(src, min(dst)) — one groupBy over
+    // the symmetrized edges instead of a round of joins. For the common
+    // case (near-dup clusters of size 2-3, star-shaped) these labels are
+    // already the fixpoint and the loop below runs exactly once to prove it.
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(min("dst").as("nbr_min"))
+      .select(col("doc_id"), least(col("doc_id"), col("nbr_min")).as("component"))
       .transform(graft.core.Materialize.pin)
     var iter = 0
     var converged = false
-    // Convergence is tested against the labels from the LAST CHECK, every
-    // other round: labels only ever decrease, so "unchanged across two
-    // rounds" ⇔ "unchanged in each" — same fixpoint, half the
-    // driver-blocking count() jobs (each check is a full Spark job whose
-    // only output is one number).
-    var atLastCheck = labels
     while (iter < maxIter && !converged) {
       // each doc takes min(own label, neighbors' labels)
       val viaNeighbors = edges
@@ -362,25 +372,26 @@ object Dedup {
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
       // pointer doubling: follow the component's own label one more hop
       // (component ids are always doc ids present in `labels`, so the
-      // lookup join below covers every non-root label)
+      // lookup join below covers every non-root label). The convergence
+      // flag rides along in the pinned round result, so the per-round
+      // check is a join-free count over already-materialized partitions.
       val ptr = hop1.select(col("doc_id").as("__c"), col("component").as("__cc"))
+      val old = labels.withColumnRenamed("component", "__old")
       val next = hop1.join(ptr, col("component") === col("__c"), "left_outer")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("__cc"), col("component"))).as("component"))
+        .join(old, Seq("doc_id"))
+        .select(col("doc_id"), col("component"),
+          (col("component") =!= col("__old")).as("__changed"))
         .transform(graft.core.Materialize.pin)
-      labels = next
+      converged = next.filter(col("__changed")).isEmpty
+      labels = next.select(col("doc_id"), col("component"))
       iter += 1
-      if (iter % 2 == 0 || iter == maxIter) {
-        val changes = next.join(atLastCheck.withColumnRenamed("component", "old"), "doc_id")
-          .filter(col("component") =!= col("old")).count()
-        converged = changes == 0
-        atLastCheck = next
-      }
     }
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"connectedComponents did not converge within $maxIter iterations; " +
-          "component labels may split true components")
+          "component labels may split one true component")
     labels
   }
 
