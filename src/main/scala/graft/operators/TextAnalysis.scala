@@ -282,6 +282,47 @@ object TextAnalysis {
         (col("freq_sum") / col("n_tokens")).as("avg_tf"))
   }
 
+  /** BM25 retrieval for a literal query-term set (Robertson et al.'s
+    * k1/b formulation, TREC-3) with the idf ratio (N-df+0.5)/(df+0.5)
+    * kept UN-logged: log() is libm-implementation-defined (the no-
+    * transcendentals invariant for hash-checked paths) and idf only
+    * enters multiplicatively, so the un-logged form is the same scorer
+    * family with every op a single IEEE mul/div — engine-portable.
+    *
+    * Scale shape: the explode filters to the query terms BEFORE anything
+    * shuffles, so the tf aggregation carries O(hits) rows, not O(corpus
+    * tokens); doc length rides the groupBy key (functionally dependent
+    * on doc_id — no second corpus join); N/avgdl is a one-row broadcast
+    * and df a query-terms-sized broadcast; per-doc scores sum quantized
+    * (Fns contract) and the final top-k lowers to TakeOrderedAndProject
+    * — no global sort materializes. Returns (doc_id, n_hit, score). */
+  def bm25(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    import graft.functions.Fns
+    val base = graft.core.Tables.ensureParallelism(docs)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("t"))
+      .filter(col("t").isin(terms: _*))
+    val stats = docs
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast(LongType)).as("dl_sum"))
+      .select(col("n_docs"), (col("dl_sum") / col("n_docs")).as("avgdl"))
+    val tf = base.groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val norm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl"))))
+    tf.join(broadcast(df), "t")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (idf * norm).as("contrib"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"), Fns.dsum(col("contrib")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** The md5 two-hex-char feature bucket (0..255) used by the hashed
     * bag-of-words classifier — engine-portable (oracles decode the same
     * two chars), same construction as Store.shardId. */

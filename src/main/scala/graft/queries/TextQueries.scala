@@ -427,6 +427,38 @@ object TextQueries {
         .orderBy(col("token"))
     },
 
+    // BM25 retrieval (Robertson k1/b, idf ratio un-logged — no
+    // transcendentals in hash-checked paths; see TextAnalysis.bm25).
+    // Oracle literals use e-notation: DuckDB types plain decimal literals
+    // as DECIMAL, and BIGINT*DECIMAL stays exact decimal arithmetic that
+    // rounds differently from IEEE double (3*2.2 ≠ 3*2.2e0 there).
+    QueryDef(
+      "q_bm25",
+      "BM25 top-20 docs for a 3-term query (rational idf, quantized score sum)",
+      """WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                             unnest(string_split(text, ' ')) AS t FROM documents),
+          stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS dl_sum
+                    FROM documents),
+          tf AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
+                 FROM tok WHERE t IN ('vector', 'spark', 'filter')
+                 GROUP BY doc_id, dl, t),
+          df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+          scored AS (
+            SELECT doc_id,
+                   ((n_docs - df + 0.5e0) / (df + 0.5e0))
+                     * ((tf * 2.2e0)
+                        / (tf + 1.2e0 * (0.25e0 + 0.75e0 * (dl / (dl_sum / n_docs))))) AS contrib
+            FROM tf JOIN df USING (t) CROSS JOIN stats)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+                 CAST(SUM(CAST(FLOOR(contrib * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   / 1000000.0 AS score
+          FROM scored GROUP BY doc_id
+          ORDER BY score DESC, doc_id LIMIT 20""") { (s, dir) =>
+      TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
+        Seq("vector", "spark", "filter"), k1 = 1.2, b = 0.75, topK = 20)
+    },
+
     // CCNet-shape LM fluency: add-one bigram LM trained on the md5-band
     // reference half of the corpus, every doc scored by mean conditional
     // probability (exact-rational perplexity analog; see

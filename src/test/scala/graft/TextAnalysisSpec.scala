@@ -160,4 +160,37 @@ class TextAnalysisSpec extends SparkSpec {
       s"preference must rank target-like > mixed > junk: $got")
     assert(got.values.forall(r => r._3 > 0.0 && r._3 < 1.0))
   }
+
+  test("bm25: tf saturation, rare-term idf dominance, non-matching docs absent") {
+    val docs = Seq(
+      (1L, "cat cat cat cat dog filler filler filler"), // high tf(cat), matches dog
+      (2L, "cat dog filler filler filler filler filler"),
+      (3L, "cat filler filler filler filler filler filler"),
+      (4L, "rare filler filler filler filler filler filler"), // only rare-term doc
+      (5L, "filler filler filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, "doc_id", "text", Seq("cat", "dog", "rare"))
+      .select("doc_id", "n_hit", "score")
+      .as[(Long, Long, Double)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(!byId.contains(5L), "doc with no query terms must not appear")
+    assert(byId(1L)._2 == 2L && byId(2L)._2 == 2L && byId(3L)._2 == 1L)
+    // rare term (df=1) outweighs common cat+dog despite fewer hits
+    assert(byId(4L)._3 > byId(3L)._3, s"idf must favor the rare term: $got")
+    // more cat occurrences score higher than one, but k1 saturates tf:
+    // 4x the tf must yield well under 4x the single-hit score
+    assert(byId(1L)._3 > byId(2L)._3 && byId(1L)._3 < byId(2L)._3 * 4)
+    assert(got.forall(_._3 > 0.0))
+  }
+
+  test("bm25 topK bounds the result and keeps the highest scores") {
+    val docs = (1L to 30L).map(i =>
+      (i, (Seq.fill(i.toInt)("hit") ++ Seq.fill(40 - i.toInt)("pad")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, "doc_id", "text", Seq("hit"), topK = 5)
+      .select("doc_id").as[Long].collect()
+    assert(got.length == 5)
+    // higher tf with equal length ranks first: docs 30..26
+    assert(got.toSet == Set(30L, 29L, 28L, 27L, 26L))
+  }
 }
