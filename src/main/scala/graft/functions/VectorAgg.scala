@@ -53,4 +53,42 @@ object VectorAgg {
       override def outputEncoder: Encoder[Array[Double]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
     }
+
+  /** Elementwise fold of Array[Float] vectors with a constant-size
+    * buffer — the scale-right way to compute per-dimension corpus bounds
+    * (posexplode would shuffle n x d rows; this shuffles one d-length
+    * buffer per partition). min/max are EXACT (no rounding), so unlike
+    * vectorAvg the result is order-independent and bit-identical to any
+    * oracle recomputation. */
+  private def elementwiseFold(f: (Float, Float) => Float): Aggregator[Array[Float], Array[Float], Array[Float]] =
+    new Aggregator[Array[Float], Array[Float], Array[Float]] {
+      override def zero: Array[Float] = Array.empty
+
+      override def reduce(b: Array[Float], v: Array[Float]): Array[Float] =
+        if (v == null) b
+        else if (b.isEmpty) v.clone()
+        else {
+          var i = 0
+          while (i < b.length && i < v.length) { b(i) = f(b(i), v(i)); i += 1 }
+          b
+        }
+
+      override def merge(a: Array[Float], b: Array[Float]): Array[Float] =
+        reduce(a, b)
+
+      override def finish(b: Array[Float]): Array[Float] = b
+
+      override def bufferEncoder: Encoder[Array[Float]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
+      override def outputEncoder: Encoder[Array[Float]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
+    }
+
+  /** Per-dimension minimum across vectors (exact, order-independent). */
+  val vectorMin: Aggregator[Array[Float], Array[Float], Array[Float]] =
+    elementwiseFold(math.min)
+
+  /** Per-dimension maximum across vectors (exact, order-independent). */
+  val vectorMax: Aggregator[Array[Float], Array[Float], Array[Float]] =
+    elementwiseFold(math.max)
 }

@@ -108,6 +108,45 @@ object VectorQueries {
         .orderBy(col("bucket"))
     },
 
+    // SQ8 scalar quantization — the compression rung below PQ (4x vs 32x):
+    // per-dimension affine int8 codes against corpus min/max bounds,
+    // symmetric approximate-L2 ADC (the code delta dequantizes by the
+    // dimension's step, so dist ~= true L2 up to int8 rounding). Squared
+    // terms floor-quantize at 1e12 and accumulate as exact longs inside
+    // the fold — no float aggregation. The Spark side trains bounds with
+    // the constant-size elementwise Aggregators (one buffer per
+    // partition, never n x d rows); min/max are exact, so the oracle's
+    // exploded recomputation agrees bit-for-bit.
+    QueryDef(
+      "q_ann_sq8",
+      "SQ8 int8-quantized ANN: per-dim min/max bounds, dequantized-L2 top-10",
+      s"""WITH dims AS ($dimsSql),
+          bounds AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY d),
+          codes AS (
+            SELECT vec_id, dims.d AS d,
+                   CASE WHEN mx = mn THEN 0
+                        ELSE CAST(FLOOR(((x - mn) * 255.0e0) / (mx - mn) + 0.5) AS BIGINT)
+                   END AS c
+            FROM dims JOIN bounds USING (d)),
+          steps AS (SELECT d, (mx - mn) / 255.0e0 AS step FROM bounds),
+          dots AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+                   CAST(SUM(CAST(FLOOR(
+                     ((q.c - c.c) * step) * ((q.c - c.c) * step) * 1000000000000.0 + 0.5
+                   ) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dist
+            FROM codes q JOIN codes c ON q.d = c.d AND q.vec_id <> c.vec_id
+                 JOIN steps ON steps.d = q.d
+            WHERE q.vec_id < 5
+            GROUP BY 1, 2)
+          SELECT qid, cid, dist, rank FROM (
+            SELECT qid, cid, dist,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cid) AS INT) AS rank
+            FROM dots) WHERE rank <= 10 ORDER BY qid, rank""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // IVF scale path: coarse-quantizer cells (hash-rank seed centroids),
     // queries probe the 2 nearest cells, exact quantized-L2 ranking
     // within probed cells.

@@ -250,4 +250,51 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(b(1L) == b(2L))
   }
+
+  test("sq8Bounds are exact elementwise min/max; constant dims encode to 0") {
+    val df = Seq(
+      (1L, Array(0.0f, 5.0f, 7.0f)),
+      (2L, Array(2.0f, -3.0f, 7.0f)),
+      (3L, Array(1.0f, 1.0f, 7.0f))).toDF("vec_id", "embedding")
+    val (mins, maxs) = Similarity.sq8Bounds(df, "embedding")
+      .as[(Array[Float], Array[Float])].head()
+    assert(mins.toSeq == Seq(0.0f, -3.0f, 7.0f))
+    assert(maxs.toSeq == Seq(2.0f, 5.0f, 7.0f))
+    val codes = df.crossJoin(Similarity.sq8Bounds(df, "embedding"))
+      .select(col("vec_id"),
+        Similarity.sq8Code(col("embedding"), col("mins"), col("maxs")).as("c"))
+      .as[(Long, Array[Long])].collect().map(r => r._1 -> r._2.toSeq).toMap
+    // endpoints hit 0/255 exactly; the constant dim collapses to 0
+    assert(codes(1L) == Seq(0L, 255L, 0L))
+    assert(codes(2L) == Seq(255L, 0L, 0L))
+    assert(codes.values.forall(_.forall(c => c >= 0 && c <= 255)))
+  }
+
+  test("SQ8 top-10 recall vs exact L2 top-10 is high on the fixture corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    // exact L2 reference (SQ8 approximates L2, not cosine — unnormalized
+    // vectors make those two metrics rank differently)
+    val exact = broadcast(q.select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cv")),
+        col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => {
+          val d = a.cast("double") - b.cast("double"); d * d
+        }), lit(0.0), (s, x) => s + x).as("l2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("l2"), col("cid"))))
+      .filter(col("rank") <= 10)
+      .select(col("qid").cast("long"), col("cid").cast("long"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sq8 = Similarity.sq8TopK(emb, q, "vec_id", "embedding", k = 10)
+      .select(col("qid").cast("long"), col("cid").cast("long"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(sq8.keySet == exact.keySet)
+    val recall = exact.map { case (qid, cids) => (sq8(qid) & cids).size.toDouble / cids.size }
+    val mean = recall.sum / recall.size
+    assert(mean >= 0.9, s"mean SQ8 recall $mean too low (per-query: $recall)")
+  }
 }
