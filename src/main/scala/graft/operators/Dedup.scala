@@ -395,6 +395,52 @@ object Dedup {
     labels
   }
 
+  /** PageRank over a symmetric pair graph (e.g. near-dup pairs): the
+    * centrality of a document in the similarity graph — high-rank nodes
+    * are cluster hubs (template families, boilerplate spines), a useful
+    * prioritization signal for scrubbing and for canonical selection.
+    *
+    * FIXED iteration count (not convergence-tested): the rank vector is
+    * then a pure function of the graph, reproducible on any engine — the
+    * oracle unrolls the same `iters` rounds. Per-round arithmetic follows
+    * the Fns determinism contract: each contribution pr(u)/deg(u) is one
+    * IEEE division, the per-target sum is floor-quantized at 1e12 and
+    * accumulated as exact longs (order-independent), and the damping
+    * update is two more single IEEE ops.
+    *
+    * Scale shape: the pair slice pins once; each round is one shuffle of
+    * (dst, quantized contribution) partials — map-side combined — plus a
+    * broadcast of the one-row node count; rounds pin so lineage stays
+    * flat. Returns (doc_id, pr) for every node in `pairs`. */
+  def pageRank(pairs: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    import graft.functions.Fns
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+      .transform(graft.core.Materialize.pin)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // symmetric graph: every node appears as src, deg >= 1 (no dangling
+    // mass), and in-neighbors = out-neighbors
+    val deg = edges.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("deg"))
+      .transform(graft.core.Materialize.pin)
+    val nf = deg.agg(count(lit(1)).as("n"))
+    var pr = deg.crossJoin(broadcast(nf))
+      .select(col("doc_id"), (lit(1.0) / col("n")).as("pr"))
+      .transform(graft.core.Materialize.pin)
+    (1 to iters).foreach { _ =>
+      val contribs = pr.join(deg, Seq("doc_id"))
+        .select(col("doc_id").as("src"), (col("pr") / col("deg")).as("c"))
+      pr = edges.join(contribs, Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(Fns.dsum(col("c"), 1e12).as("s"))
+        .crossJoin(broadcast(nf))
+        .select(col("doc_id"),
+          ((lit(1.0 - damping) / col("n")) + lit(damping) * col("s")).as("pr"))
+        .transform(graft.core.Materialize.pin)
+    }
+    pr
+  }
+
   /** LSH band table (doc_id, band) from a signature table — the persisted
     * index shape for INCREMENTAL dedup: sign each ingest batch once, store
     * its bands, and every later batch probes the stored bands instead of

@@ -90,6 +90,30 @@ object RelationalQueries {
 
     // TPC-H Q5 shape: snowflake join through two dims, per-region-year revenue.
     QueryDef(
+      "q_salted_join",
+      "skew-salted fact⋈fact join (lineitem⋈orders), revenue by order priority — result identical to the plain join",
+      """SELECT o_orderpriority,
+                CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS revenue,
+                CAST(COUNT(*) AS BIGINT) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+      // The salt spreads any hot orderkey over 8 reducers (deterministic
+      // pmod(hash(linenumber-id))); the right side replicates x8. Same
+      // result set as the plain join — the oracle IS the plain join, so
+      // the correctness row proves salting is result-invariant. The
+      // static-salt tool matters when skew is known up front or the join
+      // isn't AQE-eligible (streaming, or under a required distribution).
+      val li = t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "orderkey")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+      graft.operators.Relational.saltedJoin(li, o, "orderkey", "l_linenumber", saltFactor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    QueryDef(
       "q_region_revenue",
       "snowflake join lineitem⋈orders⋈customer⋈nation⋈region, groupBy region+year",
       """SELECT r_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,

@@ -30,6 +30,37 @@ object TextQueries {
     "k e", "ke y",
     "e r")
 
+  /** Shared oracle CTE chain recomputing Dedup.lshNearDups(k=9,
+    * numHashes=8, bandSize=2, threshold=0.5, dfCap=20) from scratch:
+    * shingles -> rare-gram md5 minhash signatures -> 4 two-hash bands ->
+    * candidate pairs -> exact-Jaccard-verified `pairs(doc_a, doc_b)`.
+    * Used by every query that consumes the near-dup pair graph
+    * (q_keep_best, q_pagerank). */
+  private lazy val lshPairsCtes: String =
+    s"""s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+          ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          rare AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 20),
+          rex AS (SELECT doc_id, md5(ex.g) AS h1, md5('x:' || ex.g) AS h2
+                  FROM ex JOIN rare USING (g)),
+          sig AS (
+            SELECT doc_id,
+                   ${(0 until 8).map { h =>
+                     val src = if (h < 4) "h1" else "h2"
+                     s"MIN(substr($src, ${(h % 4) * 8 + 1}, 8)) AS sig_$h"
+                   }.mkString(", ")}
+            FROM rex GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, unnest([${(0 until 4).map(b => s"'$b' || ':' || sig_${2 * b} || ':' || sig_${2 * b + 1}").mkString(", ")}]) AS band
+            FROM sig),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+          pairs AS (
+            SELECT doc_a, doc_b
+            FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
+            WHERE len(list_intersect(sa.sh, sb.sh))
+                    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5)"""
+
   /** DuckDB rendering of BpeEncodeExpr over a word column `w`: spaced
     * symbols, then every merge rule as a replace applied to fixpoint. */
   private def bpeEncodeSql: String =
@@ -748,29 +779,7 @@ object TextQueries {
     QueryDef(
       "q_keep_best",
       "near-dup clusters keep the best member by n_chars (canonical selection); oracle recomputes components via recursive closure",
-      s"""WITH RECURSIVE s AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
-          ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
-          rare AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 20),
-          rex AS (SELECT doc_id, md5(ex.g) AS h1, md5('x:' || ex.g) AS h2
-                  FROM ex JOIN rare USING (g)),
-          sig AS (
-            SELECT doc_id,
-                   ${(0 until 8).map { h =>
-                     val src = if (h < 4) "h1" else "h2"
-                     s"MIN(substr($src, ${(h % 4) * 8 + 1}, 8)) AS sig_$h"
-                   }.mkString(", ")}
-            FROM rex GROUP BY doc_id),
-          bands AS (
-            SELECT doc_id, unnest([${(0 until 4).map(b => s"'$b' || ':' || sig_${2 * b} || ':' || sig_${2 * b + 1}").mkString(", ")}]) AS band
-            FROM sig),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
-          pairs AS (
-            SELECT doc_a, doc_b
-            FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
-            WHERE len(list_intersect(sa.sh, sb.sh))
-                    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5),
+      s"""WITH RECURSIVE $lshPairsCtes,
           edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                     UNION SELECT doc_b, doc_a FROM pairs),
           reach AS (
@@ -794,6 +803,36 @@ object TextQueries {
         k = 9, numHashes = 8, bandSize = 2, threshold = 0.5, dfCap = 20)
       Dedup.keepBestPerCluster(docs, pairs, "doc_id", col("n_chars"))
         .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PageRank over the near-dup similarity graph: hub documents of
+    // template/boilerplate families. Fixed 5 damped iterations (an
+    // engine-portable pure function of the graph — the oracle unrolls the
+    // same rounds); per-round sums follow the Fns quantization contract.
+    QueryDef(
+      "q_pagerank",
+      "5-iteration PageRank (d=0.85) over the MinHash-LSH near-dup pair graph",
+      s"""WITH $lshPairsCtes,
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION ALL SELECT doc_b, doc_a FROM pairs),
+          deg AS (SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+                  FROM edges GROUP BY src),
+          cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+          pr0 AS (SELECT doc_id, 1.0e0 / n AS pr FROM deg CROSS JOIN cnt),
+          ${(1 to 5).map { k =>
+            s"""pr$k AS (
+              SELECT doc_id, (1.0e0 - 0.85e0) / n + 0.85e0 * s AS pr FROM (
+                SELECT e.dst AS doc_id,
+                       CAST(SUM(CAST(FLOOR((p.pr / d.deg) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS s
+                FROM pr${k - 1} p JOIN deg d ON d.doc_id = p.doc_id
+                     JOIN edges e ON e.src = p.doc_id
+                GROUP BY e.dst) CROSS JOIN cnt)"""
+          }.mkString(",\n          ")}
+          SELECT doc_id, pr FROM pr5 ORDER BY doc_id""") { (s, dir) =>
+      val pairs = Dedup.lshNearDups(t(s, dir, "documents"), "doc_id", "text",
+        k = 9, numHashes = 8, bandSize = 2, threshold = 0.5, dfCap = 20)
+      Dedup.pageRank(pairs, iters = 5, damping = 0.85)
         .orderBy(col("doc_id"))
     },
   )

@@ -76,4 +76,23 @@ class ClusterSpec extends SparkSpec {
     assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq)  // ascending dist
     assert(got.head._1 % 2 == 0)  // nearest neighbor is from the same cluster
   }
+
+  test("pageRank: hub of a star outranks leaves; mass is conserved; deterministic") {
+    // star 1-{2,3,4} plus a disjoint pair {8,9}
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val pr = Dedup.pageRank(pairs).orderBy("doc_id").as[(Long, Double)].collect()
+    val byId = pr.toMap
+    assert(byId.keySet == Set(1L, 2L, 3L, 4L, 8L, 9L))
+    assert(Seq(2L, 3L, 4L).forall(l => byId(1L) > byId(l)),
+      s"star hub must outrank its leaves: ${byId.toSeq.sorted}")
+    // leaves are symmetric: identical ranks
+    assert(byId(2L) == byId(3L) && byId(3L) == byId(4L))
+    assert(byId(8L) == byId(9L))
+    // symmetric graph has no dangling mass: ranks stay a distribution
+    // (up to 1e12 quantization slack per round)
+    val total = pr.map(_._2).sum
+    assert(math.abs(total - 1.0) < 1e-6, s"rank mass drifted: $total")
+    val again = Dedup.pageRank(pairs).orderBy("doc_id").as[(Long, Double)].collect()
+    assert(pr.toSeq == again.toSeq)
+  }
 }
