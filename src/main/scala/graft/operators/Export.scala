@@ -134,4 +134,31 @@ object Export {
     docs.join(broadcast(rates), groupCol)
       .withColumn("keep", band < col("rate") * lit(256.0))
   }
+
+  /** SFT chat-template rendering: assemble (prompt, response) into the
+    * trainer's chat format and compute the LOSS-MASK BOUNDARY — the token
+    * index where supervised loss starts (everything through the assistant
+    * marker is context; only response tokens train). All segments join on
+    * single spaces, so under the corpus's whitespace-token convention the
+    * masked prefix is token-ALIGNED: rendered tokens =
+    * [userMark, prompt..., asstMark, response..., endMark] and the mask is
+    * [n_prefix_tokens, n_total_tokens). Returns the input columns plus
+    *   rendered        — "userMark prompt asstMark response endMark"
+    *   n_prefix_tokens — tokens through asstMark inclusive
+    *   n_total_tokens  — tokens of the full rendering
+    *
+    * Map-only: pure string/concat expressions, no shuffle, safe at any
+    * scale; deterministic, so re-exports are byte-identical (the
+    * warehouse contract). */
+  def renderChatTemplate(df: DataFrame, promptCol: String, responseCol: String,
+                         userMark: String = "<|user|>",
+                         asstMark: String = "<|assistant|>",
+                         endMark: String = "<|end|>"): DataFrame = {
+    val prefix = concat_ws(" ", lit(userMark), col(promptCol), lit(asstMark))
+    df.withColumn("rendered",
+        concat_ws(" ", lit(userMark), col(promptCol), lit(asstMark),
+          col(responseCol), lit(endMark)))
+      .withColumn("n_prefix_tokens", whitespaceTokens(prefix))
+      .withColumn("n_total_tokens", whitespaceTokens(col("rendered")))
+  }
 }

@@ -237,6 +237,38 @@ object ExportQueries {
         .orderBy(col("source"))
     },
 
+    // SFT chat-template rendering with loss-mask token boundaries: the
+    // fixture derives (prompt, response) by splitting each document at
+    // token 8; Export.renderChatTemplate joins the segments on single
+    // spaces so the masked prefix is token-aligned under the corpus's
+    // whitespace-token convention (mask = [n_prefix_tokens,
+    // n_total_tokens)). Map-only string assembly — no shuffle.
+    QueryDef(
+      "q_chat_render",
+      "SFT chat-template rendering: '<|user|> p <|assistant|> r <|end|>' + loss-mask token boundary",
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+          pr AS (SELECT doc_id,
+                        array_to_string(l[1:8], ' ') AS prompt,
+                        array_to_string(l[9:len(l)], ' ') AS response
+                 FROM base WHERE len(l) > 8)
+          SELECT doc_id,
+                 '<|user|> ' || prompt || ' <|assistant|> ' || response || ' <|end|>' AS rendered,
+                 CAST(len(string_split('<|user|> ' || prompt || ' <|assistant|>', ' ')) AS BIGINT) AS n_prefix_tokens,
+                 CAST(len(string_split('<|user|> ' || prompt || ' <|assistant|> ' || response || ' <|end|>', ' ')) AS BIGINT) AS n_total_tokens
+          FROM pr ORDER BY doc_id""") { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("l"))
+        .filter(size(col("l")) > 8)
+        .select(col("doc_id"),
+          array_join(slice(col("l"), 1, 8), " ").as("prompt"),
+          array_join(slice(col("l"), lit(9), size(col("l")) - 8), " ").as("response"))
+      graft.operators.Export.renderChatTemplate(base, "prompt", "response")
+        .select(col("doc_id"), col("rendered"),
+          col("n_prefix_tokens"), col("n_total_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // Within-source curriculum quartiles: ntile(4) over the total order
     // (n_chars, doc_id) inside each source. Partitioning by source keeps
     // the window parallel across domains — the global-curriculum variant

@@ -184,4 +184,24 @@ class ExportSpec extends SparkSpec {
       .filter(col("grp") === "A" && col("keep")).select("doc_id").as[Long].collect().toSet
     assert(again == aKept)
   }
+
+  test("renderChatTemplate: loss mask is token-aligned with the rendering") {
+    val rows = Seq(
+      (1L, "what is spark", "a distributed engine"),
+      (2L, "hi", "hello there")).toDF("doc_id", "prompt", "response")
+    val got = Export.renderChatTemplate(rows, "prompt", "response")
+      .select("doc_id", "rendered", "n_prefix_tokens", "n_total_tokens")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val (_, rendered, nPrefix, nTotal) = got(1L)
+    assert(rendered ==
+      "<|user|> what is spark <|assistant|> a distributed engine <|end|>")
+    val toks = rendered.split(" ")
+    assert(nTotal == toks.length)
+    // the masked prefix ends exactly at the assistant marker; loss tokens
+    // are the response plus the end marker
+    assert(toks(nPrefix.toInt - 1) == "<|assistant|>")
+    assert(toks.slice(nPrefix.toInt, nTotal.toInt).toSeq ==
+      Seq("a", "distributed", "engine", "<|end|>"))
+    assert(got(2L)._3 == 3L && got(2L)._4 == 6L)
+  }
 }
