@@ -323,6 +323,35 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-group word-n-gram diversity: (n_grams, n_distinct, type-token
+    * ratio) — the corpus-health metric that catches template farms and
+    * synthetic loops (a source whose TTR collapses is repeating itself).
+    *
+    * Scale shape: grams build in-row (transform over the token array —
+    * no self-joins), then hash to 8 bytes before the distinct, so both
+    * shuffles carry (group, long) rows, never gram text. A hash collision
+    * merges two grams with probability ~grams^2/2^64 (oracle-checked, the
+    * standard hashed-dedup argument). The ratio is one BIGINT/BIGINT IEEE
+    * division — engine-portable. Docs shorter than n tokens contribute
+    * nothing (guarded BEFORE sequence(): Spark's sequence(1, 0) is the
+    * descending [1,0], not empty). */
+  def ngramDiversity(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+                     textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1)
+    val l = split(col(textCol), " ")
+    val gram = transform(sequence(lit(1), size(l) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(l, i + j)): _*))
+    val grams = graft.core.Tables.ensureParallelism(docs)
+      .filter(size(l) >= n)
+      .select(col(groupCol), explode(gram).as("g"))
+      .select(col(groupCol), xxhash64(col("g")).as("h"))
+    val total = grams.groupBy(groupCol).agg(count(lit(1)).as("n_grams"))
+    val dist = grams.distinct().groupBy(groupCol).agg(count(lit(1)).as("n_distinct"))
+    total.join(dist, Seq(groupCol))
+      .select(col(groupCol), col("n_grams"), col("n_distinct"),
+        (col("n_distinct") / col("n_grams")).as("ttr"))
+  }
+
   /** The md5 two-hex-char feature bucket (0..255) used by the hashed
     * bag-of-words classifier — engine-portable (oracles decode the same
     * two chars), same construction as Store.shardId. */

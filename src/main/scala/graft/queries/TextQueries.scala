@@ -806,6 +806,64 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Word-3-gram diversity per source (type-token ratio): the corpus
+    // self-repetition signal — template farms collapse a source's TTR.
+    // Spark shuffles only (source, 8-byte gram hash); the oracle counts
+    // distinct gram STRINGS, so the hash-match also certifies
+    // collision-freedom at test scale.
+    QueryDef(
+      "q_ngram_diversity",
+      "per-source word-3-gram diversity: total grams, distinct grams, type-token ratio",
+      """WITH base AS (SELECT source, string_split(text, ' ') AS l FROM documents),
+          g AS (SELECT source,
+                       unnest(list_transform(range(1, len(l) - 1),
+                         i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS g
+                FROM base WHERE len(l) >= 3)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+                 CAST(COUNT(DISTINCT g) AS BIGINT) / CAST(COUNT(*) AS BIGINT) AS ttr
+          FROM g GROUP BY source ORDER BY source""") { (s, dir) =>
+      TextAnalysis.ngramDiversity(t(s, dir, "documents"), "source", "text", n = 3)
+        .orderBy(col("source"))
+    },
+
+    // Count-min sketch (Cormode-Muthukrishnan '05): 4x64 additive cells,
+    // md5-band hashes — the oracle rebuilds the IDENTICAL sketch, so the
+    // estimates hash-check, and CMS's est >= true guarantee is visible in
+    // the output (zz_absent reads pure collision mass). The sketch is
+    // constant-size and mergeable: the 100 TB shape is per-shard sketches
+    // summed cell-wise, frequency answers without re-touching the corpus.
+    QueryDef(
+      "q_cms_freq",
+      "count-min sketch (depth 4, width 64) point estimates vs true counts for 5 probe tokens",
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+          rows4(j) AS (VALUES (0), (1), (2), (3)),
+          cells AS (SELECT j, ${duckBand256("CAST(j AS VARCHAR) || ':' || t")} % 64 AS bucket
+                    FROM tok CROSS JOIN rows4),
+          sketch AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+                     FROM cells GROUP BY j, bucket),
+          probes(t) AS (VALUES ('join'), ('hash'), ('vector'), ('window'), ('zz_absent')),
+          pcells AS (SELECT t, j, ${duckBand256("CAST(j AS VARCHAR) || ':' || t")} % 64 AS bucket
+                     FROM probes CROSS JOIN rows4),
+          est AS (SELECT t, MIN(COALESCE(cnt, CAST(0 AS BIGINT))) AS est_cnt
+                  FROM pcells LEFT JOIN sketch USING (j, bucket) GROUP BY t),
+          tru AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM tok GROUP BY t)
+          SELECT t AS token, COALESCE(true_cnt, CAST(0 AS BIGINT)) AS true_cnt, est_cnt
+          FROM est LEFT JOIN tru USING (t) ORDER BY token""") { (s, dir) =>
+      import s.implicits._
+      val probeList = Seq("join", "hash", "vector", "window", "zz_absent")
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+      val sketch = graft.operators.Sketches.cmsSketch(toks, "t", depth = 4, width = 64)
+      val probes = probeList.toDF("t")
+      val est = graft.operators.Sketches.cmsEstimate(sketch, probes, "t", depth = 4, width = 64)
+      val tru = toks.groupBy(col("t")).agg(count(lit(1)).as("true_cnt"))
+      est.join(tru, Seq("t"), "left_outer")
+        .select(col("t").as("token"),
+          coalesce(col("true_cnt"), lit(0L)).as("true_cnt"), col("est_cnt"))
+        .orderBy(col("token"))
+    },
+
     // PageRank over the near-dup similarity graph: hub documents of
     // template/boilerplate families. Fixed 5 damped iterations (an
     // engine-portable pure function of the graph — the oracle unrolls the
