@@ -225,4 +225,39 @@ object CorpusStreams {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming count-min sketch maintenance: each micro-batch appends its
+    * own (j, bucket, cnt) partial cells as ITS epoch partition; the live
+    * sketch is the cell-wise sum over epochs (readCmsSketch). CMS cells
+    * are additive, so per-epoch partials ARE the merge — commit I/O per
+    * batch is the constant sketch size (depth x width rows), prior epochs
+    * never rewrite, and epoch compaction folds history behind the
+    * fencepost exactly like the other ingest tables.
+    *
+    * Replay safety: cells are a pure deterministic function of the batch
+    * alone (no read-modify-write), so a replayed batch re-appends ITS OWN
+    * epoch idempotently — at-least-once delivery, exactly-once cells,
+    * with no replay guard needed. */
+  def cmsSketchSink(incoming: DataFrame, textCol: String, sketchPath: String,
+                    checkpointDir: String, depth: Int, width: Int): StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val toks = batch.select(explode(split(col(textCol), " ")).as("t"))
+        EtlCli.appendEpoch(
+          graft.operators.Sketches.cmsSketch(toks, "t", depth, width),
+          sketchPath, batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The live sketch: cell-wise sum of every committed epoch's partials
+    * (same result as one batch-mode sketch over everything ingested). */
+  def readCmsSketch(spark: org.apache.spark.sql.SparkSession,
+                    sketchPath: String): DataFrame =
+    EtlCli.readEpochTable(spark, sketchPath)
+      .groupBy(col("j"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
 }

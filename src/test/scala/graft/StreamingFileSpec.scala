@@ -48,6 +48,52 @@ class StreamingFileSpec extends SparkSpec {
     assert(joined.filter(col("n") =!= col("n_batch")).count() == 0)
   }
 
+  test("cmsSketchSink: streamed epoch partials sum to the batch-mode sketch; replay adds nothing") {
+    import graft.streaming.CorpusStreams
+    import spark.implicits._
+    val b1 = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
+    val b2 = Seq((3L, "alpha delta delta"), (4L, "gamma"))
+    val root = java.nio.file.Files.createTempDirectory("cms_stream")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectory(in)
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, in.resolve(name + ".parquet"))
+    }
+    stage("b1", b1); stage("b2", b2)
+    val schema = spark.read.parquet(in.resolve("b1.parquet").toString).schema
+    val sketchPath = root.resolve("sketch").toString
+
+    def runStream(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+      val q = CorpusStreams.cmsSketchSink(stream, "text", sketchPath,
+        root.resolve("chk").toString, depth = 4, width = 64)
+      q.awaitTermination(120000)
+    }
+    runStream()
+    assert(graft.tools.EtlCli.committedEpochs(spark, sketchPath).size == 2)
+
+    def cells(df: org.apache.spark.sql.DataFrame): Set[(Int, Long, Long)] =
+      df.select(col("j").cast("int"), col("bucket").cast("long"), col("cnt").cast("long"))
+        .as[(Int, Long, Long)].collect().toSet
+    val live = cells(CorpusStreams.readCmsSketch(spark, sketchPath))
+    val batchMode = cells(graft.operators.Sketches.cmsSketch(
+      (b1 ++ b2).toDF("doc_id", "text")
+        .select(explode(split(col("text"), " ")).as("t")), "t", depth = 4, width = 64))
+    assert(live == batchMode, "streamed sketch diverges from batch-mode sketch")
+
+    // replay with the same checkpoint and no new files: zero new commits
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f.getPath)
+    val before = walk(new java.io.File(sketchPath)).sorted
+    runStream()
+    assert(walk(new java.io.File(sketchPath)).sorted == before)
+  }
+
   test("incrementalDedupSink: micro-batches probe + extend the band index; pairs equal the batch-mode run") {
     import graft.streaming.CorpusStreams
     import spark.implicits._
