@@ -857,7 +857,11 @@ object TextQueries {
       val sketch = graft.operators.Sketches.cmsSketch(toks, "t", depth = 4, width = 64)
       val probes = probeList.toDF("t")
       val est = graft.operators.Sketches.cmsEstimate(sketch, probes, "t", depth = 4, width = 64)
-      val tru = toks.groupBy(col("t")).agg(count(lit(1)).as("true_cnt"))
+      // true counts only for the probes: the broadcast semi-join filters
+      // BEFORE the count shuffle, so corpus token strings never shuffle
+      // (the oracle counts every token then joins — same values)
+      val tru = toks.join(broadcast(probes), Seq("t"), "left_semi")
+        .groupBy(col("t")).agg(count(lit(1)).as("true_cnt"))
       est.join(tru, Seq("t"), "left_outer")
         .select(col("t").as("token"),
           coalesce(col("true_cnt"), lit(0L)).as("true_cnt"), col("est_cnt"))

@@ -212,4 +212,41 @@ class PlanSpec extends SparkSpec {
     val textShuffles = "Exchange hashpartitioning\\([^)]*text".r.findAllIn(p).size
     assert(textShuffles == 0, s"document text crossed a shuffle:\n$p")
   }
+
+  test("BM25: term filter precedes the tf shuffle; df/stats broadcast; global top-k bounded") {
+    val p = plan("q_bm25")
+    // O(hits) aggregation: the IN(query terms) filter must sit under the
+    // first exchange, so only matching tokens shuffle
+    val firstExchange = p.indexOf("Exchange hashpartitioning")
+    val termFilter = p.indexOf("vector")
+    assert(firstExchange > 0 && termFilter > firstExchange,
+      s"query-term filter should apply before the tf shuffle:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"df/corpus stats should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must not materialize a full sort:\n$p")
+  }
+
+  test("CMS sketch: corpus tokens aggregate into constant-width cells, strings never shuffle") {
+    val p = plan("q_cms_freq")
+    // the corpus-side shuffle carries (j, bucket) cells with a partial
+    // count below it — the sketch is built map-side
+    assert("partial_count".r.findAllIn(p).nonEmpty &&
+      "Exchange hashpartitioning\\(j#\\d+, bucket#".r.findAllIn(p).nonEmpty,
+      s"expected partial-agg'd (j, bucket) cell shuffle:\n$p")
+    // true counts are probe-restricted via a broadcast semi-join, so the
+    // only token-keyed exchanges carry probe-bounded rows
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"probe filter should ride a broadcast:\n$p")
+  }
+
+  test("SQ8: bounds ride one broadcast row; raw vectors never shuffle") {
+    val p = plan("q_ann_sq8")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"bounds row should broadcast:\n$p")
+    // encode is map-only; the only wide op keys on the query id, carrying
+    // codes — no exchange may carry the raw embedding column
+    val vecShuffles = "Exchange hashpartitioning\\([^)]*embedding".r.findAllIn(p).size
+    assert(vecShuffles == 0, s"raw vectors crossed a shuffle:\n$p")
+  }
 }
