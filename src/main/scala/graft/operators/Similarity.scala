@@ -147,6 +147,35 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** Two-stage retrieval (retrieve → rerank), the production search
+    * shape: a cheap sign-LSH bucket SHORTLIST prunes the corpus, then the
+    * exact quantized-cosine scorer reranks only the shortlist. Queries
+    * broadcast with their bucket; the corpus side is a map-only bucket
+    * projection, so the only join keys on (bucket, ≠self) and exact
+    * scoring touches |same-bucket| rows instead of the corpus. Recall
+    * trades against shortlist size via nBits (fewer bits → bigger
+    * buckets → higher recall, more rerank work) — same knob family as
+    * IVF's nProbe. Returns (qid, cid, cosine, rank) with rank <= k over
+    * the SHORTLIST (a bucket with fewer than k members returns fewer). */
+  def lshRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, nBits: Int, k: Int): DataFrame = {
+    def withBucket(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as), dvec(col(vecCol)).as(s"${as}_v"))
+        .select(col(as), col(s"${as}_v"),
+          pcol(graft.plans.SignLshBucketExpr(pexpr(col(s"${as}_v")), nBits)).as("bucket"))
+    val c = withBucket(graft.core.Tables.ensureParallelism(corpus), "cid")
+    val q = withBucket(queries, "qid")
+    val scored = broadcast(q).join(c,
+        col("qid") =!= col("cid") && q("bucket") === c("bucket"))
+      .select(col("qid"), col("cid"),
+        (qdot(col("qid_v"), col("cid_v")) /
+          (qnorm(col("qid_v")) * qnorm(col("cid_v")))).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("cosine"), col("rank").cast(IntegerType).as("rank"))
+  }
+
   /** IVF (inverted-file) ANN — the second scale path alongside sign-LSH:
     * a coarse quantizer of `nCells` cells (deterministic hash-rank seed
     * centroids — see coarseSeeds; optional quantized-mean refinement

@@ -38,6 +38,21 @@ object VectorQueries {
     sys.env.getOrElse("GRAFT_ANN_ARTIFACT_DIR",
       s"/tmp/graft_ann_run_${ProcessHandle.current().pid()}")
 
+  /** DuckDB recomputation of the 8-bit sign-LSH bucket per vector
+    * (assumes a `dims` CTE in scope) — shared by q_ann_lsh_buckets and
+    * the rerank composition. */
+  private val lshBucketsCtes: String =
+    s"""proj AS (
+            SELECT vec_id,
+                   ${(0 until 8).map { h =>
+                     s"CAST(SUM(CAST(FLOOR((x * (CASE WHEN substr(md5('$h:' || CAST(d AS VARCHAR)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS p_$h"
+                   }.mkString(", ")}
+            FROM dims GROUP BY vec_id),
+          buckets AS (
+            SELECT vec_id,
+                   CAST(${(0 until 8).map(h => s"CASE WHEN p_$h > 0 THEN ${1L << h} ELSE 0 END").mkString(" + ")} AS BIGINT) AS bucket
+            FROM proj)"""
+
   /** DuckDB rendering of Similarity.coarseSeeds' hash-rank seed id set:
     * the n ids ranked first by (md5(id), id) — matches Spark's md5 of the
     * decimal string byte-for-byte. */
@@ -89,16 +104,7 @@ object VectorQueries {
       "q_ann_lsh_buckets",
       "8-bit sign-LSH bucket assignment: bucket histogram (deterministic hyperplanes)",
       s"""WITH dims AS ($dimsSql),
-          proj AS (
-            SELECT vec_id,
-                   ${(0 until 8).map { h =>
-                     s"CAST(SUM(CAST(FLOOR((x * (CASE WHEN substr(md5('$h:' || CAST(d AS VARCHAR)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS p_$h"
-                   }.mkString(", ")}
-            FROM dims GROUP BY vec_id),
-          buckets AS (
-            SELECT vec_id,
-                   CAST(${(0 until 8).map(h => s"CASE WHEN p_$h > 0 THEN ${1L << h} ELSE 0 END").mkString(" + ")} AS BIGINT) AS bucket
-            FROM proj)
+          $lshBucketsCtes
           SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,
                  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
           FROM buckets GROUP BY bucket ORDER BY bucket""") { (s, dir) =>
@@ -106,6 +112,41 @@ object VectorQueries {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec"), max("vec_id").as("max_vec"))
         .orderBy(col("bucket"))
+    },
+
+    // Two-stage retrieval (retrieve -> rerank), the production search
+    // shape: sign-LSH bucket shortlist prunes the corpus map-side, exact
+    // quantized cosine reranks only the shortlist. Top-5 within each
+    // query's bucket; recall-vs-work trades via nBits like IVF's nProbe.
+    QueryDef(
+      "q_rerank",
+      "two-stage retrieval: 8-bit sign-LSH shortlist + exact quantized-cosine rerank, top-5",
+      s"""WITH dims AS ($dimsSql),
+          $lshBucketsCtes,
+          nrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x * x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0) AS nrm
+                  FROM dims GROUP BY vec_id),
+          cand AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid
+            FROM buckets q JOIN buckets c
+                 ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5),
+          dots AS (
+            SELECT cand.qid AS qid, cand.cid AS cid,
+                   CAST(SUM(CAST(FLOOR((q.x * c.x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dot
+            FROM cand JOIN dims q ON q.vec_id = cand.qid
+                      JOIN dims c ON c.vec_id = cand.cid AND c.d = q.d
+            GROUP BY 1, 2),
+          scored AS (
+            SELECT qid, cid, dot / (qn.nrm * cn.nrm) AS cosine
+            FROM dots JOIN nrm qn ON qn.vec_id = qid JOIN nrm cn ON cn.vec_id = cid)
+          SELECT qid, cid, cosine, rank FROM (
+            SELECT qid, cid, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS INT) AS rank
+            FROM scored) WHERE rank <= 5 ORDER BY qid, rank""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshRerankTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", nBits = 8, k = 5)
+        .orderBy(col("qid"), col("rank"))
     },
 
     // SQ8 scalar quantization — the compression rung below PQ (4x vs 32x):

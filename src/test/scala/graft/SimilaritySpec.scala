@@ -251,6 +251,30 @@ class SimilaritySpec extends SparkSpec {
     assert(b(1L) == b(2L))
   }
 
+  test("lshRerankTopK: shortlist is bucket-pruned; cosines agree with brute force") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val buckets = Similarity.signLshBuckets(emb, "vec_id", "embedding", nBits = 8)
+      .as[(Long, Long)].collect().toMap
+    val rr = Similarity.lshRerankTopK(emb, q, "vec_id", "embedding", nBits = 8, k = 5)
+      .select(col("qid").cast("long"), col("cid").cast("long"), col("cosine"))
+      .as[(Long, Long, Double)].collect()
+    assert(rr.nonEmpty)
+    // every reranked candidate shares its query's bucket
+    rr.foreach { case (qid, cid, _) =>
+      assert(buckets(qid) == buckets(cid), s"$cid not in $qid's bucket")
+    }
+    // exact scorer: cosines equal the brute-force scorer's on those pairs
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = emb.count().toInt)
+      .select(col("qid").cast("long"), col("cid").cast("long"), col("cosine"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    rr.foreach { case (qid, cid, cos) =>
+      assert(bf((qid, cid)) == cos, s"rerank cosine diverges for ($qid,$cid)")
+    }
+  }
+
   test("sq8Bounds are exact elementwise min/max; constant dims encode to 0") {
     val df = Seq(
       (1L, Array(0.0f, 5.0f, 7.0f)),
