@@ -338,16 +338,22 @@ object TextAnalysis {
   def ngramDiversity(docs: org.apache.spark.sql.DataFrame, groupCol: String,
                      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
     require(n >= 1)
-    val l = split(col(textCol), " ")
-    val gram = transform(sequence(lit(1), size(l) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(l, i + j)): _*))
+    // native zero-copy gram hashing (WordGramPosHashes — the BAG variant,
+    // every occurrence counts): the composed transform/element_at/
+    // concat_ws formulation is interpreted HOF code that re-materializes
+    // every gram string — measured ~7x slower at sf0.1 — and the hash is
+    // all we need downstream anyway
+    import graft.plans.GraftFunctions.word_gram_pos_hashes
     val grams = graft.core.Tables.ensureParallelism(docs)
-      .filter(size(l) >= n)
-      .select(col(groupCol), explode(gram).as("g"))
-      .select(col(groupCol), xxhash64(col("g")).as("h"))
-    val total = grams.groupBy(groupCol).agg(count(lit(1)).as("n_grams"))
-    val dist = grams.distinct().groupBy(groupCol).agg(count(lit(1)).as("n_distinct"))
-    total.join(dist, Seq(groupCol))
+      .select(col(groupCol),
+        explode(word_gram_pos_hashes(col(textCol), n)).as("g"))
+      .select(col(groupCol), col("g.h").as("h"))
+    // one corpus-sized shuffle: per-(group, gram) counts give totals AND
+    // distincts in the same pass (map-side combine collapses repeats
+    // before the exchange); the rollup to groups is gram-vocabulary-sized
+    grams.groupBy(col(groupCol), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(groupCol)
+      .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"))
       .select(col(groupCol), col("n_grams"), col("n_distinct"),
         (col("n_distinct") / col("n_grams")).as("ttr"))
   }

@@ -38,6 +38,16 @@ object DiagKeepBest {
       comps.unpersist()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    (1 to 2).foreach { round =>
+      println(s"--- query-path round $round ---")
+      time("q_keep_best full")(
+        graft.SparkEntry.queries("q_keep_best")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save())
+      time("q_pagerank full")(
+        graft.SparkEntry.queries("q_pagerank")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save())
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     spark.stop()
   }
 }

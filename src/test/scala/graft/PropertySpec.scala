@@ -160,4 +160,47 @@ class PropertySpec extends SparkSpec {
         s"g=$g p90 ${got(g)._2} vs exact $exact90")
     }
   }
+
+  test("CMS law: est >= true for every token of a random corpus; empty tokens read collision mass only") {
+    import graft.operators.Sketches
+    val words = sample(Gen.listOfN(800, Gen.oneOf(
+      (1 to 40).map(i => s"w$i"))))
+    val toks = words.toDF("t")
+    val sketch = Sketches.cmsSketch(toks, "t", depth = 4, width = 64)
+    val truth = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val probes = truth.keys.toSeq.toDF("t")
+    val est = Sketches.cmsEstimate(sketch, probes, "t", depth = 4, width = 64)
+      .as[(String, Long)].collect().toMap
+    truth.foreach { case (tok, n) =>
+      assert(est(tok) >= n, s"CMS under-estimated $tok: ${est(tok)} < $n")
+    }
+    // total cell mass per row is exactly the token count (additivity law)
+    val rowMass = sketch.groupBy("j").agg(sum("cnt").as("m"))
+      .select("m").as[Long].collect()
+    assert(rowMass.forall(_ == words.size))
+  }
+
+  test("SQ8 law: codes stay in [0,255] and decode within one step of the input") {
+    import graft.operators.Similarity
+    val vecs = sample(Gen.listOfN(60,
+      Gen.listOfN(8, Gen.chooseNum(-100.0f, 100.0f)).map(_.toArray)))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = vecs.toDF("vec_id", "embedding")
+    val bounds = Similarity.sq8Bounds(df, "embedding")
+    val rows = df.crossJoin(bounds)
+      .select(col("vec_id"),
+        Similarity.sq8Code(col("embedding"), col("mins"), col("maxs")).as("c"),
+        col("mins"), col("maxs"))
+      .as[(Long, Array[Long], Array[Float], Array[Float])].collect()
+    val byId = vecs.toMap
+    rows.foreach { case (id, codes, mins, maxs) =>
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      codes.zipWithIndex.foreach { case (c, d) =>
+        val step = (maxs(d).toDouble - mins(d)) / 255.0
+        val decoded = mins(d) + c * step
+        assert(math.abs(decoded - byId(id)(d)) <= step / 2 + 1e-9,
+          s"vec $id dim $d: decoded $decoded vs ${byId(id)(d)} (step $step)")
+      }
+    }
+  }
 }
