@@ -10,6 +10,18 @@ object Bench {
       .orElse(sys.env.get("SPARK_GRAFT_MIN_OF").map(_.toInt))
       .getOrElse(2)
     require(minOf >= 1, s"--min-of must be >= 1, got $minOf")
+    // Dev convenience: bench a subset (comma-separated names). The driver
+    // never sets this; the emitted JSON notes the restriction when active.
+    val only = args.sliding(2).collectFirst { case Array("--only", qs) => qs }
+      .orElse(sys.env.get("SPARK_GRAFT_ONLY"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) =>
+        val missing = names -- SparkEntry.queries.keySet
+        require(missing.isEmpty, s"unknown --only queries: ${missing.mkString(",")}")
+        SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -45,13 +57,13 @@ object Bench {
     // measured passes, min per query — C2 compilation keeps running in the
     // background after warmup and single measurements catch multi-second
     // spikes that vanish on the next run.
-    SparkEntry.queries.foreach { case (name, fn) => run(name, fn) }
+    queries.foreach { case (name, fn) => run(name, fn) }
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       run(name, fn)
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       name -> (1 to minOf).map(_ => timed(name, fn)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -408,10 +408,16 @@ object Dedup {
     * accumulated as exact longs (order-independent), and the damping
     * update is two more single IEEE ops.
     *
-    * Scale shape: the pair slice pins once; each round is one shuffle of
-    * (dst, quantized contribution) partials — map-side combined — plus a
-    * broadcast of the one-row node count; rounds pin so lineage stays
-    * flat. Returns (doc_id, pr) for every node in `pairs`. */
+    * Scale shape: the pair slice pins once; degrees pre-join onto the edge
+    * table ONCE (so the rank tuple can carry its own degree and each round
+    * is exactly one join + one aggregation — the naive shape pays a second
+    * rank⋈degree join per round), the per-round sum shuffles (dst,
+    * quantized contribution) partials map-side combined, and the node
+    * count is a one-scan driver scalar over the pinned degree table (a
+    * config-sized count, not a hot-path collect). Rounds pin every THIRD
+    * iteration (never the last — the caller's action materializes it):
+    * lineage stays ≤3 rounds deep at a third of the barrier jobs. Returns
+    * (doc_id, pr) for every node in `pairs`. */
   def pageRank(pairs: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
     import graft.functions.Fns
     val p = pairs.select(col("doc_a"), col("doc_b"))
@@ -423,22 +429,25 @@ object Dedup {
     val deg = edges.groupBy(col("src").as("doc_id"))
       .agg(count(lit(1)).as("deg"))
       .transform(graft.core.Materialize.pin)
-    val nf = deg.agg(count(lit(1)).as("n"))
-    var pr = deg.crossJoin(broadcast(nf))
-      .select(col("doc_id"), (lit(1.0) / col("n")).as("pr"))
+    val n = deg.count()
+    // (1-d)/n and 1/n precompute to the same IEEE doubles the oracle's
+    // per-row `(1.0e0 - 0.85e0) / n` evaluates to — hash-stable.
+    val teleport = (1.0 - damping) / n
+    val edgesWithDeg = edges
+      .join(deg.select(col("doc_id").as("dst"), col("deg").as("dst_deg")), Seq("dst"))
       .transform(graft.core.Materialize.pin)
-    (1 to iters).foreach { _ =>
-      val contribs = pr.join(deg, Seq("doc_id"))
+    var pr = deg.select(col("doc_id"), lit(1.0 / n).as("pr"), col("deg"))
+    (1 to iters).foreach { i =>
+      val contribs = pr
         .select(col("doc_id").as("src"), (col("pr") / col("deg")).as("c"))
-      pr = edges.join(contribs, Seq("src"))
+      pr = edgesWithDeg.join(contribs, Seq("src"))
         .groupBy(col("dst").as("doc_id"))
-        .agg(Fns.dsum(col("c"), 1e12).as("s"))
-        .crossJoin(broadcast(nf))
+        .agg(Fns.dsum(col("c"), 1e12).as("s"), min("dst_deg").as("deg"))
         .select(col("doc_id"),
-          ((lit(1.0 - damping) / col("n")) + lit(damping) * col("s")).as("pr"))
-        .transform(graft.core.Materialize.pin)
+          (lit(teleport) + lit(damping) * col("s")).as("pr"), col("deg"))
+      if (i % 3 == 0 && i != iters) pr = pr.transform(graft.core.Materialize.pin)
     }
-    pr
+    pr.select(col("doc_id"), col("pr"))
   }
 
   /** LSH band table (doc_id, band) from a signature table — the persisted
