@@ -49,4 +49,53 @@ object Sketches {
       .join(broadcast(sketch), Seq("j", "bucket"), "left_outer")
       .groupBy(col(tokCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+
+  // --- HyperLogLog (Flajolet, Fusy, Gandouet, Meunier, AofA '07) ---
+  //
+  // PORTABLE registers at p = 8 (m = 256): bucket = first two md5 hex
+  // chars of the value, rho = 1 + leading-zero count of the NEXT 48 md5
+  // bits (so every derived quantity is a pure function of the md5 digest
+  // an external engine recomputes byte-identically — the builtin
+  // approx_count_distinct sketch is opaque, this one is hash-checkable).
+  // Registers merge by MAX: per-partition, per-shard, per-day register
+  // tables union freely, same merge story as the CMS cells above. The
+  // corpus-sized aggregation shuffles at most m rows per group per
+  // partition after map-side combine — values never shuffle.
+
+  /** Register table (groupCols..., j, r): j in [0,256), r = max rho. */
+  def hllRegisters(df: DataFrame, value: Column, groupCols: Seq[String]): DataFrame = {
+    val d = md5(value)
+    val j = conv(substring(d, 1, 2), 16, 10).cast("int")
+    // 48 bits after the bucket byte; rho = 49 - bitlength(v), and 49 for
+    // v = 0 (all 48 bits zero). bin() renders the minimal binary string in
+    // both Spark and DuckDB, so bitlength = length(bin(v)) ports exactly.
+    val v = conv(substring(d, 3, 12), 16, 10).cast("long")
+    val rho = when(v === 0L, lit(49))
+      .otherwise(lit(49) - length(bin(v))).cast("int")
+    df.select(groupCols.map(col) :+ j.as("j") :+ rho.as("rho"): _*)
+      .groupBy(groupCols.map(col) :+ col("j"): _*)
+      .agg(max(col("rho")).as("r"))
+  }
+
+  /** Cardinality estimate from a p=8 register table. The register sum
+    * Σ 2^-r is computed EXACTLY: terms scale to integers 2^(50-r)
+    * (1 <= r <= 49 by construction), absent registers contribute 2^50
+    * each, and the whole denominator stays a BIGINT below 2^59 — the
+    * final alpha·m²/S is then one float division, bit-identical on any
+    * engine that composes the same literals. No small-range linear
+    * counting correction: that needs ln(), a transcendental the
+    * hash-checked contract bans; callers who need it apply
+    * 256·ln(256/(256-n_hit)) driver-side from the n_hit this returns. */
+  def hllEstimate(reg: DataFrame, groupCols: Seq[String]): DataFrame = {
+    // alpha_256 * m^2 * 2^50, composed left-to-right exactly as the
+    // oracle writes it so both engines produce the same double.
+    val k = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))) *
+      lit(65536.0) * lit(1125899906842624.0)
+    reg.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_hit"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 50 - r)")).as("s_hit"))
+      .select(groupCols.map(col) :+ col("n_hit") :+
+        (k / (col("s_hit") +
+          (lit(256L) - col("n_hit")) * lit(1125899906842624L))).as("hll_est"): _*)
+  }
 }

@@ -319,6 +319,55 @@ object ExtendedQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // The PORTABLE sibling of q_approx_distinct: graft's own mergeable
+    // HyperLogLog register table (p=8, md5-derived bucket/rho — see
+    // operators/Sketches.scala) whose ESTIMATES hash-check, because the
+    // oracle rebuilds the identical registers. The builtin sketch above is
+    // opaque (bound-check only); this one is the artifact a 100 TB
+    // pipeline persists per shard/day and max-merges.
+    QueryDef(
+      "q_hll_distinct",
+      "portable mergeable HyperLogLog (p=8) distinct-orderkey estimate per returnflag, register-exact vs oracle",
+      """WITH h AS (SELECT l_returnflag, md5(CAST(l_orderkey AS VARCHAR)) AS d
+                    FROM lineitem),
+          b AS (SELECT l_returnflag,
+                       ((strpos('0123456789abcdef', substr(d, 1, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(d, 2, 1)) - 1)) AS j,
+                       ('0x' || substr(d, 3, 12))::BIGINT AS v
+                FROM h),
+          reg AS (SELECT l_returnflag, j,
+                         MAX(CASE WHEN v = 0 THEN 49
+                             ELSE 49 - length(bin(v)) END) AS r
+                  FROM b GROUP BY l_returnflag, j),
+          agg AS (SELECT l_returnflag,
+                         CAST(COUNT(*) AS BIGINT) AS n_hit,
+                         CAST(SUM(1::BIGINT << (50 - r)) AS BIGINT) AS s_hit
+                  FROM reg GROUP BY l_returnflag),
+          est AS (SELECT l_returnflag, n_hit,
+                         (0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0)) * 65536.0e0
+                           * 1125899906842624.0e0
+                           / (s_hit + (256 - n_hit) * 1125899906842624) AS hll_est
+                  FROM agg),
+          ex AS (SELECT l_returnflag,
+                        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
+                 FROM lineitem GROUP BY l_returnflag)
+          SELECT l_returnflag, exact_orders, n_hit, hll_est,
+                 abs(hll_est - exact_orders) <= exact_orders * 0.2e0 AS within_3rsd
+          FROM est JOIN ex USING (l_returnflag) ORDER BY l_returnflag""") { (s, dir) =>
+      import graft.operators.Sketches
+      val li = t(s, dir, "lineitem")
+      val reg = Sketches.hllRegisters(li, col("l_orderkey").cast("string"),
+        Seq("l_returnflag"))
+      val est = Sketches.hllEstimate(reg, Seq("l_returnflag"))
+      val exact = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_orders"))
+      exact.join(est, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_orders"), col("n_hit"), col("hll_est"),
+          (abs(col("hll_est") - col("exact_orders"))
+            <= col("exact_orders") * lit(0.2)).as("within_3rsd"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // INTERSECT / EXCEPT — §2.7 extension.
     QueryDef(
       "q_setops",

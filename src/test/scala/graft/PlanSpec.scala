@@ -240,6 +240,16 @@ class PlanSpec extends SparkSpec {
       s"probe filter should ride a broadcast:\n$p")
   }
 
+  test("HLL: registers build with a map-side partial max; values never shuffle") {
+    val p = plan("q_hll_distinct")
+    // the corpus-sized aggregation carries (group, j) register keys with a
+    // partial max below the exchange — at most 256 rows per group per
+    // partition cross the wire, never the hashed values
+    assert("partial_max".r.findAllIn(p).nonEmpty &&
+      "Exchange hashpartitioning\\(l_returnflag#\\d+, j#".r.findAllIn(p).nonEmpty,
+      s"expected partial-max'd (group, j) register shuffle:\n$p")
+  }
+
   test("SQ8: bounds ride one broadcast row; raw vectors never shuffle") {
     val p = plan("q_ann_sq8")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),

@@ -180,6 +180,27 @@ class PropertySpec extends SparkSpec {
     assert(rowMass.forall(_ == words.size))
   }
 
+  test("HLL laws: split registers max-merge to the whole-corpus registers; estimate within 3 rsd") {
+    import graft.operators.Sketches
+    // ~3000 distinct keys across two disjoint halves
+    val keys = sample(Gen.listOfN(6000, Gen.chooseNum(1L, 3000L))).map(_.toString)
+    val (h1, h2) = keys.partition(_.hashCode % 2 == 0)
+    val whole = keys.toDF("k").withColumn("g", lit("all"))
+    def regs(xs: Seq[String]) =
+      Sketches.hllRegisters(xs.toDF("k").withColumn("g", lit("all")), col("k"), Seq("g"))
+    // merge = per-register MAX across the two halves' register tables
+    val merged = regs(h1).unionByName(regs(h2))
+      .groupBy("g", "j").agg(max("r").as("r"))
+    val direct = Sketches.hllRegisters(whole, col("k"), Seq("g"))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "max-merged half registers must equal whole-corpus registers")
+    val est = Sketches.hllEstimate(direct, Seq("g"))
+      .select("hll_est").as[Double].head()
+    val exact = keys.distinct.size.toDouble
+    assert(math.abs(est - exact) <= exact * 0.2,
+      s"HLL estimate $est outside 3 rsd of exact $exact")
+  }
+
   test("SQ8 law: codes stay in [0,255] and decode within one step of the input") {
     import graft.operators.Similarity
     val vecs = sample(Gen.listOfN(60,
