@@ -98,4 +98,48 @@ object Sketches {
         (k / (col("s_hit") +
           (lit(256L) - col("n_hit")) * lit(1125899906842624L))).as("hll_est"): _*)
   }
+
+  // --- Bloom filter (Bloom, CACM '70) ---
+  //
+  // The membership-set sketch for the cases where even an 8-byte-per-key
+  // exact set is too big to broadcast (a seen-content-hash set over a
+  // year of ingest; the union of every benchmark's grams): mBits of
+  // filter regardless of cardinality, no false NEGATIVES ever, false
+  // positives at a rate set by mBits/k vs n. Positions are md5-derived
+  // ("i:value", first 48 bits mod mBits), so an external engine rebuilds
+  // the identical filter — even the false positives hash-check. Words
+  // pack 62 bits per BIGINT (shift <= 61 keeps 1<<bit positive on every
+  // engine); filters over disjoint inputs merge by per-word bit_or.
+
+  /** Bit position i (of k) for a value: uniform in [0, mBits). */
+  def bloomPosition(value: Column, i: Int, mBits: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"$i:"), value)), 1, 12), 16, 10)
+      .cast("long"), lit(mBits.toLong))
+
+  /** Build the (word, bits) filter table over a value column: at most
+    * ceil(mBits/62) rows, built by one partial-agg'd shuffle keyed on the
+    * word index — values never shuffle. */
+  def bloomBuild(df: DataFrame, value: Column, mBits: Int, k: Int): DataFrame = {
+    require(mBits % 62 == 0, s"mBits must pack 62-bit words, got $mBits")
+    require(k >= 1 && k <= 16, s"k hash functions must be in [1,16], got $k")
+    df.select(explode(array(
+        (0 until k).map(i => bloomPosition(value, i, mBits)): _*)).as("p"))
+      .select(expr("p DIV 62").as("word"), col("p").mod(lit(62L)).cast("int").as("bit"))
+      .groupBy("word")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
+  }
+
+  /** Probe: keeps `keyCols` and appends bloom_hit (1 = all k bits set —
+    * definite OR false positive; 0 = DEFINITELY absent). The filter
+    * broadcasts; the probe side is explode(k) + broadcast join + one
+    * aggregation keyed on the caller's keys — map-side against the corpus. */
+  def bloomProbe(bloom: DataFrame, probes: DataFrame, value: Column,
+                 keyCols: Seq[String], mBits: Int, k: Int): DataFrame =
+    probes.select(keyCols.map(col) :+ explode(array(
+        (0 until k).map(i => bloomPosition(value, i, mBits)): _*)).as("p"): _*)
+      .select(keyCols.map(col) :+ expr("p DIV 62").as("word") :+
+        col("p").mod(lit(62L)).cast("int").as("bit"): _*)
+      .join(broadcast(bloom), Seq("word"), "left_outer")
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(when(expr("(bits >> bit) & 1") === 1, 1).otherwise(0)).as("bloom_hit"))
 }

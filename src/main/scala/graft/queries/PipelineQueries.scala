@@ -158,6 +158,82 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The BLOOM-FILTER variant of the decontamination probe, for when
+    // even an 8-byte-per-gram exact set is too big to broadcast (a year
+    // of seen-content hashes; the union of every benchmark): mBits of
+    // filter regardless of set cardinality, no false negatives, false
+    // positives at a computable rate. The filter is md5-derived
+    // (Sketches.bloomBuild), so the oracle rebuilds the IDENTICAL bits —
+    // the per-doc bloom counts hash-check false positives included, and
+    // the output exposes them next to the exact counts (n_bloom >=
+    // n_exact always; has_false_positive marks the overshoot).
+    QueryDef(
+      "q_bloom_decontaminate",
+      "bloom-filter benchmark decontamination: per-doc bloom vs exact 4-gram hit counts, filter bits oracle-identical",
+      """WITH g AS (SELECT doc_id, source,
+                           list_distinct(list_transform(
+                             range(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                             i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))) AS gs
+                    FROM documents),
+              eval_g AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE source = 'src0'),
+              epos AS (SELECT ('0x' || substr(md5(i::VARCHAR || ':' || gram), 1, 12))::BIGINT
+                                % 31744 AS p
+                       FROM eval_g CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)),
+              bloom AS (SELECT p // 62 AS word,
+                               bit_or(1::BIGINT << CAST(p % 62 AS INTEGER)) AS bits
+                        FROM epos GROUP BY 1),
+              train AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram
+                        FROM g WHERE source <> 'src0'),
+              ppos AS (SELECT doc_id, n_grams, gram,
+                              ('0x' || substr(md5(i::VARCHAR || ':' || gram), 1, 12))::BIGINT
+                                % 31744 AS p
+                       FROM train CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)),
+              hit AS (SELECT doc_id, n_grams, gram,
+                             MIN(CASE WHEN (bits >> CAST(p % 62 AS INTEGER)) & 1 = 1
+                                 THEN 1 ELSE 0 END) AS bloom_hit
+                      FROM ppos LEFT JOIN bloom ON bloom.word = p // 62
+                      GROUP BY doc_id, n_grams, gram),
+              agg AS (SELECT doc_id, n_grams, SUM(bloom_hit) AS n_bloom
+                      FROM hit GROUP BY doc_id, n_grams),
+              ex AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+                     FROM train JOIN eval_g USING (gram) GROUP BY doc_id)
+         SELECT a.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                CAST(n_bloom AS BIGINT) AS n_bloom,
+                coalesce(n_exact, 0) AS n_exact,
+                CAST(n_bloom AS BIGINT) > coalesce(n_exact, 0) AS has_false_positive
+         FROM agg a LEFT JOIN ex USING (doc_id) ORDER BY a.doc_id""") { (s, dir) =>
+      import graft.operators.Sketches
+      val docs = t(s, dir, "documents")
+      val l = split(col("text"), " ")
+      // 4-gram STRINGS (the bloom hashes md5 of the gram text, so the
+      // oracle's digests match byte-for-byte); short docs get an empty
+      // gram list via the guard — Spark's sequence() would run DESCENDING
+      // on size-3 < 1 rather than empty like DuckDB's range().
+      val grams = when(size(l) >= 4,
+          array_distinct(transform(sequence(lit(1), size(l) - 3),
+            i => concat_ws(" ", element_at(l, i), element_at(l, i + 1),
+              element_at(l, i + 2), element_at(l, i + 3)))))
+        .otherwise(array().cast("array<string>"))
+      val g = docs.select(col("doc_id"), col("source"), grams.as("gs"))
+      val evalG = g.filter(col("source") === "src0")
+        .select(explode(col("gs")).as("gram")).distinct()
+      val bloom = Sketches.bloomBuild(evalG, col("gram"), mBits = 31744, k = 3)
+      val train = g.filter(col("source") =!= "src0")
+        .select(col("doc_id"), size(col("gs")).cast("bigint").as("n_grams"),
+          explode(col("gs")).as("gram"))
+      val perGram = Sketches.bloomProbe(bloom, train, col("gram"),
+        Seq("doc_id", "n_grams", "gram"), mBits = 31744, k = 3)
+      val exact = train.join(broadcast(evalG), Seq("gram"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+      perGram.groupBy(col("doc_id"), col("n_grams"))
+        .agg(sum(col("bloom_hit")).as("n_bloom"))
+        .join(exact, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_grams"), col("n_bloom"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          (col("n_bloom") > coalesce(col("n_exact"), lit(0L))).as("has_false_positive"))
+        .orderBy(col("doc_id"))
+    },
+
     // Per-source quality calibration (the FineWeb/per-dump-threshold
     // shape): instead of one global score cutoff — which lets a
     // high-scoring source crowd out every other — keep the top half of

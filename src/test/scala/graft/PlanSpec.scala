@@ -250,6 +250,17 @@ class PlanSpec extends SparkSpec {
       s"expected partial-max'd (group, j) register shuffle:\n$p")
   }
 
+  test("Bloom probe: the filter broadcasts; the corpus side stays map-side up to the per-doc agg") {
+    val p = plan("q_bloom_decontaminate")
+    assert(p.contains("BroadcastExchange"),
+      s"the word/bits filter table should broadcast:\n$p")
+    // the filter build keys on word indices — constant-size — and the
+    // probe aggregations key on (doc_id, ...); no exchange may partition
+    // on the raw gram position column
+    assert(!"Exchange hashpartitioning\\(p#\\d".r.findAllIn(p).hasNext,
+      s"raw bit positions crossed a shuffle:\n$p")
+  }
+
   test("SQ8: bounds ride one broadcast row; raw vectors never shuffle") {
     val p = plan("q_ann_sq8")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),

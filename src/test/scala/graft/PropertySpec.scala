@@ -201,6 +201,25 @@ class PropertySpec extends SparkSpec {
       s"HLL estimate $est outside 3 rsd of exact $exact")
   }
 
+  test("Bloom laws: no false negatives; split filters bit_or-merge to the whole-set filter") {
+    import graft.operators.Sketches
+    val m = 62 * 16 // small filter => false positives certain, negatives never
+    val members = sample(Gen.listOfN(120, Gen.chooseNum(1L, 60L))).map(v => s"m$v").distinct
+    val (h1, h2) = members.partition(_.hashCode % 2 == 0)
+    def build(xs: Seq[String]) =
+      Sketches.bloomBuild(xs.toDF("v"), col("v"), mBits = m, k = 3)
+    val whole = build(members)
+    val merged = build(h1).unionByName(build(h2))
+      .groupBy("word").agg(expr("bit_or(bits)").as("bits"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "bit_or-merged half filters must equal the whole-set filter")
+    // every member probes positive (no false negatives, ever)
+    val probed = Sketches.bloomProbe(whole, members.toDF("v"), col("v"),
+      Seq("v"), mBits = m, k = 3)
+    assert(probed.filter(col("bloom_hit") =!= 1).isEmpty,
+      "a Bloom filter may never reject a member")
+  }
+
   test("SQ8 law: codes stay in [0,255] and decode within one step of the input") {
     import graft.operators.Similarity
     val vecs = sample(Gen.listOfN(60,
