@@ -110,9 +110,22 @@ object CorpusStreams {
     * (doc_id, reason) log — reason ∈ quality|contaminated|near_dup, first
     * failing stage wins. All three commit as epoch=batchId appends;
     * commit order dropped → index → corpus keeps the corpus commit as the
-    * replay-guard fencepost (same argument as incrementalDedupSink: every
-    * stage is deterministic given committed state, so a replayed batch
-    * re-appends its own epochs idempotently). */
+    * replay-guard fencepost.
+    *
+    * Replay safety differs from incrementalDedupSink, because this sink's
+    * committed corpus is a strict SUBSET of its input (docs drop). The
+    * per-doc anti-join alone is therefore NOT enough: a batch redelivered
+    * AFTER its corpus epoch committed (crash between sink completion and
+    * checkpoint offset commit) would see newDocs = exactly its previously
+    * DROPPED docs, re-drop them all against the now-committed corpus, and
+    * appendEpoch would then replace epoch=batchId with the empty result —
+    * deleting that batch's committed survivors. So the first guard is the
+    * fencepost itself: if corpus epoch=batchId is already committed, the
+    * whole batch is a no-op. The anti-join remains as the second guard for
+    * the partial-commit window (crash between dropped/index and corpus):
+    * there the corpus epoch is absent, the batch recomputes
+    * deterministically from unchanged committed state, and re-appends its
+    * own epochs idempotently. */
   def curatedIngestSink(incoming: DataFrame, evalDocs: DataFrame,
                         idCol: String, textCol: String,
                         indexPath: String, corpusPath: String,
@@ -128,13 +141,18 @@ object CorpusStreams {
         import graft.core.Materialize.pin
         def tableOr(path: String, empty: => DataFrame): DataFrame =
           scala.util.Try(EtlCli.readEpochTable(spark, path)).getOrElse(empty)
-        val batch = batch0.select(col(idCol), col(textCol))
-        val corpus = tableOr(corpusPath, batch.limit(0))
-        val corpusBands = tableOr(indexPath,
+        // fencepost guard: corpus epoch=batchId committed ⇒ this batch
+        // fully committed on a previous attempt — replay is a no-op (see
+        // the scaladoc; recomputing here would overwrite the epoch with
+        // the re-dropped remainder)
+        val replayed = EtlCli.epochCommitted(spark, corpusPath, batchId)
+        lazy val batch = batch0.select(col(idCol), col(textCol))
+        lazy val corpus = tableOr(corpusPath, batch.limit(0))
+        lazy val corpusBands = tableOr(indexPath,
           batch.select(col(idCol).as("doc_id"), lit("").as("band")).limit(0))
-        val newDocs = pin(batch
+        lazy val newDocs = pin(batch
           .join(corpus.select(col(idCol)), Seq(idCol), "left_anti"))
-        if (newDocs.limit(1).count() > 0) {
+        if (!replayed && newDocs.limit(1).count() > 0) {
           val gated = pin(graft.operators.TextAnalysis.qualityGates(newDocs,
             textCol, cfg.stop, cfg.minWords, cfg.maxWords,
             cfg.minMeanLen, cfg.maxMeanLen, cfg.minUniqRatio))

@@ -399,6 +399,18 @@ object EtlCli {
       .sorted
   }
 
+  /** Has ingest epoch `epoch` of the table at `path` already committed —
+    * either directly (its own version marker) or by being folded behind a
+    * compaction fencepost? This is the streaming sinks' replay guard for
+    * batches whose COMMITTED output is a strict subset of their input
+    * (curation drops docs): a redelivered batch must detect "my fencepost
+    * epoch exists" and no-op, because recomputing from `input minus
+    * committed-output` would see only the previously-dropped rows and
+    * overwrite the epoch with garbage. */
+  def epochCommitted(spark: SparkSession, path: String, epoch: Long): Boolean =
+    epochsCompactedThrough(spark, path).exists(_ >= epoch) ||
+      committedVersion(spark, s"$path/epoch=$epoch").isDefined
+
   /** Read the union of every committed epoch of the table at `path` (the
     * epoch-partitioned analog of readTable): the newest compaction's
     * folded data, plus every epoch appended after it. Errors when no epoch
@@ -443,11 +455,17 @@ object EtlCli {
     val live = committedEpochs(spark, path)
     if (live.isEmpty) return // nothing appended since the last fold
     val upTo = live.max
-    val union = readEpochTable(spark, path)
-    val srcDirs = epochsCompactedThrough(spark, path).map(e => s"$path/compact=$e").toSeq ++
-      live.map(e => s"$path/epoch=$e")
-    val bytes = srcDirs.map { d =>
-      val p = s"$d/data_v${committedVersion(spark, d).get}"
+    // ONE consistent snapshot: resolve every source data dir from the same
+    // `live` listing that defined upTo, and build the union from those
+    // paths directly. (Calling readEpochTable here would re-list the
+    // directory — a sink committing epoch upTo+1 between the two listings
+    // would fold its rows into compact=upTo while epoch=upTo+1 stays
+    // visible past the fencepost, double-counting them in every read.)
+    val dataDirs = (epochsCompactedThrough(spark, path).map(e => s"$path/compact=$e").toSeq ++
+      live.map(e => s"$path/epoch=$e"))
+      .map(d => s"$d/data_v${committedVersion(spark, d).get}")
+    val union = spark.read.format(sniffFormat(spark, dataDirs.head)).load(dataDirs: _*)
+    val bytes = dataDirs.map { p =>
       fs(spark, path).getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
     }.sum
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt

@@ -249,6 +249,27 @@ class StreamingFileSpec extends SparkSpec {
     val before = Seq("index", "corpus", "dropped").map(t => inventory(paths(t)))
     runStream()
     assert(Seq("index", "corpus", "dropped").map(t => inventory(paths(t))) == before)
+
+    // THE at-least-once window: the checkpoint is lost AFTER the sink
+    // fully committed (same failure as a crash between sink completion and
+    // offset commit) — every batch redelivers with its original batchId.
+    // Without the fencepost guard this deleted data: the redelivered batch
+    // anti-joins to exactly its previously DROPPED docs (non-empty!), they
+    // all re-drop against the committed corpus, and appendEpoch replaces
+    // epoch=batchId with the empty remainder — wiping docs 1 and 5. The
+    // guard must make the replay a byte-level no-op instead.
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+    }
+    rmrf(root.resolve("chk"))
+    runStream()
+    assert(Seq("index", "corpus", "dropped").map(t => inventory(paths(t))) == before,
+      "fully-committed batch redelivered after checkpoint loss must be a no-op")
+    assert(EtlCli.readEpochTable(spark, paths("corpus"))
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 5L, 7L))
   }
 
   test("annIndexSink: micro-batched codes equal a from-scratch encode; commits are epoch appends") {
