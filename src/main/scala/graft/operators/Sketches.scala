@@ -99,6 +99,20 @@ object Sketches {
           (lit(256L) - col("n_hit")) * lit(1125899906842624L))).as("hll_est"): _*)
   }
 
+  /** Driver-side small-range correction for hllEstimate rows (Flajolet
+    * et al. '07 §4): below the linear-counting threshold (raw <= 2.5m)
+    * with empty registers remaining, the better estimator is linear
+    * counting m·ln(m/(m - n_hit)). ln() is a libm transcendental the
+    * hash-checked oracle contract bans from QUERY paths (Sketches
+    * hllEstimate documents the formula instead of applying it) — this
+    * helper is for non-oracle callers, and runs on the one aggregated
+    * (n_hit, hll_est) row per group, never inside a corpus plan. */
+  def hllEstimateCorrected(nHit: Long, rawEst: Double): Double = {
+    val m = 256.0
+    if (rawEst <= 2.5 * m && nHit < 256) m * math.log(m / (m - nHit))
+    else rawEst
+  }
+
   // --- Bloom filter (Bloom, CACM '70) ---
   //
   // The membership-set sketch for the cases where even an 8-byte-per-key
@@ -132,7 +146,16 @@ object Sketches {
   /** Probe: keeps `keyCols` and appends bloom_hit (1 = all k bits set —
     * definite OR false positive; 0 = DEFINITELY absent). The filter
     * broadcasts; the probe side is explode(k) + broadcast join + one
-    * aggregation keyed on the caller's keys — map-side against the corpus. */
+    * aggregation keyed on the caller's keys.
+    *
+    * NOTE: this relational formulation re-groups the exploded bit probes
+    * on the caller's keys — if those keys carry the probed VALUE (e.g. the
+    * gram text), that value string shuffles, which is the exact cost the
+    * sketch exists to avoid. Per-value membership should use the in-row
+    * path instead: collect the constant-size filter once (bloomWords) and
+    * evaluate bloomHit per row — zero shuffles, zero fan-out. This
+    * DataFrame-in/DataFrame-out form remains for filters too large to
+    * embed in a plan and for the streaming merge path. */
   def bloomProbe(bloom: DataFrame, probes: DataFrame, value: Column,
                  keyCols: Seq[String], mBits: Int, k: Int): DataFrame =
     probes.select(keyCols.map(col) :+ explode(array(
@@ -142,4 +165,45 @@ object Sketches {
       .join(broadcast(bloom), Seq("word"), "left_outer")
       .groupBy(keyCols.map(col): _*)
       .agg(min(when(expr("(bits >> bit) & 1") === 1, 1).otherwise(0)).as("bloom_hit"))
+
+  /** Collect a bloomBuild filter into its dense packed-word form: ONE
+    * array of mBits/62 longs (4 KB at mBits=31744 — constant-size by
+    * construction, that is the sketch's whole contract), absent words 0.
+    * The driver-side collect is O(mBits/62) rows regardless of how many
+    * values were inserted. */
+  def bloomWords(bloom: DataFrame, mBits: Int): Array[Long] = {
+    val words = new Array[Long](mBits / 62)
+    bloom.select(col("word").cast("int"), col("bits"))
+      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
+  /** IN-ROW membership test against a collected filter: 1 = all k bits
+    * set (definite or false positive), 0 = definitely absent. The packed
+    * words embed in the plan as one array literal, so every task tests
+    * bits locally — no explode, no join, no shuffle; each of the k
+    * positions is one md5 + two word ops. This is the 100 TB probe shape:
+    * the corpus scan stays map-only and emits a 0/1 per value. */
+  def bloomHit(value: Column, words: Array[Long], mBits: Int, k: Int): Column = {
+    require(words.length * 62 == mBits, s"words must pack $mBits bits, got ${words.length} longs")
+    val w = lit(words)
+    (0 until k).map { i =>
+      val p = bloomPosition(value, i, mBits)
+      val word = element_at(w, call_function("div", p, lit(62L)).cast("int") + lit(1))
+      call_function("shiftright", word, pmod(p, lit(62L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _).cast("int")
+  }
+
+  /** Per-row COUNT of array elements that bloom-hit, as one native
+    * codegen'd loop (graft.plans.BloomGramHits) — the production shape for
+    * "how contaminated is this document": the builtin-function equivalent
+    * (`aggregate(gs, 0, (acc, g) -> acc + bloomHit(g))`) is a
+    * higher-order function, which Catalyst evaluates as CodegenFallback —
+    * per-element interpreter re-entry that costs ~10x on a corpus scan. */
+  def bloomCountHits(grams: Column, words: Array[Long], mBits: Int, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.BloomGramHits(
+      ColumnBridge.expression(grams), words.toSeq, mBits, k))
+  }
 }

@@ -645,6 +645,147 @@ object StripAccents {
   }
 }
 
+/** DISTINCT word n-grams of a SINGLE-SPACE-tokenized text as STRINGS, in
+  * one pass: word boundaries located once, each gram materialized as a
+  * copy of its contiguous byte span (words joined by the single spaces
+  * already between them), deduped via hash set in first-occurrence order.
+  * The string-keyed sibling of WordGramHashSet — for consumers whose gram
+  * derivation must stay oracle-visible (e.g. the bloom filter md5-hashes
+  * gram TEXT, so the oracle can rebuild identical bits; a 64-bit
+  * xxhash would be opaque). Replaces the `transform(sequence(...),
+  * concat_ws(element_at...)) |> array_distinct` HOF chain, which Catalyst
+  * evaluates as CodegenFallback — per-element interpreter re-entry that
+  * dominated the decontamination scan. Texts with fewer than n words
+  * yield an empty array (matching the oracle's range() guard). */
+case class WordGramSet(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "gram width must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes = Seq[DataType](StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_gram_set"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordGramSet.grams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "graft.plans.WordGramSet$.MODULE$.grams(" + c + ", " + n + ")")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramSet =
+    copy(child = newChild)
+}
+object WordGramSet {
+  def grams(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val len = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var nWords = if (len == 0) 0 else 1
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) nWords += 1
+      i += 1
+    }
+    if (nWords < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nWords + 1)
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        starts(w) = i + 1; w += 1
+      }
+      i += 1
+    }
+    starts(nWords) = len + 1 // sentinel: "space" one past the end
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var g = 0
+    while (g + n <= nWords) {
+      val from = starts(g)
+      val until = starts(g + n) - 1 // drop the trailing separator
+      // copy out of the (possibly reused) codegen buffer before holding
+      val bytes = new Array[Byte](until - from)
+      org.apache.spark.unsafe.Platform.copyMemory(base, off + from, bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, until - from)
+      seen.add(UTF8String.fromBytes(bytes))
+      g += 1
+    }
+    val arr = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
+/** Per-document bloom-filter hit count over an ARRAY<STRING> of grams, in
+  * ONE codegen'd loop: for each gram, k md5-derived bit positions
+  * ("i:gram" digest, first 48 bits mod mBits — byte-identical to
+  * Sketches.bloomPosition / the DuckDB oracle's hex parse) are tested
+  * against the PACKED filter words (62 bits per long), and the count of
+  * grams with all k bits set is returned. The filter rides the expression
+  * as a plan constant (mBits/62 longs — 4 KB at mBits=31744), so the
+  * corpus scan stays map-only with zero fan-out: no per-gram explode, no
+  * join, no shuffle, no interpreted-HOF lambda machinery (the
+  * `aggregate(gs, ...)` formulation is CodegenFallback and re-enters the
+  * interpreter per element — measured 7.6s vs sub-second here on the
+  * sf0.1 decontamination query). */
+case class BloomGramHits(child: Expression, words: Seq[Long], mBits: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(mBits > 0 && words.length.toLong * 62 == mBits,
+    s"words must pack exactly mBits=$mBits bits at 62/long, got ${words.length} longs")
+  require(k >= 1 && k <= 16, s"k hash functions must be in [1,16], got $k")
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq[DataType](ArrayType(StringType))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_gram_hits"
+
+  private lazy val wordsArr: Array[Long] = words.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    BloomGramHits.count(input.asInstanceOf[ArrayData], wordsArr, mBits, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomWords", wordsArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      "graft.plans.BloomGramHits$.MODULE$.count(" + c + ", " + ref + ", " + mBits + ", " + k + ")")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomGramHits =
+    copy(child = newChild)
+}
+object BloomGramHits {
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+  // "0:".."15:" hash-index prefixes, pre-encoded once
+  private val Prefixes: Array[Array[Byte]] =
+    Array.tabulate(16)(i => (i.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def count(gs: ArrayData, words: Array[Long], mBits: Int, k: Int): Long = {
+    val digest = md5.get()
+    val n = gs.numElements()
+    var cnt = 0L
+    var gi = 0
+    while (gi < n) {
+      val gramBytes = gs.getUTF8String(gi).getBytes
+      var all = true
+      var i = 0
+      while (all && i < k) {
+        digest.update(Prefixes(i))
+        digest.update(gramBytes)
+        val d = digest.digest() // resets for the next round
+        val p = ((((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+          ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)) % mBits).toInt
+        all = ((words(p / 62) >>> (p % 62)) & 1L) == 1L
+        i += 1
+      }
+      if (all) cnt += 1
+      gi += 1
+    }
+    cnt
+  }
+}
+
 /** Column wrappers + SQL registration for the native expressions. */
 object GraftFunctions {
   def format_money(c: Column): Column = ColumnBridge.column(FormatMoney(ColumnBridge.expression(c)))
@@ -654,6 +795,8 @@ object GraftFunctions {
     ColumnBridge.column(WordGramHashSet(ColumnBridge.expression(c), n))
   def word_gram_pos_hashes(c: Column, n: Int): Column =
     ColumnBridge.column(WordGramPosHashes(ColumnBridge.expression(c), n))
+  def word_gram_set(c: Column, n: Int): Column =
+    ColumnBridge.column(WordGramSet(ColumnBridge.expression(c), n))
   def scrub_spans(text: Column, starts: Column, n: Int): Column =
     ColumnBridge.column(ScrubSpans(
       ColumnBridge.expression(text), ColumnBridge.expression(starts), n))
@@ -708,6 +851,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_gram_pos_hashes",
       exprs => WordGramPosHashes(exprs(0), litInt(exprs(1), "word_gram_pos_hashes(text, n)")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_gram_set",
+      exprs => WordGramSet(exprs(0), litInt(exprs(1), "word_gram_set(text, n)")),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "scrub_spans",

@@ -204,30 +204,31 @@ object PipelineQueries {
          FROM agg a LEFT JOIN ex USING (doc_id) ORDER BY a.doc_id""") { (s, dir) =>
       import graft.operators.Sketches
       val docs = t(s, dir, "documents")
-      val l = split(col("text"), " ")
-      // 4-gram STRINGS (the bloom hashes md5 of the gram text, so the
-      // oracle's digests match byte-for-byte); short docs get an empty
-      // gram list via the guard — Spark's sequence() would run DESCENDING
-      // on size-3 < 1 rather than empty like DuckDB's range().
-      val grams = when(size(l) >= 4,
-          array_distinct(transform(sequence(lit(1), size(l) - 3),
-            i => concat_ws(" ", element_at(l, i), element_at(l, i + 1),
-              element_at(l, i + 2), element_at(l, i + 3)))))
-        .otherwise(array().cast("array<string>"))
-      val g = docs.select(col("doc_id"), col("source"), grams.as("gs"))
+      // 4-gram STRINGS in one native pass (the bloom hashes md5 of the
+      // gram TEXT, so the oracle's digests match byte-for-byte — gram
+      // hashes would be opaque to it); short docs yield an empty array,
+      // matching DuckDB's range() guard. Pinned: three consumers read it
+      // — the eval filter build, the in-row bloom count, the exact probe.
+      val g = graft.core.Materialize.pin(
+        docs.select(col("doc_id"), col("source"),
+          graft.plans.GraftFunctions.word_gram_set(col("text"), 4).as("gs")))
       val evalG = g.filter(col("source") === "src0")
         .select(explode(col("gs")).as("gram")).distinct()
-      val bloom = Sketches.bloomBuild(evalG, col("gram"), mBits = 31744, k = 3)
+      // the filter is 512 longs BY CONSTRUCTION — collect it once and
+      // evaluate membership in-row: the corpus side never explodes per
+      // gram and never shuffles gram strings (the bloomProbe relational
+      // form here cost two wide shuffles carrying ~30-char gram keys —
+      // 16% of the whole bench)
+      val words = Sketches.bloomWords(
+        Sketches.bloomBuild(evalG, col("gram"), mBits = 31744, k = 3), mBits = 31744)
       val train = g.filter(col("source") =!= "src0")
-        .select(col("doc_id"), size(col("gs")).cast("bigint").as("n_grams"),
-          explode(col("gs")).as("gram"))
-      val perGram = Sketches.bloomProbe(bloom, train, col("gram"),
-        Seq("doc_id", "n_grams", "gram"), mBits = 31744, k = 3)
-      val exact = train.join(broadcast(evalG), Seq("gram"))
+      val perDoc = train.select(col("doc_id"),
+        size(col("gs")).cast("bigint").as("n_grams"),
+        Sketches.bloomCountHits(col("gs"), words, mBits = 31744, k = 3).as("n_bloom"))
+      val exact = train.select(col("doc_id"), explode(col("gs")).as("gram"))
+        .join(broadcast(evalG), Seq("gram"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
-      perGram.groupBy(col("doc_id"), col("n_grams"))
-        .agg(sum(col("bloom_hit")).as("n_bloom"))
-        .join(exact, Seq("doc_id"), "left_outer")
+      perDoc.join(exact, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), col("n_grams"), col("n_bloom"),
           coalesce(col("n_exact"), lit(0L)).as("n_exact"),
           (col("n_bloom") > coalesce(col("n_exact"), lit(0L))).as("has_false_positive"))

@@ -201,6 +201,26 @@ class PropertySpec extends SparkSpec {
       s"HLL estimate $est outside 3 rsd of exact $exact")
   }
 
+  test("HLL small-range correction: linear counting beats the raw estimator at small n") {
+    import graft.operators.Sketches
+    // raw p=8 HLL biases high below ~2.5m distinct; the corrected helper
+    // must land within 15% of exact there, and leave large-range rows
+    // (raw > 2.5m) untouched
+    for (n <- Seq(30, 100, 300)) {
+      val keys = (1 to n).map(i => s"k$i")
+      val (nHit, raw) = Sketches.hllEstimate(
+        Sketches.hllRegisters(keys.toDF("k").withColumn("g", lit("all")), col("k"), Seq("g")),
+        Seq("g"))
+        .select(col("n_hit").cast("long"), col("hll_est"))
+        .as[(Long, Double)].head()
+      val corrected = Sketches.hllEstimateCorrected(nHit, raw)
+      assert(math.abs(corrected - n) <= 0.15 * n,
+        s"corrected estimate $corrected for n=$n outside 15% (raw $raw, n_hit $nHit)")
+    }
+    assert(Sketches.hllEstimateCorrected(256, 5000.0) == 5000.0,
+      "large-range rows must pass through uncorrected")
+  }
+
   test("Bloom laws: no false negatives; split filters bit_or-merge to the whole-set filter") {
     import graft.operators.Sketches
     val m = 62 * 16 // small filter => false positives certain, negatives never
@@ -218,6 +238,42 @@ class PropertySpec extends SparkSpec {
       Seq("v"), mBits = m, k = 3)
     assert(probed.filter(col("bloom_hit") =!= 1).isEmpty,
       "a Bloom filter may never reject a member")
+    // the three probe formulations agree on EVERY value, false positives
+    // included: relational bloomProbe ≡ in-row builtin bloomHit ≡ native
+    // BloomGramHits loop (the corpus-scan shape)
+    val strangers = (1L to 200L).map(v => s"s$v")
+    val all = (members ++ strangers).toDF("v")
+    val words = Sketches.bloomWords(whole, mBits = m)
+    val rel = Sketches.bloomProbe(whole, all, col("v"), Seq("v"), mBits = m, k = 3)
+    val inRow = all.select(col("v"), Sketches.bloomHit(col("v"), words, mBits = m, k = 3).as("bloom_hit"))
+    assert(rel.exceptAll(inRow).isEmpty && inRow.exceptAll(rel).isEmpty,
+      "in-row bloomHit must equal the relational bloomProbe on every value")
+    val nativeCnt = all.select(
+      Sketches.bloomCountHits(array(col("v")), words, mBits = m, k = 3).as("h"))
+      .agg(sum("h")).as[Long].head()
+    val relCnt = rel.agg(sum("bloom_hit")).as[Long].head()
+    assert(nativeCnt == relCnt,
+      s"native BloomGramHits total $nativeCnt must equal relational total $relCnt")
+  }
+
+  test("WordGramSet law: native distinct word n-grams ≡ the HOF transform chain") {
+    val texts = sample(Gen.listOfN(80, Gen.listOfN(12,
+      Gen.oneOf("a", "b", "ab", "cd", "e")).map(_.mkString(" ")))) ++
+      Seq("", "a", "a b c", "a b c d", "x x x x x x")
+    val df = texts.toDF("text")
+    val l = split(col("text"), " ")
+    val hof = when(size(l) >= 4,
+        array_distinct(transform(sequence(lit(1), size(l) - 3),
+          i => concat_ws(" ", element_at(l, i), element_at(l, i + 1),
+            element_at(l, i + 2), element_at(l, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+    val rows = df.select(
+      graft.plans.GraftFunctions.word_gram_set(col("text"), 4).as("native"),
+      hof.as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"native grams ${r.getSeq[String](0)} != reference ${r.getSeq[String](1)}")
+    }
   }
 
   test("SQ8 law: codes stay in [0,255] and decode within one step of the input") {
