@@ -76,13 +76,11 @@ object Similarity {
     cent.groupBy().agg(collect_list(
       struct(col("cc").cast(LongType).as("cc"), col("cv").as("cv"))).as("cents"))
 
-  /** Nearest-centroid id for one vector, folded in-row over `cents`. */
+  /** Nearest-centroid id for one vector — one native fused loop per row
+    * (plans.ArgminCellExpr; the HOF aggregate/least composition it
+    * replaces was CodegenFallback — interpreted per centroid per row). */
   private def argminCell(v: Column, cents: Column): Column =
-    aggregate(cents,
-      struct(lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("cc")),
-      (acc, e) => least(acc,
-        struct(ql2(v, e.getField("cv")).as("d2"), e.getField("cc").as("cc"))),
-      acc => acc.getField("cc"))
+    pcol(graft.plans.ArgminCellExpr(pexpr(v), pexpr(cents)))
 
   /** (id, d, x) exploded view of a vector column, x widened to double;
     * input is spread across the cluster first (the explode fans out 64x). */
@@ -537,21 +535,15 @@ object Similarity {
     codebook.groupBy().agg(collect_list(struct(col("sub"),
       col("cc").cast(LongType).as("cc"), col("cv").as("cv"))).as("cb"))
 
-  /** All m PQ codes for one vector, computed in-row: per subspace, the
-    * argmin centroid of that subspace's slice, folded with least() over
-    * the one-row codebook (order-independent; ties to the lower cc). The
-    * production encode shape — FAISS encodes in one scan — with zero
-    * shuffles and zero row fan-out. */
-  private def pqCodes(v: Column, cb: Column, m: Int): Column = {
-    val dsub = size(v) / m
-    transform(sequence(lit(0), lit(m - 1)), s =>
-      aggregate(filter(cb, e => e.getField("sub") === s),
-        struct(lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("cc")),
-        (acc, e) => least(acc,
-          struct(ql2(slice(v, s * dsub + lit(1), dsub), e.getField("cv")).as("d2"),
-            e.getField("cc").as("cc"))),
-        acc => acc.getField("cc")))
-  }
+  /** All m PQ codes for one vector, computed in-row by one native fused
+    * loop (plans.PqCodesExpr): per subspace, the argmin centroid of that
+    * subspace's slice, ties to the lower cc. The production encode shape
+    * — FAISS encodes in one scan — with zero shuffles, zero row fan-out,
+    * and no interpreted-HOF lambda frames (the previous
+    * transform/filter/aggregate pyramid re-entered the interpreter
+    * m x ksub times per row). */
+  private def pqCodes(v: Column, cb: Column, m: Int): Column =
+    pcol(graft.plans.PqCodesExpr(pexpr(v), pexpr(cb), m))
 
   /** Train the PQ codebook: independent deterministic k-means per subspace
     * (seed = subvectors of the ksub hash-rank-first ids — the same
@@ -561,18 +553,37 @@ object Similarity {
     * refined in the SAME aggregation pass — `sub` rides the grouping key,
     * so training m codebooks costs one k-means, not m. Assignment is the
     * map-only in-row encode; the only shuffle per iteration is the
-    * quantized-mean update. Returns (sub, cc, cv) with cc = seed vid. */
+    * quantized-mean update. Returns (sub, cc, cv) with cc = seed vid.
+    *
+    * Training input is CAPPED at a deterministic hash-rank sample: the
+    * `trainCap` vectors ranked first by (md5(vid), vid) — the seed ids
+    * are the ksub-prefix of the SAME ranking, so seeds always sit inside
+    * the sample. k-means re-scans its input `iters` times; production
+    * trains codebooks on a bounded sample and encodes everything (the
+    * FAISS-style ~64 points per centroid) — without the cap a 100 TB
+    * corpus pays iters full scans for a 16-row-per-subspace artifact.
+    * trainCap=0 picks the 64*ksub default; encoding (pqEncode /
+    * encodeResiduals) always runs over EVERY vector. */
   def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
-                 m: Int, ksub: Int, iters: Int): DataFrame = {
+                 m: Int, ksub: Int, iters: Int, trainCap: Int = 0): DataFrame = {
+    val cap = if (trainCap > 0) trainCap else 64 * ksub
+    require(cap >= ksub, s"trainCap $cap must cover the $ksub k-means seeds")
     val vecs = graft.core.Tables.ensureParallelism(corpus)
       .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v"))
+    // hash-rank prefix: orderBy+limit lowers to TakeOrderedAndProject (a
+    // distributed partial top-n, no global sort); pinned because k-means
+    // re-reads it every iteration
+    val train = vecs.join(broadcast(
+        vecs.orderBy(md5(col("vid").cast("string")), col("vid"))
+          .limit(cap).select(col("vid"))), "vid")
+      .transform(graft.core.Materialize.pin)
     val seedIds = vecs.orderBy(md5(col("vid").cast("string")), col("vid"))
       .limit(ksub).select(col("vid"))
     var cent = subvectors(corpus, idCol, vecCol, m)
       .join(broadcast(seedIds), "vid")
       .select(col("sub"), col("vid").as("cc"), col("sv").as("cv"))
     (0 until iters).foreach { _ =>
-      val assigned = vecs.crossJoin(broadcast(cbOneRow(cent)))
+      val assigned = train.crossJoin(broadcast(cbOneRow(cent)))
         .select(col("v"), posexplode(pqCodes(col("v"), col("cb"), m)).as(Seq("sub", "cc")))
       val dsub = size(col("v")) / m
       cent = assigned

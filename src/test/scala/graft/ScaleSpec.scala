@@ -146,6 +146,31 @@ class ScaleSpec extends SparkSpec {
     assert(incr.toSeq == scratch.toSeq)
   }
 
+  test("PQ codebook training is capped: k-means input is exactly the hash-rank sample") {
+    // Training on trainCap=N over the full corpus must equal training
+    // UNCAPPED on just the N hash-rank-first vectors — proving the k-means
+    // never reads past the sample (at 100 TB that is the difference
+    // between iters x O(cap) and iters x full-corpus scans), while seeds
+    // (the ksub-prefix of the SAME ranking) stay inside the sample.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cap = 50
+    val sampleIds = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(cap).select("vec_id")
+    val sample = emb.join(broadcast(sampleIds), "vec_id")
+    assert(sample.count() == cap && emb.count() > cap,
+      "fixture must be larger than the training cap for this test to bite")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("sub"), col("cc"), col("cv").cast("array<double>"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+        .sortBy(t => (t._1, t._2))
+    val capped = canon(graft.operators.Similarity.pqCodebook(
+      emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2, trainCap = cap))
+    val sampleOnly = canon(graft.operators.Similarity.pqCodebook(
+      sample, "vec_id", "embedding", m = 8, ksub = 16, iters = 2, trainCap = cap))
+    assert(capped.toSeq == sampleOnly.toSeq,
+      "capped training must be a pure function of the hash-rank sample")
+  }
+
   test("bucketed fact-fact join is co-located: no exchange, no sort") {
     // Bucketing pre-shuffles at WRITE time: both sides hash-bucketed on the
     // join key join with zero runtime exchanges — at 100 TB this converts
