@@ -100,6 +100,117 @@ case class SignLshBucketExpr(child: Expression, nBits: Int)
     copy(child = newChild)
 }
 
+/** Nearest-centroid id for one vector in one fused per-row loop — the
+  * IVF-family assignment kernel. `cents` is the one-row reshaped centroid
+  * table (ARRAY<STRUCT<cc LONG, cv ARRAY<DOUBLE>>>, Similarity.centOneRow)
+  * riding a broadcast crossJoin; the argmin folds (d2, cc) pairs with the
+  * same lexicographic-least semantics as the previous
+  * `aggregate(cents, least(struct(ql2, cc)))` composition — which Catalyst
+  * evaluates as CodegenFallback, re-entering the interpreter per centroid
+  * per row. d2 compares as the DIVIDED double (sum/1e12), exactly like the
+  * struct comparison did, so ties and orderings are bit-identical. */
+case class ArgminCellExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq[DataType](ArrayType(DoubleType),
+    ArrayType(StructType(Seq(StructField("cc", LongType),
+      StructField("cv", ArrayType(DoubleType))))))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "argmin_cell"
+
+  override protected def nullSafeEval(v: Any, cents: Any): Any =
+    ArgminCellExpr.argmin(v.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c) =>
+      "graft.plans.ArgminCellExpr$.MODULE$.argmin(" + v + ", " + c + ")")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArgminCellExpr =
+    copy(left = l, right = r)
+}
+object ArgminCellExpr {
+  def argmin(v: ArrayData, cents: ArrayData): Long = {
+    val n = cents.numElements()
+    var bestD2 = Double.MaxValue
+    var bestCc = Long.MaxValue
+    var i = 0
+    while (i < n) {
+      val row = cents.getStruct(i, 2)
+      val cc = row.getLong(0)
+      val d2 = QuantizedVec.l2Sum(v, row.getArray(1)) / QuantizedVec.Scale
+      if (d2 < bestD2 || (d2 == bestD2 && cc < bestCc)) { bestD2 = d2; bestCc = cc }
+      i += 1
+    }
+    bestCc
+  }
+}
+
+/** All m PQ codes for one vector in one fused per-row loop — the PQ encode
+  * kernel. `cb` is the one-row reshaped codebook
+  * (ARRAY<STRUCT<sub INT, cc LONG, cv ARRAY<DOUBLE>>>, Similarity.cbOneRow)
+  * riding a broadcast crossJoin; per subspace s the kernel argmins the
+  * quantized L2 between the vector's s-th slice and that subspace's
+  * centroids, ties to the lower cc — replacing a
+  * transform(sequence)/filter/aggregate HOF pyramid that interpreted
+  * m x ksub lambda frames per row. Slice bounds replicate
+  * `slice(v, s*dsub+1, dsub)` with dsub = n/m (floor). */
+case class PqCodesExpr(left: Expression, right: Expression, m: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(m >= 1, "m subspaces must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq[DataType](ArrayType(DoubleType),
+    ArrayType(StructType(Seq(StructField("sub", IntegerType),
+      StructField("cc", LongType), StructField("cv", ArrayType(DoubleType))))))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_codes"
+
+  override protected def nullSafeEval(v: Any, cb: Any): Any =
+    PqCodesExpr.codes(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData], m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c) =>
+      "graft.plans.PqCodesExpr$.MODULE$.codes(" + v + ", " + c + ", " + m + ")")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqCodesExpr =
+    copy(left = l, right = r)
+}
+object PqCodesExpr {
+  def codes(v: ArrayData, cb: ArrayData, m: Int):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = v.numElements()
+    val dsub = n / m
+    val k = cb.numElements()
+    val bestD2 = Array.fill(m)(Double.MaxValue)
+    val bestCc = Array.fill(m)(Long.MaxValue)
+    var i = 0
+    while (i < k) {
+      val row = cb.getStruct(i, 3)
+      val s = row.getInt(0)
+      if (s >= 0 && s < m) {
+        val cc = row.getLong(1)
+        val cv = row.getArray(2)
+        // quantized L2 between v[s*dsub, s*dsub+dsub) and cv, same
+        // min-length guard as QuantizedVec.l2Sum on the materialized slice
+        val len = math.min(dsub, cv.numElements())
+        var sum = 0L
+        var j = 0
+        while (j < len) {
+          val d = v.getDouble(s * dsub + j) - cv.getDouble(j)
+          sum += math.floor(d * d * QuantizedVec.Scale + 0.5).toLong
+          j += 1
+        }
+        val d2 = sum / QuantizedVec.Scale
+        if (d2 < bestD2(s) || (d2 == bestD2(s) && cc < bestCc(s))) {
+          bestD2(s) = d2; bestCc(s) = cc
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate[Any](m)(s => bestCc(s)))
+  }
+}
+
 object SignLshBucketExpr {
   final val MaxBits = 62
   final val MaxDim = 1024
