@@ -97,6 +97,10 @@ object CorpusStreams {
     *
     *  1. quality gates: map-only projection + filter
     *  2. exact-gram decontamination vs `evalDocs`: broadcast gram probe
+    *  2b. (optional, cfg.bloomMBits > 0 + `bloomPath`) bloom-set
+    *     decontamination vs the GROWING seen-set filter a bloomSketchSink
+    *     maintains: in-row native probe, reason `bloom_contaminated` —
+    *     the scale path when the seen-set outgrows the exact broadcast
     *  3. near-dup vs committed corpus + in-batch: band-index probe; a
     *     batch doc drops when paired with any corpus doc (corpus member
     *     wins — it is already training data), else the least id per
@@ -131,7 +135,8 @@ object CorpusStreams {
                         indexPath: String, corpusPath: String,
                         droppedPath: String, checkpointDir: String,
                         cfg: graft.operators.CorpusPipeline.Config =
-                          graft.operators.CorpusPipeline.Config())
+                          graft.operators.CorpusPipeline.Config(),
+                        bloomPath: Option[String] = None)
       : StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -160,7 +165,25 @@ object CorpusStreams {
           val contaminated = Dedup.contaminationHits(passed, evalDocs,
               idCol, textCol, cfg.decontaminateGramN)
             .select(col(idCol)).distinct()
-          val decon = pin(passed.join(contaminated, Seq(idCol), "left_anti"))
+          val decon0 = pin(passed.join(contaminated, Seq(idCol), "left_anti"))
+          // optional bloom stage: probe the GROWING seen-set filter that a
+          // bloomSketchSink maintains at `bloomPath` (the scale path when
+          // the seen-set outgrows contaminationHits' exact broadcast).
+          // The filter reads as ≤ mBits/62 words and the probe is the
+          // in-row native loop — map-only over the batch. Absent/empty
+          // filter table ⇒ no bits set ⇒ stage passes everything.
+          val (bloomHitIds, decon) = bloomPath match {
+            case Some(bp) if cfg.bloomMBits > 0 =>
+              val words = scala.util.Try(graft.operators.Sketches.bloomWords(
+                  readBloomFilter(spark, bp), cfg.bloomMBits))
+                .getOrElse(new Array[Long](cfg.bloomMBits / 62))
+              val hits = decon0.filter(graft.operators.Sketches.bloomCountHits(
+                graft.plans.GraftFunctions.word_gram_set(col(textCol), cfg.decontaminateGramN),
+                words, cfg.bloomMBits, cfg.bloomK) > 0)
+                .select(col(idCol)).distinct()
+              (hits, pin(decon0.join(hits, Seq(idCol), "left_anti")))
+            case _ => (decon0.select(col(idCol)).limit(0), decon0)
+          }
           val newBands = pin(Dedup.signBands(decon, idCol, textCol,
             cfg.shingleK, cfg.numHashes, cfg.bandSize, cfg.dfCap))
           val pairs = pin(Dedup.incrementalNearDupsFromBands(newBands, decon,
@@ -189,6 +212,8 @@ object CorpusStreams {
               .select(col(idCol).as("doc_id"), lit("quality").as("reason"))
             .unionAll(contaminated
               .select(col(idCol).as("doc_id"), lit("contaminated").as("reason")))
+            .unionAll(bloomHitIds
+              .select(col(idCol).as("doc_id"), lit("bloom_contaminated").as("reason")))
             .unionAll(dupDrops.select(col("doc_id"), lit("near_dup").as("reason")))
           EtlCli.appendEpoch(dropped, droppedPath, batchId)
           EtlCli.appendEpoch(
@@ -278,4 +303,47 @@ object CorpusStreams {
     EtlCli.readEpochTable(spark, sketchPath)
       .groupBy(col("j"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
+
+  /** Streaming Bloom-filter maintenance — the membership sibling of
+    * cmsSketchSink, for the seen-set that outgrows an exact broadcast (a
+    * year of benchmark grams; every ingested content hash): each
+    * micro-batch appends ITS OWN partial filter (word, bits) over the
+    * batch's distinct word n-grams as epoch=batchId; the live filter is
+    * the per-word bit_or over epochs (readBloomFilter). Filters over any
+    * input split merge to the whole-input filter by bit_or (PropertySpec's
+    * bloom law), so per-epoch partials ARE the merge — commit I/O per
+    * batch is the constant filter size (≤ mBits/62 rows), prior epochs
+    * never rewrite, and epoch compaction folds history behind the
+    * fencepost like every other ingest table.
+    *
+    * Replay safety: a batch's partial filter is a pure deterministic
+    * function of the batch alone, so a replayed batch re-appends ITS OWN
+    * epoch idempotently — at-least-once delivery, exactly-once bits, no
+    * replay guard needed. */
+  def bloomSketchSink(incoming: DataFrame, textCol: String, bloomPath: String,
+                      checkpointDir: String, mBits: Int, k: Int,
+                      gramN: Int): StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val grams = batch.select(explode(
+          graft.plans.GraftFunctions.word_gram_set(col(textCol), gramN)).as("gram"))
+          .distinct()
+        EtlCli.appendEpoch(
+          graft.operators.Sketches.bloomBuild(grams, col("gram"), mBits, k),
+          bloomPath, batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The live filter: per-word bit_or of every committed epoch's partial
+    * filters (bit-identical to one batch-mode bloomBuild over everything
+    * ingested). */
+  def readBloomFilter(spark: org.apache.spark.sql.SparkSession,
+                      bloomPath: String): DataFrame =
+    EtlCli.readEpochTable(spark, bloomPath)
+      .groupBy(col("word"))
+      .agg(expr("bit_or(bits)").as("bits"))
 }
