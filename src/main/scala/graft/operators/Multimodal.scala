@@ -177,14 +177,18 @@ object Multimodal {
   }
 
   /** STUB decoder for VIDEO (and image/audio payloads no installed reader
-    * accepts): a real
-    * implementation would hand `bytes` to a codec and pool model features.
-    * This deterministic fake derives `dim` floats from the payload so the
-    * plumbing (schema, batching, ordering, null-safety) is testable
-    * end-to-end.
+    * accepts) — PERMANENTLY out of scope for real decode in this build
+    * (see README "Out of scope"): the runtime is JDK-only, and the JDK
+    * ships no video demuxer or codec (javax.imageio and javax.sound are
+    * the only standard media stacks — both used for real above). The
+    * contract here is the deterministic fake: `dim` floats derived from
+    * the payload bytes, so every piece of Spark-side plumbing a real
+    * codec would ride — schema, partition batching, ordering,
+    * null-safety, join-back — is exercised end-to-end by MultimodalSpec.
+    * Swapping in a real decoder on a cluster with codec jars is a local
+    * change to this one function.
     */
   private[graft] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real video demuxer/codec goes here; deterministic fake below.
     val out = new Array[Float](dim)
     if (bytes != null && bytes.nonEmpty) {
       var i = 0

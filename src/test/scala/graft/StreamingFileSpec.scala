@@ -12,7 +12,11 @@ class StreamingFileSpec extends SparkSpec {
 
   test("file-source replay of events.parquet matches the batch aggregation") {
     val dir = "/root/testdata/sf0.001"
+    // watermarks demand TIMESTAMP (not NTZ): normalize ts on BOTH sides —
+    // exact under the UTC session timezone regardless of whether the
+    // fixture ships nanos-as-long or micros-NTZ
     val batchEvents = graft.core.Tables.t(spark, dir, "events")
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     val schema = batchEvents.schema
 
     // file stream source needs a DIRECTORY: stage the single fixture file
@@ -21,11 +25,15 @@ class StreamingFileSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("part-0.parquet"))
 
-    // streaming read of the same files; ts arrives as nanos long -> micros
-    val stream = spark.readStream.schema(
-        spark.read.parquet(s"$dir/events.parquet").schema)
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // streaming read of the same files, with the same ts normalization:
+    // nanos-as-long fixtures convert via timestamp_micros, NTZ casts
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream0 = spark.readStream.schema(rawSchema).parquet(staged.toString)
+    val stream = (
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream0
+    ).withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
 
     val q = EventStreams.tumblingCounts(stream, "1 hour", "1 hour")
       .writeStream.format("memory").queryName("file_replay")
@@ -92,6 +100,67 @@ class StreamingFileSpec extends SparkSpec {
     val before = walk(new java.io.File(sketchPath)).sorted
     runStream()
     assert(walk(new java.io.File(sketchPath)).sorted == before)
+  }
+
+  test("bloomSketchSink: streamed epoch partials bit_or to the batch-mode filter; probe sees streamed members") {
+    import graft.streaming.CorpusStreams
+    import spark.implicits._
+    val b1 = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "one two three four five six"))
+    val b2 = Seq((3L, "alpha beta gamma delta other"), (4L, "seven eight nine ten eleven"))
+    val mBits = 62 * 16
+    val root = java.nio.file.Files.createTempDirectory("bloom_stream")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectory(in)
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, in.resolve(name + ".parquet"))
+    }
+    stage("b1", b1); stage("b2", b2)
+    val schema = spark.read.parquet(in.resolve("b1.parquet").toString).schema
+    val bloomPath = root.resolve("bloom").toString
+
+    def runStream(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+      val q = CorpusStreams.bloomSketchSink(stream, "text", bloomPath,
+        root.resolve("chk").toString, mBits = mBits, k = 3, gramN = 4)
+      q.awaitTermination(120000)
+    }
+    runStream()
+    assert(graft.tools.EtlCli.committedEpochs(spark, bloomPath).size == 2)
+
+    // streamed live filter ≡ one batch-mode build over all grams at once
+    def bits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("word").cast("long"), col("bits").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val live = bits(CorpusStreams.readBloomFilter(spark, bloomPath))
+    val batchMode = bits(graft.operators.Sketches.bloomBuild(
+      (b1 ++ b2).toDF("doc_id", "text")
+        .select(explode(graft.plans.GraftFunctions.word_gram_set(col("text"), 4)).as("gram"))
+        .distinct(),
+      col("gram"), mBits = mBits, k = 3))
+    assert(live == batchMode, "streamed filter bits diverge from batch-mode build")
+
+    // the collected filter probes positive for every streamed gram (no
+    // false negatives across the epoch merge)
+    val words = graft.operators.Sketches.bloomWords(
+      CorpusStreams.readBloomFilter(spark, bloomPath), mBits)
+    val misses = (b1 ++ b2).toDF("doc_id", "text")
+      .select(graft.plans.GraftFunctions.word_gram_set(col("text"), 4).as("gs"))
+      .select(size(col("gs")).as("n"),
+        graft.operators.Sketches.bloomCountHits(col("gs"), words, mBits, 3).as("h"))
+      .filter(col("h") =!= col("n"))
+    assert(misses.isEmpty, "a streamed member gram probed negative")
+
+    // replay with the same checkpoint and no new files: zero new commits
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f.getPath)
+    val before = walk(new java.io.File(bloomPath)).sorted
+    runStream()
+    assert(walk(new java.io.File(bloomPath)).sorted == before)
   }
 
   test("incrementalDedupSink: micro-batches probe + extend the band index; pairs equal the batch-mode run") {
@@ -270,6 +339,52 @@ class StreamingFileSpec extends SparkSpec {
       "fully-committed batch redelivered after checkpoint loss must be a no-op")
     assert(EtlCli.readEpochTable(spark, paths("corpus"))
       .select("doc_id").as[Long].collect().toSet == Set(1L, 5L, 7L))
+  }
+
+  test("curatedIngestSink bloom stage: docs hitting the streamed seen-set filter drop as bloom_contaminated") {
+    import graft.streaming.CorpusStreams
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("curated_bloom")
+    def paths(n: String) = root.resolve(n).toString
+    val mBits = 62 * 64
+    def stage(dir: java.nio.file.Path, name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, dir.resolve(name + ".parquet"))
+    }
+    // the growing seen-set: a benchmark stream maintains the bloom filter
+    val evalIn = root.resolve("eval_in"); java.nio.file.Files.createDirectory(evalIn)
+    stage(evalIn, "e1", Seq((100L, "benchmark question about predicate pushdown ordering semantics today")))
+    val evalSchema = spark.read.parquet(evalIn.resolve("e1.parquet").toString).schema
+    CorpusStreams.bloomSketchSink(
+      spark.readStream.schema(evalSchema).parquet(evalIn.toString), "text",
+      paths("bloom"), paths("bloom_chk"), mBits = mBits, k = 3, gramN = 4)
+      .awaitTermination(120000)
+    // ingest: doc 4 shares a 4-gram with the STREAMED seen-set (not with
+    // evalDocs, which is empty here — the exact stage cannot catch it)
+    val in = root.resolve("in"); java.nio.file.Files.createDirectory(in)
+    stage(in, "b1", Seq(
+      (1L, "a completely different text about spark query engines and shuffle behavior"),
+      (4L, "a study of benchmark question about predicate pushdown ordering semantics here")))
+    val schema = spark.read.parquet(in.resolve("b1.parquet").toString).schema
+    val emptyEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val cfg = graft.operators.CorpusPipeline.Config(
+      minWords = 5, shingleK = 5, nearDupThreshold = 0.5, decontaminateGramN = 4,
+      bloomMBits = mBits, bloomK = 3)
+    CorpusStreams.curatedIngestSink(
+      spark.readStream.schema(schema).parquet(in.toString), emptyEval,
+      "doc_id", "text", paths("index"), paths("corpus"), paths("dropped"),
+      paths("chk"), cfg, bloomPath = Some(paths("bloom")))
+      .awaitTermination(120000)
+    import graft.tools.EtlCli
+    assert(EtlCli.readEpochTable(spark, paths("corpus"))
+      .select("doc_id").as[Long].collect().toSet == Set(1L),
+      "bloom-hit doc must not reach the clean corpus")
+    assert(EtlCli.readEpochTable(spark, paths("dropped"))
+      .select("doc_id", "reason").as[(Long, String)].collect().toSet ==
+      Set((4L, "bloom_contaminated")))
   }
 
   test("annIndexSink: micro-batched codes equal a from-scratch encode; commits are epoch appends") {
