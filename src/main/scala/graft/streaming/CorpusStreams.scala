@@ -304,6 +304,40 @@ object CorpusStreams {
       .groupBy(col("j"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Streaming HyperLogLog maintenance — the distinct-count sibling of
+    * cmsSketchSink/bloomSketchSink, completing the mergeable-sketch sink
+    * family: each micro-batch appends ITS OWN (groupCols..., j, r)
+    * register partials over the batch's values as epoch=batchId; the live
+    * registers are the per-(group, j) MAX over epochs (readHllRegisters),
+    * which is exactly the HLL merge — so streamed registers are
+    * bit-identical to one batch-mode hllRegisters over everything
+    * ingested. Commit I/O per batch is bounded by m=256 registers per
+    * group; replay is idempotent for the same reason as the other sketch
+    * sinks (partials are a pure function of the batch alone). */
+  def hllSketchSink(incoming: DataFrame, value: org.apache.spark.sql.Column,
+                    groupCols: Seq[String], hllPath: String,
+                    checkpointDir: String): StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        EtlCli.appendEpoch(
+          graft.operators.Sketches.hllRegisters(batch, value, groupCols),
+          hllPath, batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The live registers: per-(group, j) MAX over every committed epoch's
+    * partials — feed straight into Sketches.hllEstimate /
+    * hllEstimateCorrected. */
+  def readHllRegisters(spark: org.apache.spark.sql.SparkSession,
+                       hllPath: String, groupCols: Seq[String]): DataFrame =
+    EtlCli.readEpochTable(spark, hllPath)
+      .groupBy((groupCols :+ "j").map(col): _*)
+      .agg(max(col("r")).as("r"))
+
   /** Streaming Bloom-filter maintenance — the membership sibling of
     * cmsSketchSink, for the seen-set that outgrows an exact broadcast (a
     * year of benchmark grams; every ingested content hash): each

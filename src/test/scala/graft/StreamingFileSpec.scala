@@ -102,6 +102,43 @@ class StreamingFileSpec extends SparkSpec {
     assert(walk(new java.io.File(sketchPath)).sorted == before)
   }
 
+  test("hllSketchSink: streamed register partials max-merge to the batch-mode registers") {
+    import graft.streaming.CorpusStreams
+    import spark.implicits._
+    val b1 = (1 to 300).map(i => (i.toLong, s"user${i % 120}"))
+    val b2 = (1 to 300).map(i => (i.toLong + 1000, s"user${60 + i % 120}"))
+    val root = java.nio.file.Files.createTempDirectory("hll_stream")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectory(in)
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.toDF("event_id", "who").coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, in.resolve(name + ".parquet"))
+    }
+    stage("b1", b1); stage("b2", b2)
+    val schema = spark.read.parquet(in.resolve("b1.parquet").toString).schema
+    val hllPath = root.resolve("hll").toString
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      .withColumn("g", lit("all"))
+    CorpusStreams.hllSketchSink(stream, col("who"), Seq("g"), hllPath,
+      root.resolve("chk").toString).awaitTermination(120000)
+    assert(graft.tools.EtlCli.committedEpochs(spark, hllPath).size == 2)
+    def regs(df: org.apache.spark.sql.DataFrame): Set[(Int, Int)] =
+      df.select(col("j").cast("int"), col("r").cast("int")).as[(Int, Int)].collect().toSet
+    val live = regs(CorpusStreams.readHllRegisters(spark, hllPath, Seq("g")))
+    val batchMode = regs(graft.operators.Sketches.hllRegisters(
+      (b1 ++ b2).toDF("event_id", "who").withColumn("g", lit("all")), col("who"), Seq("g")))
+    assert(live == batchMode, "streamed registers diverge from batch-mode registers")
+    // and the corrected estimate lands near the true distinct count (180)
+    val (nHit, raw) = graft.operators.Sketches.hllEstimate(
+      CorpusStreams.readHllRegisters(spark, hllPath, Seq("g")), Seq("g"))
+      .select(col("n_hit").cast("long"), col("hll_est")).as[(Long, Double)].head()
+    val est = graft.operators.Sketches.hllEstimateCorrected(nHit, raw)
+    assert(math.abs(est - 180.0) <= 0.15 * 180.0, s"estimate $est far from 180")
+  }
+
   test("bloomSketchSink: streamed epoch partials bit_or to the batch-mode filter; probe sees streamed members") {
     import graft.streaming.CorpusStreams
     import spark.implicits._
