@@ -115,6 +115,31 @@ object Similarity {
       .select(col("qid"), col("cid"), col("cosine"), col("rank").cast(IntegerType).as("rank"))
   }
 
+  /** Contrastive hard-negative mining: for each query vector, the k most
+    * cosine-similar corpus vectors with a DIFFERENT label — the closest
+    * impostors, the negatives that actually move a contrastive/embedding
+    * loss (easy negatives contribute ~zero gradient). Same broadcast
+    * queries x corpus shape as bruteForceTopK with the label inequality
+    * pushed into the join condition, so cross-label pairs never
+    * materialize; swap the corpus side for an LSH/IVF shortlist at
+    * 100 TB exactly as search does. Quantized scoring — oracle-exact. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = graft.core.Tables.ensureParallelism(corpus)
+      .select(col(idCol).as("cid"), col(labelCol).as("c_label"), dvec(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("qid"), col(labelCol).as("q_label"),
+      dvec(col(vecCol)).as("qv"))
+    val scored = broadcast(q).join(c,
+        col("qid") =!= col("cid") && col("q_label") =!= col("c_label"))
+      .select(col("qid"), col("q_label"), col("cid"), col("c_label"),
+        (qdot(col("qv"), col("cv")) / (qnorm(col("qv")) * qnorm(col("cv")))).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("q_label"), col("cid"), col("c_label"),
+        col("cosine"), col("rank").cast(IntegerType).as("rank"))
+  }
+
   /** nBits-bit sign-LSH bucket id per vector: bit h = [dot(v, plane_h) > 0]
     * with deterministic hyperplane signs (the high bit of md5("h:d")'s
     * first hex char — portable across engines; precomputed inside the

@@ -506,4 +506,25 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_feats"),
         (col("qsum").cast(DoubleType) / lit(1e6) / col("n_feats")).as("mean_pref"))
   }
+
+  /** DSIR importance RESAMPLING — the second half of Xie et al. 2023:
+    * after scoring, DSIR samples the raw pool with probability
+    * proportional to the importance weight. The deterministic analog
+    * here: accept a document iff u(doc) < mean_pref, where u = the
+    * first 48 md5 bits of its id as a uniform in [0,1) (one exact
+    * BIGINT / 2^48 IEEE division — the same hash-uniform trick as
+    * mixtureSample, so no RNG anywhere and any engine replays the
+    * identical sample). Map-only on top of dsirPreference's single
+    * shuffle; returns the kept rows with their (n_feats, mean_pref, u)
+    * so the acceptance is auditable. */
+  def dsirResample(raw: org.apache.spark.sql.DataFrame,
+                   target: org.apache.spark.sql.DataFrame,
+                   idCol: String, textCol: String,
+                   buckets: Int = 256): org.apache.spark.sql.DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast(LongType).cast(DoubleType) / lit(281474976710656.0)
+    dsirPreference(raw, target, idCol, textCol, buckets)
+      .withColumn("u", u)
+      .filter(col("u") < col("mean_pref"))
+  }
 }

@@ -306,5 +306,48 @@ object PipelineQueries {
           "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+
+    // DSIR importance RESAMPLING (the selection half of the paper): keep
+    // raw docs with probability proportional to their preference score,
+    // deterministically — accept iff the doc's md5-uniform u < mean_pref.
+    // u is one exact BIGINT/2^48 division (the mixtureSample hash-uniform
+    // trick), so the sample replays bit-identically on any engine. The
+    // only addition over q_dsir_weights' plan is a map-side filter.
+    QueryDef(
+      "q_dsir_resample",
+      "DSIR importance resampling: keep raw docs where hash-uniform u < mean preference",
+      s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+          f AS (SELECT doc_id, source, ${duckBand256Sql("bg")} AS bucket FROM (
+                  SELECT doc_id, source,
+                         unnest(list_transform(range(1, len(l)),
+                           i -> l[i] || ' ' || l[i + 1])) AS bg
+                  FROM tok)),
+          ct AS (SELECT bucket, COUNT(*) AS ct FROM f WHERE source = 'src0' GROUP BY bucket),
+          cr AS (SELECT bucket, COUNT(*) AS cr FROM f WHERE source <> 'src0' GROUP BY bucket),
+          tot AS (SELECT (SELECT SUM(ct) FROM ct) AS tt, (SELECT SUM(cr) FROM cr) AS tr),
+          scored AS (
+            SELECT f.doc_id,
+                   (COALESCE(ct.ct, 0) + 1) / CAST(tot.tt + 256 AS DOUBLE) AS pt,
+                   (COALESCE(cr.cr, 0) + 1) / CAST(tot.tr + 256 AS DOUBLE) AS qr
+            FROM f LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket) CROSS JOIN tot
+            WHERE f.source <> 'src0'),
+          w AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+                       CAST(SUM(CAST(FLOOR((pt / (pt + qr)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                         / 1000000.0 / COUNT(*) AS mean_pref
+                FROM scored GROUP BY doc_id),
+          sampled AS (
+            SELECT doc_id, n_feats, mean_pref,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                     / 281474976710656.0e0 AS u
+            FROM w)
+          SELECT doc_id, n_feats, mean_pref, u FROM sampled
+          WHERE u < mean_pref ORDER BY doc_id""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.dsirResample(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
   )
 }

@@ -87,6 +87,42 @@ object VectorQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Contrastive hard-negative mining: per query, the top-5 most
+    // cosine-similar vectors with a DIFFERENT label — the impostors an
+    // embedding loss needs (easy negatives are ~zero gradient). Same
+    // broadcast x corpus + quantized-cosine shape as q_ann_topk with the
+    // label inequality in the join, so cross-label pairs never form.
+    QueryDef(
+      "q_hard_negatives",
+      "contrastive hard negatives: top-5 cosine-nearest different-label vectors per query",
+      s"""WITH dims AS (
+            SELECT vec_id, label, CAST(r.d AS INT) AS d, r.x AS x FROM (
+              SELECT vec_id, label, unnest(list_transform(embedding, (x, i) -> {'d': i - 1, 'x': CAST(x AS DOUBLE)})) AS r
+              FROM embeddings)),
+          nrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x * x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0) AS nrm
+                  FROM dims GROUP BY vec_id),
+          dots AS (
+            SELECT q.vec_id AS qid, MIN(q.label) AS q_label,
+                   c.vec_id AS cid, MIN(c.label) AS c_label,
+                   CAST(SUM(CAST(FLOOR((q.x * c.x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dot
+            FROM dims q JOIN dims c ON q.d = c.d AND q.vec_id <> c.vec_id
+                                   AND q.label <> c.label
+            WHERE q.vec_id < 5
+            GROUP BY q.vec_id, c.vec_id),
+          scored AS (
+            SELECT qid, q_label, cid, c_label, dot / (qn.nrm * cn.nrm) AS cosine
+            FROM dots JOIN nrm qn ON qn.vec_id = qid JOIN nrm cn ON cn.vec_id = cid)
+          SELECT qid, q_label, cid, c_label, cosine, rank FROM (
+            SELECT qid, q_label, cid, c_label, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS INT) AS rank
+            FROM scored)
+          WHERE rank <= 5 ORDER BY qid, rank""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", "label", k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     QueryDef(
       "q_emb_centroid",
       "per-label centroid of the embedding column (exact decimal mean per dim)",
