@@ -253,12 +253,38 @@ class PlanSpec extends SparkSpec {
   test("Bloom probe: the filter broadcasts; the corpus side stays map-side up to the per-doc agg") {
     val p = plan("q_bloom_decontaminate")
     assert(p.contains("BroadcastExchange"),
-      s"the word/bits filter table should broadcast:\n$p")
+      s"the exact-side gram set should broadcast:\n$p")
     // the filter build keys on word indices — constant-size — and the
     // probe aggregations key on (doc_id, ...); no exchange may partition
     // on the raw gram position column
     assert(!"Exchange hashpartitioning\\(p#\\d".r.findAllIn(p).hasNext,
       s"raw bit positions crossed a shuffle:\n$p")
+    // the bloom count is IN-ROW (native BloomGramHits over the packed
+    // filter words): the TRAIN side must never re-group per gram — no
+    // exchange may carry doc_id and gram together (the eval side's tiny
+    // distinct-gram shuffle inside the broadcast build is by design)
+    assert(!("Exchange hashpartitioning\\([^)]*doc_id[^)]*gram".r.findAllIn(p).hasNext ||
+      "Exchange hashpartitioning\\([^)]*gram[^)]*doc_id".r.findAllIn(p).hasNext),
+      s"per-gram doc re-group crossed a shuffle:\n$p")
+    assert(p.contains("bloom_gram_hits"), s"expected the native in-row probe:\n$p")
+  }
+
+  test("hard negatives: queries broadcast; raw embeddings never cross an exchange") {
+    val p = plan("q_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side should broadcast:\n$p")
+    val vecShuffles = "Exchange hashpartitioning\\([^)]*embedding".r.findAllIn(p).size
+    assert(vecShuffles == 0, s"raw vectors crossed a shuffle:\n$p")
+  }
+
+  test("near-dup pair consumers read the shared run-scoped pair artifact") {
+    // q_pagerank (and q_keep_best) must consume the pair table written
+    // once per run — the tower (shingle -> minhash -> band -> verify)
+    // must be absent from the consumer's own plan (the pinned pair slice
+    // appears as a materialized scan, not as the rebuilding subtree)
+    val p = plan("q_pagerank")
+    assert(!p.contains("shingle_set") && !p.contains("xxhash64"),
+      s"pagerank rebuilt the shingle tower instead of reading the artifact:\n$p")
   }
 
   test("SQ8: bounds ride one broadcast row; raw vectors never shuffle") {
