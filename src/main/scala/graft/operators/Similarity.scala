@@ -199,6 +199,48 @@ object Similarity {
       .select(col("qid"), col("cid"), col("cosine"), col("rank").cast(IntegerType).as("rank"))
   }
 
+  /** Matryoshka-style prefix-rerank ANN (the MRL deployment trick,
+    * Kusupati et al. '22: nested representations make the first
+    * `prefixDims` dims a usable low-dim embedding): stage 1 scores every
+    * corpus vector against the broadcast queries on the PREFIX ONLY —
+    * prefixDims/dims of the arithmetic, and at 100 TB the prefix can be
+    * its own stored column so the scan reads a fraction of the bytes —
+    * keeping `shortlist` candidates per query; stage 2 reranks only the
+    * shortlist with the exact full-dim quantized cosine. The shortlist
+    * window carries (qid, cid, pdist) rows — never vectors — and the
+    * rerank joins the tiny shortlist BACK to the corpus broadcast-side,
+    * so both corpus passes are map-only. Recall trades via prefixDims
+    * and shortlist exactly like nBits/nProbe in the LSH/IVF paths. */
+  def prefixRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, prefixDims: Int, shortlist: Int,
+                       k: Int): DataFrame = {
+    require(prefixDims >= 1 && shortlist >= k,
+      s"need prefixDims >= 1 and shortlist $shortlist >= k $k")
+    val c = graft.core.Tables.ensureParallelism(corpus)
+      .select(col(idCol).as("cid"), dvec(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
+    // stage-1 metric is PREFIX COSINE — aligned with the rerank metric
+    // (an L2 shortlist against a cosine rerank throws away recall on
+    // un-normalized vectors)
+    def pvec(v: Column) = slice(v, 1, prefixDims)
+    val pd = broadcast(q).join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (qdot(pvec(col("qv")), pvec(col("cv"))) /
+          (qnorm(pvec(col("qv"))) * qnorm(pvec(col("cv"))))).as("pcos"))
+    val w1 = Window.partitionBy("qid").orderBy(desc("pcos"), col("cid"))
+    val short = pd.withColumn("rn", row_number().over(w1))
+      .filter(col("rn") <= shortlist).select(col("qid"), col("cid"))
+    val rerank = c.join(broadcast(short), Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        (qdot(col("qv"), col("cv")) / (qnorm(col("qv")) * qnorm(col("cv")))).as("cosine"))
+    val w2 = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
+    rerank.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("cosine"),
+        col("rank").cast(IntegerType).as("rank"))
+  }
+
   /** IVF (inverted-file) ANN — the second scale path alongside sign-LSH:
     * a coarse quantizer of `nCells` cells (deterministic hash-rank seed
     * centroids — see coarseSeeds; optional quantized-mean refinement

@@ -185,6 +185,52 @@ object VectorQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Matryoshka-style prefix rerank (MRL deployment shape): stage 1
+    // shortlists on the first 16 dims only — a quarter of the arithmetic,
+    // and at scale a quarter of the bytes if the prefix is its own stored
+    // column — stage 2 reranks the 50-candidate shortlist with the exact
+    // full-dim quantized cosine. The shortlist window carries
+    // (qid, cid, pcos) — never vectors.
+    QueryDef(
+      "q_ann_matryoshka",
+      "matryoshka prefix-rerank ANN: 16-dim prefix-cosine shortlist (50), exact full-dim cosine top-5",
+      s"""WITH dims AS ($dimsSql),
+          pnrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x * x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0) AS pnrm
+                   FROM dims WHERE d < 16 GROUP BY vec_id),
+          pdot AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+                   CAST(SUM(CAST(FLOOR((q.x * c.x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dot
+            FROM dims q JOIN dims c ON q.d = c.d AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5 AND q.d < 16
+            GROUP BY 1, 2),
+          pd AS (
+            SELECT qid, cid, dot / (qn.pnrm * cn.pnrm) AS pcos
+            FROM pdot JOIN pnrm qn ON qn.vec_id = qid JOIN pnrm cn ON cn.vec_id = cid),
+          short AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY pcos DESC, cid) AS rn
+              FROM pd) WHERE rn <= 50),
+          nrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x * x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0) AS nrm
+                  FROM dims GROUP BY vec_id),
+          dots AS (
+            SELECT short.qid, short.cid,
+                   CAST(SUM(CAST(FLOOR((q.x * c.x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dot
+            FROM short JOIN dims q ON q.vec_id = short.qid
+                       JOIN dims c ON c.vec_id = short.cid AND c.d = q.d
+            GROUP BY 1, 2),
+          scored AS (
+            SELECT qid, cid, dot / (qn.nrm * cn.nrm) AS cosine
+            FROM dots JOIN nrm qn ON qn.vec_id = qid JOIN nrm cn ON cn.vec_id = cid)
+          SELECT qid, cid, cosine, rank FROM (
+            SELECT qid, cid, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS INT) AS rank
+            FROM scored) WHERE rank <= 5 ORDER BY qid, rank""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.prefixRerankTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", prefixDims = 16, shortlist = 50, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // SQ8 scalar quantization — the compression rung below PQ (4x vs 32x):
     // per-dimension affine int8 codes against corpus min/max bounds,
     // symmetric approximate-L2 ADC (the code delta dequantizes by the

