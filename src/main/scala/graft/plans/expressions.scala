@@ -865,6 +865,13 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "strip_accents", exprs => StripAccents(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_gram_hits",
+      exprs => BloomGramHits(exprs(0),
+        litLongSeq(exprs(1), "bloom_gram_hits(grams, words, mBits, k)"),
+        litInt(exprs(2), "bloom_gram_hits(grams, words, mBits, k)"),
+        litInt(exprs(3), "bloom_gram_hits(grams, words, mBits, k)")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_encode",
       exprs => BpeEncodeExpr(exprs(0), litStringSeq(exprs(1), "bpe_encode(text, merges)"),
         marker = exprs.lift(2).exists(litBool(_, "bpe_encode(text, merges, marker)"))),
@@ -877,5 +884,20 @@ object GraftFunctions {
       lit.eval().asInstanceOf[Boolean]
     case other => throw new IllegalArgumentException(
       s"$usage requires a constant BOOLEAN, got $other")
+  }
+
+  /** Argument that must be a foldable ARRAY<BIGINT> literal (the packed
+    * bloom filter words in SQL form). */
+  private[plans] def litLongSeq(e: Expression, usage: String): Seq[Long] = e match {
+    case arr if arr.foldable && (arr.dataType == ArrayType(LongType, false) ||
+        arr.dataType == ArrayType(LongType, true)) =>
+      val data = arr.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      (0 until data.numElements()).map { i =>
+        if (data.isNullAt(i)) throw new IllegalArgumentException(
+          s"$usage requires non-null ARRAY<BIGINT> elements, got a NULL element")
+        data.getLong(i)
+      }
+    case other => throw new IllegalArgumentException(
+      s"$usage requires a constant ARRAY<BIGINT>, got $other")
   }
 }

@@ -65,6 +65,31 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(got == Seq((1L, "x y"), (2L, "p q"), (3L, "u v w z k m")))
   }
 
+  test("bloom decontamination is expressible in pure SQL via word_gram_set + bloom_gram_hits") {
+    GraftFunctions.register(spark)
+    import graft.operators.Sketches
+    // build a tiny filter over the "eval" doc's grams, then count each
+    // train doc's member grams in SQL via the packed-words literal
+    val mBits = 62 * 16
+    Seq((100L, "benchmark question about ordering semantics")).toDF("doc_id", "text")
+      .createOrReplaceTempView("ev")
+    val words = Sketches.bloomWords(Sketches.bloomBuild(
+      spark.sql("SELECT explode(word_gram_set(text, 4)) AS gram FROM ev").distinct(),
+      org.apache.spark.sql.functions.col("gram"), mBits, 3), mBits)
+    Seq((1L, "a study of benchmark question about ordering semantics here"),
+        (2L, "completely unrelated text with no shared grams at all ok"))
+      .toDF("doc_id", "text").createOrReplaceTempView("tr")
+    val wordsSql = words.mkString("array(", "L,", "L)")
+    val got = spark.sql(
+      s"""SELECT doc_id,
+                 bloom_gram_hits(word_gram_set(text, 4), $wordsSql, $mBits, 3) AS n_hits
+          FROM tr ORDER BY doc_id""").as[(Long, Long)].collect().toSeq
+    assert(got.head._1 == 1L && got.head._2 >= 2L,
+      s"doc 1 shares grams with the eval doc: $got")
+    assert(got(1)._2 == 0L || got(1)._2 <= 1L, // tiny filter may false-positive
+      s"doc 2 shares nothing (at most an FP on a 992-bit filter): $got")
+  }
+
   test("word_gram_hashes is SQL-callable and rejects a non-constant width") {
     GraftFunctions.register(spark)
     val n = spark.sql(
