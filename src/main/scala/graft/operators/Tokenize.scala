@@ -69,4 +69,33 @@ object Tokenize {
     }
     merges
   }
+
+  /** TOKEN-aware chunking — the context-window prep step: each document's
+    * BPE token sequence splits into windows of `chunkLen` tokens advancing
+    * by chunkLen - overlap, so every chunk fits a model context by TOKEN
+    * count (chunkByChars' character windows can blow a token budget on
+    * token-dense text). Map-only: tokenize (native BpeEncodeExpr with the
+    * merge table as a plan constant), explode window starts, slice — the
+    * per-chunk rows carry (doc_id, chunk_idx, n_tokens, chunk_tokens) and
+    * text never shuffles. A trailing window starting inside the previous
+    * chunk's overlap tail is dropped (zero new tokens), matching
+    * chunkByChars' rule. */
+  def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[String], chunkLen: Int, overlap: Int): DataFrame = {
+    require(chunkLen > overlap && overlap >= 0, "need chunkLen > overlap >= 0")
+    val step = chunkLen - overlap
+    graft.core.Tables.ensureParallelism(docs)
+      .filter(length(col(textCol)) >= 1)
+      .select(col(idCol).as("doc_id"),
+        graft.plans.GraftFunctions.bpe_encode(col(textCol), merges).as("__tk"))
+      .select(col("doc_id"), col("__tk"),
+        posexplode(sequence(lit(1), greatest(size(col("__tk")), lit(1)), lit(step)))
+          .as(Seq("chunk_idx", "__start")))
+      .filter(col("chunk_idx") === 0 || col("__start") + overlap <= size(col("__tk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("__tk"), col("__start"), lit(chunkLen)).as("__c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("__c")).cast("bigint").as("n_tokens"),
+        array_join(col("__c"), " ").as("chunk_tokens"))
+  }
 }

@@ -282,6 +282,34 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Token-aware chunking — the context-window prep step: windows of 64
+    // BPE tokens advancing by 56 (8-token overlap), so chunks fit a model
+    // context by TOKEN count where chunkByChars' character windows can
+    // blow the budget on token-dense text. Map-only end to end; the
+    // oracle rebuilds the token stream per word (whole-text encode ≡
+    // concatenated per-word encodes — merges never cross the space
+    // separator) and replays the same window/trailing-drop rules.
+    QueryDef(
+      "q_chunk_tokens",
+      "token-aware chunking: 64-token BPE windows, 8-token overlap, trailing zero-progress windows dropped",
+      s"""WITH toks AS (
+            SELECT doc_id, flatten(list_transform(
+                     list_filter(string_split(text, ' '), w -> len(w) > 0),
+                     w -> string_split(trim($bpeEncodeSql), ' '))) AS tk
+            FROM documents WHERE length(text) >= 1),
+          st AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 56)) AS s FROM toks),
+          ch AS (SELECT doc_id, CAST((s - 1) // 56 AS INT) AS chunk_idx,
+                        tk[s : s + 63] AS c, s, len(tk) AS n
+                 FROM st)
+          SELECT doc_id, chunk_idx, CAST(len(c) AS BIGINT) AS n_tokens,
+                 array_to_string(c, ' ') AS chunk_tokens
+          FROM ch WHERE s = 1 OR s + 8 <= n
+          ORDER BY doc_id, chunk_idx""") { (s, dir) =>
+      graft.operators.Tokenize.chunkByTokens(t(s, dir, "documents"), "doc_id",
+          "text", BpeMerges, chunkLen = 64, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     QueryDef(
       "q_winnowing",
       "winnowing rolling-hash fingerprints: per-doc fingerprint-set summary (k=9, w=8)",

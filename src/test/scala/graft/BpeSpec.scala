@@ -68,6 +68,40 @@ class BpeSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("chunkByTokens: windows tile the token stream; overlap and trailing-drop laws hold") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Seq("t a", "ta b", "tab l", "tabl e", "s c", "sc a", "sca n",
+      "r o", "ro w", "k e", "ke y", "e r")
+    val (chunkLen, overlap) = (32, 4)
+    val step = chunkLen - overlap
+    val chunks = graft.operators.Tokenize.chunkByTokens(docs, "doc_id", "text",
+        merges, chunkLen, overlap)
+      .select(col("doc_id").cast("long"), col("chunk_idx").cast("int"),
+        col("n_tokens").cast("long"), col("chunk_tokens"))
+      .as[(Long, Int, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val full = docs.select(col("doc_id").cast("long"),
+        bpe_encode(col("text"), merges).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    chunks.foreach { case (doc, ws) =>
+      val toks = full(doc)
+      // every window is the exact slice at its start; dropping each
+      // window's overlap prefix (after the first) rebuilds the stream
+      ws.foreach { case (_, idx, n, text) =>
+        val slice = toks.slice(idx * step, idx * step + chunkLen)
+        assert(slice.mkString(" ") == text && slice.size == n,
+          s"doc $doc window $idx mismatch")
+      }
+      val rebuilt = ws.flatMap { case (_, idx, _, text) =>
+        val t = text.split(" ").toSeq
+        if (idx == 0) t else t.drop(overlap)
+      }
+      assert(rebuilt.toSeq == toks.toSeq, s"doc $doc windows do not tile the stream")
+      // no window may start past the stream (trailing-drop law)
+      assert(ws.forall { case (_, idx, _, _) => idx == 0 || idx * step + overlap <= toks.size })
+    }
+  }
+
   test("null and empty inputs") {
     val got = Seq(Some(""), None, Some("  ")).toDF("text")
       .select(bpe_encode(col("text"), classic).as("t"))
