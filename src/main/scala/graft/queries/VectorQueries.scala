@@ -59,6 +59,52 @@ object VectorQueries {
   private def seedIdsSql(n: Int): String =
     s"(SELECT vec_id FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $n)"
 
+  /** One raw-vector PQ artifact build per (JVM run, sf dir): q_pq_adc and
+    * q_ann_ivfpq consume the IDENTICAL codebook + codes (m=8, ksub=16,
+    * iters=2 over the same corpus) — training twice was pure duplicate
+    * work (same sharing idea as TextQueries' near-dup pair tower; the
+    * oracles of BOTH queries read these same parquet paths, so results
+    * still provably derive from the persisted artifacts). The path must
+    * be a plan-time CONSTANT (the static oracle SQL embeds it), so the
+    * memo tracks which dir the artifacts were built for and rebuilds on a
+    * dir switch — one JVM serving several scale factors sequentially
+    * stays correct, matching the write-before-read contract of
+    * annArtifactRoot. */
+  private val pqSharedBase: String = s"$annArtifactRoot/pq_shared"
+  private val pqArtifactsFor = new java.util.concurrent.atomic.AtomicReference[String](null)
+  private def ensurePqShared(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    pqArtifactsFor.synchronized {
+      if (pqArtifactsFor.get != dir) {
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+          .write.mode("overwrite").parquet(s"$pqSharedBase/codebook")
+        Similarity.pqEncode(emb, "vec_id", "embedding",
+            s.read.parquet(s"$pqSharedBase/codebook"), m = 8)
+          .write.mode("overwrite").parquet(s"$pqSharedBase/codes")
+        pqArtifactsFor.set(dir)
+      }
+      pqSharedBase
+    }
+
+  /** Same build-once memo for the RESIDUAL IVF-PQ artifacts (their
+    * codebook couples to the coarse quantizer, so they stay separate
+    * from the raw-vector pq_shared pair): the index is built and
+    * persisted once per (JVM, dir); every q_ann_ivfpq_res evaluation
+    * scores against the stored artifacts — the production read path. */
+  private val resArtifactsFor = new java.util.concurrent.atomic.AtomicReference[String](null)
+  private def ensureResidualShared(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    resArtifactsFor.synchronized {
+      val base = s"$annArtifactRoot/ivfpqres"
+      if (resArtifactsFor.get != dir) {
+        val (cb0, codes0) = Similarity.ivfPqResidualBuild(t(s, dir, "embeddings"),
+          "vec_id", "embedding", nCells = 16, m = 8, ksub = 16, iters = 2)
+        cb0.write.mode("overwrite").parquet(s"$base/codebook")
+        codes0.write.mode("overwrite").parquet(s"$base/codes")
+        resArtifactsFor.set(dir)
+      }
+      base
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -370,11 +416,11 @@ object VectorQueries {
     QueryDef(
       "q_pq_adc",
       "product-quantization ANN: m=8/ksub=16 codebook + codes persisted to parquet; ADC top-10 recomputed by the oracle from the same artifacts",
-      s"""WITH cb AS (SELECT sub, cc, cv FROM read_parquet('${annArtifactRoot}/pq/codebook/*.parquet')),
+      s"""WITH cb AS (SELECT sub, cc, cv FROM read_parquet('${annArtifactRoot}/pq_shared/codebook/*.parquet')),
           cx AS (
             SELECT vid, r.sub AS sub, r.cc AS cc FROM (
               SELECT vid, unnest(list_transform(range(1, len(codes) + 1), i -> {'sub': i - 1, 'cc': codes[i]})) AS r
-              FROM read_parquet('${annArtifactRoot}/pq/codes/*.parquet'))),
+              FROM read_parquet('${annArtifactRoot}/pq_shared/codes/*.parquet'))),
           qsub AS (
             SELECT vec_id AS qid, r.sub AS sub, r.sv AS sv FROM (
               SELECT vec_id, unnest(list_transform(range(0, 8),
@@ -396,15 +442,9 @@ object VectorQueries {
                    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS INT) AS rank
             FROM ad) WHERE rank <= 10 ORDER BY qid, rank""") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val base = s"$annArtifactRoot/pq"
-      Similarity.pqCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
-        .write.mode("overwrite").parquet(s"$base/codebook")
-      val codebook = s.read.parquet(s"$base/codebook")
-      Similarity.pqEncode(emb, "vec_id", "embedding", codebook, m = 8)
-        .write.mode("overwrite").parquet(s"$base/codes")
-      val codes = s.read.parquet(s"$base/codes")
-      Similarity.pqTopK(codes, emb.filter(col("vec_id") < 5), codebook,
-          "vec_id", "embedding", m = 8, k = 10)
+      val base = ensurePqShared(s, dir)
+      Similarity.pqTopK(s.read.parquet(s"$base/codes"), emb.filter(col("vec_id") < 5),
+          s.read.parquet(s"$base/codebook"), "vec_id", "embedding", m = 8, k = 10)
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -435,11 +475,11 @@ object VectorQueries {
           cand AS (
             SELECT p.qid, c.vec_id AS cid FROM probes p
             JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.qid),
-          cb AS (SELECT sub, cc, cv FROM read_parquet('${annArtifactRoot}/ivfpq/codebook/*.parquet')),
+          cb AS (SELECT sub, cc, cv FROM read_parquet('${annArtifactRoot}/pq_shared/codebook/*.parquet')),
           cx AS (
             SELECT vid, r.sub AS sub, r.cc AS cc FROM (
               SELECT vid, unnest(list_transform(range(1, len(codes) + 1), i -> {'sub': i - 1, 'cc': codes[i]})) AS r
-              FROM read_parquet('${annArtifactRoot}/ivfpq/codes/*.parquet'))),
+              FROM read_parquet('${annArtifactRoot}/pq_shared/codes/*.parquet'))),
           qsub AS (
             SELECT vec_id AS qid, r.sub AS sub, r.sv AS sv FROM (
               SELECT vec_id, unnest(list_transform(range(0, 8),
@@ -461,15 +501,10 @@ object VectorQueries {
                    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS INT) AS rank
             FROM ad) WHERE rank <= 10 ORDER BY qid, rank""") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val base = s"$annArtifactRoot/ivfpq"
-      Similarity.pqCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
-        .write.mode("overwrite").parquet(s"$base/codebook")
-      val codebook = s.read.parquet(s"$base/codebook")
-      Similarity.pqEncode(emb, "vec_id", "embedding", codebook, m = 8)
-        .write.mode("overwrite").parquet(s"$base/codes")
-      val codes = s.read.parquet(s"$base/codes")
+      val base = ensurePqShared(s, dir)
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          nCells = 16, nProbe = 2, codes, codebook, m = 8, k = 10)
+          nCells = 16, nProbe = 2, s.read.parquet(s"$base/codes"),
+          s.read.parquet(s"$base/codebook"), m = 8, k = 10)
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -519,11 +554,7 @@ object VectorQueries {
                    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS INT) AS rank
             FROM ad) WHERE rank <= 10 ORDER BY qid, rank""") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val base = s"$annArtifactRoot/ivfpqres"
-      val (cb0, codes0) = Similarity.ivfPqResidualBuild(emb, "vec_id", "embedding",
-        nCells = 16, m = 8, ksub = 16, iters = 2)
-      cb0.write.mode("overwrite").parquet(s"$base/codebook")
-      codes0.write.mode("overwrite").parquet(s"$base/codes")
+      val base = ensureResidualShared(s, dir)
       Similarity.ivfPqResidualScore(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", nCells = 16, nProbe = 2,
           s.read.parquet(s"$base/codes"), s.read.parquet(s"$base/codebook"),
