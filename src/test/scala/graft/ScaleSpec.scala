@@ -146,6 +146,22 @@ class ScaleSpec extends SparkSpec {
     assert(incr.toSeq == scratch.toSeq)
   }
 
+  test("run-scoped ANN artifacts rebuild on a scale-factor switch (no stale reads)") {
+    // q_pq_adc / q_ann_ivfpq_res persist artifacts at a FIXED path (the
+    // static oracle SQL embeds it) with a dir-switch-invalidated memo; a
+    // stale memo would silently score dir A's queries against dir B's
+    // codebook. Drive dir1 -> dir2 -> dir1 and require the third result
+    // to equal the first bit-for-bit.
+    def run(dir: String) =
+      SparkEntry.queries("q_pq_adc")(spark, dir)
+        .collect().map(_.toString).toSeq
+    val first = run("/root/testdata/sf0.001")
+    val other = run("/root/testdata/sf0.01")
+    assert(other != first, "distinct scale factors should rank differently")
+    assert(run("/root/testdata/sf0.001") == first,
+      "switching back must rebuild the artifacts, not reuse the other dir's")
+  }
+
   test("PQ codebook training is capped: k-means input is exactly the hash-rank sample") {
     // Training on trainCap=N over the full corpus must equal training
     // UNCAPPED on just the N hash-rank-first vectors — proving the k-means
