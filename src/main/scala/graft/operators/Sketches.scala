@@ -99,6 +99,34 @@ object Sketches {
           (lit(256L) - col("n_hit")) * lit(1125899906842624L))).as("hll_est"): _*)
   }
 
+  /** Heavy hitters via the CMS — the sketch's classic end-use (Cormode &
+    * Muthukrishnan §4): every distinct token probes the broadcast sketch
+    * (est = min over depth rows), tokens with est >= phi * total survive,
+    * top-k by (est desc, token). phi makes the threshold SCALE-FREE —
+    * the same query means "more than 1/50th of all tokens" at any corpus
+    * size. Shape: the corpus aggregates once into the constant-size
+    * sketch and once into per-token counts over the VOCABULARY (map-side
+    * combine; |V| << corpus — and at 100 TB the sketch and the vocabulary
+    * both arrive merged from per-shard passes, so the probe never touches
+    * the corpus again). CMS guarantees est >= true, so no true heavy
+    * hitter is ever missed at the threshold — the false-positive margin
+    * is visible in the (est_cnt, true_cnt) pair. */
+  def cmsHeavyHitters(toks: DataFrame, tokCol: String, depth: Int, width: Int,
+                      phi: Double, k: Int): DataFrame = {
+    require(phi > 0 && phi < 1, s"phi must be in (0,1), got $phi")
+    val sketch = cmsSketch(toks, tokCol, depth, width)
+    val total = toks.agg(count(lit(1)).as("__total"))
+    val probes = toks.groupBy(col(tokCol))
+      .agg(count(lit(1)).as("true_cnt"))
+    cmsEstimate(sketch, probes, tokCol, depth, width)
+      .join(probes, Seq(tokCol))
+      .crossJoin(broadcast(total))
+      .filter(col("est_cnt").cast("double") >= lit(phi) * col("__total"))
+      .select(col(tokCol), col("est_cnt"), col("true_cnt"))
+      .orderBy(col("est_cnt").desc, col(tokCol))
+      .limit(k)
+  }
+
   /** Driver-side small-range correction for hllEstimate rows (Flajolet
     * et al. '07 §4): below the linear-counting threshold (raw <= 2.5m)
     * with empty registers remaining, the better estimator is linear

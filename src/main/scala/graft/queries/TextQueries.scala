@@ -942,6 +942,40 @@ object TextQueries {
         .orderBy(col("token"))
     },
 
+    // Heavy hitters via the CMS — the sketch's classic end-use: every
+    // vocabulary token probes the broadcast sketch, tokens with
+    // est >= phi * total survive (phi makes the threshold SCALE-FREE),
+    // top-20 by estimate. est >= true always, so no true heavy hitter is
+    // missed at the threshold; the (est_cnt, true_cnt) pair exposes the
+    // collision margin. The corpus aggregates once into the constant
+    // sketch and once into vocabulary counts — the probe never re-touches
+    // corpus rows.
+    QueryDef(
+      "q_heavy_hitters",
+      "CMS heavy hitters: tokens with estimate >= 2% of all tokens, top-20 (est vs true counts)",
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+          rows4(j) AS (VALUES (0), (1), (2), (3)),
+          cells AS (SELECT j, ${duckBand256("CAST(j AS VARCHAR) || ':' || t")} % 64 AS bucket
+                    FROM tok CROSS JOIN rows4),
+          sketch AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+                     FROM cells GROUP BY j, bucket),
+          vocab AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM tok GROUP BY t),
+          pcells AS (SELECT t, j, ${duckBand256("CAST(j AS VARCHAR) || ':' || t")} % 64 AS bucket
+                     FROM vocab CROSS JOIN rows4),
+          est AS (SELECT t, MIN(COALESCE(cnt, CAST(0 AS BIGINT))) AS est_cnt
+                  FROM pcells LEFT JOIN sketch USING (j, bucket) GROUP BY t),
+          tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok)
+          SELECT t AS token, est_cnt, true_cnt
+          FROM est JOIN vocab USING (t) CROSS JOIN tot
+          WHERE CAST(est_cnt AS DOUBLE) >= 0.02e0 * total
+          ORDER BY est_cnt DESC, token LIMIT 20""") { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+      graft.operators.Sketches.cmsHeavyHitters(toks, "t", depth = 4, width = 64,
+          phi = 0.02, k = 20)
+        .withColumnRenamed("t", "token")
+    },
+
     // PageRank over the near-dup similarity graph: hub documents of
     // template/boilerplate families. Fixed 5 damped iterations (an
     // engine-portable pure function of the graph — the oracle unrolls the
