@@ -865,6 +865,13 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "strip_accents", exprs => StripAccents(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "argmin_cell",
+      exprs => ArgminCellExpr(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_codes",
+      exprs => PqCodesExpr(exprs(0), exprs(1),
+        litInt(exprs(2), "pq_codes(v, codebook, m)")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_gram_hits",
       exprs => BloomGramHits(exprs(0),
         litLongSeq(exprs(1), "bloom_gram_hits(grams, words, mBits, k)"),

@@ -90,6 +90,35 @@ class SqlSurfaceSpec extends SparkSpec {
       s"doc 2 shares nothing (at most an FP on a 992-bit filter): $got")
   }
 
+  test("ANN kernels are SQL-callable: argmin_cell and pq_codes over one-row tables") {
+    GraftFunctions.register(spark)
+    // three 4-dim vectors; centroids at the axes — nearest-cell and PQ
+    // codes both resolve in SQL against collect_list-reshaped tables
+    Seq((1L, Seq(1.0, 0.1, 0.0, 0.0)), (2L, Seq(0.0, 0.0, 1.0, 0.9)),
+        (3L, Seq(0.4, 0.5, 0.0, 0.1)))
+      .toDF("vid", "v").createOrReplaceTempView("vecs")
+    Seq((10L, Seq(1.0, 0.0, 0.0, 0.0)), (20L, Seq(0.0, 0.0, 1.0, 1.0)))
+      .toDF("cc", "cv").createOrReplaceTempView("cents")
+    val cells = spark.sql(
+      """WITH one AS (SELECT collect_list(struct(cc, cv)) AS cents FROM cents)
+         SELECT vid, argmin_cell(v, cents) AS cell FROM vecs CROSS JOIN one
+         ORDER BY vid""").as[(Long, Long)].collect().toSeq
+    assert(cells == Seq((1L, 10L), (2L, 20L), (3L, 10L)), s"wrong cells: $cells")
+    // PQ: m=2 subspaces of 2 dims, per-subspace centroids from the same
+    // axis vectors — codes pick the nearest sub-centroid per slice
+    val codes = spark.sql(
+      """WITH cb AS (
+           SELECT collect_list(struct(sub, cc, cv)) AS cb FROM (
+             SELECT 0 AS sub, CAST(1 AS BIGINT) AS cc, array(1.0e0, 0.0e0) AS cv
+             UNION ALL SELECT 0, CAST(2 AS BIGINT), array(0.0e0, 0.5e0)
+             UNION ALL SELECT 1, CAST(1 AS BIGINT), array(0.0e0, 0.0e0)
+             UNION ALL SELECT 1, CAST(2 AS BIGINT), array(1.0e0, 1.0e0)))
+         SELECT vid, pq_codes(v, cb, 2) AS codes FROM vecs CROSS JOIN cb
+         ORDER BY vid""").as[(Long, Seq[Long])].collect().toSeq
+    assert(codes == Seq((1L, Seq(1L, 1L)), (2L, Seq(2L, 2L)), (3L, Seq(2L, 1L))),
+      s"wrong codes: $codes")
+  }
+
   test("word_gram_hashes is SQL-callable and rejects a non-constant width") {
     GraftFunctions.register(spark)
     val n = spark.sql(
