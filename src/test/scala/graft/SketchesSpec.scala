@@ -35,4 +35,26 @@ class SketchesSpec extends SparkSpec {
     val whole = cells(a.unionByName(b)).as[(Int, Long, Long)].collect().toSet
     assert(merged == whole)
   }
+
+  test("CMS heavy hitters: no true hitter at the threshold is ever missed; est >= true") {
+    import graft.operators.Sketches
+    // skewed corpus: token h1 = 30%, h2 = 10%, 60% spread over 120 cold tokens
+    val rows = (1 to 300).map(_ => "h1") ++ (1 to 100).map(_ => "h2") ++
+      (1 to 600).map(i => s"cold${i % 120}")
+    val toks = rows.toDF("t")
+    val phi = 0.05
+    val k = 10
+    val hh = Sketches.cmsHeavyHitters(toks, "t", depth = 4, width = 64, phi, k)
+      .as[(String, Long, Long)].collect()
+    // est >= true on every returned row (CMS one-sided error)
+    assert(hh.forall { case (_, est, tru) => est >= tru })
+    // completeness: every token with true count >= phi * total is present
+    // (est >= true makes missing one impossible unless k truncates it —
+    // pick k above the true-hitter count)
+    val total = rows.size.toDouble
+    val truth = rows.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 >= phi * total).keySet
+    assert(truth.subsetOf(hh.map(_._1).toSet),
+      s"missed true heavy hitters: ${truth -- hh.map(_._1).toSet}")
+  }
 }
