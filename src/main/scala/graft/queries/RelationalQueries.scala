@@ -113,6 +113,32 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // The ADAPTIVE variant against the same plain-join oracle: per-key
+    // salt widths come from the fact side's own key histogram (one
+    // partial-agg'd count pass — itself skew-immune), hot keys fan out
+    // ceil(cnt/target) ways, cold keys replicate ZERO extra copies —
+    // where the static tool above pays saltFactor x replication on every
+    // key. Hash-green here proves the data-driven widths are
+    // result-invariant too.
+    QueryDef(
+      "q_salted_adaptive",
+      "adaptive skew-salted join (per-key widths from the key histogram), revenue by order priority — result identical to the plain join",
+      """SELECT o_orderpriority,
+                CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS revenue,
+                CAST(COUNT(*) AS BIGINT) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+      val li = t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "orderkey")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+      graft.operators.Relational.adaptiveSaltedJoin(li, o, "orderkey",
+          "l_linenumber", targetRowsPerSalt = 1000)
+        .groupBy(col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     QueryDef(
       "q_region_revenue",
       "snowflake join lineitem⋈orders⋈customer⋈nation⋈region, groupBy region+year",
