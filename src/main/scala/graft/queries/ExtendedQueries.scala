@@ -210,6 +210,58 @@ object ExtendedQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // MAD — the robust dispersion partner of q_median (outlier detection
+    // on corpus statistics without moment blowup): median of |x - median|
+    // per group, both levels the same engine-portable window idiom. The
+    // deviations derive exactly (one IEEE subtraction from the quantized
+    // median), so the second ranking is bit-stable across engines; ties
+    // break on the order key.
+    QueryDef(
+      "q_mad",
+      "median absolute deviation of order price per priority (two-level exact-median window idiom)",
+      """WITH ranked AS (
+           SELECT o_orderpriority, o_totalprice,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice, o_orderkey) AS rn,
+                  COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM orders),
+         med AS (
+           SELECT o_orderpriority,
+                  CAST(SUM(CAST(FLOOR((o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 / COUNT(*) AS m
+           FROM ranked WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+           GROUP BY o_orderpriority),
+         dev AS (
+           SELECT o.o_orderpriority, abs(o.o_totalprice - med.m) AS d,
+                  ROW_NUMBER() OVER (PARTITION BY o.o_orderpriority
+                                     ORDER BY abs(o.o_totalprice - med.m), o.o_orderkey) AS rn,
+                  COUNT(*) OVER (PARTITION BY o.o_orderpriority) AS n
+           FROM orders o JOIN med USING (o_orderpriority))
+         SELECT o_orderpriority,
+                CAST(SUM(CAST(FLOOR((d) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 / COUNT(*) AS mad_price
+         FROM dev WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+      val byPrio = Window.partitionBy(col("o_orderpriority"))
+      val orders = t(s, dir, "orders")
+      val ranked = orders
+        .withColumn("rn", row_number().over(byPrio.orderBy(col("o_totalprice"), col("o_orderkey"))))
+        .withColumn("n", count(lit(1)).over(byPrio))
+      val med = ranked
+        .filter(col("rn") === (col("n") + 1).divide(2).cast("long") ||
+                col("rn") === (col("n") + 2).divide(2).cast("long"))
+        .groupBy(col("o_orderpriority"))
+        .agg((dsum(col("o_totalprice")) / count(lit(1))).as("m"))
+      val dev = orders.join(broadcast(med), Seq("o_orderpriority"))
+        .withColumn("d", abs(col("o_totalprice") - col("m")))
+        .withColumn("rn", row_number().over(byPrio.orderBy(col("d"), col("o_orderkey"))))
+        .withColumn("n", count(lit(1)).over(byPrio))
+      dev
+        .filter(col("rn") === (col("n") + 1).divide(2).cast("long") ||
+                col("rn") === (col("n") + 2).divide(2).cast("long"))
+        .groupBy(col("o_orderpriority"))
+        .agg((dsum(col("d")) / count(lit(1))).as("mad_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Histogram-sketch quantiles — the quantile formulation that survives
     // 100 TB. q_median's exact window rank sorts every row of a partition;
     // this one reduces the corpus to a fixed-width histogram (bounded at
