@@ -942,6 +942,96 @@ object TextQueries {
         .orderBy(col("token"))
     },
 
+    // THE FLAGSHIP END-TO-END COMPOSITION: CorpusPipeline.clean — quality
+    // gates -> exact dedup (md5 fingerprint, first-wins) -> MinHash-LSH
+    // near-dup dedup (connected components, lowest-id survivor) ->
+    // benchmark decontamination -> overlapped chunking — oracle-checked
+    // as ONE query. Every stage reuses a CTE pattern already proven by
+    // its standalone query (q_quality_gopher, q_dedup_minhash/q_keep_best,
+    // q_decontaminate, q_chunking); hash-match here proves the stages
+    // COMPOSE exactly: each operates on precisely the prior stage's
+    // survivor set. Config: gates 30-120 words / mean len 3-10 /
+    // uniq >= 0.3 / stopword present; shingle k=9, 8 hashes, 4x2 bands,
+    // Jaccard >= 0.8, NO df cap; 4-gram decontamination vs src0; 200-char
+    // chunks, 20 overlap.
+    QueryDef(
+      "q_corpus_clean",
+      "end-to-end corpus curation: gates -> exact dedup -> near-dup CC dedup -> decontaminate -> chunk, one oracle",
+      s"""WITH RECURSIVE
+          base AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+          ev AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+          gate AS (
+            SELECT doc_id, text FROM base
+            WHERE (len(string_split(text, ' ')) BETWEEN 30 AND 120)
+              AND (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len(string_split(text, ' ')) BETWEEN 3 AND 10)
+              AND (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) >= 0.3)
+              AND (len(list_filter(string_split(text, ' '), w -> w IN ('a', 'the'))) > 0)),
+          fp AS (SELECT doc_id, text, md5(lower(trim(text))) AS f FROM gate),
+          keepx AS (SELECT f, MIN(doc_id) AS keep_id FROM fp GROUP BY f),
+          ex AS (SELECT fp.doc_id, fp.text FROM fp
+                 JOIN keepx ON keepx.f = fp.f AND keepx.keep_id = fp.doc_id),
+          s AS (SELECT doc_id, $shinglesSql AS sh FROM ex),
+          exg AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          rex AS (SELECT doc_id, md5(g) AS h1, md5('x:' || g) AS h2 FROM exg),
+          sig AS (
+            SELECT doc_id,
+                   ${(0 until 8).map { h =>
+                     val src = if (h < 4) "h1" else "h2"
+                     s"MIN(substr($src, ${(h % 4) * 8 + 1}, 8)) AS sig_$h"
+                   }.mkString(", ")}
+            FROM rex GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, unnest([${(0 until 4).map(b => s"'$b' || ':' || sig_${2 * b} || ':' || sig_${2 * b + 1}").mkString(", ")}]) AS band
+            FROM sig),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+          pairs AS (
+            SELECT doc_a, doc_b
+            FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
+            WHERE len(list_intersect(sa.sh, sb.sh))
+                    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+          reach AS (
+            SELECT src AS node, src AS r FROM edges
+            UNION
+            SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+          comps AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
+          losers AS (SELECT doc_id FROM comps WHERE doc_id <> component),
+          nd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+          gsets AS (SELECT doc_id, text,
+                           list_distinct(list_transform(
+                             range(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                             i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))) AS gs
+                    FROM nd),
+          evg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+                            range(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                            i -> array_to_string(string_split(text, ' ')[i:i+3], ' ')))) AS gram
+                  FROM ev),
+          contaminated AS (
+            SELECT DISTINCT t.doc_id FROM (
+              SELECT doc_id, unnest(gs) AS gram FROM gsets) t
+            JOIN evg USING (gram)),
+          clean AS (SELECT doc_id, text FROM nd
+                    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+          chunks AS (
+            SELECT doc_id, text, unnest(range(1, length(text) + 1, 180)) AS st
+            FROM clean WHERE length(text) >= 1)
+          SELECT doc_id, CAST((st - 1) // 180 AS INT) AS chunk_idx,
+                 substr(text, CAST(st AS INT), 200) AS chunk
+          FROM chunks WHERE st = 1 OR st + 20 <= length(text)
+          ORDER BY doc_id, chunk_idx""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.CorpusPipeline.clean(
+          docs.filter(col("source") =!= "src0").select(col("doc_id"), col("text")),
+          docs.filter(col("source") === "src0").select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // Heavy hitters via the CMS — the sketch's classic end-use: every
     // vocabulary token probes the broadcast sketch, tokens with
     // est >= phi * total survive (phi makes the threshold SCALE-FREE),
