@@ -1066,6 +1066,37 @@ object TextQueries {
         .withColumnRenamed("t", "token")
     },
 
+    // Near-dup cluster statistics — the corpus-health report over the
+    // same shared pair artifact as q_keep_best/q_pagerank: connected
+    // components -> cluster-size histogram (how much of the corpus is
+    // template families, and how big they run). Reuses the run-scoped
+    // pair parquet, so the tower never rebuilds; the oracle recomputes
+    // components via the recursive closure.
+    QueryDef(
+      "q_dup_cluster_stats",
+      "near-dup cluster-size histogram: clusters and member counts per size over the LSH pair graph",
+      s"""WITH RECURSIVE $lshPairsCtes,
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+          reach AS (
+            SELECT src AS node, src AS r FROM edges
+            UNION
+            SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+          comps AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
+          sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                    FROM comps GROUP BY component)
+          SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                 CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+          FROM sizes GROUP BY cluster_size ORDER BY cluster_size""") { (s, dir) =>
+      Dedup.connectedComponents(nearDupPairs(s, dir))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size")).as("n_docs"))
+        .orderBy(col("cluster_size"))
+    },
+
     // PageRank over the near-dup similarity graph: hub documents of
     // template/boilerplate families. Fixed 5 damped iterations (an
     // engine-portable pure function of the graph — the oracle unrolls the
