@@ -146,6 +146,19 @@ class ScaleSpec extends SparkSpec {
     assert(incr.toSeq == scratch.toSeq)
   }
 
+  test("the end-to-end curation pipeline is run-to-run deterministic") {
+    // q_corpus_clean chains five stages (gates -> exact dedup -> LSH CC
+    // dedup -> decontaminate -> chunk) through pins and iterative CC —
+    // exactly where hidden nondeterminism (partition-order survivors,
+    // unconverged labels) would hide. Two full evaluations must collect
+    // bit-identical results.
+    def run() = SparkEntry.queries("q_corpus_clean")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val a = run()
+    assert(a.nonEmpty)
+    assert(run() == a, "curation pipeline results differ between runs")
+  }
+
   test("run-scoped ANN artifacts rebuild on a scale-factor switch (no stale reads)") {
     // q_pq_adc / q_ann_ivfpq_res persist artifacts at a FIXED path (the
     // static oracle SQL embeds it) with a dir-switch-invalidated memo; a
