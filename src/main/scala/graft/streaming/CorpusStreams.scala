@@ -304,6 +304,37 @@ object CorpusStreams {
       .groupBy(col("j"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Streaming PACKED EXPORT — the training-data delivery end of the
+    * ingest loop: each micro-batch of curated documents packs into
+    * fixed-token-budget sequences (Export.packAssignments — hash-sharded
+    * FFD by token weight, deterministic) and appends its assignments
+    * (key, shard, n_tokens, pack) as epoch=batchId. A trainer consumes
+    * epoch by epoch: every increment ships complete, budget-respecting
+    * packs of ITS OWN docs, prior epochs never rewrite — the incremental
+    * shape a 100 TB continuous-export pipeline needs (cross-epoch
+    * repacking would rewrite history for marginal fill gains).
+    *
+    * Replay safety: assignments are a pure function of the batch alone
+    * (shard = hash(key), cum ordered by key within shard), so a replayed
+    * batch re-appends ITS OWN epoch idempotently — same contract as the
+    * sketch sinks. */
+  def packedExportSink(incoming: DataFrame, keyCol: String, textCol: String,
+                       packPath: String, checkpointDir: String,
+                       nShards: Int, budget: Int): StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        EtlCli.appendEpoch(
+          graft.operators.Export.packAssignments(
+            batch.select(col(keyCol), col(textCol)), keyCol, textCol,
+            nShards, budget),
+          packPath, batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming HyperLogLog maintenance — the distinct-count sibling of
     * cmsSketchSink/bloomSketchSink, completing the mergeable-sketch sink
     * family: each micro-batch appends ITS OWN (groupCols..., j, r)

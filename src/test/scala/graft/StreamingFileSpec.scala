@@ -102,6 +102,52 @@ class StreamingFileSpec extends SparkSpec {
     assert(walk(new java.io.File(sketchPath)).sorted == before)
   }
 
+  test("packedExportSink: each epoch's packs equal batch-mode packing of that batch; replay adds nothing") {
+    import graft.streaming.CorpusStreams
+    import spark.implicits._
+    def doc(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val b1 = Seq((1L, doc(20, "a")), (2L, doc(50, "b")), (3L, doc(40, "c")))
+    val b2 = Seq((10L, doc(64, "d")), (11L, doc(5, "e")))
+    val root = java.nio.file.Files.createTempDirectory("pack_stream")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectory(in)
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, in.resolve(name + ".parquet"))
+    }
+    stage("b1", b1); stage("b2", b2)
+    val schema = spark.read.parquet(in.resolve("b1.parquet").toString).schema
+    val packPath = root.resolve("packs").toString
+    def runStream(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      CorpusStreams.packedExportSink(stream, "doc_id", "text", packPath,
+        root.resolve("chk").toString, nShards = 2, budget = 64)
+        .awaitTermination(120000)
+    }
+    runStream()
+    assert(graft.tools.EtlCli.committedEpochs(spark, packPath).size == 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").cast("long"), col("shard").cast("long"),
+        col("n_tokens").cast("long"), col("pack").cast("long"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+    // per-epoch assignments ≡ batch-mode packing of exactly that batch
+    Seq(0L -> b1, 1L -> b2).foreach { case (epoch, rs) =>
+      val streamed = rows(graft.tools.EtlCli.readTable(spark, s"$packPath/epoch=$epoch"))
+      val direct = rows(graft.operators.Export.packAssignments(
+        rs.toDF("doc_id", "text"), "doc_id", "text", nShards = 2, budget = 64))
+      assert(streamed == direct, s"epoch $epoch diverges from batch-mode packing")
+    }
+    // replay with the same checkpoint and no new files: zero new commits
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f.getPath)
+    val before = walk(new java.io.File(packPath)).sorted
+    runStream()
+    assert(walk(new java.io.File(packPath)).sorted == before)
+  }
+
   test("hllSketchSink: streamed register partials max-merge to the batch-mode registers") {
     import graft.streaming.CorpusStreams
     import spark.implicits._
