@@ -136,17 +136,38 @@ object Relational {
     projected
   }
 
-  /** Skew-salted equi-join: when a handful of hot keys dominate the fact
-    * side, a plain shuffle join lands them on single reducers. Salt the
-    * fact's key with a deterministic `pmod(hash(row-id), saltFactor)` and
-    * replicate the (small) right side across all salts — hot keys spread
-    * over `saltFactor` reducers; result set is identical to the plain
-    * join. AQE's skew-join handles sort-merge cases adaptively; this is
-    * the explicit tool for when the skew is known up front or the join is
-    * not AQE-eligible.
+  /** Skew-salted equi-join — the DEFAULT surface. Delegates to
+    * [[adaptiveSaltedJoin]]: per-key salt widths come from the fact
+    * side's own key histogram, so hot keys fan out and cold keys pay
+    * zero replication; `saltFactor` becomes the fan-out ceiling
+    * (`maxSalt`). Result set is identical to the plain join. Reach for
+    * [[staticSaltedJoin]] only when the skew is known up front and
+    * uniform replication of the right side is the intent — a static
+    * width on an unknown distribution replicates the right side
+    * `saltFactor`× for EVERY key, hot or not.
+    *
+    * `factIdCol` contract (applies to all three forms): the salt is
+    * `pmod(hash(factIdCol), width)`, so the effective fan-out of a hot
+    * key is capped by the DISTINCT COUNT of `factIdCol` within that key
+    * — pass a per-row (near-)unique id. If no single column is unique,
+    * derive one first (e.g. `withColumn("__rid", concat_ws(":", pk
+    * columns...))`) and salt on that.
     */
   def saltedJoin(fact: DataFrame, right: DataFrame, key: String,
-                 factIdCol: String, saltFactor: Int): DataFrame = {
+                 factIdCol: String, saltFactor: Int,
+                 targetRowsPerSalt: Long = 1000000L): DataFrame =
+    adaptiveSaltedJoin(fact, right, key, factIdCol,
+      targetRowsPerSalt = targetRowsPerSalt, maxSalt = saltFactor)
+
+  /** Static-width salted join — the explicit opt-in for KNOWN-up-front
+    * skew (or joins outside AQE's reach: streaming, required
+    * distributions). Salts the fact's key `pmod(hash(factIdCol),
+    * saltFactor)` and replicates the right side across ALL salts for
+    * every key — prefer [[saltedJoin]] (adaptive) unless that uniform
+    * replication is intended. See [[saltedJoin]] for the factIdCol
+    * cardinality contract. */
+  def staticSaltedJoin(fact: DataFrame, right: DataFrame, key: String,
+                       factIdCol: String, saltFactor: Int): DataFrame = {
     require(saltFactor > 1)
     val salted = fact.withColumn("__salt", pmod(hash(col(factIdCol)), lit(saltFactor)))
     val replicated = right.withColumn("__salt",
@@ -154,17 +175,21 @@ object Relational {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
-  /** Self-service variant of saltedJoin: per-key salt widths chosen FROM
-    * THE DATA instead of one static factor. One partial-agg'd count pass
-    * over the fact side builds the key histogram (map-side combine means
-    * the shuffle carries one row per key per partition — the histogram
-    * never sees fact rows, so it is itself skew-immune), hot keys get
-    * width ceil(cnt / targetRowsPerSalt) capped at maxSalt, cold keys
-    * width 1. Only the >1 widths broadcast; the right side replicates
-    * each row `width` times — so the replication cost is paid ONLY for
-    * hot keys, where the static tool pays saltFactor x for every key.
-    * Result set is identical to the plain join (each fact row keeps
-    * exactly one salt; its right partner carries every salt of that key).
+  /** Per-key salt widths chosen FROM THE DATA instead of one static
+    * factor. One partial-agg'd count pass over the fact side builds the
+    * key histogram (map-side combine means the shuffle carries one row
+    * per key per partition — the histogram never sees fact rows, so it
+    * is itself skew-immune), hot keys get width ceil(cnt /
+    * targetRowsPerSalt) capped at maxSalt AND at the key's own row count
+    * (a width beyond the rows in the key only replicates right-side
+    * copies that can never match), cold keys width 1. Only the >1 widths
+    * broadcast; the right side replicates each row `width` times — so
+    * the replication cost is paid ONLY for hot keys, where the static
+    * tool pays saltFactor x for every key. Result set is identical to
+    * the plain join (each fact row keeps exactly one salt; its right
+    * partner carries every salt of that key). See [[saltedJoin]] for the
+    * factIdCol cardinality contract — a low-cardinality id silently
+    * concentrates a wide key onto few salts.
     */
   def adaptiveSaltedJoin(fact: DataFrame, right: DataFrame, key: String,
                          factIdCol: String, targetRowsPerSalt: Long,
@@ -173,8 +198,8 @@ object Relational {
     val widths = fact.groupBy(col(key))
       .agg(count(lit(1)).as("__n"))
       .select(col(key),
-        least(ceil(col("__n").cast("double") / lit(targetRowsPerSalt)),
-          lit(maxSalt)).cast("int").as("__w"))
+        least(least(ceil(col("__n").cast("double") / lit(targetRowsPerSalt)),
+          lit(maxSalt)), col("__n")).cast("int").as("__w"))
       .filter(col("__w") > 1)
     def withWidth(df: DataFrame) =
       df.join(broadcast(widths), Seq(key), "left_outer")

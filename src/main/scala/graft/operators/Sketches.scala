@@ -200,9 +200,17 @@ object Sketches {
     * The driver-side collect is O(mBits/62) rows regardless of how many
     * values were inserted. */
   def bloomWords(bloom: DataFrame, mBits: Int): Array[Long] = {
+    require(mBits % 62 == 0, s"mBits must pack 62-bit words, got $mBits")
     val words = new Array[Long](mBits / 62)
     bloom.select(col("word").cast("int"), col("bits"))
-      .collect().foreach(r => words(r.getInt(0)) = r.getLong(1))
+      .collect().foreach { r =>
+        val w = r.getInt(0)
+        require(w >= 0 && w < words.length,
+          s"stored bloom word index $w out of range for mBits=$mBits " +
+            s"(expected < ${words.length} words) — filter was built with a " +
+            "different mBits than the probe config")
+        words(w) = r.getLong(1)
+      }
     words
   }
 

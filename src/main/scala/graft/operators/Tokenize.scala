@@ -79,17 +79,20 @@ object Tokenize {
     * per-chunk rows carry (doc_id, chunk_idx, n_tokens, chunk_tokens) and
     * text never shuffles. A trailing window starting inside the previous
     * chunk's overlap tail is dropped (zero new tokens), matching
-    * chunkByChars' rule. */
+    * chunkByChars' rule. Docs that tokenize to ZERO tokens (e.g.
+    * whitespace-only text — bpe_encode skips whitespace) emit no chunks:
+    * the gate is on token count, not text length, matching the oracle's
+    * range(1, len(tk)+1) which is empty for len(tk) = 0. */
   def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
                     merges: Seq[String], chunkLen: Int, overlap: Int): DataFrame = {
     require(chunkLen > overlap && overlap >= 0, "need chunkLen > overlap >= 0")
     val step = chunkLen - overlap
     graft.core.Tables.ensureParallelism(docs)
-      .filter(length(col(textCol)) >= 1)
       .select(col(idCol).as("doc_id"),
         graft.plans.GraftFunctions.bpe_encode(col(textCol), merges).as("__tk"))
+      .filter(size(col("__tk")) >= 1)
       .select(col("doc_id"), col("__tk"),
-        posexplode(sequence(lit(1), greatest(size(col("__tk")), lit(1)), lit(step)))
+        posexplode(sequence(lit(1), size(col("__tk")), lit(step)))
           .as(Seq("chunk_idx", "__start")))
       .filter(col("chunk_idx") === 0 || col("__start") + overlap <= size(col("__tk")))
       .select(col("doc_id"), col("chunk_idx"),

@@ -97,16 +97,18 @@ object RelationalQueries {
                 CAST(COUNT(*) AS BIGINT) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
-      // The salt spreads any hot orderkey over 8 reducers (deterministic
-      // pmod(hash(linenumber-id))); the right side replicates x8. Same
-      // result set as the plain join — the oracle IS the plain join, so
-      // the correctness row proves salting is result-invariant. The
-      // static-salt tool matters when skew is known up front or the join
-      // isn't AQE-eligible (streaming, or under a required distribution).
+      // STATIC-width demo (explicit opt-in): the salt spreads any hot
+      // orderkey over 8 reducers; the right side replicates x8 for EVERY
+      // key. Same result set as the plain join — the oracle IS the plain
+      // join, so the correctness row proves salting is result-invariant.
+      // The static tool is for skew known up front or joins outside
+      // AQE's reach; on unknown distributions the DEFAULT surface is
+      // Relational.saltedJoin, which delegates to adaptiveSaltedJoin
+      // (per-key widths, zero replication on cold keys — q_salted_adaptive).
       val li = t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "orderkey")
       val o = t(s, dir, "orders")
         .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
-      graft.operators.Relational.saltedJoin(li, o, "orderkey", "l_linenumber", saltFactor = 8)
+      graft.operators.Relational.staticSaltedJoin(li, o, "orderkey", "l_linenumber", saltFactor = 8)
         .groupBy(col("o_orderpriority"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
@@ -128,11 +130,16 @@ object RelationalQueries {
                 CAST(COUNT(*) AS BIGINT) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
+      // Salt on the PK composite (orderkey:linenumber) — per the operator
+      // contract the salt id must be (near-)unique within each key;
+      // l_linenumber alone has <=7 global values, which would cap a wide
+      // key's effective fan-out at 7.
       val li = t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "orderkey")
+        .withColumn("__rid", concat_ws(":", col("orderkey"), col("l_linenumber")))
       val o = t(s, dir, "orders")
         .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
       graft.operators.Relational.adaptiveSaltedJoin(li, o, "orderkey",
-          "l_linenumber", targetRowsPerSalt = 1000)
+          "__rid", targetRowsPerSalt = 1000)
         .groupBy(col("o_orderpriority"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))

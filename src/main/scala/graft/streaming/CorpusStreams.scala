@@ -174,9 +174,16 @@ object CorpusStreams {
           // filter table ⇒ no bits set ⇒ stage passes everything.
           val (bloomHitIds, decon) = bloomPath match {
             case Some(bp) if cfg.bloomMBits > 0 =>
-              val words = scala.util.Try(graft.operators.Sketches.bloomWords(
-                  readBloomFilter(spark, bp), cfg.bloomMBits))
-                .getOrElse(new Array[Long](cfg.bloomMBits / 62))
+              // Only "no committed epochs yet" means the zero filter; a
+              // readable-but-mismatched filter (different mBits → word
+              // index out of range, checked in bloomWords) or a corrupt
+              // epoch table must FAIL the batch — silently probing an
+              // empty filter would disable the safety gate with no signal.
+              val words =
+                if (EtlCli.committedEpochs(spark, bp).isEmpty)
+                  new Array[Long](cfg.bloomMBits / 62)
+                else graft.operators.Sketches.bloomWords(
+                  readBloomFilter(spark, bp), cfg.bloomMBits)
               val hits = decon0.filter(graft.operators.Sketches.bloomCountHits(
                 graft.plans.GraftFunctions.word_gram_set(col(textCol), cfg.decontaminateGramN),
                 words, cfg.bloomMBits, cfg.bloomK) > 0)

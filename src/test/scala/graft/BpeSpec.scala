@@ -102,6 +102,16 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("chunkByTokens: zero-token docs (whitespace-only text) emit no chunks") {
+    // bpe_encode skips whitespace, so "   " tokenizes to []; the gate is
+    // on token count, matching the oracle's empty range(1, len(tk)+1).
+    val docs = Seq((1L, "   "), (2L, ""), (3L, "tab le")).toDF("doc_id", "text")
+    val got = graft.operators.Tokenize.chunkByTokens(docs, "doc_id", "text",
+        classic, chunkLen = 4, overlap = 1)
+      .select(col("doc_id").cast("long")).as[Long].collect().toSet
+    assert(got == Set(3L), s"only the tokenizable doc may chunk, got $got")
+  }
+
   test("null and empty inputs") {
     val got = Seq(Some(""), None, Some("  ")).toDF("text")
       .select(bpe_encode(col("text"), classic).as("t"))

@@ -256,6 +256,20 @@ class PropertySpec extends SparkSpec {
       s"native BloomGramHits total $nativeCnt must equal relational total $relCnt")
   }
 
+  test("bloomWords fails loudly on config drift (filter built with larger mBits)") {
+    import graft.operators.Sketches
+    // a filter built at 62*32 bits holds word indexes the 62*16 probe
+    // config cannot address — silent truncation would disable the safety
+    // gate, so the collect must throw with a config-drift message
+    val big = Sketches.bloomBuild((1L to 500L).map(v => s"v$v").toDF("v"),
+      col("v"), mBits = 62 * 32, k = 3)
+    val e = intercept[IllegalArgumentException] {
+      Sketches.bloomWords(big, mBits = 62 * 16)
+    }
+    assert(e.getMessage.contains("different mBits"), e.getMessage)
+    intercept[IllegalArgumentException] { Sketches.bloomWords(big, mBits = 100) }
+  }
+
   test("WordGramSet law: native distinct word n-grams ≡ the HOF transform chain") {
     val texts = sample(Gen.listOfN(80, Gen.listOfN(12,
       Gen.oneOf("a", "b", "ab", "cd", "e")).map(_.mkString(" ")))) ++

@@ -61,6 +61,32 @@ class RelationalSpec extends SparkSpec {
       plain.orderBy("row_id").collect().toSeq)
   }
 
+  test("staticSaltedJoin (explicit opt-in) equals the plain join") {
+    val fact = (1 to 200).map(i => (i.toLong, if (i <= 180) 1L else (i % 5).toLong))
+      .toDF("row_id", "k")
+    val dim = Seq((0L, "z"), (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val plain = fact.join(dim, "k").select("row_id", "v")
+    val salted = Relational.staticSaltedJoin(fact, dim, "k", "row_id", saltFactor = 8)
+      .select("row_id", "v")
+    assert(salted.orderBy("row_id").collect().toSeq ==
+      plain.orderBy("row_id").collect().toSeq)
+  }
+
+  test("adaptiveSaltedJoin: width never exceeds the key's own row count") {
+    // key 1 has 3 rows but a tiny target would ask for width 3 > rows? no:
+    // ceil(3/1)=3 == rows; key 2 has 2 rows, ceil(2/1)=2. The cap matters
+    // when maxSalt/target would exceed rows: target=1, maxSalt=64 ⇒ width
+    // must equal the row count, not 64 — the right side must replicate at
+    // most `rows` copies per key.
+    val fact = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L)).toDF("row_id", "k")
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val out = Relational.adaptiveSaltedJoin(fact, dim, "k", "row_id",
+      targetRowsPerSalt = 1L, maxSalt = 64)
+    val plain = fact.join(dim, "k").select("row_id", "v")
+    assert(out.select("row_id", "v").orderBy("row_id").collect().toSeq ==
+      plain.orderBy("row_id").collect().toSeq)
+  }
+
   test("adaptiveSaltedJoin: widths follow the key histogram; result equals the plain join") {
     // planted 80/20 skew: key 1 holds 160 of 200 fact rows, the rest
     // spread over 4 cold keys
