@@ -47,17 +47,29 @@ object CorpusPipeline {
   def clean(docs: DataFrame, evalDocs: DataFrame,
             idCol: String, textCol: String,
             cfg: Config = Config()): DataFrame = {
+    // ONE tokenization pass at the head: the gate stats (word split —
+    // size/filter/array_distinct HOFs, which Catalyst evaluates as
+    // CodegenFallback, i.e. the most expensive per-row work in the whole
+    // pipeline) and the exact-dup fingerprint fuse into a single scan
+    // projection. The exact-dedup survivor set then pins ONCE: the LSH
+    // tower below runs three internal pin actions (band table, candidate
+    // set, shingle sets) plus the final job, each of which would otherwise
+    // re-execute scan -> gate HOFs -> dedup window from scratch — with the
+    // pin they read materialized survivor rows, so every downstream
+    // tokenization (in-row minhash signing for LSH, char-shingle sets for
+    // verification, word grams for decontamination) is one map-only pass
+    // over pinned bytes.
     val gated = TextAnalysis.qualityGates(docs, textCol, cfg.stop,
         cfg.minWords, cfg.maxWords, cfg.minMeanLen, cfg.maxMeanLen, cfg.minUniqRatio)
       .filter(col("pass"))
-      .select(docs.columns.map(col): _*)
+      .select(docs.columns.map(col) :+
+        TextAnalysis.fingerprint(col(textCol)).as("__fp"): _*)
       .observe("graft_quality", count(lit(1)).as("rows_after_quality"))
 
-    val exactDeduped = Relational.firstWins(
-        gated.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
-        Seq("__fp"), Seq(col(idCol)))
-      .drop("__fp")
-      .observe("graft_exact_dedup", count(lit(1)).as("rows_after_exact"))
+    val exactDeduped = graft.core.Materialize.pin(
+      Relational.firstWins(gated, Seq("__fp"), Seq(col(idCol)))
+        .drop("__fp")
+        .observe("graft_exact_dedup", count(lit(1)).as("rows_after_exact")))
 
     val nearDeduped0 = Dedup.dropNearDups(exactDeduped, idCol, textCol,
         cfg.shingleK, cfg.numHashes, cfg.bandSize, cfg.nearDupThreshold, cfg.dfCap)
@@ -65,7 +77,9 @@ object CorpusPipeline {
 
     // the scrub branch consumes this frame ~4 times (hot-gram count,
     // positional probe, scrubHotSpans' join, and the join-back below) —
-    // pin it so the MinHash-LSH + connected-components tower above runs once
+    // pin it so the MinHash-LSH + connected-components tower above runs
+    // once (measured: pinning near-dedup output when scrub is OFF does
+    // not pay — decontamination's two consumers share exchanges)
     val nearDeduped =
       if (cfg.scrubSpanN <= 0) nearDeduped0
       else graft.core.Materialize.pin(nearDeduped0)

@@ -194,12 +194,34 @@ object Dedup {
   /** MinHash-LSH candidate pairs: docs sharing any band of `bandSize`
     * consecutive signature values are candidates. Shuffles numBands rows
     * per doc. Input: exploded (doc_id, g) shingle rows. */
-  def lshCandidates(exRows: DataFrame, numHashes: Int, bandSize: Int, dfCap: Int = 0): DataFrame = {
-    val bands = bandTable(minhashSignatures(exRows, numHashes, dfCap), numHashes, bandSize)
+  def lshCandidates(exRows: DataFrame, numHashes: Int, bandSize: Int, dfCap: Int = 0): DataFrame =
+    candidatesFromBands(bandTable(minhashSignatures(exRows, numHashes, dfCap), numHashes, bandSize))
+
+  /** Candidate pairs from a (doc_id, band) table: docs sharing >= 1 band,
+    * ordered (doc_a < doc_b), deduped across bands. */
+  def candidatesFromBands(bands: DataFrame): DataFrame =
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+
+  /** MinHash signatures as a MAP-ONLY projection — the native in-row
+    * kernel (graft.plans.MinhashSigExpr) computes all 8 slots in one pass
+    * over each document, so signing shuffles NOTHING (the exploded
+    * `minhashSignatures` formulation shuffles one (doc_id, 2x32-hex) row
+    * per shingle occurrence — ~20x the corpus bytes — into a per-doc min
+    * agg). Values are identical (spec'd + the oracles), so every caller
+    * without a df cap takes this path; the df-capped variant needs the
+    * exploded rows for the document-frequency filter and keeps them. */
+  def minhashSignaturesInRow(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int, numHashes: Int = 8): DataFrame = {
+    require(numHashes == 8, "signature layout derives 8 seeds from 2 md5 slices")
+    graft.core.Tables.ensureParallelism(docs)
+      .select(col(idCol).as("doc_id"),
+        graft.plans.GraftFunctions.minhash_sig(col(textCol), k).as("__s"))
+      .filter(size(col("__s")) === numHashes)
+      .select(col("doc_id") +:
+        (0 until numHashes).map(i => element_at(col("__s"), i + 1).as(s"sig_$i")): _*)
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates, then exact Jaccard
@@ -210,17 +232,25 @@ object Dedup {
   def lshNearDups(docs: DataFrame, idCol: String, textCol: String, k: Int,
                   numHashes: Int, bandSize: Int, threshold: Double,
                   dfCap: Int = 0): DataFrame = {
-    // The exploded shingle projection feeds both the df-cap aggregation and
-    // the signature join; it is deliberately NOT materialized — the
-    // scan+explode subtree is map-only and pipelines into each consumer,
-    // which beats serializing ~40B/shingle through the block manager
-    // (measured: +2-3s at sf0.1). The candidate set IS eagerly
-    // localCheckpoint'ed (not cache()d): it is traversed three times by the
-    // verification joins, checkpointing truncates the whole LSH tower,
-    // hands AQE its exact (tiny) size so every verify join broadcasts, and
-    // the blocks are GC'd with the plan instead of pinned in CacheManager.
-    val ex = shingleRows(docs, idCol, textCol, k)
-    val cands = lshCandidates(ex, numHashes, bandSize, dfCap).transform(graft.core.Materialize.pin)
+    // Uncapped path: signatures come from the in-row native kernel
+    // (map-only — see minhashSignaturesInRow), and the tiny (doc_id, band)
+    // table pins BEFORE the self-join so the signing scan runs once, not
+    // once per join side. Capped path: the exploded shingle projection
+    // feeds both the df-cap aggregation and the signature join; it is
+    // deliberately NOT materialized — the scan+explode subtree is map-only
+    // and pipelines into each consumer, which beats serializing
+    // ~40B/shingle through the block manager (measured: +2-3s at sf0.1).
+    // The candidate set IS eagerly localCheckpoint'ed (not cache()d): it
+    // is traversed three times by the verification joins, checkpointing
+    // truncates the whole LSH tower, hands AQE its exact (tiny) size so
+    // every verify join broadcasts, and the blocks are GC'd with the plan
+    // instead of pinned in CacheManager.
+    val cands0 =
+      if (dfCap == 0)
+        candidatesFromBands(graft.core.Materialize.pin(
+          signBands(docs, idCol, textCol, k, numHashes, bandSize)))
+      else lshCandidates(shingleRows(docs, idCol, textCol, k), numHashes, bandSize, dfCap)
+    val cands = cands0.transform(graft.core.Materialize.pin)
     verifyJaccard(cands, docs, idCol, textCol, k, threshold)
   }
 
@@ -468,7 +498,9 @@ object Dedup {
     * numBands rows per doc). */
   def signBands(docs: DataFrame, idCol: String, textCol: String, k: Int,
                 numHashes: Int, bandSize: Int, dfCap: Int = 0): DataFrame =
-    bandTable(minhashSignatures(shingleRows(docs, idCol, textCol, k), numHashes, dfCap),
+    bandTable(
+      if (dfCap == 0) minhashSignaturesInRow(docs, idCol, textCol, k, numHashes)
+      else minhashSignatures(shingleRows(docs, idCol, textCol, k), numHashes, dfCap),
       numHashes, bandSize)
 
   /** Incremental near-dup detection: find near-dups of `newDocs` against a

@@ -439,6 +439,107 @@ object SimhashSig {
   }
 }
 
+/** All MinHash signature slots of a text's char-k-shingle set in ONE
+  * in-row pass: slot s (0..7) is the minimum over shingles of hex chars
+  * [(s%4)*8, (s%4)*8+8) of md5(shingle) (s < 4) / md5("x:"+shingle)
+  * (s >= 4) — values identical to the exploded formulation
+  * `MIN(substr(md5(g), (s%4)*8+1, 8))` in Dedup.minhashSignatures and
+  * the SQL oracles (8 fixed-width lowercase-hex strings compare
+  * lexicographically exactly as their unsigned 32-bit values, so the min
+  * tracks as an int). Shingles are CHARACTER windows (UTF-8 char starts
+  * are the bytes not matching 10xxxxxx), matching `substr(text, i, k)`;
+  * min over the multiset equals min over the distinct set, so no
+  * de-duplication pass is needed. Returns an EMPTY array when the text
+  * has fewer than k chars (the no-shingle case shingleRows filters out).
+  *
+  * This is the 100 TB signing shape: the exploded formulation shuffles
+  * one (doc_id, 2x32-hex) row per shingle OCCURRENCE (~20x the corpus
+  * bytes) into a per-doc min aggregation; this kernel makes signing a
+  * map-only projection — zero shuffle — so LSH banding, incremental
+  * index signing, and the streaming sinks all scan-and-emit. */
+case class MinhashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, "shingle width must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes = Seq[DataType](StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashSigExpr.sig(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "graft.plans.MinhashSigExpr$.MODULE$.sig(" + c + ", " + k + ")")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
+    copy(child = newChild)
+}
+object MinhashSigExpr {
+  private val saltBytes = "x:".getBytes("UTF-8")
+  private val hexDigits = "0123456789abcdef".toCharArray
+  private val empty =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+
+  def sig(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // char-start byte offsets (a UTF-8 char starts at every byte that is
+    // not a continuation byte 10xxxxxx), sentinel = len
+    var numChars = 0
+    var i = 0
+    while (i < len) { if ((bytes(i) & 0xc0) != 0x80) numChars += 1; i += 1 }
+    if (numChars < k) return empty
+    val starts = new Array[Int](numChars + 1)
+    var c = 0
+    i = 0
+    while (i < len) {
+      if ((bytes(i) & 0xc0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(numChars) = len
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = Array.fill(8)(0xffffffffL)
+    var p = 0
+    while (p <= numChars - k) {
+      val b0 = starts(p)
+      val nb = starts(p + k) - b0
+      md.reset()
+      md.update(bytes, b0, nb)
+      tallyMins(md.digest(), mins, 0)
+      md.reset()
+      md.update(saltBytes)
+      md.update(bytes, b0, nb)
+      tallyMins(md.digest(), mins, 4)
+      p += 1
+    }
+    val out = new Array[Any](8)
+    var j = 0
+    while (j < 8) {
+      val v = mins(j)
+      val cs = new Array[Char](8)
+      var b = 0
+      while (b < 8) { cs(b) = hexDigits(((v >>> ((7 - b) * 4)) & 0xf).toInt); b += 1 }
+      out(j) = UTF8String.fromString(new String(cs))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Track the 4 slot minimums of one digest: slot j covers digest bytes
+    * [4j, 4j+4) read big-endian as an unsigned 32-bit value — identical
+    * ordering to the lexicographic min over the hex substring. */
+  private def tallyMins(d: Array[Byte], mins: Array[Long], off: Int): Unit = {
+    var j = 0
+    while (j < 4) {
+      val v = ((d(4 * j) & 0xffL) << 24) | ((d(4 * j + 1) & 0xffL) << 16) |
+        ((d(4 * j + 2) & 0xffL) << 8) | (d(4 * j + 3) & 0xffL)
+      if (v < mins(off + j)) mins(off + j) = v
+      j += 1
+    }
+  }
+}
+
 /** Every word n-gram of a SINGLE-SPACE-tokenized text as (pos, h) structs:
   * pos = 0-based index of the gram's first word, h = XXH64 (seed 42 =
   * Spark's builtin xxhash64) of the gram's contiguous byte span. The
@@ -793,6 +894,8 @@ object GraftFunctions {
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def word_gram_hashes(c: Column, n: Int): Column =
     ColumnBridge.column(WordGramHashSet(ColumnBridge.expression(c), n))
+  def minhash_sig(c: Column, k: Int): Column =
+    ColumnBridge.column(MinhashSigExpr(ColumnBridge.expression(c), k))
   def word_gram_pos_hashes(c: Column, n: Int): Column =
     ColumnBridge.column(WordGramPosHashes(ColumnBridge.expression(c), n))
   def word_gram_set(c: Column, n: Int): Column =
@@ -847,6 +950,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_gram_hashes",
       exprs => WordGramHashSet(exprs(0), litInt(exprs(1), "word_gram_hashes(text, n)")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs => MinhashSigExpr(exprs(0), litInt(exprs(1), "minhash_sig(text, k)")),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_gram_pos_hashes",

@@ -55,9 +55,7 @@ object TextQueries {
         dir.replaceAll("[^A-Za-z0-9.]", "_")
       val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .filter(col("doc_id") % 4 =!= 0)
-      Dedup.bandTable(
-          Dedup.minhashSignatures(Dedup.shingleRows(corpus, "doc_id", "text", 9), 8),
-          numHashes = 8, bandSize = 2)
+      Dedup.signBands(corpus, "doc_id", "text", k = 9, numHashes = 8, bandSize = 2)
         .write.mode("overwrite").parquet(p)
       p
     })

@@ -70,11 +70,8 @@ object CorpusIngest {
     val survivors = clean.join(broadcast(losers), Seq(idCol), "left_anti")
       .transform(graft.core.Materialize.pin) // two sinks below: evaluate once
 
-    val newBands = Dedup.bandTable(
-      Dedup.minhashSignatures(
-        Dedup.shingleRows(survivors, idCol, textCol, cfg.shingleK),
-        cfg.numHashes, cfg.dfCap),
-      cfg.numHashes, cfg.bandSize)
+    val newBands = Dedup.signBands(survivors, idCol, textCol,
+      cfg.shingleK, cfg.numHashes, cfg.bandSize, cfg.dfCap)
     EtlCli.writeTable(bands.unionByName(newBands).distinct(), bandsPath)
     EtlCli.writeTable(corpus.unionByName(survivors), corpusPath)
   }

@@ -40,6 +40,22 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("minhashSignaturesInRow law: native in-row signatures ≡ the exploded formulation") {
+    // fixture corpus plus multi-byte text (char windows, not byte windows)
+    // and a too-short doc (< k chars: no signature row on either path)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+      .unionByName(Seq(
+        ("uni", "héllo wörld — ünïcode shingles tëst œuvre ça déjà"),
+        ("short", "tiny")).toDF("doc_id", "text"))
+    val exploded = Dedup.minhashSignatures(
+      Dedup.shingleRows(docs, "doc_id", "text", 9), numHashes = 8)
+    val inRow = Dedup.minhashSignaturesInRow(docs, "doc_id", "text", k = 9)
+    assert(inRow.exceptAll(exploded).isEmpty && exploded.exceptAll(inRow).isEmpty,
+      "in-row minhash signatures must equal the exploded MIN(substr(md5)) formulation")
+    assert(inRow.filter(col("doc_id") === "short").isEmpty)
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, distinct far") {
     val sigs = corpus.select(col("doc_id"),
         TextAnalysis.simhash64(col("text")).as("sig"))
