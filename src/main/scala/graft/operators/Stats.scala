@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Fns.dsum
+
+/** Per-group robust statistics: the exact engine-portable median/MAD
+  * window idiom (the oracle-checked formulation of q_median / q_mad) and
+  * the APPROXIMATE escape hatch for the one-pathological-group case.
+  *
+  * Scale shapes:
+  *  - exact: ROW_NUMBER + COUNT windows sort each group ON ONE REDUCER —
+  *    correct at any scale while groups stay bounded, but a single giant
+  *    group (one source holding half a 100 TB corpus) serializes into
+  *    one task's sort. That is the documented limit of the exact idiom.
+  *  - approx: `percentile_approx` aggregates with map-side partial
+  *    combine and constant per-group sketch state, so a giant group
+  *    costs the same as a small one. Rank error is bounded by
+  *    n/accuracy; the result is an OBSERVED element, not the two-middle
+  *    mean, so it is deliberately NOT oracle-exact — use it when group
+  *    sizes are unbounded, the exact operator when results must be
+  *    engine-portable bit-for-bit (reference: cross-engine interpolating
+  *    percentile implementations round differently, which is why the
+  *    exact idiom picks middle elements and averages them).
+  */
+object Stats {
+
+  /** Exact per-group median: mean of the middle one/two elements, ranked
+    * by (value, tieCol) so ties are deterministic; the mean goes through
+    * the 1e6-quantized exact integer sum (dsum contract) for
+    * bit-identical results on every engine. */
+  def medianPerGroup(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                     tieCol: String, outCol: String = "median"): DataFrame = {
+    val byKey = Window.partitionBy(keyCols.map(col): _*)
+    df.withColumn("__rn",
+        row_number().over(byKey.orderBy(col(valueCol), col(tieCol))))
+      .withColumn("__n", count(lit(1)).over(byKey))
+      .filter(col("__rn") === (col("__n") + 1).divide(2).cast("long") ||
+              col("__rn") === (col("__n") + 2).divide(2).cast("long"))
+      .groupBy(keyCols.map(col): _*)
+      .agg((dsum(col(valueCol)) / count(lit(1))).as(outCol))
+  }
+
+  /** Exact per-group median absolute deviation: median of |x - median|,
+    * both levels the exact idiom; the per-group medians broadcast back
+    * onto the rows (one row per group). */
+  def madPerGroup(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                  tieCol: String, outCol: String = "mad"): DataFrame = {
+    val med = medianPerGroup(df, keyCols, valueCol, tieCol, "__m")
+    val dev = df.join(broadcast(med), keyCols)
+      .withColumn("__dev", abs(col(valueCol) - col("__m")))
+    medianPerGroup(dev, keyCols, "__dev", tieCol, outCol)
+  }
+
+  /** APPROXIMATE per-group median — the unbounded-group escape hatch
+    * (see object scaladoc). `accuracy` trades sketch memory for rank
+    * error <= n/accuracy; groups smaller than `accuracy` rows come back
+    * exact-rank (still an observed element, not the two-middle mean). */
+  def approxMedianPerGroup(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                           outCol: String = "median",
+                           accuracy: Int = 10000): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(percentile_approx(col(valueCol), lit(0.5), lit(accuracy)).as(outCol))
+
+  /** APPROXIMATE per-group MAD: both levels sketched; same bounded-state
+    * argument, same observed-element caveat. */
+  def approxMadPerGroup(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                        outCol: String = "mad",
+                        accuracy: Int = 10000): DataFrame = {
+    val med = approxMedianPerGroup(df, keyCols, valueCol, "__m", accuracy)
+    df.join(broadcast(med), keyCols)
+      .withColumn("__dev", abs(col(valueCol) - col("__m")))
+      .groupBy(keyCols.map(col): _*)
+      .agg(percentile_approx(col("__dev"), lit(0.5), lit(accuracy)).as(outCol))
+  }
+}

@@ -198,15 +198,10 @@ object ExtendedQueries {
          SELECT o_orderpriority,
                 CAST(SUM(CAST(FLOOR((o_totalprice) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 / COUNT(*) AS median_price
          FROM mid GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
-      val byPrio = Window.partitionBy(col("o_orderpriority"))
-      val ranked = t(s, dir, "orders")
-        .withColumn("rn", row_number().over(byPrio.orderBy(col("o_totalprice"), col("o_orderkey"))))
-        .withColumn("n", count(lit(1)).over(byPrio))
-      ranked
-        .filter(col("rn") === (col("n") + 1).divide(2).cast("long") ||
-                col("rn") === (col("n") + 2).divide(2).cast("long"))
-        .groupBy(col("o_orderpriority"))
-        .agg((dsum(col("o_totalprice")) / count(lit(1))).as("median_price"))
+      // exact operator; Stats.approxMedianPerGroup is the flagged
+      // unbounded-group variant (sketched, not oracle-exact)
+      graft.operators.Stats.medianPerGroup(t(s, dir, "orders"),
+          Seq("o_orderpriority"), "o_totalprice", "o_orderkey", "median_price")
         .orderBy(col("o_orderpriority"))
     },
 
@@ -240,25 +235,10 @@ object ExtendedQueries {
                 CAST(SUM(CAST(FLOOR((d) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 / COUNT(*) AS mad_price
          FROM dev WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
          GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, dir) =>
-      val byPrio = Window.partitionBy(col("o_orderpriority"))
-      val orders = t(s, dir, "orders")
-      val ranked = orders
-        .withColumn("rn", row_number().over(byPrio.orderBy(col("o_totalprice"), col("o_orderkey"))))
-        .withColumn("n", count(lit(1)).over(byPrio))
-      val med = ranked
-        .filter(col("rn") === (col("n") + 1).divide(2).cast("long") ||
-                col("rn") === (col("n") + 2).divide(2).cast("long"))
-        .groupBy(col("o_orderpriority"))
-        .agg((dsum(col("o_totalprice")) / count(lit(1))).as("m"))
-      val dev = orders.join(broadcast(med), Seq("o_orderpriority"))
-        .withColumn("d", abs(col("o_totalprice") - col("m")))
-        .withColumn("rn", row_number().over(byPrio.orderBy(col("d"), col("o_orderkey"))))
-        .withColumn("n", count(lit(1)).over(byPrio))
-      dev
-        .filter(col("rn") === (col("n") + 1).divide(2).cast("long") ||
-                col("rn") === (col("n") + 2).divide(2).cast("long"))
-        .groupBy(col("o_orderpriority"))
-        .agg((dsum(col("d")) / count(lit(1))).as("mad_price"))
+      // exact operator; Stats.approxMadPerGroup is the flagged
+      // unbounded-group variant (sketched, not oracle-exact)
+      graft.operators.Stats.madPerGroup(t(s, dir, "orders"),
+          Seq("o_orderpriority"), "o_totalprice", "o_orderkey", "mad_price")
         .orderBy(col("o_orderpriority"))
     },
 
