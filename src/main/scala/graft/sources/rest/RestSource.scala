@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.sources.{EqualTo, Filter, StringStartsWith}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -103,15 +104,21 @@ private[rest] class RestTable(schema: StructType, properties: Map[String, String
   override def name(): String = s"rest(${properties.getOrElse("fetcher", "?")})"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RestScanBuilder(schema, options.asScala.toMap)
 }
 
-private[rest] class RestScanBuilder(fullSchema: StructType, options: Map[String, String])
+private[rest] class RestScanBuilder(fullSchema: StructType, options0: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownTopN {
+
+  // CaseInsensitiveStringMap hands keys over LOWERCASED — normalize so
+  // camelCase option names ("pageSize", "maxItems", "maxOffsetsPerTrigger",
+  // "extraParams") resolve no matter which form the map arrived in
+  private val options: Map[String, String] =
+    options0.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
@@ -171,7 +178,7 @@ private[rest] class RestScanBuilder(fullSchema: StructType, options: Map[String,
       case _ => None
     }.toMap ++
       orderBy.map("orderBy" -> _) ++
-      options.get("extraParams").map(p => "extraParams" -> p)
+      options.get("extraparams").map(p => "extraParams" -> p)
     new RestScan(options, params, required, limit)
   }
 }
@@ -182,8 +189,9 @@ private[rest] class RestScan(options: Map[String, String], params: Map[String, S
                              required: StructType, limit: Option[Int])
     extends Scan with Batch {
 
-  private val pageSize = options.getOrElse("pageSize", "100").toInt
-  private val maxItems = options.get("maxItems").map(_.toInt)
+  // keys arrive lowercased (see RestScanBuilder's normalization)
+  private val pageSize = options.getOrElse("pagesize", "100").toInt
+  private val maxItems = options.get("maxitems").map(_.toInt)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -215,6 +223,69 @@ private[rest] class RestScan(options: Map[String, String], params: Map[String, S
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RestReaderFactory(options("fetcher"), params, required, pageSize)
+
+  /** §2.9 streaming read: the reference's sequential pagination loop
+    * (`etl/sources/marvel_extract.py:14-27` — fetch a page, advance
+    * `offset`, stop at `total`) as a Structured Streaming source whose
+    * OFFSET IS the API pagination offset. Each trigger advances at most
+    * `maxOffsetsPerTrigger` rows past the last planned end (the throttle
+    * analogue of the reference's per-request sleep), and the window
+    * [start, end) plans the same parallel page ranges as the batch scan —
+    * checkpointed offsets give exactly-once page consumption across
+    * restarts. Limit/TopN pushdowns don't apply to the unbounded form. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new RestMicroBatchStream(options("fetcher"), params, required, pageSize,
+      options.get("maxoffsetspertrigger").map(_.toLong))
+}
+
+private[rest] case class RestOffset(offset: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = offset.toString
+}
+
+private[rest] class RestMicroBatchStream(fetcherName: String,
+                                         params: Map[String, String],
+                                         required: StructType, pageSize: Int,
+                                         maxPerTrigger: Option[Long])
+    extends MicroBatchStream {
+  require(maxPerTrigger.forall(_ > 0), "maxOffsetsPerTrigger must be > 0")
+  private def fetcher = FetcherRegistry.get(fetcherName)
+  // furthest end this stream has planned/acknowledged — throttling is
+  // relative to it; restart recovery folds checkpointed offsets in via
+  // deserializeOffset before the first latestOffset call
+  @volatile private var highWater: Long = 0L
+
+  override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    RestOffset(0L)
+
+  override def deserializeOffset(json: String): org.apache.spark.sql.connector.read.streaming.Offset = {
+    val o = json.toLong
+    if (o > highWater) highWater = o
+    RestOffset(o)
+  }
+
+  override def latestOffset(): org.apache.spark.sql.connector.read.streaming.Offset = {
+    val total = fetcher.total(params).getOrElse(throw new IllegalStateException(
+      s"fetcher '$fetcherName' reports no total — the streaming source needs " +
+        "the API's total to bound each pagination window")).toLong
+    val end = maxPerTrigger.fold(total)(m => math.min(total, highWater + m))
+    if (end > highWater) highWater = end
+    RestOffset(math.max(end, highWater))
+  }
+
+  override def planInputPartitions(start: org.apache.spark.sql.connector.read.streaming.Offset,
+                                   end: org.apache.spark.sql.connector.read.streaming.Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[RestOffset].offset
+    val e = end.asInstanceOf[RestOffset].offset
+    (s until e by pageSize.toLong)
+      .map(off => RestPageRange(off.toInt, pageSize min (e - off).toInt)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestReaderFactory(fetcherName, params, required, pageSize)
+
+  override def commit(end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[rest] class RestReaderFactory(fetcherName: String, params: Map[String, String],

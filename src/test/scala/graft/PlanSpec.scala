@@ -241,13 +241,23 @@ class PlanSpec extends SparkSpec {
   }
 
   test("HLL: registers build with a map-side partial max; values never shuffle") {
-    val p = plan("q_hll_distinct")
-    // the corpus-sized aggregation carries (group, j) register keys with a
-    // partial max below the exchange — at most 256 rows per group per
-    // partition cross the wire, never the hashed values
+    // q_hll_distinct now reads the run-scoped persisted register table, so
+    // the build plan is asserted on the OPERATOR (the artifact writer's
+    // plan): the corpus-sized aggregation carries (group, j) register keys
+    // with a partial max below the exchange — at most 256 rows per group
+    // per partition cross the wire, never the hashed values
+    val p = graft.operators.Sketches.hllRegisters(
+        graft.core.Tables.t(spark, sf, "lineitem"),
+        org.apache.spark.sql.functions.col("l_orderkey").cast("string"),
+        Seq("l_returnflag"))
+      .queryExecution.executedPlan.toString
     assert("partial_max".r.findAllIn(p).nonEmpty &&
       "Exchange hashpartitioning\\(l_returnflag#\\d+, j#".r.findAllIn(p).nonEmpty,
       s"expected partial-max'd (group, j) register shuffle:\n$p")
+    // and the query-side plan reads the persisted artifact, not a rebuild
+    val q = plan("q_hll_distinct")
+    assert(!q.contains("partial_max"),
+      s"q_hll_distinct should probe stored registers, not rebuild them:\n$q")
   }
 
   test("Bloom probe: the filter broadcasts; the corpus side stays map-side up to the per-doc agg") {

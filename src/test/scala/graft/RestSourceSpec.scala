@@ -116,6 +116,31 @@ class RestSourceSpec extends SparkSpec {
     assert(got.toSeq == Seq(240L, 210L, 180L))
   }
 
+  test("streaming read: pagination-offset micro-batches reassemble the batch scan exactly") {
+    // offset = the API pagination offset; maxOffsetsPerTrigger = 60 over
+    // 250 rows -> windows [0,60) [60,120) [120,180) [180,240) [240,250):
+    // 5 micro-batches that must reassemble the batch DSV2 read exactly
+    val api = new FakeApi
+    FetcherRegistry.register("fake_stream", api)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rest_stream").toString
+    val q = spark.readStream.format("graft.sources.rest.RestSource")
+      .option("fetcher", "fake_stream").option("pageSize", "40")
+      .option("maxOffsetsPerTrigger", "60").load()
+      .writeStream.format("memory").queryName("rest_stream")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    val streamed = spark.table("rest_stream")
+      .select("id", "title", "start_year").as[(Long, String, Int)].collect().sortBy(_._1)
+    val batch = load("fake_stream_batch", new FakeApi)
+      .select("id", "title", "start_year").as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq,
+      "micro-batched pagination must equal the batch scan")
+    assert(nonEmpty == 5, s"expected 5 throttled micro-batches, saw $nonEmpty")
+  }
+
   test("RetryingFetcher does not retry task interruption") {
     val interrupting = new PageFetcher {
       val attempts = new AtomicInteger(0)
