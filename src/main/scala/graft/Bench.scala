@@ -57,24 +57,32 @@ object Bench {
     // measured passes, min per query — C2 compilation keeps running in the
     // background after warmup and single measurements catch multi-second
     // spikes that vanish on the next run.
-    queries.foreach { case (name, fn) => run(name, fn) }
     def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       run(name, fn)
       (System.nanoTime() - t0) / 1e9
     }
+    // The warmup pass is ALSO the artifact build pass: run-scoped memos
+    // (ANN codebooks, pair tower, band index, LM/DSIR models, HLL
+    // registers) build on first invocation, so each query's warmup time
+    // carries its family's one-time build cost while the measured min-of-N
+    // is the recurring read path. Timing the warmup per query makes that
+    // split visible in the artifact instead of only in NOTES.
+    val warmups = queries.map { case (name, fn) => name -> timed(name, fn) }
     val results = queries.map { case (name, fn) =>
       name -> (1 to minOf).map(_ => timed(name, fn)).min
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val warmupTotal = if (warmups.nonEmpty) warmups.values.sum else 0.0
     // Full-precision per-query timings go to a FILE: the driver's capture
     // keeps only the last 2000 chars of stdout, and 96 query names alone
     // overflow that — a single printed line can never carry the whole map.
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(m: Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath
     java.nio.file.Files.write(fullPath,
-      (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""" + "\n")
+      (s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},""" +
+        s""""warmup_total":$warmupTotal,"warmup":${jmap(warmups)},"sf":"$sfDir"}""" + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Printed summary line: guaranteed to fit the 2000-char tail (with sbt's
     // trailing [success] line) so it parses every round — total, the full
@@ -82,7 +90,16 @@ object Bench {
     // sub-second tail omitted here is noise for regression checks; the full
     // map is in the artifact).
     def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val head = s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${results.size},"full":"$fullPath","sf":"$sfDir","queries":{"""
+    // build-vs-read split, compact: the 5 queries whose warmup (artifact
+    // build) most exceeds their measured read time — the artifact-memo
+    // families, by construction
+    val buildHeavy = warmups.toSeq
+      .map { case (n, w) => (n, w, w - results.getOrElse(n, 0.0)) }
+      .sortBy { case (n, _, delta) => (-delta, n) }
+      .take(5)
+      .map { case (n, w, _) => s""""$n":${d3(w)}""" }
+      .mkString("{", ",", "}")
+    val head = s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${results.size},"warmup_total":${d3(warmupTotal)},"build_warmup_top":$buildHeavy,"full":"$fullPath","sf":"$sfDir","queries":{"""
     val tailStr = "}}"
     val budget = 1800 - head.length - tailStr.length
     val entries = scala.collection.mutable.ListBuffer.empty[String]
