@@ -134,4 +134,36 @@ class SqlSurfaceSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("constant INT"))
   }
+
+  test("minhash_sig is SQL-callable and matches the declarative MIN(substr(md5)) chain") {
+    GraftFunctions.register(spark)
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "short text"), (3L, "tiny"))
+      .toDF("doc_id", "text").createOrReplaceTempView("mh_docs")
+    // the exploded reference formulation, in SQL, against the kernel
+    val got = spark.sql(
+      """WITH ex AS (
+           SELECT doc_id, substr(text, pos, 9) AS g
+           FROM mh_docs
+           LATERAL VIEW posexplode(sequence(1, length(text) - 8)) t AS i, pos
+           WHERE length(text) >= 9),
+         sig AS (
+           SELECT doc_id,
+                  MIN(substr(md5(g), 1, 8)) AS s0, MIN(substr(md5(g), 9, 8)) AS s1,
+                  MIN(substr(md5(g), 17, 8)) AS s2, MIN(substr(md5(g), 25, 8)) AS s3,
+                  MIN(substr(md5(concat('x:', g)), 1, 8)) AS s4,
+                  MIN(substr(md5(concat('x:', g)), 9, 8)) AS s5,
+                  MIN(substr(md5(concat('x:', g)), 17, 8)) AS s6,
+                  MIN(substr(md5(concat('x:', g)), 25, 8)) AS s7
+           FROM ex GROUP BY doc_id)
+         SELECT d.doc_id,
+                minhash_sig(d.text, 9) = array(s0, s1, s2, s3, s4, s5, s6, s7) AS same
+         FROM mh_docs d JOIN sig s ON d.doc_id = s.doc_id""")
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> true), got.toString)
+    // sub-k-char text: empty array (the no-shingle case)
+    val empty = spark.sql(
+      "SELECT size(minhash_sig('tiny', 9)) AS n").as[Int].head()
+    assert(empty == 0)
+  }
 }
