@@ -101,6 +101,11 @@ object CorpusStreams {
     *     decontamination vs the GROWING seen-set filter a bloomSketchSink
     *     maintains: in-row native probe, reason `bloom_contaminated` —
     *     the scale path when the seen-set outgrows the exact broadcast
+    *  2c. (optional, `dsirModelPath`) DSIR importance selection vs the
+    *     PERSISTED day-0 model (TextAnalysis.dsirModel via
+    *     EtlCli.writeTable): keep docs whose hash-uniform u < mean_pref,
+    *     reason `dsir_rejected` — deterministic, so replay re-derives
+    *     the identical sample; map-only (the <= B-row model broadcasts)
     *  3. near-dup vs committed corpus + in-batch: band-index probe; a
     *     batch doc drops when paired with any corpus doc (corpus member
     *     wins — it is already training data), else the least id per
@@ -111,8 +116,9 @@ object CorpusStreams {
     *
     * Tables: `indexPath` holds SURVIVOR bands only (future batches probe
     * the clean corpus), `corpusPath` the survivors, `droppedPath` a
-    * (doc_id, reason) log — reason ∈ quality|contaminated|near_dup, first
-    * failing stage wins. All three commit as epoch=batchId appends;
+    * (doc_id, reason) log — reason ∈ quality|contaminated|
+    * bloom_contaminated|dsir_rejected|near_dup, first failing stage wins.
+    * All three commit as epoch=batchId appends;
     * commit order dropped → index → corpus keeps the corpus commit as the
     * replay-guard fencepost.
     *
@@ -136,7 +142,8 @@ object CorpusStreams {
                         droppedPath: String, checkpointDir: String,
                         cfg: graft.operators.CorpusPipeline.Config =
                           graft.operators.CorpusPipeline.Config(),
-                        bloomPath: Option[String] = None)
+                        bloomPath: Option[String] = None,
+                        dsirModelPath: Option[String] = None)
       : StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -191,9 +198,27 @@ object CorpusStreams {
               (hits, pin(decon0.join(hits, Seq(idCol), "left_anti")))
             case _ => (decon0.select(col(idCol)).limit(0), decon0)
           }
-          val newBands = pin(Dedup.signBands(decon, idCol, textCol,
+          // optional DSIR selection (stage 2c): score the batch against
+          // the PERSISTED day-0 model (TextAnalysis.dsirModel committed
+          // via EtlCli.writeTable — same pinned-artifact contract as the
+          // ANN centroids) and keep docs whose hash-uniform u < mean_pref.
+          // Deterministic (u = md5(doc_id)), so replay re-derives the
+          // identical sample; docs with no bigram features score nothing
+          // and are rejected (single-token docs — the quality gates
+          // normally drop them first). Map-only: the model broadcasts.
+          val (dsirDropIds, selected) = dsirModelPath match {
+            case Some(mp) =>
+              val model = EtlCli.readTable(spark, mp)
+              val kept = graft.operators.TextAnalysis
+                .dsirResampleFromModel(decon, model, idCol, textCol)
+                .select(col("doc_id").as(idCol))
+              (decon.join(kept, Seq(idCol), "left_anti").select(col(idCol)),
+                pin(decon.join(kept, Seq(idCol), "left_semi")))
+            case None => (decon.select(col(idCol)).limit(0), decon)
+          }
+          val newBands = pin(Dedup.signBands(selected, idCol, textCol,
             cfg.shingleK, cfg.numHashes, cfg.bandSize, cfg.dfCap))
-          val pairs = pin(Dedup.incrementalNearDupsFromBands(newBands, decon,
+          val pairs = pin(Dedup.incrementalNearDupsFromBands(newBands, selected,
             corpus, corpusBands, idCol, textCol, cfg.shingleK,
             cfg.nearDupThreshold))
           val cset = corpus.select(col(idCol).as("__cid"))
@@ -212,8 +237,8 @@ object CorpusStreams {
             else Dedup.connectedComponents(internal)
               .filter(col("doc_id") =!= col("component")).select("doc_id")
           val dupDrops = corpusDrops.unionAll(internalDrops).distinct()
-          val survivors = pin(decon
-            .join(dupDrops, decon(idCol) === dupDrops("doc_id"), "left_anti"))
+          val survivors = pin(selected
+            .join(dupDrops, selected(idCol) === dupDrops("doc_id"), "left_anti"))
           val dropped =
             gated.filter(!col("pass"))
               .select(col(idCol).as("doc_id"), lit("quality").as("reason"))
@@ -221,6 +246,8 @@ object CorpusStreams {
               .select(col(idCol).as("doc_id"), lit("contaminated").as("reason")))
             .unionAll(bloomHitIds
               .select(col(idCol).as("doc_id"), lit("bloom_contaminated").as("reason")))
+            .unionAll(dsirDropIds
+              .select(col(idCol).as("doc_id"), lit("dsir_rejected").as("reason")))
             .unionAll(dupDrops.select(col("doc_id"), lit("near_dup").as("reason")))
           EtlCli.appendEpoch(dropped, droppedPath, batchId)
           EtlCli.appendEpoch(

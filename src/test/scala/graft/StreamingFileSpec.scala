@@ -470,6 +470,66 @@ class StreamingFileSpec extends SparkSpec {
       Set((4L, "bloom_contaminated")))
   }
 
+  test("curatedIngestSink DSIR stage: streamed selection equals the batch operators; rejects logged") {
+    import spark.implicits._
+    import graft.streaming.CorpusStreams
+    import graft.operators.TextAnalysis
+    import graft.tools.EtlCli
+    val root = java.nio.file.Files.createTempDirectory("dsir_ingest")
+    def paths(n: String) = root.resolve(n).toString
+    // day-0 model: target = fixture src0 docs, raw = the rest
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val raw = docs.filter(col("source") =!= "src0").select(col("doc_id"), col("text"))
+    val target = docs.filter(col("source") === "src0").select(col("doc_id"), col("text"))
+    EtlCli.writeTable(TextAnalysis.dsirModel(raw, target, "doc_id", "text"),
+      paths("model"))
+    // stream the raw pool in two files; gates relaxed so DSIR is the
+    // discriminating stage (no eval docs, no bloom)
+    val in = root.resolve("in"); java.nio.file.Files.createDirectory(in)
+    def stage(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, in.resolve(name + ".parquet"))
+    }
+    stage("b1", raw.filter(col("doc_id") % 2 === 0))
+    stage("b2", raw.filter(col("doc_id") % 2 =!= 0))
+    val schema = raw.schema
+    val emptyEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val cfg = graft.operators.CorpusPipeline.Config(
+      minWords = 1, maxWords = 100000, minMeanLen = 0.0, maxMeanLen = 1e9,
+      minUniqRatio = 0.0, stop = Seq("a", "the", "of", "to"))
+    CorpusStreams.curatedIngestSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString),
+      emptyEval, "doc_id", "text", paths("index"), paths("corpus"),
+      paths("dropped"), paths("chk"), cfg,
+      dsirModelPath = Some(paths("model")))
+      .awaitTermination(120000)
+    // gate-passing docs split exactly along the batch operator's keep set
+    val gatePass = TextAnalysis.qualityGates(raw, "text", cfg.stop,
+        cfg.minWords, cfg.maxWords, cfg.minMeanLen, cfg.maxMeanLen, cfg.minUniqRatio)
+      .filter(col("pass")).select(col("doc_id"), col("text"))
+    val expectKeep = TextAnalysis.dsirResampleFromModel(
+        gatePass, EtlCli.readTable(spark, paths("model")), "doc_id", "text")
+      .select(col("doc_id")).as[Long].collect().toSet
+    val streamedKeep = EtlCli.readEpochTable(spark, paths("corpus"))
+      .select("doc_id").as[Long].collect().toSet
+    // near-dup drops can only shrink the DSIR keep set — compute them
+    val nearDropped = EtlCli.readEpochTable(spark, paths("dropped"))
+      .filter(col("reason") === "near_dup").select("doc_id").as[Long].collect().toSet
+    assert(streamedKeep == expectKeep -- nearDropped,
+      s"streamed DSIR selection must equal the batch operator's keep set")
+    assert(expectKeep.nonEmpty && streamedKeep.nonEmpty, "fixture must exercise the stage")
+    val rejects = EtlCli.readEpochTable(spark, paths("dropped"))
+      .filter(col("reason") === "dsir_rejected").select("doc_id").as[Long].collect().toSet
+    val gateIds = gatePass.select("doc_id").as[Long].collect().toSet
+    assert(rejects == gateIds -- expectKeep,
+      "every gate-passing, DSIR-rejected doc must be logged with reason dsir_rejected")
+  }
+
   test("annIndexSink: micro-batched codes equal a from-scratch encode; commits are epoch appends") {
     import graft.streaming.CorpusStreams
     val dir = "/root/testdata/sf0.001"
