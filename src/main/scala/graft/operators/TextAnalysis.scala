@@ -236,22 +236,28 @@ object TextAnalysis {
                    minWords: Int = 30, maxWords: Int = 120,
                    minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
                    minUniqRatio: Double = 0.3): org.apache.spark.sql.DataFrame = {
-    val toks = split(col(textCol), " ")
-    val nWords = size(toks).cast(LongType)
-    // single-space separated: total word chars = chars minus separators
-    val meanLen = length(regexp_replace(col(textCol), " ", "")).cast(DoubleType) / size(toks)
-    val uniqRatio = size(array_distinct(toks)).cast(DoubleType) / size(toks)
-    val shortRatio = size(filter(toks, w => length(w) < 3)).cast(DoubleType) / size(toks)
-    val hasStop = size(filter(toks, w => w.isInCollection(stop))) > 0
-    docs.withColumns(Map(
-      "n_words" -> nWords,
-      "mean_word_len" -> meanLen,
-      "uniq_ratio" -> uniqRatio,
-      "short_ratio" -> shortRatio,
-      "has_stop" -> hasStop,
-      "pass" -> (nWords.between(minWords, maxWords) &&
-        meanLen.between(minMeanLen, maxMeanLen) &&
-        uniqRatio >= minUniqRatio && hasStop)))
+    // the five COUNTS come from one fused native pass (GateStatsExpr —
+    // the previous size(filter(...)) chains were CodegenFallback, i.e.
+    // interpreter re-entry per token); the ratio arithmetic stays here in
+    // the Column layer, one IEEE division each, bit-identical to the HOF
+    // formulation (law in TextAnalysisSpec) and the SQL oracles
+    val gs = graft.plans.GraftFunctions.gate_stats(col(textCol), stop)
+    val nWords = col("__gs.n_words")
+    val meanLen = col("__gs.n_chars_nospace").cast(DoubleType) / nWords
+    val uniqRatio = col("__gs.n_distinct").cast(DoubleType) / nWords
+    val shortRatio = col("__gs.n_short").cast(DoubleType) / nWords
+    val hasStop = col("__gs.n_stop") > 0
+    docs.withColumn("__gs", gs)
+      .withColumns(Map(
+        "n_words" -> nWords,
+        "mean_word_len" -> meanLen,
+        "uniq_ratio" -> uniqRatio,
+        "short_ratio" -> shortRatio,
+        "has_stop" -> hasStop,
+        "pass" -> (nWords.between(minWords, maxWords) &&
+          meanLen.between(minMeanLen, maxMeanLen) &&
+          uniqRatio >= minUniqRatio && hasStop)))
+      .drop("__gs")
   }
 
   /** Unigram corpus-frequency scoring — the LM-free stand-in for CCNet's

@@ -439,6 +439,84 @@ object SimhashSig {
   }
 }
 
+/** All Gopher-gate word statistics of a SINGLE-SPACE-tokenized text in
+  * ONE in-row pass: token count, non-space char count, exact distinct
+  * token count, short-token (< 3 chars) count, stopword occurrences —
+  * the five COUNTS behind TextAnalysis.qualityGates. Tokenization is
+  * `split(text, " ")` with empties kept (consecutive/leading/trailing
+  * spaces and the empty string each yield empty tokens), identical to
+  * the HOF formulation and the SQL oracles; distinctness is exact string
+  * equality over a per-row hash set, never a hash-only approximation.
+  * Only counts are produced — the gate's ratio arithmetic stays in the
+  * Column layer, so the doubles are bit-identical to the previous
+  * size(filter(...)) chains. Replaces FIVE interpreted CodegenFallback
+  * higher-order chains (filter/transform/array_distinct re-enter the
+  * interpreter per element) with one fused codegen'd loop — the last
+  * interpreted hot path in the corpus-scan family. */
+case class GateStatsExpr(child: Expression, stop: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = GateStatsExpr.schema
+  override def inputTypes = Seq[DataType](StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gate_stats"
+
+  @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    stop.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GateStatsExpr.stats(input.asInstanceOf[UTF8String], stopSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("gateStops", stopSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c =>
+      "graft.plans.GateStatsExpr$.MODULE$.stats(" + c + ", " + s + ")")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GateStatsExpr =
+    copy(child = newChild)
+}
+object GateStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_chars_nospace", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("n_short", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false)))
+
+  def stats(s: UTF8String,
+            stop: java.util.HashSet[UTF8String]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val distinct = new java.util.HashSet[UTF8String]()
+    var nWords = 0L
+    var nChars = 0L
+    var nShort = 0L
+    var nStop = 0L
+    var start = 0
+    var i = 0
+    // a space byte (0x20) never occurs inside a UTF-8 multi-byte
+    // sequence, so byte scanning splits exactly like character scanning
+    while (i <= len) {
+      if (i == len || bytes(i) == ' ') {
+        val tok = UTF8String.fromBytes(bytes, start, i - start)
+        val cl = tok.numChars()
+        nWords += 1
+        nChars += cl
+        if (cl < 3) nShort += 1
+        if (stop.contains(tok)) nStop += 1
+        distinct.add(tok)
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, nChars, distinct.size.toLong, nShort, nStop))
+  }
+}
+
 /** All MinHash signature slots of a text's char-k-shingle set in ONE
   * in-row pass: slot s (0..7) is the minimum over shingles of hex chars
   * [(s%4)*8, (s%4)*8+8) of md5(shingle) (s < 4) / md5("x:"+shingle)
@@ -896,6 +974,8 @@ object GraftFunctions {
     ColumnBridge.column(WordGramHashSet(ColumnBridge.expression(c), n))
   def minhash_sig(c: Column, k: Int): Column =
     ColumnBridge.column(MinhashSigExpr(ColumnBridge.expression(c), k))
+  def gate_stats(c: Column, stop: Seq[String]): Column =
+    ColumnBridge.column(GateStatsExpr(ColumnBridge.expression(c), stop))
   def word_gram_pos_hashes(c: Column, n: Int): Column =
     ColumnBridge.column(WordGramPosHashes(ColumnBridge.expression(c), n))
   def word_gram_set(c: Column, n: Int): Column =
@@ -954,6 +1034,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",
       exprs => MinhashSigExpr(exprs(0), litInt(exprs(1), "minhash_sig(text, k)")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gate_stats",
+      exprs => GateStatsExpr(exprs(0),
+        litStringSeq(exprs(1), "gate_stats(text, stopwords)")),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_gram_pos_hashes",

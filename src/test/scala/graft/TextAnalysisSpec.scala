@@ -161,6 +161,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.values.forall(r => r._3 > 0.0 && r._3 < 1.0))
   }
 
+  test("qualityGates kernel law: native gate stats ≡ the HOF formulation, edge cases included") {
+    val stop = Seq("a", "the")
+    // fixture corpus + hostile tokenizations: empty string, consecutive /
+    // leading / trailing spaces (empty tokens kept by split), multi-byte
+    // chars (short-token counting is per CHAR), repeated tokens
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+      .unionByName(Seq(
+        ("e1", ""), ("e2", "  "), ("e3", " x"), ("e4", "x "),
+        ("e5", "héé wörld héé a the the ça"), ("e6", "a a a a")).toDF("doc_id", "text"))
+    val toks = split(col("text"), " ")
+    val hof = docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double") / size(toks)).as("mean_word_len"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("uniq_ratio"),
+      (size(filter(toks, w => length(w) < 3)).cast("double") / size(toks)).as("short_ratio"),
+      (size(filter(toks, w => w.isInCollection(stop))) > 0).as("has_stop"))
+    val native = TextAnalysis.qualityGates(docs, "text", stop)
+      .select("doc_id", "n_words", "mean_word_len", "uniq_ratio", "short_ratio", "has_stop")
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+      "native gate stats must equal the interpreted HOF chain bit-for-bit")
+  }
+
   test("persisted-model law: FromModel scoring ≡ the one-shot operators, through parquet") {
     // the model tables round-trip through parquet (the artifact-memo
     // deployment shape) and must reproduce the one-shot results exactly
