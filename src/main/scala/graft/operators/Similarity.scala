@@ -291,6 +291,45 @@ object Similarity {
       .select(col("qid"), col("cid"), col("dist"), col("rank").cast(IntegerType).as("rank"))
   }
 
+  /** Exact top-k by the SAME quantized squared-L2 the IVF family ranks
+    * with — the ground-truth side of recall evaluation (bruteForceTopK
+    * ranks by cosine, a different metric). Broadcast queries x corpus,
+    * in-row native distance, deterministic (dist, cid) tie-break.
+    * Output (qid, cid, dist, rank). */
+  def bruteForceL2TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int): DataFrame = {
+    val vecs = graft.core.Tables.ensureParallelism(corpus)
+      .select(col(idCol).as("cid"), dvec(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
+    val wK = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
+    vecs.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), ql2(col("qv"), col("cv")).as("dist"))
+      .withColumn("rank", row_number().over(wK)).filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("dist"), col("rank").cast(IntegerType).as("rank"))
+  }
+
+  /** Recall@k — THE acceptance metric for any approximate-ANN
+    * deployment: per query, the fraction of the exact top-k that the
+    * approximate result found. Metric-agnostic: both inputs are
+    * (qid, cid, ...) top-k tables (compare like with like — rank both
+    * under the same distance). Queries the approximation missed entirely
+    * keep a 0.0 row (the outer join on the exact side's query set), so a
+    * broken index reads as recall 0, not as an empty result. Both sides
+    * must use deterministic k-boundary tie-breaks (every operator here
+    * orders by (dist, cid)) or recall itself becomes nondeterministic. */
+  def annRecallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hits = exact.select(col("qid"), col("cid"))
+      .join(approx.select(col("qid"), col("cid")), Seq("qid", "cid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("__n"))
+    exact.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"),
+        coalesce(col("__n"), lit(0L)).as("n_hit"),
+        (coalesce(col("__n"), lit(0L)).cast(DoubleType) / lit(k)).as("recall"))
+  }
+
   /** IVF-PQ composition (the FAISS-style full scale path, Jegou et al.
     * TPAMI'11 §V): the coarse quantizer restricts the search to `nProbe`
     * probed cells, and within them distances come from the PQ codes via

@@ -355,6 +355,66 @@ object VectorQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Recall@10 of the 2-probe IVF against the exact L2 ground truth —
+    // THE acceptance metric for an approximate index (an unevaluated ANN
+    // deployment is a guess). Both sides rank by the same quantized
+    // squared L2 with the same (dist, cid) tie-break, so the recall
+    // fraction is deterministic and engine-portable; queries the index
+    // misses entirely keep a 0.0 row. The oracle replays the full IVF
+    // chain AND the exact ranking, then counts the per-query overlap.
+    QueryDef(
+      "q_ann_recall",
+      "recall@10 of 2-probe IVF vs exact quantized-L2 top-10, per query",
+      s"""WITH dims AS ($dimsSql),
+          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id IN ${seedIdsSql(16)}),
+          vdist AS (
+            SELECT v.vec_id, c.cc,
+                   CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS d2
+            FROM dims v JOIN cdims c ON v.d = c.d GROUP BY 1, 2),
+          cells AS (
+            SELECT vec_id, cc AS cell FROM (
+              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+              FROM vdist) WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS qid, cc AS cell FROM (
+              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+              FROM vdist WHERE vec_id < 5) WHERE rn <= 2),
+          cand AS (
+            SELECT p.qid, c.vec_id AS cid FROM probes p
+            JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.qid),
+          pd AS (
+            SELECT cand.qid, cand.cid,
+                   CAST(SUM(CAST(FLOOR(((a.x - b.x) * (a.x - b.x)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dist
+            FROM cand JOIN dims a ON a.vec_id = cand.qid
+                      JOIN dims b ON b.vec_id = cand.cid AND b.d = a.d
+            GROUP BY 1, 2),
+          ivf AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cid) AS rank
+              FROM pd) WHERE rank <= 10),
+          alld AS (
+            SELECT a.vec_id AS qid, b.vec_id AS cid,
+                   CAST(SUM(CAST(FLOOR(((a.x - b.x) * (a.x - b.x)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dist
+            FROM dims a JOIN dims b ON a.d = b.d AND b.vec_id <> a.vec_id
+            WHERE a.vec_id < 5
+            GROUP BY 1, 2),
+          ex AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cid) AS rank
+              FROM alld) WHERE rank <= 10),
+          hit AS (SELECT ex.qid, COUNT(*) AS n FROM ex JOIN ivf USING (qid, cid) GROUP BY ex.qid)
+          SELECT q.qid, CAST(COALESCE(hit.n, 0) AS BIGINT) AS n_hit,
+                 CAST(COALESCE(hit.n, 0) AS DOUBLE) / 10 AS recall
+          FROM (SELECT DISTINCT qid FROM ex) q LEFT JOIN hit USING (qid)
+          ORDER BY q.qid""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val approx = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        nCells = 16, nProbe = 2, k = 10)
+      val exact = Similarity.bruteForceL2TopK(emb, q, "vec_id", "embedding", k = 10)
+      Similarity.annRecallAtK(approx, exact, k = 10).orderBy(col("qid"))
+    },
+
     // Throughput variant of q_ann_topk: the native CosineSim expression
     // fuses dot+norms into one codegen'd loop per pair — no explode, no
     // dimension join, no aggregation. Scores are plain float-accumulated

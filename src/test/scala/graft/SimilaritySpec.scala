@@ -172,6 +172,25 @@ class SimilaritySpec extends SparkSpec {
     (4L, Array(0.0f, 0.0f, 1.0f))
   ).toDF("vec_id", "embedding")
 
+  test("annRecallAtK: full-probe IVF reaches recall 1.0; missed queries keep a 0.0 row") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceL2TopK(emb, q, "vec_id", "embedding", k = 5)
+    // probing EVERY cell makes IVF exhaustive — recall must be exactly 1
+    val full = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+      nCells = 4, nProbe = 4, k = 5)
+    val r = Similarity.annRecallAtK(full, exact, k = 5)
+      .select("qid", "recall").as[(Long, Double)].collect().toMap
+    assert(r.size == 3 && r.values.forall(_ == 1.0), r.toString)
+    // an approximation that returns nothing for a query must surface
+    // recall 0.0 for it, not silently drop the row
+    val broken = full.filter(col("qid") =!= 0L)
+    val r0 = Similarity.annRecallAtK(broken, exact, k = 5)
+      .select("qid", "recall").as[(Long, Double)].collect().toMap
+    assert(r0(0L) == 0.0 && r0(1L) == 1.0 && r0(2L) == 1.0, r0.toString)
+  }
+
   test("bruteForceTopK ranks the nearest vector first") {
     val got = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1), "vec_id",
         "embedding", k = 3)
