@@ -562,6 +562,57 @@ object Dedup {
     docs.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** EXHAUSTIVE exact Jaccard over every doc pair — the ground-truth
+    * generator for recall evaluation, shaped for the sample sizes ground
+    * truth is actually computed at (it is O(sample²) by definition):
+    * per-doc sorted XXH64 shingle sets build in-row (native
+    * HashedShingleSet), one side broadcasts, and every pair's overlap is
+    * one allocation-free native merge (SortedIntersectCount) — no
+    * exploded (doc, shingle) join, whose intermediate row count is the
+    * sum of per-shingle df² and blows up on common shingles precisely
+    * when the corpus HAS duplicates. Same results as jaccardPairs
+    * (spec'd); use THAT for sparse similarity joins at corpus scale,
+    * this for exhaustive truth over a sample. */
+  def jaccardPairsExhaustive(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val sh = graft.core.Tables.ensureParallelism(docs)
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("doc_id"),
+        column(graft.plans.HashedShingleSet(expression(col(textCol)), k)).as("sh"))
+    val a = sh.toDF("doc_a", "sh_a")
+    val b = sh.toDF("doc_b", "sh_b")
+    val common = column(graft.plans.SortedIntersectCount(
+      expression(col("sh_a")), expression(col("sh_b"))))
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), common.as("common"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Recall of an approximate near-dup pair set against an exact ground
+    * truth — the acceptance metric for a banded/sketched dedup config
+    * (too few hashes or bands and true duplicates slip through
+    * silently). Both inputs are (doc_a, doc_b) pair tables with the
+    * doc_a < doc_b normalization every operator here emits. One summary
+    * row (n_exact, n_found, recall); verified LSH has no false positives
+    * by construction (candidates are exact-Jaccard-checked), so recall
+    * is the whole story. Production shape: ground truth via exact
+    * all-pairs over a deterministic SAMPLE (ground truth is quadratic —
+    * sampling it is how real systems evaluate), the approximate config
+    * over the same sample. */
+  def pairRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val ex = exact.select(col("doc_a"), col("doc_b"))
+    val found = ex.join(approx.select(col("doc_a"), col("doc_b")),
+      Seq("doc_a", "doc_b"), "left_semi")
+    ex.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select(col("n_exact"), col("n_found"),
+        (col("n_found").cast("double") / col("n_exact")).as("recall"))
+  }
+
   /** Hot-span scrub — exact-substring deduplication at word-n-gram
     * granularity: find word n-grams occurring in >= minDocs distinct
     * documents (boilerplate: shared headers, license blocks, templated

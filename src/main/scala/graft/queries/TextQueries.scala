@@ -81,6 +81,25 @@ object TextQueries {
     s.read.parquet(path)
   }
 
+  /** Run-scoped exact-Jaccard ground truth for q_dedup_recall (k=9,
+    * threshold 0.8, the 1/3 sample): ground truth is O(sample²) and by
+    * nature computed ONCE then evaluated against many times — the memo
+    * IS the production shape. The oracle recomputes it from scratch. */
+  private val recallTruthWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def dedupRecallTruth(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val path = recallTruthWritten.computeIfAbsent(dir, { _ =>
+      val p = s"${VectorQueries.annArtifactRoot}/dedup_recall_truth/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Dedup.jaccardPairsExhaustive(
+          t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 9, threshold = 0.8)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   private val pairTowerWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
   private def nearDupPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val path = pairTowerWritten.computeIfAbsent(dir, { _ =>
@@ -732,6 +751,59 @@ object TextQueries {
       Dedup.jaccardPairsFiltered(t(s, dir, "documents"), "doc_id", "text",
           k = 9, threshold = 0.5, dfCap = 5)
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Recall evaluation of the MinHash-LSH config — the dedup mirror of
+    // q_ann_recall: ground truth is EXACT all-pairs Jaccard >= 0.8 over a
+    // deterministic 1/3 corpus sample (ground truth is quadratic;
+    // sampling it is how real systems evaluate), the candidate side is
+    // the uncapped 8-hash/4x2-band LSH (q_corpus_clean's config) over the
+    // same sample. Verified LSH has no false positives by construction,
+    // so the single (n_exact, n_found, recall) row is the whole story —
+    // and an under-banded config would read as recall < 1 here instead
+    // of silently leaking duplicates into a trained model.
+    QueryDef(
+      "q_dedup_recall",
+      "LSH near-dup recall vs exact all-pairs Jaccard >= 0.8 on a 1/3 corpus sample",
+      s"""WITH samp AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+          s AS (SELECT doc_id, $shinglesSql AS sh FROM samp),
+          exact AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+          exg AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          rex AS (SELECT doc_id, md5(g) AS h1, md5('x:' || g) AS h2 FROM exg),
+          sig AS (
+            SELECT doc_id,
+                   ${(0 until 8).map { h =>
+                     val src = if (h < 4) "h1" else "h2"
+                     s"MIN(substr($src, ${(h % 4) * 8 + 1}, 8)) AS sig_$h"
+                   }.mkString(", ")}
+            FROM rex GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, unnest([${(0 until 4).map(b => s"'$b' || ':' || sig_${2 * b} || ':' || sig_${2 * b + 1}").mkString(", ")}]) AS band
+            FROM sig),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+          lshp AS (
+            SELECT doc_a, doc_b
+            FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
+            WHERE len(list_intersect(sa.sh, sb.sh))
+                    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8),
+          found AS (SELECT * FROM exact JOIN lshp USING (doc_a, doc_b))
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS n_found,
+                 CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM exact) AS recall""") { (s, dir) =>
+      // ground truth from the run-scoped persisted artifact (built once —
+      // see dedupRecallTruth); the LSH side under evaluation runs fresh
+      val samp = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      val lsh = Dedup.lshNearDups(samp, "doc_id", "text",
+        k = 9, numHashes = 8, bandSize = 2, threshold = 0.8, dfCap = 0)
+      Dedup.pairRecall(lsh, dedupRecallTruth(s, dir))
     },
 
     // Containment join: the asymmetric companion to q_dedup_jaccard —

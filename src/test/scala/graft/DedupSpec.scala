@@ -56,6 +56,26 @@ class DedupSpec extends SparkSpec {
     assert(inRow.filter(col("doc_id") === "short").isEmpty)
   }
 
+  test("jaccardPairsExhaustive ≡ jaccardPairs (explode formulation) on the fixture") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val a = Dedup.jaccardPairs(docs, "doc_id", "text", k = 9, threshold = 0.5)
+    val b = Dedup.jaccardPairsExhaustive(docs, "doc_id", "text", k = 9, threshold = 0.5)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "broadcast-all-pairs ground truth must equal the explode-join baseline")
+    assert(b.count() > 0, "fixture must contain near-dup pairs")
+  }
+
+  test("pairRecall: full recall on itself; missing pairs lower the fraction") {
+    val exact = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val self = Dedup.pairRecall(exact, exact)
+      .as[(Long, Long, Double)].head()
+    assert(self == ((3L, 3L, 1.0)))
+    val partial = Dedup.pairRecall(exact.filter(col("doc_a") =!= 3L), exact)
+      .as[(Long, Long, Double)].head()
+    assert(partial == ((3L, 2L, 2.0 / 3.0)))
+  }
+
   test("simhash: identical docs at hamming 0, near-dups close, distinct far") {
     val sigs = corpus.select(col("doc_id"),
         TextAnalysis.simhash64(col("text")).as("sig"))
