@@ -10,10 +10,17 @@ import graft.queries._
 object SparkEntry {
 
   /** Every declared query, keyed by name. */
-  def allDefs: Seq[QueryDef] =
-    RelationalQueries.defs ++ ScalarQueries.defs ++ ExtendedQueries.defs ++
-      TextQueries.defs ++ VectorQueries.defs ++ EventQueries.defs ++
-      PipelineQueries.defs ++ ExportQueries.defs
+  def allDefs: Seq[QueryDef] = {
+    val defs =
+      RelationalQueries.defs ++ ScalarQueries.defs ++ ExtendedQueries.defs ++
+        TextQueries.defs ++ VectorQueries.defs ++ EventQueries.defs ++
+        PipelineQueries.defs ++ ExportQueries.defs
+    // a repeated name would silently shadow one (query, oracle) pair in
+    // the maps below — fail loudly instead
+    val dups = defs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    defs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -801,6 +801,35 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Per-document benchmark-overlap FRACTION over EVERY train document —
+    * the contamination measurement (GPT-3-appendix-style reporting) where
+    * contaminationHits reports only docs with >= 1 hit: corpus-health
+    * dashboards and threshold sweeps need the full distribution, zero
+    * rows included. Still ONE corpus scan: gram hashes build in-row
+    * (native WordGramHashSet), explode_outer keeps gram-less docs, the
+    * eval gram set broadcasts as 8-byte keys, and the groupBy
+    * partial-aggregates map-side to one row per document before the
+    * shuffle. Output (id, n_grams, n_hits, overlap_frac); docs shorter
+    * than n words report (0, 0, 0.0). */
+  def overlapFractions(train: DataFrame, evalDocs: DataFrame,
+                       idCol: String, textCol: String, n: Int): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(graft.plans.GraftFunctions.word_gram_hashes(col(textCol), n)).as("gram"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    train
+      .select(col(idCol),
+        graft.plans.GraftFunctions.word_gram_hashes(col(textCol), n).as("__gs"))
+      .select(col(idCol), size(col("__gs")).cast("bigint").as("n_grams"),
+        explode_outer(col("__gs")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_outer")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("overlap_frac",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_hits").cast("double") / col("n_grams")))
+  }
+
   /** Benchmark decontamination: drop every `train` document sharing at
     * least one word n-gram with `evalDocs`. Schema passes through
     * unchanged; the anti join's right side is the (tiny) contaminated-id

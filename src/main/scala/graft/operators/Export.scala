@@ -150,6 +150,48 @@ object Export {
     * Map-only: pure string/concat expressions, no shuffle, safe at any
     * scale; deterministic, so re-exports are byte-identical (the
     * warehouse contract). */
+  /** Temperature-scaled mixture shares (the UniMax / multilingual
+    * alpha-sampling family at alpha = 1/2): target share of group g is
+    * sqrt(n_g) / Σ sqrt(n_h) — big sources are damped, small sources
+    * boosted, relative order preserved. alpha = 1/2 is the one
+    * temperature whose power is an IEEE-EXACT primitive (sqrt is
+    * correctly rounded on every engine; pow(x, 0.3) is libm-dependent and
+    * banned from hash-checked paths) — other alphas belong in non-oracle
+    * pipelines. The sqrt weights quantize to integers (floor(·1e6 + 0.5))
+    * before summing, so the denominator is an exact BIGINT and each share
+    * is ONE float division — order-independent, engine-portable.
+    *
+    * Output: (groupCol, group_n, share) — feed shares into mixtureSample
+    * (downsampling) or a token-budget solve into mixtureRepeat (epochs).
+    * Scale shape: one partial-agg'd count per group, then arithmetic over
+    * the |groups|-row census; the corpus is touched exactly once. */
+  def mixtureTemperatureShares(docs: DataFrame, groupCol: String): DataFrame = {
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("group_n"))
+    val wq = floor(sqrt(col("group_n").cast("double")) * lit(1e6) + lit(0.5))
+      .cast("long")
+    val weighted = counts.withColumn("__wq", wq)
+    val total = weighted.agg(sum(col("__wq")).as("__tot"))
+    weighted.crossJoin(broadcast(total))
+      .select(col(groupCol), col("group_n"),
+        (col("__wq").cast("double") / col("__tot")).as("share"))
+  }
+
+  /** Curriculum bucket assignment — the planning step of quality-ordered
+    * training (easy→hard, or high→low quality): every doc gets an
+    * ntile(nBuckets) bucket within its group, ranked by (score, key) —
+    * the key tiebreak makes the rank a TOTAL order, so bucket boundaries
+    * are deterministic rank cuts on any engine (no percentile
+    * interpolation, no RNG). One window sort per group; the downstream
+    * per-bucket rollup partial-aggregates. At 100 TB the per-group sort
+    * is the cost — for unbounded groups, pre-bucket by approxMedianPerGroup
+    * cuts instead (Stats.scala's escape hatch). */
+  def curriculumBuckets(docs: DataFrame, keyCol: String, groupCol: String,
+                        score: Column, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"need >= 2 buckets, got $nBuckets")
+    val w = Window.partitionBy(col(groupCol)).orderBy(score, col(keyCol))
+    docs.withColumn("bucket", ntile(nBuckets).over(w))
+  }
+
   def renderChatTemplate(df: DataFrame, promptCol: String, responseCol: String,
                          userMark: String = "<|user|>",
                          asstMark: String = "<|assistant|>",

@@ -619,6 +619,35 @@ object Similarity {
       .groupBy(groupCol, "d")
       .agg((vsum(col("x")) / count(lit(1))).as("centroid"))
 
+  /** Cluster-balanced sampling — the topic-diversity retention policy a
+    * web-scale curation pipeline runs AFTER dedup (cap the head topics,
+    * keep the tail whole; cf. the cluster-then-sample stage of
+    * SemDeDup-style pipelines): every vector assigns to its nearest
+    * hash-rank coarse centroid (the IVF assignment stage — map-only
+    * in-row argmin against the broadcast nCells-row table), then at most
+    * `cap` vectors per cell survive by deterministic md5 rank. No RNG:
+    * the kept set is a pure function of (corpus, nCells, cap), stable
+    * across runs and partitionings, so re-curations are reproducible.
+    * Output (id, cell, rn). Scale shape: one map-only assignment pass +
+    * one bounded per-cell top-k (TopKRewrite lowers the row_number window
+    * to the bounded-heap TopKPerKey — map-side partial top-k, never a
+    * full per-cell sort; a hot mega-cluster costs O(cap) state, not a
+    * sort of its membership). */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+                            nCells: Int, cap: Int): DataFrame = {
+    require(cap >= 1, s"per-cell cap must be >= 1, got $cap")
+    val vecs = graft.core.Tables.ensureParallelism(df)
+      .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v"))
+    val cent = coarseSeeds(vecs, nCells)
+    val cells = vecs.crossJoin(broadcast(centOneRow(cent)))
+      .select(col("vid"), argminCell(col("v"), col("cents")).as("cell"))
+    val w = Window.partitionBy("cell")
+      .orderBy(md5(col("vid").cast("string")), col("vid"))
+    cells.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("vid").as(idCol), col("cell"), col("rn").cast(IntegerType).as("rn"))
+  }
+
   // ---- product quantization (Jegou/Douze/Schmid, TPAMI 2011) ----------
   // The third scale path alongside sign-LSH and IVF: vectors compress to m
   // small codes (one per subspace), so a 100 TB corpus's search structure

@@ -242,4 +242,78 @@ object Sketches {
     ColumnBridge.column(graft.plans.BloomGramHits(
       ColumnBridge.expression(grams), words.toSeq, mBits, k))
   }
+
+  // --- Bottom-k hash-rank sample (KMV-style coordinated sample) ---
+  //
+  // The QUANTILE/sample sketch completing the family (CMS = frequency,
+  // HLL = cardinality, Bloom = membership): per group, keep the k rows
+  // whose md5(id) ranks lowest — a uniform row sample that is MERGEABLE
+  // by construction: bottom-k of a union == bottom-k of the union of
+  // per-part bottom-k's (the hash rank is a property of the row, not of
+  // the partitioning), the same per-shard/per-epoch merge story as the
+  // other sketches. Deterministic (no RNG), so estimates hash-check on
+  // any engine that recomputes the same md5 ranking — unlike the opaque
+  // builtin approx_percentile state. The Bar-Yossef et al. (RANDOM '02)
+  // k-minimum-values construction, applied to row sampling.
+
+  /** Per-group bottom-k rows by (md5(id), id). Output keeps groupCols,
+    * idCol, valueCol plus the rank hash `rk` (so downstream merges can
+    * re-rank without recomputing md5). The window's row_number lowers to
+    * the bounded-heap TopKPerKey via TopKRewrite — map-side partial
+    * top-k, never a full per-group sort. */
+  def bottomKSample(df: DataFrame, idCol: String, valueCol: String,
+                    groupCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("rk"), col(idCol))
+    df.select(groupCols.map(col) :+ col(idCol) :+ col(valueCol) :+
+        md5(col(idCol).cast("string")).as("rk"): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Merge per-part/per-epoch bottom-k partials into the bottom-k of the
+    * whole input: union then re-rank (the stored `rk` makes this a sort
+    * of at most parts*k rows per group, no md5 recompute). */
+  def mergeBottomK(partials: DataFrame, idCol: String,
+                   groupCols: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("rk"), col(idCol))
+    partials.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Quantile estimates from a bottom-k sample: for each (name, num, den)
+    * with q = num/den, the value at rank ceil(q*n) of the sample ordered
+    * by (value, id) — EXACT order-statistic selection, no interpolation,
+    * so the estimate is engine-portable integer/rank arithmetic plus one
+    * value lookup (and exact whenever the group fits inside k). Output:
+    * (groupCols..., sample_n, <name>...). The sample is at most k rows
+    * per group, so the windows here sort constant-size partitions. */
+  def sampleQuantiles(sample: DataFrame, idCol: String, valueCol: String,
+                      groupCols: Seq[String],
+                      qs: Seq[(String, Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    qs.foreach { case (nm, num, den) =>
+      require(num >= 1 && num <= den, s"quantile $nm = $num/$den outside (0,1]") }
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol), col(idCol))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val r = sample
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    r.groupBy(groupCols.map(col): _*)
+      .agg(max(col("__n")).as("sample_n"),
+        qs.map { case (nm, num, den) =>
+          // ceil(q*n) = (num*n + den - 1) div den, floored float division
+          // (exact below 2^53, and written identically in the oracle)
+          max(when(col("__rn") ===
+              greatest(lit(1L), floor((col("__n") * num + (den - 1)) / lit(den))),
+            col(valueCol))).as(nm)
+        }: _*)
+  }
 }

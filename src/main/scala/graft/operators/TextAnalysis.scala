@@ -604,4 +604,37 @@ object TextAnalysis {
       .cast(LongType).cast(DoubleType) / lit(281474976710656.0)
     scored.withColumn("u", u).filter(col("u") < col("mean_pref"))
   }
+
+  /** Positional postings (id, pos, term), pos 0-based — the phrase-query
+    * index layout (term-only postings can't distinguish "spark shuffle"
+    * from "shuffle ... spark"). Map-only explode; persist partitioned/
+    * bucketed by term for a reusable index. */
+  def positionalPostings(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+
+  /** Exact phrase search: documents containing the consecutive word
+    * sequence, with per-doc match counts. The classic positional-postings
+    * plan: term i's postings project pos' = pos - i, so every term joins
+    * on the SAME (id, pos') key — a match is one row surviving the whole
+    * chain. Each side is filtered to ITS single term before any shuffle
+    * (a pushed-down scan predicate), so the join tower only ever carries
+    * the phrase's own postings — at 100 TB that is |phrase| scans' worth
+    * of matching-term rows, never the corpus, and the final count
+    * partial-aggregates map-side. Output (id, n_matches), matches >= 1. */
+  def phraseSearch(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, phrase: String): org.apache.spark.sql.DataFrame = {
+    val terms = phrase.split(" ")
+    require(terms.nonEmpty && terms.forall(_.nonEmpty), s"bad phrase '$phrase'")
+    val p = positionalPostings(docs, idCol, textCol)
+    def slice(t: String, i: Int) =
+      p.filter(col("term") === t).select(col(idCol), (col("pos") - i).as("pos"))
+    terms.zipWithIndex.tail
+      .foldLeft(slice(terms.head, 0)) { case (acc, (t, i)) =>
+        acc.join(slice(t, i), Seq(idCol, "pos"))
+      }
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"))
+  }
 }

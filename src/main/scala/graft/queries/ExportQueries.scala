@@ -237,6 +237,32 @@ object ExportQueries {
         .orderBy(col("source"))
     },
 
+    // Temperature-scaled mixture shares (UniMax / multilingual
+    // alpha-sampling at alpha = 1/2): target share of language g is
+    // sqrt(n_g) / Σ sqrt(n_h) — the head language damps, tail languages
+    // boost, order preserved. alpha = 1/2 is the one temperature whose
+    // power is an IEEE-exact primitive (sqrt is correctly rounded
+    // everywhere; pow(x, 0.3) is libm-dependent and banned from
+    // hash-checked paths). The sqrt weights quantize to integers before
+    // summing (exact BIGINT denominator), each share is ONE float
+    // division. Corpus-sized work is a single partial-agg'd count; the
+    // share arithmetic runs on the |languages|-row census.
+    QueryDef(
+      "q_mix_temperature",
+      "temperature-scaled (alpha=1/2) mixture shares per language: sqrt-count weighting",
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS group_n
+                    FROM documents GROUP BY lang),
+          w AS (SELECT lang, group_n,
+                       CAST(floor(sqrt(CAST(group_n AS DOUBLE)) * 1e6 + 0.5e0) AS BIGINT) AS wq
+                FROM c),
+          tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS t FROM w)
+          SELECT lang, group_n, CAST(wq AS DOUBLE) / t AS share
+          FROM w CROSS JOIN tot ORDER BY lang""") { (s, dir) =>
+      graft.operators.Export.mixtureTemperatureShares(
+          t(s, dir, "documents"), "lang")
+        .orderBy(col("lang"))
+    },
+
     // SFT chat-template rendering with loss-mask token boundaries: the
     // fixture derives (prompt, response) by splitting each document at
     // token 8; Export.renderChatTemplate joins the segments on single
@@ -287,11 +313,10 @@ object ExportQueries {
                 CAST(max(n_chars) AS BIGINT) AS max_chars,
                 avg(n_chars) AS avg_chars
          FROM b GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      t(s, dir, "documents")
-        .select(col("source"), col("n_chars"),
-          ntile(4).over(Window.partitionBy(col("source"))
-            .orderBy(col("n_chars"), col("doc_id"))).cast("long").as("bin"))
+      graft.operators.Export.curriculumBuckets(
+          t(s, dir, "documents").select(col("source"), col("doc_id"), col("n_chars")),
+          "doc_id", "source", col("n_chars"), nBuckets = 4)
+        .select(col("source"), col("n_chars"), col("bucket").cast("long").as("bin"))
         .groupBy(col("source"), col("bin"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("n_chars")).cast("long").as("min_chars"),

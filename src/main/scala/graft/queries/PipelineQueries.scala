@@ -158,6 +158,44 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The overlap MEASUREMENT over EVERY training document (q_decontaminate
+    // reports only docs with >= 1 hit): the full per-doc benchmark-overlap
+    // distribution, zero rows included — the corpus-health report a
+    // threshold sweep reads (GPT-3-appendix-style contamination
+    // accounting). Still one corpus scan: gram hashes build in-row
+    // (native WordGramHashSet), explode_outer keeps gram-less docs, the
+    // eval gram set broadcasts as 8-byte keys, and the per-doc counts
+    // partial-aggregate map-side. Same string-vs-hash oracle note as
+    // q_decontaminate.
+    QueryDef(
+      "q_overlap_frac",
+      "per-doc benchmark 4-gram overlap fraction over ALL training docs (zero-hit rows kept)",
+      """WITH g AS (SELECT doc_id, source,
+                           list_distinct(list_transform(
+                             range(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                             i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))) AS gs
+                    FROM documents),
+          eval_g AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE source = 'src0'),
+          train AS (SELECT doc_id, unnest(gs) AS gram
+                    FROM g WHERE source <> 'src0'),
+          hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+                   FROM train JOIN eval_g USING (gram) GROUP BY doc_id),
+          census AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams
+                     FROM g WHERE source <> 'src0')
+          SELECT c.doc_id, c.n_grams,
+                 COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+                 CASE WHEN c.n_grams = 0 THEN 0.0e0
+                      ELSE CAST(COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS DOUBLE) / c.n_grams
+                 END AS overlap_frac
+          FROM census c LEFT JOIN hits h USING (doc_id) ORDER BY c.doc_id""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.overlapFractions(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", 4)
+        .orderBy(col("doc_id"))
+    },
+
     // The BLOOM-FILTER variant of the decontamination probe, for when
     // even an 8-byte-per-gram exact set is too big to broadcast (a year
     // of seen-content hashes; the union of every benchmark): mBits of

@@ -1032,6 +1032,67 @@ object TextQueries {
         .orderBy(col("token"))
     },
 
+    // Bottom-k hash-rank sample (KMV-style) quantile estimates — the
+    // quantile/sample sketch completing the mergeable family (CMS =
+    // frequency, HLL = cardinality, bloom = membership): per source, the
+    // 32 rows whose md5(doc_id) ranks lowest form a uniform MERGEABLE
+    // sample (bottom-k of a union == bottom-k of unioned per-part
+    // bottom-k's — the per-shard/per-epoch merge story at 100 TB), and
+    // p50/p90 read off as exact order statistics of the sample (rank
+    // ceil(q*n), no interpolation — engine-portable integer arithmetic).
+    // Deterministic md5 ranking, no RNG: estimates hash-check, unlike the
+    // opaque builtin approx_percentile state. Groups smaller than k are
+    // sampled whole, so their quantiles are EXACT (sf0.01's 25-doc
+    // sources; at sf0.1 every source is genuinely sampled).
+    QueryDef(
+      "q_kmv_quantiles",
+      "bottom-32 hash-rank sample per source: n_chars p50/p90 as exact sample order statistics",
+      """WITH s AS (SELECT source, doc_id, n_chars,
+                           row_number() OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS hrn
+                    FROM documents),
+          samp AS (SELECT source, doc_id, n_chars FROM s WHERE hrn <= 32),
+          r AS (SELECT source, n_chars,
+                       row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY source) AS n
+                FROM samp)
+          SELECT source, CAST(MAX(n) AS BIGINT) AS sample_n,
+                 MAX(CASE WHEN rn = greatest(1, (n * 1 + 1) // 2) THEN n_chars END) AS p50,
+                 MAX(CASE WHEN rn = greatest(1, (n * 9 + 9) // 10) THEN n_chars END) AS p90
+          FROM r GROUP BY source ORDER BY source""") { (s, dir) =>
+      val sample = graft.operators.Sketches.bottomKSample(
+        t(s, dir, "documents").select(col("source"), col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", Seq("source"), k = 32)
+      graft.operators.Sketches.sampleQuantiles(sample, "doc_id", "n_chars",
+          Seq("source"), Seq(("p50", 1, 2), ("p90", 9, 10)))
+        .orderBy(col("source"))
+    },
+
+    // Exact phrase search over positional postings — the retrieval
+    // primitive term-only indexes (q_inverted_index, q_bm25) cannot
+    // express: "slow hash batch" as CONSECUTIVE words. Term i's postings
+    // project pos' = pos - i so every term joins on the same (doc, pos')
+    // key; each join side is filtered to its single term before any
+    // shuffle (a pushed scan predicate), so the tower carries only the
+    // phrase's own postings — never the corpus — and the match count
+    // partial-aggregates map-side.
+    QueryDef(
+      "q_phrase_search",
+      "positional phrase search: docs containing the consecutive words 'slow hash batch'",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+          p AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS i, l FROM w),
+          post AS (SELECT doc_id, i, l[CAST(i AS INT)] AS term FROM p),
+          t0 AS (SELECT doc_id, i FROM post WHERE term = 'slow'),
+          t1 AS (SELECT doc_id, i - 1 AS i FROM post WHERE term = 'hash'),
+          t2 AS (SELECT doc_id, i - 2 AS i FROM post WHERE term = 'batch')
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+          FROM t0 JOIN t1 USING (doc_id, i) JOIN t2 USING (doc_id, i)
+          GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+      TextAnalysis.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+          "slow hash batch")
+        .orderBy(col("doc_id"))
+    },
+
     // THE FLAGSHIP END-TO-END COMPOSITION: CorpusPipeline.clean — quality
     // gates -> exact dedup (md5 fingerprint, first-wins) -> MinHash-LSH
     // near-dup dedup (connected components, lowest-id survivor) ->

@@ -415,6 +415,40 @@ object VectorQueries {
       Similarity.annRecallAtK(approx, exact, k = 10).orderBy(col("qid"))
     },
 
+    // Cluster-balanced sampling — the topic-diversity retention policy a
+    // curation pipeline runs after dedup (cap the head topics, keep the
+    // tail whole; the cluster-then-sample stage of SemDeDup-style
+    // pipelines): nearest hash-rank coarse centroid per vector (the same
+    // map-only in-row argmin as the IVF assignment stage), then at most 8
+    // survivors per cell by deterministic md5 rank. No RNG — the kept set
+    // is a pure function of (corpus, nCells, cap), so re-curations
+    // reproduce exactly. The oracle replays the seed set, the quantized
+    // argmin, and the md5-rank cap.
+    QueryDef(
+      "q_cluster_balance",
+      "cluster-balanced sample: 16 coarse cells, <= 8 md5-rank survivors per cell",
+      s"""WITH dims AS ($dimsSql),
+          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id IN ${seedIdsSql(16)}),
+          vdist AS (
+            SELECT v.vec_id, c.cc,
+                   CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS d2
+            FROM dims v JOIN cdims c ON v.d = c.d GROUP BY 1, 2),
+          cells AS (
+            SELECT vec_id, cc AS cell FROM (
+              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+              FROM vdist) WHERE rn = 1),
+          sel AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY cell
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM cells)
+          SELECT vec_id, cell, CAST(rn AS INT) AS rn
+          FROM sel WHERE rn <= 8 ORDER BY cell, rn""") { (s, dir) =>
+      Similarity.clusterBalancedSample(t(s, dir, "embeddings"), "vec_id", "embedding",
+          nCells = 16, cap = 8)
+        .orderBy(col("cell"), col("rn"))
+    },
+
     // Throughput variant of q_ann_topk: the native CosineSim expression
     // fuses dot+norms into one codegen'd loop per pair — no explode, no
     // dimension join, no aggregation. Scores are plain float-accumulated

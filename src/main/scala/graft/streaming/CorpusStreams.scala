@@ -445,4 +445,39 @@ object CorpusStreams {
     EtlCli.readEpochTable(spark, bloomPath)
       .groupBy(col("word"))
       .agg(expr("bit_or(bits)").as("bits"))
+
+  /** Streaming bottom-k sample maintenance — the quantile/sample sibling
+    * completing the sketch-sink family (CMS sum / HLL max / bloom bit_or /
+    * KMV bottom-k): each micro-batch appends ITS OWN per-group bottom-k
+    * hash-rank partial as epoch=batchId; the live sample is the bottom-k
+    * re-rank over epochs (readKmvSample), which is exactly the KMV merge —
+    * bottom-k of a union == bottom-k of the union of per-part bottom-k's,
+    * so streamed samples are bit-identical to one batch-mode
+    * bottomKSample over everything ingested. Commit I/O per batch is at
+    * most k rows per group; replay is idempotent for the same reason as
+    * the other sketch sinks (partials are a pure function of the batch
+    * alone; ids are assumed unique across batches — the ingest contract). */
+  def kmvSampleSink(incoming: DataFrame, idCol: String, valueCol: String,
+                    groupCols: Seq[String], samplePath: String,
+                    checkpointDir: String, k: Int): StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        EtlCli.appendEpoch(
+          graft.operators.Sketches.bottomKSample(batch, idCol, valueCol, groupCols, k),
+          samplePath, batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The live sample: bottom-k re-rank over every committed epoch's
+    * partials — feed straight into Sketches.sampleQuantiles. */
+  def readKmvSample(spark: org.apache.spark.sql.SparkSession,
+                    samplePath: String, idCol: String,
+                    groupCols: Seq[String], k: Int): DataFrame =
+    graft.operators.Sketches.mergeBottomK(
+      EtlCli.readEpochTable(spark, samplePath).drop("epoch"),
+      idCol, groupCols, k)
 }

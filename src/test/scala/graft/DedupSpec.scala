@@ -177,6 +177,27 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(10L, 11L))
   }
 
+  test("overlapFractions: every train doc reported, zero-hit and gram-less rows included") {
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // grams: 3, hits: 2 (first two 4-grams)
+      (2L, "one two three four five six"),         // 3 grams, 0 hits
+      (3L, "too short")                            // < 4 words -> 0 grams
+    ).toDF("doc_id", "text")
+    val got = Dedup.overlapFractions(train, eval, "doc_id", "text", n = 4)
+      .select("doc_id", "n_grams", "n_hits", "overlap_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "a train doc went missing from the report")
+    assert(got(1L) == ((1L, 3L, 2L, 2.0 / 3)))
+    assert(got(2L) == ((2L, 3L, 0L, 0.0)))
+    assert(got(3L) == ((3L, 0L, 0L, 0.0)))
+    // consistency with the hits-only operator on its shared domain
+    val hits = Dedup.contaminationHits(train, eval, "doc_id", "text", n = 4)
+      .select("doc_id", "n_grams", "n_hits").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(hits.keySet == Set(1L) && got(1L)._2 == hits(1L)._2 && got(1L)._3 == hits(1L)._3)
+  }
+
   test("cappedDistinct: bounded set, null overflow marker, null values skipped") {
     import graft.functions.CappedSetAgg
     val rows = Seq(

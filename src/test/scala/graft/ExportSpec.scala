@@ -204,4 +204,35 @@ class ExportSpec extends SparkSpec {
       Seq("a", "distributed", "engine", "<|end|>"))
     assert(got(2L)._3 == 3L && got(2L)._4 == 6L)
   }
+
+  test("mixtureTemperatureShares: sqrt damping, shares sum to ~1, order preserved") {
+    // 400 vs 100 vs 25 docs: sqrt weights 20:10:5 exactly (perfect squares,
+    // so the quantized weights are exact integers) -> shares 4/7, 2/7, 1/7
+    val rows = (1 to 400).map(i => (i.toLong, "big")) ++
+      (1 to 100).map(i => (i.toLong + 1000, "mid")) ++
+      (1 to 25).map(i => (i.toLong + 2000, "small"))
+    val got = Export.mixtureTemperatureShares(rows.toDF("doc_id", "src"), "src")
+      .select("src", "group_n", "share").as[(String, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("big") == (("big", 400L, 20e6 / 35e6)))
+    assert(got("mid") == (("mid", 100L, 10e6 / 35e6)))
+    assert(got("small") == (("small", 25L, 5e6 / 35e6)))
+    val sum = got.values.map(_._3).sum
+    assert(math.abs(sum - 1.0) < 1e-12)
+    // the whole point: 16x the docs gets only 4x the share
+    assert(math.abs(got("big")._3 / got("small")._3 - 4.0) < 1e-12)
+  }
+
+  test("curriculumBuckets: deterministic rank-cut quartiles, front buckets take the remainder") {
+    // 10 docs, scores 10..1 keyed oppositely: rank order is by (score, key)
+    val rows = (1 to 10).map(i => (i.toLong, "s", (11 - i).toLong))
+    val got = Export.curriculumBuckets(rows.toDF("doc_id", "src", "score"),
+        "doc_id", "src", col("score"), nBuckets = 4)
+      .select("doc_id", "bucket").as[(Long, Int)].collect().toMap
+    // ascending score => doc 10 (score 1) ranks first; sizes 3,3,2,2
+    assert(got(10L) == 1 && got(9L) == 1 && got(8L) == 1)
+    assert(got(7L) == 2 && got(6L) == 2 && got(5L) == 2)
+    assert(got(4L) == 3 && got(3L) == 3)
+    assert(got(2L) == 4 && got(1L) == 4)
+  }
 }

@@ -306,4 +306,36 @@ class PlanSpec extends SparkSpec {
     val vecShuffles = "Exchange hashpartitioning\\([^)]*embedding".r.findAllIn(p).size
     assert(vecShuffles == 0, s"raw vectors crossed a shuffle:\n$p")
   }
+
+  test("bottom-k sample lowers to the bounded-heap operator, never a full sort") {
+    val p = plan("q_kmv_quantiles")
+    assert(p.contains("TopKPerKey"),
+      s"expected the row_number<=k window to lower to TopKPerKey:\n$p")
+  }
+
+  test("phrase search: every join side is filtered to its term at the scan") {
+    val p = plan("q_phrase_search")
+    // three single-term slices => three pushed equality filters on `text`
+    // is impossible (the term comes from an explode), but the per-term
+    // Filter must sit BELOW the joins so only phrase postings shuffle
+    assert("Filter \\(term#\\d+ = slow\\)".r.findFirstIn(p).isDefined ||
+      p.contains("= slow)"), s"term filter missing below the join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"phrase join degenerated to a product:\n$p")
+  }
+
+  test("overlap fractions: eval grams broadcast; per-doc counts partial-aggregate") {
+    val p = plan("q_overlap_frac")
+    assert(p.contains("BroadcastHashJoin"), s"eval gram set should broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final count agg:\n$p")
+  }
+
+  test("cluster-balanced sample: assignment is map-only; corpus vectors never shuffle") {
+    val p = plan("q_cluster_balance")
+    val vecShuffles = "Exchange hashpartitioning\\([^)]*embedding".r.findAllIn(p).size
+    assert(vecShuffles == 0, s"raw vectors crossed a shuffle:\n$p")
+    assert(p.contains("TopKPerKey") || p.contains("WindowGroupLimit"),
+      s"per-cell cap should group-limit, not full-sort:\n$p")
+  }
 }

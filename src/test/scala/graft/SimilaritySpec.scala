@@ -371,4 +371,31 @@ class SimilaritySpec extends SparkSpec {
     val mean = recall.sum / recall.size
     assert(mean >= 0.9, s"mean SQ8 recall $mean too low (per-query: $recall)")
   }
+
+  test("clusterBalancedSample: per-cell cap enforced, small cells kept whole, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val kept = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+        nCells = 8, cap = 5)
+      .select(col("vec_id").cast("long"), col("cell").cast("long"), col("rn").cast("int"))
+      .as[(Long, Long, Int)].collect()
+    // cap respected, ranks are 1..min(cap, |cell|) with no gaps
+    val byCell = kept.groupBy(_._2).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(byCell.values.forall(rns => rns == (1 to rns.size) && rns.size <= 5))
+    // cells smaller than the cap survive whole: recompute memberships via
+    // the same operator with a cap far above the corpus size
+    val full = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+        nCells = 8, cap = 1000000)
+      .select(col("cell").cast("long")).as[Long].collect()
+      .groupBy(identity).view.mapValues(_.size).toMap
+    byCell.foreach { case (cell, rns) =>
+      if (full(cell) <= 5) assert(rns.size == full(cell),
+        s"cell $cell dropped members below the cap") }
+    // deterministic: a second run returns the identical kept set
+    val again = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+        nCells = 8, cap = 5)
+      .select(col("vec_id").cast("long"), col("cell").cast("long"), col("rn").cast("int"))
+      .as[(Long, Long, Int)].collect()
+    assert(kept.toSet == again.toSet)
+  }
 }

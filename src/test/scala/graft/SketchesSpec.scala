@@ -57,4 +57,48 @@ class SketchesSpec extends SparkSpec {
     assert(truth.subsetOf(hh.map(_._1).toSet),
       s"missed true heavy hitters: ${truth -- hh.map(_._1).toSet}")
   }
+
+  test("bottom-k sample merges: bottom-k of a union == merge of per-part bottom-k's") {
+    import graft.operators.Sketches
+    val rows = (1L to 200L).map(i => (s"g${i % 3}", i, i * 7 % 101))
+    val df = rows.toDF("grp", "id", "v")
+    val whole = Sketches.bottomKSample(df, "id", "v", Seq("grp"), k = 16)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    // arbitrary split (NOT hash-aligned) — the rank is a row property
+    val partA = Sketches.bottomKSample(df.filter($"id" % 2 === 0), "id", "v", Seq("grp"), 16)
+    val partB = Sketches.bottomKSample(df.filter($"id" % 2 =!= 0), "id", "v", Seq("grp"), 16)
+    val merged = Sketches.mergeBottomK(partA.unionByName(partB), "id", Seq("grp"), 16)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    assert(merged == whole)
+    // every group holds exactly k rows (groups here are larger than k)
+    val perGroup = whole.groupBy(_._1).view.mapValues(_.size)
+    assert(perGroup.values.forall(_ == 16), s"per-group sizes: ${perGroup.toMap}")
+  }
+
+  test("sample quantiles are EXACT order statistics when the group fits in k") {
+    import graft.operators.Sketches
+    // 11 values, k = 32 > group size: p50 = ceil(0.5*11) = 6th smallest,
+    // p90 = ceil(0.9*11) = 10th smallest
+    val vals = Seq(13L, 2L, 40L, 7L, 25L, 1L, 33L, 18L, 5L, 29L, 11L)
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("grp", "id", "v")
+    val sample = Sketches.bottomKSample(df, "id", "v", Seq("grp"), k = 32)
+    val q = Sketches.sampleQuantiles(sample, "id", "v", Seq("grp"),
+        Seq(("p50", 1, 2), ("p90", 9, 10)))
+      .select("sample_n", "p50", "p90").as[(Long, Long, Long)].head()
+    val sorted = vals.sorted
+    assert(q == ((11L, sorted(5), sorted(9))))
+  }
+
+  test("sampled quantiles land within rank tolerance on a large group") {
+    import graft.operators.Sketches
+    // 2000 shuffled-by-hash values 1..2000: a bottom-256 hash-rank sample's
+    // p50 estimate should sit near rank 1000 (binomial concentration —
+    // assert a generous +-15% rank window, deterministic given md5)
+    val df = (1L to 2000L).map(i => ("g", i, i)).toDF("grp", "id", "v")
+    val sample = Sketches.bottomKSample(df, "id", "v", Seq("grp"), k = 256)
+    val q = Sketches.sampleQuantiles(sample, "id", "v", Seq("grp"),
+        Seq(("p50", 1, 2))).select("p50").as[Long].head()
+    assert(q > 700 && q < 1300, s"sampled p50 = $q, expected near 1000")
+  }
 }

@@ -246,6 +246,37 @@ class StreamingFileSpec extends SparkSpec {
     assert(walk(new java.io.File(bloomPath)).sorted == before)
   }
 
+  test("kmvSampleSink: streamed bottom-k partials merge to the batch-mode sample") {
+    import graft.streaming.CorpusStreams
+    import spark.implicits._
+    val b1 = (1L to 60L).map(i => (i, s"g${i % 2}", i * 13 % 97))
+    val b2 = (61L to 120L).map(i => (i, s"g${i % 2}", i * 13 % 97))
+    val root = java.nio.file.Files.createTempDirectory("kmv_stream")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectory(in)
+    def stage(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.toDF("doc_id", "grp", "v").coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, in.resolve(name + ".parquet"))
+    }
+    stage("b1", b1); stage("b2", b2)
+    val schema = spark.read.parquet(in.resolve("b1.parquet").toString).schema
+    val samplePath = root.resolve("kmv").toString
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    CorpusStreams.kmvSampleSink(stream, "doc_id", "v", Seq("grp"), samplePath,
+      root.resolve("chk").toString, k = 8).awaitTermination(120000)
+    assert(graft.tools.EtlCli.committedEpochs(spark, samplePath).size == 2)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      df.select(col("grp"), col("doc_id").cast("long"), col("v").cast("long"))
+        .as[(String, Long, Long)].collect().toSet
+    val live = rows(CorpusStreams.readKmvSample(spark, samplePath, "doc_id", Seq("grp"), 8))
+    val batchMode = rows(graft.operators.Sketches.bottomKSample(
+      (b1 ++ b2).toDF("doc_id", "grp", "v"), "doc_id", "v", Seq("grp"), 8))
+    assert(live == batchMode, "streamed KMV sample diverges from batch-mode sample")
+  }
+
   test("incrementalDedupSink: micro-batches probe + extend the band index; pairs equal the batch-mode run") {
     import graft.streaming.CorpusStreams
     import spark.implicits._

@@ -245,4 +245,20 @@ class TextAnalysisSpec extends SparkSpec {
     // higher tf with equal length ranks first: docs 30..26
     assert(got.toSet == Set(30L, 29L, 28L, 27L, 26L))
   }
+
+  test("phraseSearch: consecutive-word semantics, overlapping matches counted, scattered terms rejected") {
+    val docs = Seq(
+      (1L, "a b a b a"),          // "a b a" matches at pos 0 AND 2 (overlap)
+      (2L, "a x b x a"),          // all terms present but never consecutive
+      (3L, "z a b a z"),          // one match mid-doc
+      (4L, "b a")                 // phrase prefix only
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(docs, "doc_id", "text", "a b a")
+      .select("doc_id", "n_matches").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+    // single-term phrase degenerates to term frequency
+    val one = TextAnalysis.phraseSearch(docs, "doc_id", "text", "a")
+      .select("doc_id", "n_matches").as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
 }
