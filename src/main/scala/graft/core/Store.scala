@@ -152,6 +152,27 @@ object Store {
       .write.mode(SaveMode.Overwrite).partitionBy("shard").text(path)
   }
 
+  /** Export manifest — the delivery receipt for a shard layout: per shard,
+    * row count and an order-independent content checksum (XOR of xxhash64
+    * over each row's canonical to_json rendering, columns sorted by
+    * name — field names make the encoding unambiguous across column
+    * boundaries and null-safe; XOR never overflows, so it is safe under
+    * ANSI mode). Compute it from the WRITTEN shards so the receipt covers
+    * what actually landed; a consumer recomputes it after transfer to
+    * prove integrity without trusting file sizes, at any read
+    * parallelism (XOR is order-independent). Caveat of the XOR combine:
+    * an identical row PAIR cancels — export rows carry their unique key,
+    * so duplicates cannot occur in a well-formed shard, and n_rows still
+    * catches pair-insertions. */
+  def shardManifest(shards: DataFrame, shardCol: String = "shard"): DataFrame = {
+    val payload = shards.columns.filterNot(_ == shardCol).sorted
+    require(payload.nonEmpty, "shards have no payload columns to checksum")
+    shards.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"bit_xor(xxhash64(to_json(struct(${payload.map(c => s"`$c`").mkString(", ")}))))")
+          .as("checksum"))
+  }
+
   /** Z-order bit-interleave of two non-negative integer keys: clustering by
     * this single key preserves locality in BOTH dimensions, so min/max
     * skipping works for filters on either column (the classic Z-order

@@ -106,6 +106,10 @@ object CorpusStreams {
     *     EtlCli.writeTable): keep docs whose hash-uniform u < mean_pref,
     *     reason `dsir_rejected` — deterministic, so replay re-derives
     *     the identical sample; map-only (the <= B-row model broadcasts)
+    *  2d. (optional, `kmvSamplePath`) accepted-length monitoring: each
+    *     batch appends a bottom-kmvK hash-rank sample partial of its
+    *     survivors' doc lengths — readKmvSample + sampleQuantiles over
+    *     the epochs is the live length distribution for drift dashboards
     *  3. near-dup vs committed corpus + in-batch: band-index probe; a
     *     batch doc drops when paired with any corpus doc (corpus member
     *     wins — it is already training data), else the least id per
@@ -143,7 +147,9 @@ object CorpusStreams {
                         cfg: graft.operators.CorpusPipeline.Config =
                           graft.operators.CorpusPipeline.Config(),
                         bloomPath: Option[String] = None,
-                        dsirModelPath: Option[String] = None)
+                        dsirModelPath: Option[String] = None,
+                        kmvSamplePath: Option[String] = None,
+                        kmvK: Int = 64)
       : StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -250,6 +256,22 @@ object CorpusStreams {
               .select(col(idCol).as("doc_id"), lit("dsir_rejected").as("reason")))
             .unionAll(dupDrops.select(col("doc_id"), lit("near_dup").as("reason")))
           EtlCli.appendEpoch(dropped, droppedPath, batchId)
+          // optional accepted-length monitor: a bottom-kmvK hash-rank
+          // sample partial of THIS batch's survivors (doc-length value) —
+          // readKmvSample over the epochs is the live distribution a
+          // drift dashboard quantiles against (Sketches.sampleQuantiles).
+          // Pure function of the survivors, so replay re-appends its own
+          // epoch idempotently; committed before the corpus fencepost
+          // like the other side tables.
+          kmvSamplePath.foreach { kp =>
+            EtlCli.appendEpoch(
+              graft.operators.Sketches.bottomKSample(
+                survivors.select(col(idCol),
+                  length(col(textCol)).cast("long").as("n_chars"),
+                  lit("all").as("g")),
+                idCol, "n_chars", Seq("g"), kmvK),
+              kp, batchId)
+          }
           EtlCli.appendEpoch(
             newBands.join(survivors.select(col(idCol).as("__sid")),
               col("doc_id") === col("__sid"), "left_semi"),

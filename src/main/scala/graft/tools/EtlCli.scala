@@ -50,8 +50,11 @@ object EtlCli {
     case Seq("versions", path)      => println(versions(spark, path).mkString(","))
     case Seq("vacuum", path)        => vacuum(spark, path)
     case Seq("vacuum", path, n)     => vacuum(spark, path, n.toInt)
+    case Seq("diff", path, key, a, b) =>
+      diffVersions(spark, path, key, a.toLong, b.toLong)
+        .orderBy("change", key).show(numRows = 1000, truncate = false)
     case other =>
-      sys.error(s"usage: init|ingest|quality|stats|export|learn-bpe|versions|vacuum ... (got $other)")
+      sys.error(s"usage: init|ingest|quality|stats|export|learn-bpe|versions|vacuum|diff ... (got $other)")
   }
 
   private def issuesPath(wh: String)  = s"$wh/issue"
@@ -208,6 +211,19 @@ object EtlCli {
             nShards, shuffleOrder = true)
         case other => sys.error(s"export format must be parquet|orc|jsonl, got $other")
       }
+      // delivery receipt: manifest computed from the STAGED shards (what
+      // actually landed), written as `_manifest` INSIDE the version dir —
+      // the leading underscore hides it from shard readers, and the one
+      // commit marker below covers shards + receipt atomically. orderBy +
+      // coalesce(1) make the manifest file itself byte-deterministic, so
+      // the byte-identical re-export contract extends to the receipt.
+      val stagedDir = s"$path/data_v$next"
+      val staged = format match {
+        case "jsonl" => spark.read.text(stagedDir)
+        case f       => spark.read.format(f).load(stagedDir)
+      }
+      graft.core.Store.shardManifest(staged).orderBy("shard").coalesce(1)
+        .write.parquet(s"$stagedDir/_manifest")
       commit(spark, path, next)
     }
 
@@ -260,8 +276,13 @@ object EtlCli {
     var fmt = "parquet"
     var found = false
     while (it.hasNext && !found) {
-      val n = it.next().getPath.getName
-      if (n.endsWith(".orc")) { fmt = "orc"; found = true }
+      val p = it.next().getPath
+      val n = p.getName
+      // skip hidden entries (the _manifest receipt, _SUCCESS, ...): Spark's
+      // readers ignore _-/. -prefixed paths, so the sniff must too — a
+      // jsonl export's parquet receipt must not masquerade as the table
+      if (n.startsWith("_") || n.startsWith(".") || p.toString.contains("/_")) ()
+      else if (n.endsWith(".orc")) { fmt = "orc"; found = true }
       else if (n.endsWith(".parquet")) found = true
       else if (n.endsWith(".txt") || n.endsWith(".json")) sys.error(
         s"table at $dataDir holds text shards (jsonl export) — jsonl exports " +
@@ -303,6 +324,35 @@ object EtlCli {
         s"written; committed: ${versions(spark, path).mkString(",")})")
     val dir = s"$path/data_v$version"
     spark.read.format(sniffFormat(spark, dir)).load(dir)
+  }
+
+  /** Version diff — the "what changed since the last export" audit over a
+    * versioned table's retained history: rows keyed by `keyCol`, change
+    * classified by comparing an md5 fingerprint of ALL other columns
+    * (md5 of the to_json'd struct, fields sorted by name — field names in
+    * the JSON make the encoding unambiguous across column boundaries and
+    * null-safe, and schema-order-independent). Output (key, change) with
+    * change in added | removed | changed; unchanged rows are dropped —
+    * the diff is sized by the churn, not the table. Scale shape: each
+    * side reduces to (key, 32-hex fingerprint) IN the scan projection, so
+    * the one full-outer join shuffles 40-byte rows — never payloads — and
+    * at 100 TB the diff costs two scans plus a churn-sized join. */
+  def diffVersions(spark: SparkSession, path: String, keyCol: String,
+                   vOld: Long, vNew: Long): DataFrame = {
+    def fp(df: DataFrame, as: String) = {
+      val others = df.columns.filterNot(_ == keyCol).sorted
+      require(others.nonEmpty, s"table at $path has no non-key columns to diff")
+      df.select(col(keyCol),
+        md5(to_json(struct(others.map(col): _*))).as(as))
+    }
+    fp(readTableAt(spark, path, vOld), "__fp_old")
+      .join(fp(readTableAt(spark, path, vNew), "__fp_new"), Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__fp_old").isNull, lit("added"))
+          .when(col("__fp_new").isNull, lit("removed"))
+          .when(col("__fp_old") =!= col("__fp_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change"))
+      .filter(col("change") =!= "unchanged")
   }
 
   /** Drop all but the newest `retain` committed versions, plus any

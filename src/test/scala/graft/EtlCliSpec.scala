@@ -133,6 +133,21 @@ class EtlCliSpec extends SparkSpec {
     val names = new java.io.File(s"$wh/export").list().toSeq
     assert(names.count(_.startsWith("data_v")) == 1)
     assert(names.contains("_committed_v2"))
+    // delivery receipt: _manifest inside the version dir (hidden from
+    // shard readers, covered by the same commit marker); recomputing from
+    // the shards reproduces it exactly, and row counts reconcile
+    locally {
+      import spark.implicits._
+      val v2dir = s"$wh/export/data_v2"
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("shard").cast("string"), col("n_rows"), col("checksum"))
+          .as[(String, Long, Long)].collect().toSet
+      val manifest = rows(spark.read.parquet(s"$v2dir/_manifest"))
+      val recomputed = rows(graft.core.Store.shardManifest(spark.read.parquet(v2dir)))
+      assert(manifest.nonEmpty && manifest == recomputed,
+        "manifest must match a recomputation over the landed shards")
+      assert(manifest.toSeq.map(_._2).sum == n1)
+    }
     // both runs audited
     assert(spark.read.parquet(s"$wh/etl_run")
       .filter(col("source_system") === "export").count() == 2)
@@ -144,6 +159,13 @@ class EtlCliSpec extends SparkSpec {
     val lines = spark.read.textFile(s"$v3/shard=*")
     assert(lines.count() == n1)
     assert(lines.head().startsWith("{\"doc_id\""), "not a JSON object line")
+    // jsonl exports carry the receipt too (checksums over the line bytes)
+    locally {
+      import spark.implicits._
+      val m3 = spark.read.parquet(s"$v3/_manifest")
+        .select(col("n_rows")).as[Long].collect()
+      assert(m3.sum == n1, "jsonl manifest row counts must reconcile")
+    }
 
     // the columnar table reader refuses jsonl shards with a CLEAR error
     // instead of mis-reading .txt files as parquet
@@ -333,5 +355,26 @@ class EtlCliSpec extends SparkSpec {
     val names = new java.io.File(path).list().toSeq
     assert(names.count(_.startsWith("data_v")) == 1)
     assert(names.count(_.startsWith("_committed_v")) == 1)
+  }
+
+  test("diffVersions reports exactly the churn: added, removed, changed; unchanged dropped") {
+    import graft.tools.EtlCli
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("diff_tbl").toString + "/t"
+    EtlCli.writeTable(Seq(
+        (1L, "keep", 10L), (2L, "mutate", 20L), (3L, "drop", 30L),
+        (4L, Option.empty[String].orNull, 40L)            // null payload column
+      ).toDF("k", "name", "score"), path, retain = 2)
+    EtlCli.writeTable(Seq(
+        (1L, "keep", 10L),                                // unchanged
+        (2L, "mutated", 20L),                             // changed (name)
+        (4L, "", 40L),                                    // null -> empty string IS a change
+        (5L, "new", 50L)                                  // added
+      ).toDF("k", "name", "score"), path, retain = 2)
+    val vs = EtlCli.versions(spark, path)
+    val got = EtlCli.diffVersions(spark, path, "k", vs.head, vs.last)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed",
+      4L -> "changed", 5L -> "added"))
   }
 }

@@ -228,16 +228,28 @@ class PlanSpec extends SparkSpec {
   }
 
   test("CMS sketch: corpus tokens aggregate into constant-width cells, strings never shuffle") {
-    val p = plan("q_cms_freq")
-    // the corpus-side shuffle carries (j, bucket) cells with a partial
-    // count below it — the sketch is built map-side
+    // q_cms_freq now reads the run-scoped persisted sketch (the
+    // q_hll_distinct pattern), so the build plan is asserted on the
+    // OPERATOR (the artifact writer's plan): the corpus-side shuffle
+    // carries (j, bucket) cells with a partial count below it — the
+    // sketch is built map-side, token strings never cross the wire
+    val p = graft.operators.Sketches.cmsSketch(
+        graft.core.Tables.t(spark, sf, "documents")
+          .select(org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.split(
+              org.apache.spark.sql.functions.col("text"), " ")).as("t")),
+        "t", depth = 4, width = 64)
+      .queryExecution.executedPlan.toString
     assert("partial_count".r.findAllIn(p).nonEmpty &&
       "Exchange hashpartitioning\\(j#\\d+, bucket#".r.findAllIn(p).nonEmpty,
       s"expected partial-agg'd (j, bucket) cell shuffle:\n$p")
-    // true counts are probe-restricted via a broadcast semi-join, so the
-    // only token-keyed exchanges carry probe-bounded rows
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
-      s"probe filter should ride a broadcast:\n$p")
+    // the query-side plan probes the persisted artifact (broadcast scan),
+    // it does not rebuild the cell aggregation over the corpus
+    val q = plan("q_cms_freq")
+    assert(q.contains("cms_sketch"),
+      s"q_cms_freq should read the persisted sketch artifact:\n$q")
+    assert(q.contains("BroadcastHashJoin") || q.contains("BroadcastExchange"),
+      s"probe filter should ride a broadcast:\n$q")
   }
 
   test("HLL: registers build with a map-side partial max; values never shuffle") {

@@ -313,4 +313,45 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bottom-k merge law: any random partition of the input merges to the whole-input sample") {
+    import graft.operators.Sketches
+    val rows = sample(Gen.listOfN(300,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 500L))))
+      .zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+    val splits = sample(Gen.listOfN(300, Gen.chooseNum(0, 2)))
+    val df = rows.toDF("grp", "id", "v")
+    val whole = Sketches.bottomKSample(df, "id", "v", Seq("grp"), k = 7)
+      .select("grp", "id", "v").as[(String, Long, Long)].collect().toSet
+    // three arbitrary parts (ScalaCheck-chosen, NOT hash-aligned)
+    val bySplit = rows.zip(splits).groupBy(_._2).values.map(_.map(_._1))
+    val partials = bySplit.map(part =>
+      Sketches.bottomKSample(part.toDF("grp", "id", "v"), "id", "v", Seq("grp"), 7))
+      .reduce(_ unionByName _)
+    val merged = Sketches.mergeBottomK(partials, "id", Seq("grp"), 7)
+      .select("grp", "id", "v").as[(String, Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
+  test("sample-quantile law: k >= group size makes every quantile the exact order statistic") {
+    import graft.operators.Sketches
+    val rows = sample(Gen.listOfN(120,
+      Gen.zip(Gen.oneOf("x", "y"), Gen.chooseNum(-1000L, 1000L))))
+      .zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+    val df = rows.toDF("grp", "id", "v")
+    val sampleDf = Sketches.bottomKSample(df, "id", "v", Seq("grp"), k = 1000)
+    val got = Sketches.sampleQuantiles(sampleDf, "id", "v", Seq("grp"),
+        Seq(("p25", 1, 4), ("p50", 1, 2), ("p99", 99, 100)))
+      .select("grp", "sample_n", "p25", "p50", "p99")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    rows.groupBy(_._1).foreach { case (g, members) =>
+      val sorted = members.map(_._3).sorted
+      val n = sorted.size
+      def exact(num: Int, den: Int) = sorted(math.max(1, (n * num + den - 1) / den) - 1)
+      val (_, sn, p25, p50, p99) = got(g)
+      assert(sn == n.toLong)
+      assert(p25 == exact(1, 4) && p50 == exact(1, 2) && p99 == exact(99, 100),
+        s"group $g: ($p25, $p50, $p99) vs exact (${exact(1, 4)}, ${exact(1, 2)}, ${exact(99, 100)})")
+    }
+  }
 }

@@ -111,6 +111,43 @@ class ScaleSpec extends SparkSpec {
     } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
   }
 
+  test("phrase search probes a persisted term-bucketed postings index with bucket-pruned scans") {
+    // The retrieval composition at 100 TB: positional postings are
+    // O(corpus)-sized and built ONCE; bucketing by term at write time
+    // means each phrase-term probe reads only its term's bucket (bucket
+    // pruning at the scan — SelectedBucketsCount in the plan), never the
+    // whole index, and the (doc, pos') join tower runs over those pruned
+    // slices. Term-partitioned dirs would explode at web vocab sizes;
+    // buckets stay fixed-width.
+    val db = "graft_postings_spec"
+    val loc = java.nio.file.Files.createTempDirectory("postings_wh").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    try {
+      val docs = t(spark, sf, "documents").select(col("doc_id"), col("text"))
+      graft.operators.TextAnalysis.positionalPostings(docs, "doc_id", "text")
+        .write.bucketBy(8, "term").sortBy("term")
+        .mode("overwrite").saveAsTable(s"$db.postings")
+      val post = spark.table(s"$db.postings")
+      def slice(term: String, i: Int) = post.filter(col("term") === term)
+        .select(col("doc_id"), (col("pos") - i).as("pos"))
+      val phrase = Seq("big", "order", "scan")
+      val probed = phrase.zipWithIndex.tail
+        .foldLeft(slice(phrase.head, 0)) { case (acc, (term, i)) =>
+          acc.join(slice(term, i), Seq("doc_id", "pos")) }
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+      val p = probed.queryExecution.executedPlan.toString
+      assert("SelectedBucketsCount: 1 out of 8".r.findAllIn(p).size == 3,
+        s"each term scan must prune to its single bucket:\n$p")
+      // and the index probe returns exactly the from-scratch operator's counts
+      import spark.implicits._
+      val viaIndex = probed.as[(Long, Long)].collect().toSet
+      val fromScratch = graft.operators.TextAnalysis
+        .phraseSearch(docs, "doc_id", "text", phrase.mkString(" "))
+        .as[(Long, Long)].collect().toSet
+      assert(viaIndex == fromScratch && viaIndex.nonEmpty)
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
   test("incremental ANN index: new batch encodes against the persisted codebook, append-only") {
     // The ANN analog of the incremental-dedup composition: train the PQ
     // codebook ONCE on the initial corpus and persist it; every later

@@ -166,4 +166,24 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT size(minhash_sig('tiny', 9)) AS n").as[Int].head()
     assert(empty == 0)
   }
+
+  test("positional phrase search is expressible in pure SQL (same counts as the operator)") {
+    Seq((1L, "a b a b a"), (2L, "a x b x a"), (3L, "z a b a z"))
+      .toDF("doc_id", "text").createOrReplaceTempView("ph_docs")
+    val got = spark.sql(
+      """WITH post AS (
+           SELECT doc_id, pos, term FROM ph_docs
+           LATERAL VIEW posexplode(split(text, ' ')) t AS pos, term),
+         t0 AS (SELECT doc_id, pos FROM post WHERE term = 'a'),
+         t1 AS (SELECT doc_id, pos - 1 AS pos FROM post WHERE term = 'b'),
+         t2 AS (SELECT doc_id, pos - 2 AS pos FROM post WHERE term = 'a')
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+         FROM t0 JOIN t1 USING (doc_id, pos) JOIN t2 USING (doc_id, pos)
+         GROUP BY doc_id""")
+      .as[(Long, Long)].collect().toMap
+    val op = graft.operators.TextAnalysis.phraseSearch(
+        spark.table("ph_docs"), "doc_id", "text", "a b a")
+      .as[(Long, Long)].collect().toMap
+    assert(got == op && got == Map(1L -> 2L, 3L -> 1L), s"sql=$got op=$op")
+  }
 }

@@ -561,6 +561,58 @@ class StreamingFileSpec extends SparkSpec {
       "every gate-passing, DSIR-rejected doc must be logged with reason dsir_rejected")
   }
 
+  test("curatedIngestSink KMV stage: streamed length sample equals batch bottom-k over the survivors") {
+    import spark.implicits._
+    import graft.streaming.CorpusStreams
+    import graft.tools.EtlCli
+    val root = java.nio.file.Files.createTempDirectory("kmv_ingest")
+    def paths(n: String) = root.resolve(n).toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val in = root.resolve("in"); java.nio.file.Files.createDirectory(in)
+    def stage(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, in.resolve(name + ".parquet"))
+    }
+    stage("b1", docs.filter(col("doc_id") % 2 === 0))
+    stage("b2", docs.filter(col("doc_id") % 2 =!= 0))
+    // gates wide open, no eval/bloom/dsir: every doc survives, so the
+    // monitor's ground truth is the whole corpus
+    val cfg = graft.operators.CorpusPipeline.Config(
+      minWords = 1, maxWords = 100000, minMeanLen = 0.0, maxMeanLen = 1e9,
+      minUniqRatio = 0.0, stop = Seq("a", "the"), nearDupThreshold = 1.1)
+    CorpusStreams.curatedIngestSink(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString),
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", paths("index"), paths("corpus"),
+      paths("dropped"), paths("chk"), cfg,
+      kmvSamplePath = Some(paths("kmv")), kmvK = 16)
+      .awaitTermination(120000)
+    val survivors = EtlCli.readEpochTable(spark, paths("corpus"))
+      .select(col("doc_id"), col("text"))
+    val live = CorpusStreams.readKmvSample(spark, paths("kmv"), "doc_id", Seq("g"), 16)
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val batchMode = graft.operators.Sketches.bottomKSample(
+        survivors.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"), lit("all").as("g")),
+        "doc_id", "n_chars", Seq("g"), 16)
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(live == batchMode,
+      "streamed KMV monitor must merge to the batch bottom-k over all survivors")
+    // and the monitor feeds quantile estimates directly
+    val p50 = graft.operators.Sketches.sampleQuantiles(
+        CorpusStreams.readKmvSample(spark, paths("kmv"), "doc_id", Seq("g"), 16),
+        "doc_id", "n_chars", Seq("g"), Seq(("p50", 1, 2)))
+      .select("p50").as[Long].head()
+    assert(p50 > 0)
+  }
+
   test("annIndexSink: micro-batched codes equal a from-scratch encode; commits are epoch appends") {
     import graft.streaming.CorpusStreams
     val dir = "/root/testdata/sf0.001"
