@@ -449,6 +449,74 @@ object VectorQueries {
         .orderBy(col("cell"), col("rn"))
     },
 
+    // THE VECTOR-SIDE END-TO-END COMPOSITION (the embedding analog of
+    // q_corpus_clean): SemDeDup semantic dedup -> cluster-balanced
+    // retention, oracle-checked as ONE query — the balance stage provably
+    // operates on exactly the dedup stage's survivor set (its hash-rank
+    // seeds and cell argmins re-derive over the SURVIVORS, not the raw
+    // corpus, so any dedup drift would cascade into every downstream
+    // cell id and rank). Each stage reuses a CTE chain already proven by
+    // its standalone query (q_semantic_dedup, q_cluster_balance).
+    QueryDef(
+      "q_vector_curation",
+      "embedding curation end-to-end: SemDeDup dedup -> cluster-balanced cap, one oracle",
+      s"""WITH dims AS ($dimsSql),
+          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id < 16),
+          vdist AS (
+            SELECT v.vec_id, c.cc,
+                   CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS d2
+            FROM dims v JOIN cdims c ON v.d = c.d GROUP BY 1, 2),
+          cells AS (
+            SELECT vec_id, cc AS cell FROM (
+              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+              FROM vdist) WHERE rn = 1),
+          nrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x * x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0) AS nrm
+                  FROM dims GROUP BY vec_id),
+          cand AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+          dots AS (
+            SELECT id_a, id_b,
+                   CAST(SUM(CAST(FLOOR((da.x * db.x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dot
+            FROM cand JOIN dims da ON da.vec_id = id_a
+                      JOIN dims db ON db.vec_id = id_b AND db.d = da.d
+            GROUP BY 1, 2),
+          dropped AS (
+            SELECT DISTINCT id_b AS vec_id FROM dots
+            JOIN nrm na ON na.vec_id = id_a JOIN nrm nb ON nb.vec_id = id_b
+            WHERE dot / (na.nrm * nb.nrm) >= 0.35),
+          sv AS (SELECT vec_id FROM embeddings
+                 WHERE vec_id NOT IN (SELECT vec_id FROM dropped)),
+          sdims AS (SELECT * FROM dims WHERE vec_id IN (SELECT vec_id FROM sv)),
+          seeds AS (SELECT vec_id FROM sv
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+          scdims AS (SELECT vec_id AS cc, d, x AS cx FROM sdims
+                     WHERE vec_id IN (SELECT vec_id FROM seeds)),
+          svdist AS (
+            SELECT v.vec_id, c.cc,
+                   CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS d2
+            FROM sdims v JOIN scdims c ON v.d = c.d GROUP BY 1, 2),
+          scells AS (
+            SELECT vec_id, cc AS cell FROM (
+              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+              FROM svdist) WHERE rn = 1),
+          sel AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY cell
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM scells)
+          SELECT vec_id, cell, CAST(rn AS INT) AS rn
+          FROM sel WHERE rn <= 8 ORDER BY cell, rn""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val dropped = Similarity.semanticNearDups(emb, "vec_id", "embedding",
+          nCells = 16, minCosine = 0.35)
+        .select(col("id_b").as("vec_id")).distinct()
+      val kept = emb.join(dropped, Seq("vec_id"), "left_anti")
+      Similarity.clusterBalancedSample(kept, "vec_id", "embedding",
+          nCells = 16, cap = 8)
+        .orderBy(col("cell"), col("rn"))
+    },
+
     // Throughput variant of q_ann_topk: the native CosineSim expression
     // fuses dot+norms into one codegen'd loop per pair — no explode, no
     // dimension join, no aggregation. Scores are plain float-accumulated

@@ -350,4 +350,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerKey") || p.contains("WindowGroupLimit"),
       s"per-cell cap should group-limit, not full-sort:\n$p")
   }
+
+  test("vector curation composition: no exchange ever carries the embedding array") {
+    // the dedup stage shuffles exploded (vec_id, d, x) dim rows and the
+    // balance stage shuffles (vec_id, cell) pairs — the raw array column
+    // itself must never cross a wire in the composed plan either
+    val p = plan("q_vector_curation")
+    val vecShuffles = "Exchange hashpartitioning\\([^)]*embedding".r.findAllIn(p).size
+    assert(vecShuffles == 0, s"raw vectors crossed a shuffle:\n$p")
+  }
 }
