@@ -615,25 +615,33 @@ object TextAnalysis {
       posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
 
   /** Exact phrase search: documents containing the consecutive word
-    * sequence, with per-doc match counts. The classic positional-postings
-    * plan: term i's postings project pos' = pos - i, so every term joins
-    * on the SAME (id, pos') key — a match is one row surviving the whole
-    * chain. Each side is filtered to ITS single term before any shuffle
-    * (a pushed-down scan predicate), so the join tower only ever carries
-    * the phrase's own postings — at 100 TB that is |phrase| scans' worth
-    * of matching-term rows, never the corpus, and the final count
-    * partial-aggregates map-side. Output (id, n_matches), matches >= 1. */
+    * sequence, with per-doc match counts — by offset normalization, in
+    * ONE corpus pass. Each posting of a phrase term maps to the match
+    * START it would imply (start = pos - slot, once per slot that term
+    * occupies in the phrase, via a broadcast |phrase|-row table); a
+    * candidate (doc, start) is a real match iff ALL |phrase| slots
+    * contributed — and since a position holds one word, each slot
+    * contributes at most one row per (doc, start), so the test is a plain
+    * count. Beats the n-way self-join tower: one scan (with the
+    * term-IN-set predicate pushed into it, so only phrase-term postings
+    * leave), one partial-agg'd shuffle keyed (doc, 8-byte start), instead
+    * of |phrase| scans and a join chain. Duplicate phrase terms and
+    * overlapping matches fall out correctly (each posting fans to every
+    * slot of its term). Output (id, n_matches), matches >= 1. */
   def phraseSearch(docs: org.apache.spark.sql.DataFrame, idCol: String,
                    textCol: String, phrase: String): org.apache.spark.sql.DataFrame = {
     val terms = phrase.split(" ")
     require(terms.nonEmpty && terms.forall(_.nonEmpty), s"bad phrase '$phrase'")
-    val p = positionalPostings(docs, idCol, textCol)
-    def slice(t: String, i: Int) =
-      p.filter(col("term") === t).select(col(idCol), (col("pos") - i).as("pos"))
-    terms.zipWithIndex.tail
-      .foldLeft(slice(terms.head, 0)) { case (acc, (t, i)) =>
-        acc.join(slice(t, i), Seq(idCol, "pos"))
-      }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slots = terms.zipWithIndex.toSeq.toDF("term", "slot")
+    positionalPostings(docs, idCol, textCol)
+      .filter(col("term").isin(terms.distinct.toSeq: _*))
+      .join(broadcast(slots), "term")
+      .select(col(idCol), (col("pos") - col("slot")).as("start"))
+      .groupBy(col(idCol), col("start"))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === terms.length)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_matches"))
   }

@@ -325,15 +325,19 @@ class PlanSpec extends SparkSpec {
       s"expected the row_number<=k window to lower to TopKPerKey:\n$p")
   }
 
-  test("phrase search: every join side is filtered to its term at the scan") {
+  test("phrase search: ONE corpus scan, term-set filter below the shuffle, slots broadcast") {
     val p = plan("q_phrase_search")
-    // three single-term slices => three pushed equality filters on `text`
-    // is impossible (the term comes from an explode), but the per-term
-    // Filter must sit BELOW the joins so only phrase postings shuffle
-    assert("Filter \\(term#\\d+ = slow\\)".r.findFirstIn(p).isDefined ||
-      p.contains("= slow)"), s"term filter missing below the join:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"phrase join degenerated to a product:\n$p")
+    // offset normalization reads the corpus once — exactly one postings
+    // explode in the whole plan (the n-way join tower it replaces had one
+    // per phrase term)
+    assert("Generate posexplode".r.findAllIn(p).size == 1,
+      s"expected exactly one postings scan:\n$p")
+    // the term-IN-set predicate must sit below the slot join so only
+    // phrase-term postings ever leave the scan stage
+    assert(p.contains("term#") && p.contains("INSET") || p.contains(" IN ("),
+      s"term-set filter missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"slot table should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"degenerated to a product:\n$p")
   }
 
   test("overlap fractions: eval grams broadcast; per-doc counts partial-aggregate") {

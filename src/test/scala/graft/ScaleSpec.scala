@@ -128,16 +128,20 @@ class ScaleSpec extends SparkSpec {
         .write.bucketBy(8, "term").sortBy("term")
         .mode("overwrite").saveAsTable(s"$db.postings")
       val post = spark.table(s"$db.postings")
-      def slice(term: String, i: Int) = post.filter(col("term") === term)
-        .select(col("doc_id"), (col("pos") - i).as("pos"))
       val phrase = Seq("big", "order", "scan")
-      val probed = phrase.zipWithIndex.tail
-        .foldLeft(slice(phrase.head, 0)) { case (acc, (term, i)) =>
-          acc.join(slice(term, i), Seq("doc_id", "pos")) }
+      import spark.implicits._
+      val slots = phrase.zipWithIndex.toDF("term", "slot")
+      val probed = post.filter(col("term").isin(phrase: _*))
+        .join(broadcast(slots), "term")
+        .select(col("doc_id"), (col("pos") - col("slot")).as("start"))
+        .groupBy(col("doc_id"), col("start"))
+        .agg(count(lit(1)).as("h"))
+        .filter(col("h") === phrase.length)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
       val p = probed.queryExecution.executedPlan.toString
-      assert("SelectedBucketsCount: 1 out of 8".r.findAllIn(p).size == 3,
-        s"each term scan must prune to its single bucket:\n$p")
+      // <= 3 buckets (3 terms; fewer if two hash together), exactly one scan
+      assert("SelectedBucketsCount: [123] out of 8".r.findAllIn(p).size == 1,
+        s"the one probe scan must prune to the phrase terms' buckets:\n$p")
       // and the index probe returns exactly the from-scratch operator's counts
       import spark.implicits._
       val viaIndex = probed.as[(Long, Long)].collect().toSet
