@@ -610,7 +610,13 @@ object Dedup {
     ex.agg(count(lit(1)).as("n_exact"))
       .crossJoin(found.agg(count(lit(1)).as("n_found")))
       .select(col("n_exact"), col("n_found"),
-        (col("n_found").cast("double") / col("n_exact")).as("recall"))
+        // vacuous truth: a sample with no exact pairs means there was
+        // nothing to find — recall 1.0 by definition, never a null (or,
+        // under ANSI mode, a divide-by-zero error) that would silently
+        // slip past a `recall < threshold` monitoring filter
+        when(col("n_exact") === 0, lit(1.0))
+          .otherwise(col("n_found").cast("double") / col("n_exact"))
+          .as("recall"))
   }
 
   /** Hot-span scrub — exact-substring deduplication at word-n-gram

@@ -323,11 +323,16 @@ object Similarity {
     val hits = exact.select(col("qid"), col("cid"))
       .join(approx.select(col("qid"), col("cid")), Seq("qid", "cid"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("__n"))
-    exact.select(col("qid")).distinct()
+    // denominator: what the exact side ACTUALLY holds for the query,
+    // capped at k — on a corpus smaller than k the exact top-k has fewer
+    // rows, and dividing by the constant k would make recall 1.0
+    // unreachable for even a perfect index
+    exact.groupBy(col("qid")).agg(count(lit(1)).as("__d"))
       .join(hits, Seq("qid"), "left_outer")
       .select(col("qid"),
         coalesce(col("__n"), lit(0L)).as("n_hit"),
-        (coalesce(col("__n"), lit(0L)).cast(DoubleType) / lit(k)).as("recall"))
+        (coalesce(col("__n"), lit(0L)).cast(DoubleType) /
+          least(lit(k.toLong), col("__d"))).as("recall"))
   }
 
   /** IVF-PQ composition (the FAISS-style full scale path, Jegou et al.

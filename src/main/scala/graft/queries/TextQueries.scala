@@ -815,8 +815,10 @@ object TextQueries {
           found AS (SELECT * FROM exact JOIN lshp USING (doc_a, doc_b))
           SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
                  (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS n_found,
-                 CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
-                   / (SELECT COUNT(*) FROM exact) AS recall""") { (s, dir) =>
+                 CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN 1.0e0
+                      ELSE CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
+                             / (SELECT COUNT(*) FROM exact)
+                 END AS recall""") { (s, dir) =>
       // ground truth from the run-scoped persisted artifact (built once —
       // see dedupRecallTruth); the LSH side under evaluation runs fresh
       val samp = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)

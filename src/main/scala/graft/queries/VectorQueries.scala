@@ -402,11 +402,12 @@ object VectorQueries {
             SELECT qid, cid FROM (
               SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cid) AS rank
               FROM alld) WHERE rank <= 10),
-          hit AS (SELECT ex.qid, COUNT(*) AS n FROM ex JOIN ivf USING (qid, cid) GROUP BY ex.qid)
-          SELECT q.qid, CAST(COALESCE(hit.n, 0) AS BIGINT) AS n_hit,
-                 CAST(COALESCE(hit.n, 0) AS DOUBLE) / 10 AS recall
-          FROM (SELECT DISTINCT qid FROM ex) q LEFT JOIN hit USING (qid)
-          ORDER BY q.qid""") { (s, dir) =>
+          hit AS (SELECT ex.qid, COUNT(*) AS n FROM ex JOIN ivf USING (qid, cid) GROUP BY ex.qid),
+          exn AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS d FROM ex GROUP BY qid)
+          SELECT exn.qid, CAST(COALESCE(hit.n, 0) AS BIGINT) AS n_hit,
+                 CAST(COALESCE(hit.n, 0) AS DOUBLE) / least(10, exn.d) AS recall
+          FROM exn LEFT JOIN hit USING (qid)
+          ORDER BY exn.qid""") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
       val approx = Similarity.ivfTopK(emb, q, "vec_id", "embedding",

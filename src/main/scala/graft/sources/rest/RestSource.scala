@@ -277,6 +277,11 @@ private[rest] class RestMicroBatchStream(fetcherName: String,
                                    end: org.apache.spark.sql.connector.read.streaming.Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[RestOffset].offset
     val e = end.asInstanceOf[RestOffset].offset
+    // offsets are Long in the checkpoint protocol, but the page fetch API
+    // takes an Int offset — fail loudly rather than wrap negative past
+    // 2^31 and silently re-fetch wrong pages
+    require(e <= Int.MaxValue,
+      s"stream offset $e exceeds the Int pagination range of the REST API")
     (s until e by pageSize.toLong)
       .map(off => RestPageRange(off.toInt, pageSize min (e - off).toInt)).toArray
   }

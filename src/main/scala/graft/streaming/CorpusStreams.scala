@@ -215,9 +215,12 @@ object CorpusStreams {
           val (dsirDropIds, selected) = dsirModelPath match {
             case Some(mp) =>
               val model = EtlCli.readTable(spark, mp)
-              val kept = graft.operators.TextAnalysis
+              // pin: the scoring aggregation feeds BOTH the reject log
+              // (anti) and the survivor set (semi) — unpinned it would
+              // run twice per micro-batch
+              val kept = pin(graft.operators.TextAnalysis
                 .dsirResampleFromModel(decon, model, idCol, textCol)
-                .select(col("doc_id").as(idCol))
+                .select(col("doc_id").as(idCol)))
               (decon.join(kept, Seq(idCol), "left_anti").select(col(idCol)),
                 pin(decon.join(kept, Seq(idCol), "left_semi")))
             case None => (decon.select(col(idCol)).limit(0), decon)
@@ -269,7 +272,8 @@ object CorpusStreams {
                 survivors.select(col(idCol),
                   length(col(textCol)).cast("long").as("n_chars"),
                   lit("all").as("g")),
-                idCol, "n_chars", Seq("g"), kmvK),
+                idCol, "n_chars", Seq("g"), kmvK)
+                .withColumn("__kmv_k", lit(kmvK)),
               kp, batchId)
           }
           EtlCli.appendEpoch(
@@ -487,7 +491,8 @@ object CorpusStreams {
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         EtlCli.appendEpoch(
-          graft.operators.Sketches.bottomKSample(batch, idCol, valueCol, groupCols, k),
+          graft.operators.Sketches.bottomKSample(batch, idCol, valueCol, groupCols, k)
+            .withColumn("__kmv_k", lit(k)),
           samplePath, batchId)
         ()
       }
@@ -495,11 +500,23 @@ object CorpusStreams {
       .start()
 
   /** The live sample: bottom-k re-rank over every committed epoch's
-    * partials — feed straight into Sketches.sampleQuantiles. */
+    * partials — feed straight into Sketches.sampleQuantiles.
+    *
+    * The requested k must not exceed the k the partials were BUILT with
+    * (stamped on every partial row): the KMV merge law only holds
+    * downward — ranks past the build k were discarded per epoch, so a
+    * larger merge would return a statistically biased union (small
+    * epochs over-represented) with no error. Checked loudly here. */
   def readKmvSample(spark: org.apache.spark.sql.SparkSession,
                     samplePath: String, idCol: String,
-                    groupCols: Seq[String], k: Int): DataFrame =
+                    groupCols: Seq[String], k: Int): DataFrame = {
+    val partials = EtlCli.readEpochTable(spark, samplePath).drop("epoch")
+    val builtK = partials.agg(min(col("__kmv_k"))).head().getInt(0)
+    require(k <= builtK,
+      s"requested sample size $k exceeds the sink's build k=$builtK — " +
+        "ranks past the build k were discarded per epoch, so merging " +
+        "larger would bias the sample; re-run the sink with a larger k")
     graft.operators.Sketches.mergeBottomK(
-      EtlCli.readEpochTable(spark, samplePath).drop("epoch"),
-      idCol, groupCols, k)
+      partials.drop("__kmv_k"), idCol, groupCols, k)
+  }
 }

@@ -275,13 +275,21 @@ object EtlCli {
     val it = fs(spark, dataDir).listFiles(new org.apache.hadoop.fs.Path(dataDir), true)
     var fmt = "parquet"
     var found = false
+    // hidden = any path segment BELOW dataDir starting with _ or .
+    // (the _manifest receipt, _SUCCESS, ...): Spark's readers ignore
+    // those, so the sniff must too — a jsonl export's parquet receipt
+    // must not masquerade as the table. Only segments below dataDir
+    // count: a warehouse that happens to LIVE under /data/_staging/...
+    // must not have every file skipped by its ancestors' names.
+    val base = new org.apache.hadoop.fs.Path(dataDir).toUri.getPath.stripSuffix("/")
+    def hiddenBelowBase(p: org.apache.hadoop.fs.Path): Boolean = {
+      val rel = p.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
+    }
     while (it.hasNext && !found) {
       val p = it.next().getPath
       val n = p.getName
-      // skip hidden entries (the _manifest receipt, _SUCCESS, ...): Spark's
-      // readers ignore _-/. -prefixed paths, so the sniff must too — a
-      // jsonl export's parquet receipt must not masquerade as the table
-      if (n.startsWith("_") || n.startsWith(".") || p.toString.contains("/_")) ()
+      if (hiddenBelowBase(p)) ()
       else if (n.endsWith(".orc")) { fmt = "orc"; found = true }
       else if (n.endsWith(".parquet")) found = true
       else if (n.endsWith(".txt") || n.endsWith(".json")) sys.error(

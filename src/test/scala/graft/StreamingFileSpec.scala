@@ -275,6 +275,15 @@ class StreamingFileSpec extends SparkSpec {
     val batchMode = rows(graft.operators.Sketches.bottomKSample(
       (b1 ++ b2).toDF("doc_id", "grp", "v"), "doc_id", "v", Seq("grp"), 8))
     assert(live == batchMode, "streamed KMV sample diverges from batch-mode sample")
+    // smaller merges stay valid (the law holds downward)...
+    assert(CorpusStreams.readKmvSample(spark, samplePath, "doc_id", Seq("grp"), 3)
+      .count() == 6)
+    // ...but asking for MORE than the build k must fail loudly — ranks
+    // past 8 were discarded per epoch, a k=64 merge would be biased
+    val e = intercept[IllegalArgumentException] {
+      CorpusStreams.readKmvSample(spark, samplePath, "doc_id", Seq("grp"), 64)
+    }
+    assert(e.getMessage.contains("build k=8"))
   }
 
   test("incrementalDedupSink: micro-batches probe + extend the band index; pairs equal the batch-mode run") {
