@@ -53,6 +53,11 @@ object EtlCli {
     case Seq("diff", path, key, a, b) =>
       diffVersions(spark, path, key, a.toLong, b.toLong)
         .orderBy("change", key).show(numRows = 1000, truncate = false)
+    case Seq("verify-export", path) =>
+      val bad = verifyExport(spark, path)
+      if (bad.nonEmpty) sys.error(s"export at $path FAILED verification — " +
+        s"shards diverging from the committed manifest: ${bad.mkString(", ")}")
+      else println(s"export at $path verifies against its manifest")
     case other =>
       sys.error(s"usage: init|ingest|quality|stats|export|learn-bpe|versions|vacuum|diff ... (got $other)")
   }
@@ -226,6 +231,33 @@ object EtlCli {
         .write.parquet(s"$stagedDir/_manifest")
       commit(spark, path, next)
     }
+
+  /** Consumer-side receipt check: recompute Store.shardManifest over the
+    * current export version's landed shards and compare to the committed
+    * `_manifest`. Returns the diverging shard ids (empty = verified) —
+    * the check a downstream trainer runs after transferring an export,
+    * proving integrity without trusting file sizes or counts. Works for
+    * columnar and jsonl exports alike (the manifest was computed from the
+    * same read shape at commit time). */
+  def verifyExport(spark: SparkSession, path: String): Seq[String] = {
+    val v = committedVersion(spark, path).getOrElse(
+      sys.error(s"no committed export at $path"))
+    val dir = s"$path/data_v$v"
+    // sniffFormat deliberately errors on text shards (jsonl exports are
+    // not columnar tables) — here that same signal routes to the text read
+    val landed = scala.util.Try(sniffFormat(spark, dir)) match {
+      case scala.util.Success(f) => spark.read.format(f).load(dir)
+      case scala.util.Failure(_) => spark.read.text(dir)
+    }
+    val exp = spark.read.parquet(s"$dir/_manifest")
+      .select(col("shard").cast("string").as("shard"), col("n_rows"), col("checksum"))
+    val got = graft.core.Store.shardManifest(landed)
+      .select(col("shard").cast("string").as("shard"), col("n_rows"), col("checksum"))
+    exp.join(got, Seq("shard"), "full_outer")
+      .filter(exp("n_rows").isNull || got("n_rows").isNull ||
+        exp("n_rows") =!= got("n_rows") || exp("checksum") =!= got("checksum"))
+      .select("shard").collect().map(_.getString(0)).toSeq.sorted
+  }
 
   // ---- versioned table layout -------------------------------------------
   //

@@ -138,6 +138,7 @@ class EtlCliSpec extends SparkSpec {
     // the shards reproduces it exactly, and row counts reconcile
     locally {
       import spark.implicits._
+      import org.apache.spark.sql.functions.{min, when}
       val v2dir = s"$wh/export/data_v2"
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.select(col("shard").cast("string"), col("n_rows"), col("checksum"))
@@ -147,6 +148,23 @@ class EtlCliSpec extends SparkSpec {
       assert(manifest.nonEmpty && manifest == recomputed,
         "manifest must match a recomputation over the landed shards")
       assert(manifest.toSeq.map(_._2).sum == n1)
+      // the consumer-side check passes on the intact export...
+      assert(EtlCli.verifyExport(spark, s"$wh/export").isEmpty)
+      // ...and the checksum detects a single-value tamper (same row count,
+      // one field changed in one shard) — the failure mode a row count
+      // alone cannot see
+      val shards = spark.read.parquet(v2dir)
+      val tampered = shards.withColumn("n_tokens",
+        when(col("doc_id") === shards.select(min(col("doc_id"))).head().getLong(0),
+          col("n_tokens") + 1).otherwise(col("n_tokens")))
+      val base = manifest.toSeq.map(r => r._1 -> r).toMap
+      val after = rows(graft.core.Store.shardManifest(tampered))
+        .toSeq.map(r => r._1 -> r).toMap
+      val diverged = after.filter { case (s, r) => base(s) != r }
+      assert(diverged.size == 1, s"tamper must flip exactly one shard: $diverged")
+      val (s0, (_, nRowsT, ckT)) = diverged.head
+      assert(nRowsT == base(s0)._2 && ckT != base(s0)._3,
+        "the tamper keeps row counts intact — only the checksum may catch it")
     }
     // both runs audited
     assert(spark.read.parquet(s"$wh/etl_run")
