@@ -258,9 +258,11 @@ object Sketches {
 
   /** Per-group bottom-k rows by (md5(id), id). Output keeps groupCols,
     * idCol, valueCol plus the rank hash `rk` (so downstream merges can
-    * re-rank without recomputing md5). The window's row_number lowers to
-    * the bounded-heap TopKPerKey via TopKRewrite — map-side partial
-    * top-k, never a full per-group sort. */
+    * re-rank without recomputing md5) and the build-k stamp `__kmv_k`
+    * (so a later merge can enforce the downward-only merge law — see
+    * mergeBottomK). The window's row_number lowers to the bounded-heap
+    * TopKPerKey via TopKRewrite — map-side partial top-k, never a full
+    * per-group sort. */
   def bottomKSample(df: DataFrame, idCol: String, valueCol: String,
                     groupCols: Seq[String], k: Int): DataFrame = {
     require(k >= 1, s"sample size must be >= 1, got $k")
@@ -272,14 +274,34 @@ object Sketches {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")
+      .withColumn("__kmv_k", lit(k))
   }
 
   /** Merge per-part/per-epoch bottom-k partials into the bottom-k of the
     * whole input: union then re-rank (the stored `rk` makes this a sort
-    * of at most parts*k rows per group, no md5 recompute). */
+    * of at most parts*k rows per group, no md5 recompute).
+    *
+    * The merge law only holds DOWNWARD: ranks past a partial's build k
+    * were discarded, so merging with a larger k would return a
+    * statistically biased union (small parts over-represented) with no
+    * error. Enforced here, at the operator: every partial carries its
+    * build k (`__kmv_k`, stamped by bottomKSample), and a requested k
+    * above the smallest build k fails loudly. The validation is one
+    * driver-side aggregation over at most parts x k rows. */
   def mergeBottomK(partials: DataFrame, idCol: String,
                    groupCols: Seq[String], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    if (partials.columns.contains("__kmv_k")) {
+      val builtKRow = partials.agg(min(col("__kmv_k"))).head()
+      // all-empty partials carry no k and nothing to bias
+      if (!builtKRow.isNullAt(0)) {
+        val builtK = builtKRow.getInt(0)
+        require(k <= builtK,
+          s"requested sample size $k exceeds the partials' build k=$builtK — " +
+            "ranks past the build k were discarded per partial, so merging " +
+            "larger would bias the sample; rebuild the partials with a larger k")
+      }
+    }
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("rk"), col(idCol))
     partials.withColumn("__rn", row_number().over(w))

@@ -232,10 +232,14 @@ private[rest] class RestScan(options: Map[String, String], params: Map[String, S
     * analogue of the reference's per-request sleep), and the window
     * [start, end) plans the same parallel page ranges as the batch scan —
     * checkpointed offsets give exactly-once page consumption across
-    * restarts. Limit/TopN pushdowns don't apply to the unbounded form. */
+    * restarts. Limit/TopN pushdowns don't apply to the unbounded form,
+    * but the user-facing `maxItems` option caps the stream's high-water
+    * mark exactly as it caps the batch scan's row count — the same
+    * options must mean the same bound in both modes. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new RestMicroBatchStream(options("fetcher"), params, required, pageSize,
-      options.get("maxoffsetspertrigger").map(_.toLong))
+      options.get("maxoffsetspertrigger").map(_.toLong),
+      options.get("maxitems").map(_.toLong))
 }
 
 private[rest] case class RestOffset(offset: Long)
@@ -246,9 +250,11 @@ private[rest] case class RestOffset(offset: Long)
 private[rest] class RestMicroBatchStream(fetcherName: String,
                                          params: Map[String, String],
                                          required: StructType, pageSize: Int,
-                                         maxPerTrigger: Option[Long])
+                                         maxPerTrigger: Option[Long],
+                                         maxItems: Option[Long] = None)
     extends MicroBatchStream {
   require(maxPerTrigger.forall(_ > 0), "maxOffsetsPerTrigger must be > 0")
+  require(maxItems.forall(_ > 0), "maxItems must be > 0")
   private def fetcher = FetcherRegistry.get(fetcherName)
   // furthest end this stream has planned/acknowledged — throttling is
   // relative to it; restart recovery folds checkpointed offsets in via
@@ -265,9 +271,11 @@ private[rest] class RestMicroBatchStream(fetcherName: String,
   }
 
   override def latestOffset(): org.apache.spark.sql.connector.read.streaming.Offset = {
-    val total = fetcher.total(params).getOrElse(throw new IllegalStateException(
+    val apiTotal = fetcher.total(params).getOrElse(throw new IllegalStateException(
       s"fetcher '$fetcherName' reports no total — the streaming source needs " +
         "the API's total to bound each pagination window")).toLong
+    // maxItems caps the stream exactly as it caps the batch scan
+    val total = maxItems.fold(apiTotal)(math.min(apiTotal, _))
     val end = maxPerTrigger.fold(total)(m => math.min(total, highWater + m))
     if (end > highWater) highWater = end
     RestOffset(math.max(end, highWater))

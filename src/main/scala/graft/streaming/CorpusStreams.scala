@@ -272,8 +272,7 @@ object CorpusStreams {
                 survivors.select(col(idCol),
                   length(col(textCol)).cast("long").as("n_chars"),
                   lit("all").as("g")),
-                idCol, "n_chars", Seq("g"), kmvK)
-                .withColumn("__kmv_k", lit(kmvK)),
+                idCol, "n_chars", Seq("g"), kmvK),
               kp, batchId)
           }
           EtlCli.appendEpoch(
@@ -491,8 +490,7 @@ object CorpusStreams {
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         EtlCli.appendEpoch(
-          graft.operators.Sketches.bottomKSample(batch, idCol, valueCol, groupCols, k)
-            .withColumn("__kmv_k", lit(k)),
+          graft.operators.Sketches.bottomKSample(batch, idCol, valueCol, groupCols, k),
           samplePath, batchId)
         ()
       }
@@ -500,23 +498,15 @@ object CorpusStreams {
       .start()
 
   /** The live sample: bottom-k re-rank over every committed epoch's
-    * partials — feed straight into Sketches.sampleQuantiles.
-    *
-    * The requested k must not exceed the k the partials were BUILT with
-    * (stamped on every partial row): the KMV merge law only holds
-    * downward — ranks past the build k were discarded per epoch, so a
-    * larger merge would return a statistically biased union (small
-    * epochs over-represented) with no error. Checked loudly here. */
+    * partials — feed straight into Sketches.sampleQuantiles. The
+    * downward-only merge law (requested k <= the partials' build k) is
+    * enforced by mergeBottomK itself via the `__kmv_k` stamp every
+    * bottomKSample partial carries. */
   def readKmvSample(spark: org.apache.spark.sql.SparkSession,
                     samplePath: String, idCol: String,
-                    groupCols: Seq[String], k: Int): DataFrame = {
-    val partials = EtlCli.readEpochTable(spark, samplePath).drop("epoch")
-    val builtK = partials.agg(min(col("__kmv_k"))).head().getInt(0)
-    require(k <= builtK,
-      s"requested sample size $k exceeds the sink's build k=$builtK — " +
-        "ranks past the build k were discarded per epoch, so merging " +
-        "larger would bias the sample; re-run the sink with a larger k")
+                    groupCols: Seq[String], k: Int): DataFrame =
     graft.operators.Sketches.mergeBottomK(
-      partials.drop("__kmv_k"), idCol, groupCols, k)
-  }
+      EtlCli.readEpochTable(spark, samplePath).drop("epoch"),
+      idCol, groupCols, k)
+      .drop("__kmv_k")
 }

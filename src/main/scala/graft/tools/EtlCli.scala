@@ -59,7 +59,8 @@ object EtlCli {
         s"shards diverging from the committed manifest: ${bad.mkString(", ")}")
       else println(s"export at $path verifies against its manifest")
     case other =>
-      sys.error(s"usage: init|ingest|quality|stats|export|learn-bpe|versions|vacuum|diff ... (got $other)")
+      sys.error("usage: init|ingest|quality|stats|export|learn-bpe|versions|" +
+        s"vacuum|diff|verify-export ... (got $other)")
   }
 
   private def issuesPath(wh: String)  = s"$wh/issue"
@@ -221,16 +222,34 @@ object EtlCli {
       // the leading underscore hides it from shard readers, and the one
       // commit marker below covers shards + receipt atomically. orderBy +
       // coalesce(1) make the manifest file itself byte-deterministic, so
-      // the byte-identical re-export contract extends to the receipt.
+      // the byte-identical re-export contract extends to the receipt. A
+      // ZERO-ROW export stages no shard files (nothing to read back, no
+      // schema to infer) — it commits with no manifest, and verifyExport
+      // treats manifest-less empty versions as trivially verified.
       val stagedDir = s"$path/data_v$next"
-      val staged = format match {
-        case "jsonl" => spark.read.text(stagedDir)
-        case f       => spark.read.format(f).load(stagedDir)
+      if (hasShardFiles(spark, stagedDir)) {
+        val staged = format match {
+          case "jsonl" => spark.read.text(stagedDir)
+          case f       => spark.read.format(f).load(stagedDir)
+        }
+        graft.core.Store.shardManifest(staged).orderBy("shard").coalesce(1)
+          .write.parquet(s"$stagedDir/_manifest")
       }
-      graft.core.Store.shardManifest(staged).orderBy("shard").coalesce(1)
-        .write.parquet(s"$stagedDir/_manifest")
       commit(spark, path, next)
     }
+
+  /** Cheap FS check: does the dir hold any non-hidden shard data file?
+    * (A zero-row export stages only _SUCCESS — no schema to read back.) */
+  private def hasShardFiles(spark: SparkSession, dir: String): Boolean = {
+    val it = fs(spark, dir).listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    var found = false
+    while (it.hasNext && !found) {
+      val n = it.next().getPath.getName
+      found = !n.startsWith("_") && !n.startsWith(".") &&
+        (n.endsWith(".parquet") || n.endsWith(".orc") || n.endsWith(".txt"))
+    }
+    found
+  }
 
   /** Consumer-side receipt check: recompute Store.shardManifest over the
     * current export version's landed shards and compare to the committed
@@ -243,6 +262,15 @@ object EtlCli {
     val v = committedVersion(spark, path).getOrElse(
       sys.error(s"no committed export at $path"))
     val dir = s"$path/data_v$v"
+    val hasManifest = fs(spark, dir)
+      .exists(new org.apache.hadoop.fs.Path(s"$dir/_manifest"))
+    if (!hasManifest) {
+      // a zero-row export commits with no manifest (nothing to receipt);
+      // a version with SHARDS but no manifest is a broken commit
+      if (hasShardFiles(spark, dir))
+        sys.error(s"export version $v at $path holds shards but no _manifest receipt")
+      return Seq.empty
+    }
     // sniffFormat deliberately errors on text shards (jsonl exports are
     // not columnar tables) — here that same signal routes to the text read
     val landed = scala.util.Try(sniffFormat(spark, dir)) match {
@@ -313,7 +341,13 @@ object EtlCli {
     // must not masquerade as the table. Only segments below dataDir
     // count: a warehouse that happens to LIVE under /data/_staging/...
     // must not have every file skipped by its ancestors' names.
-    val base = new org.apache.hadoop.fs.Path(dataDir).toUri.getPath.stripSuffix("/")
+    // qualify base through the SAME filesystem as the listed paths so a
+    // RELATIVE dataDir still strips — otherwise every ancestor segment
+    // would be re-included in the hidden check (a cwd under /x/.cache/
+    // would classify all files hidden and silently fall back to parquet)
+    val base = fs(spark, dataDir)
+      .makeQualified(new org.apache.hadoop.fs.Path(dataDir))
+      .toUri.getPath.stripSuffix("/")
     def hiddenBelowBase(p: org.apache.hadoop.fs.Path): Boolean = {
       val rel = p.toUri.getPath.stripPrefix(base).stripPrefix("/")
       rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))

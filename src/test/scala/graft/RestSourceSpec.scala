@@ -141,6 +141,24 @@ class RestSourceSpec extends SparkSpec {
     assert(nonEmpty == 5, s"expected 5 throttled micro-batches, saw $nonEmpty")
   }
 
+  test("streaming read honors maxItems exactly like the batch scan") {
+    // the same options must mean the same bound in both modes: a stream
+    // with maxItems=100 stops at 100 rows, not at the API's 250 total
+    val api = new FakeApi
+    FetcherRegistry.register("fake_stream_cap", api)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rest_cap").toString
+    val q = spark.readStream.format("graft.sources.rest.RestSource")
+      .option("fetcher", "fake_stream_cap").option("pageSize", "40")
+      .option("maxItems", "100").load()
+      .writeStream.format("memory").queryName("rest_stream_cap")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("rest_stream_cap").count() == 100,
+      "stream must stop at the maxItems cap")
+  }
+
   test("RetryingFetcher does not retry task interruption") {
     val interrupting = new PageFetcher {
       val attempts = new AtomicInteger(0)

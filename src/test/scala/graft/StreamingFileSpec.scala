@@ -284,6 +284,14 @@ class StreamingFileSpec extends SparkSpec {
       CorpusStreams.readKmvSample(spark, samplePath, "doc_id", Seq("grp"), 64)
     }
     assert(e.getMessage.contains("build k=8"))
+    // all-empty partials (every batch had zero sampled rows): an empty
+    // sample, not an NPE on the absent build-k
+    val emptyPath = root.resolve("kmv_empty").toString
+    graft.tools.EtlCli.appendEpoch(
+      graft.tools.EtlCli.readEpochTable(spark, samplePath).drop("epoch").limit(0),
+      emptyPath, 0L)
+    assert(CorpusStreams.readKmvSample(spark, emptyPath, "doc_id", Seq("grp"), 8)
+      .count() == 0)
   }
 
   test("incrementalDedupSink: micro-batches probe + extend the band index; pairs equal the batch-mode run") {
