@@ -605,6 +605,65 @@ object TextAnalysis {
     scored.withColumn("u", u).filter(col("u") < col("mean_pref"))
   }
 
+  /** Distributed TRAINING of a linear quality probe — the training half
+    * of the hashedBowScore story (fastText-shape model; SQUARED loss, so
+    * the whole training run is transcendental-free and hash-checkable
+    * against an external engine, the same portability bar the BPE
+    * trainer meets — a logistic sigmoid would need exp()):
+    *
+    *   features: x_b = (tokens hashing to bucket b) / n_tokens for
+    *             b < buckets, plus the intercept x_B = 1
+    *   full-batch gradient descent, `iters` FIXED rounds:
+    *     pred_i = Σ_b x_ib · w_b        (left-to-right, B+1 fused terms)
+    *     g_b    = Σ_i x_ib (pred_i − y_i)    — exact quantized sum (dsum)
+    *     w_b   ← w_b − lr · (g_b / n)
+    *
+    * Scale shape: the doc-feature table builds in one partial-agg'd
+    * corpus pass and pins; each round is ONE aggregation over it
+    * (map-side combine, B+1 quantized sums — nothing wider than the
+    * B+1-value gradient ever leaves an executor). The model itself is
+    * B+1 doubles and collects to the driver per round (the constant-size
+    * model-artifact precedent of bloomWords), re-entering the next
+    * round's plan as literals. Deterministic: quantized gradient sums +
+    * identical IEEE composition make the trained weights bit-reproducible
+    * on any engine and any partitioning. Returns (weights, final mse). */
+  def trainLinearProbe(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, label: Column, buckets: Int,
+                       iters: Int, lr: Double): (Array[Double], Double) = {
+    require(buckets >= 1 && buckets <= 256, s"buckets must be in [1,256], got $buckets")
+    require(iters >= 1, s"need >= 1 training rounds, got $iters")
+    val F = buckets + 1
+    val feats = graft.core.Tables.ensureParallelism(docs)
+      .select(col(idCol).as("doc_id"), label.cast("double").as("y"),
+        explode(split(col(textCol), " ")).as("t"))
+      .select(col("doc_id"), col("y"), pmod(md5Bucket(col("t")), lit(buckets)).as("b"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(count(lit(1)).as("n_toks"),
+        (0 until buckets).map(b =>
+          sum(when(col("b") === b, 1L).otherwise(0L)).as(s"c$b")): _*)
+    val x = graft.core.Materialize.pin(feats.select(
+      col("doc_id") +: col("y") +:
+        (0 until buckets).map(b =>
+          (col(s"c$b").cast("double") / col("n_toks")).as(s"x$b")) :+
+        lit(1.0).as(s"x$buckets"): _*))
+    val n = x.count()
+    require(n > 0, "cannot train a probe on an empty corpus")
+    val w = Array.fill(F)(0.0)
+    def pred = (0 until F).map(b => col(s"x$b") * lit(w(b))).reduce(_ + _)
+    (0 until iters).foreach { _ =>
+      val resid = pred - col("y")
+      val g = x.agg(
+        graft.functions.Fns.dsum(col("x0") * resid).as("g0"),
+        (1 until F).map(b =>
+          graft.functions.Fns.dsum(col(s"x$b") * resid).as(s"g$b")): _*).head()
+      (0 until F).foreach(b => w(b) = w(b) - lr * (g.getDouble(b) / n))
+    }
+    val residF = pred - col("y")
+    val mse = x.agg(graft.functions.Fns.dsum(residF * residF).as("q"))
+      .head().getDouble(0) / n
+    (w, mse)
+  }
+
   /** Positional postings (id, pos, term), pos 0-based — the phrase-query
     * index layout (term-only postings can't distinguish "spark shuffle"
     * from "shuffle ... spark"). Map-only explode; persist partitioned/

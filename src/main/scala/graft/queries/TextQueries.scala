@@ -709,6 +709,76 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The TRAINING half of the quality-classifier story (q_quality_lr
+    // scores with fixed weights): distributed full-batch gradient descent
+    // on hashed-BoW ratio features with SQUARED loss — transcendental-free
+    // (a sigmoid would need exp()), so the entire training run
+    // hash-checks: the oracle unrolls the same two rounds with the same
+    // quantized gradient sums and identical IEEE compositions, and the
+    // learned weights come out bit-equal. Label: lang == 'en', 4 hashed
+    // buckets + intercept. On THIS fixture the languages share one
+    // vocabulary, so the hashed features carry little signal and the
+    // learning is mostly the intercept converging toward the base rate —
+    // what the oracle proves is the bit-exact distributed TRAINING RUN;
+    // TextAnalysisSpec proves real learning on a separable corpus. Per
+    // round: ONE partial-agg'd aggregation; the 5-double model collects
+    // driver-side (constant-size artifact precedent) and re-enters the
+    // next round as literals.
+    QueryDef(
+      "q_train_probe",
+      "distributed linear-probe training: 2 GD rounds, squared loss, weights + final MSE",
+      s"""WITH t1 AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
+          t2 AS (SELECT doc_id,
+                        CASE WHEN lang = 'en' THEN 1.0e0 ELSE 0.0e0 END AS y,
+                        ${duckBand256("t")} % 4 AS b
+                 FROM t1),
+          f AS (SELECT doc_id, y, COUNT(*) AS n_toks,
+                       SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS c0,
+                       SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS c1,
+                       SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS c2,
+                       SUM(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS c3
+                FROM t2 GROUP BY doc_id, y),
+          x AS (SELECT doc_id, y,
+                       CAST(c0 AS DOUBLE) / n_toks AS x0,
+                       CAST(c1 AS DOUBLE) / n_toks AS x1,
+                       CAST(c2 AS DOUBLE) / n_toks AS x2,
+                       CAST(c3 AS DOUBLE) / n_toks AS x3,
+                       1.0e0 AS x4
+                FROM f),
+          nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),
+          g1 AS (SELECT
+            ${(0 to 4).map(b =>
+              s"""CAST(SUM(CAST(FLOOR(x$b * ((x0 * 0.0e0 + x1 * 0.0e0 + x2 * 0.0e0 + x3 * 0.0e0 + x4 * 0.0e0) - y) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS g$b""").mkString(",\n            ")}
+            FROM x),
+          w1 AS (SELECT
+            ${(0 to 4).map(b =>
+              s"0.0e0 - 1.0e0 * (g$b / (SELECT n FROM nn)) AS w$b").mkString(",\n            ")}
+            FROM g1),
+          g2 AS (SELECT
+            ${(0 to 4).map(b =>
+              s"""CAST(SUM(CAST(FLOOR(x$b * ((x0 * w0 + x1 * w1 + x2 * w2 + x3 * w3 + x4 * w4) - y) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 AS g$b""").mkString(",\n            ")}
+            FROM x CROSS JOIN w1),
+          w2 AS (SELECT
+            ${(0 to 4).map(b =>
+              s"w$b - 1.0e0 * (g$b / (SELECT n FROM nn)) AS w$b").mkString(",\n            ")}
+            FROM w1 CROSS JOIN g2),
+          r AS (SELECT ((x0 * w0 + x1 * w1 + x2 * w2 + x3 * w3 + x4 * w4) - y) AS rr
+                FROM x CROSS JOIN w2),
+          m AS (SELECT CAST(SUM(CAST(FLOOR(rr * rr * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0
+                         / (SELECT n FROM nn) AS mse
+                FROM r)
+          SELECT 'mse' AS param, mse AS value FROM m
+          ${(0 to 4).map(b => s"UNION ALL SELECT 'w$b', w$b FROM w2").mkString("\n          ")}
+          ORDER BY param""") { (s, dir) =>
+      import s.implicits._
+      val (w, mse) = TextAnalysis.trainLinearProbe(t(s, dir, "documents"),
+        "doc_id", "text",
+        when(col("lang") === "en", 1.0).otherwise(0.0),
+        buckets = 4, iters = 2, lr = 1.0)
+      (w.toSeq.zipWithIndex.map { case (v, b) => (s"w$b", v) } :+ ("mse", mse))
+        .toDF("param", "value").orderBy(col("param"))
+    },
+
     // Per-source document cap (the per-domain cap of web-corpus curation):
     // keep at most 10 docs per source, chosen by deterministic md5 rank so
     // the sample is reproducible across engines/runs/layouts. Spark lowers

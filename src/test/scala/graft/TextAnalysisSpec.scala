@@ -261,4 +261,23 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id", "n_matches").as[(Long, Long)].collect().toMap
     assert(one == Map(1L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
+
+  test("trainLinearProbe learns a separable corpus and trains deterministically") {
+    // positives speak token 'alpha', negatives 'omega' — fully separable
+    // through the hash buckets, so a few GD rounds must cut MSE far below
+    // the label variance (0.25); hash-rank determinism makes two runs
+    // bit-equal
+    val docs = (1L to 60L).map { i =>
+      val pos = i % 2 == 0
+      val word = if (pos) "alpha" else "omega"
+      (i, Seq.fill(10)(word).mkString(" "), if (pos) 1.0 else 0.0)
+    }.toDF("doc_id", "text", "y")
+    val (w, mse) = TextAnalysis.trainLinearProbe(docs, "doc_id", "text",
+      col("y"), buckets = 4, iters = 8, lr = 1.0)
+    assert(mse < 0.1, s"separable corpus must train well below 0.25 variance, got $mse")
+    assert(w.length == 5)
+    val (w2, mse2) = TextAnalysis.trainLinearProbe(docs, "doc_id", "text",
+      col("y"), buckets = 4, iters = 8, lr = 1.0)
+    assert(w.toSeq == w2.toSeq && mse == mse2, "training must be bit-deterministic")
+  }
 }
