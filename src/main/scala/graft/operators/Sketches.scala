@@ -309,6 +309,32 @@ object Sketches {
       .drop("__rn")
   }
 
+  /** Drift alarm over two bottom-k samples — the alert rule of the
+    * monitoring loop (kmvSampleSink maintains the LIVE sample; the
+    * baseline is a pinned day-0 sample of the same shape): per group,
+    * one quantile from each side and a drifted flag. Drifted when the
+    * group exists on only one side (appearing/vanishing groups ARE
+    * drift) or when |cur − base| > tolerance · max(|base|, 1) — the
+    * max(·,1) floor keeps a zero/near-zero baseline from alerting on
+    * noise while staying scale-free above it. Everything is exact rank
+    * arithmetic over constant-size samples; deterministic, so an alert
+    * is reproducible, not a flake. */
+  def sampleDrift(current: DataFrame, baseline: DataFrame, idCol: String,
+                  valueCol: String, groupCols: Seq[String],
+                  q: (String, Int, Int) = ("p50", 1, 2),
+                  tolerance: Double = 0.2): DataFrame = {
+    require(tolerance > 0, s"tolerance must be > 0, got $tolerance")
+    val (nm, num, den) = q
+    def side(df: DataFrame, as: String) =
+      sampleQuantiles(df, idCol, valueCol, groupCols, Seq((nm, num, den)))
+        .select(groupCols.map(col) :+ col(nm).cast("double").as(as): _*)
+    side(baseline, "base").join(side(current, "cur"), groupCols, "full_outer")
+      .withColumn("drifted",
+        col("base").isNull || col("cur").isNull ||
+          abs(col("cur") - col("base")) >
+            lit(tolerance) * greatest(abs(col("base")), lit(1.0)))
+  }
+
   /** Quantile estimates from a bottom-k sample: for each (name, num, den)
     * with q = num/den, the value at rank ceil(q*n) of the sample ordered
     * by (value, id) — EXACT order-statistic selection, no interpolation,

@@ -688,13 +688,26 @@ object TextAnalysis {
     * overlapping matches fall out correctly (each posting fans to every
     * slot of its term). Output (id, n_matches), matches >= 1. */
   def phraseSearch(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                   textCol: String, phrase: String): org.apache.spark.sql.DataFrame = {
+                   textCol: String, phrase: String): org.apache.spark.sql.DataFrame =
+    phraseSearchFromPostings(positionalPostings(docs, idCol, textCol), idCol, phrase)
+
+  /** Phrase search against PERSISTED positional postings — the production
+    * shape at index scale: build positionalPostings ONCE (write bucketed
+    * by term: fixed-width buckets, unlike term-partitioned dirs that
+    * explode at web vocab sizes) and probe per query. Same
+    * offset-normalization plan as phraseSearch minus the corpus scan;
+    * with a term-bucketed index the term-IN-set predicate prunes the one
+    * probe scan to the phrase terms' buckets (ScaleSpec asserts
+    * SelectedBucketsCount), so a query reads its own postings, never the
+    * index. */
+  def phraseSearchFromPostings(postings: org.apache.spark.sql.DataFrame,
+                               idCol: String, phrase: String): org.apache.spark.sql.DataFrame = {
     val terms = phrase.split(" ")
     require(terms.nonEmpty && terms.forall(_.nonEmpty), s"bad phrase '$phrase'")
-    val spark = docs.sparkSession
+    val spark = postings.sparkSession
     import spark.implicits._
     val slots = terms.zipWithIndex.toSeq.toDF("term", "slot")
-    positionalPostings(docs, idCol, textCol)
+    postings
       .filter(col("term").isin(terms.distinct.toSeq: _*))
       .join(broadcast(slots), "term")
       .select(col(idCol), (col("pos") - col("slot")).as("start"))

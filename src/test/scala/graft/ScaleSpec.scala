@@ -130,14 +130,8 @@ class ScaleSpec extends SparkSpec {
       val post = spark.table(s"$db.postings")
       val phrase = Seq("big", "order", "scan")
       import spark.implicits._
-      val slots = phrase.zipWithIndex.toDF("term", "slot")
-      val probed = post.filter(col("term").isin(phrase: _*))
-        .join(broadcast(slots), "term")
-        .select(col("doc_id"), (col("pos") - col("slot")).as("start"))
-        .groupBy(col("doc_id"), col("start"))
-        .agg(count(lit(1)).as("h"))
-        .filter(col("h") === phrase.length)
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+      val probed = graft.operators.TextAnalysis.phraseSearchFromPostings(
+        post, "doc_id", phrase.mkString(" "))
       val p = probed.queryExecution.executedPlan.toString
       // <= 3 buckets (3 terms; fewer if two hash together), exactly one scan
       assert("SelectedBucketsCount: [123] out of 8".r.findAllIn(p).size == 1,

@@ -90,6 +90,28 @@ class SketchesSpec extends SparkSpec {
     assert(q == ((11L, sorted(5), sorted(9))))
   }
 
+  test("sampleDrift: shifted distributions alert, stable ones don't, vanished groups alert") {
+    import graft.operators.Sketches
+    def samp(rows: Seq[(String, Long, Long)]) =
+      Sketches.bottomKSample(rows.toDF("grp", "id", "v"), "id", "v", Seq("grp"), 64)
+    val base = samp((1L to 200L).map(i => ("a", i, i % 100)) ++
+      (1L to 200L).map(i => ("gone", i + 1000, i % 100)))
+    // group a doubled its values (clear drift); group gone vanished
+    val cur = samp((1L to 200L).map(i => ("a", i + 5000, (i % 100) * 2)))
+    val got = Sketches.sampleDrift(cur, base, "id", "v", Seq("grp"))
+      .select("grp", "drifted").as[(String, Boolean)].collect().toMap
+    assert(got == Map("a" -> true, "gone" -> true), got.toString)
+    // unchanged distribution: no alert (same ids -> identical samples;
+    // with disjoint ids the two k=64 samples see different rows and a
+    // ~rank-noise shift is possible, which is tolerance tuning, not law)
+    val calm = Sketches.sampleDrift(
+        samp((1L to 200L).map(i => ("a", i, i % 100))),
+        samp((1L to 200L).map(i => ("a", i, i % 100))),
+        "id", "v", Seq("grp"))
+      .select("drifted").as[Boolean].collect()
+    assert(calm.toSeq == Seq(false))
+  }
+
   test("sampled quantiles land within rank tolerance on a large group") {
     import graft.operators.Sketches
     // 2000 shuffled-by-hash values 1..2000: a bottom-256 hash-rank sample's
