@@ -294,6 +294,52 @@ class StreamingFileSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("KMV monitor end-to-end: ingested length drift vs the pinned day-0 sample raises the alarm") {
+    import spark.implicits._
+    import graft.streaming.CorpusStreams
+    import graft.operators.Sketches
+    val root = java.nio.file.Files.createTempDirectory("kmv_drift")
+    def paths(n: String) = root.resolve(n).toString
+    val in = root.resolve("in"); java.nio.file.Files.createDirectory(in)
+    // day 0: short docs (~9 words); day 1: three times as many LONG docs
+    val short0 = (1L to 40L).map(i => (i, Seq.fill(9)(s"w${i % 7}").mkString(" ")))
+    val long1 = (100L to 220L).map(i => (i, Seq.fill(40)(s"w${i % 7}").mkString(" ")))
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, in.resolve(name + ".parquet"))
+    }
+    stage("b1", short0); stage("b2", long1)
+    val cfg = graft.operators.CorpusPipeline.Config(
+      minWords = 1, maxWords = 100000, minMeanLen = 0.0, maxMeanLen = 1e9,
+      minUniqRatio = 0.0, stop = Seq("a", "the"), nearDupThreshold = 1.1)
+    val schema = spark.read.parquet(in.resolve("b1.parquet").toString).schema
+    CorpusStreams.curatedIngestSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString),
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", paths("index"), paths("corpus"),
+      paths("dropped"), paths("chk"), cfg,
+      kmvSamplePath = Some(paths("kmv")), kmvK = 32)
+      .awaitTermination(120000)
+    // the pinned day-0 baseline: a batch-mode sample of the day-0 lengths
+    val baseline = Sketches.bottomKSample(
+      short0.toDF("doc_id", "text")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          lit("all").as("g")),
+      "doc_id", "n_chars", Seq("g"), 32)
+    // live sample (both epochs) drifts long -> alarm; baseline vs itself is calm
+    val live = CorpusStreams.readKmvSample(spark, paths("kmv"), "doc_id", Seq("g"), 32)
+    val alarm = Sketches.sampleDrift(live, baseline, "doc_id", "n_chars", Seq("g"))
+      .select("drifted").as[Boolean].collect()
+    assert(alarm.toSeq == Seq(true), "tripled long-doc ingest must trip the length alarm")
+    val calm = Sketches.sampleDrift(baseline, baseline, "doc_id", "n_chars", Seq("g"))
+      .select("drifted").as[Boolean].collect()
+    assert(calm.toSeq == Seq(false))
+  }
+
   test("incrementalDedupSink: micro-batches probe + extend the band index; pairs equal the batch-mode run") {
     import graft.streaming.CorpusStreams
     import spark.implicits._
