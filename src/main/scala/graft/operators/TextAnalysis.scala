@@ -631,8 +631,6 @@ object TextAnalysis {
                        textCol: String, label: Column, buckets: Int,
                        iters: Int, lr: Double): (Array[Double], Double) = {
     require(buckets >= 1 && buckets <= 256, s"buckets must be in [1,256], got $buckets")
-    require(iters >= 1, s"need >= 1 training rounds, got $iters")
-    val F = buckets + 1
     val feats = graft.core.Tables.ensureParallelism(docs)
       .select(col(idCol).as("doc_id"), label.cast("double").as("y"),
         explode(split(col(textCol), " ")).as("t"))
@@ -641,11 +639,29 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_toks"),
         (0 until buckets).map(b =>
           sum(when(col("b") === b, 1L).otherwise(0L)).as(s"c$b")): _*)
-    val x = graft.core.Materialize.pin(feats.select(
-      col("doc_id") +: col("y") +:
-        (0 until buckets).map(b =>
-          (col(s"c$b").cast("double") / col("n_toks")).as(s"x$b")) :+
-        lit(1.0).as(s"x$buckets"): _*))
+      .select(col("y") +: (0 until buckets).map(b =>
+        (col(s"c$b").cast("double") / col("n_toks")).as(s"x$b")): _*)
+    trainLinearProbeOnFeatures(feats, (0 until buckets).map(b => s"x$b"),
+      col("y"), iters, lr)
+  }
+
+  /** The GD loop of trainLinearProbe over ARBITRARY feature columns (an
+    * intercept is appended automatically) — the distillation/probe shape
+    * when the features are engineered signals (gate statistics, fluency
+    * scores, ratios) rather than hashed BoW. Same determinism contract:
+    * quantized gradient sums, fixed rounds, constant-size model collected
+    * per round. Returns (weights incl. trailing intercept, final mse). */
+  def trainLinearProbeOnFeatures(df: org.apache.spark.sql.DataFrame,
+                                 featureCols: Seq[String], label: Column,
+                                 iters: Int, lr: Double): (Array[Double], Double) = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    require(iters >= 1, s"need >= 1 training rounds, got $iters")
+    val B = featureCols.length
+    val F = B + 1
+    val x = graft.core.Materialize.pin(df.select(
+      featureCols.zipWithIndex.map { case (c, b) =>
+        col(c).cast("double").as(s"x$b") } :+
+        lit(1.0).as(s"x$B") :+ label.cast("double").as("y"): _*))
     val n = x.count()
     require(n > 0, "cannot train a probe on an empty corpus")
     val w = Array.fill(F)(0.0)

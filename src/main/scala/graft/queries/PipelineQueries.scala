@@ -21,6 +21,31 @@ object PipelineQueries {
     s"""((strpos('0123456789abcdef', substr(md5($expr), 1, 1)) - 1) * 16
        + (strpos('0123456789abcdef', substr(md5($expr), 2, 1)) - 1))"""
 
+  /** Emit the unrolled gradient-descent rounds of trainLinearProbeOnFeatures
+    * as DuckDB CTEs (g1/w1 .. g{iters}/w{iters}), over an `x` CTE with
+    * columns x0..x4 + y and an `nn` CTE with the row count — the oracle
+    * replays the exact quantized sums and IEEE update compositions the
+    * engine's loop performs, so the trained weights hash-match. */
+  private def probeRoundsSql(iters: Int): String = {
+    def pred(ws: Seq[String]) =
+      ws.zipWithIndex.map { case (w, b) => s"x$b * $w" }.mkString("(", " + ", ")")
+    def qsum(e: String) =
+      s"CAST(SUM(CAST(FLOOR($e * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0"
+    (1 to iters).map { i =>
+      val prevW: Seq[String] =
+        if (i == 1) Seq.fill(5)("0.0e0") else (0 to 4).map(b => s"w$b")
+      val gFrom = if (i == 1) "x" else s"x CROSS JOIN w${i - 1}"
+      val g = s"g$i AS (SELECT\n            " + (0 to 4).map(b =>
+        s"${qsum(s"x$b * (${pred(prevW)} - y)")} AS g$b").mkString(",\n            ") +
+        s"\n            FROM $gFrom)"
+      val wFrom = if (i == 1) s"g$i" else s"w${i - 1} CROSS JOIN g$i"
+      val w = s"w$i AS (SELECT\n            " + (0 to 4).map(b =>
+        s"${prevW(b)} - 1.0e0 * (g$b / (SELECT n FROM nn)) AS w$b").mkString(",\n            ") +
+        s"\n            FROM $wFrom)"
+      s"$g,\n          $w"
+    }.mkString(",\n          ")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // PIVOT — wide per-source language profile. Spark lowers this to two
@@ -81,6 +106,67 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_words"), col("mean_word_len"),
           col("uniq_ratio"), col("short_ratio"), col("has_stop"), col("pass"))
         .orderBy(col("doc_id"))
+    },
+
+    // GATE DISTILLATION — train a linear probe to imitate the Gopher
+    // gates (the pipeline move that replaces a cascade of handwritten
+    // rules with one cheap learned scorer): features are the gate
+    // STATISTICS themselves (n_words/120, mean_word_len/10, uniq_ratio,
+    // short_ratio — signals that CAN express the thresholds, unlike
+    // hashed BoW), label is the composite pass flag, 3 GD rounds under
+    // squared loss via trainLinearProbeOnFeatures. Transcendental-free,
+    // so the oracle unrolls the identical rounds and the distilled
+    // weights hash-match bit-exactly. The per-doc stats build in the
+    // same fused native kernel pass the gates use; each round is one
+    // partial-agg'd aggregation over the pinned feature table.
+    QueryDef(
+      "q_distill_gates",
+      "distill the quality gates into a linear probe: 3 GD rounds on gate statistics",
+      s"""WITH st AS (SELECT
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+            CAST(length(replace(text, ' ', '')) AS DOUBLE)
+              / len(string_split(text, ' ')) AS mean_word_len,
+            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) AS uniq_ratio,
+            CAST(len(list_filter(string_split(text, ' '), w -> length(w) < 3)) AS DOUBLE)
+              / len(string_split(text, ' ')) AS short_ratio,
+            CASE WHEN (len(string_split(text, ' ')) BETWEEN 30 AND 120)
+                  AND (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                         / len(string_split(text, ' ')) BETWEEN 3 AND 10)
+                  AND (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                         / len(string_split(text, ' ')) >= 0.3)
+                  AND (len(list_filter(string_split(text, ' '), w -> w IN ('a', 'the'))) > 0)
+                 THEN 1.0e0 ELSE 0.0e0 END AS y
+            FROM documents),
+          x AS (SELECT CAST(n_words AS DOUBLE) / 120.0e0 AS x0,
+                       mean_word_len / 10.0e0 AS x1,
+                       uniq_ratio AS x2,
+                       short_ratio AS x3,
+                       1.0e0 AS x4, y
+                FROM st),
+          nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),
+          ${probeRoundsSql(3)},
+          r AS (SELECT ((x0 * w0 + x1 * w1 + x2 * w2 + x3 * w3 + x4 * w4) - y) AS rr
+                FROM x CROSS JOIN w3),
+          m AS (SELECT CAST(SUM(CAST(FLOOR(rr * rr * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0
+                         / (SELECT n FROM nn) AS mse
+                FROM r)
+          SELECT 'mse' AS param, mse AS value FROM m
+          ${(0 to 4).map(b => s"UNION ALL SELECT 'w$b', w$b FROM w3").mkString("\n          ")}
+          ORDER BY param""") { (s, dir) =>
+      import s.implicits._
+      val gates = graft.operators.TextAnalysis.qualityGates(
+        t(s, dir, "documents"), "text")
+      val feats = gates.select(
+        (col("n_words").cast("double") / lit(120.0)).as("f0"),
+        (col("mean_word_len") / lit(10.0)).as("f1"),
+        col("uniq_ratio").as("f2"),
+        col("short_ratio").as("f3"),
+        when(col("pass"), 1.0).otherwise(0.0).as("y"))
+      val (w, mse) = graft.operators.TextAnalysis.trainLinearProbeOnFeatures(
+        feats, Seq("f0", "f1", "f2", "f3"), col("y"), iters = 3, lr = 1.0)
+      (w.toSeq.zipWithIndex.map { case (v, b) => (s"w$b", v) } :+ ("mse", mse))
+        .toDF("param", "value").orderBy(col("param"))
     },
 
     // Rarity-weighted top terms per document: tf scaled by inverse
