@@ -825,7 +825,12 @@ object Dedup {
       .withColumn("__hit", lit(1L))
     train
       .select(col(idCol),
-        graft.plans.GraftFunctions.word_gram_hashes(col(textCol), n).as("__gs"))
+        // coalesce: null text yields a null gram array, and non-ANSI
+        // size(null) = -1 — without the fold to array() a gram-less doc
+        // would report n_grams = -1 / overlap_frac = -0.0 instead of
+        // the documented (0, 0, 0.0)
+        coalesce(graft.plans.GraftFunctions.word_gram_hashes(col(textCol), n),
+          array().cast("array<bigint>")).as("__gs"))
       .select(col(idCol), size(col("__gs")).cast("bigint").as("n_grams"),
         explode_outer(col("__gs")).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"), "left_outer")

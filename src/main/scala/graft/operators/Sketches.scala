@@ -304,9 +304,17 @@ object Sketches {
     }
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("rk"), col(idCol))
-    partials.withColumn("__rn", row_number().over(w))
+    val merged = partials.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")
+    // Re-stamp the output with the EFFECTIVE sample size: a merge at
+    // k=3 over build-k=8 partials discards ranks past 3, so rows must
+    // not keep claiming k=8 — a later union with fresh k=8 partials and
+    // re-merge at 8 would pass the guard yet under-represent this part
+    // past rank 3 (exactly the bias the stamp exists to prevent).
+    if (merged.columns.contains("__kmv_k"))
+      merged.withColumn("__kmv_k", least(lit(k), col("__kmv_k")))
+    else merged
   }
 
   /** Drift alarm over two bottom-k samples — the alert rule of the

@@ -26,20 +26,21 @@ object PipelineQueries {
     * columns x0..x4 + y and an `nn` CTE with the row count — the oracle
     * replays the exact quantized sums and IEEE update compositions the
     * engine's loop performs, so the trained weights hash-match. */
-  private def probeRoundsSql(iters: Int): String = {
+  private def probeRoundsSql(iters: Int, nFeats: Int = 5): String = {
     def pred(ws: Seq[String]) =
       ws.zipWithIndex.map { case (w, b) => s"x$b * $w" }.mkString("(", " + ", ")")
     def qsum(e: String) =
       s"CAST(SUM(CAST(FLOOR($e * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0"
+    val bs = 0 until nFeats
     (1 to iters).map { i =>
       val prevW: Seq[String] =
-        if (i == 1) Seq.fill(5)("0.0e0") else (0 to 4).map(b => s"w$b")
+        if (i == 1) Seq.fill(nFeats)("0.0e0") else bs.map(b => s"w$b")
       val gFrom = if (i == 1) "x" else s"x CROSS JOIN w${i - 1}"
-      val g = s"g$i AS (SELECT\n            " + (0 to 4).map(b =>
+      val g = s"g$i AS (SELECT\n            " + bs.map(b =>
         s"${qsum(s"x$b * (${pred(prevW)} - y)")} AS g$b").mkString(",\n            ") +
         s"\n            FROM $gFrom)"
       val wFrom = if (i == 1) s"g$i" else s"w${i - 1} CROSS JOIN g$i"
-      val w = s"w$i AS (SELECT\n            " + (0 to 4).map(b =>
+      val w = s"w$i AS (SELECT\n            " + bs.map(b =>
         s"${prevW(b)} - 1.0e0 * (g$b / (SELECT n FROM nn)) AS w$b").mkString(",\n            ") +
         s"\n            FROM $wFrom)"
       s"$g,\n          $w"

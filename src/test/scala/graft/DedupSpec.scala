@@ -182,15 +182,19 @@ class DedupSpec extends SparkSpec {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"), // grams: 3, hits: 2 (first two 4-grams)
       (2L, "one two three four five six"),         // 3 grams, 0 hits
-      (3L, "too short")                            // < 4 words -> 0 grams
+      (3L, "too short"),                           // < 4 words -> 0 grams
+      (4L, null.asInstanceOf[String])              // null text -> same as 0 grams
     ).toDF("doc_id", "text")
     val got = Dedup.overlapFractions(train, eval, "doc_id", "text", n = 4)
       .select("doc_id", "n_grams", "n_hits", "overlap_frac")
       .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
-    assert(got.keySet == Set(1L, 2L, 3L), "a train doc went missing from the report")
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), "a train doc went missing from the report")
     assert(got(1L) == ((1L, 3L, 2L, 2.0 / 3)))
     assert(got(2L) == ((2L, 3L, 0L, 0.0)))
     assert(got(3L) == ((3L, 0L, 0L, 0.0)))
+    // null text must fold into the gram-less case, not report the
+    // size(null) = -1 / overlap -0.0 artifact
+    assert(got(4L) == ((4L, 0L, 0L, 0.0)))
     // consistency with the hits-only operator on its shared domain
     val hits = Dedup.contaminationHits(train, eval, "doc_id", "text", n = 4)
       .select("doc_id", "n_grams", "n_hits").as[(Long, Long, Long)].collect()

@@ -184,6 +184,32 @@ class EtlCliSpec extends SparkSpec {
         .select(col("n_rows")).as[Long].collect()
       assert(m3.sum == n1, "jsonl manifest row counts must reconcile")
     }
+    // consumer-side verify exercises the TEXT read path (sniffFormat
+    // rejects jsonl shards, routing verifyExport to spark.read.text)
+    assert(EtlCli.verifyExport(spark, s"$wh/export").isEmpty,
+      "intact jsonl export must verify clean")
+    // ...and a same-line-count byte tamper in one text shard is caught
+    locally {
+      val shardFile = new java.io.File(v3).listFiles()
+        .filter(_.getName.startsWith("shard=")).head.listFiles()
+        .filter(f => f.getName.endsWith(".txt") && !f.getName.startsWith("_")).head
+      val p = shardFile.toPath
+      // drop the Hadoop local-FS .crc sidecar: a transferred export has no
+      // sidecars, and a stale one would trip Hadoop's layer before OUR
+      // receipt check gets to prove anything
+      val crc = p.resolveSibling("." + shardFile.getName + ".crc")
+      java.nio.file.Files.deleteIfExists(crc)
+      val orig = java.nio.file.Files.readAllBytes(p)
+      val bent = orig.clone()
+      val i = bent.indexWhere(b => b >= '0' && b < '9')
+      assert(i >= 0, "expected a digit to tamper in the jsonl shard")
+      bent(i) = (bent(i) + 1).toByte
+      java.nio.file.Files.write(p, bent)
+      try {
+        val bad = EtlCli.verifyExport(spark, s"$wh/export")
+        assert(bad.size == 1, s"jsonl tamper must flag exactly one shard: $bad")
+      } finally java.nio.file.Files.write(p, orig)
+    }
 
     // the columnar table reader refuses jsonl shards with a CLEAR error
     // instead of mis-reading .txt files as parquet

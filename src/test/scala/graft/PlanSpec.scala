@@ -334,7 +334,7 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one postings scan:\n$p")
     // the term-IN-set predicate must sit below the slot join so only
     // phrase-term postings ever leave the scan stage
-    assert(p.contains("term#") && p.contains("INSET") || p.contains(" IN ("),
+    assert(p.contains("term#") && (p.contains("INSET") || p.contains(" IN (")),
       s"term-set filter missing:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"slot table should broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"degenerated to a product:\n$p")
