@@ -31,6 +31,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Unique suffixes for per-round Observation names (Spark requires a
+    * fresh name per registered observation within a session). */
+  private val ccObsId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Distinct char-k-gram shingle set, as a narrow array expression. The
     * native codegen'd ShingleSet expression replaces the earlier
     * `transform(sequence) |> array_distinct` composition: the interpreted
@@ -99,12 +103,16 @@ object Dedup {
     // fixtures: ~60%), and `sh` is joined TWICE below — without
     // materialization the scan+shingle subtree would be evaluated once per
     // join; Materialize.pin (cluster-mode caveat: see core/Graft) halves
-    // the dominant cost of verification. Shingle sets are SORTED XXH64
-    // LONG arrays, not strings: 8 bytes/element through the pin + joins,
-    // and the per-pair intersection is an allocation-free merge instead of
-    // a hash-set build over UTF8Strings (counts identical to the string
-    // formulation modulo ~2^-64 collisions, enforced by the oracle
-    // hash-match).
+    // the dominant cost of verification. (Measured alternatives, both
+    // SLOWER at sf0.1: two broadcast joins over the unpinned subtree —
+    // the per-side broadcast exchanges don't canonicalize equal, so the
+    // tower built twice; and a repartition(doc_id)-shared shuffle with
+    // shuffle_hash hints — reuse didn't amortize the extra exchanges.)
+    // Shingle sets are SORTED XXH64 LONG arrays, not strings: 8
+    // bytes/element through the pin + joins, and the per-pair
+    // intersection is an allocation-free merge instead of a hash-set
+    // build over UTF8Strings (counts identical to the string formulation
+    // modulo ~2^-64 collisions, enforced by the oracle hash-match).
     // semi-join FIRST (so only candidate text moves), then spread: the
     // candidate slice is byte-small and single-file scans plan as one
     // partition, which would serialize the shingle builds AND the
@@ -198,12 +206,29 @@ object Dedup {
     candidatesFromBands(bandTable(minhashSignatures(exRows, numHashes, dfCap), numHashes, bandSize))
 
   /** Candidate pairs from a (doc_id, band) table: docs sharing >= 1 band,
-    * ordered (doc_a < doc_b), deduped across bands. */
-  def candidatesFromBands(bands: DataFrame): DataFrame =
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    * ordered (doc_a < doc_b), deduped across bands.
+    *
+    * ONE aggregation, not a self-join: group by band, collect the sorted
+    * doc set, and pair each element with its successors in-array (the
+    * rareShingleCands shape). The self-join formulation needs the band
+    * table MATERIALIZED first (else the upstream signing tower executes
+    * once per join side) plus a join shuffle over it; here the signing
+    * scan pipelines straight into the single groupBy's map-side partial
+    * aggregation — one action and one shuffle fewer, identical pairs
+    * (per-band emitted rows are the same df² either way). */
+  def candidatesFromBands(bands: DataFrame): DataFrame = {
+    val docSets = bands.groupBy(col("band"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("__docs"))
+      .filter(size(col("__docs")) >= 2)
+    // __docs is sorted ascending, so pairing each element with its
+    // successors yields doc_a < doc_b directly.
+    val pairs = flatten(transform(col("__docs"), (x, i) =>
+      transform(slice(col("__docs"), i + lit(2), size(col("__docs"))),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))
+    docSets.select(explode(pairs).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
+  }
 
   /** MinHash signatures as a MAP-ONLY projection — the native in-row
     * kernel (graft.plans.MinhashSigExpr) computes all 8 slots in one pass
@@ -233,9 +258,11 @@ object Dedup {
                   numHashes: Int, bandSize: Int, threshold: Double,
                   dfCap: Int = 0): DataFrame = {
     // Uncapped path: signatures come from the in-row native kernel
-    // (map-only — see minhashSignaturesInRow), and the tiny (doc_id, band)
-    // table pins BEFORE the self-join so the signing scan runs once, not
-    // once per join side. Capped path: the exploded shingle projection
+    // (map-only — see minhashSignaturesInRow) and pipeline straight into
+    // candidatesFromBands' single aggregation — the signing scan runs
+    // once with NO intermediate materialization (the old self-join
+    // formulation needed the band table pinned first, an extra action
+    // and an extra shuffle). Capped path: the exploded shingle projection
     // feeds both the df-cap aggregation and the signature join; it is
     // deliberately NOT materialized — the scan+explode subtree is map-only
     // and pipelines into each consumer, which beats serializing
@@ -247,8 +274,7 @@ object Dedup {
     // instead of pinned in CacheManager.
     val cands0 =
       if (dfCap == 0)
-        candidatesFromBands(graft.core.Materialize.pin(
-          signBands(docs, idCol, textCol, k, numHashes, bandSize)))
+        candidatesFromBands(signBands(docs, idCol, textCol, k, numHashes, bandSize))
       else lshCandidates(shingleRows(docs, idCol, textCol, k), numHashes, bandSize, dfCap)
     val cands = cands0.transform(graft.core.Materialize.pin)
     verifyJaccard(cands, docs, idCol, textCol, k, threshold)
@@ -385,10 +411,13 @@ object Dedup {
     // the symmetrized edges instead of a round of joins. For the common
     // case (near-dup clusters of size 2-3, star-shaped) these labels are
     // already the fixpoint and the loop below runs exactly once to prove it.
+    // NOT pinned: round one's three reads of these labels all live inside
+    // ONE job (the first pinned round result), where the identical
+    // groupBy subplans collapse into a single reused exchange — a
+    // separate materialization action costs more than it saves.
     var labels = edges.groupBy(col("src").as("doc_id"))
       .agg(min("dst").as("nbr_min"))
       .select(col("doc_id"), least(col("doc_id"), col("nbr_min")).as("component"))
-      .transform(graft.core.Materialize.pin)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -403,18 +432,25 @@ object Dedup {
       // pointer doubling: follow the component's own label one more hop
       // (component ids are always doc ids present in `labels`, so the
       // lookup join below covers every non-root label). The convergence
-      // flag rides along in the pinned round result, so the per-round
-      // check is a join-free count over already-materialized partitions.
+      // count rides the pin's OWN action as an observe metric — zero
+      // extra jobs per round (the previous shape ran a separate
+      // filter-isEmpty job over the pinned partitions).
       val ptr = hop1.select(col("doc_id").as("__c"), col("component").as("__cc"))
       val old = labels.withColumnRenamed("component", "__old")
+      val obs = new org.apache.spark.sql.Observation(
+        s"graft_cc_changed_${ccObsId.incrementAndGet()}")
       val next = hop1.join(ptr, col("component") === col("__c"), "left_outer")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("__cc"), col("component"))).as("component"))
         .join(old, Seq("doc_id"))
         .select(col("doc_id"), col("component"),
           (col("component") =!= col("__old")).as("__changed"))
+        .observe(obs, sum(when(col("__changed"), 1L).otherwise(0L)).as("n_changed"))
         .transform(graft.core.Materialize.pin)
-      converged = next.filter(col("__changed")).isEmpty
+      converged = obs.get.get("n_changed").forall {
+        case null => true // all-empty input: no rows changed
+        case n: java.lang.Long => n == 0L
+      }
       labels = next.select(col("doc_id"), col("component"))
       iter += 1
     }
