@@ -550,29 +550,56 @@ object TextAnalysis {
   }
 
   /** Score the raw pool against a trained [[dsirModel]] — the recurring
-    * half: feature extraction is map-only, the model broadcasts, the one
-    * shuffle carries per-doc partials. Arithmetic identical to the
-    * one-shot dsirPreference (oracle + spec). */
+    * half, fully FUSED: the ≤256-row model collects once (constant-size
+    * artifact, the bloomWords/probe-weights precedent), its per-bucket
+    * preference scores pre-quantize driver-side with the IDENTICAL IEEE
+    * compositions the row-level formulation used (add-one ratios, one
+    * pt/(pt+qr) division, floor(·1e6+0.5) — each a single op on the same
+    * operand values, so results are bit-equal), and the corpus pass is
+    * ONE map-only native kernel (BigramBucketScore) per document — no
+    * bigram explode, no join, no aggregation shuffle. Arithmetic
+    * identical to the one-shot dsirPreference (oracle + spec). */
   def dsirPreferenceFromModel(raw: org.apache.spark.sql.DataFrame,
                               model: org.apache.spark.sql.DataFrame,
                               idCol: String, textCol: String,
-                              buckets: Int = 256): org.apache.spark.sql.DataFrame = {
-    val rawF = dsirFeats(graft.core.Tables.ensureParallelism(raw), idCol, textCol)
-    val totals = model.agg(sum("ct").as("tt"), sum("cr").as("tr"))
-    val pt = (coalesce(col("ct"), lit(0L)) + 1).cast(DoubleType) /
-      (col("tt") + buckets)
-    val qr = (coalesce(col("cr"), lit(0L)) + 1).cast(DoubleType) /
-      (col("tr") + buckets)
-    val pref = pt / (pt + qr)
-    rawF
-      .join(broadcast(model), Seq("bucket"), "left_outer")
-      .crossJoin(broadcast(totals))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"),
-        sum(floor(pref * lit(1e6) + lit(0.5)).cast(LongType)).as("qsum"))
-      .select(col("doc_id"), col("n_feats"),
-        (col("qsum").cast(DoubleType) / lit(1e6) / col("n_feats")).as("mean_pref"))
+                              buckets: Int = 256): org.apache.spark.sql.DataFrame =
+    dsirPreferenceFromQuantized(raw, dsirQuantizedScores(model, buckets),
+      idCol, textCol)
+
+  /** Collect + quantize a [[dsirModel]] into the 256-long per-bucket
+    * score table the fused scorer consumes — the step a recurring caller
+    * memos so repeated scoring passes never re-read the model. */
+  def dsirQuantizedScores(model: org.apache.spark.sql.DataFrame,
+                          buckets: Int = 256): Seq[Long] = {
+    val rows = model.select(col("bucket").cast("int"),
+      col("ct").cast("long"), col("cr").cast("long")).collect()
+    val ctArr = Array.fill(256)(0L)
+    val crArr = Array.fill(256)(0L)
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      if (!r.isNullAt(1)) ctArr(b) = r.getLong(1)
+      if (!r.isNullAt(2)) crArr(b) = r.getLong(2)
+    }
+    val tt = ctArr.sum
+    val tr = crArr.sum
+    (0 until 256).map { b =>
+      val pt = (ctArr(b) + 1).toDouble / (tt + buckets)
+      val qr = (crArr(b) + 1).toDouble / (tr + buckets)
+      val pref = pt / (pt + qr)
+      math.floor(pref * 1e6 + 0.5).toLong
+    }
   }
+
+  /** The fused scoring pass over pre-quantized per-bucket scores. */
+  def dsirPreferenceFromQuantized(raw: org.apache.spark.sql.DataFrame,
+                                  scoreQ: Seq[Long],
+                                  idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    graft.core.Tables.ensureParallelism(raw)
+      .select(col(idCol).as("doc_id"),
+        graft.plans.GraftFunctions.bigram_bucket_score(col(textCol), scoreQ).as("__s"))
+      .filter(col("__s.n_feats") >= 1)
+      .select(col("doc_id"), col("__s.n_feats").as("n_feats"),
+        (col("__s.qsum").cast(DoubleType) / lit(1e6) / col("__s.n_feats")).as("mean_pref"))
 
   /** DSIR importance RESAMPLING — the second half of Xie et al. 2023:
     * after scoring, DSIR samples the raw pool with probability
@@ -597,6 +624,13 @@ object TextAnalysis {
                             buckets: Int = 256): org.apache.spark.sql.DataFrame =
     resampleByPreference(
       dsirPreferenceFromModel(raw, model, idCol, textCol, buckets))
+
+  /** [[dsirResample]] against pre-quantized per-bucket scores. */
+  def dsirResampleFromQuantized(raw: org.apache.spark.sql.DataFrame,
+                                scoreQ: Seq[Long],
+                                idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    resampleByPreference(
+      dsirPreferenceFromQuantized(raw, scoreQ, idCol, textCol))
 
   private def resampleByPreference(
       scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {

@@ -517,6 +517,90 @@ object GateStatsExpr {
   }
 }
 
+/** Per-document hashed-BIGRAM bucket-score sum in ONE in-row pass: the
+  * scoring half of a 256-bucket hashed-feature model (DSIR preference,
+  * or any per-bucket quantized score table) fused into a single scan.
+  * Tokenization is `split(text, " ")` with empties kept; feature f_i is
+  * the bigram "tok_i tok_{i+1}" (concat_ws " ") — which, because
+  * consecutive tokens are separated by exactly one space byte, is the
+  * CONTIGUOUS byte span from tok_i's start to tok_{i+1}'s end, hashed
+  * in place with zero copying. bucket = first md5 byte unsigned
+  * (= conv(substr(md5(bg),1,2),16,10), the md5Bucket contract) and the
+  * per-occurrence contribution is scoreQ(bucket), an integer the caller
+  * pre-quantized (floor(score*1e6+0.5)) so the sum is exact and
+  * order-independent. Returns (n_feats, qsum) — (0, 0) when the text
+  * has fewer than two tokens.
+  *
+  * This is the 100 TB scoring shape: the exploded formulation shuffles
+  * one row per bigram occurrence into a broadcast-join + per-doc
+  * aggregation; this kernel makes model scoring a map-only projection —
+  * zero shuffle, zero join — off a constant-size (256-long) model
+  * artifact carried as a plan reference. */
+case class BigramBucketScore(child: Expression, scoreQ: Seq[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(scoreQ.length == 256, s"scoreQ must hold 256 buckets, got ${scoreQ.length}")
+  override def dataType: DataType = BigramBucketScore.schema
+  override def inputTypes = Seq[DataType](StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bigram_bucket_score"
+
+  @transient private lazy val scoreArr: Array[Long] = scoreQ.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    BigramBucketScore.score(input.asInstanceOf[UTF8String], scoreArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arr = ctx.addReferenceObj("bigramScoreQ", scoreArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      "graft.plans.BigramBucketScore$.MODULE$.score(" + c + ", " + arr + ")")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramBucketScore =
+    copy(child = newChild)
+}
+object BigramBucketScore {
+  val schema: StructType = StructType(Seq(
+    StructField("n_feats", LongType, nullable = false),
+    StructField("qsum", LongType, nullable = false)))
+
+  def score(s: UTF8String, scoreQ: Array[Long]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // token start offsets (split on every 0x20 byte, empties kept — a
+    // space never occurs inside a UTF-8 multi-byte sequence)
+    var nToks = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') nToks += 1; i += 1 }
+    var nFeats = 0L
+    var qsum = 0L
+    if (nToks >= 2) {
+      val starts = new Array[Int](nToks + 1)
+      starts(0) = 0
+      var t = 1
+      i = 0
+      while (i < len) {
+        if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+        i += 1
+      }
+      starts(nToks) = len + 1 // sentinel: end(tok_j) = starts(j+1) - 1
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var p = 0
+      while (p < nToks - 1) {
+        val b0 = starts(p)
+        val b1 = starts(p + 2) - 1 // end of tok_{p+1}
+        md.reset()
+        md.update(bytes, b0, b1 - b0)
+        val bucket = md.digest()(0) & 0xff
+        qsum += scoreQ(bucket)
+        nFeats += 1L
+        p += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nFeats, qsum))
+  }
+}
+
 /** All MinHash signature slots of a text's char-k-shingle set in ONE
   * in-row pass: slot s (0..7) is the minimum over shingles of hex chars
   * [(s%4)*8, (s%4)*8+8) of md5(shingle) (s < 4) / md5("x:"+shingle)
@@ -976,6 +1060,8 @@ object GraftFunctions {
     ColumnBridge.column(MinhashSigExpr(ColumnBridge.expression(c), k))
   def gate_stats(c: Column, stop: Seq[String]): Column =
     ColumnBridge.column(GateStatsExpr(ColumnBridge.expression(c), stop))
+  def bigram_bucket_score(c: Column, scoreQ: Seq[Long]): Column =
+    ColumnBridge.column(BigramBucketScore(ColumnBridge.expression(c), scoreQ))
   def word_gram_pos_hashes(c: Column, n: Int): Column =
     ColumnBridge.column(WordGramPosHashes(ColumnBridge.expression(c), n))
   def word_gram_set(c: Column, n: Int): Column =

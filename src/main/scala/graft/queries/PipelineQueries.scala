@@ -429,8 +429,8 @@ object PipelineQueries {
                    / 1000000.0 / COUNT(*) AS mean_pref
           FROM scored GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
       val docs = t(s, dir, "documents")
-      graft.operators.TextAnalysis.dsirPreferenceFromModel(
-          docs.filter(col("source") =!= "src0"), dsirModelTable(s, dir),
+      graft.operators.TextAnalysis.dsirPreferenceFromQuantized(
+          docs.filter(col("source") =!= "src0"), dsirQuantized(s, dir),
           "doc_id", "text")
         .orderBy(col("doc_id"))
     },
@@ -471,8 +471,8 @@ object PipelineQueries {
           SELECT doc_id, n_feats, mean_pref, u FROM sampled
           WHERE u < mean_pref ORDER BY doc_id""") { (s, dir) =>
       val docs = t(s, dir, "documents")
-      graft.operators.TextAnalysis.dsirResampleFromModel(
-          docs.filter(col("source") =!= "src0"), dsirModelTable(s, dir),
+      graft.operators.TextAnalysis.dsirResampleFromQuantized(
+          docs.filter(col("source") =!= "src0"), dsirQuantized(s, dir),
           "doc_id", "text")
         .orderBy(col("doc_id"))
     },
@@ -497,4 +497,13 @@ object PipelineQueries {
     })
     s.read.parquet(path)
   }
+
+  /** The model's quantized per-bucket score table, memo'd too: a
+    * recurring scoring pass carries the 256 longs as a plan reference —
+    * zero model-read jobs per evaluation (the collect runs once per
+    * (JVM run, sf dir), the constant-size-artifact precedent). */
+  private val dsirScoreQ = new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]
+  private[queries] def dsirQuantized(s: org.apache.spark.sql.SparkSession, dir: String): Seq[Long] =
+    dsirScoreQ.computeIfAbsent(dir,
+      _ => graft.operators.TextAnalysis.dsirQuantizedScores(dsirModelTable(s, dir)))
 }
