@@ -586,6 +586,65 @@ object Dedup {
     verifyJaccard(cands, allDocs, idCol, textCol, k, threshold)
   }
 
+  /** Recall/cost frontier over LSH banding configs — the config-selection
+    * query the recall evaluator (pairRecall) enables: which (numHashes,
+    * bandSize) do I run? One row per band size with the two numbers the
+    * choice trades off: n_candidates (the verification workload the
+    * config generates — LSH's cost axis) and recall of the ground-truth
+    * pairs among the candidates. Candidate recall EQUALS end-to-end
+    * recall here: truth pairs sit at/above the verification threshold by
+    * construction, so any truth pair surfacing as a candidate survives
+    * exact verification — the sweep never pays the verify step.
+    *
+    * Cost shape: the corpus signs ONCE (the signatures are band-size
+    * independent — banding only regroups the 8 slots), each config is
+    * one regrouping of the pinned signature table, and the ground truth
+    * arrives prebuilt (the run-scoped sample artifact) — grid points
+    * share both expensive inputs instead of rebuilding them per cell.
+    * Returns (band_size, n_bands, n_candidates, n_truth, n_found,
+    * recall), one row per requested band size (configs with zero
+    * candidates keep their row). */
+  def lshBandSweep(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                   numHashes: Int, bandSizes: Seq[Int],
+                   truth: DataFrame): DataFrame = {
+    require(bandSizes.nonEmpty && bandSizes.forall(b => b >= 1 && numHashes % b == 0),
+      s"every band size must divide numHashes=$numHashes, got $bandSizes")
+    import docs.sparkSession.implicits._
+    val sig = graft.core.Materialize.pin(
+      minhashSignaturesInRow(docs, idCol, textCol, k, numHashes))
+    val bandsAll = bandSizes.map { c =>
+      bandTable(sig, numHashes, c).withColumn("band_size", lit(c))
+    }.reduce(_.unionByName(_))
+    val docSets = bandsAll.groupBy(col("band_size"), col("band"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("__docs"))
+      .filter(size(col("__docs")) >= 2)
+    val pairs = flatten(transform(col("__docs"), (x, i) =>
+      transform(slice(col("__docs"), i + lit(2), size(col("__docs"))),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))
+    // pinned: consumed by both the per-config cost count and the truth
+    // semi-join below
+    val cands = docSets.select(col("band_size"), explode(pairs).as("p"))
+      .select(col("band_size"), col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+      .transform(graft.core.Materialize.pin)
+    val base = bandSizes.map(c => (c, numHashes / c)).toDF("band_size", "n_bands")
+    val nCand = cands.groupBy("band_size").agg(count(lit(1)).as("n_candidates"))
+    val tr = truth.select(col("doc_a"), col("doc_b"))
+    val nFound = tr.join(cands, Seq("doc_a", "doc_b"))
+      .groupBy("band_size").agg(count(lit(1)).as("n_found"))
+    val nTruth = tr.agg(count(lit(1)).as("n_truth"))
+    base.join(nCand, Seq("band_size"), "left_outer")
+      .join(nFound, Seq("band_size"), "left_outer")
+      .crossJoin(broadcast(nTruth))
+      .select(col("band_size"), col("n_bands"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("n_truth"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"),
+        when(col("n_truth") === 0, lit(1.0))
+          .otherwise(coalesce(col("n_found"), lit(0L)).cast("double") / col("n_truth"))
+          .as("recall"))
+  }
+
   /** End-to-end near-dup deduplication: LSH near-dup pairs -> duplicate
     * components -> keep the least doc id per component, drop the rest.
     * Returns the deduplicated corpus (docs schema unchanged). */

@@ -335,6 +335,74 @@ object Similarity {
           least(lit(k.toLong), col("__d"))).as("recall"))
   }
 
+  /** Recall/cost frontier over IVF probe depths — the config-selection
+    * query annRecallAtK enables: which nProbe do I deploy? One row per
+    * probe depth with the numbers the choice trades off: n_scored (the
+    * candidate distance evaluations the depth triggers — IVF's cost
+    * axis) and micro-averaged recall@k against the exact ground truth.
+    *
+    * Cost shape: cells assign once, the query-to-centroid ranking
+    * computes once up to max(nProbes), and every candidate carries the
+    * probe rank `rn` that reaches it — so each grid point is a FILTER
+    * (rn <= nProbe) over one pinned scored-candidate table, and the
+    * prebuilt exact side is shared. Recall is micro-averaged with exact
+    * integer sums (hits / sum of per-query denominators, one final IEEE
+    * division) — order-independent, engine-portable. Returns (n_probe,
+    * n_scored, n_hit, n_denom, recall_micro), one row per depth. */
+  def ivfProbeSweep(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, nCells: Int, nProbes: Seq[Int], k: Int,
+                    exact: DataFrame): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(p => p >= 1 && p <= nCells),
+      s"every probe depth must lie in [1, nCells=$nCells], got $nProbes")
+    import corpus.sparkSession.implicits._
+    val vecs = graft.core.Tables.ensureParallelism(corpus)
+      .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v"))
+    val cent = coarseSeeds(vecs, nCells)
+    val cells = vecs.crossJoin(broadcast(centOneRow(cent)))
+      .select(col("vid").as("cid"), argminCell(col("v"), col("cents")).as("cell"))
+    val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cc"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("qid"), col("cc"), ql2(col("qv"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbes.max)
+      .select(col("qid"), col("cc").as("cell"), col("rn"))
+    // each corpus vector lives in exactly ONE cell, so (qid, cid) occurs
+    // once, tagged with the probe rank that reaches it
+    val cands = probes.join(cells, "cell")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("rn"))
+    // pinned: every grid point below re-reads this table (top-k + cost
+    // count per config) instead of re-scoring candidates
+    val scored = cands
+      .join(broadcast(q), "qid")
+      .join(vecs.select(col("vid").as("cid"), col("v").as("cv2")), "cid")
+      .select(col("qid"), col("cid"), col("rn"), ql2(col("qv"), col("cv2")).as("dist"))
+      .transform(graft.core.Materialize.pin)
+    val cfg = nProbes.toDF("n_probe")
+    val perCfg = scored.crossJoin(broadcast(cfg)).filter(col("rn") <= col("n_probe"))
+    val wK = Window.partitionBy("n_probe", "qid").orderBy(col("dist"), col("cid"))
+    val approx = perCfg.withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("n_probe"), col("qid"), col("cid"))
+    val ex = exact.select(col("qid"), col("cid"))
+    val hits = ex.join(approx, Seq("qid", "cid"))
+      .groupBy("n_probe").agg(count(lit(1)).as("n_hit"))
+    val nScored = perCfg.groupBy("n_probe").agg(count(lit(1)).as("n_scored"))
+    val denom = exact.groupBy("qid").agg(count(lit(1)).as("__d"))
+      .agg(sum(least(lit(k.toLong), col("__d"))).cast(LongType).as("n_denom"))
+    cfg.join(nScored, Seq("n_probe"), "left_outer")
+      .join(hits, Seq("n_probe"), "left_outer")
+      .crossJoin(broadcast(denom))
+      .select(col("n_probe"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_denom"),
+        when(col("n_denom") === 0, lit(1.0))
+          .otherwise(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / col("n_denom"))
+          .as("recall_micro"))
+  }
+
   /** IVF-PQ composition (the FAISS-style full scale path, Jegou et al.
     * TPAMI'11 §V): the coarse quantizer restricts the search to `nProbe`
     * probed cells, and within them distances come from the PQ codes via

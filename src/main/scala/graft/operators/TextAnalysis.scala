@@ -767,4 +767,48 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_matches"))
   }
+
+  /** BATCH phrase search: N phrases against the postings in ONE probe —
+    * the production shape for decontamination-style phrase lists, where
+    * running phraseSearchFromPostings per phrase would pay N scans. The
+    * slot table gains a phrase dimension ((phrase_id, term, slot,
+    * phrase_len) — still broadcast-tiny, Σ|phrase| rows) and the single
+    * scan filters to the UNION of all phrases' terms; each posting fans
+    * to every (phrase, slot) its term occupies, so the per-candidate
+    * test stays the same plain count, now keyed (phrase_id, doc, start)
+    * against that phrase's own length. A term shared by several phrases
+    * is read once and serves all of them. Against a term-BUCKETED index
+    * the probe bucket-prunes to the union's buckets exactly like the
+    * single-phrase probe (ScaleSpec). Output (phrase_id, phrase, id,
+    * n_matches), matches >= 1; phrases with no matching documents
+    * simply contribute no rows. */
+  def phraseSearchBatch(postings: org.apache.spark.sql.DataFrame,
+                        idCol: String, phrases: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(phrases.nonEmpty, "need at least one phrase")
+    val parsed = phrases.zipWithIndex.map { case (p, i) =>
+      val ts = p.split(" ")
+      require(ts.nonEmpty && ts.forall(_.nonEmpty), s"bad phrase '$p'")
+      (i, p, ts.toSeq)
+    }
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val slots = parsed.flatMap { case (pid, _, ts) =>
+      ts.zipWithIndex.map { case (t, s) => (pid, t, s, ts.length) }
+    }.toDF("phrase_id", "term", "slot", "phrase_len")
+    val phraseNames = parsed.map { case (pid, p, _) => (pid, p) }
+      .toDF("phrase_id", "phrase")
+    val allTerms = parsed.flatMap(_._3).distinct
+    postings
+      .filter(col("term").isin(allTerms: _*))
+      .join(broadcast(slots), "term")
+      .select(col("phrase_id"), col(idCol),
+        (col("pos") - col("slot")).as("start"), col("phrase_len"))
+      .groupBy(col("phrase_id"), col(idCol), col("start"))
+      .agg(count(lit(1)).as("__hits"), max(col("phrase_len")).as("__len"))
+      .filter(col("__hits") === col("__len"))
+      .groupBy(col("phrase_id"), col(idCol))
+      .agg(count(lit(1)).as("n_matches"))
+      .join(broadcast(phraseNames), "phrase_id")
+      .select(col("phrase_id"), col("phrase"), col(idCol), col("n_matches"))
+  }
 }

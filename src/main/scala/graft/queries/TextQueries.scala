@@ -898,6 +898,71 @@ object TextQueries {
       Dedup.pairRecall(lsh, dedupRecallTruth(s, dir))
     },
 
+    // The recall/cost SWEEP the single-config evaluator above enables —
+    // the operational question is not "what is my recall" but "which
+    // band size do I run": one row per config on the frontier a config
+    // choice reads (candidate count = verification workload vs recall of
+    // the ground-truth pairs). Signatures compute once (band-size
+    // independent), the truth is the same persisted sample artifact
+    // q_dedup_recall probes — grid points share both expensive inputs.
+    QueryDef(
+      "q_lsh_sweep",
+      "LSH banding recall/cost frontier: candidates + truth recall per band size (8 hashes, 1/3 sample)",
+      {
+        def bandsSqlFor(c: Int): String = {
+          val nBands = 8 / c
+          val keys = (0 until nBands).map { b =>
+            val slots = (0 until c).map(j => s"sig_${b * c + j}").mkString(" || ':' || ")
+            s"'$b' || ':' || $slots"
+          }.mkString(", ")
+          s"SELECT doc_id, unnest([$keys]) AS band FROM sig"
+        }
+        val cfgs = Seq(1, 2, 4, 8)
+        val perCfgCtes = cfgs.map { c =>
+          s"""bands_$c AS (${bandsSqlFor(c)}),
+          cand_$c AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands_$c a JOIN bands_$c b ON a.band = b.band AND a.doc_id < b.doc_id),
+          found_$c AS (SELECT * FROM exact JOIN cand_$c USING (doc_a, doc_b))"""
+        }.mkString(",\n          ")
+        val rows = cfgs.map { c =>
+          s"""SELECT $c AS band_size, ${8 / c} AS n_bands,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_$c) AS n_candidates,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_truth,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM found_$c) AS n_found,
+                 CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN 1.0e0
+                      ELSE CAST((SELECT COUNT(*) FROM found_$c) AS DOUBLE)
+                             / (SELECT COUNT(*) FROM exact)
+                 END AS recall"""
+        }.mkString("\n          UNION ALL\n          ")
+        s"""WITH samp AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+          s AS (SELECT doc_id, $shinglesSql AS sh FROM samp),
+          exact AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+          exg AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          rex AS (SELECT doc_id, md5(g) AS h1, md5('x:' || g) AS h2 FROM exg),
+          sig AS (
+            SELECT doc_id,
+                   ${(0 until 8).map { h =>
+                     val src = if (h < 4) "h1" else "h2"
+                     s"MIN(substr($src, ${(h % 4) * 8 + 1}, 8)) AS sig_$h"
+                   }.mkString(", ")}
+            FROM rex GROUP BY doc_id),
+          $perCfgCtes
+          SELECT * FROM (
+          $rows
+          ) ORDER BY band_size"""
+      }) { (s, dir) =>
+      val samp = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      Dedup.lshBandSweep(samp, "doc_id", "text", k = 9, numHashes = 8,
+          bandSizes = Seq(1, 2, 4, 8), truth = dedupRecallTruth(s, dir))
+        .orderBy(col("band_size"))
+    },
+
     // Containment join: the asymmetric companion to q_dedup_jaccard —
     // finds subset/excerpt relations (C(A in B) = |A∩B|/|A|) the
     // symmetric measure dilutes. Same candidates, both directions scored.
@@ -1183,6 +1248,44 @@ object TextQueries {
       TextAnalysis.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
           "slow hash batch")
         .orderBy(col("doc_id"))
+    },
+
+    // BATCH phrase probe: N phrases, ONE postings scan — the
+    // decontamination-list shape (checking a benchmark's phrase list
+    // one-at-a-time would pay N scans). The slot table gains a phrase
+    // dimension; each posting fans to every (phrase, slot) its term
+    // occupies and the per-candidate count compares against that
+    // phrase's own length. Includes a repeated-term phrase ("table
+    // table") to pin the duplicate-slot arithmetic.
+    QueryDef(
+      "q_phrase_batch",
+      "batch phrase search: four phrases resolved in one postings scan",
+      {
+        val phrases = Seq("slow hash batch", "the part data", "table table", "fast key scan")
+        val rows = phrases.zipWithIndex.map { case (p, pid) =>
+          val ts = p.split(" ")
+          val joins = ts.zipWithIndex.map { case (term, s) =>
+            s"(SELECT doc_id, i - $s AS i FROM post WHERE term = '$term') t$s"
+          }
+          val chain = joins.head +
+            joins.tail.map(j => s" JOIN $j USING (doc_id, i)").mkString
+          s"""SELECT $pid AS phrase_id, '$p' AS phrase, doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_matches
+          FROM $chain
+          GROUP BY doc_id"""
+        }.mkString("\n          UNION ALL\n          ")
+        s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+          p AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS i, l FROM w),
+          post AS (SELECT doc_id, i, l[CAST(i AS INT)] AS term FROM p)
+          SELECT * FROM (
+          $rows
+          ) ORDER BY phrase_id, doc_id"""
+      }) { (s, dir) =>
+      TextAnalysis.phraseSearchBatch(
+          TextAnalysis.positionalPostings(t(s, dir, "documents"), "doc_id", "text"),
+          "doc_id",
+          Seq("slow hash batch", "the part data", "table table", "fast key scan"))
+        .orderBy(col("phrase_id"), col("doc_id"))
     },
 
     // THE FLAGSHIP END-TO-END COMPOSITION: CorpusPipeline.clean — quality

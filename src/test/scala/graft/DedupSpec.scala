@@ -177,6 +177,38 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(10L, 11L))
   }
 
+  test("lshBandSweep: recall and candidate count decrease monotonically with band size") {
+    // near-identical pairs (one word flipped) plus unrelated docs
+    val docs = (1L to 30L).map { i =>
+      val words = (0 until 40).map(j => s"w${(i * 7 + j * 3) % 11}_$j")
+      (i, words.mkString(" "))
+    } ++ (1L to 10L).map { i =>
+      val words = (0 until 40).map(j =>
+        if (j == 5) "FLIP" else s"w${(i * 7 + j * 3) % 11}_$j")
+      (i + 100L, words.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val truth = Dedup.jaccardPairsExhaustive(df, "doc_id", "text", k = 9, threshold = 0.8)
+    val sweep = Dedup.lshBandSweep(df, "doc_id", "text", k = 9, numHashes = 8,
+        bandSizes = Seq(1, 2, 4, 8), truth = truth)
+      .orderBy(col("band_size"))
+      .select("band_size", "n_bands", "n_candidates", "n_truth", "n_found", "recall")
+      .as[(Int, Int, Long, Long, Long, Double)].collect()
+    assert(sweep.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    assert(sweep.map(_._2).toSeq == Seq(8, 4, 2, 1))
+    // every row shares the same truth; fewer/wider bands can only lose
+    // candidates and recall (a pair colliding on a wide band collides on
+    // each of its sub-bands)
+    assert(sweep.map(_._4).distinct.length == 1 && sweep.head._4 > 0)
+    assert(sweep.map(_._3).toSeq == sweep.map(_._3).toSeq.sorted.reverse,
+      s"candidate count must be non-increasing in band size: ${sweep.toSeq}")
+    assert(sweep.map(_._6).toSeq == sweep.map(_._6).toSeq.sorted.reverse,
+      s"recall must be non-increasing in band size: ${sweep.toSeq}")
+    // band size 1 (8 independent single-hash bands) must catch every
+    // truth pair on this near-identical fixture
+    assert(sweep.head._6 == 1.0, s"bandSize=1 should reach full recall: ${sweep.toSeq}")
+  }
+
   test("overlapFractions: every train doc reported, zero-hit and gram-less rows included") {
     val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val train = Seq(

@@ -143,6 +143,21 @@ class ScaleSpec extends SparkSpec {
         .phraseSearch(docs, "doc_id", "text", phrase.mkString(" "))
         .as[(Long, Long)].collect().toSet
       assert(viaIndex == fromScratch && viaIndex.nonEmpty)
+      // BATCH probe: N phrases, still ONE scan, pruned to the UNION of
+      // the phrases' terms — the decontamination-list production shape
+      val phrases = Seq(phrase.mkString(" "), "slow hash")
+      val batch = graft.operators.TextAnalysis.phraseSearchBatch(
+        post, "doc_id", phrases)
+      val bp = batch.queryExecution.executedPlan.toString
+      assert("SelectedBucketsCount: [1-5] out of 8".r.findAllIn(bp).size == 1,
+        s"the batch probe must stay ONE bucket-pruned scan:\n$bp")
+      val batchRows = batch.select("phrase", "doc_id", "n_matches")
+        .as[(String, Long, Long)].collect().toSet
+      val oneByOne = phrases.flatMap { p =>
+        graft.operators.TextAnalysis.phraseSearch(docs, "doc_id", "text", p)
+          .as[(Long, Long)].collect().map { case (d, n) => (p, d, n) }
+      }.toSet
+      assert(batchRows == oneByOne && batchRows.nonEmpty)
     } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
   }
 

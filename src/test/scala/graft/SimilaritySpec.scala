@@ -191,6 +191,26 @@ class SimilaritySpec extends SparkSpec {
     assert(r0(0L) == 0.0 && r0(1L) == 1.0 && r0(2L) == 1.0, r0.toString)
   }
 
+  test("ivfProbeSweep: recall and cost grow monotonically with probe depth; full probe = recall 1") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceL2TopK(emb, q, "vec_id", "embedding", k = 5)
+    val sweep = Similarity.ivfProbeSweep(emb, q, "vec_id", "embedding",
+        nCells = 4, nProbes = Seq(1, 2, 4), k = 5, exact = exact)
+      .orderBy(col("n_probe"))
+      .select("n_probe", "n_scored", "n_hit", "n_denom", "recall_micro")
+      .as[(Int, Long, Long, Long, Double)].collect()
+    assert(sweep.map(_._1).toSeq == Seq(1, 2, 4))
+    // deeper probing scores strictly more candidates and can only gain hits
+    assert(sweep.map(_._2).toSeq == sweep.map(_._2).toSeq.sorted, sweep.mkString(","))
+    assert(sweep.map(_._5).toSeq == sweep.map(_._5).toSeq.sorted, sweep.mkString(","))
+    // probing every cell is exhaustive search — micro recall exactly 1
+    assert(sweep.last._5 == 1.0 && sweep.last._3 == sweep.last._4, sweep.mkString(","))
+    // and the full-probe grid point scores every non-self pair
+    assert(sweep.last._2 == 3L * (emb.count() - 1))
+  }
+
   test("bruteForceTopK ranks the nearest vector first") {
     val got = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1), "vec_id",
         "embedding", k = 3)

@@ -262,6 +262,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one == Map(1L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("phraseSearchBatch == the per-phrase probes, in one scan, shared terms included") {
+    val docs = Seq(
+      (1L, "a b a b a"),
+      (2L, "a x b x a"),
+      (3L, "z a b a z"),
+      (4L, "b a")
+    ).toDF("doc_id", "text")
+    val phrases = Seq("a b a", "b a", "a", "q z") // overlap-heavy, shares terms; "q z" matches nothing
+    val post = TextAnalysis.positionalPostings(docs, "doc_id", "text")
+    val batch = TextAnalysis.phraseSearchBatch(post, "doc_id", phrases)
+      .select("phrase", "doc_id", "n_matches")
+      .as[(String, Long, Long)].collect().toSet
+    val oneByOne = phrases.flatMap { p =>
+      TextAnalysis.phraseSearch(docs, "doc_id", "text", p)
+        .select("doc_id", "n_matches").as[(Long, Long)].collect()
+        .map { case (d, n) => (p, d, n) }
+    }.toSet
+    assert(batch == oneByOne && batch.nonEmpty)
+    // the no-match phrase contributes no rows, not zero-count rows
+    assert(!batch.exists(_._1 == "q z"))
+  }
+
   test("trainLinearProbe learns a separable corpus and trains deterministically") {
     // positives speak token 'alpha', negatives 'omega' — fully separable
     // through the hash buckets, so a few GD rounds must cut MSE far below
