@@ -714,6 +714,59 @@ object TextAnalysis {
     (w, mse)
   }
 
+  /** MINI-BATCH variant of [[trainLinearProbeOnFeatures]]: round r's
+    * gradient is computed over ONE deterministic mini-batch — the rows
+    * whose `batch` value equals r % nBatches — and the update divides by
+    * that batch's own row count. With an md5-band batch column the
+    * schedule is a pure function of the data (no RNG, no epoch
+    * shuffling), so the whole run keeps the bit-reproducibility contract
+    * of the full-batch trainer while each round touches 1/nBatches of
+    * the corpus — the stochastic-GD cost shape at 100 TB, where a
+    * full-batch pass per round is the dominant training cost. Batches
+    * that turn out empty skip their round (weights unchanged). The final
+    * mse is over the FULL corpus. Returns (weights incl. trailing
+    * intercept, final mse). */
+  def trainLinearProbeMiniBatch(df: org.apache.spark.sql.DataFrame,
+                                featureCols: Seq[String], label: Column,
+                                batch: Column, nBatches: Int,
+                                iters: Int, lr: Double): (Array[Double], Double) = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    require(iters >= 1, s"need >= 1 training rounds, got $iters")
+    require(nBatches >= 1, s"need >= 1 batches, got $nBatches")
+    val B = featureCols.length
+    val F = B + 1
+    val x = graft.core.Materialize.pin(df.select(
+      featureCols.zipWithIndex.map { case (c, b) =>
+        col(c).cast("double").as(s"x$b") } :+
+        lit(1.0).as(s"x$B") :+ label.cast("double").as("y") :+
+        pmod(batch.cast("int"), lit(nBatches)).as("__b"): _*))
+    // per-batch row counts: one aggregation, nBatches longs — the same
+    // constant-size driver artifact as the model itself
+    val counts: Map[Int, Long] = x.groupBy(col("__b"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    require(counts.values.sum > 0, "cannot train a probe on an empty corpus")
+    val w = Array.fill(F)(0.0)
+    def pred = (0 until F).map(b => col(s"x$b") * lit(w(b))).reduce(_ + _)
+    (0 until iters).foreach { r =>
+      val bId = r % nBatches
+      val nr = counts.getOrElse(bId, 0L)
+      if (nr > 0) {
+        val resid = pred - col("y")
+        val g = x.filter(col("__b") === bId).agg(
+          graft.functions.Fns.dsum(col("x0") * resid).as("g0"),
+          (1 until F).map(b =>
+            graft.functions.Fns.dsum(col(s"x$b") * resid).as(s"g$b")): _*).head()
+        (0 until F).foreach(b => w(b) = w(b) - lr * (g.getDouble(b) / nr))
+      }
+    }
+    val n = counts.values.sum
+    val residF = pred - col("y")
+    val mse = x.agg(graft.functions.Fns.dsum(residF * residF).as("q"))
+      .head().getDouble(0) / n
+    (w, mse)
+  }
+
   /** Positional postings (id, pos, term), pos 0-based — the phrase-query
     * index layout (term-only postings can't distinguish "spark shuffle"
     * from "shuffle ... spark"). Map-only explode; persist partitioned/

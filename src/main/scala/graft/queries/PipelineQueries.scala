@@ -47,6 +47,35 @@ object PipelineQueries {
     }.mkString(",\n          ")
   }
 
+  /** Mini-batch sibling of [[probeRoundsSql]]: round i's gradient CTE
+    * filters to deterministic batch (i-1) % nBatches (an `x` CTE with a
+    * `b` column) and its weight update divides by that batch's own row
+    * count from an `nb` (b, n) CTE — the exact schedule
+    * trainLinearProbeMiniBatch runs. Assumes every scheduled batch is
+    * nonempty (the operator skips empty batches; the fixtures' md5-band
+    * batches never are). */
+  private def probeMiniBatchRoundsSql(iters: Int, nFeats: Int, nBatches: Int): String = {
+    def pred(ws: Seq[String]) =
+      ws.zipWithIndex.map { case (w, b) => s"x$b * $w" }.mkString("(", " + ", ")")
+    def qsum(e: String) =
+      s"CAST(SUM(CAST(FLOOR($e * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0"
+    val bs = 0 until nFeats
+    (1 to iters).map { i =>
+      val bid = (i - 1) % nBatches
+      val prevW: Seq[String] =
+        if (i == 1) Seq.fill(nFeats)("0.0e0") else bs.map(b => s"w$b")
+      val gFrom = if (i == 1) "x" else s"x CROSS JOIN w${i - 1}"
+      val g = s"g$i AS (SELECT\n            " + bs.map(b =>
+        s"${qsum(s"x$b * (${pred(prevW)} - y)")} AS g$b").mkString(",\n            ") +
+        s"\n            FROM $gFrom WHERE b = $bid)"
+      val wFrom = if (i == 1) s"g$i" else s"w${i - 1} CROSS JOIN g$i"
+      val w = s"w$i AS (SELECT\n            " + bs.map(b =>
+        s"${prevW(b)} - 1.0e0 * (g$b / (SELECT n FROM nb WHERE b = $bid)) AS w$b").mkString(",\n            ") +
+        s"\n            FROM $wFrom)"
+      s"$g,\n          $w"
+    }.mkString(",\n          ")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // PIVOT — wide per-source language profile. Spark lowers this to two
@@ -166,6 +195,76 @@ object PipelineQueries {
         when(col("pass"), 1.0).otherwise(0.0).as("y"))
       val (w, mse) = graft.operators.TextAnalysis.trainLinearProbeOnFeatures(
         feats, Seq("f0", "f1", "f2", "f3"), col("y"), iters = 3, lr = 1.0)
+      (w.toSeq.zipWithIndex.map { case (v, b) => (s"w$b", v) } :+ ("mse", mse))
+        .toDF("param", "value").orderBy(col("param"))
+    },
+
+    // MINI-BATCH probe training over PER-SOURCE FEATURE BLOCKS — the two
+    // production extensions of the full-batch trainer above, in one
+    // hash-checked run: (a) each GD round touches ONE deterministic
+    // md5-band mini-batch (round r uses rows with band % 4 == r % 4, the
+    // stochastic-GD cost shape at corpus scale — no RNG, the schedule is
+    // a pure function of the data) and divides by that batch's own row
+    // count; (b) the features are per-source BLOCKS (src1/src2/src3/other
+    // x (n_words/120, uniq_ratio) interaction columns), so the one probe
+    // learns per-domain calibrations — absent blocks keep weight 0. The
+    // oracle unrolls the identical batched rounds (probeMiniBatchRoundsSql),
+    // so the learned per-block weights hash-match bit-exactly.
+    QueryDef(
+      "q_probe_minibatch",
+      "mini-batch GD probe on per-source feature blocks: 4 md5-band batches, 4 rounds, 9 weights",
+      {
+        val blocks = Seq("src1", "src2", "src3")
+        val wordsE = "CAST(len(string_split(text, ' ')) AS DOUBLE) / 120.0e0"
+        val uniqE = """CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' '))"""
+        val blockFeats = blocks.zipWithIndex.flatMap { case (sName, i) =>
+          Seq(
+            s"CASE WHEN source = '$sName' THEN $wordsE ELSE 0.0e0 END AS x${2 * i}",
+            s"CASE WHEN source = '$sName' THEN $uniqE ELSE 0.0e0 END AS x${2 * i + 1}")
+        } ++ Seq(
+          s"CASE WHEN source NOT IN (${blocks.map(b => s"'$b'").mkString(", ")}) THEN $wordsE ELSE 0.0e0 END AS x6",
+          s"CASE WHEN source NOT IN (${blocks.map(b => s"'$b'").mkString(", ")}) THEN $uniqE ELSE 0.0e0 END AS x7")
+        s"""WITH x AS (SELECT
+            ${blockFeats.mkString(",\n            ")},
+            1.0e0 AS x8,
+            CASE WHEN (len(string_split(text, ' ')) BETWEEN 30 AND 120)
+                  AND (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                         / len(string_split(text, ' ')) BETWEEN 3 AND 10)
+                  AND (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                         / len(string_split(text, ' ')) >= 0.3)
+                  AND (len(list_filter(string_split(text, ' '), w -> w IN ('a', 'the'))) > 0)
+                 THEN 1.0e0 ELSE 0.0e0 END AS y,
+            ${duckBand256Sql("CAST(doc_id AS VARCHAR)")} % 4 AS b
+            FROM documents),
+          nb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM x GROUP BY b),
+          nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),
+          ${probeMiniBatchRoundsSql(iters = 4, nFeats = 9, nBatches = 4)},
+          r AS (SELECT ((${(0 to 8).map(b => s"x$b * w$b").mkString(" + ")}) - y) AS rr
+                FROM x CROSS JOIN w4),
+          m AS (SELECT CAST(SUM(CAST(FLOOR(rr * rr * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0
+                         / (SELECT n FROM nn) AS mse
+                FROM r)
+          SELECT 'mse' AS param, mse AS value FROM m
+          ${(0 to 8).map(b => s"UNION ALL SELECT 'w$b', w$b FROM w4").mkString("\n          ")}
+          ORDER BY param"""
+      }) { (s, dir) =>
+      import s.implicits._
+      val gates = graft.operators.TextAnalysis.qualityGates(
+        t(s, dir, "documents"), "text")
+      val blocks = Seq("src1", "src2", "src3")
+      def blockPair(cond: Column, tag: String) = Seq(
+        when(cond, col("n_words").cast("double") / lit(120.0)).otherwise(0.0).as(s"f_${tag}_w"),
+        when(cond, col("uniq_ratio")).otherwise(0.0).as(s"f_${tag}_u"))
+      val featCols = blocks.flatMap(sn => blockPair(col("source") === sn, sn)) ++
+        blockPair(!col("source").isin(blocks: _*), "other")
+      val featNames = blocks.flatMap(sn => Seq(s"f_${sn}_w", s"f_${sn}_u")) ++
+        Seq("f_other_w", "f_other_u")
+      val feats = gates.select(featCols ++ Seq(
+        when(col("pass"), 1.0).otherwise(0.0).as("y"),
+        graft.operators.TextAnalysis.md5Bucket(col("doc_id").cast("string")).as("band")): _*)
+      val (w, mse) = graft.operators.TextAnalysis.trainLinearProbeMiniBatch(
+        feats, featNames, col("y"), col("band"), nBatches = 4, iters = 4, lr = 1.0)
       (w.toSeq.zipWithIndex.map { case (v, b) => (s"w$b", v) } :+ ("mse", mse))
         .toDF("param", "value").orderBy(col("param"))
     },

@@ -302,4 +302,29 @@ class TextAnalysisSpec extends SparkSpec {
       col("y"), buckets = 4, iters = 8, lr = 1.0)
     assert(w.toSeq == w2.toSeq && mse == mse2, "training must be bit-deterministic")
   }
+
+  test("trainLinearProbeMiniBatch: nBatches=1 equals full-batch; banded batches still learn, deterministically") {
+    val feats = (1L to 80L).map { i =>
+      val pos = i % 2 == 0
+      (i, if (pos) 0.9 else 0.1, if (pos) 0.2 else 0.8, if (pos) 1.0 else 0.0)
+    }.toDF("doc_id", "f0", "f1", "y")
+    val band = graft.operators.TextAnalysis.md5Bucket(col("doc_id").cast("string"))
+    // one batch = the full-batch trainer, bit-for-bit
+    val (wFull, mseFull) = TextAnalysis.trainLinearProbeOnFeatures(
+      feats, Seq("f0", "f1"), col("y"), iters = 4, lr = 1.0)
+    val (wOne, mseOne) = TextAnalysis.trainLinearProbeMiniBatch(
+      feats, Seq("f0", "f1"), col("y"), band, nBatches = 1, iters = 4, lr = 1.0)
+    assert(wFull.toSeq == wOne.toSeq && mseFull == mseOne,
+      "nBatches=1 must replay the full-batch run exactly")
+    // 4 md5-band batches, each round touching ~1/4 of the rows: the
+    // separable features must still train well below label variance,
+    // and the deterministic schedule makes two runs bit-equal
+    val (wMb, mseMb) = TextAnalysis.trainLinearProbeMiniBatch(
+      feats, Seq("f0", "f1"), col("y"), band, nBatches = 4, iters = 8, lr = 1.0)
+    assert(mseMb < 0.1, s"separable features must train below 0.25 variance, got $mseMb")
+    val (wMb2, mseMb2) = TextAnalysis.trainLinearProbeMiniBatch(
+      feats, Seq("f0", "f1"), col("y"), band, nBatches = 4, iters = 8, lr = 1.0)
+    assert(wMb.toSeq == wMb2.toSeq && mseMb == mseMb2,
+      "mini-batch training must be bit-deterministic")
+  }
 }
