@@ -80,10 +80,31 @@ object Bench {
     def jmap(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath
-    java.nio.file.Files.write(fullPath,
+    val fullJson =
       (s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},""" +
         s""""warmup_total":$warmupTotal,"warmup":${jmap(warmups)},"sf":"$sfDir"}""" + "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(fullPath, fullJson)
+    // Archive a per-round copy so no run ever destroys another's full
+    // map (round-over-round per-query deltas are first-class history):
+    // round = 1 + the highest committed BENCH_r{N}.json, overridable via
+    // SPARK_GRAFT_ROUND; if that archive name is taken (same-round
+    // re-runs, e.g. a review pass), bump a _k suffix instead of clobbering.
+    if (only.isEmpty) {
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+        val rx = "BENCH_r(\\d+)\\.json".r
+        val dir = java.nio.file.Paths.get(".").toAbsolutePath
+        val seen = Option(dir.toFile.list()).getOrElse(Array.empty[String])
+          .collect { case rx(n) => n.toInt }
+        if (seen.isEmpty) 1 else seen.max + 1
+      }
+      val base = s"BENCH_FULL_r${"%02d".format(round)}"
+      val archive = Iterator.single(s"$base.json")
+        .++(Iterator.from(2).map(k => s"${base}_$k.json"))
+        .map(n => java.nio.file.Paths.get(n).toAbsolutePath)
+        .find(p => !java.nio.file.Files.exists(p)).get
+      java.nio.file.Files.write(archive, fullJson)
+    }
     // Printed summary line: guaranteed to fit the 2000-char tail (with sbt's
     // trailing [success] line) so it parses every round — total, the full
     // artifact's path, and as many SLOWEST queries as fit the budget (the

@@ -239,7 +239,8 @@ private[rest] class RestScan(options: Map[String, String], params: Map[String, S
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new RestMicroBatchStream(options("fetcher"), params, required, pageSize,
       options.get("maxoffsetspertrigger").map(_.toLong),
-      options.get("maxitems").map(_.toLong))
+      options.get("maxitems").map(_.toLong),
+      options.get("latencyspikems").map(_.toLong))
 }
 
 private[rest] case class RestOffset(offset: Long)
@@ -251,15 +252,28 @@ private[rest] class RestMicroBatchStream(fetcherName: String,
                                          params: Map[String, String],
                                          required: StructType, pageSize: Int,
                                          maxPerTrigger: Option[Long],
-                                         maxItems: Option[Long] = None)
+                                         maxItems: Option[Long] = None,
+                                         latencySpikeMs: Option[Long] = None)
     extends MicroBatchStream {
   require(maxPerTrigger.forall(_ > 0), "maxOffsetsPerTrigger must be > 0")
   require(maxItems.forall(_ > 0), "maxItems must be > 0")
+  require(latencySpikeMs.forall(_ > 0), "latencySpikeMs must be > 0")
+  require(latencySpikeMs.isEmpty || maxPerTrigger.isDefined,
+    "adaptive backpressure (latencySpikeMs) needs maxOffsetsPerTrigger as its budget ceiling")
   private def fetcher = FetcherRegistry.get(fetcherName)
   // furthest end this stream has planned/acknowledged — throttling is
   // relative to it; restart recovery folds checkpointed offsets in via
   // deserializeOffset before the first latestOffset call
   @volatile private var highWater: Long = 0L
+  // ADAPTIVE BACKPRESSURE: the per-trigger offset budget, derived from
+  // observed API latency — the rate-limit analogue of the reference's
+  // fixed per-request sleep (`etl/seed/seed_from_marvel.py:175`), made
+  // responsive: each trigger's `total()` probe doubles as a latency
+  // sample, a sample above latencySpikeMs HALVES the next window (down
+  // to 1 offset), and a healthy sample doubles it back toward the
+  // maxOffsetsPerTrigger ceiling. AIMD-shaped, so a degraded API sheds
+  // load geometrically while recovery is fast once latency normalizes.
+  @volatile private var budget: Long = maxPerTrigger.getOrElse(Long.MaxValue)
 
   override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
     RestOffset(0L)
@@ -271,12 +285,21 @@ private[rest] class RestMicroBatchStream(fetcherName: String,
   }
 
   override def latestOffset(): org.apache.spark.sql.connector.read.streaming.Offset = {
+    val t0 = System.nanoTime()
     val apiTotal = fetcher.total(params).getOrElse(throw new IllegalStateException(
       s"fetcher '$fetcherName' reports no total — the streaming source needs " +
         "the API's total to bound each pagination window")).toLong
+    val probeMs = (System.nanoTime() - t0) / 1000000L
+    latencySpikeMs.foreach { spike =>
+      val ceiling = maxPerTrigger.get
+      budget =
+        if (probeMs > spike) math.max(1L, budget / 2)
+        else if (budget >= ceiling / 2) ceiling // doubling would pass (or overflow past) the ceiling
+        else budget * 2
+    }
     // maxItems caps the stream exactly as it caps the batch scan
     val total = maxItems.fold(apiTotal)(math.min(apiTotal, _))
-    val end = maxPerTrigger.fold(total)(m => math.min(total, highWater + m))
+    val end = maxPerTrigger.fold(total)(_ => math.min(total, highWater + budget))
     if (end > highWater) highWater = end
     RestOffset(math.max(end, highWater))
   }

@@ -45,7 +45,15 @@ class FakeApi extends PageFetcher {
     }
   }
 
-  override def total(params: Map[String, String]): Option[Int] = Some(filtered(params).size)
+  // countdown of artificially SLOW total() probes (adaptive-backpressure
+  // spec: each slow probe simulates a degraded API)
+  val slowProbes = new AtomicInteger(0)
+  @volatile var slowProbeMs: Long = 0L
+
+  override def total(params: Map[String, String]): Option[Int] = {
+    if (slowProbes.getAndUpdate(n => math.max(0, n - 1)) > 0) Thread.sleep(slowProbeMs)
+    Some(filtered(params).size)
+  }
 
   override def fetch(params: Map[String, String], offset: Int, limit: Int): Seq[Row] = {
     calls.incrementAndGet()
@@ -157,6 +165,32 @@ class RestSourceSpec extends SparkSpec {
     q.stop()
     assert(spark.table("rest_stream_cap").count() == 100,
       "stream must stop at the maxItems cap")
+  }
+
+  test("adaptive backpressure: latency spikes halve the planned window, recovery doubles it back") {
+    // AIMD throttle derived from the per-trigger total() probe latency —
+    // the responsive analogue of the reference's fixed per-request sleep.
+    // Two slow probes then healthy ones, budget ceiling 60, spike bar
+    // 40ms: windows must run 30, 15 (halve, halve), then 30, 60, 60, 55
+    // (double back to the ceiling) over the 250-row corpus.
+    val api = new FakeApi
+    api.slowProbes.set(2)
+    api.slowProbeMs = 200L
+    FetcherRegistry.register("fake_stream_adaptive", api)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rest_adapt").toString
+    val q = spark.readStream.format("graft.sources.rest.RestSource")
+      .option("fetcher", "fake_stream_adaptive").option("pageSize", "40")
+      .option("maxOffsetsPerTrigger", "60").option("latencySpikeMs", "40").load()
+      .writeStream.format("memory").queryName("rest_stream_adaptive")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    val windows = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    q.stop()
+    assert(windows == Seq(30L, 15L, 30L, 60L, 60L, 55L),
+      s"expected halve/halve/recover window sizes, got $windows")
+    // throttling must not lose or duplicate rows
+    assert(spark.table("rest_stream_adaptive").count() == 250)
   }
 
   test("RetryingFetcher does not retry task interruption") {
