@@ -590,14 +590,20 @@ object TextAnalysis {
     }
   }
 
-  /** The fused scoring pass over pre-quantized per-bucket scores. */
+  /** The fused scoring pass over pre-quantized per-bucket scores.
+    * The no-bigram filter is the CHEAP token-count test (>= 2 tokens ⟺
+    * n_feats >= 1; null text fails both) rather than `__s.n_feats >= 1`:
+    * predicate pushdown substitutes a struct-field filter through the
+    * projection alias, which would re-evaluate the whole scoring kernel
+    * per row inside the filter — the cheap form keeps the kernel to ONE
+    * evaluation in the projection. */
   def dsirPreferenceFromQuantized(raw: org.apache.spark.sql.DataFrame,
                                   scoreQ: Seq[Long],
                                   idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
     graft.core.Tables.ensureParallelism(raw)
+      .filter(size(split(col(textCol), " ")) >= 2)
       .select(col(idCol).as("doc_id"),
         graft.plans.GraftFunctions.bigram_bucket_score(col(textCol), scoreQ).as("__s"))
-      .filter(col("__s.n_feats") >= 1)
       .select(col("doc_id"), col("__s.n_feats").as("n_feats"),
         (col("__s.qsum").cast(DoubleType) / lit(1e6) / col("__s.n_feats")).as("mean_pref"))
 

@@ -206,9 +206,16 @@ class PlanSpec extends SparkSpec {
     assert(textShuffles == 0, s"document text crossed a shuffle:\n$p")
   }
 
-  test("DSIR preference: bucket model tables broadcast, text never shuffles") {
+  test("DSIR preference: fused scoring kernel — no joins, one kernel eval, no text shuffle") {
     val p = plan("q_dsir_weights")
-    assert(p.contains("BroadcastHashJoin"), s"bucket tables should broadcast:\n$p")
+    // the quantized model rides INSIDE the scoring expression as a plan
+    // reference — no model join of any kind remains
+    assert(!p.contains("Join"), s"fused scoring must not join the model:\n$p")
+    // exactly ONE kernel evaluation: the no-bigram filter is the cheap
+    // token-count test, so pushdown can't substitute the kernel into a
+    // second (pre-repartition) Filter evaluation
+    assert("bigram_bucket_score".r.findAllIn(p).size == 1,
+      s"scoring kernel must evaluate once, in the projection:\n$p")
     val textShuffles = "Exchange hashpartitioning\\([^)]*text".r.findAllIn(p).size
     assert(textShuffles == 0, s"document text crossed a shuffle:\n$p")
   }

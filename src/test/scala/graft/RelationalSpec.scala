@@ -88,6 +88,11 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("adaptiveSaltedJoin: widths follow the key histogram; result equals the plain join") {
+    // NOTE on the bench asymmetry (q_salted_adaptive vs q_salted_join):
+    // the histogram pass here is a full extra fact-side aggregation —
+    // the PRICE of adaptivity. On a fixture without real skew the static
+    // variant is cheaper; adaptivity pays off when hot keys would
+    // otherwise blow a reducer, which no fixed salt width can promise.
     // planted 80/20 skew: key 1 holds 160 of 200 fact rows, the rest
     // spread over 4 cold keys
     val fact = (1 to 200).map(i => (i.toLong, if (i <= 160) 1L else (i % 4 + 2).toLong))
