@@ -29,6 +29,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Coalesce small shuffle outputs by SIZE, not parallelism: the
+      // default parallelismFirst=true keeps ~2x-cores tiny partitions
+      // after every shuffle, which at bench scale means per-task
+      // overhead dominates multi-stage compositions (Spark's own docs
+      // recommend false). At 100 TB partitions exceed the advisory size
+      // and this setting is a no-op.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       // ObjectHashAggregate falls back to SORT-based aggregation at 128
       // distinct keys per partition — for the dedup UDAF passes (millions
       // of shingle keys, buffers bounded at cap+1 longs by construction)

@@ -97,8 +97,11 @@ object Dedup {
   private def verifiedCommonCounts(cands: DataFrame, docs: DataFrame, idCol: String,
                                    textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    // NOT distinct'ed: the only consumer is the left-semi probe below,
+    // which is duplicate-insensitive — a distinct here would be a whole
+    // extra shuffle stage for nothing
     val candIds = cands.select(col("doc_a").as("__cid"))
-      .unionAll(cands.select(col("doc_b").as("__cid"))).distinct()
+      .unionAll(cands.select(col("doc_b").as("__cid")))
     // Candidate docs are routinely a large fraction of the corpus (near-dup
     // fixtures: ~60%), and `sh` is joined TWICE below — without
     // materialization the scan+shingle subtree would be evaluated once per
@@ -426,8 +429,10 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("component").as("nbr_min"))
+      // the round's starting label rides along as __old — change
+      // detection needs no join back against the previous labels
       val hop1 = labels.join(viaNeighbors, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("component").as("__old"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
       // pointer doubling: follow the component's own label one more hop
       // (component ids are always doc ids present in `labels`, so the
@@ -436,13 +441,11 @@ object Dedup {
       // extra jobs per round (the previous shape ran a separate
       // filter-isEmpty job over the pinned partitions).
       val ptr = hop1.select(col("doc_id").as("__c"), col("component").as("__cc"))
-      val old = labels.withColumnRenamed("component", "__old")
       val obs = new org.apache.spark.sql.Observation(
         s"graft_cc_changed_${ccObsId.incrementAndGet()}")
       val next = hop1.join(ptr, col("component") === col("__c"), "left_outer")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("__old"),
           least(col("component"), coalesce(col("__cc"), col("component"))).as("component"))
-        .join(old, Seq("doc_id"))
         .select(col("doc_id"), col("component"),
           (col("component") =!= col("__old")).as("__changed"))
         .observe(obs, sum(when(col("__changed"), 1L).otherwise(0L)).as("n_changed"))
