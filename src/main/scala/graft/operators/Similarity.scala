@@ -403,6 +403,16 @@ object Similarity {
           .as("recall_micro"))
   }
 
+  /** The CHOICE the probe sweep exists to make: the cheapest depth
+    * (fewest scored candidates) whose micro recall clears the floor —
+    * one row, or none when no depth qualifies (treat as "re-sweep with
+    * more cells/probes", not silently deploy the best loser).
+    * Deterministic tie-break: (n_scored, n_probe). */
+  def pickIvfConfig(sweep: DataFrame, minRecall: Double): DataFrame =
+    sweep.filter(col("recall_micro") >= minRecall)
+      .orderBy(col("n_scored"), col("n_probe"))
+      .limit(1)
+
   /** IVF-PQ composition (the FAISS-style full scale path, Jegou et al.
     * TPAMI'11 §V): the coarse quantizer restricts the search to `nProbe`
     * probed cells, and within them distances come from the PQ codes via

@@ -207,6 +207,20 @@ class DedupSpec extends SparkSpec {
     // band size 1 (8 independent single-hash bands) must catch every
     // truth pair on this near-identical fixture
     assert(sweep.head._6 == 1.0, s"bandSize=1 should reach full recall: ${sweep.toSeq}")
+    // the picker closes the loop: cheapest config clearing the floor —
+    // with monotone axes, that is the WIDEST band size still at/above it
+    val sweepDf = Dedup.lshBandSweep(df, "doc_id", "text", k = 9, numHashes = 8,
+      bandSizes = Seq(1, 2, 4, 8), truth = truth)
+    val floor = 0.9
+    val qualifying = sweep.filter(_._6 >= floor)
+    val picked = Dedup.pickLshConfig(sweepDf, floor)
+      .select("band_size", "n_candidates").as[(Int, Long)].collect()
+    assert(qualifying.nonEmpty && picked.length == 1)
+    assert(picked.head._1 == qualifying.map(_._1).max,
+      s"picker must choose the cheapest qualifying config: $picked of ${sweep.toSeq}")
+    assert(picked.head._2 == qualifying.map(_._3).min)
+    // an unreachable floor returns NO row — never the best loser
+    assert(Dedup.pickLshConfig(sweepDf, 1.1).count() == 0)
   }
 
   test("overlapFractions: every train doc reported, zero-hit and gram-less rows included") {

@@ -209,6 +209,15 @@ class SimilaritySpec extends SparkSpec {
     assert(sweep.last._5 == 1.0 && sweep.last._3 == sweep.last._4, sweep.mkString(","))
     // and the full-probe grid point scores every non-self pair
     assert(sweep.last._2 == 3L * (emb.count() - 1))
+    // the picker closes the loop: cheapest depth clearing the floor; an
+    // unreachable floor returns NO row
+    val sweepDf = Similarity.ivfProbeSweep(emb, q, "vec_id", "embedding",
+      nCells = 4, nProbes = Seq(1, 2, 4), k = 5, exact = exact)
+    val floor = sweep.head._5 // the shallowest depth's recall qualifies everyone above it
+    val picked = Similarity.pickIvfConfig(sweepDf, floor)
+      .select("n_probe").as[Int].collect()
+    assert(picked.toSeq == Seq(1), s"cheapest qualifying depth is 1: $picked")
+    assert(Similarity.pickIvfConfig(sweepDf, 1.1).count() == 0)
   }
 
   test("bruteForceTopK ranks the nearest vector first") {
