@@ -613,11 +613,20 @@ object Dedup {
     require(bandSizes.nonEmpty && bandSizes.forall(b => b >= 1 && numHashes % b == 0),
       s"every band size must divide numHashes=$numHashes, got $bandSizes")
     import docs.sparkSession.implicits._
-    val sig = graft.core.Materialize.pin(
-      minhashSignaturesInRow(docs, idCol, textCol, k, numHashes))
-    val bandsAll = bandSizes.map { c =>
-      bandTable(sig, numHashes, c).withColumn("band_size", lit(c))
-    }.reduce(_.unionByName(_))
+    val sig = minhashSignaturesInRow(docs, idCol, textCol, k, numHashes)
+    // ONE explode emits every config's band keys from a single read of
+    // each signature row (Σ numHashes/c structs per doc) — no per-config
+    // union branches, so the signing scan pipelines straight into the
+    // grouping with nothing materialized
+    val keyCols = bandSizes.flatMap { c =>
+      (0 until numHashes / c).map { b =>
+        struct(lit(c).as("band_size"),
+          concat_ws(":", (lit(b.toString) +:
+            (b * c until b * c + c).map(j => col(s"sig_$j"))): _*).as("band"))
+      }
+    }
+    val bandsAll = sig.select(col("doc_id"), explode(array(keyCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band_size").as("band_size"), col("bb.band").as("band"))
     val docSets = bandsAll.groupBy(col("band_size"), col("band"))
       .agg(sort_array(collect_set(col("doc_id"))).as("__docs"))
       .filter(size(col("__docs")) >= 2)
@@ -953,10 +962,23 @@ object Dedup {
     * least one word n-gram with `evalDocs`. Schema passes through
     * unchanged; the anti join's right side is the (tiny) contaminated-id
     * set, so it broadcasts.
-    */
+    *
+    * Existence-only plan: unlike contaminationHits (which must COUNT per
+    * document), dropping needs no aggregation anywhere — the eval gram
+    * set broadcasts un-distinct'ed (a semi probe is duplicate-
+    * insensitive; per-doc gram sets are already distinct in-row, and a
+    * benchmark suite is broadcast-small either way), the corpus side
+    * left-semi's straight to contaminated ids, and the anti join
+    * tolerates duplicate ids — zero shuffles beyond the joins
+    * themselves, two fewer than the count-then-drop formulation. */
   def decontaminate(train: DataFrame, evalDocs: DataFrame,
                     idCol: String, textCol: String, n: Int): DataFrame = {
-    val contaminated = contaminationHits(train, evalDocs, idCol, textCol, n).select(col(idCol))
+    val evalGrams = evalDocs.select(
+      explode(graft.plans.GraftFunctions.word_gram_hashes(col(textCol), n)).as("gram"))
+    val contaminated = train
+      .select(col(idCol), explode(graft.plans.GraftFunctions.word_gram_hashes(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select(col(idCol))
     train.join(broadcast(contaminated), Seq(idCol), "left_anti")
   }
 }
