@@ -98,8 +98,11 @@ object Bench {
     // round = 1 + the highest committed BENCH_r{N}.json, overridable via
     // SPARK_GRAFT_ROUND; if that archive name is taken (same-round
     // re-runs, e.g. a review pass), bump a _k suffix instead of clobbering.
-    if (only.isEmpty) {
-      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+    // best-effort: an archive failure (bad SPARK_GRAFT_ROUND value,
+    // unwritable dir) must never destroy the run's summary line below —
+    // the numbers are already safe in BENCH_FULL.json
+    if (only.isEmpty) scala.util.Try {
+      val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).getOrElse {
         val rx = "BENCH_r(\\d+)\\.json".r
         val dir = java.nio.file.Paths.get(".").toAbsolutePath
         val seen = Option(dir.toFile.list()).getOrElse(Array.empty[String])
@@ -112,7 +115,7 @@ object Bench {
         .map(n => java.nio.file.Paths.get(n).toAbsolutePath)
         .find(p => !java.nio.file.Files.exists(p)).get
       java.nio.file.Files.write(archive, fullJson)
-    }
+    }.failed.foreach(e => System.err.println(s"[bench] archive skipped: $e"))
     // Printed summary line: guaranteed to fit the 2000-char tail (with sbt's
     // trailing [success] line) so it parses every round — total, the full
     // artifact's path, and as many SLOWEST queries as fit the budget (the

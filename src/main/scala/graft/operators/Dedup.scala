@@ -223,14 +223,29 @@ object Dedup {
     val docSets = bands.groupBy(col("band"))
       .agg(sort_array(collect_set(col("doc_id"))).as("__docs"))
       .filter(size(col("__docs")) >= 2)
-    // __docs is sorted ascending, so pairing each element with its
-    // successors yields doc_a < doc_b directly.
-    val pairs = flatten(transform(col("__docs"), (x, i) =>
-      transform(slice(col("__docs"), i + lit(2), size(col("__docs"))),
-        y => struct(x.as("doc_a"), y.as("doc_b")))))
-    docSets.select(explode(pairs).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
+    successorPairs(docSets, "__docs", Seq.empty).distinct()
+  }
+
+  /** Expand a SORTED id-array column into its ordered pairs
+    * (doc_a < doc_b: each element paired with its successors), shaped so
+    * a HOT group degrades gracefully: posexplode the array first, then
+    * explode each element's successor slice — the largest single value
+    * ever materialized is one id array / one slice (O(n) per row), never
+    * the n(n-1)/2 pair array an all-at-once flatten-of-nested-transforms
+    * would build (which overflows the 2^31 array limit / an executor
+    * heap exactly on the hot band it should merely make slow). The pair
+    * ROW count is inherently quadratic either way — rows stream and
+    * spill; one giant value does not. `keep` columns pass through onto
+    * every pair row. */
+  private def successorPairs(docSets: DataFrame, docsCol: String,
+                             keep: Seq[String]): DataFrame = {
+    val kept = keep.map(col)
+    docSets
+      .select(kept :+ col(docsCol).as("__sp_docs") :+
+        posexplode(col(docsCol)).as(Seq("__sp_i", "doc_a")): _*)
+      .select(kept :+ col("doc_a") :+
+        explode(slice(col("__sp_docs"), col("__sp_i") + lit(2),
+          size(col("__sp_docs")))).as("doc_b"): _*)
   }
 
   /** MinHash signatures as a MAP-ONLY projection — the native in-row
@@ -315,13 +330,7 @@ object Dedup {
     val docSets = ex.groupBy("g")
       .agg(graft.functions.CappedSetAgg.cappedDistinct(col("doc_id"), dfCap).as("__docs"))
       .filter(col("__docs").isNotNull && size(col("__docs")) >= 2)
-    // __docs is sorted ascending, so pairing each element with its
-    // successors yields doc_a < doc_b directly.
-    val pairs = flatten(transform(col("__docs"), (x, i) =>
-      transform(slice(col("__docs"), i + lit(2), size(col("__docs"))),
-        y => struct(x.as("doc_a"), y.as("doc_b")))))
-    docSets.select(explode(pairs).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+    successorPairs(docSets, "__docs", Seq.empty)
       .distinct().transform(graft.core.Materialize.pin)
   }
 
@@ -630,13 +639,10 @@ object Dedup {
     val docSets = bandsAll.groupBy(col("band_size"), col("band"))
       .agg(sort_array(collect_set(col("doc_id"))).as("__docs"))
       .filter(size(col("__docs")) >= 2)
-    val pairs = flatten(transform(col("__docs"), (x, i) =>
-      transform(slice(col("__docs"), i + lit(2), size(col("__docs"))),
-        y => struct(x.as("doc_a"), y.as("doc_b")))))
     // pinned: consumed by both the per-config cost count and the truth
     // semi-join below
-    val cands = docSets.select(col("band_size"), explode(pairs).as("p"))
-      .select(col("band_size"), col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    val cands = successorPairs(docSets, "__docs", Seq("band_size"))
+      .select(col("band_size"), col("doc_a"), col("doc_b"))
       .distinct()
       .transform(graft.core.Materialize.pin)
     val base = bandSizes.map(c => (c, numHashes / c)).toDF("band_size", "n_bands")

@@ -389,8 +389,12 @@ object Similarity {
     val hits = ex.join(approx, Seq("qid", "cid"))
       .groupBy("n_probe").agg(count(lit(1)).as("n_hit"))
     val nScored = perCfg.groupBy("n_probe").agg(count(lit(1)).as("n_scored"))
+    // coalesce: sum over an EMPTY ground truth is NULL, which would turn
+    // every recall into NULL instead of firing the vacuous n_denom=0
+    // branch below (the pairRecall monitor-safety rule)
     val denom = exact.groupBy("qid").agg(count(lit(1)).as("__d"))
-      .agg(sum(least(lit(k.toLong), col("__d"))).cast(LongType).as("n_denom"))
+      .agg(coalesce(sum(least(lit(k.toLong), col("__d"))), lit(0L))
+        .cast(LongType).as("n_denom"))
     cfg.join(nScored, Seq("n_probe"), "left_outer")
       .join(hits, Seq("n_probe"), "left_outer")
       .crossJoin(broadcast(denom))

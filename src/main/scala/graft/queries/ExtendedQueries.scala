@@ -430,18 +430,11 @@ object ExtendedQueries {
     * contract): built once per (JVM run, sf dir), read by q_hll_distinct
     * so recurring evaluations measure the estimate-off-stored-registers
     * probe — the production deployment of a mergeable sketch. */
-  private val hllRegWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
-  private def hllRegistersTable(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val path = hllRegWritten.computeIfAbsent(dir, { _ =>
-      val p = s"${VectorQueries.annArtifactRoot}/hll_registers/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
+  private def hllRegistersTable(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Memo.parquetArtifact(s, dir, "hll_registers") {
       graft.operators.Sketches.hllRegisters(t(s, dir, "lineitem"),
-          col("l_orderkey").cast("string"), Seq("l_returnflag"))
-        .write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+        col("l_orderkey").cast("string"), Seq("l_returnflag"))
+    }
 
   /** Run-scoped exact per-flag distinct counts — the sketch's periodic
     * exact AUDIT, persisted alongside the registers exactly as a
@@ -450,17 +443,10 @@ object ExtendedQueries {
     * would re-scan the fact table the sketch exists to avoid). The
     * oracle recomputes it from scratch, so the count derivation stays
     * hash-proven. */
-  private val hllExactWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
-  private def hllExactTable(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val path = hllExactWritten.computeIfAbsent(dir, { _ =>
-      val p = s"${VectorQueries.annArtifactRoot}/hll_exact/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
+  private def hllExactTable(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Memo.parquetArtifact(s, dir, "hll_exact") {
       t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey")).distinct()
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_orders"))
-        .write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+    }
 }

@@ -581,21 +581,14 @@ object PipelineQueries {
     * table (TextAnalysis.dsirModel) trains once per (JVM run, sf dir) and
     * both DSIR queries read it — the production train-once/score-many
     * split, memo'd like the ANN codebooks. */
-  private val dsirModelWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
-  private def dsirModelTable(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val path = dsirModelWritten.computeIfAbsent(dir, { _ =>
-      val p = s"${VectorQueries.annArtifactRoot}/dsir_model/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
+  private def dsirModelTable(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Memo.parquetArtifact(s, dir, "dsir_model") {
       val docs = t(s, dir, "documents")
       graft.operators.TextAnalysis.dsirModel(
-          docs.filter(col("source") =!= "src0"),
-          docs.filter(col("source") === "src0"),
-          "doc_id", "text")
-        .write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text")
+    }
 
   /** The model's quantized per-bucket score table, memo'd too: a
     * recurring scoring pass carries the 256 longs as a plan reference —

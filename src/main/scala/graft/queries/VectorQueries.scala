@@ -110,19 +110,12 @@ object VectorQueries {
     * once then evaluated against many times (the dedupRecallTruth
     * pattern); the oracle recomputes it from scratch, so the ranking
     * stays hash-proven. */
-  private val annTruthWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
-  private def annRecallTruth(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val path = annTruthWritten.computeIfAbsent(dir, { _ =>
-      val p = s"$annArtifactRoot/ann_recall_truth/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
+  private def annRecallTruth(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Memo.parquetArtifact(s, dir, "ann_recall_truth") {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceL2TopK(emb, emb.filter(col("vec_id") < 5),
-          "vec_id", "embedding", k = 10)
-        .write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+        "vec_id", "embedding", k = 10)
+    }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -489,7 +482,7 @@ object VectorQueries {
                    FROM ex JOIN approx USING (qid, cid) GROUP BY n_probe),
           nsc AS (SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS n_scored
                   FROM percfg GROUP BY n_probe),
-          den AS (SELECT CAST(SUM(LEAST(10, d)) AS BIGINT) AS n_denom
+          den AS (SELECT CAST(COALESCE(SUM(LEAST(10, d)), 0) AS BIGINT) AS n_denom
                   FROM (SELECT qid, COUNT(*) AS d FROM ex GROUP BY qid))
           SELECT cfg.n_probe,
                  COALESCE(nsc.n_scored, 0) AS n_scored,

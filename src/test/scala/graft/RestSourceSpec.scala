@@ -173,14 +173,17 @@ class RestSourceSpec extends SparkSpec {
     // Two slow probes then healthy ones, budget ceiling 60, spike bar
     // 40ms: windows must run 30, 15 (halve, halve), then 30, 60, 60, 55
     // (double back to the ceiling) over the 250-row corpus.
+    // generous margins keep the test timing-robust: a "healthy" probe
+    // (no sleep) would need a 500ms stall to misread as a spike, and a
+    // "slow" probe sleeps 3x the bar
     val api = new FakeApi
     api.slowProbes.set(2)
-    api.slowProbeMs = 200L
+    api.slowProbeMs = 1500L
     FetcherRegistry.register("fake_stream_adaptive", api)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_rest_adapt").toString
     val q = spark.readStream.format("graft.sources.rest.RestSource")
       .option("fetcher", "fake_stream_adaptive").option("pageSize", "40")
-      .option("maxOffsetsPerTrigger", "60").option("latencySpikeMs", "40").load()
+      .option("maxOffsetsPerTrigger", "60").option("latencySpikeMs", "500").load()
       .writeStream.format("memory").queryName("rest_stream_adaptive")
       .option("checkpointLocation", ckpt)
       .start()
