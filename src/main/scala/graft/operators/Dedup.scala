@@ -445,16 +445,26 @@ object Dedup {
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
       // pointer doubling: follow the component's own label one more hop
       // (component ids are always doc ids present in `labels`, so the
-      // lookup join below covers every non-root label). The convergence
-      // count rides the pin's OWN action as an observe metric — zero
-      // extra jobs per round (the previous shape ran a separate
-      // filter-isEmpty job over the pinned partitions).
-      val ptr = hop1.select(col("doc_id").as("__c"), col("component").as("__cc"))
+      // lookup join below covers every non-root label). ROUND ONE skips
+      // it: on the common star/clique-shaped dup components the init
+      // labels are already the fixpoint and round one exists to PROVE
+      // that — hop1 suffices, and the doubling self-join would evaluate
+      // the hop1 subtree twice for nothing. Deep chains pay at most one
+      // extra round before doubling kicks in from round two. The
+      // convergence count rides the pin's OWN action as an observe
+      // metric — zero extra jobs per round (the previous shape ran a
+      // separate filter-isEmpty job over the pinned partitions).
+      val doubled =
+        if (iter == 0) hop1
+        else {
+          val ptr = hop1.select(col("doc_id").as("__c"), col("component").as("__cc"))
+          hop1.join(ptr, col("component") === col("__c"), "left_outer")
+            .select(col("doc_id"), col("__old"),
+              least(col("component"), coalesce(col("__cc"), col("component"))).as("component"))
+        }
       val obs = new org.apache.spark.sql.Observation(
         s"graft_cc_changed_${ccObsId.incrementAndGet()}")
-      val next = hop1.join(ptr, col("component") === col("__c"), "left_outer")
-        .select(col("doc_id"), col("__old"),
-          least(col("component"), coalesce(col("__cc"), col("component"))).as("component"))
+      val next = doubled
         .select(col("doc_id"), col("component"),
           (col("component") =!= col("__old")).as("__changed"))
         .observe(obs, sum(when(col("__changed"), 1L).otherwise(0L)).as("n_changed"))
