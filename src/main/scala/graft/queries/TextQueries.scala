@@ -179,12 +179,13 @@ object TextQueries {
     (lo ++ hi).mkString(" + ")
   }
 
-  /** DuckDB FROM-clause producing the token-hash lists for simhashSql. */
-  private val simhashFromSql: String =
-    """(SELECT doc_id, text,
+  /** DuckDB FROM-clause producing the token-hash lists for simhashSql
+    * over any doc source (a table or CTE with doc_id + text). */
+  private def simhashFromSql(src: String = "documents"): String =
+    s"""(SELECT doc_id, text,
               list_transform(string_split(text, ' '), x -> md5(x)) AS hs,
               list_transform(string_split(text, ' '), x -> md5('x:' || x)) AS hs2
-       FROM documents)"""
+       FROM $src)"""
 
   private val shinglesSql: String =
     "list_distinct(list_transform(range(1, length(text) - 7), i -> substr(text, CAST(i AS INT), 9)))"
@@ -268,7 +269,7 @@ object TextQueries {
       "document fingerprinting: md5 content hash + portable 63-bit simhash",
       s"""SELECT doc_id, md5(lower(trim(text))) AS fp,
                  CAST($simhashSql AS BIGINT) AS simhash
-          FROM $simhashFromSql
+          FROM ${simhashFromSql()}
           ORDER BY doc_id""") { (s, dir) =>
       val docs = t(s, dir, "documents")
       docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -928,6 +929,49 @@ object TextQueries {
         .orderBy(col("band_size"))
     },
 
+    // SimHash recall vs the SAME Jaccard ground truth the MinHash
+    // evaluators probe — completing recall evaluation across all three
+    // near-dup methods (MinHash-LSH single config, its band sweep, and
+    // now the cosine-sketch family). SimHash approximates a different
+    // similarity (token-frequency cosine, not shingle Jaccard), so its
+    // recall against Jaccard truth is exactly the leak rate a pipeline
+    // that swapped MinHash for SimHash would incur — the number that
+    // decision needs, measured rather than assumed.
+    QueryDef(
+      "q_simhash_recall",
+      "SimHash (hamming <= 3) recall vs exact Jaccard >= 0.8 truth on the 1/3 sample",
+      s"""WITH samp AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+          s AS (SELECT doc_id, $shinglesSql AS sh FROM samp),
+          exact AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+          sig AS (
+            SELECT doc_id, CAST($simhashSql AS BIGINT) AS sig
+            FROM ${simhashFromSql("samp")}),
+          bands AS (
+            SELECT doc_id, sig,
+                   unnest([${(0 until 4).map(i => s"'$i' || ':' || CAST((sig >> ${i * 16}) & 65535 AS VARCHAR)").mkString(", ")}]) AS band
+            FROM sig),
+          shp AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+          found AS (SELECT * FROM exact JOIN shp USING (doc_a, doc_b))
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS n_found,
+                 CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN 1.0e0
+                      ELSE CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
+                             / (SELECT COUNT(*) FROM exact)
+                 END AS recall""") { (s, dir) =>
+      val samp = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      Dedup.pairRecall(
+        Dedup.simhashNearDups(samp, "doc_id", "text", maxHamming = 3),
+        dedupRecallTruth(s, dir))
+    },
+
     // Containment join: the asymmetric companion to q_dedup_jaccard —
     // finds subset/excerpt relations (C(A in B) = |A∩B|/|A|) the
     // symmetric measure dilutes. Same candidates, both directions scored.
@@ -1041,7 +1085,7 @@ object TextQueries {
       "SimHash near-dup pairs via 16-bit pigeonhole banding (hamming <= 3)",
       s"""WITH sig AS (
             SELECT doc_id, CAST($simhashSql AS BIGINT) AS sig
-            FROM $simhashFromSql),
+            FROM ${simhashFromSql()}),
           bands AS (
             SELECT doc_id, sig,
                    unnest([${(0 until 4).map(i => s"'$i' || ':' || CAST((sig >> ${i * 16}) & 65535 AS VARCHAR)").mkString(", ")}]) AS band
@@ -1187,6 +1231,54 @@ object TextQueries {
         "doc_id", "n_chars", Seq("source"), k = 32)
       graft.operators.Sketches.sampleQuantiles(sample, "doc_id", "n_chars",
           Seq("source"), Seq(("p50", 1, 2), ("p90", 9, 10)))
+        .orderBy(col("source"))
+    },
+
+    // The monitoring ALERT RULE, oracle-checked (previously spec-only):
+    // per-source p50 from a pinned "day-0" baseline sample (the even
+    // doc ids — what a prior run's kmvSampleSink would have persisted)
+    // vs the live sample over the full corpus; drifted when a source
+    // exists on only one side or the medians diverge past
+    // tolerance * max(|base|, 1). Everything is exact rank arithmetic
+    // over constant-size samples, so an alert is reproducible on any
+    // engine — a paged operator can re-run the query and get the same
+    // flag, not a flake.
+    QueryDef(
+      "q_sample_drift",
+      "KMV sample drift alarm: per-source live-vs-baseline p50 with 20% tolerance flags",
+      """WITH base_s AS (SELECT source, doc_id, n_chars,
+                               row_number() OVER (PARTITION BY source
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS hrn
+                        FROM documents WHERE doc_id % 2 = 0),
+          live_s AS (SELECT source, doc_id, n_chars,
+                            row_number() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS hrn
+                     FROM documents),
+          bq AS (SELECT source, CAST(MAX(CASE WHEN rn = greatest(1, (n + 1) // 2)
+                                              THEN n_chars END) AS DOUBLE) AS base
+                 FROM (SELECT source, n_chars,
+                              row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+                              COUNT(*) OVER (PARTITION BY source) AS n
+                       FROM base_s WHERE hrn <= 32)
+                 GROUP BY source),
+          lq AS (SELECT source, CAST(MAX(CASE WHEN rn = greatest(1, (n + 1) // 2)
+                                              THEN n_chars END) AS DOUBLE) AS cur
+                 FROM (SELECT source, n_chars,
+                              row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+                              COUNT(*) OVER (PARTITION BY source) AS n
+                       FROM live_s WHERE hrn <= 32)
+                 GROUP BY source)
+          SELECT COALESCE(bq.source, lq.source) AS source, base, cur,
+                 (base IS NULL OR cur IS NULL
+                  OR abs(cur - base) > 0.2e0 * greatest(abs(base), 1.0e0)) AS drifted
+          FROM bq FULL OUTER JOIN lq ON bq.source = lq.source
+          ORDER BY source""") { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("source"), col("doc_id"), col("n_chars"))
+      def samp(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Sketches.bottomKSample(df, "doc_id", "n_chars", Seq("source"), k = 32)
+      graft.operators.Sketches.sampleDrift(
+          current = samp(docs), baseline = samp(docs.filter(col("doc_id") % 2 === 0)),
+          "doc_id", "n_chars", Seq("source"))
         .orderBy(col("source"))
     },
 
