@@ -177,6 +177,23 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(10L, 11L))
   }
 
+  test("candidatesFromBands: a HOT band yields all n(n-1)/2 pairs without one giant array value") {
+    // 400 docs in a single band -> 79,800 candidate pairs. The pair
+    // expansion must stream per-element successor slices (O(n) values),
+    // not build the quadratic pair array in one row — this fixture is the
+    // miniature of the hot-band corpus that would overflow the 2^31
+    // array limit under the all-at-once shape.
+    val n = 400
+    val bands = (1L to n.toLong).map(i => (i, "hot")).toDF("doc_id", "band")
+    val got = Dedup.candidatesFromBands(bands)
+    assert(got.count() == n.toLong * (n - 1) / 2)
+    // ordering + boundary spot checks
+    import org.apache.spark.sql.functions.{min => smin, max => smax}
+    val r = got.agg(smin(col("doc_a")), smax(col("doc_b")),
+      smax(col("doc_a"))).head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == n.toLong && r.getLong(2) == n - 1L)
+  }
+
   test("lshBandSweep: recall and candidate count decrease monotonically with band size") {
     // near-identical pairs (one word flipped) plus unrelated docs
     val docs = (1L to 30L).map { i =>
