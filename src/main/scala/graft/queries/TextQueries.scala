@@ -1282,6 +1282,96 @@ object TextQueries {
         .orderBy(col("source"))
     },
 
+    // THE DASHBOARD ROW — one-row corpus health report composing the
+    // proven monitoring families (the corpus analogue of
+    // q_quality_checks): gate pass rate, exact-dup rate, docs touched by
+    // near-dup pairs (read off the persisted pair artifact — the report
+    // CONSULTS the pipeline's indexes, it doesn't rebuild them),
+    // benchmark-contaminated doc count, drifted-source count. Every
+    // number is an exact integer or a single IEEE division, so the
+    // report hash-checks — a health dashboard whose numbers an auditor
+    // can reproduce bit-for-bit on another engine.
+    QueryDef(
+      "q_corpus_health",
+      "one-row corpus health report: pass rate, dup rates, contamination, drift",
+      s"""WITH $lshPairsCtes,
+          gfp AS (SELECT md5(lower(trim(text))) AS f,
+                         CASE WHEN (len(string_split(text, ' ')) BETWEEN 30 AND 120)
+                               AND (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                                      / len(string_split(text, ' ')) BETWEEN 3 AND 10)
+                               AND (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                                      / len(string_split(text, ' ')) >= 0.3)
+                               AND (len(list_filter(string_split(text, ' '), w -> w IN ('a', 'the'))) > 0)
+                              THEN 1 ELSE 0 END AS pass
+                  FROM documents),
+          basea AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                           CAST(SUM(pass) AS DOUBLE) / COUNT(*) AS pass_rate,
+                           1.0e0 - (CAST(COUNT(DISTINCT f) AS DOUBLE) / COUNT(*)) AS exact_dup_rate
+                    FROM gfp),
+          ndd AS (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS near_dup_docs FROM
+                   (SELECT doc_a AS d FROM pairs UNION ALL SELECT doc_b FROM pairs)),
+          gg AS (SELECT doc_id, source,
+                        list_distinct(list_transform(
+                          range(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                          i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))) AS gs
+                 FROM documents),
+          eval_g AS (SELECT DISTINCT unnest(gs) AS gram FROM gg WHERE source = 'src0'),
+          train AS (SELECT doc_id, unnest(gs) AS gram FROM gg WHERE source <> 'src0'),
+          contd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS contaminated_docs
+                    FROM train JOIN eval_g USING (gram)),
+          base_s AS (SELECT source, doc_id, n_chars,
+                            row_number() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS hrn
+                     FROM documents WHERE doc_id % 2 = 0),
+          live_s AS (SELECT source, doc_id, n_chars,
+                            row_number() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS hrn
+                     FROM documents),
+          bq AS (SELECT source, CAST(MAX(CASE WHEN rn = greatest(1, (n + 1) // 2)
+                                              THEN n_chars END) AS DOUBLE) AS base
+                 FROM (SELECT source, n_chars,
+                              row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+                              COUNT(*) OVER (PARTITION BY source) AS n
+                       FROM base_s WHERE hrn <= 32)
+                 GROUP BY source),
+          lq AS (SELECT source, CAST(MAX(CASE WHEN rn = greatest(1, (n + 1) // 2)
+                                              THEN n_chars END) AS DOUBLE) AS cur
+                 FROM (SELECT source, n_chars,
+                              row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+                              COUNT(*) OVER (PARTITION BY source) AS n
+                       FROM live_s WHERE hrn <= 32)
+                 GROUP BY source),
+          dft AS (SELECT CAST(COALESCE(SUM(CASE WHEN (base IS NULL OR cur IS NULL
+                                  OR abs(cur - base) > 0.2e0 * greatest(abs(base), 1.0e0))
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS drifted_sources
+                  FROM bq FULL OUTER JOIN lq ON bq.source = lq.source)
+          SELECT n_docs, pass_rate, exact_dup_rate, near_dup_docs,
+                 contaminated_docs, drifted_sources
+          FROM basea CROSS JOIN ndd CROSS JOIN contd CROSS JOIN dft""") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val base = TextAnalysis.qualityGates(docs, "text")
+        .select(col("pass"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(when(col("pass"), 1L).otherwise(0L)).cast("double") / count(lit(1))).as("pass_rate"),
+          (lit(1.0) - count_distinct(col("fp")).cast("double") / count(lit(1))).as("exact_dup_rate"))
+      val nd = nearDupPairs(s, dir)
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+        .agg(count_distinct(col("d")).as("near_dup_docs"))
+      val cont = Dedup.contaminationHits(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "doc_id", "text", n = 4)
+        .agg(count(lit(1)).as("contaminated_docs"))
+      def samp2(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Sketches.bottomKSample(
+          df.select(col("source"), col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", Seq("source"), k = 32)
+      val drift = graft.operators.Sketches.sampleDrift(
+          current = samp2(docs), baseline = samp2(docs.filter(col("doc_id") % 2 === 0)),
+          "doc_id", "n_chars", Seq("source"))
+        .agg(coalesce(sum(when(col("drifted"), 1L).otherwise(0L)), lit(0L)).as("drifted_sources"))
+      base.crossJoin(broadcast(nd)).crossJoin(broadcast(cont)).crossJoin(broadcast(drift))
+    },
+
     // Exact phrase search over positional postings — the retrieval
     // primitive term-only indexes (q_inverted_index, q_bm25) cannot
     // express: "slow hash batch" as CONSECUTIVE words. Term i's postings
