@@ -469,9 +469,15 @@ object Dedup {
           (col("component") =!= col("__old")).as("__changed"))
         .observe(obs, sum(when(col("__changed"), 1L).otherwise(0L)).as("n_changed"))
         .transform(graft.core.Materialize.pin)
-      converged = obs.get.get("n_changed").forall {
-        case null => true // all-empty input: no rows changed
-        case n: java.lang.Long => n == 0L
+      converged = obs.get.get("n_changed") match {
+        case Some(null) => true // all-empty input: no rows changed
+        case Some(n: java.lang.Long) => n == 0L
+        // A missing key means the metric was never collected for the pin's
+        // action — declaring convergence on that would silently truncate
+        // label propagation (wrong components, no error). Fail loudly.
+        case other => throw new IllegalStateException(
+          s"connectedComponents: convergence metric n_changed missing/untyped in Observation ($other) — " +
+            "metrics-collection regression; refusing to declare convergence")
       }
       labels = next.select(col("doc_id"), col("component"))
       iter += 1
@@ -980,13 +986,16 @@ object Dedup {
     * set, so it broadcasts.
     *
     * Existence-only plan: unlike contaminationHits (which must COUNT per
-    * document), dropping needs no aggregation anywhere — the eval gram
+    * document), dropping needs no per-doc aggregation — the eval gram
     * set broadcasts un-distinct'ed (a semi probe is duplicate-
     * insensitive; per-doc gram sets are already distinct in-row, and a
     * benchmark suite is broadcast-small either way), the corpus side
     * left-semi's straight to contaminated ids, and the anti join
-    * tolerates duplicate ids — zero shuffles beyond the joins
-    * themselves, two fewer than the count-then-drop formulation. */
+    * tolerates duplicates. The contaminated-ID side alone distincts
+    * before broadcasting (see inline note) — that side is unbounded in
+    * the worst case, and one tiny-id-set shuffle is the price of a
+    * broadcast bounded by |contaminated docs| instead of |matching
+    * occurrences|. */
   def decontaminate(train: DataFrame, evalDocs: DataFrame,
                     idCol: String, textCol: String, n: Int): DataFrame = {
     val evalGrams = evalDocs.select(
@@ -995,6 +1004,13 @@ object Dedup {
       .select(col(idCol), explode(graft.plans.GraftFunctions.word_gram_hashes(col(textCol), n)).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
       .select(col(idCol))
+      // distinct before the broadcast: the semi-join keeps one row per
+      // MATCHING GRAM per doc, and unlike the eval side (bounded by the
+      // benchmark suite) this side scales with total train-side matching
+      // occurrences — a heavily-contaminated shard (verbatim benchmark
+      // copies) would inflate the driver collect far beyond the doc set.
+      // One shuffle over a tiny id set caps the broadcast at |docs|.
+      .distinct()
     train.join(broadcast(contaminated), Seq(idCol), "left_anti")
   }
 }

@@ -571,12 +571,19 @@ object TextAnalysis {
     * memos so repeated scoring passes never re-read the model. */
   def dsirQuantizedScores(model: org.apache.spark.sql.DataFrame,
                           buckets: Int = 256): Seq[Long] = {
+    // The fused consumer (BigramBucketScore) is fixed at 256 buckets; a
+    // silent mismatch here would skew the add-one denominators, so the
+    // constraint fails loudly at the same place the kernel's does.
+    require(buckets == 256,
+      s"dsirQuantizedScores feeds BigramBucketScore's fixed 256-bucket table; got buckets=$buckets")
     val rows = model.select(col("bucket").cast("int"),
       col("ct").cast("long"), col("cr").cast("long")).collect()
     val ctArr = Array.fill(256)(0L)
     val crArr = Array.fill(256)(0L)
     rows.foreach { r =>
       val b = r.getInt(0)
+      require(b >= 0 && b < 256,
+        s"dsirQuantizedScores: model bucket $b outside [0, 256) — not a dsirModel table")
       if (!r.isNullAt(1)) ctArr(b) = r.getLong(1)
       if (!r.isNullAt(2)) crArr(b) = r.getLong(2)
     }
