@@ -404,7 +404,15 @@ object Dedup {
     * every doc appearing in `pairs`; logs a warning if maxIter is hit
     * before convergence (labels may then split one true component).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of label-propagation rounds
+    * the run actually used — the observable the O(log n) growth check
+    * (GrowthSpec) asserts on. Package-visible: rounds are a measurement
+    * surface, not an operator contract. */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
     // Pin the pair slice BEFORE symmetrizing: the union's two branches are
     // otherwise two full executions of whatever produced `pairs` (for the
     // LSH callers, the entire shingle/minhash/verify tower — Spark reuses
@@ -486,7 +494,7 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"connectedComponents did not converge within $maxIter iterations; " +
           "component labels may split one true component")
-    labels
+    (labels, iter)
   }
 
   /** PageRank over a symmetric pair graph (e.g. near-dup pairs): the
@@ -634,14 +642,29 @@ object Dedup {
     * candidates keep their row). */
   def lshBandSweep(docs: DataFrame, idCol: String, textCol: String, k: Int,
                    numHashes: Int, bandSizes: Seq[Int],
-                   truth: DataFrame): DataFrame = {
+                   truth: DataFrame): DataFrame =
+    lshBandSweepFromSignatures(
+      minhashSignaturesInRow(docs, idCol, textCol, k, numHashes),
+      numHashes, bandSizes, truth)
+
+  /** The sweep body over a PREBUILT signature table
+    * ([[minhashSignaturesInRow]] schema: doc_id, sig_0..sig_{n-1}) —
+    * signatures are band-size independent, so a recurring sweep persists
+    * them once beside the truth artifact and each evaluation measures
+    * this read path (the signBands/incrementalNearDupsFromBands split,
+    * applied to the evaluator). ONE aggregation carries both frontier
+    * axes: the distinct candidate set left-joins the broadcast-small
+    * truth and a single groupBy(band_size) counts candidates and truth
+    * hits together — no materialization barrier, no second pass over the
+    * candidate set. */
+  def lshBandSweepFromSignatures(sig: DataFrame, numHashes: Int,
+                                 bandSizes: Seq[Int], truth: DataFrame): DataFrame = {
     require(bandSizes.nonEmpty && bandSizes.forall(b => b >= 1 && numHashes % b == 0),
       s"every band size must divide numHashes=$numHashes, got $bandSizes")
-    import docs.sparkSession.implicits._
-    val sig = minhashSignaturesInRow(docs, idCol, textCol, k, numHashes)
+    import sig.sparkSession.implicits._
     // ONE explode emits every config's band keys from a single read of
     // each signature row (Σ numHashes/c structs per doc) — no per-config
-    // union branches, so the signing scan pipelines straight into the
+    // union branches, so the signature scan pipelines straight into the
     // grouping with nothing materialized
     val keyCols = bandSizes.flatMap { c =>
       (0 until numHashes / c).map { b =>
@@ -655,20 +678,20 @@ object Dedup {
     val docSets = bandsAll.groupBy(col("band_size"), col("band"))
       .agg(sort_array(collect_set(col("doc_id"))).as("__docs"))
       .filter(size(col("__docs")) >= 2)
-    // pinned: consumed by both the per-config cost count and the truth
-    // semi-join below
     val cands = successorPairs(docSets, "__docs", Seq("band_size"))
       .select(col("band_size"), col("doc_a"), col("doc_b"))
       .distinct()
-      .transform(graft.core.Materialize.pin)
-    val base = bandSizes.map(c => (c, numHashes / c)).toDF("band_size", "n_bands")
-    val nCand = cands.groupBy("band_size").agg(count(lit(1)).as("n_candidates"))
+    // truth pairs are unique (doc_a < doc_b), so the left join can't
+    // multiply candidate rows — one aggregation reads off both axes
     val tr = truth.select(col("doc_a"), col("doc_b"))
-    val nFound = tr.join(cands, Seq("doc_a", "doc_b"))
-      .groupBy("band_size").agg(count(lit(1)).as("n_found"))
+    val agg = cands
+      .join(broadcast(tr.withColumn("__t", lit(1L))), Seq("doc_a", "doc_b"), "left_outer")
+      .groupBy("band_size")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("__t"), lit(0L))).as("n_found"))
+    val base = bandSizes.map(c => (c, numHashes / c)).toDF("band_size", "n_bands")
     val nTruth = tr.agg(count(lit(1)).as("n_truth"))
-    base.join(nCand, Seq("band_size"), "left_outer")
-      .join(nFound, Seq("band_size"), "left_outer")
+    base.join(agg, Seq("band_size"), "left_outer")
       .crossJoin(broadcast(nTruth))
       .select(col("band_size"), col("n_bands"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),

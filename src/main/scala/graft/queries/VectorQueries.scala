@@ -117,6 +117,71 @@ object VectorQueries {
         "vec_id", "embedding", k = 10)
     }
 
+  /** Shared oracle CTE chain for the IVF probe-depth sweep (16 cells,
+    * queries vec_id < 5, k=10, depths 1/2/4/8): cells -> probe ranking ->
+    * scored candidates -> per-depth approx top-k vs exact truth. Shared
+    * by q_ivf_sweep (the full frontier) and q_pick_ivf_config (the choice
+    * read off it) so both oracles recompute the identical grid. */
+  private lazy val ivfSweepCtesSql: String =
+    s"""WITH dims AS ($dimsSql),
+          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id IN ${seedIdsSql(16)}),
+          vdist AS (
+            SELECT v.vec_id, c.cc,
+                   CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS d2
+            FROM dims v JOIN cdims c ON v.d = c.d GROUP BY 1, 2),
+          cells AS (
+            SELECT vec_id, cc AS cell FROM (
+              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+              FROM vdist) WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS qid, cc AS cell, rn FROM (
+              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+              FROM vdist WHERE vec_id < 5) WHERE rn <= 8),
+          cand AS (
+            SELECT p.qid, c.vec_id AS cid, p.rn FROM probes p
+            JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.qid),
+          pd AS (
+            SELECT cand.qid, cand.cid, cand.rn,
+                   CAST(SUM(CAST(FLOOR(((a.x - b.x) * (a.x - b.x)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dist
+            FROM cand JOIN dims a ON a.vec_id = cand.qid
+                      JOIN dims b ON b.vec_id = cand.cid AND b.d = a.d
+            GROUP BY 1, 2, 3),
+          cfg(n_probe) AS (VALUES (1), (2), (4), (8)),
+          percfg AS (SELECT cfg.n_probe, pd.qid, pd.cid, pd.dist
+                     FROM pd JOIN cfg ON pd.rn <= cfg.n_probe),
+          approx AS (
+            SELECT n_probe, qid, cid FROM (
+              SELECT n_probe, qid, cid,
+                     ROW_NUMBER() OVER (PARTITION BY n_probe, qid ORDER BY dist, cid) AS rk
+              FROM percfg) WHERE rk <= 10),
+          alld AS (
+            SELECT a.vec_id AS qid, b.vec_id AS cid,
+                   CAST(SUM(CAST(FLOOR(((a.x - b.x) * (a.x - b.x)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dist
+            FROM dims a JOIN dims b ON a.d = b.d AND b.vec_id <> a.vec_id
+            WHERE a.vec_id < 5
+            GROUP BY 1, 2),
+          ex AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cid) AS rank
+              FROM alld) WHERE rank <= 10),
+          hits AS (SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS n_hit
+                   FROM ex JOIN approx USING (qid, cid) GROUP BY n_probe),
+          nsc AS (SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS n_scored
+                  FROM percfg GROUP BY n_probe),
+          den AS (SELECT CAST(COALESCE(SUM(LEAST(10, d)), 0) AS BIGINT) AS n_denom
+                  FROM (SELECT qid, COUNT(*) AS d FROM ex GROUP BY qid))"""
+
+  private lazy val ivfSweepSelectSql: String =
+    """SELECT cfg.n_probe,
+                 COALESCE(nsc.n_scored, 0) AS n_scored,
+                 COALESCE(hits.n_hit, 0) AS n_hit,
+                 den.n_denom,
+                 CASE WHEN den.n_denom = 0 THEN 1.0e0
+                      ELSE CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / den.n_denom
+                 END AS recall_micro
+          FROM cfg LEFT JOIN nsc USING (n_probe) LEFT JOIN hits USING (n_probe)
+          CROSS JOIN den"""
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -437,68 +502,36 @@ object VectorQueries {
     QueryDef(
       "q_ivf_sweep",
       "IVF probe-depth recall/cost frontier: scored candidates + micro recall@10 per nProbe",
-      s"""WITH dims AS ($dimsSql),
-          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id IN ${seedIdsSql(16)}),
-          vdist AS (
-            SELECT v.vec_id, c.cc,
-                   CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS d2
-            FROM dims v JOIN cdims c ON v.d = c.d GROUP BY 1, 2),
-          cells AS (
-            SELECT vec_id, cc AS cell FROM (
-              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
-              FROM vdist) WHERE rn = 1),
-          probes AS (
-            SELECT vec_id AS qid, cc AS cell, rn FROM (
-              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
-              FROM vdist WHERE vec_id < 5) WHERE rn <= 8),
-          cand AS (
-            SELECT p.qid, c.vec_id AS cid, p.rn FROM probes p
-            JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.qid),
-          pd AS (
-            SELECT cand.qid, cand.cid, cand.rn,
-                   CAST(SUM(CAST(FLOOR(((a.x - b.x) * (a.x - b.x)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dist
-            FROM cand JOIN dims a ON a.vec_id = cand.qid
-                      JOIN dims b ON b.vec_id = cand.cid AND b.d = a.d
-            GROUP BY 1, 2, 3),
-          cfg(n_probe) AS (VALUES (1), (2), (4), (8)),
-          percfg AS (SELECT cfg.n_probe, pd.qid, pd.cid, pd.dist
-                     FROM pd JOIN cfg ON pd.rn <= cfg.n_probe),
-          approx AS (
-            SELECT n_probe, qid, cid FROM (
-              SELECT n_probe, qid, cid,
-                     ROW_NUMBER() OVER (PARTITION BY n_probe, qid ORDER BY dist, cid) AS rk
-              FROM percfg) WHERE rk <= 10),
-          alld AS (
-            SELECT a.vec_id AS qid, b.vec_id AS cid,
-                   CAST(SUM(CAST(FLOOR(((a.x - b.x) * (a.x - b.x)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dist
-            FROM dims a JOIN dims b ON a.d = b.d AND b.vec_id <> a.vec_id
-            WHERE a.vec_id < 5
-            GROUP BY 1, 2),
-          ex AS (
-            SELECT qid, cid FROM (
-              SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cid) AS rank
-              FROM alld) WHERE rank <= 10),
-          hits AS (SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS n_hit
-                   FROM ex JOIN approx USING (qid, cid) GROUP BY n_probe),
-          nsc AS (SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS n_scored
-                  FROM percfg GROUP BY n_probe),
-          den AS (SELECT CAST(COALESCE(SUM(LEAST(10, d)), 0) AS BIGINT) AS n_denom
-                  FROM (SELECT qid, COUNT(*) AS d FROM ex GROUP BY qid))
-          SELECT cfg.n_probe,
-                 COALESCE(nsc.n_scored, 0) AS n_scored,
-                 COALESCE(hits.n_hit, 0) AS n_hit,
-                 den.n_denom,
-                 CASE WHEN den.n_denom = 0 THEN 1.0e0
-                      ELSE CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / den.n_denom
-                 END AS recall_micro
-          FROM cfg LEFT JOIN nsc USING (n_probe) LEFT JOIN hits USING (n_probe)
-          CROSS JOIN den
+      s"""$ivfSweepCtesSql
+          $ivfSweepSelectSql
           ORDER BY cfg.n_probe""") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 5)
       Similarity.ivfProbeSweep(emb, q, "vec_id", "embedding", nCells = 16,
           nProbes = Seq(1, 2, 4, 8), k = 10, exact = annRecallTruth(s, dir))
         .orderBy(col("n_probe"))
+    },
+
+    // The CHOICE the probe sweep exists to make, closed at the oracle
+    // level: the cheapest depth (fewest scored candidates) whose micro
+    // recall clears the 0.5 floor, deterministic (n_scored, n_probe)
+    // tie-break — one row, or zero when no depth qualifies (treat as
+    // "re-sweep with more cells/probes", never "deploy the best loser").
+    // The sweep->choice loop is now DuckDB-visible end to end.
+    QueryDef(
+      "q_pick_ivf_config",
+      "pick the cheapest IVF probe depth clearing micro recall@10 >= 0.5 off the sweep frontier",
+      s"""$ivfSweepCtesSql
+          SELECT * FROM (
+          $ivfSweepSelectSql
+          ) WHERE recall_micro >= 0.5e0
+          ORDER BY n_scored, n_probe LIMIT 1""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      Similarity.pickIvfConfig(
+        Similarity.ivfProbeSweep(emb, q, "vec_id", "embedding", nCells = 16,
+          nProbes = Seq(1, 2, 4, 8), k = 10, exact = annRecallTruth(s, dir)),
+        minRecall = 0.5)
     },
 
     // Cluster-balanced sampling — the topic-diversity retention policy a

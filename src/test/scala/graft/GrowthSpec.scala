@@ -1,0 +1,207 @@
+package graft
+
+import graft.core.Tables.t
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The 100 TB growth claims MEASURED, not argued from plan inspection:
+  * replicate the fixture corpus 1x/4x/10x as disjoint alphabet-rotated
+  * copies and assert that
+  *
+  *  (a) LSH candidate count and verified near-dup pairs through
+  *      [[graft.operators.Dedup.lshNearDups]] grow ~linearly (a silently
+  *      quadratic constant would read ~16x at 4x and ~100x at 10x);
+  *  (b) connected-components label-propagation rounds stay O(log n) —
+  *      flat across corpus replication, logarithmic on adversarial
+  *      chains;
+  *  (c) the bucketed incremental-dedup probe shuffles O(batch) records
+  *      no matter how large the persisted index side grows.
+  *
+  * Each test FAILS if growth goes superlinear beyond tolerance. Wall
+  * times are recorded (with a catastrophic-only bound — VM noise makes
+  * tight time ratios flaky); the deterministic row/round/record counts
+  * are the regression guard.
+  *
+  * Replication trick: copy i tags every word with a copy-unique
+  * character on BOTH ends and offsets doc ids by a stride. Base words
+  * are at most 8 chars, so every char-9-gram of a tagged copy contains
+  * its tag — copies are shingle-DISJOINT by construction, and any two
+  * copies are isomorphic via a tag-character substitution, so every
+  * copy's internal exact-Jaccard pair structure (and its shingle
+  * document-frequency distribution, hence dfCap behavior) is identical.
+  * The replicated corpus therefore models a k-times-larger corpus with
+  * the same internal duplication rate — the growth model the 100 TB
+  * claim is about. (An earlier alphabet-rotation scheme left
+  * rotation-related vocabulary words colliding across copies, which
+  * planted exactly the quadratic candidate constant this spec exists to
+  * catch — the measured wobble bounds below are calibrated against the
+  * disjoint construction.)
+  */
+class GrowthSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+  private val Stride = 1000000L
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { pairs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Tag every word with `tag` on both ends: "ab cd" -> "0ab0 0cd0".
+    * With base words <= 8 chars every 9-char window contains the tag
+    * (windows inside a <= 10-char tagged word start or end on a tag;
+    * windows touching a space include an adjacent word's end tag). */
+  private def tagged(c: Column, tag: String): Column =
+    concat(lit(tag), regexp_replace(c, " ", s"$tag $tag"), lit(tag))
+
+  /** `copies` shingle-disjoint tagged copies of the base corpus
+    * (copy i's tag is the digit i; callers' extra corpora use letter
+    * tags absent from the 'a'..'y' fixture alphabet). */
+  private def replicated(copies: Int): DataFrame = {
+    require(copies <= 10, "digit tags cover 10 copies")
+    val base = t(spark, sf, "documents").select(col("doc_id"), col("text"))
+    (0 until copies).map { i =>
+      base.select((col("doc_id") + lit(i * Stride)).as("doc_id"),
+        tagged(col("text"), i.toString).as("text"))
+    }.reduce(_ unionAll _)
+  }
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Sum of "shuffle records written" across every exchange the plan
+    * executed — the deterministic cost the O(batch) probe claim bounds. */
+  private def shuffledRecords(df: DataFrame): Long = {
+    // run THIS df's own physical plan (df.count() would build and run a
+    // separate aggregate plan, leaving these metrics untouched)
+    df.queryExecution.toRdd.count()
+    df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+    }.sum
+  }
+
+  test("(a) LSH candidates and verified pairs grow ~linearly under 1x/4x/10x replication") {
+    // The production near-dup config (nearDupPairs / q_corpus_clean):
+    // char-9-grams, 8 hashes, 4 two-hash bands, j >= 0.5, dfCap 20.
+    def candidates(corpus: DataFrame): Long =
+      graft.operators.Dedup.candidatesFromBands(
+        graft.operators.Dedup.signBands(corpus, "doc_id", "text",
+          k = 9, numHashes = 8, bandSize = 2, dfCap = 20)).count()
+    def pairs(corpus: DataFrame): DataFrame =
+      graft.operators.Dedup.lshNearDups(corpus, "doc_id", "text",
+        k = 9, numHashes = 8, bandSize = 2, threshold = 0.5, dfCap = 20)
+
+    val scales = Seq(1, 4, 10)
+    val measured = scales.map { s =>
+      val corpus = replicated(s)
+      val (c, tc) = timed(candidates(corpus))
+      val (p, tp) = timed(pairs(corpus).count())
+      info(f"scale ${s}x: candidates=$c (${tc}%.2fs) pairs=$p (${tp}%.2fs)")
+      (s, c, p, tc + tp)
+    }
+    val Seq((_, c1, p1, t1), (_, c4, p4, _), (_, c10, p10, t10)) = measured
+    assert(c1 > 0 && p1 > 0, "base corpus must have candidates and pairs")
+    // candidate growth: linear within 1.5x tolerance (+ a small absolute
+    // cushion for chance cross-copy band collisions); quadratic growth
+    // would overshoot these bounds by ~6x at 4x scale and ~7x at 10x
+    assert(c4 <= 4 * c1 * 3 / 2 + 50, s"candidates at 4x superlinear: $c4 vs base $c1")
+    assert(c10 <= 10 * c1 * 3 / 2 + 50, s"candidates at 10x superlinear: $c10 vs base $c1")
+    // and at least ~linear from below (each copy must contribute)
+    assert(c4 >= 4 * c1 / 2, s"candidates at 4x collapsed: $c4 vs base $c1")
+    assert(c10 >= 10 * c1 / 2, s"candidates at 10x collapsed: $c10 vs base $c1")
+    // verified pairs: every copy carries the base structure bijectively,
+    // so growth is linear within the per-copy LSH recall wobble
+    assert(p4 <= 4 * p1 * 3 / 2 && p4 >= 4 * p1 / 2, s"pairs at 4x non-linear: $p4 vs base $p1")
+    assert(p10 <= 10 * p1 * 3 / 2 && p10 >= 10 * p1 / 2, s"pairs at 10x non-linear: $p10 vs base $p1")
+    // wall time: catastrophic-only guard (quadratic work at 10x would be
+    // ~100x base; VM noise makes anything tighter flaky)
+    assert(t10 <= math.max(t1, 2.0) * 30, f"10x wall time blew up: $t10%.1fs vs base $t1%.1fs")
+  }
+
+  test("(b) connected-components rounds stay O(log n): flat under replication, logarithmic on chains") {
+    import spark.implicits._
+    // Replicated near-dup graphs: component structure is per-copy, so
+    // rounds must NOT grow with corpus scale.
+    def ccRounds(pairs: DataFrame): Int =
+      graft.operators.Dedup.connectedComponentsWithRounds(pairs)._2
+    def nearDupPairs(s: Int): DataFrame =
+      graft.operators.Dedup.lshNearDups(replicated(s), "doc_id", "text",
+        k = 9, numHashes = 8, bandSize = 2, threshold = 0.5, dfCap = 20)
+    val r1 = ccRounds(nearDupPairs(1))
+    val r10 = ccRounds(nearDupPairs(10))
+    info(s"cc rounds on near-dup graph: 1x=$r1 10x=$r10")
+    assert(r10 <= r1 + 1, s"replication must not deepen components: 1x=$r1 10x=$r10")
+
+    // Adversarial chains (path graphs — worst-case label depth): pointer
+    // doubling keeps rounds logarithmic, so 10x the chain length buys
+    // ~log2(10) ~ 3-4 extra rounds, never 10x the rounds.
+    def chain(n: Int): DataFrame =
+      (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("doc_a", "doc_b")
+    val (labels64, c64) = graft.operators.Dedup.connectedComponentsWithRounds(chain(64))
+    val (labels640, c640) = graft.operators.Dedup.connectedComponentsWithRounds(chain(640), maxIter = 30)
+    info(s"cc rounds on chains: len64=$c64 len640=$c640")
+    // correctness first: one component each, rooted at 0
+    assert(labels64.select(countDistinct(col("component"))).as[Long].head() == 1L)
+    assert(labels640.select(countDistinct(col("component"))).as[Long].head() == 1L)
+    assert(c640 <= c64 + 5, s"chain rounds grew super-logarithmically: 64->$c64, 640->$c640")
+    assert(c640 <= 15, s"chain-640 rounds not O(log n): $c640")
+  }
+
+  test("(c) bucketed incremental probe shuffles O(batch) records as the index grows 10x") {
+    // The production composition: the persisted band index accretes for
+    // months (the 10x side); a daily batch probes it. Bucketing the index
+    // by band at write time keeps it IN PLACE — the only runtime band
+    // exchange is the O(batch) side, so shuffled records must not grow
+    // with the index.
+    val db = "graft_growth_spec"
+    val loc = java.nio.file.Files.createTempDirectory("growth_wh").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    try {
+      withConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+        // the SAME fixed batch probes both index sizes: the base corpus
+        // rotated by 13 — a copy no index contains
+        val base = t(spark, sf, "documents").select(col("doc_id"), col("text"))
+        val batch = base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(13 * Stride)).as("doc_id"),
+            tagged(col("text"), "x").as("text"))
+        val batchBands = graft.operators.Dedup.signBands(batch, "doc_id", "text",
+          k = 9, numHashes = 8, bandSize = 2)
+
+        def probeRecords(indexScale: Int, table: String): (Long, Long, Double) = {
+          graft.operators.Dedup.signBands(replicated(indexScale), "doc_id", "text",
+              k = 9, numHashes = 8, bandSize = 2)
+            .write.bucketBy(4, "band").sortBy("band")
+            .mode("overwrite").saveAsTable(s"$db.$table")
+          val idx = spark.table(s"$db.$table")
+          val probe = batchBands
+            .join(idx.withColumnRenamed("doc_id", "corpus_doc"), "band")
+            .filter(col("doc_id") =!= col("corpus_doc"))
+          val (recs, secs) = timed(shuffledRecords(probe))
+          (recs, idx.count(), secs)
+        }
+
+        val (sr1, n1, t1) = probeRecords(1, "idx_1x")
+        val (sr10, n10, t10) = probeRecords(10, "idx_10x")
+        info(f"probe vs 1x index ($n1 rows): shuffled $sr1 records (${t1}%.2fs)")
+        info(f"probe vs 10x index ($n10 rows): shuffled $sr10 records (${t10}%.2fs)")
+        assert(n10 >= 9 * n1, "index replication failed to grow the index")
+        assert(sr1 > 0, "expected the batch side to shuffle")
+        // O(batch): the shuffled volume is the batch's bands both times —
+        // a 10x index must not widen the exchange
+        assert(sr10 <= sr1 * 6 / 5 + 100,
+          s"probe shuffle grew with the INDEX side: $sr1 -> $sr10 records")
+      }
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+}
