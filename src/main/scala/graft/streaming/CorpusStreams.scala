@@ -149,7 +149,9 @@ object CorpusStreams {
                         bloomPath: Option[String] = None,
                         dsirModelPath: Option[String] = None,
                         kmvSamplePath: Option[String] = None,
-                        kmvK: Int = 64)
+                        kmvK: Int = 64,
+                        sweepPath: Option[String] = None,
+                        sweepMinRecall: Double = 0.9)
       : StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -171,6 +173,43 @@ object CorpusStreams {
         lazy val newDocs = pin(batch
           .join(corpus.select(col(idCol)), Seq(idCol), "left_anti"))
         if (!replayed && newDocs.limit(1).count() > 0) {
+          // Resolve THIS batch's LSH signing config: when `sweepPath` is
+          // wired, the picker's choice off the persisted sweep artifact
+          // (lshBandSweep committed via EtlCli.writeTable) — the
+          // sweep -> choice -> deploy loop's last mile; a sweep update
+          // changes the signing config on the NEXT epoch. No qualifying
+          // config fails the batch loudly: silently deploying the best
+          // loser is the one move a recall monitor exists to prevent.
+          val (bandSize, numHashes) = sweepPath match {
+            case Some(sp) =>
+              val pick = Dedup.pickLshConfig(EtlCli.readTable(spark, sp), sweepMinRecall)
+                .select(col("band_size").cast("int"), col("n_bands").cast("int"))
+                .collect()
+              require(pick.nonEmpty,
+                s"no sweep config at $sp clears recall >= $sweepMinRecall — " +
+                  "re-sweep with more hashes before ingesting")
+              (pick.head.getInt(0), pick.head.getInt(0) * pick.head.getInt(1))
+            case None => (cfg.bandSize, cfg.numHashes)
+          }
+          // Config consistency with the persisted index: bands signed
+          // under different configs can never collide, so probing an
+          // old-config index with new-config batch bands would silently
+          // miss every cross-epoch near-dup. The index carries its
+          // signing config in a `_signcfg` marker table (hidden from the
+          // epoch listing); when the resolved config differs, THIS batch
+          // re-signs the committed corpus under the new config — one
+          // O(corpus) pass, amortized over the config's lifetime — probes
+          // against the re-signed bands, and appends them with its own
+          // epoch so later batches probe the refreshed index. A legacy
+          // index without a marker is treated as signed under `cfg`.
+          val cfgMarkerPath = s"$indexPath/_signcfg"
+          val idxCfg: Option[(Int, Int)] =
+            scala.util.Try(EtlCli.readTable(spark, cfgMarkerPath)).toOption
+              .flatMap(_.select(col("band_size").cast("int"), col("num_hashes").cast("int"))
+                .collect().headOption.map(r => (r.getInt(0), r.getInt(1))))
+          val configChanged =
+            EtlCli.committedEpochs(spark, indexPath).nonEmpty &&
+              idxCfg.getOrElse((cfg.bandSize, cfg.numHashes)) != ((bandSize, numHashes))
           val gated = pin(graft.operators.TextAnalysis.qualityGates(newDocs,
             textCol, cfg.stop, cfg.minWords, cfg.maxWords,
             cfg.minMeanLen, cfg.maxMeanLen, cfg.minUniqRatio))
@@ -226,10 +265,15 @@ object CorpusStreams {
             case None => (decon.select(col(idCol)).limit(0), decon)
           }
           val newBands = pin(Dedup.signBands(selected, idCol, textCol,
-            cfg.shingleK, cfg.numHashes, cfg.bandSize, cfg.dfCap))
+            cfg.shingleK, numHashes, bandSize, cfg.dfCap))
+          val resignedCorpus: Option[DataFrame] =
+            if (configChanged)
+              Some(pin(Dedup.signBands(corpus, idCol, textCol,
+                cfg.shingleK, numHashes, bandSize, cfg.dfCap)))
+            else None
           val pairs = pin(Dedup.incrementalNearDupsFromBands(newBands, selected,
-            corpus, corpusBands, idCol, textCol, cfg.shingleK,
-            cfg.nearDupThreshold))
+            corpus, resignedCorpus.getOrElse(corpusBands), idCol, textCol,
+            cfg.shingleK, cfg.nearDupThreshold))
           val cset = corpus.select(col(idCol).as("__cid"))
           // corpus member wins: its batch-side partner drops
           val corpusDrops = pairs.join(cset, col("doc_a") === col("__cid"))
@@ -277,8 +321,23 @@ object CorpusStreams {
           }
           EtlCli.appendEpoch(
             newBands.join(survivors.select(col(idCol).as("__sid")),
-              col("doc_id") === col("__sid"), "left_semi"),
+              col("doc_id") === col("__sid"), "left_semi")
+              // a config change folds the re-signed corpus bands into
+              // this epoch: later batches then probe the whole corpus
+              // under the new config (superseded old-config rows are
+              // dead weight — they can't match any new-config probe —
+              // until compactEpochs folds them away)
+              .unionByName(resignedCorpus.getOrElse(newBands.limit(0))),
             indexPath, batchId)
+          // marker AFTER the index epoch (a crash between them replays
+          // into a deterministic re-sign — duplicate new-config bands,
+          // which the candidate distinct absorbs), BEFORE the corpus
+          // fencepost
+          if (sweepPath.isDefined && (idxCfg.isEmpty || configChanged))
+            EtlCli.writeTable(
+              spark.createDataFrame(Seq((bandSize, numHashes)))
+                .toDF("band_size", "num_hashes"),
+              cfgMarkerPath)
           EtlCli.appendEpoch(survivors, corpusPath, batchId)
         }
         ()

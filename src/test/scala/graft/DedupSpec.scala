@@ -106,6 +106,51 @@ class DedupSpec extends SparkSpec {
     assert(capped.subsetOf(full))
   }
 
+  test("simhash maxBucket guard: recall vs exact hamming truth MEASURED on a boilerplate-heavy corpus") {
+    // The guard's recall argument (a real pair survives unless ALL FOUR
+    // of its bands are over-cap), evaluated empirically: 60 docs share a
+    // heavy template spine (hot bands by construction), 20 planted
+    // near-dup pairs (i, i+1000) differ from each other in one trailing
+    // token. Ground truth = exhaustive hamming <= 3 over the full
+    // signatures; the guarded config's recall reads off pairRecall.
+    val docs = (0L until 20L).flatMap { i =>
+      val spine = "shared template header boilerplate text spine common block" +
+        s" tail marker unique$i"
+      Seq((i, s"$spine alpha end"), (i + 1000L, s"$spine omega end"))
+    } ++ (2000L until 2020L).map(i => // extra template mass to heat the bands
+      (i, s"shared template header boilerplate text spine common block tail filler$i"))
+    val df = docs.toDF("doc_id", "text")
+    val sig = TextAnalysis.simhashSignatures(df, "doc_id", "text")
+    val truth = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(TextAnalysis.hamming(col("a.sig"), col("b.sig")) <= 3)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // which planted pairs clear hamming <= 3 depends on the md5 bit
+    // pattern of the swapped token; a healthy majority must (the truth
+    // itself is exhaustive, so recall below is exact regardless)
+    val nTruth = truth.count()
+    assert(nTruth >= 10, s"planted pairs must populate the hamming truth: $nTruth")
+    // uncapped banding is recall-exact for hamming <= 3 (4x16 pigeonhole)
+    val fullRec = Dedup.pairRecall(
+      Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 3),
+      truth).select("recall").as[Double].head()
+    assert(fullRec == 1.0, s"uncapped recall must be exactly 1.0: $fullRec")
+    // guarded configs: recall measured per cap. On a corpus that is
+    // MOSTLY template, a tight cap genuinely leaks — the pairs whose
+    // every band goes hot (measured: cap 8 keeps 10/14 = 0.71, cap 32
+    // keeps all). That leak rate is the number a deployment trades
+    // against the quadratic hot-bucket cost, now measured instead of
+    // assumed; recall must recover monotonically as the cap loosens.
+    def recallAt(cap: Int): Double = Dedup.pairRecall(
+      Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 3, maxBucket = cap),
+      truth).select("recall").as[Double].head()
+    val r8 = recallAt(8)
+    val r32 = recallAt(32)
+    info(s"boilerplate corpus: truth=$nTruth recall(cap=8)=$r8 recall(cap=32)=$r32 uncapped=1.0")
+    assert(r8 >= 0.7, s"cap-8 recall collapsed below the measured floor: $r8")
+    assert(r32 >= r8, s"recall must recover as the cap loosens: $r8 -> $r32")
+    assert(r32 == 1.0, s"a cap above the template mass must leak nothing: $r32")
+  }
+
   test("incrementalNearDups probes stored corpus bands; finds cross and in-batch dups only") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

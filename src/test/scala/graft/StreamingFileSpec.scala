@@ -518,6 +518,89 @@ class StreamingFileSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 5L, 7L))
   }
 
+  test("curatedIngestSink sweep wiring: the picker signs each epoch; a sweep update re-signs the corpus and still catches cross-config near-dups") {
+    import graft.streaming.CorpusStreams
+    import graft.tools.EtlCli
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again "
+    val root = java.nio.file.Files.createTempDirectory("curated_sweep")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectory(in)
+    def paths(n: String) = root.resolve(n).toString
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, in.resolve(name + ".parquet"))
+    }
+    // a sweep artifact is (band_size, n_bands, n_candidates, n_truth,
+    // n_found, recall) rows — lshBandSweep output committed via writeTable
+    def sweep(rows: (Int, Int, Long, Double)*): Unit =
+      EtlCli.writeTable(
+        rows.toSeq.map { case (c, nb, cand, rec) => (c, nb, cand, 3L, (3 * rec).round, rec) }
+          .toDF("band_size", "n_bands", "n_candidates", "n_truth", "n_found", "recall"),
+        paths("sweep"))
+    val eval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val cfg = graft.operators.CorpusPipeline.Config(
+      minWords = 5, shingleK = 5, nearDupThreshold = 0.5, decontaminateGramN = 4)
+    def runStream(): Unit = {
+      val schema = spark.read.parquet(in.toString).schema
+      CorpusStreams.curatedIngestSink(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in.toString),
+        eval, "doc_id", "text", paths("index"), paths("corpus"),
+        paths("dropped"), paths("chk"), cfg,
+        sweepPath = Some(paths("sweep"))).awaitTermination(120000)
+    }
+    def marker: (Int, Int) = EtlCli.readTable(spark, paths("index") + "/_signcfg")
+      .select("band_size", "num_hashes").as[(Int, Int)].collect().head
+
+    // epoch 0 under pick A = (band_size 2, 8 hashes): 1- and 2-hash
+    // configs clear the 0.9 floor, 2 is cheaper
+    sweep((1, 8, 3000L, 1.0), (2, 4, 60L, 1.0), (4, 2, 5L, 0.6), (8, 1, 3L, 0.3))
+    stage("b1", Seq(
+      (1L, base + "today extra tail"),
+      (5L, "a completely different text about spark query engines and shuffle behavior")))
+    runStream()
+    assert(marker == ((2, 8)), s"epoch-0 signing config should be the pick: $marker")
+    // 2-hash band keys carry two sig slots: "b:sig:sig"
+    val e0Bands = EtlCli.readTable(spark, paths("index") + "/epoch=0")
+      .select("band").as[String].collect()
+    assert(e0Bands.nonEmpty && e0Bands.forall(_.count(_ == ':') == 2),
+      "epoch-0 bands must be 2-hash keys")
+
+    // the sweep updates: only band_size 1 clears the floor now -> pick
+    // B = (1, 8). The next epoch must sign under B, RE-SIGN the committed
+    // corpus under B, and still catch a near-dup of the A-signed doc 1 —
+    // probing the old A-keyed index with B keys would silently miss it.
+    sweep((1, 8, 3000L, 1.0), (2, 4, 60L, 0.6), (4, 2, 5L, 0.3), (8, 1, 3L, 0.3))
+    stage("b2", Seq(
+      (6L, base + "today extra tails"), // cross-config near-dup of 1
+      (7L, "a fresh unique document regarding adaptive execution and partition pruning")))
+    runStream()
+    assert(marker == ((1, 8)), s"sweep update must change the signing config: $marker")
+    assert(EtlCli.readEpochTable(spark, paths("corpus"))
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 5L, 7L))
+    assert(EtlCli.readEpochTable(spark, paths("dropped"))
+      .select("doc_id", "reason").as[(Long, String)].collect().toSet ==
+      Set((6L, "near_dup")),
+      "the near-dup of the old-config corpus doc must still be caught")
+    // epoch 1 carries the re-signed corpus (docs 1 and 5) in 1-hash keys
+    // alongside the batch survivor's bands
+    val e1 = EtlCli.readTable(spark, paths("index") + "/epoch=1")
+      .select("doc_id", "band").as[(Long, String)].collect()
+    assert(e1.map(_._1).toSet == Set(1L, 5L, 7L),
+      s"epoch 1 must hold batch + re-signed corpus bands: ${e1.map(_._1).toSet}")
+    assert(e1.forall(_._2.count(_ == ':') == 1), "epoch-1 bands must be 1-hash keys")
+
+    // no qualifying config: the batch must fail loudly, never deploy the
+    // best loser
+    sweep((1, 8, 3000L, 0.5), (2, 4, 60L, 0.4))
+    stage("b3", Seq((9L, "one more document about columnar storage and code generation paths")))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { runStream() }
+    assert(ex.getMessage.contains("re-sweep") ||
+      Option(ex.getCause).exists(_.getMessage.contains("re-sweep")))
+  }
+
   test("curatedIngestSink bloom stage: docs hitting the streamed seen-set filter drop as bloom_contaminated") {
     import graft.streaming.CorpusStreams
     import spark.implicits._
