@@ -742,13 +742,23 @@ object Dedup {
       .filter(length(col(textCol)) >= k)
       .select(col(idCol).as("doc_id"),
         column(graft.plans.HashedShingleSet(expression(col(textCol)), k)).as("sh"))
-    val a = sh.toDF("doc_a", "sh_a")
-    val b = sh.toDF("doc_b", "sh_b")
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      size(col("sh")).as("na"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      size(col("sh")).as("nb"))
     val common = column(graft.plans.SortedIntersectCount(
       expression(col("sh_a")), expression(col("sh_b"))))
-    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+    // size-ratio prune INSIDE the join condition: j <= min(|A|,|B|) /
+    // max(|A|,|B|) (intersection <= min, union >= max), so a pair whose
+    // smaller set is under threshold x the larger can never pass — the
+    // native merge then runs on the surviving minority only (~24% at
+    // sf0.1). Exact: >= keeps every boundary pair.
+    a.join(broadcast(b),
+        col("doc_a") < col("doc_b") &&
+          col("na") >= lit(threshold) * col("nb") &&
+          col("nb") >= lit(threshold) * col("na"))
       .select(col("doc_a"), col("doc_b"), common.as("common"),
-        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+        col("na"), col("nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)

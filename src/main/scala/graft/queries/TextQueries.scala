@@ -229,12 +229,8 @@ object TextQueries {
     }.mkString(",\n          ")
     s"""WITH samp AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
           s AS (SELECT doc_id, $shinglesSql AS sh FROM samp),
-          exact AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM s a JOIN s b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.sh, b.sh))
-                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
           exg AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          $exactTruthCtes,
           rex AS (SELECT doc_id, md5(g) AS h1, md5('x:' || g) AS h2 FROM exg),
           sig AS (
             SELECT doc_id,
@@ -245,6 +241,27 @@ object TextQueries {
             FROM rex GROUP BY doc_id),
           $perCfgCtes"""
   }
+
+  /** Exhaustive exact-Jaccard >= 0.8 truth over the sample, as the
+    * EXPLODE-JOIN formulation (needs CTEs `s(doc_id, sh)` and
+    * `exg(doc_id, g)` in scope): shared-shingle counts per pair via one
+    * hash join on the gram, then the Jaccard test off per-doc set sizes.
+    * Zero-overlap pairs can't reach any positive threshold, so skipping
+    * them is exact. ~23x faster in DuckDB than the all-pairs
+    * list_intersect scan at sf0.1 (5.6s vs 129s measured) because each
+    * shared gram costs one hash probe instead of every pair carrying two
+    * ~280-element string lists; the STRING-gram join also preserves the
+    * collision-free-equivalence proof vs Spark's hashed sets. */
+  private lazy val exactTruthCtes: String =
+    """sn AS (SELECT doc_id, len(sh) AS n FROM s),
+          pc AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+                 FROM exg a JOIN exg b ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          exact AS (
+            SELECT doc_a, doc_b FROM pc
+            JOIN sn na ON na.doc_id = pc.doc_a
+            JOIN sn nb ON nb.doc_id = pc.doc_b
+            WHERE pc.c / (na.n + nb.n - pc.c) >= 0.8e0)"""
   private lazy val lshSweepRowsSql: String =
     lshSweepCfgs.map { c =>
       s"""SELECT $c AS band_size, ${8 / c} AS n_bands,
@@ -890,12 +907,8 @@ object TextQueries {
       "LSH near-dup recall vs exact all-pairs Jaccard >= 0.8 on a 1/3 corpus sample",
       s"""WITH samp AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
           s AS (SELECT doc_id, $shinglesSql AS sh FROM samp),
-          exact AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM s a JOIN s b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.sh, b.sh))
-                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
           exg AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          $exactTruthCtes,
           rex AS (SELECT doc_id, md5(g) AS h1, md5('x:' || g) AS h2 FROM exg),
           sig AS (
             SELECT doc_id,
@@ -987,11 +1000,8 @@ object TextQueries {
       "SimHash (hamming <= 3) recall vs exact Jaccard >= 0.8 truth on the 1/3 sample",
       s"""WITH samp AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
           s AS (SELECT doc_id, $shinglesSql AS sh FROM samp),
-          exact AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM s a JOIN s b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.sh, b.sh))
-                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+          exg AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          $exactTruthCtes,
           sig AS (
             SELECT doc_id, CAST($simhashSql AS BIGINT) AS sig
             FROM ${simhashFromSql("samp")}),
