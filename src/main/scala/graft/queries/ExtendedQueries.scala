@@ -27,12 +27,28 @@ object ExtendedQueries {
          GROUP BY s_nationkey, role ORDER BY s_nationkey, role""") { (s, dir) =>
       val bridge = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag").as("role"))
+        // user-specified hash partitioning on the distinct keys: the
+        // distinct reuses this exchange (no second shuffle), and AQE
+        // never coalesces a user repartition — so the dedup aggregation
+        // and everything after it keep full width under the session's
+        // size-based coalescing (which otherwise folds this query's
+        // spine to a few partitions; the global setting stays)
+        .repartition(32, col("l_orderkey"), col("l_suppkey"), col("role"))
         .distinct()
       bridge.join(broadcast(t(s, dir, "supplier")),
           bridge("l_suppkey") === col("s_suppkey"))
+        // Expand-free distinct count: COUNT(DISTINCT) plans an Expand
+        // (row doubling) through the aggregation; keying the first
+        // aggregation on (nation, role, order) gets the same numbers
+        // from two plain hash aggregations over narrow rows. The user
+        // repartition pins this aggregation's width too (same reasoning
+        // as the distinct above).
+        .repartition(32, col("s_nationkey"), col("role"), col("l_orderkey"))
+        .groupBy(col("s_nationkey"), col("role"), col("l_orderkey"))
+        .agg(count(lit(1)).as("__links"))
         .groupBy(col("s_nationkey"), col("role"))
-        .agg(count(lit(1)).as("n_links"),
-             countDistinct(col("l_orderkey")).as("n_orders"))
+        .agg(sum(col("__links")).cast("long").as("n_links"),
+             count(lit(1)).as("n_orders"))
         .orderBy(col("s_nationkey"), col("role"))
     },
 
