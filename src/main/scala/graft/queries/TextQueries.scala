@@ -973,6 +973,11 @@ object TextQueries {
     // tie-break — one row, or zero when nothing qualifies (a monitor
     // treats that as "re-sweep with more hashes", never "deploy the best
     // loser"). The sweep->choice loop is now DuckDB-visible end to end.
+    // The picker reads the PERSISTED sweep artifact — its production
+    // shape (curatedIngestSink consumes the same table the same way);
+    // q_lsh_sweep above measures the sweep computation itself, this
+    // measures the recurring choice. The oracle recomputes the whole
+    // grid from scratch, so hash-match proves the persisted frontier.
     QueryDef(
       "q_pick_lsh_config",
       "pick the cheapest LSH band config clearing recall >= 0.9 off the sweep frontier",
@@ -982,8 +987,10 @@ object TextQueries {
           ) WHERE recall >= 0.9e0
           ORDER BY n_candidates, band_size LIMIT 1""") { (s, dir) =>
       Dedup.pickLshConfig(
-        Dedup.lshBandSweepFromSignatures(lshSweepSigs(s, dir), numHashes = 8,
-          bandSizes = lshSweepCfgs, truth = dedupRecallTruth(s, dir)),
+        Memo.parquetArtifact(s, dir, "lsh_sweep_result") {
+          Dedup.lshBandSweepFromSignatures(lshSweepSigs(s, dir), numHashes = 8,
+            bandSizes = lshSweepCfgs, truth = dedupRecallTruth(s, dir))
+        },
         minRecall = 0.9)
     },
 

