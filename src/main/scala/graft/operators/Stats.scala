@@ -53,6 +53,45 @@ object Stats {
     medianPerGroup(dev, keyCols, "__dev", tieCol, outCol)
   }
 
+  /** Calibrate a keep-THRESHOLD to a target keep RATE — the gate-tuning
+    * move: instead of hand-picking a quality cutoff, pick the rate of
+    * data you can afford to keep and read the threshold off the score
+    * distribution. T = the k-th highest score (k = max(1,
+    * floor(rate*n)), rank ties broken by `tieCol` ascending); the keep
+    * rule is score >= T, so ties AT the threshold all keep and the
+    * actual rate can exceed the target by the tie mass — reported
+    * alongside. Exact order statistic, no interpolation: engine-portable
+    * and hash-checkable (the approx-percentile builtins are not).
+    *
+    * Scale: the global rank is a single-reducer sort (the exact-idiom
+    * limit documented on [[medianPerGroup]]) — at unbounded corpus size,
+    * calibrate off a bounded sample instead (the KMV bottom-k monitor's
+    * persisted sample is the production source; its hash-rank rows are a
+    * uniform sample of the score distribution). Empty input yields an
+    * empty result (no distribution to calibrate against).
+    * Returns one row: (n_docs, k, threshold, n_kept, actual_rate). */
+  def thresholdForKeepRate(df: DataFrame, scoreCol: String, tieCol: String,
+                           targetRate: Double): DataFrame = {
+    require(targetRate > 0 && targetRate <= 1,
+      s"target keep rate must be in (0, 1], got $targetRate")
+    val base = df.select(col(scoreCol).as("__s"), col(tieCol).as("__t"))
+    val n1 = base.agg(count(lit(1)).cast("long").as("n_docs"))
+    // pmod(n, n): 0 for every row but opaque to the optimizer — the
+    // deliberate bounded single-partition window (q_o2_lexsort pattern)
+    val g = Window.partitionBy(pmod(col("n_docs"), col("n_docs")))
+    val thr = base.crossJoin(broadcast(n1))
+      .withColumn("__rn", row_number().over(g.orderBy(col("__s").desc, col("__t"))))
+      .filter(col("__rn") ===
+        greatest(lit(1L), floor(lit(targetRate) * col("n_docs")).cast("long")))
+      .select(col("n_docs"), col("__rn").cast("long").as("k"),
+        col("__s").as("threshold"))
+    base.crossJoin(broadcast(thr))
+      .groupBy(col("n_docs"), col("k"), col("threshold"))
+      .agg(sum(when(col("__s") >= col("threshold"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("n_docs"), col("k"), col("threshold"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_docs")).as("actual_rate"))
+  }
+
   /** APPROXIMATE per-group median — the unbounded-group escape hatch
     * (see object scaladoc). `accuracy` trades sketch memory for rank
     * error <= n/accuracy; groups smaller than `accuracy` rows come back

@@ -138,6 +138,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // GATE CALIBRATION — the quality-gate counterpart of the sweep
+    // pickers: instead of hand-picking a cutoff, fix the keep RATE the
+    // token budget affords and read the threshold off the score
+    // distribution as an exact order statistic (no interpolation —
+    // engine-portable, unlike approx-percentile builtins). T = the
+    // k-th highest uniq_ratio (k = floor(0.7 * n), ties to lower
+    // doc_id); keep rule score >= T, tie mass reported via actual_rate.
+    QueryDef(
+      "q_calibrate_gate",
+      "calibrate the uniq_ratio gate threshold to a 0.7 target keep rate (exact order statistic)",
+      """WITH sc AS (SELECT doc_id,
+                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS s
+              FROM documents),
+          n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sc),
+          rk AS (SELECT doc_id, s, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rn FROM sc),
+          thr AS (SELECT n.n_docs, CAST(rk.rn AS BIGINT) AS k, rk.s AS threshold
+                  FROM rk, n WHERE rk.rn = GREATEST(1, CAST(FLOOR(0.7e0 * n.n_docs) AS BIGINT)))
+          SELECT t.n_docs, t.k, t.threshold,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM sc WHERE s >= t.threshold) AS n_kept,
+                 CAST((SELECT COUNT(*) FROM sc WHERE s >= t.threshold) AS DOUBLE) / t.n_docs AS actual_rate
+          FROM thr t""") { (s, dir) =>
+      graft.operators.Stats.thresholdForKeepRate(
+        graft.operators.TextAnalysis.qualityGates(t(s, dir, "documents"), "text"),
+        "uniq_ratio", "doc_id", targetRate = 0.7)
+    },
+
     // GATE DISTILLATION — train a linear probe to imitate the Gopher
     // gates (the pipeline move that replaces a cascade of handwritten
     // rules with one cheap learned scorer): features are the gate

@@ -26,6 +26,28 @@ class StatsSpec extends SparkSpec {
     assert(got("c") == 0.0 && got("d") == 2.0, got.toString)
   }
 
+  test("thresholdForKeepRate: exact k-th-highest threshold, tie mass reported, edge cases") {
+    def cal(scores: Seq[Double], rate: Double) =
+      Stats.thresholdForKeepRate(
+        scores.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s"),
+        "s", "id", rate)
+        .as[(Long, Long, Double, Long, Double)].collect().toSeq
+
+    // plain case: k = floor(0.6*5) = 3, T = 3rd highest, exactly 3 kept
+    assert(cal(Seq(0.9, 0.8, 0.8, 0.7, 0.1), 0.6) ==
+      Seq((5L, 3L, 0.8, 3L, 0.6)))
+    // tie mass AT the threshold: k = 2, T = 0.8, but three 0.8s keep ->
+    // actual rate overshoots the target (documented contract)
+    assert(cal(Seq(0.9, 0.8, 0.8, 0.8, 0.1), 0.4) ==
+      Seq((5L, 2L, 0.8, 4L, 0.8)))
+    // rate 1.0: threshold is the minimum, everything keeps
+    assert(cal(Seq(0.5, 0.2, 0.9), 1.0) == Seq((3L, 3L, 0.2, 3L, 1.0)))
+    // tiny rate floors k at 1 (the top row)
+    assert(cal(Seq(0.5, 0.2, 0.9), 0.01) == Seq((3L, 1L, 0.9, 1L, 1.0 / 3)))
+    // empty input: no distribution to calibrate against -> empty result
+    assert(cal(Seq.empty, 0.5).isEmpty)
+  }
+
   test("approx variants: within rank tolerance of exact on a skewed 100k-row group") {
     // one giant group (the case the sketch exists for) + one small group
     val df = spark.range(1, 100001)
