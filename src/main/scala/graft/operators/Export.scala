@@ -100,6 +100,44 @@ object Export {
     * map-only projection + explode — output rows ≈ sum(epochs_g · n_g),
     * exactly the training-set size, nothing wider ever materializes.
     * Output: input columns + epochs + n_copies + copy (1-based). */
+  /** Deterministic leakage-free dataset split (train/eval/test): each
+    * row's assignment is a pure function of its id — u = the first 48
+    * md5 bits as a uniform in [0,1) (the mixtureSample / DSIR
+    * hash-uniform trick, no RNG) bucketed by the cumulative rate bounds.
+    * Any engine replays the identical split; a document's split NEVER
+    * changes as other documents arrive (the stability property
+    * row_number / random splits lack — an accreting corpus keeps its
+    * historical eval set intact); and train/eval leakage is impossible
+    * by construction (one u, disjoint buckets).
+    *
+    * `splits` are (label, rate) in declared order; rates must sum to 1
+    * (within 1e-9) and the LAST label is the unconditional otherwise, so
+    * IEEE rounding at the top boundary can never drop a row. Map-only.
+    * Returns the input plus (u, split). */
+  def hashSplit(docs: DataFrame, keyCol: String,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"every split rate must be positive, got $splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split rates must sum to 1, got $total")
+    val u = conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
+      .cast("long").cast("double") / lit(281474976710656.0)
+    // cumulative bounds via the same left-to-right IEEE summation an
+    // oracle writes as literal additions (0.8e0 + 0.1e0 + ...)
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val splitCol =
+      if (splits.size == 1) lit(splits.head._1)
+      else {
+        val first = when(col("u") < lit(bounds.head), lit(splits.head._1))
+        splits.tail.init.zip(bounds.tail.init)
+          .foldLeft(first) { case (acc, ((label, _), bound)) =>
+            acc.when(col("u") < lit(bound), lit(label))
+          }
+          .otherwise(lit(splits.last._1))
+      }
+    docs.withColumn("u", u).withColumn("split", splitCol)
+  }
+
   def mixtureRepeat(docs: DataFrame, keyCol: String, groupCol: String,
                     epochs: Map[String, Double]): DataFrame = {
     val spark = docs.sparkSession

@@ -324,5 +324,40 @@ object ExportQueries {
           avg(col("n_chars")).as("avg_chars"))
         .orderBy(col("source"), col("bin"))
     },
+
+    // Deterministic train/eval/test SPLIT as a first-class OPERATOR
+    // (Export.hashSplit) — the operator-ized generalization of
+    // q_split_stratified's inline 256-band CASE: arbitrary (label, rate)
+    // lists over a hash-uniform u in [0,1), so rates aren't limited to
+    // multiples of 1/256, and the stability law (a doc's split never
+    // changes as the corpus accretes — the historical eval set stays
+    // intact across re-exports) is spec'd on the operator rather than
+    // implicit in one query. The oracle replays the identical u and CASE
+    // chain; id_sum is an exact BIGINT membership checksum per cell, so
+    // a single reassigned doc flips the hash.
+    QueryDef(
+      "q_split_train_eval",
+      "deterministic 0.8/0.1/0.1 train/eval/test hash split: per (source, split) counts + id checksum",
+      """WITH su AS (
+           SELECT doc_id, source,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                    / 281474976710656.0e0 AS u
+           FROM documents),
+         lab AS (
+           SELECT source, doc_id,
+                  CASE WHEN u < 0.8e0 THEN 'train'
+                       WHEN u < 0.8e0 + 0.1e0 THEN 'eval'
+                       ELSE 'test' END AS split
+           FROM su)
+         SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM lab GROUP BY source, split ORDER BY source, split""") { (s, dir) =>
+      graft.operators.Export.hashSplit(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(col("source"), col("split"))
+    },
   )
 }

@@ -136,6 +136,37 @@ class ExportSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("hashSplit: total partition, ~proportional, stable under corpus growth, validated rates") {
+    import graft.operators.Export
+    val small = (0L until 1000L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1)
+    val lab = Export.hashSplit(small, "doc_id", splits)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    // total partition: every row labeled, only declared labels
+    assert(lab.size == 1000 && lab.values.toSet.subsetOf(Set("train", "eval", "test")))
+    // ~proportional (hash-uniform over 1000 ids: generous 25% relative slack)
+    val counts = lab.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 800) <= 60, s"train share off: $counts")
+    assert(math.abs(counts.getOrElse("eval", 0) - 100) <= 40, s"eval share off: $counts")
+    // STABILITY: the same ids keep their split when the corpus grows 5x
+    // (assignment is a pure function of the id — the property random /
+    // row_number splits lack)
+    val grown = (0L until 5000L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val lab5 = Export.hashSplit(grown, "doc_id", splits)
+      .filter($"doc_id" < 1000).select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(lab5 == lab, "corpus growth must not reassign existing docs")
+    // single-split degenerate: everything gets the one label
+    assert(Export.hashSplit(small, "doc_id", Seq("all" -> 1.0))
+      .select($"split").distinct().as[String].collect().toSeq == Seq("all"))
+    // invalid rates fail loudly
+    intercept[IllegalArgumentException] {
+      Export.hashSplit(small, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Export.hashSplit(small, "doc_id", Seq("a" -> 1.5, "b" -> -0.5))
+    }
+  }
+
   test("mixtureRepeat upsamples by epochs, downsamples fractions, is deterministic") {
     val docs = (1 to 200).map(i => (i.toLong, if (i <= 100) "A" else "B"))
       .toDF("doc_id", "source")
