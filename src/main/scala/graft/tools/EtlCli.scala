@@ -58,9 +58,40 @@ object EtlCli {
       if (bad.nonEmpty) sys.error(s"export at $path FAILED verification — " +
         s"shards diverging from the committed manifest: ${bad.mkString(", ")}")
       else println(s"export at $path verifies against its manifest")
+    case Seq("sweep-lsh", corpusTable, outTable) =>
+      sweepLsh(spark, corpusTable, outTable).show(truncate = false)
+    case Seq("sweep-lsh", corpusTable, outTable, samplePeriod) =>
+      sweepLsh(spark, corpusTable, outTable, samplePeriod.toInt).show(truncate = false)
     case other =>
       sys.error("usage: init|ingest|quality|stats|export|learn-bpe|versions|" +
-        s"vacuum|diff|verify-export ... (got $other)")
+        s"vacuum|diff|verify-export|sweep-lsh ... (got $other)")
+  }
+
+  /** Build and COMMIT the LSH band-sweep artifact the streaming ingest's
+    * sweep wiring consumes (`curatedIngestSink(sweepPath = ...)`): sample
+    * the corpus 1/samplePeriod by doc id, build exhaustive exact-Jaccard
+    * truth over the sample (O(sample²) by nature — the period bounds it),
+    * sweep every band size dividing numHashes against that truth, and
+    * commit the frontier at `outTable` via the versioned-table protocol.
+    * This is the periodic RE-SWEEP a recall monitor triggers; the next
+    * ingest epoch then signs under the picker's refreshed choice. Accepts
+    * either an epoch-partitioned corpus (the streaming sink's layout) or
+    * a flat versioned table. Returns the committed frontier. */
+  def sweepLsh(spark: SparkSession, corpusTable: String, outTable: String,
+               samplePeriod: Int = 3, k: Int = 9, numHashes: Int = 8,
+               threshold: Double = 0.8): DataFrame = {
+    require(samplePeriod >= 1, s"sample period must be >= 1, got $samplePeriod")
+    val docs = scala.util.Try(readEpochTable(spark, corpusTable))
+      .getOrElse(readTable(spark, corpusTable))
+      .select(col("doc_id"), col("text"))
+    val sample = docs.filter(pmod(col("doc_id"), lit(samplePeriod.toLong)) === 0)
+    val truth = graft.operators.Dedup.jaccardPairsExhaustive(
+      sample, "doc_id", "text", k, threshold)
+    val bandSizes = (1 to numHashes).filter(numHashes % _ == 0)
+    val sweep = graft.operators.Dedup.lshBandSweep(
+      sample, "doc_id", "text", k, numHashes, bandSizes, truth)
+    writeTable(sweep, outTable)
+    readTable(spark, outTable)
   }
 
   private def issuesPath(wh: String)  = s"$wh/issue"

@@ -401,6 +401,28 @@ class EtlCliSpec extends SparkSpec {
     assert(names.count(_.startsWith("_committed_v")) == 1)
   }
 
+  test("sweep-lsh CLI: commits the frontier the streaming sink's picker consumes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sweep_cli").toString
+    // a corpus with one planted near-dup pair inside the 1/1 sample
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = ((0L until 20L).map(i => (i, s"doc number $i " + ('a' + (i % 7)).toChar.toString * 3 + " " + base)) :+
+      (100L, base + " tail one") :+ (101L, base + " tail two")).toDF("doc_id", "text")
+    EtlCli.writeTable(docs, s"$root/corpus")
+    EtlCli.run(spark, Seq("sweep-lsh", s"$root/corpus", s"$root/sweep", "1"))
+    val sweep = EtlCli.readTable(spark, s"$root/sweep")
+    val rows = sweep.select("band_size", "n_bands", "n_truth", "recall")
+      .as[(Int, Int, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8), s"one row per divisor band size: ${rows.toSeq}")
+    assert(rows.forall(r => r._1 * r._2 == 8))
+    assert(rows.forall(_._3 >= 1), s"planted pair must be in the truth: ${rows.toSeq}")
+    assert(rows.head._4 == 1.0, s"band size 1 is recall-exact: ${rows.toSeq}")
+    // the committed frontier feeds the picker exactly as the sink reads it
+    val pick = graft.operators.Dedup.pickLshConfig(
+      EtlCli.readTable(spark, s"$root/sweep"), minRecall = 0.9)
+    assert(pick.count() <= 1)
+  }
+
   test("diffVersions reports exactly the churn: added, removed, changed; unchanged dropped") {
     import graft.tools.EtlCli
     import spark.implicits._

@@ -37,6 +37,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"expected anti join:\n$p")
   }
 
+  test("bridge distinct-count: no Expand, user-pinned aggregation widths survive") {
+    // the r10 shape: COUNT(DISTINCT)'s Expand replaced by two plain hash
+    // aggregations, and the two user hash-repartitions (REPARTITION_BY_NUM)
+    // pin the spine's width against size-based AQE coalescing — a
+    // regression to either silently reopens the measured 1.8s -> 1.39s win
+    val p = plan("q_j5_bridge")
+    assert(!p.contains("Expand"), s"COUNT DISTINCT Expand crept back:\n$p")
+    assert("REPARTITION_BY_NUM".r.findAllIn(p).size == 2,
+      s"expected both user width pins:\n$p")
+  }
+
   test("snowflake revenue query broadcasts every dimension") {
     val p = plan("q_region_revenue")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, s"dims not broadcast:\n$p")
