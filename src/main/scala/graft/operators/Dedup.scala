@@ -86,7 +86,12 @@ object Dedup {
     * all-pairs. */
   private def verifyJaccard(cands: DataFrame, docs: DataFrame, idCol: String,
                             textCol: String, k: Int, threshold: Double): DataFrame =
-    verifiedCommonCounts(cands, docs, idCol, textCol, k)
+    // minSizeRatio = threshold: j <= min(|A|,|B|)/max(|A|,|B|), so a pair
+    // whose smaller shingle set is under threshold x the larger can never
+    // verify — the native merge skips it (exact prune; >= keeps boundary
+    // pairs). Containment callers must NOT prune (a tiny subset of a huge
+    // doc has low Jaccard but full containment).
+    verifiedCommonCounts(cands, docs, idCol, textCol, k, minSizeRatio = threshold)
       .select(col("doc_a"), col("doc_b"),
         (col("common") / (col("na") + col("nb") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -95,7 +100,8 @@ object Dedup {
     * (doc_a, doc_b, common, na, nb) for the candidate pairs — the input to
     * any set-similarity measure (Jaccard, containment, dice). */
   private def verifiedCommonCounts(cands: DataFrame, docs: DataFrame, idCol: String,
-                                   textCol: String, k: Int): DataFrame = {
+                                   textCol: String, k: Int,
+                                   minSizeRatio: Double = 0.0): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     // NOT distinct'ed: the only consumer is the left-semi probe below,
     // which is duplicate-insensitive — a distinct here would be a whole
@@ -127,9 +133,19 @@ object Dedup {
       .transform(graft.core.Materialize.pin)
     val common = column(graft.plans.SortedIntersectCount(
       expression(col("sh_a")), expression(col("sh_b"))))
-    cands
+    val joined = cands
       .join(sh.toDF("doc_a", "sh_a"), "doc_a")
       .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+    // optional size-ratio prune (Jaccard callers pass their threshold;
+    // containment callers pass 0): the filter and the merge projection
+    // share one codegen stage, so pruned pairs never pay the merge
+    val pruned =
+      if (minSizeRatio > 0)
+        joined.filter(
+          size(col("sh_a")) >= lit(minSizeRatio) * size(col("sh_b")) &&
+            size(col("sh_b")) >= lit(minSizeRatio) * size(col("sh_a")))
+      else joined
+    pruned
       .withColumn("common", common)
       .select(col("doc_a"), col("doc_b"), col("common"),
         size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
