@@ -155,6 +155,45 @@ class GrowthSpec extends SparkSpec {
     assert(c640 <= 15, s"chain-640 rounds not O(log n): $c640")
   }
 
+  test("(d) bucket-pruned phrase probe: shuffle stays O(phrase postings) as the index grows 4x") {
+    // The retrieval growth claim: against a term-bucketed positional
+    // index, a phrase probe's pre-shuffle term filter prunes everything
+    // but the phrase's own postings — so while the pruned SCAN grows
+    // ~linearly with the index (bucket contents do), the shuffled volume
+    // is the phrase's posting count, which replication leaves UNCHANGED
+    // (tagged copies contain different terms by construction).
+    val db = "graft_growth_phrase"
+    val loc = java.nio.file.Files.createTempDirectory("growth_ph").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+    try {
+      withConf(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+        // copy-0's rendering of a phrase present in the base corpus
+        val phrase = Seq("big", "order", "scan").map(w => s"0${w}0").mkString(" ")
+        def probeRecords(indexScale: Int, table: String): (Long, Long) = {
+          graft.operators.TextAnalysis.positionalPostings(
+              replicated(indexScale), "doc_id", "text")
+            .write.bucketBy(8, "term").sortBy("term")
+            .mode("overwrite").saveAsTable(s"$db.$table")
+          val probe = graft.operators.TextAnalysis.phraseSearchFromPostings(
+            spark.table(s"$db.$table"), "doc_id", phrase)
+          val p = probe.queryExecution.executedPlan.toString
+          assert("SelectedBucketsCount: [1-3] out of 8".r.findAllIn(p).size == 1,
+            s"probe must stay bucket-pruned at ${indexScale}x:\n$p")
+          (shuffledRecords(probe), probe.count())
+        }
+        val (sr1, m1) = probeRecords(1, "post_1x")
+        val (sr4, m4) = probeRecords(4, "post_4x")
+        info(s"phrase probe shuffle: 1x index $sr1 records, 4x index $sr4; matches $m1/$m4")
+        assert(m1 > 0 && m4 == m1, "replication must not change copy-0's matches")
+        assert(sr1 > 0, "expected the phrase postings to shuffle")
+        assert(sr4 <= sr1 * 6 / 5 + 100,
+          s"probe shuffle grew with the INDEX side: $sr1 -> $sr4 records")
+      }
+    } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
   test("(c) bucketed incremental probe shuffles O(batch) records as the index grows 10x") {
     // The production composition: the persisted band index accretes for
     // months (the 10x side); a daily batch probes it. Bucketing the index
