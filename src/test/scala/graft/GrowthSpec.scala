@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   *      flat across corpus replication, logarithmic on adversarial
   *      chains;
   *  (c) the bucketed incremental-dedup probe shuffles O(batch) records
-  *      no matter how large the persisted index side grows.
+  *      no matter how large the persisted index side grows;
+  *  (d) a phrase probe against the term-bucketed positional index
+  *      shuffles O(phrase postings), not O(index);
+  *  (e) IVF candidate scoring grows linearly at fixed cells and stays
+  *      ~flat when cells scale with the corpus (the deployment path).
   *
   * Each test FAILS if growth goes superlinear beyond tolerance. Wall
   * times are recorded (with a catastrophic-only bound — VM noise makes
@@ -242,5 +246,59 @@ class GrowthSpec extends SparkSpec {
           s"probe shuffle grew with the INDEX side: $sr1 -> $sr10 records")
       }
     } finally spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
+  test("(e) IVF probe cost: linear at fixed cells, ~flat when cells scale with the corpus") {
+    // The similarity-search growth claim, measured off ivfProbeSweep's
+    // n_scored (the candidate distance evaluations a query triggers):
+    //  - fixed (nCells, nProbe): scored candidates grow ~linearly with
+    //    the corpus and stay a bounded FRACTION of it (the coarse
+    //    quantizer prunes the same share at every scale — brute force
+    //    scores the whole corpus, a broken probe would too);
+    //  - the deployment scale path (nCells grown with the corpus so
+    //    cells keep constant size): per-query scored work stays ~flat —
+    //    4x the index at 4x the cells costs what 1x cost.
+    // Replication = identical vectors under offset ids: the corpus
+    // distribution is unchanged, so cell geometry is scale-comparable.
+    import graft.operators.Similarity
+    val baseEmb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def embAt(copies: Int): DataFrame =
+      (0 until copies).map(i => baseEmb.select(
+        (col("vec_id") + lit(i * Stride)).as("vec_id"), col("embedding")))
+        .reduce(_ unionAll _)
+    val queries = baseEmb.filter(col("vec_id") < 20)
+    val nQ = queries.count()
+
+    def scored(corpus: DataFrame, n: Long, nCells: Int, nProbe: Int): (Long, Double) = {
+      val exact = Similarity.bruteForceL2TopK(corpus, queries, "vec_id", "embedding", k = 10)
+      val row = Similarity.ivfProbeSweep(corpus, queries, "vec_id", "embedding",
+          nCells = nCells, nProbes = Seq(nProbe), k = 10, exact = exact)
+        .select("n_scored", "recall_micro").head()
+      info(f"n=$n cells=$nCells probe=$nProbe: scored=${row.getLong(0)} " +
+        f"(${row.getLong(0).toDouble / (nQ * n)}%.3f of brute force) " +
+        f"recall=${row.getDouble(1)}%.2f")
+      (row.getLong(0), row.getDouble(1))
+    }
+
+    val n1 = baseEmb.count()
+    val (s1, r1) = scored(embAt(1), n1, nCells = 25, nProbe = 3)
+    val (s4fixed, _) = scored(embAt(4), 4 * n1, nCells = 25, nProbe = 3)
+    val (s4scaled, r4) = scored(embAt(4), 4 * n1, nCells = 100, nProbe = 3)
+    assert(s1 > 0 && r1 > 0, "base sweep must score candidates and find hits")
+    // pruning holds at both scales: the probe touches a bounded fraction
+    // of the corpus (expected ~nProbe/nCells = 0.12; brute force = 1.0)
+    assert(s1 <= nQ * n1 * 2 / 5, s"1x probe stopped pruning: $s1 of ${nQ * n1}")
+    assert(s4fixed <= nQ * 4 * n1 * 2 / 5,
+      s"4x probe stopped pruning: $s4fixed of ${nQ * 4 * n1}")
+    // fixed cells: linear growth (cell-size wobble from fresh hash-rank
+    // seeds allows [2x, 8x]; a quadratic constant would read ~16x)
+    assert(s4fixed <= 8 * s1 && s4fixed >= 2 * s1,
+      s"fixed-cell scored count non-linear: $s1 -> $s4fixed")
+    // scaled cells: per-query cost ~flat (seed-sample duplicate vectors
+    // leave some cells empty, so allow 3x headroom — never 4x-linear)
+    assert(s4scaled <= 3 * s1 + 100,
+      s"scaled-cells probe cost grew with the corpus: $s1 -> $s4scaled")
+    assert(r4 > 0, "scaled-cells sweep must still find ground-truth hits")
   }
 }
