@@ -53,6 +53,39 @@ object Stats {
     medianPerGroup(dev, keyCols, "__dev", tieCol, outCol)
   }
 
+  /** The GATE the median/MAD pair exists for: per-group robust z-score
+    * outlier accounting — how many rows sit more than `nMads` median
+    * absolute deviations from their group's median. Robust because both
+    * center and spread are order statistics: a handful of garbage rows
+    * (a 10 MB doc in a tweet corpus) cannot drag the fence the way a
+    * mean/stddev gate lets them. One row per group:
+    * (keys..., n_rows, med, mad, n_outliers).
+    *
+    * Determinism: med and mad come off the quantized exact idiom above,
+    * and the fence comparison |x - med| > nMads * mad derives from them
+    * in two IEEE ops — bit-stable across engines. Degenerate spread
+    * (mad = 0: over half the group identical) makes EVERY differing row
+    * an outlier at any fence width; callers gating discrete-heavy
+    * columns should treat mad = 0 groups as "no spread signal", not as
+    * 90%-outlier alarms. Scale: inherits the exact idiom's bounded-group
+    * contract; the med/mad sides broadcast (one row per group). */
+  def robustOutlierStats(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                         tieCol: String, nMads: Double = 3.0): DataFrame = {
+    require(nMads > 0, s"fence width must be positive, got $nMads")
+    val med = medianPerGroup(df, keyCols, valueCol, tieCol, "__m")
+    val dev = df.join(broadcast(med), keyCols)
+      .withColumn("__dev", abs(col(valueCol) - col("__m")))
+    val mad = medianPerGroup(dev, keyCols, "__dev", tieCol, "__mad")
+    dev.join(broadcast(mad), keyCols)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        // constant within the group — min() just carries them through
+        min(col("__m")).as("med"),
+        min(col("__mad")).as("mad"),
+        sum((col("__dev") > lit(nMads) * col("__mad")).cast("int"))
+          .cast("long").as("n_outliers"))
+  }
+
   /** Calibrate a keep-THRESHOLD to a target keep RATE — the gate-tuning
     * move: instead of hand-picking a quality cutoff, pick the rate of
     * data you can afford to keep and read the threshold off the score

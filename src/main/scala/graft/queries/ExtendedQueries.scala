@@ -258,6 +258,48 @@ object ExtendedQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // The gate the median/MAD pair exists for: robust z-score outlier
+    // accounting per source — docs whose length sits > 3 MADs from their
+    // source's median length. Robust center+spread (both order
+    // statistics) keep a handful of garbage megadocs from dragging the
+    // fence the way mean/stddev would; the fence comparison derives from
+    // the quantized med/mad in two IEEE ops, so it is bit-stable.
+    QueryDef(
+      "q_robust_outliers",
+      "per-source robust (median/MAD) length-outlier counts at a 3-MAD fence",
+      """WITH ranked AS (
+           SELECT source, n_chars, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n_chars, doc_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY source) AS n
+           FROM documents),
+         med AS (
+           SELECT source,
+                  CAST(SUM(CAST(FLOOR((n_chars) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 / COUNT(*) AS m
+           FROM ranked WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+           GROUP BY source),
+         dev AS (
+           SELECT d.source, d.doc_id, med.m, abs(d.n_chars - med.m) AS dv,
+                  ROW_NUMBER() OVER (PARTITION BY d.source
+                                     ORDER BY abs(d.n_chars - med.m), d.doc_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY d.source) AS n
+           FROM documents d JOIN med USING (source)),
+         mad AS (
+           SELECT source,
+                  CAST(SUM(CAST(FLOOR((dv) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000.0 / COUNT(*) AS md
+           FROM dev WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+           GROUP BY source)
+         SELECT dev.source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                MIN(dev.m) AS med, MIN(mad.md) AS mad,
+                CAST(SUM(CASE WHEN dev.dv > 3 * mad.md THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM dev JOIN mad USING (source)
+         GROUP BY dev.source ORDER BY dev.source""") { (s, dir) =>
+      graft.operators.Stats.robustOutlierStats(
+          t(s, dir, "documents").select(col("source"), col("n_chars"), col("doc_id")),
+          Seq("source"), "n_chars", "doc_id", nMads = 3.0)
+        .orderBy(col("source"))
+    },
+
     // Histogram-sketch quantiles — the quantile formulation that survives
     // 100 TB. q_median's exact window rank sorts every row of a partition;
     // this one reduces the corpus to a fixed-width histogram (bounded at

@@ -26,6 +26,38 @@ class StatsSpec extends SparkSpec {
     assert(got("c") == 0.0 && got("d") == 2.0, got.toString)
   }
 
+  test("robustOutlierStats: MAD fence flags the planted garbage, mean-dragging resistant") {
+    // group "s": 9 well-behaved lengths around 100 plus one 10_000-char
+    // megadoc. A mean/stddev fence at 3 sigma would let the megadoc drag
+    // sigma to ~3000 and flag nothing; the MAD fence flags exactly it.
+    val wellBehaved = Seq(96.0, 98.0, 99.0, 100.0, 100.0, 101.0, 102.0, 104.0, 110.0)
+    val df = (wellBehaved :+ 10000.0).zipWithIndex
+      .map { case (v, i) => ("s", v, i.toLong) }.toDF("g", "v", "id")
+    val got = Stats.robustOutlierStats(df, Seq("g"), "v", "id", nMads = 3.0)
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    // median of 10 sorted values = mean of the 5th/6th (100, 101) =
+    // 100.5; devs sorted = {.5,.5,.5,1.5,1.5,2.5,3.5,4.5,9.5,9899.5} ->
+    // MAD = (1.5+2.5)/2 = 2; fence = 6 -> the 110 (dev 9.5) and the
+    // megadoc (dev 9899.5) are out
+    assert(got == Seq(("s", 10L, 100.5, 2.0, 2L)), got.toString)
+    // sanity: the classical 3-sigma fence really does miss the megadoc's
+    // companions — stddev here is ~2970, so only the megadoc exceeds it,
+    // and shrinking it to 9000 hides even that from 3-sigma while the
+    // MAD fence still fires
+    val shrunk = (wellBehaved :+ 9000.0).zipWithIndex
+      .map { case (v, i) => ("s", v, i.toLong) }.toDF("g", "v", "id")
+    val stats = shrunk.agg(avg($"v"), stddev_pop($"v")).as[(Double, Double)].head()
+    assert(9000.0 - stats._1 < 3 * stats._2, "fixture: 3-sigma must miss the planted doc")
+    val robust = Stats.robustOutlierStats(shrunk, Seq("g"), "v", "id", nMads = 3.0)
+      .as[(String, Long, Double, Double, Long)].head()
+    assert(robust._5 >= 1L, s"MAD fence must still flag the planted doc: $robust")
+    // degenerate spread: constant group -> mad 0, nothing differs, 0 out
+    val const = Seq.fill(5)(7.0).zipWithIndex.map { case (v, i) => ("c", v, i.toLong) }
+      .toDF("g", "v", "id")
+    assert(Stats.robustOutlierStats(const, Seq("g"), "v", "id")
+      .as[(String, Long, Double, Double, Long)].head() == ("c", 5L, 7.0, 0.0, 0L))
+  }
+
   test("thresholdForKeepRate: exact k-th-highest threshold, tie mass reported, edge cases") {
     def cal(scores: Seq[Double], rate: Double) =
       Stats.thresholdForKeepRate(
