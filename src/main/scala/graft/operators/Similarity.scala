@@ -907,6 +907,83 @@ object Similarity {
       .select(col("qid"), col("cid"), col("dist"), col("rank"))
   }
 
+  /** Binary (1-bit) quantization: dimension d's SIGN bit (x_d > 0),
+    * packed 64 dims per BIGINT word — the bottom rung of the
+    * compression ladder under SQ8 (4x) and PQ (32x): 64-dim float32
+    * vectors collapse from 256 bytes to ONE long (32x), and candidate
+    * scoring becomes xor + popcount — no float math at all. This is the
+    * coordinate-sign binarization of binary-index designs (FAISS
+    * IndexBinaryFlat / the "binary quantization" rung of modern vector
+    * stores), distinct from signLshBuckets: no random hyperplanes, the
+    * data's own signs ARE the code, so Hamming distance lower-bounds
+    * angular disagreement dimension-by-dimension.
+    *
+    * Bit layout: word w holds dims [64w, 64w+64), first dim of the slice
+    * at the HIGH end (shift-left fold) — internal only; every consumer
+    * compares codes to codes. Exactness: (x > 0) on the exactly-widened
+    * double matches any engine's float sign test bit-for-bit, ties at
+    * 0.0 pack as 0. Map-only projection; at scale the words column is
+    * what persists and stage-1 scans touch nothing else. */
+  def binaryQuantize(df: DataFrame, idCol: String, vecCol: String,
+                     dims: Int): DataFrame = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    val nWords = (dims + 63) / 64
+    val words = transform(sequence(lit(0), lit(nWords - 1)), w =>
+      aggregate(slice(dvec(col(vecCol)), w * lit(64) + lit(1), lit(64)),
+        lit(0L),
+        // shiftleft+or, not acc*2+bit: the fold's last doubling sets the
+        // sign bit, which ANSI-mode multiply rejects as long overflow
+        (acc, x) => shiftleft(acc, 1).bitwiseOR(when(x > lit(0.0), 1L).otherwise(0L))))
+    graft.core.Tables.ensureParallelism(df)
+      .select(col(idCol), words.as("words"))
+  }
+
+  /** Hamming distance between two packed sign-bit codes: one fused
+    * xor+popcount fold per pair — integer-exact, no quantization needed. */
+  private def hammingDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast(LongType)),
+      lit(0L), (acc, h) => acc + h)
+
+  /** Two-stage binary-quantized retrieval: a Hamming-distance shortlist
+    * over the packed sign codes, then the exact quantized-cosine rerank
+    * over shortlist vectors only. The production read path scans the
+    * 8-byte codes column for EVERY corpus row but touches the 256-byte
+    * float vectors for only `shortlist` rows per query (a semi-join
+    * against the corpus on cid); the shortlist stage is pure integer
+    * xor/popcount, so stage-1 cost is bandwidth-bound at 1/32 the bytes
+    * of a float scan. Shortlist ties break (hamming, cid) and rerank
+    * ties (cosine desc, cid) — fully deterministic; both top-k windows
+    * lower to the bounded-heap TopKPerKey. Output
+    * (qid, cid, hamming, cosine, rank). */
+  def binaryRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, dims: Int, shortlist: Int,
+                       k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
+    val cw = binaryQuantize(corpus, idCol, vecCol, dims)
+      .select(col(idCol).as("cid"), col("words").as("cw"))
+    val qw = binaryQuantize(queries, idCol, vecCol, dims)
+      .select(col(idCol).as("qid"), col("words").as("qw"))
+    val ham = broadcast(qw).join(cw, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        hammingDist(col("qw"), col("cw")).as("hamming"))
+    val sw = Window.partitionBy("qid").orderBy(col("hamming"), col("cid"))
+    val cand = ham.withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= shortlist)
+      .select("qid", "cid", "hamming")
+    val c = corpus.select(col(idCol).as("cid"), dvec(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
+    val scored = cand.join(c, "cid").join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"), col("hamming"),
+        (qdot(col("qv"), col("cv")) / (qnorm(col("qv")) * qnorm(col("cv"))))
+          .as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("hamming"), col("cosine"),
+        col("rank").cast(IntegerType).as("rank"))
+  }
+
   def pqTopK(corpusCodes: DataFrame, queries: DataFrame, codebook: DataFrame,
              idCol: String, vecCol: String, m: Int, k: Int): DataFrame = {
     val table = subvectors(queries, idCol, vecCol, m)

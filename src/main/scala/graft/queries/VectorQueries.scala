@@ -308,6 +308,49 @@ object VectorQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Binary-quantization retrieval (the bottom compression rung: 1 bit
+    // per dim, 64-dim float32 vectors -> ONE bigint, 32x): stage 1
+    // shortlists by xor+popcount Hamming distance over the packed sign
+    // codes — integer-only, 1/32 the scan bytes — stage 2 reranks the
+    // 50-candidate shortlist with the exact quantized cosine. The oracle
+    // recomputes Hamming as the count of sign-disagreeing dims, which the
+    // packed representation equals by construction.
+    QueryDef(
+      "q_ann_binary",
+      "binary-quantized ANN: packed sign-bit Hamming shortlist (50), exact cosine top-5",
+      s"""WITH dims AS ($dimsSql),
+          ham AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+                   CAST(SUM(CASE WHEN (q.x > 0) <> (c.x > 0) THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+            FROM dims q JOIN dims c ON q.d = c.d AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5
+            GROUP BY 1, 2),
+          cand AS (
+            SELECT qid, cid, hamming FROM (
+              SELECT qid, cid, hamming,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, cid) AS srn
+              FROM ham) WHERE srn <= 50),
+          nrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x * x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0) AS nrm
+                  FROM dims GROUP BY vec_id),
+          dots AS (
+            SELECT cand.qid AS qid, cand.cid AS cid, MIN(cand.hamming) AS hamming,
+                   CAST(SUM(CAST(FLOOR((q.x * c.x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dot
+            FROM cand JOIN dims q ON q.vec_id = cand.qid
+                      JOIN dims c ON c.vec_id = cand.cid AND c.d = q.d
+            GROUP BY 1, 2),
+          scored AS (
+            SELECT qid, cid, hamming, dot / (qn.nrm * cn.nrm) AS cosine
+            FROM dots JOIN nrm qn ON qn.vec_id = qid JOIN nrm cn ON cn.vec_id = cid)
+          SELECT qid, cid, hamming, cosine, rank FROM (
+            SELECT qid, cid, hamming, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS INT) AS rank
+            FROM scored) WHERE rank <= 5 ORDER BY qid, rank""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      Similarity.binaryRerankTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", dims = 64, shortlist = 50, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // Matryoshka-style prefix rerank (MRL deployment shape): stage 1
     // shortlists on the first 16 dims only — a quarter of the arithmetic,
     // and at scale a quarter of the bytes if the prefix is its own stored

@@ -427,4 +427,51 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Int)].collect()
     assert(kept.toSet == again.toSet)
   }
+
+  test("binaryQuantize: known sign pattern packs to the expected words; 32x width") {
+    // 64 dims, one word: dims 0..63, positive exactly at dims {0, 63} ->
+    // high-end-first fold puts dim 0 at bit 63 and dim 63 at bit 0
+    val v = Array.tabulate(64)(d => if (d == 0 || d == 63) 1.0f else -1.0f)
+    val df = Seq((1L, v)).toDF("vec_id", "embedding")
+    val words = Similarity.binaryQuantize(df, "vec_id", "embedding", dims = 64)
+      .select(col("words")).as[Seq[Long]].head()
+    assert(words == Seq(java.lang.Long.MIN_VALUE | 1L), words.toString)
+    // zero packs as 0 (strict > 0), multi-word shapes pad cleanly
+    val v2 = Array.tabulate(80)(d => if (d == 64) 0.5f else 0.0f)
+    val w2 = Similarity.binaryQuantize(Seq((2L, v2)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dims = 80)
+      .select(col("words")).as[Seq[Long]].head()
+    // word 1 holds dims 64..79 as its 16 leading fold steps: dim 64 is
+    // the first element folded, then 15 more acc*2 doublings
+    assert(w2 == Seq(0L, 1L << 15), w2.toString)
+  }
+
+  test("binaryRerankTopK: full-corpus shortlist degenerates to exact brute-force top-k") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 3)
+    // shortlist covering the whole corpus makes stage 1 a no-op filter,
+    // so the rerank must reproduce bruteForceTopK exactly (ids AND ranks)
+    val got = Similarity.binaryRerankTopK(emb, queries, "vec_id", "embedding",
+        dims = 64, shortlist = n, k = 5)
+      .select(col("qid").cast("long"), col("cid").cast("long"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    val want = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select(col("qid").cast("long"), col("cid").cast("long"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+    // the real (pruned) config keeps useful recall on this corpus: top-5
+    // under a 50-candidate Hamming shortlist overlaps exact top-5 heavily
+    val pruned = Similarity.binaryRerankTopK(emb, queries, "vec_id", "embedding",
+        dims = 64, shortlist = 50, k = 5)
+      .select(col("qid").cast("long"), col("cid").cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = want.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, ids) =>
+      pruned(q).intersect(ids).size.toDouble / ids.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"binary shortlist recall collapsed: $recalls")
+  }
 }
