@@ -907,6 +907,35 @@ object Similarity {
       .select(col("qid"), col("cid"), col("dist"), col("rank"))
   }
 
+  /** Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009): fuse N
+    * ranked lists into one by score = sum_systems 1/(kRrf + rank) — the
+    * production hybrid-search combiner (lexical BM25 + dense ANN), which
+    * needs NO score calibration between systems because only ranks enter.
+    * Inputs are (idCol, rankCol) frames that are already top-k lists, so
+    * everything downstream is bounded at systems x k rows: the union is
+    * tiny, the groupBy is tiny, and the final global rank window sorts at
+    * most systems x k rows regardless of corpus size — the corpus-scale
+    * work lives entirely inside the upstream retrievers. Each
+    * contribution is one IEEE division; contributions sum floor-quantized
+    * at 1e12 (the vector-math contract), so fusion is bit-stable across
+    * engines and partitionings. Ties break (rrf desc, id).
+    * Output: (id, n_systems, rrf, rank) for the fused top `topK`. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    val contribs = rankings.map(_.select(col(idCol),
+        (lit(1.0) / (lit(kRrf).cast(DoubleType) + col(rankCol).cast(DoubleType)))
+          .as("contrib")))
+      .reduce(_ unionAll _)
+    val fused = contribs.groupBy(idCol)
+      .agg(count(lit(1)).cast(IntegerType).as("n_systems"),
+        vsum(col("contrib")).as("rrf"))
+    val w = Window.orderBy(desc("rrf"), col(idCol))
+    fused.withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= topK)
+  }
+
   /** Binary (1-bit) quantization: dimension d's SIGN bit (x_d > 0),
     * packed 64 dims per BIGINT word — the bottom rung of the
     * compression ladder under SQ8 (4x) and PQ (32x): 64-dim float32

@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.QueryDef
 import graft.core.Tables.t
-import graft.operators.Similarity
+import graft.operators.{Similarity, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity-search surface over the `embeddings` table (Array[Float],
@@ -349,6 +350,79 @@ object VectorQueries {
       Similarity.binaryRerankTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
           "embedding", dims = 64, shortlist = 50, k = 5)
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
+    // the BM25 lexical top-20 (term query) and the dense cosine top-20
+    // (vector query, vec_id 0 — ids shared between documents and
+    // embeddings) fuse by sum 1/(60+rank). Rank-only fusion needs no
+    // cross-system score calibration, and every post-retrieval stage is
+    // bounded at systems x k rows — the corpus-scale work stays inside
+    // the two retrievers, each already oracle-proven standalone.
+    QueryDef(
+      "q_hybrid_rrf",
+      "hybrid search: RRF fusion of BM25 lexical top-20 and dense cosine top-20, top-10",
+      s"""WITH dims AS ($dimsSql),
+          nrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x * x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0) AS nrm
+                  FROM dims GROUP BY vec_id),
+          dots AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+                   CAST(SUM(CAST(FLOOR((q.x * c.x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dot
+            FROM dims q JOIN dims c ON q.d = c.d AND q.vec_id <> c.vec_id
+            WHERE q.vec_id = 0
+            GROUP BY 1, 2),
+          dense AS (
+            SELECT doc_id, rank FROM (
+              SELECT cid AS doc_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY dot / (qn.nrm * cn.nrm) DESC, cid) AS INT) AS rank
+              FROM dots JOIN nrm qn ON qn.vec_id = qid JOIN nrm cn ON cn.vec_id = cid)
+            WHERE rank <= 20),
+          tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                         unnest(string_split(text, ' ')) AS t FROM documents),
+          stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS dl_sum
+                    FROM documents),
+          tf AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
+                 FROM tok WHERE t IN ('vector', 'spark', 'filter')
+                 GROUP BY doc_id, dl, t),
+          dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+          lexscored AS (
+            SELECT doc_id,
+                   ((n_docs - df + 0.5e0) / (df + 0.5e0))
+                     * ((tf * 2.2e0)
+                        / (tf + 1.2e0 * (0.25e0 + 0.75e0 * (dl / (dl_sum / n_docs))))) AS contrib
+            FROM tf JOIN dfq USING (t) CROSS JOIN stats),
+          lexs AS (SELECT doc_id,
+                          CAST(SUM(CAST(FLOOR(contrib * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                            / 1000000.0 AS score
+                   FROM lexscored GROUP BY doc_id),
+          lex AS (SELECT doc_id, rank FROM (
+                    SELECT doc_id,
+                           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+                    FROM lexs) WHERE rank <= 20),
+          fusedc AS (SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM lex
+                     UNION ALL
+                     SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM dense),
+          agg AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_systems,
+                         CAST(SUM(CAST(FLOOR(contrib * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                           / 1000000000000.0 AS rrf
+                  FROM fusedc GROUP BY doc_id)
+          SELECT doc_id, n_systems, rrf, rank FROM (
+            SELECT doc_id, n_systems, rrf,
+                   CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+            FROM agg)
+          WHERE rank <= 10 ORDER BY rank""") { (s, dir) =>
+      val lex = TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
+          Seq("vector", "spark", "filter"), k1 = 1.2, b = 0.75, topK = 20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 20)
+        .select(col("cid").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, dense), "doc_id", "rank", kRrf = 60, topK = 10)
+        .orderBy(col("rank"))
     },
 
     // Matryoshka-style prefix rerank (MRL deployment shape): stage 1

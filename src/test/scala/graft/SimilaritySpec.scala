@@ -428,6 +428,26 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.toSet == again.toSet)
   }
 
+  test("rrfFuse: hand-checked fusion scores, single-system docs, deterministic ties") {
+    // system A ranks docs 1,2,3; system B ranks 2,1,4.
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (1L, 2), (4L, 3)).toDF("doc_id", "rank")
+    val got = Similarity.rrfFuse(Seq(a, b), "doc_id", "rank", kRrf = 60, topK = 10)
+      .select(col("doc_id"), col("n_systems"), col("rrf"), col("rank"))
+      .as[(Long, Int, Double, Int)].collect().sortBy(_._4).toSeq
+    def q(x: Double) = math.floor(x * 1e12 + 0.5) / 1e12
+    val s1 = q(1.0 / 61) + q(1.0 / 62) // docs 1 and 2, symmetric ranks
+    // docs 1,2 tie exactly at 1/61+1/62 -> id asc breaks it; 3 and 4 both
+    // hold a single rank-3 slot -> tie again, id asc
+    assert(got.map(x => (x._1, x._2, x._4)) ==
+      Seq((1L, 2, 1), (2L, 2, 2), (3L, 1, 3), (4L, 1, 4)), got.toString)
+    assert(got.take(2).forall(r => math.abs(r._3 - s1) < 1e-9), got.toString)
+    assert(got.drop(2).forall(r => math.abs(r._3 - q(1.0 / 63)) < 1e-9))
+    // topK truncates the fused list, not the inputs
+    assert(Similarity.rrfFuse(Seq(a, b), "doc_id", "rank", kRrf = 60, topK = 2)
+      .count() == 2)
+  }
+
   test("binaryQuantize: known sign pattern packs to the expected words; 32x width") {
     // 64 dims, one word: dims 0..63, positive exactly at dims {0, 63} ->
     // high-end-first fold puts dim 0 at bit 63 and dim 63 at bit 0
