@@ -373,6 +373,33 @@ class PlanSpec extends SparkSpec {
       s"per-cell cap should group-limit, not full-sort:\n$p")
   }
 
+  test("binary ANN: shortlist exchange carries codes-only rows; vectors never shuffle") {
+    val p = plan("q_ann_binary")
+    // stage 1's per-query window shuffles (qid, cid, hamming) — the
+    // xor/popcount fold happens BELOW the exchange, so neither the packed
+    // words nor the float vectors may cross a hash shuffle; stage 2's
+    // shortlist join must broadcast the tiny candidate side, leaving the
+    // corpus scan exchange-free
+    val vecShuffles = "Exchange hashpartitioning\\([^)]*embedding".r.findAllIn(p).size
+    assert(vecShuffles == 0, s"raw vectors crossed a shuffle:\n$p")
+    val wordShuffles = "Exchange hashpartitioning\\([^)]*words".r.findAllIn(p).size
+    assert(wordShuffles == 0, s"packed codes crossed a shuffle:\n$p")
+    assert(p.contains("TopKPerKey") || p.contains("WindowGroupLimit"),
+      s"hamming shortlist should group-limit, not full-sort:\n$p")
+  }
+
+  test("hybrid RRF: retrievers keep their bounded shapes inside the fused plan") {
+    val p = plan("q_hybrid_rrf")
+    // lexical side: global top-20 stays TakeOrderedAndProject (never a
+    // full sort); dense side: the query row broadcasts against the corpus
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bm25 top-k lost its bounded operator:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"dense query side should broadcast:\n$p")
+    val vecShuffles = "Exchange hashpartitioning\\([^)]*embedding".r.findAllIn(p).size
+    assert(vecShuffles == 0, s"raw vectors crossed a shuffle:\n$p")
+  }
+
   test("vector curation composition: no exchange ever carries the embedding array") {
     // the dedup stage shuffles exploded (vec_id, d, x) dim rows and the
     // balance stage shuffles (vec_id, cell) pairs — the raw array column
