@@ -987,10 +987,33 @@ object Similarity {
     * (qid, cid, hamming, cosine, rank). */
   def binaryRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                        vecCol: String, dims: Int, shortlist: Int,
-                       k: Int): DataFrame = {
+                       k: Int): DataFrame =
+    binaryProbeTopK(binaryQuantize(corpus, idCol, vecCol, dims), corpus,
+      queries, idCol, vecCol, dims, shortlist, k)
+
+  /** The binary index as it persists: (id, words, vec) in ONE table —
+    * the probe's stage 1 selects only (id, words), so a columnar store
+    * prunes the scan to the 8-byte codes (the 1/32-bytes claim becomes a
+    * ReadSchema property of the plan, not an argument); stage 2 re-reads
+    * (id, vec) for shortlist rows only. Map-only build — streaming
+    * epochs can append it exactly like annIndexSink's codes. */
+  def binaryIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                       dims: Int): DataFrame =
+    binaryQuantize(corpus, idCol, vecCol, dims)
+      .join(corpus.select(col(idCol), col(vecCol)), idCol)
+
+  /** Probe half of binary-quantized retrieval, against a GIVEN index:
+    * `codes` supplies stage 1's (id, words) — pass a fresh read of the
+    * persisted index so column pruning drops the vectors from the scan —
+    * and `vecs` supplies stage 2's (id, vec) for the shortlist semi-join.
+    * Shortlist ties break (hamming, cid), rerank ties (cosine desc, cid);
+    * both windows lower to the bounded-heap TopKPerKey. Output
+    * (qid, cid, hamming, cosine, rank). */
+  def binaryProbeTopK(codes: DataFrame, vecs: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, dims: Int,
+                      shortlist: Int, k: Int): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
-    val cw = binaryQuantize(corpus, idCol, vecCol, dims)
-      .select(col(idCol).as("cid"), col("words").as("cw"))
+    val cw = codes.select(col(idCol).as("cid"), col("words").as("cw"))
     val qw = binaryQuantize(queries, idCol, vecCol, dims)
       .select(col(idCol).as("qid"), col("words").as("qw"))
     val ham = broadcast(qw).join(cw, col("qid") =!= col("cid"))
@@ -1000,7 +1023,7 @@ object Similarity {
     val cand = ham.withColumn("srn", row_number().over(sw))
       .filter(col("srn") <= shortlist)
       .select("qid", "cid", "hamming")
-    val c = corpus.select(col(idCol).as("cid"), dvec(col(vecCol)).as("cv"))
+    val c = vecs.select(col(idCol).as("cid"), dvec(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
     val scored = cand.join(c, "cid").join(broadcast(q), "qid")
       .select(col("qid"), col("cid"), col("hamming"),

@@ -386,6 +386,12 @@ class PlanSpec extends SparkSpec {
     assert(wordShuffles == 0, s"packed codes crossed a shuffle:\n$p")
     assert(p.contains("TopKPerKey") || p.contains("WindowGroupLimit"),
       s"hamming shortlist should group-limit, not full-sort:\n$p")
+    // the 1/32-bytes claim as a plan property: stage 1 reads the persisted
+    // index with a schema pruned to (vec_id, words) — the float vectors
+    // must be absent from that scan's ReadSchema
+    val prunedScan = "ReadSchema: struct<vec_id:bigint,words:array<bigint>>".r
+    assert(prunedScan.findFirstIn(p).isDefined,
+      s"stage-1 index scan not pruned to codes:\n$p")
   }
 
   test("hybrid RRF: retrievers keep their bounded shapes inside the fused plan") {
