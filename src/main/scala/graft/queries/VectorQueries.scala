@@ -360,6 +360,66 @@ object VectorQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // The binary path's acceptance metric, same loop as q_ann_recall for
+    // IVF: recall@10 of the Hamming-shortlist rerank against the exact
+    // cosine top-10 (the metric binary quantization approximates). A
+    // shortlist of 50 over 1-bit codes must still surface most of the
+    // true neighborhood or the 32x compression isn't usable.
+    QueryDef(
+      "q_binary_recall",
+      "recall@10 of binary-quantized Hamming-shortlist ANN vs exact cosine top-10",
+      s"""WITH dims AS ($dimsSql),
+          nrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x * x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0) AS nrm
+                  FROM dims GROUP BY vec_id),
+          dotsx AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+                   CAST(SUM(CAST(FLOOR((q.x * c.x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dot
+            FROM dims q JOIN dims c ON q.d = c.d AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5
+            GROUP BY 1, 2),
+          exact AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (qn.nrm * cn.nrm) DESC, cid) AS rank
+              FROM dotsx JOIN nrm qn ON qn.vec_id = qid JOIN nrm cn ON cn.vec_id = cid)
+            WHERE rank <= 10),
+          ham AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+                   CAST(SUM(CASE WHEN (q.x > 0) <> (c.x > 0) THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+            FROM dims q JOIN dims c ON q.d = c.d AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5
+            GROUP BY 1, 2),
+          cand AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, cid) AS srn
+              FROM ham) WHERE srn <= 50),
+          approx AS (
+            SELECT qid, cid FROM (
+              SELECT d.qid, d.cid,
+                     ROW_NUMBER() OVER (PARTITION BY d.qid ORDER BY d.dot / (qn.nrm * cn.nrm) DESC, d.cid) AS rank
+              FROM (SELECT dotsx.* FROM dotsx JOIN cand USING (qid, cid)) d
+              JOIN nrm qn ON qn.vec_id = d.qid JOIN nrm cn ON cn.vec_id = d.cid)
+            WHERE rank <= 10),
+          den AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS d FROM exact GROUP BY qid),
+          hits AS (SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM exact e JOIN approx a ON a.qid = e.qid AND a.cid = e.cid
+                   GROUP BY e.qid)
+          SELECT den.qid, CAST(COALESCE(n, 0) AS BIGINT) AS n_hit,
+                 CAST(COALESCE(n, 0) AS DOUBLE) / LEAST(10, d) AS recall
+          FROM den LEFT JOIN hits ON hits.qid = den.qid
+          ORDER BY den.qid""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      def index = Memo.parquetArtifact(s, dir, "binary_index") {
+        Similarity.binaryIndexBuild(emb, "vec_id", "embedding", dims = 64)
+      }
+      val approx = Similarity.binaryProbeTopK(index, index, queries,
+        "vec_id", "embedding", dims = 64, shortlist = 50, k = 10)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+      Similarity.annRecallAtK(approx, exact, k = 10).orderBy(col("qid"))
+    },
+
     // Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
     // the BM25 lexical top-20 (term query) and the dense cosine top-20
     // (vector query, vec_id 0 — ids shared between documents and
