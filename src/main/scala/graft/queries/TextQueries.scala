@@ -313,6 +313,41 @@ object TextQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
+    // Content-defined chunking (LBFS-style, word granularity): a word
+    // ends a chunk when its md5 leads with a zero nibble (expected length
+    // 16 words), so boundaries are pure functions of local content and
+    // chunk-level dedup survives prefix edits that shift every fixed-size
+    // chunk. Entirely in-row (boundary filter -> span zip -> slice+join),
+    // ONE posexplode, nothing shuffles.
+    QueryDef(
+      "q_cdc_chunks",
+      "content-defined chunks: md5-boundary word spans (doc_id < 50), in-row span assembly",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents WHERE doc_id < 50),
+          b AS (SELECT doc_id, ws,
+                       list_filter(range(1, len(ws) + 1),
+                                   i -> substr(md5(ws[i]), 1, 1) = '0') AS bs
+                FROM w),
+          sp AS (SELECT doc_id, ws,
+                        list_prepend(1, list_transform(bs, x -> x + 1)) AS starts,
+                        list_append(bs, len(ws)) AS ends
+                 FROM b),
+          ch AS (SELECT doc_id, ws,
+                        unnest(list_filter(
+                          list_transform(range(1, len(starts) + 1),
+                            k -> {'k': k, 's': starts[k], 'e': ends[k]}),
+                          r -> r.e >= r.s)) AS r
+                 FROM sp)
+          SELECT doc_id, CAST(r.k - 1 AS INT) AS chunk_idx,
+                 CAST(r.e - r.s + 1 AS BIGINT) AS n_words,
+                 array_to_string(ws[r.s:r.e], ' ') AS chunk
+          FROM ch ORDER BY doc_id, chunk_idx""") { (s, dir) =>
+      TextAnalysis.cdcChunks(
+          t(s, dir, "documents").filter(col("doc_id") < 50),
+          "doc_id", "text", boundaryNibbles = 1)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // Repetition quality filter (Gopher-style): repeated-token ratio and
     // top-token share, thresholded into a keep/drop flag.
     QueryDef(

@@ -327,4 +327,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(wMb.toSeq == wMb2.toSeq && mseMb == mseMb2,
       "mini-batch training must be bit-deterministic")
   }
+
+  test("cdcChunks: chunks cover the doc exactly; prefix edits leave suffix chunks intact") {
+    // enough distinct words that some hit the 1/16 zero-nibble boundary
+    val words = (0 until 400).map(i => s"w$i")
+    val doc = words.mkString(" ")
+    val base = TextAnalysis.cdcChunks(Seq((1L, doc)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("chunk_idx")
+      .select(col("chunk_idx"), col("n_words"), col("chunk"))
+      .as[(Int, Long, String)].collect().toSeq
+    // coverage: chunks reassemble the doc verbatim, indices contiguous,
+    // n_words consistent with the chunk text
+    assert(base.map(_._1) == base.indices, base.map(_._1).toString)
+    assert(base.map(_._3).mkString(" ") == doc, "chunks must cover the doc exactly")
+    assert(base.forall(c => c._3.split(" ").length.toLong == c._2))
+    assert(base.size > 5, s"fixture too uniform: ${base.size} chunks")
+    // THE CDC property: prepending garbage shifts every fixed-size chunk
+    // but must leave every chunk after the first boundary byte-identical
+    val edited = ("zzz0 zzz1 zzz2 " + doc)
+    val editedChunks = TextAnalysis.cdcChunks(
+        Seq((2L, edited)).toDF("doc_id", "text"), "doc_id", "text")
+      .select(col("chunk")).as[String].collect().toSet
+    val stable = base.drop(1).map(_._3) // all chunks after the doc's first boundary
+    val kept = stable.count(editedChunks.contains)
+    assert(kept == stable.size,
+      s"prefix edit broke $kept/${stable.size} suffix chunks — CDC property lost")
+    // contrast: the fixed-size chunker keeps NO chunk under the same edit
+    val fixedBase = TextAnalysis.chunkByChars(Seq((1L, doc)).toDF("doc_id", "text"),
+        "doc_id", "text", chunkLen = 80, overlap = 0)
+      .select(col("chunk")).as[String].collect().toSet
+    val fixedEdited = TextAnalysis.chunkByChars(Seq((2L, edited)).toDF("doc_id", "text"),
+        "doc_id", "text", chunkLen = 80, overlap = 0)
+      .select(col("chunk")).as[String].collect().toSet
+    assert(fixedBase.intersect(fixedEdited).size <= 1,
+      "fixture: fixed-size chunking should lose (almost) every chunk on a prefix edit")
+  }
 }
