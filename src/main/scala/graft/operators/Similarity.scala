@@ -1036,6 +1036,72 @@ object Similarity {
         col("rank").cast(IntegerType).as("rank"))
   }
 
+  /** Recall/cost frontier over binary-Hamming shortlist depths — the
+    * config-selection sweep for the binary path, same contract as
+    * ivfProbeSweep: Hamming ranks compute ONCE (they are depth-
+    * independent), the shortlist-capped candidates rerank per grid point
+    * off one pinned scored table, and each config reports
+    * (n_scored, n_hit, n_denom, recall_micro) against the given exact
+    * top-k. n_scored is the rerank work the config buys; on isotropic
+    * data the frontier is shallow and the picker deepens the shortlist —
+    * exactly the measurement a deployment needs before trusting 1-bit
+    * codes. */
+  def binaryShortlistSweep(codes: DataFrame, vecs: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, dims: Int,
+                           shortlists: Seq[Int], k: Int,
+                           exact: DataFrame): DataFrame = {
+    require(shortlists.nonEmpty && shortlists.forall(_ >= 1),
+      s"shortlist depths must be positive, got $shortlists")
+    import queries.sparkSession.implicits._
+    val cw = codes.select(col(idCol).as("cid"), col("words").as("cw"))
+    val qw = binaryQuantize(queries, idCol, vecCol, dims)
+      .select(col(idCol).as("qid"), col("words").as("qw"))
+    val ham = broadcast(qw).join(cw, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        hammingDist(col("qw"), col("cw")).as("hamming"))
+    val sw = Window.partitionBy("qid").orderBy(col("hamming"), col("cid"))
+    val cand = ham.withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= shortlists.max)
+    val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
+    val c = vecs.select(col(idCol).as("cid"), dvec(col(vecCol)).as("cv"))
+    val scored = cand.join(c, "cid").join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"), col("srn"),
+        (qdot(col("qv"), col("cv")) / (qnorm(col("qv")) * qnorm(col("cv"))))
+          .as("cosine"))
+      .transform(graft.core.Materialize.pin)
+    val cfg = shortlists.toDF("shortlist")
+    val perCfg = scored.crossJoin(broadcast(cfg)).filter(col("srn") <= col("shortlist"))
+    val wK = Window.partitionBy("shortlist", "qid").orderBy(desc("cosine"), col("cid"))
+    val approx = perCfg.withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("shortlist"), col("qid"), col("cid"))
+    val hits = exact.select(col("qid"), col("cid")).join(approx, Seq("qid", "cid"))
+      .groupBy("shortlist").agg(count(lit(1)).as("n_hit"))
+    val nScored = perCfg.groupBy("shortlist").agg(count(lit(1)).as("n_scored"))
+    val denom = exact.groupBy("qid").agg(count(lit(1)).as("__d"))
+      .agg(coalesce(sum(least(lit(k.toLong), col("__d"))), lit(0L))
+        .cast(LongType).as("n_denom"))
+    cfg.join(nScored, Seq("shortlist"), "left_outer")
+      .join(hits, Seq("shortlist"), "left_outer")
+      .crossJoin(broadcast(denom))
+      .select(col("shortlist"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_denom"),
+        when(col("n_denom") === 0, lit(1.0))
+          .otherwise(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / col("n_denom"))
+          .as("recall_micro"))
+  }
+
+  /** The CHOICE the shortlist sweep exists to make: the cheapest depth
+    * (fewest reranked candidates) whose micro recall clears the floor —
+    * one row, or none when no depth qualifies (re-sweep deeper, never
+    * deploy the best loser). Tie-break (n_scored, shortlist). */
+  def pickBinaryConfig(sweep: DataFrame, minRecall: Double): DataFrame =
+    sweep.filter(col("recall_micro") >= minRecall)
+      .orderBy(col("n_scored"), col("shortlist"))
+      .limit(1)
+
   def pqTopK(corpusCodes: DataFrame, queries: DataFrame, codebook: DataFrame,
              idCol: String, vecCol: String, m: Int, k: Int): DataFrame = {
     val table = subvectors(queries, idCol, vecCol, m)

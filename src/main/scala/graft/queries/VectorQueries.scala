@@ -118,6 +118,60 @@ object VectorQueries {
         "vec_id", "embedding", k = 10)
     }
 
+  /** Shared oracle CTE chain for the binary-Hamming shortlist sweep
+    * (queries vec_id < 5, k=10, depths 25/50/100/200) ending in the
+    * `frontier` CTE — shared by q_binary_sweep (the full frontier) and
+    * q_pick_binary_config (the choice read off it) so both oracles
+    * recompute the identical grid. */
+  private lazy val binarySweepCtesSql: String =
+    s"""WITH dims AS ($dimsSql),
+          nrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x * x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0) AS nrm
+                  FROM dims GROUP BY vec_id),
+          dotsx AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+                   CAST(SUM(CAST(FLOOR((q.x * c.x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dot
+            FROM dims q JOIN dims c ON q.d = c.d AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5
+            GROUP BY 1, 2),
+          exact AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (qn.nrm * cn.nrm) DESC, cid) AS rank
+              FROM dotsx JOIN nrm qn ON qn.vec_id = qid JOIN nrm cn ON cn.vec_id = cid)
+            WHERE rank <= 10),
+          ham AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+                   CAST(SUM(CASE WHEN (q.x > 0) <> (c.x > 0) THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+            FROM dims q JOIN dims c ON q.d = c.d AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5
+            GROUP BY 1, 2),
+          srnt AS (SELECT qid, cid,
+                          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, cid) AS srn
+                   FROM ham),
+          cfg(shortlist) AS (VALUES (25), (50), (100), (200)),
+          percfg AS (SELECT cfg.shortlist, s.qid, s.cid
+                     FROM srnt s JOIN cfg ON s.srn <= cfg.shortlist),
+          approx AS (
+            SELECT shortlist, qid, cid FROM (
+              SELECT p.shortlist, p.qid, p.cid,
+                     ROW_NUMBER() OVER (PARTITION BY p.shortlist, p.qid
+                                        ORDER BY d.dot / (qn.nrm * cn.nrm) DESC, p.cid) AS rank
+              FROM percfg p JOIN dotsx d ON d.qid = p.qid AND d.cid = p.cid
+              JOIN nrm qn ON qn.vec_id = p.qid JOIN nrm cn ON cn.vec_id = p.cid)
+            WHERE rank <= 10),
+          nsc AS (SELECT shortlist, CAST(COUNT(*) AS BIGINT) AS n_scored FROM percfg GROUP BY 1),
+          hits AS (SELECT shortlist, CAST(COUNT(*) AS BIGINT) AS n_hit
+                   FROM approx JOIN exact USING (qid, cid) GROUP BY 1),
+          den AS (SELECT CAST(COALESCE(SUM(LEAST(10, d)), 0) AS BIGINT) AS n_denom
+                  FROM (SELECT qid, CAST(COUNT(*) AS BIGINT) AS d FROM exact GROUP BY qid)),
+          frontier AS (
+            SELECT cfg.shortlist, CAST(COALESCE(n_scored, 0) AS BIGINT) AS n_scored,
+                   CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit, n_denom,
+                   CASE WHEN n_denom = 0 THEN 1.0
+                        ELSE CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_denom END AS recall_micro
+            FROM cfg LEFT JOIN nsc USING (shortlist) LEFT JOIN hits USING (shortlist)
+            CROSS JOIN den)"""
+
   /** Shared oracle CTE chain for the IVF probe-depth sweep (16 cells,
     * queries vec_id < 5, k=10, depths 1/2/4/8): cells -> probe ranking ->
     * scored candidates -> per-depth approx top-k vs exact truth. Shared
@@ -418,6 +472,54 @@ object VectorQueries {
         "vec_id", "embedding", dims = 64, shortlist = 50, k = 10)
       val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
       Similarity.annRecallAtK(approx, exact, k = 10).orderBy(col("qid"))
+    },
+
+    // Recall/cost frontier over binary-Hamming shortlist depths — the
+    // binary path's config-selection sweep, completing the same
+    // sweep->floor->choice loop as LSH bands and IVF probes: Hamming
+    // ranks are depth-independent and compute once; each grid point is a
+    // filter + rerank over one pinned scored table.
+    QueryDef(
+      "q_binary_sweep",
+      "binary ANN shortlist sweep: rerank cost and recall@10 at depths 25/50/100/200",
+      s"""$binarySweepCtesSql
+          SELECT shortlist, n_scored, n_hit, n_denom, recall_micro
+          FROM frontier ORDER BY shortlist""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      def index = Memo.parquetArtifact(s, dir, "binary_index") {
+        Similarity.binaryIndexBuild(emb, "vec_id", "embedding", dims = 64)
+      }
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+        .select(col("qid"), col("cid"))
+      Similarity.binaryShortlistSweep(index, index, queries, "vec_id", "embedding",
+          dims = 64, shortlists = Seq(25, 50, 100, 200), k = 10, exact = exact)
+        .orderBy(col("shortlist"))
+    },
+
+    // The CHOICE read off the binary sweep (floor 0.5, tie
+    // (n_scored, shortlist)) — reads the run-scoped persisted sweep
+    // artifact, the recurring-decision production shape shared with the
+    // LSH/IVF pickers; the oracle recomputes the full grid from scratch.
+    QueryDef(
+      "q_pick_binary_config",
+      "cheapest binary shortlist depth clearing the 0.5 recall floor, off the persisted sweep",
+      s"""$binarySweepCtesSql
+          SELECT shortlist, n_scored, n_hit, n_denom, recall_micro
+          FROM frontier WHERE recall_micro >= 0.5
+          ORDER BY n_scored, shortlist LIMIT 1""") { (s, dir) =>
+      val sweep = Memo.parquetArtifact(s, dir, "binary_sweep") {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        def index = Memo.parquetArtifact(s, dir, "binary_index") {
+          Similarity.binaryIndexBuild(emb, "vec_id", "embedding", dims = 64)
+        }
+        val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+          .select(col("qid"), col("cid"))
+        Similarity.binaryShortlistSweep(index, index, queries, "vec_id", "embedding",
+          dims = 64, shortlists = Seq(25, 50, 100, 200), k = 10, exact = exact)
+      }
+      Similarity.pickBinaryConfig(sweep, minRecall = 0.5)
     },
 
     // Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):

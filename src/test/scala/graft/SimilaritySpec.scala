@@ -448,6 +448,35 @@ class SimilaritySpec extends SparkSpec {
       .count() == 2)
   }
 
+  test("binaryShortlistSweep: recall monotone in depth, full-depth degenerates to 1.0; picker edges") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 3)
+    val index = Similarity.binaryIndexBuild(emb, "vec_id", "embedding", dims = 64)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select(col("qid"), col("cid"))
+    val sweep = Similarity.binaryShortlistSweep(index, index, queries,
+        "vec_id", "embedding", dims = 64, shortlists = Seq(10, 40, n), k = 5,
+        exact = exact)
+      .orderBy("shortlist")
+      .select(col("shortlist"), col("n_scored"), col("recall_micro"))
+      .as[(Int, Long, Double)].collect().toSeq
+    // cost is exactly depth x queries (each query has >= depth candidates
+    // on this corpus); recall is monotone and hits 1.0 at full depth
+    assert(sweep.map(_._2) == Seq(30L, 120L, 3L * (n - 1)), sweep.toString)
+    assert(sweep.map(_._3) == sweep.map(_._3).sorted, s"recall not monotone: $sweep")
+    assert(sweep.last._3 == 1.0, s"full-depth sweep must reach exact recall: $sweep")
+    // picker: floor above every point -> empty (re-sweep, never the best
+    // loser); floor 0 -> cheapest depth wins
+    val sw = Similarity.binaryShortlistSweep(index, index, queries,
+      "vec_id", "embedding", dims = 64, shortlists = Seq(10, 40, n), k = 5,
+      exact = exact)
+    assert(Similarity.pickBinaryConfig(sw, minRecall = 1.01).count() == 0)
+    assert(Similarity.pickBinaryConfig(sw, minRecall = 0.0)
+      .select(col("shortlist")).as[Int].head() == 10)
+  }
+
   test("binaryQuantize: known sign pattern packs to the expected words; 32x width") {
     // 64 dims, one word: dims 0..63, positive exactly at dims {0, 63} ->
     // high-end-first fold puts dim 0 at bit 63 and dim 63 at bit 0
