@@ -354,4 +354,67 @@ class PropertySpec extends SparkSpec {
         s"group $g: ($p25, $p50, $p99) vs exact (${exact(1, 4)}, ${exact(1, 2)}, ${exact(99, 100)})")
     }
   }
+
+  test("binary pack law: packed Hamming == per-dim sign-disagreement count on random vectors") {
+    import graft.operators.Similarity
+    val dims = 80 // multi-word: 64 + 16 tail
+    val vecs = sample(Gen.listOfN(40,
+        Gen.listOfN(dims, Gen.chooseNum(-1000, 1000).map(_ / 100.0f))))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+    val df = vecs.toDF("vec_id", "embedding")
+    val packed = Similarity.binaryQuantize(df, "vec_id", "embedding", dims)
+      .select(col("vec_id"), col("words")).as[(Long, Seq[Long])]
+      .collect().toMap
+    def ham(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val byId = vecs.toMap
+    for (i <- 0L until 10L; j <- (i + 1) to 39L) {
+      val reference = byId(i).zip(byId(j)).count { case (x, y) => (x > 0) != (y > 0) }
+      assert(ham(packed(i), packed(j)) == reference,
+        s"pair ($i,$j): packed ${ham(packed(i), packed(j))} vs per-dim $reference")
+    }
+  }
+
+  test("CDC coverage law: chunks rejoin to the doc verbatim on random corpora") {
+    import graft.operators.TextAnalysis
+    val docs = sample(Gen.listOfN(30, Gen.chooseNum(1, 120))).zipWithIndex.map {
+      case (n, i) =>
+        // biased small vocab so boundary words repeat across docs
+        (i.toLong, (0 until n).map(j => s"t${(i * 31 + j * 7) % 97}").mkString(" "))
+    }
+    val got = TextAnalysis.cdcChunks(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select(col("doc_id"), col("chunk_idx"), col("n_words"), col("chunk"))
+      .as[(Long, Int, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    docs.foreach { case (id, text) =>
+      val chunks = got(id)
+      assert(chunks.map(_._2).toSeq == chunks.indices.toSeq, s"doc $id: gap in chunk_idx")
+      assert(chunks.map(_._4).mkString(" ") == text, s"doc $id: coverage broken")
+      assert(chunks.forall(c => c._3 >= 1 && c._3 == c._4.split(" ").length),
+        s"doc $id: n_words inconsistent")
+    }
+  }
+
+  test("RRF law: fused score equals the hand-computed contribution sum on random rankings") {
+    import graft.operators.Similarity
+    val ids = sample(Gen.listOfN(60, Gen.chooseNum(0L, 25L))).distinct
+    // three systems, each ranking a random subset
+    val systems = (0 until 3).map { s =>
+      val subset = ids.filter(i => (i + s) % 2 == 0)
+      subset.sortBy(i => (i * 7 + s) % 13).zipWithIndex.map { case (id, r) => (id, r + 1) }
+    }
+    val fused = Similarity.rrfFuse(systems.map(_.toDF("doc_id", "rank")),
+        "doc_id", "rank", kRrf = 60, topK = 1000)
+      .select(col("doc_id"), col("n_systems"), col("rrf"))
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r).toMap
+    def q(x: Double) = math.floor(x * 1e12 + 0.5) / 1e12
+    ids.foreach { id =>
+      val contribs = systems.flatMap(_.find(_._1 == id)).map(p => q(1.0 / (60 + p._2)))
+      if (contribs.nonEmpty) {
+        val (_, n, rrf) = fused(id)
+        assert(n == contribs.size, s"id $id: n_systems $n vs ${contribs.size}")
+        assert(math.abs(rrf - contribs.sum) < 1e-12, s"id $id: $rrf vs ${contribs.sum}")
+      } else assert(!fused.contains(id), s"id $id ranked by no system yet fused")
+    }
+  }
 }
