@@ -368,6 +368,33 @@ object CorpusStreams {
     * contract); a violation yields duplicate rows with IDENTICAL codes,
     * never divergent ones.
     */
+  /** Streaming BINARY index maintenance — the trained-artifact-free
+    * sibling of annIndexSink: each micro-batch sign-packs its vectors
+    * (binaryIndexBuild — map-only, no quantizer to couple to) and
+    * appends (id, words, vec) as ITS epoch partition; the live index is
+    * the epoch union, probed by binaryProbeTopK exactly like the batch
+    * build. Replay safety: words are a pure function of the vector
+    * alone, so a replayed batch re-appends ITS OWN epoch idempotently —
+    * at-least-once delivery, exactly-once index rows. Having no trained
+    * artifact also means no retrain invalidation ever: unlike the IVF
+    * family, a binary index grown over a year of epochs is IDENTICAL to
+    * a from-scratch build on the same rows. */
+  def binaryIndexSink(incoming: DataFrame, idCol: String, vecCol: String,
+                      indexPath: String, checkpointDir: String,
+                      dims: Int): StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        EtlCli.appendEpoch(
+          graft.operators.Similarity.binaryIndexBuild(
+            batch.select(col(idCol), col(vecCol)), idCol, vecCol, dims),
+          indexPath, batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def annIndexSink(incoming: DataFrame, idCol: String, vecCol: String,
                    centroidsPath: String, codebookPath: String, codesPath: String,
                    checkpointDir: String, m: Int): StreamingQuery =

@@ -823,6 +823,62 @@ class StreamingFileSpec extends SparkSpec {
     assert(walk(new java.io.File(paths("codes"))).sorted == before)
   }
 
+  test("binaryIndexSink: streamed epoch union == batch build; probe equals the batch path") {
+    import graft.streaming.CorpusStreams
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("bin_sink")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectory(in)
+    def paths(n: String) = root.resolve(n).toString
+    def stage(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, in.resolve(name + ".parquet"))
+    }
+    stage("b0", emb.filter(col("vec_id") % 3 === 0))
+    stage("b1", emb.filter(col("vec_id") % 3 === 1))
+    stage("b2", emb.filter(col("vec_id") % 3 === 2))
+    def runStream(): Unit = {
+      val stream = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+      CorpusStreams.binaryIndexSink(stream, "vec_id", "embedding",
+        paths("index"), paths("chk"), dims = 64).awaitTermination(120000)
+    }
+    runStream()
+    assert(graft.tools.EtlCli.committedEpochs(spark, paths("index")).size == 3)
+    // epoch union == from-scratch build, bit for bit (no trained artifact
+    // to couple to, so a grown index can never drift from a fresh one)
+    val streamed = graft.tools.EtlCli.readEpochTable(spark, paths("index"))
+    val words = streamed.select(col("vec_id").cast("long"), col("words"))
+      .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    val scratch = graft.operators.Similarity
+      .binaryIndexBuild(emb, "vec_id", "embedding", dims = 64)
+      .select(col("vec_id").cast("long"), col("words"))
+      .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    assert(words.size == emb.count() && words == scratch,
+      "streamed index diverges from the from-scratch build")
+    // probing the streamed index == the batch rerank path on the corpus
+    val queries = emb.filter(col("vec_id") < 3)
+    def topk(codes: org.apache.spark.sql.DataFrame,
+             vecs: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      graft.operators.Similarity.binaryProbeTopK(codes, vecs, queries,
+          "vec_id", "embedding", dims = 64, shortlist = 40, k = 5)
+        .select(col("qid").cast("long"), col("cid").cast("long"), col("rank"))
+        .as[(Long, Long, Int)].collect().toSet
+    assert(topk(streamed, streamed) ==
+      topk(graft.operators.Similarity.binaryQuantize(emb, "vec_id", "embedding", 64), emb))
+    // replay with the same checkpoint and no new files: zero new commits
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f.getPath)
+    val before = walk(new java.io.File(paths("index"))).sorted
+    runStream()
+    assert(walk(new java.io.File(paths("index"))).sorted == before)
+  }
+
   test("checkpointed parquet sink resumes exactly-once across restarts") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
