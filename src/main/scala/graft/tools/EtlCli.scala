@@ -62,9 +62,13 @@ object EtlCli {
       sweepLsh(spark, corpusTable, outTable).show(truncate = false)
     case Seq("sweep-lsh", corpusTable, outTable, samplePeriod) =>
       sweepLsh(spark, corpusTable, outTable, samplePeriod.toInt).show(truncate = false)
+    case Seq("sweep-binary", indexTable, outTable) =>
+      sweepBinary(spark, indexTable, outTable).show(truncate = false)
+    case Seq("sweep-binary", indexTable, outTable, nQueries) =>
+      sweepBinary(spark, indexTable, outTable, nQueries.toInt).show(truncate = false)
     case other =>
       sys.error("usage: init|ingest|quality|stats|export|learn-bpe|versions|" +
-        s"vacuum|diff|verify-export|sweep-lsh ... (got $other)")
+        s"vacuum|diff|verify-export|sweep-lsh|sweep-binary ... (got $other)")
   }
 
   /** Build and COMMIT the LSH band-sweep artifact the streaming ingest's
@@ -90,6 +94,36 @@ object EtlCli {
     val bandSizes = (1 to numHashes).filter(numHashes % _ == 0)
     val sweep = graft.operators.Dedup.lshBandSweep(
       sample, "doc_id", "text", k, numHashes, bandSizes, truth)
+    writeTable(sweep, outTable)
+    readTable(spark, outTable)
+  }
+
+  /** Build and COMMIT the binary shortlist-sweep artifact the picker
+    * consumes (pickBinaryConfig) — the sweep-lsh sibling for the binary
+    * ANN path: sample nQueries query vectors by deterministic hash rank
+    * (the coarseSeeds idiom — no RNG, re-sweeps are reproducible), build
+    * exact cosine truth for them over the index, sweep the shortlist
+    * depths against that truth, and commit the frontier at `outTable`
+    * via the versioned-table protocol. Accepts an epoch-partitioned
+    * index (binaryIndexSink's layout) or a flat table; dims infer from
+    * the stored vectors. This is the periodic re-sweep a recall monitor
+    * triggers when the corpus distribution drifts. */
+  def sweepBinary(spark: SparkSession, indexTable: String, outTable: String,
+                  nQueries: Int = 5, k: Int = 10,
+                  shortlists: Seq[Int] = Seq(25, 50, 100, 200)): DataFrame = {
+    require(nQueries >= 1, s"need at least one query vector, got $nQueries")
+    val index = scala.util.Try(readEpochTable(spark, indexTable))
+      .getOrElse(readTable(spark, indexTable))
+    val dims = index.select(size(col("embedding")).as("d")).head().getInt(0)
+    val qids = index.select(col("vec_id"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nQueries)
+    val queries = index.join(qids, "vec_id").select(col("vec_id"), col("embedding"))
+    val exact = graft.operators.Similarity.bruteForceTopK(
+        index, queries, "vec_id", "embedding", k)
+      .select(col("qid"), col("cid"))
+    val sweep = graft.operators.Similarity.binaryShortlistSweep(
+      index, index, queries, "vec_id", "embedding", dims, shortlists, k, exact)
     writeTable(sweep, outTable)
     readTable(spark, outTable)
   }

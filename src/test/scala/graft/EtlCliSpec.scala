@@ -423,6 +423,33 @@ class EtlCliSpec extends SparkSpec {
     assert(pick.count() <= 1)
   }
 
+  test("sweep-binary CLI: commits the shortlist frontier off a streamed-layout index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("sweep_bin").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // epoch-partitioned layout, exactly what binaryIndexSink leaves behind
+    EtlCli.appendEpoch(graft.operators.Similarity.binaryIndexBuild(
+      emb.filter(col("vec_id") < 300), "vec_id", "embedding", 64), s"$root/index", 0L)
+    EtlCli.appendEpoch(graft.operators.Similarity.binaryIndexBuild(
+      emb.filter(col("vec_id") >= 300), "vec_id", "embedding", 64), s"$root/index", 1L)
+    EtlCli.run(spark, Seq("sweep-binary", s"$root/index", s"$root/sweep", "3"))
+    val rows = EtlCli.readTable(spark, s"$root/sweep")
+      .select("shortlist", "n_scored", "recall_micro")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(25, 50, 100, 200), rows.toSeq.toString)
+    // cost is depth x queries; recall monotone in depth
+    assert(rows.map(_._2).toSeq == Seq(75L, 150L, 300L, 600L), rows.toSeq.toString)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq, rows.toSeq.toString)
+    // deterministic re-sweep: same committed frontier bit for bit
+    EtlCli.run(spark, Seq("sweep-binary", s"$root/index", s"$root/sweep2", "3"))
+    assert(EtlCli.readTable(spark, s"$root/sweep2").collect().toSet ==
+      EtlCli.readTable(spark, s"$root/sweep").collect().toSet)
+    // the committed frontier feeds the picker exactly as deployments read it
+    assert(graft.operators.Similarity.pickBinaryConfig(
+      EtlCli.readTable(spark, s"$root/sweep"), minRecall = 0.0).count() == 1)
+  }
+
   test("diffVersions reports exactly the churn: added, removed, changed; unchanged dropped") {
     import graft.tools.EtlCli
     import spark.implicits._
