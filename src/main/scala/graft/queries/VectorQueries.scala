@@ -118,6 +118,18 @@ object VectorQueries {
         "vec_id", "embedding", k = 10)
     }
 
+  /** Run-scoped exact-COSINE ground truth (k=10, queries vec_id < 5)
+    * shared by q_binary_recall and q_binary_sweep — the same
+    * compute-once/evaluate-many contract as annRecallTruth; oracles
+    * recompute it from scratch. */
+  private def binaryTruth(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Memo.parquetArtifact(s, dir, "binary_truth") {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .select(col("qid"), col("cid"))
+    }
+
   /** Shared oracle CTE chain for the binary-Hamming shortlist sweep
     * (queries vec_id < 5, k=10, depths 25/50/100/200) ending in the
     * `frontier` CTE — shared by q_binary_sweep (the full frontier) and
@@ -470,8 +482,7 @@ object VectorQueries {
       }
       val approx = Similarity.binaryProbeTopK(index, index, queries,
         "vec_id", "embedding", dims = 64, shortlist = 50, k = 10)
-      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
-      Similarity.annRecallAtK(approx, exact, k = 10).orderBy(col("qid"))
+      Similarity.annRecallAtK(approx, binaryTruth(s, dir), k = 10).orderBy(col("qid"))
     },
 
     // Recall/cost frontier over binary-Hamming shortlist depths — the
@@ -490,10 +501,9 @@ object VectorQueries {
       def index = Memo.parquetArtifact(s, dir, "binary_index") {
         Similarity.binaryIndexBuild(emb, "vec_id", "embedding", dims = 64)
       }
-      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
-        .select(col("qid"), col("cid"))
       Similarity.binaryShortlistSweep(index, index, queries, "vec_id", "embedding",
-          dims = 64, shortlists = Seq(25, 50, 100, 200), k = 10, exact = exact)
+          dims = 64, shortlists = Seq(25, 50, 100, 200), k = 10,
+          exact = binaryTruth(s, dir))
         .orderBy(col("shortlist"))
     },
 
@@ -514,10 +524,9 @@ object VectorQueries {
         def index = Memo.parquetArtifact(s, dir, "binary_index") {
           Similarity.binaryIndexBuild(emb, "vec_id", "embedding", dims = 64)
         }
-        val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
-          .select(col("qid"), col("cid"))
         Similarity.binaryShortlistSweep(index, index, queries, "vec_id", "embedding",
-          dims = 64, shortlists = Seq(25, 50, 100, 200), k = 10, exact = exact)
+          dims = 64, shortlists = Seq(25, 50, 100, 200), k = 10,
+          exact = binaryTruth(s, dir))
       }
       Similarity.pickBinaryConfig(sweep, minRecall = 0.5)
     },
