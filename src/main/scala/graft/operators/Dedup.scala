@@ -854,6 +854,57 @@ object Dedup {
           coalesce(col("__starts"), typedLit(Array.empty[Int])), n).as("clean_text"))
   }
 
+  /** CDC chunk-overlap near-dup pairs — the consumer content-defined
+    * chunking exists for: flag two documents when they share >= minFrac
+    * of the smaller one's distinct CDC chunks. Because chunk boundaries
+    * are pure functions of local content (TextAnalysis.cdcChunks), the
+    * overlap SURVIVES the insertions/deletions that shift every fixed
+    * window — a prefix edit leaves every post-boundary chunk hash
+    * intact, so an edited near-copy still collides on most chunks.
+    *
+    * Scale shape: chunks hash to md5 before anything wide, so shuffles
+    * carry (hash, doc_id), never chunk text; set semantics per doc (a
+    * chunk repeated in one doc counts once); hashes shared by more than
+    * maxDf docs drop BEFORE the pair join via a broadcast anti-join on
+    * the hot tail — boilerplate chunks are cost without discrimination
+    * and fan out quadratically (the df-capped MinHash precedent). The
+    * denominator keeps the FULL distinct-chunk count, so the cap can
+    * only lower a fraction, never inflate one. Output
+    * (id_a, id_b, n_shared, n_a, n_b, frac) with
+    * frac = n_shared / least(n_a, n_b) — containment of the smaller
+    * side, the asymmetric-length-robust choice. */
+  def cdcOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+                      boundaryNibbles: Int = 1, maxDf: Int = 100,
+                      minFrac: Double = 0.5): DataFrame = {
+    require(maxDf >= 2, s"maxDf must allow a pair, got $maxDf")
+    require(minFrac > 0 && minFrac <= 1, s"minFrac in (0,1], got $minFrac")
+    // The whole per-document half is ONE fused native projection
+    // (CdcChunkHashSet: boundary scan + in-place span hashing + in-row
+    // distinct): no split, no chunk-string rebuilds, no corpus-wide
+    // DISTINCT exchange, and the per-doc chunk count rides along as
+    // size(set). Pinned because the hot tail and both pair-join sides
+    // read the exploded set (without it each subtree re-runs the scan).
+    val ex = graft.core.Tables.ensureParallelism(docs)
+      .select(col(idCol).as("doc_id"),
+        graft.plans.GraftFunctions.cdc_chunk_hash_set(col(textCol), boundaryNibbles)
+          .as("__hs"))
+      .select(col("doc_id"), size(col("__hs")).cast("bigint").as("n"),
+        explode(col("__hs")).as("h"))
+      .transform(graft.core.Materialize.pin)
+    val hot = ex.groupBy("h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select("h")
+    val cool = ex.join(broadcast(hot), Seq("h"), "left_anti")
+    cool.as("a").join(cool.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      // n_a/n_b are constant within the group — min() carries them
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("a.n")).as("n_a"), min(col("b.n")).as("n_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") / least(col("n_a"), col("n_b"))).as("frac"))
+      .filter(col("frac") >= minFrac)
+  }
+
   /** Near-dup deduplication keeping the BEST document per duplicate
     * cluster instead of the least id — the production policy when a
     * quality score exists (keep the highest-quality member, drop its

@@ -196,21 +196,18 @@ object TextAnalysis {
                 boundaryNibbles: Int = 1): org.apache.spark.sql.DataFrame = {
     require(boundaryNibbles >= 1 && boundaryNibbles <= 8,
       s"boundaryNibbles in [1,8], got $boundaryNibbles")
-    val zeros = "0" * boundaryNibbles
-    // HOF evaluation re-evaluates CAPTURED expressions per element (no
-    // loop-invariant hoisting): an element_at(ws, i) lambda recomputes
-    // split() per position — measured 25s on 50 sf0.1 docs. Every array
-    // here is therefore a lambda INPUT (evaluated once per row), indices
-    // come from the two-arg transform, and spans pair up via zip_with —
-    // no per-element lookups into captured arrays anywhere.
+    // Boundary detection is the native CdcBoundaries kernel: one
+    // zero-branch scan per row with a thread-local digest. The
+    // interpreted formulations measured 25s (element_at lambda capturing
+    // the split — HOFs re-evaluate captured expressions per element) and
+    // ~1.4s/corpus-pass (two-arg transform with an md5 per element);
+    // native, the pass is a codegen'd projection. The kernel's word
+    // semantics match split(text, ' ') exactly — the contract the oracle
+    // recomputes as substr(md5(word), 1, n) = '0'*n.
     graft.core.Tables.ensureParallelism(docs)
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__ws"))
-      .select(col("doc_id"), col("__ws"),
-        filter(
-          transform(col("__ws"), (w, i) =>
-            when(substring(md5(w.cast(BinaryType)), 1, boundaryNibbles) === zeros,
-              i + 1).otherwise(lit(-1))),
-          p => p > lit(0)).as("__bs"))
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__ws"),
+        graft.plans.GraftFunctions.cdc_boundaries(col(textCol), boundaryNibbles)
+          .as("__bs"))
       .select(col("doc_id"), col("__ws"),
         zip_with(
           concat(array(lit(1)), transform(col("__bs"), b => b + 1)),

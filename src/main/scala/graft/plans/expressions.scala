@@ -1049,6 +1049,159 @@ object BloomGramHits {
   }
 }
 
+/** 1-based word positions whose md5 leads with `nibbles` zero hex chars —
+  * the content-defined chunk boundaries of a SINGLE-SPACE-tokenized text
+  * (TextAnalysis.cdcChunks). Byte-for-byte the engine-portable definition
+  * the DuckDB oracle computes (`substr(md5(word), 1, n) = '0'*n`): MD5 of
+  * each word's UTF-8 bytes, leading nibbles of digest byte 0, 1, ... The
+  * interpreted-HOF formulation (filter over an indexed transform with an
+  * md5 call per element) measured ~4x slower per corpus pass; this is one
+  * zero-branch scan with a thread-local digest. Word semantics match
+  * split(text, ' ') exactly, including empty words from consecutive /
+  * leading / trailing separators and the single empty word of "".
+  */
+case class CdcBoundaries(child: Expression, nibbles: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nibbles >= 1 && nibbles <= 8, "boundary nibbles in [1,8]")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def inputTypes = Seq[DataType](StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_boundaries"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CdcBoundaries.boundaries(input.asInstanceOf[UTF8String], nibbles)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "graft.plans.CdcBoundaries$.MODULE$.boundaries(" + c + ", " + nibbles + ")")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcBoundaries =
+    copy(child = newChild)
+}
+object CdcBoundaries {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def boundaries(s: UTF8String, nibbles: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val md = digest.get()
+    val res = new scala.collection.mutable.ArrayBuffer[Int]()
+    var w = 1
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == 0x20) {
+        md.reset()
+        md.update(bytes, start, i - start)
+        val d = md.digest()
+        var ok = true
+        var k = 0
+        while (ok && k < nibbles) {
+          val nib = if (k % 2 == 0) (d(k / 2) >> 4) & 0xF else d(k / 2) & 0xF
+          ok = nib == 0
+          k += 1
+        }
+        if (ok) res += w
+        w += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(res.toArray)
+  }
+}
+
+/** Sorted DISTINCT md5 hex digests of a text's content-defined chunks —
+  * the whole per-document half of CDC chunk-overlap dedup fused into one
+  * scan: boundary words (md5 leading `nibbles` zero nibbles, exactly
+  * CdcBoundaries' test) close chunks, and with single-space tokenization
+  * every chunk is a CONTIGUOUS byte span of the input, so each chunk
+  * hashes in place — no split, no slice+join string rebuilds, no
+  * corpus-wide DISTINCT exchange afterwards (the set is distinct in-row).
+  * Digests are lowercase hex, byte-identical to the oracle's
+  * `md5(array_to_string(ws[s:e], ' '))` under the single-space corpus
+  * contract (same caveat as WordGramHashSet for abnormal spacing).
+  */
+case class CdcChunkHashSet(child: Expression, nibbles: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nibbles >= 1 && nibbles <= 8, "boundary nibbles in [1,8]")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes = Seq[DataType](StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_chunk_hash_set"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CdcChunkHashSet.chunkHashes(input.asInstanceOf[UTF8String], nibbles)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "graft.plans.CdcChunkHashSet$.MODULE$.chunkHashes(" + c + ", " + nibbles + ")")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkHashSet =
+    copy(child = newChild)
+}
+object CdcChunkHashSet {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+  private def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xF)
+      out(2 * i + 1) = hexChars(d(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+  def chunkHashes(s: UTF8String, nibbles: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val md = digest.get()
+    val seen = new java.util.TreeSet[String]()
+    var chunkStart = 0
+    var wordStart = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == 0x20) {
+        // word [wordStart, i): boundary test = CdcBoundaries' nibble check
+        md.reset()
+        md.update(bytes, wordStart, i - wordStart)
+        val d = md.digest()
+        var isBoundary = true
+        var k = 0
+        while (isBoundary && k < nibbles) {
+          val nib = if (k % 2 == 0) (d(k / 2) >> 4) & 0xF else d(k / 2) & 0xF
+          isBoundary = nib == 0
+          k += 1
+        }
+        if (isBoundary || i == len) {
+          // close chunk [chunkStart, i) — the contiguous span through the
+          // boundary word (or the final partial span at end of text). A
+          // text ending ON a boundary closes exactly once here and the
+          // loop then ends, which is precisely the span-assembly
+          // formulation's dropped empty trailing span.
+          md.reset()
+          md.update(bytes, chunkStart, i - chunkStart)
+          seen.add(hex(md.digest()))
+          chunkStart = i + 1
+        }
+        wordStart = i + 1
+      }
+      i += 1
+    }
+    val arr = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
 /** Column wrappers + SQL registration for the native expressions. */
 object GraftFunctions {
   def format_money(c: Column): Column = ColumnBridge.column(FormatMoney(ColumnBridge.expression(c)))
@@ -1069,6 +1222,10 @@ object GraftFunctions {
   def scrub_spans(text: Column, starts: Column, n: Int): Column =
     ColumnBridge.column(ScrubSpans(
       ColumnBridge.expression(text), ColumnBridge.expression(starts), n))
+  def cdc_boundaries(text: Column, nibbles: Int): Column =
+    ColumnBridge.column(CdcBoundaries(ColumnBridge.expression(text), nibbles))
+  def cdc_chunk_hash_set(text: Column, nibbles: Int): Column =
+    ColumnBridge.column(CdcChunkHashSet(ColumnBridge.expression(text), nibbles))
   def nfc_normalize(c: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
   def strip_accents(c: Column): Column =

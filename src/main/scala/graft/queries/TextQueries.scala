@@ -348,6 +348,49 @@ object TextQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
+    // The consumer CDC chunking exists for: chunk-overlap near-dup pairs,
+    // robust to the prefix/infix edits that shift every fixed window.
+    // Chunks hash to md5 before anything wide (set semantics per doc);
+    // hashes in > 100 docs drop before the pair join (boilerplate cap);
+    // frac = shared / smaller side's FULL distinct-chunk count, so the
+    // cap only ever lowers a fraction.
+    QueryDef(
+      "q_dedup_cdc",
+      "CDC chunk-overlap near-dup pairs: >= 60% of the smaller doc's chunks shared",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          b AS (SELECT doc_id, ws,
+                       list_filter(range(1, len(ws) + 1),
+                                   i -> substr(md5(ws[i]), 1, 1) = '0') AS bs
+                FROM w),
+          sp AS (SELECT doc_id, ws,
+                        list_prepend(1, list_transform(bs, x -> x + 1)) AS starts,
+                        list_append(bs, len(ws)) AS ends
+                 FROM b),
+          ch AS (SELECT doc_id, ws,
+                        unnest(list_filter(
+                          list_transform(range(1, len(starts) + 1),
+                            k -> {'k': k, 's': starts[k], 'e': ends[k]}),
+                          r -> r.e >= r.s)) AS r
+                 FROM sp),
+          hs AS (SELECT DISTINCT doc_id, md5(array_to_string(ws[r.s:r.e], ' ')) AS h FROM ch),
+          cnts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM hs GROUP BY doc_id),
+          cool AS (SELECT doc_id, h FROM hs
+                   WHERE h IN (SELECT h FROM hs GROUP BY h HAVING COUNT(*) <= 100)),
+          pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           CAST(COUNT(*) AS BIGINT) AS n_shared
+                    FROM cool a JOIN cool b ON a.h = b.h AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT id_a, id_b, n_shared, ca.n AS n_a, cb.n AS n_b,
+                 CAST(n_shared AS DOUBLE) / LEAST(ca.n, cb.n) AS frac
+          FROM pairs JOIN cnts ca ON ca.doc_id = id_a
+                     JOIN cnts cb ON cb.doc_id = id_b
+          WHERE CAST(n_shared AS DOUBLE) / LEAST(ca.n, cb.n) >= 0.6
+          ORDER BY id_a, id_b""") { (s, dir) =>
+      graft.operators.Dedup.cdcOverlapPairs(t(s, dir, "documents"),
+          "doc_id", "text", boundaryNibbles = 1, maxDf = 100, minFrac = 0.6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Repetition quality filter (Gopher-style): repeated-token ratio and
     // top-token share, thresholded into a keep/drop flag.
     QueryDef(

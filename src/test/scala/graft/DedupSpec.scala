@@ -324,4 +324,30 @@ class DedupSpec extends SparkSpec {
     assert(got("big").isEmpty)                 // > cap distinct -> overflow marker
     assert(got("nulls") == Some(Seq.empty))    // all-null group = empty set, not Seq(0)
   }
+
+  test("cdcOverlapPairs: edit-robust pair found, unrelated absent, boilerplate cap suppresses") {
+    // doc 1: 400 distinct words; doc 2: the same with an inserted prefix —
+    // every fixed window shifts, but CDC chunks after the first boundary
+    // survive, so the pair must surface with high containment
+    val body = (0 until 400).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, body),
+      (2L, "inserted junk prefix " + body),
+      (3L, (500 until 900).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.cdcOverlapPairs(docs, "doc_id", "text",
+        boundaryNibbles = 1, maxDf = 100, minFrac = 0.5)
+      .select(col("id_a"), col("id_b"), col("frac"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"expected exactly the planted edited pair: $pairs")
+    assert(pairs.head._3 >= 0.8, s"edit-robust containment too low: $pairs")
+    // boilerplate cap: the SAME text in 5 docs, cap 3 -> every chunk is
+    // hot, nothing survives to the pair join
+    val boiler = (10L to 14L).map(i => (i, body)).toDF("doc_id", "text")
+    assert(Dedup.cdcOverlapPairs(boiler, "doc_id", "text",
+      boundaryNibbles = 1, maxDf = 3, minFrac = 0.1).count() == 0)
+    // ...and with the cap relaxed the clique comes back (10 choose 2)
+    assert(Dedup.cdcOverlapPairs(boiler, "doc_id", "text",
+      boundaryNibbles = 1, maxDf = 5, minFrac = 0.9).count() == 10)
+  }
 }

@@ -393,6 +393,22 @@ class PropertySpec extends SparkSpec {
       assert(chunks.forall(c => c._3 >= 1 && c._3 == c._4.split(" ").length),
         s"doc $id: n_words inconsistent")
     }
+    // fused-kernel law: the native in-row distinct chunk-hash set equals
+    // md5 over the span-assembly chunks, doc by doc (incl. the "" doc)
+    val withEmpty = docs :+ (999L, "")
+    val native = withEmpty.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.plans.GraftFunctions.cdc_chunk_hash_set(col("text"), 1).as("hs"))
+      .as[(Long, Seq[String])].collect().toMap
+    val composed = TextAnalysis.cdcChunks(withEmpty.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select(col("doc_id"), md5(col("chunk").cast("binary")).as("h"))
+      .as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    withEmpty.foreach { case (id, _) =>
+      assert(native(id).toSet == composed(id) && native(id) == native(id).sorted,
+        s"doc $id: native chunk-hash set diverges from the composed form")
+    }
   }
 
   test("RRF law: fused score equals the hand-computed contribution sum on random rankings") {
