@@ -119,16 +119,22 @@ object Bench {
           .collect { case rx(n) => n.toInt }
         if (seen.isEmpty) 1 else seen.max + 1
       }
+      // archives live under bench/ (30+ per round; the repo root is for
+      // the per-round headline artifacts, not the whole run history)
+      val dir = java.nio.file.Paths.get("bench").toAbsolutePath
+      java.nio.file.Files.createDirectories(dir)
       val base = s"BENCH_FULL_r${"%02d".format(round)}"
       val archive = Iterator.single(s"$base.json")
         .++(Iterator.from(2).map(k => s"${base}_$k.json"))
-        .map(n => java.nio.file.Paths.get(n).toAbsolutePath)
+        .map(dir.resolve)
         .find(p => !java.nio.file.Files.exists(p)).get
       java.nio.file.Files.write(archive, fullJson)
       // fold every archive of THIS round (the one just written included)
+      // that ran at THIS run's scale factor — a round mixing sf dirs must
+      // not produce a best-of map corresponding to no real configuration
       val archiveRx = s"${java.util.regex.Pattern.quote(base)}(_\\d+)?\\.json".r
       val qRx = "\"([^\"]+)\":([0-9][0-9.Ee+-]*)".r
-      val dir = java.nio.file.Paths.get(".").toAbsolutePath
+      val sfRx = "\"sf\":\"([^\"]*)\"".r
       val runs = Option(dir.toFile.list()).getOrElse(Array.empty[String])
         .filter(n => archiveRx.pattern.matcher(n).matches).sorted
         .flatMap { n =>
@@ -137,7 +143,8 @@ object Bench {
           // our own writer's shape: the measured map is the object after
           // the FIRST "queries": (warmup map comes later)
           val start = s.indexOf("\"queries\":{")
-          if (start < 0) None else {
+          val sfOk = sfRx.findFirstMatchIn(s).exists(_.group(1) == sfDir)
+          if (start < 0 || !sfOk) None else {
             val body = s.substring(start + "\"queries\":{".length, s.indexOf('}', start))
             Some(qRx.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap)
           }

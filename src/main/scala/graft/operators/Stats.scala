@@ -65,10 +65,14 @@ object Stats {
     * and the fence comparison |x - med| > nMads * mad derives from them
     * in two IEEE ops — bit-stable across engines. Degenerate spread
     * (mad = 0: over half the group identical) makes EVERY differing row
-    * an outlier at any fence width; callers gating discrete-heavy
-    * columns should treat mad = 0 groups as "no spread signal", not as
-    * 90%-outlier alarms. Scale: inherits the exact idiom's bounded-group
-    * contract; the med/mad sides broadcast (one row per group). */
+    * an outlier at any fence width; the output carries that signal as a
+    * COLUMN (`spread_signal` = mad > 0) so a downstream gate consuming
+    * n_outliers machine-distinguishes a real alarm from a discrete-heavy
+    * group where the fence is vacuous — page on
+    * n_outliers AND spread_signal, investigate the distribution when
+    * spread_signal is false. Scale: inherits the exact idiom's
+    * bounded-group contract; the med/mad sides broadcast (one row per
+    * group). */
   def robustOutlierStats(df: DataFrame, keyCols: Seq[String], valueCol: String,
                          tieCol: String, nMads: Double = 3.0): DataFrame = {
     require(nMads > 0, s"fence width must be positive, got $nMads")
@@ -83,7 +87,8 @@ object Stats {
         min(col("__m")).as("med"),
         min(col("__mad")).as("mad"),
         sum((col("__dev") > lit(nMads) * col("__mad")).cast("int"))
-          .cast("long").as("n_outliers"))
+          .cast("long").as("n_outliers"),
+        (min(col("__mad")) > lit(0)).as("spread_signal"))
   }
 
   /** Calibrate a keep-THRESHOLD to a target keep RATE — the gate-tuning

@@ -291,7 +291,8 @@ object ExtendedQueries {
            GROUP BY source)
          SELECT dev.source, CAST(COUNT(*) AS BIGINT) AS n_rows,
                 MIN(dev.m) AS med, MIN(mad.md) AS mad,
-                CAST(SUM(CASE WHEN dev.dv > 3 * mad.md THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+                CAST(SUM(CASE WHEN dev.dv > 3 * mad.md THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                MIN(mad.md) > 0 AS spread_signal
          FROM dev JOIN mad USING (source)
          GROUP BY dev.source ORDER BY dev.source""") { (s, dir) =>
       graft.operators.Stats.robustOutlierStats(

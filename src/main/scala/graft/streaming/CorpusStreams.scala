@@ -182,7 +182,22 @@ object CorpusStreams {
           // loser is the one move a recall monitor exists to prevent.
           val (bandSize, numHashes) = sweepPath match {
             case Some(sp) =>
-              val pick = Dedup.pickLshConfig(EtlCli.readTable(spark, sp), sweepMinRecall)
+              val sweep = EtlCli.readTable(spark, sp)
+              // The frontier's recall was measured at the sweep's OWN
+              // shingle k (recorded by EtlCli.sweepLsh); signing here uses
+              // cfg.shingleK — a mismatch means the deployed config's
+              // recall floor was never actually measured, so fail loudly
+              // instead of deploying an unmeasured claim. Legacy artifacts
+              // without the column predate the stamp and pass unchecked.
+              if (sweep.columns.contains("shingle_k")) {
+                val ks = sweep.select(col("shingle_k").cast("int"))
+                  .distinct().collect().map(_.getInt(0)).toSeq
+                require(ks == Seq(cfg.shingleK),
+                  s"sweep at $sp was measured at shingle k=${ks.mkString(",")} " +
+                    s"but this sink signs at k=${cfg.shingleK} — re-sweep at " +
+                    "the deployment's shingle k before ingesting")
+              }
+              val pick = Dedup.pickLshConfig(sweep, sweepMinRecall)
                 .select(col("band_size").cast("int"), col("n_bands").cast("int"))
                 .collect()
               require(pick.nonEmpty,
@@ -203,13 +218,23 @@ object CorpusStreams {
           // epoch so later batches probe the refreshed index. A legacy
           // index without a marker is treated as signed under `cfg`.
           val cfgMarkerPath = s"$indexPath/_signcfg"
-          val idxCfg: Option[(Int, Int)] =
+          // the marker carries shingle k too: bands signed at a different
+          // k can never collide with the index's, exactly like a
+          // band-size change — a k change must trigger the same corpus
+          // re-sign (legacy markers without the column read as cfg's k)
+          val idxCfg: Option[(Int, Int, Int)] =
             scala.util.Try(EtlCli.readTable(spark, cfgMarkerPath)).toOption
-              .flatMap(_.select(col("band_size").cast("int"), col("num_hashes").cast("int"))
-                .collect().headOption.map(r => (r.getInt(0), r.getInt(1))))
+              .flatMap { m =>
+                val kc = if (m.columns.contains("shingle_k"))
+                  col("shingle_k").cast("int") else lit(cfg.shingleK)
+                m.select(col("band_size").cast("int"),
+                    col("num_hashes").cast("int"), kc)
+                  .collect().headOption.map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+              }
           val configChanged =
             EtlCli.committedEpochs(spark, indexPath).nonEmpty &&
-              idxCfg.getOrElse((cfg.bandSize, cfg.numHashes)) != ((bandSize, numHashes))
+              idxCfg.getOrElse((cfg.bandSize, cfg.numHashes, cfg.shingleK)) !=
+                ((bandSize, numHashes, cfg.shingleK))
           val gated = pin(graft.operators.TextAnalysis.qualityGates(newDocs,
             textCol, cfg.stop, cfg.minWords, cfg.maxWords,
             cfg.minMeanLen, cfg.maxMeanLen, cfg.minUniqRatio))
@@ -329,16 +354,24 @@ object CorpusStreams {
               // until compactEpochs folds them away)
               .unionByName(resignedCorpus.getOrElse(newBands.limit(0))),
             indexPath, batchId)
-          // marker AFTER the index epoch (a crash between them replays
-          // into a deterministic re-sign — duplicate new-config bands,
-          // which the candidate distinct absorbs), BEFORE the corpus
-          // fencepost
+          EtlCli.appendEpoch(survivors, corpusPath, batchId)
+          // marker strictly AFTER the corpus fencepost: a crash anywhere
+          // before this line leaves the OLD marker, so the replay
+          // recomputes configChanged=true and deterministically re-signs
+          // again — safe (duplicate new-config bands are absorbed by the
+          // candidate distinct, and the epoch append is idempotent). The
+          // previously-committed ordering (marker between index and
+          // corpus) had a hole: a crash after the marker but before the
+          // corpus fencepost made the replay read configChanged=false and
+          // overwrite the index epoch WITHOUT the re-signed corpus bands —
+          // silently missing every cross-epoch near-dup thereafter. A
+          // crash after the fencepost but before the marker merely costs
+          // the NEXT batch one more amortized O(corpus) re-sign.
           if (sweepPath.isDefined && (idxCfg.isEmpty || configChanged))
             EtlCli.writeTable(
-              spark.createDataFrame(Seq((bandSize, numHashes)))
-                .toDF("band_size", "num_hashes"),
+              spark.createDataFrame(Seq((bandSize, numHashes, cfg.shingleK)))
+                .toDF("band_size", "num_hashes", "shingle_k"),
               cfgMarkerPath)
-          EtlCli.appendEpoch(survivors, corpusPath, batchId)
         }
         ()
       }

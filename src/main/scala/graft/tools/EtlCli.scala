@@ -66,6 +66,9 @@ object EtlCli {
       sweepBinary(spark, indexTable, outTable).show(truncate = false)
     case Seq("sweep-binary", indexTable, outTable, nQueries) =>
       sweepBinary(spark, indexTable, outTable, nQueries.toInt).show(truncate = false)
+    case Seq("sweep-binary", indexTable, outTable, nQueries, idCol, vecCol) =>
+      sweepBinary(spark, indexTable, outTable, nQueries.toInt,
+        idCol = idCol, vecCol = vecCol).show(truncate = false)
     case other =>
       sys.error("usage: init|ingest|quality|stats|export|learn-bpe|versions|" +
         s"vacuum|diff|verify-export|sweep-lsh|sweep-binary ... (got $other)")
@@ -94,7 +97,12 @@ object EtlCli {
     val bandSizes = (1 to numHashes).filter(numHashes % _ == 0)
     val sweep = graft.operators.Dedup.lshBandSweep(
       sample, "doc_id", "text", k, numHashes, bandSizes, truth)
-    writeTable(sweep, outTable)
+    // The artifact records the shingle k the frontier was MEASURED at:
+    // the ingest sink's pick resolution requires it to equal its own
+    // signing k — a frontier swept at k=9 says nothing about recall of
+    // k=5 bands, and deploying across that mismatch would claim a recall
+    // floor that was never measured.
+    writeTable(sweep.withColumn("shingle_k", lit(k)), outTable)
     readTable(spark, outTable)
   }
 
@@ -110,20 +118,33 @@ object EtlCli {
     * triggers when the corpus distribution drifts. */
   def sweepBinary(spark: SparkSession, indexTable: String, outTable: String,
                   nQueries: Int = 5, k: Int = 10,
-                  shortlists: Seq[Int] = Seq(25, 50, 100, 200)): DataFrame = {
+                  shortlists: Seq[Int] = Seq(25, 50, 100, 200),
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nQueries >= 1, s"need at least one query vector, got $nQueries")
     val index = scala.util.Try(readEpochTable(spark, indexTable))
       .getOrElse(readTable(spark, indexTable))
-    val dims = index.select(size(col("embedding")).as("d")).head().getInt(0)
-    val qids = index.select(col("vec_id"))
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    // binaryIndexSink accepts arbitrary id/vec column names, so the sweep
+    // must too; precheck both shape and non-emptiness so a misnamed
+    // column or an index with no committed epochs fails with a message,
+    // not an opaque resolver/NoSuchElement error deep in the plan
+    Seq(idCol, vecCol).foreach(c => require(index.columns.contains(c),
+      s"index at $indexTable has no '$c' column (columns: " +
+        s"${index.columns.mkString(", ")}) — pass idCol/vecCol matching " +
+        "the names the index was built with"))
+    val firstVec = index.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(firstVec.nonEmpty,
+      s"index at $indexTable is empty — nothing to sweep; ingest at least " +
+        "one epoch before calibrating a shortlist depth")
+    val dims = firstVec.head.getInt(0)
+    val qids = index.select(col(idCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(nQueries)
-    val queries = index.join(qids, "vec_id").select(col("vec_id"), col("embedding"))
+    val queries = index.join(qids, idCol).select(col(idCol), col(vecCol))
     val exact = graft.operators.Similarity.bruteForceTopK(
-        index, queries, "vec_id", "embedding", k)
+        index, queries, idCol, vecCol, k)
       .select(col("qid"), col("cid"))
     val sweep = graft.operators.Similarity.binaryShortlistSweep(
-      index, index, queries, "vec_id", "embedding", dims, shortlists, k, exact)
+      index, index, queries, idCol, vecCol, dims, shortlists, k, exact)
     writeTable(sweep, outTable)
     readTable(spark, outTable)
   }

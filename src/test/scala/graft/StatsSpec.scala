@@ -34,12 +34,12 @@ class StatsSpec extends SparkSpec {
     val df = (wellBehaved :+ 10000.0).zipWithIndex
       .map { case (v, i) => ("s", v, i.toLong) }.toDF("g", "v", "id")
     val got = Stats.robustOutlierStats(df, Seq("g"), "v", "id", nMads = 3.0)
-      .as[(String, Long, Double, Double, Long)].collect().toSeq
+      .as[(String, Long, Double, Double, Long, Boolean)].collect().toSeq
     // median of 10 sorted values = mean of the 5th/6th (100, 101) =
     // 100.5; devs sorted = {.5,.5,.5,1.5,1.5,2.5,3.5,4.5,9.5,9899.5} ->
     // MAD = (1.5+2.5)/2 = 2; fence = 6 -> the 110 (dev 9.5) and the
-    // megadoc (dev 9899.5) are out
-    assert(got == Seq(("s", 10L, 100.5, 2.0, 2L)), got.toString)
+    // megadoc (dev 9899.5) are out; mad > 0 -> the alarm is real
+    assert(got == Seq(("s", 10L, 100.5, 2.0, 2L, true)), got.toString)
     // sanity: the classical 3-sigma fence really does miss the megadoc's
     // companions — stddev here is ~2970, so only the megadoc exceeds it,
     // and shrinking it to 9000 hides even that from 3-sigma while the
@@ -49,13 +49,24 @@ class StatsSpec extends SparkSpec {
     val stats = shrunk.agg(avg($"v"), stddev_pop($"v")).as[(Double, Double)].head()
     assert(9000.0 - stats._1 < 3 * stats._2, "fixture: 3-sigma must miss the planted doc")
     val robust = Stats.robustOutlierStats(shrunk, Seq("g"), "v", "id", nMads = 3.0)
-      .as[(String, Long, Double, Double, Long)].head()
+      .as[(String, Long, Double, Double, Long, Boolean)].head()
     assert(robust._5 >= 1L, s"MAD fence must still flag the planted doc: $robust")
-    // degenerate spread: constant group -> mad 0, nothing differs, 0 out
+    // degenerate spread: constant group -> mad 0, nothing differs, 0 out,
+    // and spread_signal says the fence carries no information
     val const = Seq.fill(5)(7.0).zipWithIndex.map { case (v, i) => ("c", v, i.toLong) }
       .toDF("g", "v", "id")
     assert(Stats.robustOutlierStats(const, Seq("g"), "v", "id")
-      .as[(String, Long, Double, Double, Long)].head() == ("c", 5L, 7.0, 0.0, 0L))
+      .as[(String, Long, Double, Double, Long, Boolean)].head() ==
+      ("c", 5L, 7.0, 0.0, 0L, false))
+    // the degenerate case the column exists for: over half the group at
+    // one value -> mad 0 -> every differing row reads as an "outlier";
+    // spread_signal=false is the machine-readable "do not page on this"
+    val discrete = (Seq.fill(6)(1.0) ++ Seq(2.0, 3.0, 4.0)).zipWithIndex
+      .map { case (v, i) => ("d", v, i.toLong) }.toDF("g", "v", "id")
+    val deg = Stats.robustOutlierStats(discrete, Seq("g"), "v", "id")
+      .as[(String, Long, Double, Double, Long, Boolean)].head()
+    assert(deg == (("d", 9L, 1.0, 0.0, 3L, false)),
+      s"mad=0 group must flag its vacuous fence: $deg")
   }
 
   test("thresholdForKeepRate: exact k-th-highest threshold, tie mass reported, edge cases") {

@@ -599,6 +599,19 @@ class StreamingFileSpec extends SparkSpec {
     val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { runStream() }
     assert(ex.getMessage.contains("re-sweep") ||
       Option(ex.getCause).exists(_.getMessage.contains("re-sweep")))
+
+    // shingle-k stamp mismatch: a frontier measured at k=9 (sweep-lsh's
+    // default) says nothing about recall of this sink's k=5 bands — the
+    // pick resolution must refuse the unmeasured deployment, even though
+    // the config itself clears the floor
+    EtlCli.writeTable(
+      Seq((2, 4, 60L, 3L, 3L, 1.0, 9)).toDF("band_size", "n_bands",
+        "n_candidates", "n_truth", "n_found", "recall", "shingle_k"),
+      paths("sweep"))
+    val exK = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { runStream() }
+    assert(exK.getMessage.contains("shingle k") ||
+      Option(exK.getCause).exists(_.getMessage.contains("shingle k")),
+      s"mismatched sweep shingle k must fail loudly: ${exK.getMessage}")
   }
 
   test("curatedIngestSink bloom stage: docs hitting the streamed seen-set filter drop as bloom_contaminated") {
