@@ -953,19 +953,23 @@ object Similarity {
     * double matches any engine's float sign test bit-for-bit, ties at
     * 0.0 pack as 0. Map-only projection; at scale the words column is
     * what persists and stage-1 scans touch nothing else. */
-  def binaryQuantize(df: DataFrame, idCol: String, vecCol: String,
-                     dims: Int): DataFrame = {
+  /** The packed-sign-words expression itself, shared by binaryQuantize
+    * and the one-pass binary-IVF index build. */
+  private def packWords(v: Column, dims: Int): Column = {
     require(dims > 0, s"dims must be positive, got $dims")
     val nWords = (dims + 63) / 64
-    val words = transform(sequence(lit(0), lit(nWords - 1)), w =>
-      aggregate(slice(dvec(col(vecCol)), w * lit(64) + lit(1), lit(64)),
+    transform(sequence(lit(0), lit(nWords - 1)), w =>
+      aggregate(slice(dvec(v), w * lit(64) + lit(1), lit(64)),
         lit(0L),
         // shiftleft+or, not acc*2+bit: the fold's last doubling sets the
         // sign bit, which ANSI-mode multiply rejects as long overflow
         (acc, x) => shiftleft(acc, 1).bitwiseOR(when(x > lit(0.0), 1L).otherwise(0L))))
-    graft.core.Tables.ensureParallelism(df)
-      .select(col(idCol), words.as("words"))
   }
+
+  def binaryQuantize(df: DataFrame, idCol: String, vecCol: String,
+                     dims: Int): DataFrame =
+    graft.core.Tables.ensureParallelism(df)
+      .select(col(idCol), packWords(col(vecCol), dims).as("words"))
 
   /** Hamming distance between two packed sign-bit codes: one fused
     * xor+popcount fold per pair — integer-exact, no quantization needed. */
@@ -1009,10 +1013,15 @@ object Similarity {
     * Shortlist ties break (hamming, cid), rerank ties (cosine desc, cid);
     * both windows lower to the bounded-heap TopKPerKey. Output
     * (qid, cid, hamming, cosine, rank). */
-  def binaryProbeTopK(codes: DataFrame, vecs: DataFrame, queries: DataFrame,
-                      idCol: String, vecCol: String, dims: Int,
-                      shortlist: Int, k: Int): DataFrame = {
-    require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
+  /** Stage 1 of the flat binary probe, exposed for measurement: the
+    * shortlist-capped (qid, cid, hamming) candidates. The O(corpus)
+    * Hamming fold happens MAP-SIDE under a bounded-heap partial top-k
+    * (TopKPerKey), so the per-query exchange carries at most
+    * partitions x shortlist rows however large the index grows — the
+    * O(shortlist x queries) rerank claim GrowthSpec (h) measures. */
+  def binaryShortlist(codes: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, dims: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= 1, s"shortlist must be >= 1, got $shortlist")
     val cw = codes.select(col(idCol).as("cid"), col("words").as("cw"))
     val qw = binaryQuantize(queries, idCol, vecCol, dims)
       .select(col(idCol).as("qid"), col("words").as("qw"))
@@ -1020,9 +1029,16 @@ object Similarity {
       .select(col("qid"), col("cid"),
         hammingDist(col("qw"), col("cw")).as("hamming"))
     val sw = Window.partitionBy("qid").orderBy(col("hamming"), col("cid"))
-    val cand = ham.withColumn("srn", row_number().over(sw))
+    ham.withColumn("srn", row_number().over(sw))
       .filter(col("srn") <= shortlist)
       .select("qid", "cid", "hamming")
+  }
+
+  def binaryProbeTopK(codes: DataFrame, vecs: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, dims: Int,
+                      shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
+    val cand = binaryShortlist(codes, queries, idCol, vecCol, dims, shortlist)
     val c = vecs.select(col(idCol).as("cid"), dvec(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
     val scored = cand.join(c, "cid").join(broadcast(q), "qid")
@@ -1101,6 +1117,136 @@ object Similarity {
     sweep.filter(col("recall_micro") >= minRecall)
       .orderBy(col("n_scored"), col("shortlist"))
       .limit(1)
+
+  // ---- cell-pruned binary ANN (the FAISS IndexBinaryIVF shape) --------
+  // The flat binary probe's one scale asymmetry closed: stage 1 above
+  // Hamming-scores EVERY corpus code per query batch — 1/32 the bytes of
+  // a float scan, but still O(corpus). Putting the packed sign codes
+  // UNDER the coarse quantizer the IVF family already has makes stage 1
+  // touch only the nProbe probed cells' codes: per query,
+  // ~nProbe/nCells of the corpus, and when nCells scales with the
+  // corpus (the deployment rule: cells ~ sqrt(n) or n/targetCellSize)
+  // the per-query scored-code count stays ~FLAT as the corpus grows —
+  // the measurement GrowthSpec (g) makes. Stage 2 reranks the shortlist
+  // with the exact quantized cosine exactly like the flat probe.
+
+  /** The binary-IVF index as it persists: (id, cell, words, vec) built
+    * in ONE map-only pass (in-row argmin cell + in-row sign packing —
+    * the full-corpus stage never shuffles). Persist PARTITIONED BY cell
+    * (see [[binaryIvfProbeIndex]]) so a probe's scan prunes to the
+    * probed cells' files; the probe's stage 1 selects only
+    * (id, cell, words), so columnar stores also prune the scan to the
+    * 8-byte codes. `cent` is the persisted coarse quantizer
+    * ([[coarseCentroids]]) — pinned by design, exactly like the
+    * IVF-PQ streaming sink's: re-deriving seeds over a grown corpus
+    * would shift the hash-rank seed set and silently invalidate every
+    * stored cell assignment. Codes and cells are pure functions of
+    * (cent, vector), so incremental epoch appends equal a from-scratch
+    * build row-for-row. */
+  def binaryIvfIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                          dims: Int, cent: DataFrame): DataFrame =
+    graft.core.Tables.ensureParallelism(corpus)
+      .select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centOneRow(cent)))
+      .select(col(idCol),
+        argminCell(dvec(col(vecCol)), col("cents")).as("cell"),
+        packWords(col(vecCol), dims).as("words"),
+        col(vecCol))
+
+  /** Stage 1 of the cell-pruned probe, exposed for measurement: the
+    * (qid, cid, hamming) candidate scores over ONLY the probed cells'
+    * codes. Queries rank the broadcast centroid table by quantized L2
+    * (ties (d2, cc) — identical to ivfTopK's probe ranking), each takes
+    * its nProbe nearest cells, and the (probes x query-words) side —
+    * bounded at |queries| x nProbe rows — broadcasts against the codes,
+    * so the corpus side never shuffles and rows outside probed cells
+    * never leave their scan. GrowthSpec counts these rows: linear at
+    * fixed cells, ~flat when cells scale with the corpus. */
+  def binaryIvfCandidates(codes: DataFrame, queries: DataFrame, idCol: String,
+                          vecCol: String, dims: Int, cent: DataFrame,
+                          nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"),
+      packWords(col(vecCol), dims).as("qw"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cc"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("qid"), col("qw"), col("cc"), ql2(col("qv"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qw"), col("cc").cast(LongType).as("cell"))
+    val cw = codes.select(col(idCol).as("cid"),
+      col("cell").cast(LongType).as("cell"), col("words").as("cw"))
+    broadcast(probes).join(cw, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        hammingDist(col("qw"), col("cw")).as("hamming"))
+  }
+
+  /** Cell-pruned binary probe against a GIVEN index: `codes` supplies
+    * stage 1's (id, cell, words) — pass a fresh read of the persisted
+    * index so column pruning drops the vectors from the scan — and
+    * `vecs` supplies (id, vec) for the stage-2 shortlist rerank.
+    * Shortlist ties break (hamming, cid), rerank ties (cosine desc,
+    * cid); both top-k windows lower to the bounded-heap TopKPerKey.
+    * Recall trades via nProbe exactly like ivfTopK (a true neighbor in
+    * an unprobed cell is missed — the IVF trade the shortlist sweep
+    * measures); within probed cells the Hamming shortlist is identical
+    * to the flat probe's. Output (qid, cid, hamming, cosine, rank). */
+  def binaryIvfProbeTopK(codes: DataFrame, vecs: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, dims: Int,
+                         cent: DataFrame, nProbe: Int, shortlist: Int,
+                         k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
+    val ham = binaryIvfCandidates(codes, queries, idCol, vecCol, dims, cent, nProbe)
+    val sw = Window.partitionBy("qid").orderBy(col("hamming"), col("cid"))
+    val cand = ham.withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= shortlist)
+      .select("qid", "cid", "hamming")
+    val c = vecs.select(col(idCol).as("cid"), dvec(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
+    val scored = cand.join(c, "cid").join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"), col("hamming"),
+        (qdot(col("qv"), col("cv")) / (qnorm(col("qv")) * qnorm(col("cv"))))
+          .as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("hamming"), col("cosine"),
+        col("rank").cast(IntegerType).as("rank"))
+  }
+
+  /** The production read path over a cell-PARTITIONED persisted index
+    * (binaryIvfIndexBuild written with .partitionBy("cell")): resolve
+    * the probed cells first — the distinct probed-cell set is bounded
+    * by min(|queries| x nProbe, nCells), a constant-size driver
+    * artifact like the picker choice — then read the index TWICE with a
+    * static cell filter: stage 1 selects (id, cell, words) and stage 2
+    * (id, vec), so the scans prune BOTH ways — partition pruning drops
+    * every unprobed cell's files (the plan's PartitionFilters carry the
+    * IN list; at 100 TB this is the difference between listing nProbe
+    * directories and scanning the corpus) and column pruning drops the
+    * vectors from stage 1 (ReadSchema = the 8-byte codes). Both
+    * assertions live in PlanSpec. */
+  def binaryIvfProbeIndex(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, queries: DataFrame,
+                          idCol: String, vecCol: String, dims: Int,
+                          cent: DataFrame, nProbe: Int, shortlist: Int,
+                          k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cc"))
+    val probedCells = q.crossJoin(broadcast(cent))
+      .select(col("qid"), col("cc"), ql2(col("qv"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("cc").cast(LongType)).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val pruned = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probedCells: _*))
+    binaryIvfProbeTopK(
+      pruned.select(col(idCol), col("cell"), col("words")),
+      pruned.select(col(idCol), col(vecCol)),
+      queries, idCol, vecCol, dims, cent, nProbe, shortlist, k)
+  }
 
   def pqTopK(corpusCodes: DataFrame, queries: DataFrame, codebook: DataFrame,
              idCol: String, vecCol: String, m: Int, k: Int): DataFrame = {

@@ -130,6 +130,50 @@ object Stats {
         (col("n_kept").cast("double") / col("n_docs")).as("actual_rate"))
   }
 
+  /** SAMPLE-BASED gate calibration — the production path at unbounded
+    * corpus size that [[thresholdForKeepRate]]'s scaladoc names: read
+    * the threshold off a KMV bottom-k hash-rank sample
+    * ([[Sketches.bottomKSample]], typically the PERSISTED monitoring
+    * sample a kmvSampleSink maintains) instead of globally sorting the
+    * corpus. The sample's md5-rank rows are a uniform row sample of the
+    * score distribution, so its rank-r order statistic estimates the
+    * population quantile with rank error ~ n * sqrt(q(1-q)/k) (the
+    * binomial quantile-sampling bound; StatsSpec measures it against
+    * the exact operator on the fixture). The full-corpus pass that
+    * remains is MAP-ONLY — one broadcast threshold + filter + count —
+    * so no stage sorts more than the k-row sample. Threshold rule
+    * matches the exact operator: T = the rank-max(1, floor(rate *
+    * sample_n)) highest sample score (ties by `tieCol` asc); keep is
+    * score >= T, tie mass reported via actual_rate. Deterministic — the
+    * sample is a pure function of (corpus, k), so recalibrations
+    * reproduce. Empty sample ⇒ empty result. Returns one row:
+    * (n_docs, sample_n, k, threshold, n_kept, actual_rate). */
+  def thresholdForKeepRateSampled(df: DataFrame, sample: DataFrame,
+                                  scoreCol: String, tieCol: String,
+                                  targetRate: Double): DataFrame = {
+    require(targetRate > 0 && targetRate <= 1,
+      s"target keep rate must be in (0, 1], got $targetRate")
+    val base = df.select(col(scoreCol).as("__s"))
+    val samp = sample.select(col(scoreCol).as("__s"), col(tieCol).as("__t"))
+    val n1 = samp.agg(count(lit(1)).cast("long").as("sample_n"))
+    // bounded single-partition window: at most k sample rows ever sort
+    // here (the pmod trick keeps the optimizer from globalizing it)
+    val g = Window.partitionBy(pmod(col("sample_n"), col("sample_n")))
+    val thr = samp.crossJoin(broadcast(n1))
+      .withColumn("__rn", row_number().over(g.orderBy(col("__s").desc, col("__t"))))
+      .filter(col("__rn") ===
+        greatest(lit(1L), floor(lit(targetRate) * col("sample_n")).cast("long")))
+      .select(col("sample_n"), col("__rn").cast("long").as("k"),
+        col("__s").as("threshold"))
+    base.crossJoin(broadcast(thr))
+      .groupBy(col("sample_n"), col("k"), col("threshold"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("__s") >= col("threshold"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("n_docs"), col("sample_n"), col("k"), col("threshold"),
+        col("n_kept"),
+        (col("n_kept").cast("double") / col("n_docs")).as("actual_rate"))
+  }
+
   /** APPROXIMATE per-group median — the unbounded-group escape hatch
     * (see object scaladoc). `accuracy` trades sketch memory for rank
     * error <= n/accuracy; groups smaller than `accuracy` rows come back

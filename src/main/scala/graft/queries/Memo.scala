@@ -12,14 +12,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[queries] object Memo {
   private val written = new java.util.concurrent.ConcurrentHashMap[String, String]
 
-  def parquetArtifact(s: SparkSession, dir: String, name: String)
-                     (build: => DataFrame): DataFrame = {
-    val path = written.computeIfAbsent(s"$name|$dir", { _ =>
+  /** Build-once path accessor — for consumers that read the artifact by
+    * PATH (the partition-pruned index probes), with optional partition
+    * columns so the persisted layout is the production one (e.g. the
+    * binary-IVF index partitioned by cell). */
+  def parquetArtifactPath(s: SparkSession, dir: String, name: String,
+                          partitionBy: Seq[String] = Nil)
+                         (build: => DataFrame): String =
+    written.computeIfAbsent(s"$name|$dir", { _ =>
       val p = s"${VectorQueries.annArtifactRoot}/$name/" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
-      build.write.mode("overwrite").parquet(p)
+      build.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(p)
       p
     })
-    s.read.parquet(path)
-  }
+
+  def parquetArtifact(s: SparkSession, dir: String, name: String)
+                     (build: => DataFrame): DataFrame =
+    s.read.parquet(parquetArtifactPath(s, dir, name)(build))
 }

@@ -165,6 +165,46 @@ object PipelineQueries {
         "uniq_ratio", "doc_id", targetRate = 0.7)
     },
 
+    // SAMPLE-BASED gate calibration — the production path of the query
+    // above at unbounded corpus size: the threshold reads off the
+    // PERSISTED KMV bottom-64 hash-rank sample (the monitoring sample a
+    // kmvSampleSink maintains; run-scoped artifact here, the picker
+    // pattern), so no stage sorts more than 64 rows and the remaining
+    // full-corpus pass is a map-only broadcast-threshold count. Rank
+    // error vs exact is the binomial quantile-sampling bound
+    // ~ n * sqrt(q(1-q)/k) (StatsSpec measures it); the oracle
+    // recomputes the md5-rank sample and the threshold from scratch.
+    QueryDef(
+      "q_calibrate_gate_sampled",
+      "uniq_ratio gate threshold for a 0.7 keep rate off the persisted KMV bottom-64 sample",
+      """WITH sc AS (SELECT doc_id,
+                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS s
+              FROM documents),
+          samp AS (SELECT doc_id, s FROM sc
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 64),
+          n AS (SELECT CAST(COUNT(*) AS BIGINT) AS sample_n FROM samp),
+          rk AS (SELECT doc_id, s, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rn FROM samp),
+          thr AS (SELECT n.sample_n, CAST(rk.rn AS BIGINT) AS k, rk.s AS threshold
+                  FROM rk, n
+                  WHERE rk.rn = GREATEST(1, CAST(FLOOR(0.7e0 * n.sample_n) AS BIGINT)))
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sc) AS n_docs,
+                 t.sample_n, t.k, t.threshold,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM sc WHERE s >= t.threshold) AS n_kept,
+                 CAST((SELECT COUNT(*) FROM sc WHERE s >= t.threshold) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM sc) AS actual_rate
+          FROM thr t""") { (s, dir) =>
+      val gates = graft.operators.TextAnalysis.qualityGates(
+        t(s, dir, "documents"), "text")
+      val sample = Memo.parquetArtifact(s, dir, "kmv_gate_sample") {
+        graft.operators.Sketches.bottomKSample(
+          gates.select(col("doc_id"), col("uniq_ratio"), lit("all").as("g")),
+          "doc_id", "uniq_ratio", Seq("g"), k = 64)
+      }
+      graft.operators.Stats.thresholdForKeepRateSampled(gates, sample,
+        "uniq_ratio", "doc_id", targetRate = 0.7)
+    },
+
     // GATE DISTILLATION — train a linear probe to imitate the Gopher
     // gates (the pipeline move that replaces a cascade of handwritten
     // rules with one cheap learned scorer): features are the gate

@@ -426,6 +426,159 @@ object VectorQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // Cell-pruned binary ANN — the FAISS IndexBinaryIVF composition that
+    // closes the flat probe's one scale asymmetry: the packed sign codes
+    // live UNDER the 16-cell coarse quantizer (persisted centroids, the
+    // pinned-artifact contract of the IVF-PQ sink), the index persists
+    // PARTITIONED BY cell, and stage 1 Hamming-scans only the 4 probed
+    // cells' codes — partition pruning drops every other cell's files
+    // (PartitionFilters, PlanSpec-asserted) and column pruning drops the
+    // vectors from the codes scan. Stage 2 reranks the 50-candidate
+    // shortlist with the exact quantized cosine. Recall trades via
+    // nProbe exactly like q_ann_ivf; the oracle replays cells, probes,
+    // per-probed-cell sign-disagreement Hamming, and the rerank.
+    QueryDef(
+      "q_ann_binary_ivf",
+      "cell-pruned binary ANN: 16-cell coarse quantizer, 4-probe Hamming shortlist (50), exact cosine top-5",
+      s"""WITH dims AS ($dimsSql),
+          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id IN ${seedIdsSql(16)}),
+          vdist AS (
+            SELECT v.vec_id, c.cc,
+                   CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS d2
+            FROM dims v JOIN cdims c ON v.d = c.d GROUP BY 1, 2),
+          cells AS (
+            SELECT vec_id, cc AS cell FROM (
+              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+              FROM vdist) WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS qid, cc AS cell FROM (
+              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+              FROM vdist WHERE vec_id < 5) WHERE rn <= 4),
+          cand0 AS (
+            SELECT p.qid, c.vec_id AS cid FROM probes p
+            JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.qid),
+          ham AS (
+            SELECT cand0.qid, cand0.cid,
+                   CAST(SUM(CASE WHEN (q.x > 0) <> (c.x > 0) THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+            FROM cand0 JOIN dims q ON q.vec_id = cand0.qid
+                       JOIN dims c ON c.vec_id = cand0.cid AND c.d = q.d
+            GROUP BY 1, 2),
+          cand AS (
+            SELECT qid, cid, hamming FROM (
+              SELECT qid, cid, hamming,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, cid) AS srn
+              FROM ham) WHERE srn <= 50),
+          nrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x * x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0) AS nrm
+                  FROM dims GROUP BY vec_id),
+          dots AS (
+            SELECT cand.qid AS qid, cand.cid AS cid, MIN(cand.hamming) AS hamming,
+                   CAST(SUM(CAST(FLOOR((q.x * c.x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dot
+            FROM cand JOIN dims q ON q.vec_id = cand.qid
+                      JOIN dims c ON c.vec_id = cand.cid AND c.d = q.d
+            GROUP BY 1, 2),
+          scored AS (
+            SELECT qid, cid, hamming, dot / (qn.nrm * cn.nrm) AS cosine
+            FROM dots JOIN nrm qn ON qn.vec_id = qid JOIN nrm cn ON cn.vec_id = cid)
+          SELECT qid, cid, hamming, cosine, rank FROM (
+            SELECT qid, cid, hamming, cosine,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS INT) AS rank
+            FROM scored) WHERE rank <= 5 ORDER BY qid, rank""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      def cent = Memo.parquetArtifact(s, dir, "binary_ivf_cent") {
+        Similarity.coarseCentroids(emb, "vec_id", "embedding", nCells = 16)
+      }
+      val idxPath = Memo.parquetArtifactPath(s, dir, "binary_ivf_index",
+        partitionBy = Seq("cell")) {
+        Similarity.binaryIvfIndexBuild(emb, "vec_id", "embedding", dims = 64, cent)
+      }
+      Similarity.binaryIvfProbeIndex(s, idxPath, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", dims = 64, cent, nProbe = 4, shortlist = 50, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // The cell-pruned path's acceptance metric, completing the loop every
+    // ANN family carries (an unevaluated index is a guess): recall@10 of
+    // the 4-probe cell-pruned Hamming rerank against the exact cosine
+    // top-10 — now BOTH approximations compound (unprobed cells AND the
+    // 1-bit shortlist), which is exactly why the measurement must exist
+    // before trusting the pruning at scale. Shares the run-scoped exact
+    // truth artifact with q_binary_recall; the oracle replays the whole
+    // chain from scratch.
+    QueryDef(
+      "q_binary_ivf_recall",
+      "recall@10 of cell-pruned (4-probe) binary ANN vs exact cosine top-10, per query",
+      s"""WITH dims AS ($dimsSql),
+          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id IN ${seedIdsSql(16)}),
+          vdist AS (
+            SELECT v.vec_id, c.cc,
+                   CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS d2
+            FROM dims v JOIN cdims c ON v.d = c.d GROUP BY 1, 2),
+          cells AS (
+            SELECT vec_id, cc AS cell FROM (
+              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+              FROM vdist) WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS qid, cc AS cell FROM (
+              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+              FROM vdist WHERE vec_id < 5) WHERE rn <= 4),
+          cand0 AS (
+            SELECT p.qid, c.vec_id AS cid FROM probes p
+            JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.qid),
+          ham AS (
+            SELECT cand0.qid, cand0.cid,
+                   CAST(SUM(CASE WHEN (q.x > 0) <> (c.x > 0) THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+            FROM cand0 JOIN dims q ON q.vec_id = cand0.qid
+                       JOIN dims c ON c.vec_id = cand0.cid AND c.d = q.d
+            GROUP BY 1, 2),
+          cand AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, cid) AS srn
+              FROM ham) WHERE srn <= 50),
+          nrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x * x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0) AS nrm
+                  FROM dims GROUP BY vec_id),
+          dotsx AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+                   CAST(SUM(CAST(FLOOR((q.x * c.x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dot
+            FROM dims q JOIN dims c ON q.d = c.d AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5
+            GROUP BY 1, 2),
+          exact AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (qn.nrm * cn.nrm) DESC, cid) AS rank
+              FROM dotsx JOIN nrm qn ON qn.vec_id = qid JOIN nrm cn ON cn.vec_id = cid)
+            WHERE rank <= 10),
+          approx AS (
+            SELECT qid, cid FROM (
+              SELECT d.qid, d.cid,
+                     ROW_NUMBER() OVER (PARTITION BY d.qid ORDER BY d.dot / (qn.nrm * cn.nrm) DESC, d.cid) AS rank
+              FROM (SELECT dotsx.* FROM dotsx JOIN cand USING (qid, cid)) d
+              JOIN nrm qn ON qn.vec_id = d.qid JOIN nrm cn ON cn.vec_id = d.cid)
+            WHERE rank <= 10),
+          den AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS d FROM exact GROUP BY qid),
+          hits AS (SELECT e.qid, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM exact e JOIN approx a ON a.qid = e.qid AND a.cid = e.cid
+                   GROUP BY e.qid)
+          SELECT den.qid, CAST(COALESCE(n, 0) AS BIGINT) AS n_hit,
+                 CAST(COALESCE(n, 0) AS DOUBLE) / LEAST(10, d) AS recall
+          FROM den LEFT JOIN hits ON hits.qid = den.qid
+          ORDER BY den.qid""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      def cent = Memo.parquetArtifact(s, dir, "binary_ivf_cent") {
+        Similarity.coarseCentroids(emb, "vec_id", "embedding", nCells = 16)
+      }
+      val idxPath = Memo.parquetArtifactPath(s, dir, "binary_ivf_index",
+        partitionBy = Seq("cell")) {
+        Similarity.binaryIvfIndexBuild(emb, "vec_id", "embedding", dims = 64, cent)
+      }
+      val approx = Similarity.binaryIvfProbeIndex(s, idxPath,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", dims = 64,
+        cent, nProbe = 4, shortlist = 50, k = 10)
+      Similarity.annRecallAtK(approx, binaryTruth(s, dir), k = 10)
+        .orderBy(col("qid"))
+    },
+
     // The binary path's acceptance metric, same loop as q_ann_recall for
     // IVF: recall@10 of the Hamming-shortlist rerank against the exact
     // cosine top-10 (the metric binary quantization approximates). A

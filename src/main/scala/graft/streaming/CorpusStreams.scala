@@ -428,6 +428,89 @@ object CorpusStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming CELL-PRUNED binary index maintenance — binaryIndexSink's
+    * IVF-shaped sibling: each micro-batch encodes against the PERSISTED
+    * coarse centroids (the pinned-artifact contract of annIndexSink:
+    * re-deriving hash-rank seeds over a grown corpus would shift the
+    * seed set and silently reassign every stored cell) and appends its
+    * (id, cell, words, vec) as ITS epoch partition — one map-only pass,
+    * O(|batch|) compute and commit I/O. Cells and codes are pure
+    * functions of (centroids, vector), so a replayed batch re-appends
+    * idempotently and the epoch union equals a from-scratch build
+    * row-for-row (spec-asserted). Epochs accrete row-wise; the
+    * read-optimized CELL-PARTITIONED probe layout is produced by
+    * [[binaryIvfReadOptimize]] — the compaction move, run on the
+    * monitor's cadence — after which binaryIvfProbeIndex's partition
+    * pruning applies; probing the raw epoch union with
+    * binaryIvfProbeTopK is exact at any moment in between. */
+  def binaryIvfIndexSink(incoming: DataFrame, idCol: String, vecCol: String,
+                         indexPath: String, checkpointDir: String,
+                         dims: Int, centroidsPath: String): StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cent = EtlCli.readTable(batch.sparkSession, centroidsPath)
+        EtlCli.appendEpoch(
+          graft.operators.Similarity.binaryIvfIndexBuild(
+            batch.select(col(idCol), col(vecCol)), idCol, vecCol, dims, cent),
+          indexPath, batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Rewrite the accreted epoch union into the read-optimized layout the
+    * cell-pruned probe scans: one table PARTITIONED BY cell at
+    * `outPath`. The epoch layout optimizes the WRITE path (O(batch)
+    * appends, replay-idempotent); this optimizes the READ path
+    * (partition pruning to probed cells) — the same write-then-compact
+    * split as compactEpochs/Z-order, run on whatever cadence the probe
+    * traffic justifies. Rows are immutable (id, cell, words, vec)
+    * tuples, so the rewrite is a pure re-layout — probing the optimized
+    * copy equals probing the union (spec-asserted). */
+  def binaryIvfReadOptimize(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, outPath: String): Unit =
+    EtlCli.readEpochTable(spark, indexPath)
+      .write.mode("overwrite").partitionBy("cell").parquet(outPath)
+
+  /** Probe the streamed binary index at the SWEEP-CHOSEN shortlist depth
+    * — the read-side last mile of the binary sweep→pick→deploy loop,
+    * mirroring curatedIngestSink's sweepPath wiring on the LSH side (and
+    * simpler by construction: sign codes are config-independent, so a
+    * depth change needs no re-sign, no marker, no migration — only the
+    * probe's shortlist moves). Reads the persisted sweep artifact
+    * (EtlCli.sweepBinary's committed frontier) PER CALL, so a re-sweep
+    * changes the deployed depth on the next probe; no qualifying depth
+    * fails loudly — silently deploying the best loser is the one move
+    * the recall floor exists to prevent. The chosen depth rides the
+    * output as a `shortlist` column so monitors can see which config
+    * served each result. */
+  def binaryProbeWithSweep(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, sweepPath: String,
+                           queries: DataFrame, idCol: String, vecCol: String,
+                           minRecall: Double, k: Int): DataFrame = {
+    val pick = graft.operators.Similarity.pickBinaryConfig(
+        EtlCli.readTable(spark, sweepPath), minRecall)
+      .select(col("shortlist").cast("int")).collect()
+    require(pick.nonEmpty,
+      s"no shortlist depth at $sweepPath clears recall >= $minRecall — " +
+        "re-sweep deeper before probing")
+    val shortlist = pick.head.getInt(0)
+    require(shortlist >= k,
+      s"swept shortlist $shortlist cannot serve top-$k — re-sweep with " +
+        "depths covering k")
+    val index = EtlCli.readEpochTable(spark, indexPath)
+    val firstVec = index.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(firstVec.nonEmpty, s"binary index at $indexPath is empty")
+    val dims = firstVec.head.getInt(0)
+    graft.operators.Similarity.binaryProbeTopK(
+        index.select(col(idCol), col("words")),
+        index.select(col(idCol), col(vecCol)),
+        queries, idCol, vecCol, dims, shortlist, k)
+      .withColumn("shortlist", lit(shortlist))
+  }
+
   def annIndexSink(incoming: DataFrame, idCol: String, vecCol: String,
                    centroidsPath: String, codebookPath: String, codesPath: String,
                    checkpointDir: String, m: Int): StreamingQuery =

@@ -301,4 +301,138 @@ class GrowthSpec extends SparkSpec {
       s"scaled-cells probe cost grew with the corpus: $s1 -> $s4scaled")
     assert(r4 > 0, "scaled-cells sweep must still find ground-truth hits")
   }
+
+  test("(f) CDC chunk-overlap pairs grow ~linearly under 1x/4x/10x replication") {
+    // The newest quadratic-risk surface: cdcOverlapPairs' (hash, doc)
+    // self-join. Tagged copies are chunk-DISJOINT (every CDC chunk is a
+    // span of the tagged text, so it contains tag characters and can
+    // never equal another copy's span), so cross-copy collisions are
+    // impossible and a k-times corpus must cost ~k times — a silently
+    // quadratic constant (e.g. the maxDf cap not pruning the hot tail
+    // before the join) would read ~16x at 4x. Unlike the MinHash axis,
+    // copies are NOT boundary-isomorphic (the gear-hash boundary test
+    // sees the tag bytes), so per-copy pair counts wobble — the bounds
+    // allow it; quadratic growth is far outside them.
+    def run(s: Int): (Long, Long, Double) = {
+      val df = graft.operators.Dedup.cdcOverlapPairs(replicated(s),
+        "doc_id", "text", boundaryNibbles = 1, maxDf = 100, minFrac = 0.3)
+      val ((recs, n), secs) = timed {
+        val r = shuffledRecords(df)
+        (r, df.count())
+      }
+      info(f"scale ${s}x: pairs=$n shuffled=$recs records (${secs}%.2fs)")
+      (n, recs, secs)
+    }
+    val (p1, sr1, t1) = run(1)
+    val (p4, sr4, _) = run(4)
+    val (p10, sr10, t10) = run(10)
+    assert(p1 > 0, "base corpus must have chunk-overlap pairs")
+    // pair growth: linear within boundary-wobble tolerance — quadratic
+    // would overshoot ~4x at 4x scale and ~7x at 10x
+    assert(p4 <= 4 * p1 * 2 && p4 >= 4 * p1 / 3, s"pairs at 4x non-linear: $p4 vs base $p1")
+    assert(p10 <= 10 * p1 * 2 && p10 >= 10 * p1 / 3, s"pairs at 10x non-linear: $p10 vs base $p1")
+    // the shuffles carry (hash, doc) rows and group outputs — O(chunks),
+    // so shuffled records must scale ~linearly too, never quadratically
+    assert(sr10 <= 10 * sr1 * 2 + 1000, s"shuffle at 10x superlinear: $sr10 vs base $sr1")
+    assert(t10 <= math.max(t1, 2.0) * 30, f"10x wall time blew up: $t10%.1fs vs base $t1%.1fs")
+  }
+
+  test("(g) binary-IVF probe cost: linear at fixed cells, ~flat when cells scale with the corpus") {
+    // The cell-pruned binary path's deployment claim, measured off the
+    // stage-1 candidate count (the Hamming evaluations a query batch
+    // triggers): fixed (nCells, nProbe) prunes the same FRACTION at
+    // every scale (linear growth, bounded share of brute force), and
+    // cells grown with the corpus hold per-query cost ~flat — the
+    // measurement that makes 1-bit codes deployable at 100 TB, not just
+    // compact. Same replication + wobble tolerances as axis (e).
+    import graft.operators.Similarity
+    val baseEmb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def embAt(copies: Int): DataFrame =
+      (0 until copies).map(i => baseEmb.select(
+        (col("vec_id") + lit(i * Stride)).as("vec_id"), col("embedding")))
+        .reduce(_ unionAll _)
+    val queries = baseEmb.filter(col("vec_id") < 20)
+    val nQ = queries.count()
+    def scored(corpus: DataFrame, n: Long, nCells: Int, nProbe: Int): Long = {
+      val cent = Similarity.coarseCentroids(corpus, "vec_id", "embedding", nCells)
+      val index = Similarity.binaryIvfIndexBuild(corpus, "vec_id", "embedding",
+        dims = 64, cent)
+      val c = Similarity.binaryIvfCandidates(index, queries, "vec_id",
+        "embedding", dims = 64, cent, nProbe).count()
+      info(f"n=$n cells=$nCells probe=$nProbe: scored=$c " +
+        f"(${c.toDouble / (nQ * n)}%.3f of a flat scan)")
+      c
+    }
+    val n1 = baseEmb.count()
+    val s1 = scored(embAt(1), n1, nCells = 25, nProbe = 3)
+    val s4fixed = scored(embAt(4), 4 * n1, nCells = 25, nProbe = 3)
+    val s4scaled = scored(embAt(4), 4 * n1, nCells = 100, nProbe = 3)
+    assert(s1 > 0, "base probe must score candidates")
+    // pruning holds at both scales (expected ~nProbe/nCells = 0.12 of
+    // the flat scan's nQ x n)
+    assert(s1 <= nQ * n1 * 2 / 5, s"1x probe stopped pruning: $s1 of ${nQ * n1}")
+    assert(s4fixed <= nQ * 4 * n1 * 2 / 5,
+      s"4x probe stopped pruning: $s4fixed of ${nQ * 4 * n1}")
+    // fixed cells: linear growth (cell-size wobble from fresh hash-rank
+    // seeds allows [2x, 8x]; a quadratic constant would read ~16x)
+    assert(s4fixed <= 8 * s1 && s4fixed >= 2 * s1,
+      s"fixed-cell scored count non-linear: $s1 -> $s4fixed")
+    // scaled cells: per-query cost ~flat — the 100 TB deployment rule
+    assert(s4scaled <= 3 * s1 + 100,
+      s"scaled-cells probe cost grew with the corpus: $s1 -> $s4scaled")
+  }
+
+  test("(h) flat binary probe: shortlist exchange and rerank stay O(shortlist x queries) as the index grows 10x") {
+    // The flat probe's stage-2 claim, measured: the Hamming fold runs
+    // map-side under a bounded-heap partial top-k, so the per-query
+    // exchange carries at most partitions x shortlist rows and the
+    // rerank input is EXACTLY shortlist x queries — however large the
+    // index grows. (Stage 1's scan is deliberately O(corpus) — that is
+    // the flat-index trade axis (g) closes with cells.) Hash-partitioned
+    // exchanges only: the ensureParallelism round-robin spread IS
+    // corpus-sized by design and proves nothing about the probe.
+    import graft.operators.Similarity
+    val baseEmb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def embAt(copies: Int): DataFrame =
+      (0 until copies).map(i => baseEmb.select(
+        (col("vec_id") + lit(i * Stride)).as("vec_id"), col("embedding")))
+        .reduce(_ unionAll _)
+    val queries = baseEmb.filter(col("vec_id") < 5)
+    def hashShuffled(df: DataFrame): Long = {
+      df.queryExecution.toRdd.count()
+      df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] =>
+          e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+      }.sum
+    }
+    def shortlistAt(scale: Int): (Long, Long) = {
+      val corpus = embAt(scale)
+      val codes = Similarity.binaryQuantize(corpus, "vec_id", "embedding", 64)
+      val sl = Similarity.binaryShortlist(codes, queries, "vec_id", "embedding",
+        dims = 64, shortlist = 20)
+      val recs = hashShuffled(sl)
+      val n = sl.count()
+      info(s"index ${scale}x: shortlist rows=$n, hash-shuffled=$recs records")
+      (n, recs)
+    }
+    // AQE's AdaptiveSparkPlanExec hides the executed exchanges from
+    // collect(); the claim is about the static plan's exchange volume
+    val (n1, sr1, n10, sr10) = withConf("spark.sql.adaptive.enabled" -> "false") {
+      val (a, b) = shortlistAt(1)
+      val (c, d) = shortlistAt(10)
+      (a, b, c, d)
+    }
+    // rerank input is exactly shortlist x queries at BOTH scales
+    assert(n1 == 20L * 5 && n10 == 20L * 5,
+      s"shortlist must stay fixed at shortlist x queries: $n1 / $n10")
+    assert(sr1 > 0, "expected the shortlist window to exchange partials")
+    // the exchange is bounded by partitions x shortlist x queries —
+    // growing the index 10x must not widen it beyond partial-heap noise
+    assert(sr10 <= sr1 * 2 + 100,
+      s"shortlist exchange grew with the index: $sr1 -> $sr10 records")
+  }
 }

@@ -394,6 +394,31 @@ class PlanSpec extends SparkSpec {
       s"stage-1 index scan not pruned to codes:\n$p")
   }
 
+  test("binary-IVF ANN: stage 1 scans only probed cells' codes (partition + column pruning)") {
+    val p = plan("q_ann_binary_ivf")
+    // cell pruning as a PLAN property, not an argument: both reads of the
+    // cell-partitioned index (stage-1 codes, stage-2 rerank vectors)
+    // carry a static INSET partition filter over the probed cells — at
+    // 100 TB this is the difference between listing nProbe directories
+    // and scanning the corpus
+    val insets = "PartitionFilters: \\[cell#\\d+ INSET".r.findAllIn(p).size
+    assert(insets >= 2, s"expected INSET partition filters on both index scans:\n$p")
+    // the 1/32-bytes claim: stage 1's codes scan reads (vec_id, words)
+    // only — the float vectors must be absent from its ReadSchema
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,words:array<bigint>>"),
+      s"stage-1 index scan not pruned to codes:\n$p")
+    // shortlist + probe rankings bounded-heap, never a full per-query sort
+    assert(p.contains("TopKPerKey") || p.contains("WindowGroupLimit"),
+      s"hamming shortlist should group-limit, not full-sort:\n$p")
+    // neither packed codes nor raw vectors may cross a hash shuffle: the
+    // probe side broadcasts and the shortlist exchange carries
+    // (qid, cid, hamming) rows only
+    val vecShuffles = "Exchange hashpartitioning\\([^)]*embedding".r.findAllIn(p).size
+    assert(vecShuffles == 0, s"raw vectors crossed a shuffle:\n$p")
+    val wordShuffles = "Exchange hashpartitioning\\([^)]*words".r.findAllIn(p).size
+    assert(wordShuffles == 0, s"packed codes crossed a shuffle:\n$p")
+  }
+
   test("hybrid RRF: retrievers keep their bounded shapes inside the fused plan") {
     val p = plan("q_hybrid_rrf")
     // lexical side: global top-20 stays TakeOrderedAndProject (never a

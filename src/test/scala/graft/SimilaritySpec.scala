@@ -523,4 +523,50 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.5, s"binary shortlist recall collapsed: $recalls")
   }
+
+  test("binary-IVF probe: full probe equals the flat scan; pruned candidates stay in probed cells; partitioned path identical") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 3)
+    val cent = Similarity.coarseCentroids(emb, "vec_id", "embedding", nCells = 8)
+    val index = Similarity.binaryIvfIndexBuild(emb, "vec_id", "embedding",
+      dims = 64, cent)
+    // law 1: probing EVERY cell degenerates to the flat binary probe
+    // exactly (ids, hamming, cosine, rank) — the pruning is the only
+    // difference between the two operators
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid").cast("long"), col("cid").cast("long"),
+        col("hamming").cast("long"), col("rank"))
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val full = rows(Similarity.binaryIvfProbeTopK(index, index, queries,
+      "vec_id", "embedding", dims = 64, cent, nProbe = 8, shortlist = n, k = 5))
+    val flat = rows(Similarity.binaryProbeTopK(
+      Similarity.binaryQuantize(emb, "vec_id", "embedding", 64), emb, queries,
+      "vec_id", "embedding", dims = 64, shortlist = n, k = 5))
+    assert(full == flat, "full-probe binary-IVF must equal the flat probe")
+    // law 2: at nProbe < nCells every candidate lies in its query's
+    // probed cells — the pruning is real, not cosmetic
+    val cells = index.select(col("vec_id").cast("long"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val probed = Similarity.binaryIvfCandidates(index, queries, "vec_id",
+        "embedding", dims = 64, cent, nProbe = 2)
+      .select(col("qid").cast("long"), col("cid").cast("long"))
+      .as[(Long, Long)].collect()
+    assert(probed.nonEmpty, "2-probe candidates must be non-empty on the fixture")
+    val qCells = probed.groupBy(_._1).view
+      .mapValues(_.map(p => cells(p._2)).toSet).toMap
+    qCells.foreach { case (q, cs) =>
+      assert(cs.size <= 2, s"query $q scored candidates from ${cs.size} > nProbe cells")
+    }
+    // law 3: the partitioned persisted read path returns the identical
+    // result (layout changes nothing but the scan shape)
+    val idxPath = java.nio.file.Files.createTempDirectory("bivf").toString + "/idx"
+    index.write.mode("overwrite").partitionBy("cell").parquet(idxPath)
+    val viaPath = rows(Similarity.binaryIvfProbeIndex(spark, idxPath, queries,
+      "vec_id", "embedding", dims = 64, cent, nProbe = 2, shortlist = 20, k = 5))
+    val viaDf = rows(Similarity.binaryIvfProbeTopK(index, index, queries,
+      "vec_id", "embedding", dims = 64, cent, nProbe = 2, shortlist = 20, k = 5))
+    assert(viaPath == viaDf, "partitioned-path probe diverged from the frame probe")
+  }
 }

@@ -91,6 +91,43 @@ class StatsSpec extends SparkSpec {
     assert(cal(Seq.empty, 0.5).isEmpty)
   }
 
+  test("thresholdForKeepRateSampled: keep rate within the binomial bound of target; exact on k >= n") {
+    import graft.operators.Sketches
+    // 10k docs, scores a deterministic pseudo-uniform scramble of rank
+    val df = spark.range(0, 10000)
+      .select(col("id"), (pmod(col("id") * 2654435761L, lit(10000L)) / 10000.0).as("s"))
+    val sample = Sketches.bottomKSample(
+      df.select(col("id"), col("s"), lit("all").as("g")), "id", "s", Seq("g"), k = 64)
+    val got = Stats.thresholdForKeepRateSampled(df, sample, "s", "id", targetRate = 0.7)
+      .as[(Long, Long, Long, Double, Long, Double)].head()
+    val (nDocs, sampleN, _, thr, _, actualRate) = got
+    assert(nDocs == 10000L && sampleN == 64L, got.toString)
+    // documented tolerance: |actual - target| <= 2 * sqrt(q(1-q)/k)
+    // (the binomial quantile-sampling 2-sigma bound; ~0.115 at k=64)
+    val bound = 2 * math.sqrt(0.7 * 0.3 / 64)
+    assert(math.abs(actualRate - 0.7) <= bound,
+      s"sampled keep rate $actualRate outside the 2-sigma bound $bound of 0.7")
+    // rank error vs the exact single-reducer calibration: same bound,
+    // measured in rows (the error the sample trades the global sort for)
+    val exact = Stats.thresholdForKeepRate(df, "s", "id", targetRate = 0.7)
+      .as[(Long, Long, Double, Long, Double)].head()
+    val rankErr = math.abs(
+      df.filter(col("s") >= thr).count() - exact._4).toDouble
+    assert(rankErr <= bound * nDocs,
+      s"sampled threshold rank error $rankErr exceeds ${bound * nDocs}")
+    // a sample covering the population degenerates to the exact result
+    val full = Sketches.bottomKSample(
+      df.select(col("id"), col("s"), lit("all").as("g")), "id", "s", Seq("g"),
+      k = 10000)
+    val gotFull = Stats.thresholdForKeepRateSampled(df, full, "s", "id", 0.7)
+      .as[(Long, Long, Long, Double, Long, Double)].head()
+    assert(gotFull._4 == exact._3 && gotFull._5 == exact._4,
+      s"full-coverage sample must equal exact: $gotFull vs $exact")
+    // empty sample: no distribution to calibrate against
+    assert(Stats.thresholdForKeepRateSampled(df, sample.limit(0), "s", "id", 0.7)
+      .isEmpty)
+  }
+
   test("approx variants: within rank tolerance of exact on a skewed 100k-row group") {
     // one giant group (the case the sketch exists for) + one small group
     val df = spark.range(1, 100001)

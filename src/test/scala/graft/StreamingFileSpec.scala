@@ -890,6 +890,95 @@ class StreamingFileSpec extends SparkSpec {
     val before = walk(new java.io.File(paths("index"))).sorted
     runStream()
     assert(walk(new java.io.File(paths("index"))).sorted == before)
+
+    // ---- sweep-wired probe depth (the pick -> deploy last mile) ----
+    // a committed sweep where depth 25 is the cheapest clearing the
+    // floor: the probe must serve at 25 and say so
+    def sweep(rows: (Int, Long, Double)*): Unit =
+      graft.tools.EtlCli.writeTable(
+        rows.toSeq.map { case (sl, ns, rec) => (sl, ns, (50 * rec).round, 50L, rec) }
+          .toDF("shortlist", "n_scored", "n_hit", "n_denom", "recall_micro"),
+        paths("sweep"))
+    def probe() = graft.streaming.CorpusStreams.binaryProbeWithSweep(spark,
+      paths("index"), paths("sweep"), queries, "vec_id", "embedding",
+      minRecall = 0.9, k = 5)
+    sweep((25, 125L, 0.95), (50, 250L, 0.97), (100, 500L, 1.0))
+    val p25 = probe()
+    assert(p25.select(col("shortlist")).distinct().as[Int].collect().toSeq == Seq(25),
+      "probe must deploy the swept depth")
+    assert(p25.drop("shortlist").select(col("qid").cast("long"),
+        col("cid").cast("long"), col("rank")).as[(Long, Long, Int)].collect().toSet ==
+      graft.operators.Similarity.binaryProbeTopK(streamed, streamed, queries,
+          "vec_id", "embedding", dims = 64, shortlist = 25, k = 5)
+        .select(col("qid").cast("long"), col("cid").cast("long"), col("rank"))
+        .as[(Long, Long, Int)].collect().toSet,
+      "sweep-wired probe must equal the direct probe at the chosen depth")
+    // a re-sweep where only depth 100 clears the floor changes the
+    // deployed depth on the NEXT probe — no re-sign, no migration
+    sweep((25, 125L, 0.6), (50, 250L, 0.8), (100, 500L, 0.95))
+    assert(probe().select(col("shortlist")).distinct().as[Int].collect().toSeq ==
+      Seq(100), "re-sweep must move the deployed depth")
+    // no depth qualifies: fail loudly, never the best loser
+    sweep((25, 125L, 0.5), (50, 250L, 0.6))
+    val ex = intercept[IllegalArgumentException] { probe() }
+    assert(ex.getMessage.contains("re-sweep"), ex.getMessage)
+  }
+
+  test("binaryIvfIndexSink: streamed epochs == batch build against pinned centroids; read-optimized probe identical") {
+    import graft.streaming.CorpusStreams
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("bivf_sink")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectory(in)
+    def paths(n: String) = root.resolve(n).toString
+    // day-0 artifact: coarse centroids over the full corpus, PERSISTED —
+    // the streamed batches must encode against these, never re-derive
+    val cent = graft.operators.Similarity.coarseCentroids(
+      emb, "vec_id", "embedding", nCells = 8)
+    graft.tools.EtlCli.writeTable(cent, paths("centroids"))
+    def stage(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, in.resolve(name + ".parquet"))
+    }
+    stage("b0", emb.filter(col("vec_id") % 3 === 0))
+    stage("b1", emb.filter(col("vec_id") % 3 === 1))
+    stage("b2", emb.filter(col("vec_id") % 3 === 2))
+    CorpusStreams.binaryIvfIndexSink(
+      spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+        .parquet(in.toString),
+      "vec_id", "embedding", paths("index"), paths("chk"), dims = 64,
+      paths("centroids")).awaitTermination(120000)
+    assert(graft.tools.EtlCli.committedEpochs(spark, paths("index")).size == 3)
+    // epoch union == from-scratch build (cells AND codes), row for row
+    val streamed = graft.tools.EtlCli.readEpochTable(spark, paths("index"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id").cast("long"), col("cell").cast("long"), col("words"))
+      .as[(Long, Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    assert(rows(streamed) == rows(graft.operators.Similarity
+        .binaryIvfIndexBuild(emb, "vec_id", "embedding", dims = 64,
+          graft.tools.EtlCli.readTable(spark, paths("centroids")))),
+      "streamed cell-pruned index diverges from the from-scratch build")
+    // read-optimize to the cell-partitioned probe layout: probing it
+    // equals probing the raw epoch union
+    CorpusStreams.binaryIvfReadOptimize(spark, paths("index"), paths("opt"))
+    val queries = emb.filter(col("vec_id") < 3)
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid").cast("long"), col("cid").cast("long"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    val viaOpt = topk(graft.operators.Similarity.binaryIvfProbeIndex(spark,
+      paths("opt"), queries, "vec_id", "embedding", dims = 64,
+      graft.tools.EtlCli.readTable(spark, paths("centroids")),
+      nProbe = 2, shortlist = 20, k = 5))
+    val viaUnion = topk(graft.operators.Similarity.binaryIvfProbeTopK(
+      streamed, streamed, queries, "vec_id", "embedding", dims = 64,
+      graft.tools.EtlCli.readTable(spark, paths("centroids")),
+      nProbe = 2, shortlist = 20, k = 5))
+    assert(viaOpt == viaUnion,
+      "read-optimized layout changed the probe result")
   }
 
   test("checkpointed parquet sink resumes exactly-once across restarts") {
