@@ -1215,6 +1215,100 @@ object Similarity {
         col("rank").cast(IntegerType).as("rank"))
   }
 
+  /** Recall/cost frontier over the cell-pruned binary probe's TWO knobs
+    * — (nProbe, shortlist) — completing the sweep→floor→choice loop for
+    * the binary-IVF family (LSH bands, IVF probes, and the flat binary
+    * shortlist each have theirs; a two-stage index deploys on a 2D
+    * grid). Per grid point: n_cand (stage-1 Hamming evaluations the
+    * probe depth triggers — the scan-cost axis), n_scored (stage-2
+    * exact reranks the shortlist buys — the rerank-cost axis), and
+    * micro recall@k against the given exact truth.
+    *
+    * Cost shape: cells rank once up to max(nProbes), every candidate
+    * carries the probe rank `rn` that reaches it, Hamming AND rerank
+    * cosine compute ONCE on the pinned candidate table (the sweep
+    * evaluates sampled queries, so scoring the max-depth candidate set
+    * once beats rescoring per grid point), and each grid point is a
+    * filter + two bounded windows over that table. Returns (n_probe,
+    * shortlist, n_cand, n_scored, n_hit, n_denom, recall_micro). */
+  def binaryIvfSweep(codes: DataFrame, vecs: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, dims: Int, cent: DataFrame,
+                     nProbes: Seq[Int], shortlists: Seq[Int], k: Int,
+                     exact: DataFrame): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(_ >= 1),
+      s"probe depths must be positive, got $nProbes")
+    require(shortlists.nonEmpty && shortlists.forall(_ >= k),
+      s"every shortlist must cover k=$k, got $shortlists")
+    import queries.sparkSession.implicits._
+    val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"),
+      packWords(col(vecCol), dims).as("qw"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cc"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("qid"), col("qw"), col("qv"), col("cc"),
+        ql2(col("qv"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbes.max)
+      .select(col("qid"), col("qw"), col("qv"),
+        col("cc").cast(LongType).as("cell"), col("rn"))
+    val cw = codes.select(col(idCol).as("cid"),
+      col("cell").cast(LongType).as("cell"), col("words").as("cw"))
+    val cv = vecs.select(col(idCol).as("cid"), dvec(col(vecCol)).as("cv"))
+    // each corpus vector lives in ONE cell, so (qid, cid) occurs once,
+    // tagged with the probe rank that reaches it; hamming + cosine both
+    // compute here, once, and every grid point below filters this table
+    val scored = broadcast(probes).join(cw, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .join(cv, "cid")
+      .select(col("qid"), col("cid"), col("rn"),
+        hammingDist(col("qw"), col("cw")).as("hamming"),
+        (qdot(col("qv"), col("cv")) / (qnorm(col("qv")) * qnorm(col("cv"))))
+          .as("cosine"))
+      .transform(graft.core.Materialize.pin)
+    val cfgP = nProbes.toDF("n_probe")
+    val cfgS = shortlists.toDF("shortlist")
+    val perP = scored.crossJoin(broadcast(cfgP)).filter(col("rn") <= col("n_probe"))
+    val wS = Window.partitionBy("n_probe", "qid").orderBy(col("hamming"), col("cid"))
+    val ranked = perP.withColumn("srn", row_number().over(wS))
+    val perPS = ranked.crossJoin(broadcast(cfgS)).filter(col("srn") <= col("shortlist"))
+    val wK = Window.partitionBy("n_probe", "shortlist", "qid")
+      .orderBy(desc("cosine"), col("cid"))
+    val approx = perPS.withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("n_probe"), col("shortlist"), col("qid"), col("cid"))
+    val nCand = perP.groupBy("n_probe").agg(count(lit(1)).as("n_cand"))
+    val nScored = perPS.groupBy("n_probe", "shortlist").agg(count(lit(1)).as("n_scored"))
+    val hits = exact.select(col("qid"), col("cid"))
+      .join(approx, Seq("qid", "cid"))
+      .groupBy("n_probe", "shortlist").agg(count(lit(1)).as("n_hit"))
+    val denom = exact.groupBy("qid").agg(count(lit(1)).as("__d"))
+      .agg(coalesce(sum(least(lit(k.toLong), col("__d"))), lit(0L))
+        .cast(LongType).as("n_denom"))
+    cfgP.crossJoin(cfgS)
+      .join(nCand, Seq("n_probe"), "left_outer")
+      .join(nScored, Seq("n_probe", "shortlist"), "left_outer")
+      .join(hits, Seq("n_probe", "shortlist"), "left_outer")
+      .crossJoin(broadcast(denom))
+      .select(col("n_probe"), col("shortlist"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_denom"),
+        when(col("n_denom") === 0, lit(1.0))
+          .otherwise(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / col("n_denom"))
+          .as("recall_micro"))
+  }
+
+  /** The CHOICE the 2D sweep exists to make: the cheapest grid point
+    * clearing the recall floor — cost-ordered by stage-1 work first
+    * (n_cand: the scan-side Hamming evaluations, which dominate at
+    * corpus scale), then stage-2 reranks, then (n_probe, shortlist) for
+    * determinism. One row, or none when nothing qualifies (re-sweep
+    * deeper/wider — never deploy the best loser). */
+  def pickBinaryIvfConfig(sweep: DataFrame, minRecall: Double): DataFrame =
+    sweep.filter(col("recall_micro") >= minRecall)
+      .orderBy(col("n_cand"), col("n_scored"), col("n_probe"), col("shortlist"))
+      .limit(1)
+
   /** The production read path over a cell-PARTITIONED persisted index
     * (binaryIvfIndexBuild written with .partitionBy("cell")): resolve
     * the probed cells first — the distinct probed-cell set is bounded

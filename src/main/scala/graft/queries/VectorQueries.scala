@@ -184,6 +184,87 @@ object VectorQueries {
             FROM cfg LEFT JOIN nsc USING (shortlist) LEFT JOIN hits USING (shortlist)
             CROSS JOIN den)"""
 
+  /** Shared oracle CTE chain for the binary-IVF 2D sweep (16 cells,
+    * queries vec_id < 5, k=10, probe depths 2/4/8 x shortlists 25/50)
+    * ending in the `frontier` CTE — shared by q_binary_ivf_sweep (the
+    * full grid) and q_pick_binary_ivf_config (the choice read off it)
+    * so both oracles recompute the identical frontier. */
+  private lazy val binaryIvfSweepCtesSql: String =
+    s"""WITH dims AS ($dimsSql),
+          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id IN ${seedIdsSql(16)}),
+          vdist AS (
+            SELECT v.vec_id, c.cc,
+                   CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS d2
+            FROM dims v JOIN cdims c ON v.d = c.d GROUP BY 1, 2),
+          cells AS (
+            SELECT vec_id, cc AS cell FROM (
+              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+              FROM vdist) WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS qid, cc AS cell, rn FROM (
+              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+              FROM vdist WHERE vec_id < 5) WHERE rn <= 8),
+          cand0 AS (
+            SELECT p.qid, c.vec_id AS cid, p.rn FROM probes p
+            JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.qid),
+          ham AS (
+            SELECT cand0.qid, cand0.cid, cand0.rn,
+                   CAST(SUM(CASE WHEN (q.x > 0) <> (c.x > 0) THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+            FROM cand0 JOIN dims q ON q.vec_id = cand0.qid
+                       JOIN dims c ON c.vec_id = cand0.cid AND c.d = q.d
+            GROUP BY 1, 2, 3),
+          nrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x * x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0) AS nrm
+                  FROM dims GROUP BY vec_id),
+          dotsx AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+                   CAST(SUM(CAST(FLOOR((q.x * c.x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dot
+            FROM dims q JOIN dims c ON q.d = c.d AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5
+            GROUP BY 1, 2),
+          exact AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (qn.nrm * cn.nrm) DESC, cid) AS rank
+              FROM dotsx JOIN nrm qn ON qn.vec_id = qid JOIN nrm cn ON cn.vec_id = cid)
+            WHERE rank <= 10),
+          cfgp(n_probe) AS (VALUES (2), (4), (8)),
+          cfgs(shortlist) AS (VALUES (25), (50)),
+          perp AS (SELECT cfgp.n_probe, h.qid, h.cid, h.hamming
+                   FROM ham h JOIN cfgp ON h.rn <= cfgp.n_probe),
+          srnt AS (SELECT n_probe, qid, cid, hamming,
+                          ROW_NUMBER() OVER (PARTITION BY n_probe, qid
+                                             ORDER BY hamming, cid) AS srn
+                   FROM perp),
+          perps AS (SELECT cfgs.shortlist, s.n_probe, s.qid, s.cid
+                    FROM srnt s JOIN cfgs ON s.srn <= cfgs.shortlist),
+          approx AS (
+            SELECT n_probe, shortlist, qid, cid FROM (
+              SELECT p.n_probe, p.shortlist, p.qid, p.cid,
+                     ROW_NUMBER() OVER (PARTITION BY p.n_probe, p.shortlist, p.qid
+                                        ORDER BY d.dot / (qn.nrm * cn.nrm) DESC, p.cid) AS rank
+              FROM perps p JOIN dotsx d ON d.qid = p.qid AND d.cid = p.cid
+              JOIN nrm qn ON qn.vec_id = p.qid JOIN nrm cn ON cn.vec_id = p.cid)
+            WHERE rank <= 10),
+          ncand AS (SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS n_cand FROM perp GROUP BY 1),
+          nsc AS (SELECT n_probe, shortlist, CAST(COUNT(*) AS BIGINT) AS n_scored
+                  FROM perps GROUP BY 1, 2),
+          hits AS (SELECT n_probe, shortlist, CAST(COUNT(*) AS BIGINT) AS n_hit
+                   FROM approx JOIN exact USING (qid, cid) GROUP BY 1, 2),
+          den AS (SELECT CAST(COALESCE(SUM(LEAST(10, d)), 0) AS BIGINT) AS n_denom
+                  FROM (SELECT qid, CAST(COUNT(*) AS BIGINT) AS d FROM exact GROUP BY qid)),
+          frontier AS (
+            SELECT cfgp.n_probe, cfgs.shortlist,
+                   CAST(COALESCE(n_cand, 0) AS BIGINT) AS n_cand,
+                   CAST(COALESCE(n_scored, 0) AS BIGINT) AS n_scored,
+                   CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit, n_denom,
+                   CASE WHEN n_denom = 0 THEN 1.0
+                        ELSE CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_denom END AS recall_micro
+            FROM cfgp CROSS JOIN cfgs
+            LEFT JOIN ncand USING (n_probe)
+            LEFT JOIN nsc USING (n_probe, shortlist)
+            LEFT JOIN hits USING (n_probe, shortlist)
+            CROSS JOIN den)"""
+
   /** Shared oracle CTE chain for the IVF probe-depth sweep (16 cells,
     * queries vec_id < 5, k=10, depths 1/2/4/8): cells -> probe ranking ->
     * scored candidates -> per-depth approx top-k vs exact truth. Shared
@@ -577,6 +658,62 @@ object VectorQueries {
         cent, nProbe = 4, shortlist = 50, k = 10)
       Similarity.annRecallAtK(approx, binaryTruth(s, dir), k = 10)
         .orderBy(col("qid"))
+    },
+
+    // The 2D config sweep for the cell-pruned family — (nProbe,
+    // shortlist) trade stage-1 Hamming evaluations (n_cand, the
+    // scan-cost axis) and stage-2 exact reranks (n_scored) against
+    // recall@10; cells rank once, hamming and rerank cosine compute once
+    // on the pinned max-depth candidate table, and each grid point is a
+    // filter + two bounded windows. Completes the sweep->floor->choice
+    // loop every other index family carries.
+    QueryDef(
+      "q_binary_ivf_sweep",
+      "binary-IVF 2D sweep: stage-1/stage-2 cost and recall@10 over probes 2/4/8 x shortlists 25/50",
+      s"""$binaryIvfSweepCtesSql
+          SELECT n_probe, shortlist, n_cand, n_scored, n_hit, n_denom, recall_micro
+          FROM frontier ORDER BY n_probe, shortlist""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      def cent = Memo.parquetArtifact(s, dir, "binary_ivf_cent") {
+        Similarity.coarseCentroids(emb, "vec_id", "embedding", nCells = 16)
+      }
+      // the SAME cell-partitioned persisted index the probe queries scan
+      def index = s.read.parquet(Memo.parquetArtifactPath(s, dir,
+        "binary_ivf_index", partitionBy = Seq("cell")) {
+        Similarity.binaryIvfIndexBuild(emb, "vec_id", "embedding", dims = 64, cent)
+      })
+      Similarity.binaryIvfSweep(index, index, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", dims = 64, cent, nProbes = Seq(2, 4, 8),
+          shortlists = Seq(25, 50), k = 10, exact = binaryTruth(s, dir))
+        .orderBy(col("n_probe"), col("shortlist"))
+    },
+
+    // The CHOICE read off the 2D sweep (floor 0.5; cost order: stage-1
+    // Hamming evals first — they dominate at corpus scale — then
+    // reranks, then the knobs for determinism) — reads the run-scoped
+    // persisted sweep artifact like every picker; the oracle recomputes
+    // the full grid from scratch.
+    QueryDef(
+      "q_pick_binary_ivf_config",
+      "cheapest (n_probe, shortlist) clearing the 0.5 recall floor, off the persisted 2D sweep",
+      s"""$binaryIvfSweepCtesSql
+          SELECT n_probe, shortlist, n_cand, n_scored, n_hit, n_denom, recall_micro
+          FROM frontier WHERE recall_micro >= 0.5
+          ORDER BY n_cand, n_scored, n_probe, shortlist LIMIT 1""") { (s, dir) =>
+      val sweep = Memo.parquetArtifact(s, dir, "binary_ivf_sweep") {
+        val emb = t(s, dir, "embeddings")
+        def cent = Memo.parquetArtifact(s, dir, "binary_ivf_cent") {
+          Similarity.coarseCentroids(emb, "vec_id", "embedding", nCells = 16)
+        }
+        def index = s.read.parquet(Memo.parquetArtifactPath(s, dir,
+          "binary_ivf_index", partitionBy = Seq("cell")) {
+          Similarity.binaryIvfIndexBuild(emb, "vec_id", "embedding", dims = 64, cent)
+        })
+        Similarity.binaryIvfSweep(index, index, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", dims = 64, cent, nProbes = Seq(2, 4, 8),
+          shortlists = Seq(25, 50), k = 10, exact = binaryTruth(s, dir))
+      }
+      Similarity.pickBinaryIvfConfig(sweep, minRecall = 0.5)
     },
 
     // The binary path's acceptance metric, same loop as q_ann_recall for

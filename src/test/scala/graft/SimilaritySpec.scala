@@ -569,4 +569,44 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", dims = 64, cent, nProbe = 2, shortlist = 20, k = 5))
     assert(viaPath == viaDf, "partitioned-path probe diverged from the frame probe")
   }
+
+  test("binaryIvfSweep: full grid point reaches recall 1.0; cost axes monotone; picker edges") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 3)
+    val cent = Similarity.coarseCentroids(emb, "vec_id", "embedding", nCells = 8)
+    val index = Similarity.binaryIvfIndexBuild(emb, "vec_id", "embedding",
+      dims = 64, cent)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select(col("qid"), col("cid"))
+    def grid() = Similarity.binaryIvfSweep(index, index, queries, "vec_id",
+      "embedding", dims = 64, cent, nProbes = Seq(2, 8),
+      shortlists = Seq(10, n), k = 5, exact = exact)
+    val rows = grid()
+      .select(col("n_probe"), col("shortlist"), col("n_cand"), col("n_scored"),
+        col("recall_micro"))
+      .as[(Int, Int, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // probing every cell with a corpus-wide shortlist IS the exact
+    // cosine ranking: recall must be 1.0 and both cost axes degenerate
+    // to the full corpus (queries x (n-1))
+    val (cFull, sFull, rFull) = rows((8, n))
+    assert(rFull == 1.0, s"full grid point must reach exact recall: $rFull")
+    assert(cFull == 3L * (n - 1) && sFull == cFull, rows.toString)
+    // cost laws: n_cand monotone in n_probe (probed cells nest);
+    // n_scored monotone in shortlist at fixed probe depth; and the
+    // shortlist can never rerank more than stage 1 scored
+    assert(rows((2, 10))._1 <= rows((8, 10))._1, rows.toString)
+    assert(rows((2, 10))._2 <= rows((2, n))._2, rows.toString)
+    rows.foreach { case (k2, (cand, scored, _)) =>
+      assert(scored <= cand, s"config $k2 reranked more than it scored: $scored > $cand")
+    }
+    // picker: unreachable floor -> empty (re-sweep, never the best
+    // loser); floor 0 -> cheapest stage-1 cost wins
+    assert(Similarity.pickBinaryIvfConfig(grid(), minRecall = 1.01).count() == 0)
+    val pick = Similarity.pickBinaryIvfConfig(grid(), minRecall = 0.0)
+      .select(col("n_probe"), col("shortlist")).as[(Int, Int)].head()
+    assert(pick == ((2, 10)), s"picker must take the cheapest grid point: $pick")
+  }
 }
