@@ -511,6 +511,37 @@ object CorpusStreams {
       .withColumn("shortlist", lit(shortlist))
   }
 
+  /** Probe the streamed CELL-PRUNED binary index at the 2D-sweep-chosen
+    * (nProbe, shortlist) — binaryProbeWithSweep's sibling for the
+    * binary-IVF family, closing its sweep→pick→deploy loop: the choice
+    * reads off the persisted binaryIvfSweep frontier per call
+    * (fail-loud below the floor), and both deployed knobs ride the
+    * output as columns so monitors see which config served each result.
+    * `indexPath` is the READ-OPTIMIZED cell-partitioned layout
+    * ([[binaryIvfReadOptimize]]) so the probe's partition pruning
+    * applies; `centroidsPath` the pinned day-0 coarse quantizer. */
+  def binaryIvfProbeWithSweep(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, centroidsPath: String,
+                              sweepPath: String, queries: DataFrame,
+                              idCol: String, vecCol: String, dims: Int,
+                              minRecall: Double, k: Int): DataFrame = {
+    val pick = graft.operators.Similarity.pickBinaryIvfConfig(
+        EtlCli.readTable(spark, sweepPath), minRecall)
+      .select(col("n_probe").cast("int"), col("shortlist").cast("int")).collect()
+    require(pick.nonEmpty,
+      s"no (n_probe, shortlist) at $sweepPath clears recall >= $minRecall — " +
+        "re-sweep deeper/wider before probing")
+    val (nProbe, shortlist) = (pick.head.getInt(0), pick.head.getInt(1))
+    require(shortlist >= k,
+      s"swept shortlist $shortlist cannot serve top-$k — re-sweep with " +
+        "depths covering k")
+    graft.operators.Similarity.binaryIvfProbeIndex(spark, indexPath, queries,
+        idCol, vecCol, dims, EtlCli.readTable(spark, centroidsPath),
+        nProbe, shortlist, k)
+      .withColumn("n_probe", lit(nProbe))
+      .withColumn("shortlist", lit(shortlist))
+  }
+
   def annIndexSink(incoming: DataFrame, idCol: String, vecCol: String,
                    centroidsPath: String, codebookPath: String, codesPath: String,
                    checkpointDir: String, m: Int): StreamingQuery =

@@ -979,6 +979,36 @@ class StreamingFileSpec extends SparkSpec {
       nProbe = 2, shortlist = 20, k = 5))
     assert(viaOpt == viaUnion,
       "read-optimized layout changed the probe result")
+
+    // ---- 2D-sweep-wired probe (the binary-IVF pick -> deploy mile) ----
+    def sweep2(rows: (Int, Int, Long, Long, Double)*): Unit =
+      graft.tools.EtlCli.writeTable(
+        rows.toSeq.map { case (np, sl, nc, ns, rec) =>
+          (np, sl, nc, ns, (30 * rec).round, 30L, rec) }
+          .toDF("n_probe", "shortlist", "n_cand", "n_scored", "n_hit",
+            "n_denom", "recall_micro"),
+        paths("sweep2"))
+    def probe2() = CorpusStreams.binaryIvfProbeWithSweep(spark, paths("opt"),
+      paths("centroids"), paths("sweep2"), queries, "vec_id", "embedding",
+      dims = 64, minRecall = 0.9, k = 5)
+    sweep2((2, 20, 300L, 60L, 0.95), (4, 20, 600L, 60L, 0.97),
+      (4, 40, 600L, 120L, 1.0))
+    val d2 = probe2()
+    assert(d2.select(col("n_probe"), col("shortlist")).distinct()
+      .as[(Int, Int)].collect().toSeq == Seq((2, 20)),
+      "probe must deploy the cheapest swept config")
+    assert(topk(d2.drop("n_probe", "shortlist")) == viaOpt,
+      "sweep-wired probe must equal the direct probe at the chosen knobs")
+    // re-sweep: only (4, 40) clears now -> both knobs move on next probe
+    sweep2((2, 20, 300L, 60L, 0.6), (4, 20, 600L, 60L, 0.8),
+      (4, 40, 600L, 120L, 0.95))
+    assert(probe2().select(col("n_probe"), col("shortlist")).distinct()
+      .as[(Int, Int)].collect().toSeq == Seq((4, 40)),
+      "re-sweep must move the deployed knobs")
+    // floor unreachable: refuse, never the best loser
+    sweep2((2, 20, 300L, 60L, 0.5))
+    val ex2 = intercept[IllegalArgumentException] { probe2() }
+    assert(ex2.getMessage.contains("re-sweep"), ex2.getMessage)
   }
 
   test("checkpointed parquet sink resumes exactly-once across restarts") {
