@@ -1254,22 +1254,30 @@ object Similarity {
       col("cell").cast(LongType).as("cell"), col("words").as("cw"))
     val cv = vecs.select(col(idCol).as("cid"), dvec(col(vecCol)).as("cv"))
     // each corpus vector lives in ONE cell, so (qid, cid) occurs once,
-    // tagged with the probe rank that reaches it; hamming + cosine both
-    // compute here, once, and every grid point below filters this table
-    val scored = broadcast(probes).join(cw, Seq("cell"))
+    // tagged with the probe rank that reaches it; hamming (cheap integer
+    // fold) computes here for every candidate — that IS n_cand — but
+    // the exact rerank cosine is deferred until after the shortlist
+    // windows, because only rows inside SOME (n_probe, shortlist) grid
+    // point ever need one: at most |nProbes| x max(shortlists) x
+    // |queries| rows rerank, not the max-depth candidate set (the same
+    // prune-before-cosine shape as binaryShortlistSweep)
+    val cand = broadcast(probes.drop("qv")).join(cw, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
-      .join(cv, "cid")
       .select(col("qid"), col("cid"), col("rn"),
-        hammingDist(col("qw"), col("cw")).as("hamming"),
-        (qdot(col("qv"), col("cv")) / (qnorm(col("qv")) * qnorm(col("cv"))))
-          .as("cosine"))
+        hammingDist(col("qw"), col("cw")).as("hamming"))
       .transform(graft.core.Materialize.pin)
     val cfgP = nProbes.toDF("n_probe")
     val cfgS = shortlists.toDF("shortlist")
-    val perP = scored.crossJoin(broadcast(cfgP)).filter(col("rn") <= col("n_probe"))
+    val perP = cand.crossJoin(broadcast(cfgP)).filter(col("rn") <= col("n_probe"))
     val wS = Window.partitionBy("n_probe", "qid").orderBy(col("hamming"), col("cid"))
     val ranked = perP.withColumn("srn", row_number().over(wS))
-    val perPS = ranked.crossJoin(broadcast(cfgS)).filter(col("srn") <= col("shortlist"))
+      .filter(col("srn") <= shortlists.max)
+    val qv = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
+    val scored = ranked.join(cv, "cid").join(broadcast(qv), "qid")
+      .select(col("n_probe"), col("qid"), col("cid"), col("srn"),
+        (qdot(col("qv"), col("cv")) / (qnorm(col("qv")) * qnorm(col("cv"))))
+          .as("cosine"))
+    val perPS = scored.crossJoin(broadcast(cfgS)).filter(col("srn") <= col("shortlist"))
     val wK = Window.partitionBy("n_probe", "shortlist", "qid")
       .orderBy(desc("cosine"), col("cid"))
     val approx = perPS.withColumn("rank", row_number().over(wK))
