@@ -1350,6 +1350,98 @@ object Similarity {
       queries, idCol, vecCol, dims, cent, nProbe, shortlist, k)
   }
 
+  // ---- quantizer drift monitor ----------------------------------------
+  // Every IVF-shaped index here encodes against PINNED coarse centroids
+  // (binaryIvfIndexBuild, the streaming sinks): re-deriving seeds over a
+  // grown corpus would silently reassign every stored cell, so the
+  // quantizer deliberately never moves. The flip side is silent decay —
+  // a corpus whose distribution drifts away from the day-0 centroids
+  // packs into fewer cells (probe pruning loses selectivity) and sits
+  // farther from its assigned centroid (the coarse ranking that picks
+  // probe cells gets noisier), and nothing in the index read path ever
+  // says so. This monitor makes the decay measurable per batch/epoch so
+  // retraining is an explicit, evidenced decision instead of a guess.
+
+  /** One-row drift report for a pinned coarse quantizer: assign BOTH
+    * frames to their nearest centroid (the same in-row argmin as the
+    * index build — map-only, no shuffle beyond one nCells-sized
+    * aggregation per frame) and compare
+    *  - cell-occupancy shape via total variation distance
+    *    (0.5 * sum_cells |share_base - share_cur|, in [0,1]): rises when
+    *    the corpus concentrates into different cells than the baseline;
+    *  - mean quantized L2 to the assigned centroid (`qerr_*`): rises
+    *    when new vectors sit far from EVERY day-0 centroid — drift the
+    *    occupancy shape alone can miss (a new modality can still spread
+    *    "evenly" across stale cells).
+    * `drift_alarm` fires when the TVD exceeds `maxTvd` PLUS the
+    * sampling-noise floor sqrt(nCells * (1/n_base + 1/n_cur)) — two
+    * finite iid samples from the SAME distribution have nonzero TVD
+    * (~sqrt(nCells/n)), so a fixed threshold pages on small healthy
+    * batches; the floor vanishes at corpus scale, leaving `maxTvd` as
+    * the operative bound — or when the error ratio exceeds
+    * `maxQerrRatio` (scale-free, no floor needed). All aggregation is
+    * exact-integer until the final divisions (counts, quantized-L2
+    * longs summed as decimals; the TVD numerator is the integer sum
+    * |n_b*N_c - n_c*N_b| so no per-cell double shares are ever added),
+    * so the report is bit-identical across partitionings and engines.
+    * qerr_ratio is null when the baseline error is zero (degenerate:
+    * every baseline vector IS a centroid). */
+  def quantizerDriftStats(baseline: DataFrame, current: DataFrame,
+                          idCol: String, vecCol: String, cent: DataFrame,
+                          maxTvd: Double, maxQerrRatio: Double): DataFrame = {
+    require(maxTvd >= 0 && maxTvd <= 1, s"maxTvd must be in [0,1], got $maxTvd")
+    require(maxQerrRatio > 0, s"maxQerrRatio must be > 0, got $maxQerrRatio")
+    // (cell, n, summed quantized L2) per frame — nCells rows
+    def perCell(df: DataFrame): DataFrame =
+      graft.core.Tables.ensureParallelism(df)
+        .select(dvec(col(vecCol)).as("v"))
+        .crossJoin(broadcast(centOneRow(cent)))
+        .select(col("v"), argminCell(col("v"), col("cents")).as("cell"))
+        .join(broadcast(cent.select(col("cc").cast(LongType).as("cell"),
+          col("cv"))), Seq("cell"))
+        .select(col("cell"),
+          pcol(graft.plans.QuantizedL2Sum(pexpr(col("v")), pexpr(col("cv"))))
+            .cast(DecimalType(38, 0)).as("qerr"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), sum(col("qerr")).as("qs"))
+    val zero = lit(0).cast(DecimalType(38, 0))
+    val b = perCell(baseline).select(col("cell"), col("n").as("nb"), col("qs").as("qb"))
+    val c = perCell(current).select(col("cell"), col("n").as("nc"), col("qs").as("qc"))
+    // outer-join on the full cell set: a cell emptied (or newly filled)
+    // by drift must still contribute its |share| term to the TVD
+    val per = graft.core.Materialize.pin(
+      cent.select(col("cc").cast(LongType).as("cell"))
+        .join(b, Seq("cell"), "left_outer").join(c, Seq("cell"), "left_outer")
+        .select(
+          coalesce(col("nb"), lit(0L)).as("nb"), coalesce(col("qb"), zero).as("qb"),
+          coalesce(col("nc"), lit(0L)).as("nc"), coalesce(col("qc"), zero).as("qc")))
+    val totals = per.agg(
+      sum(col("nb")).as("n_base"), sum(col("nc")).as("n_cur"),
+      sum(col("qb")).as("qsb"), sum(col("qc")).as("qsc"),
+      count(lit(1)).as("n_cells"))
+    // integer TVD numerator: sum_cells |n_b * N_c - n_c * N_b| (decimal —
+    // the cross products overflow longs at corpus scale)
+    val tvdNum = per.crossJoin(broadcast(totals.select(
+        col("n_base").as("tnb"), col("n_cur").as("tnc"))))
+      .agg(sum(abs(col("nb").cast(DecimalType(38, 0)) * col("tnc")
+        - col("nc").cast(DecimalType(38, 0)) * col("tnb"))).as("tvd_num"))
+    val qerrB = (col("qsb").cast(DoubleType) / col("n_base")) / lit(VScale)
+    val qerrC = (col("qsc").cast(DoubleType) / col("n_cur")) / lit(VScale)
+    broadcast(totals).crossJoin(broadcast(tvdNum))
+      .select(col("n_base"), col("n_cur"),
+        qerrB.as("qerr_base"), qerrC.as("qerr_cur"),
+        when(qerrB === 0, lit(null).cast(DoubleType))
+          .otherwise(qerrC / qerrB).as("qerr_ratio"),
+        (col("tvd_num").cast(DoubleType)
+          / (lit(2.0) * col("n_base") * col("n_cur"))).as("tvd"),
+        sqrt(col("n_cells").cast(DoubleType)
+          * (lit(1.0) / col("n_base") + lit(1.0) / col("n_cur")))
+          .as("noise_floor"))
+      .withColumn("drift_alarm",
+        col("tvd") > lit(maxTvd) + col("noise_floor")
+          || coalesce(col("qerr_ratio") > maxQerrRatio, lit(false)))
+  }
+
   def pqTopK(corpusCodes: DataFrame, queries: DataFrame, codebook: DataFrame,
              idCol: String, vecCol: String, m: Int, k: Int): DataFrame = {
     val table = subvectors(queries, idCol, vecCol, m)

@@ -184,6 +184,76 @@ object VectorQueries {
             FROM cfg LEFT JOIN nsc USING (shortlist) LEFT JOIN hits USING (shortlist)
             CROSS JOIN den)"""
 
+  /** q_quantizer_drift thresholds. The TVD bound is the drift the
+    * deployment tolerates ON TOP of the sampling-noise floor the
+    * operator adds (two iid samples of a 16-cell histogram have TVD
+    * ~sqrt(nCells/n) — at sf0.001 that noise alone reads ~0.16); the
+    * error ratio is scale-free so it carries the small-sample demo. */
+  private val DriftMaxTvd = 0.1
+  private val DriftMaxQerrRatio = 1.25
+
+  /** DuckDB replay of Similarity.quantizerDriftStats for two scenarios.
+    * Per scenario p with baseline frame `${p}_b` and current frame
+    * `${p}_c` (both (vec_id, d, x) dims views): assign each vector to
+    * its argmin-quantized-L2 seed centroid (rawd2 order == divided-d2
+    * order: division by a positive constant is monotonic and rawd2 stays
+    * far below 2^53), aggregate per cell, then fold the report with the
+    * exact-integer TVD numerator before any double division. */
+  private def quantizerDriftScenarioSql(p: String, label: String): String = {
+    def frame(f: String): String =
+      s"""${p}_${f}vd AS (
+            SELECT v.vec_id, c.cc,
+                   CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS rawd2
+            FROM ${p}_$f v JOIN cdimsC c ON v.d = c.d GROUP BY 1, 2),
+          ${p}_${f}agg AS (
+            SELECT cell, CAST(COUNT(*) AS BIGINT) AS n, SUM(rawd2) AS qs FROM (
+              SELECT cc AS cell, rawd2 FROM (
+                SELECT vec_id, cc, rawd2,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY rawd2, cc) AS rn
+                FROM ${p}_${f}vd) WHERE rn = 1)
+            GROUP BY cell)"""
+    s"""${frame("b")},
+          ${frame("c")},
+          ${p}_per AS (
+            SELECT cellsC.cell,
+                   COALESCE(b.n, 0) AS nb, COALESCE(b.qs, 0) AS qb,
+                   COALESCE(c.n, 0) AS nc, COALESCE(c.qs, 0) AS qc
+            FROM cellsC LEFT JOIN ${p}_bagg b ON b.cell = cellsC.cell
+                        LEFT JOIN ${p}_cagg c ON c.cell = cellsC.cell),
+          ${p}_tot AS (
+            SELECT CAST(SUM(nb) AS BIGINT) AS n_base, CAST(SUM(nc) AS BIGINT) AS n_cur,
+                   SUM(qb) AS qsb, SUM(qc) AS qsc,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells FROM ${p}_per),
+          ${p}_tvd AS (
+            SELECT SUM(ABS(nb * t.n_cur - nc * t.n_base)) AS tvd_num
+            FROM ${p}_per, ${p}_tot t),
+          ${p}_row AS (
+            SELECT '$label' AS scenario, n_base, n_cur,
+                   (CAST(qsb AS DOUBLE) / n_base) / 1000000000000.0 AS qerr_base,
+                   (CAST(qsc AS DOUBLE) / n_cur) / 1000000000000.0 AS qerr_cur,
+                   CASE WHEN (CAST(qsb AS DOUBLE) / n_base) / 1000000000000.0 = 0 THEN NULL
+                        ELSE ((CAST(qsc AS DOUBLE) / n_cur) / 1000000000000.0)
+                             / ((CAST(qsb AS DOUBLE) / n_base) / 1000000000000.0) END AS qerr_ratio,
+                   CAST(t2.tvd_num AS DOUBLE) / (2e0 * n_base * n_cur) AS tvd,
+                   sqrt(CAST(n_cells AS DOUBLE) * (1e0 / n_base + 1e0 / n_cur)) AS noise_floor
+            FROM ${p}_tot, ${p}_tvd t2)"""
+  }
+
+  private lazy val quantizerDriftSql: String =
+    s"""WITH dims AS ($dimsSql),
+          cdimsC AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id IN ${seedIdsSql(16)}),
+          cellsC AS (SELECT DISTINCT cc AS cell FROM cdimsC),
+          i_b AS (SELECT * FROM dims WHERE vec_id % 2 = 0),
+          i_c AS (SELECT * FROM dims WHERE vec_id % 2 = 1),
+          r_b AS (SELECT * FROM dims),
+          r_c AS (SELECT vec_id, d, x + 0.5e0 AS x FROM dims),
+          ${quantizerDriftScenarioSql("i", "iid_halves")},
+          ${quantizerDriftScenarioSql("r", "shifted")}
+        SELECT scenario, n_base, n_cur, qerr_base, qerr_cur, qerr_ratio, tvd, noise_floor,
+               (tvd > ${DriftMaxTvd}e0 + noise_floor) OR COALESCE(qerr_ratio > ${DriftMaxQerrRatio}e0, FALSE) AS drift_alarm
+        FROM (SELECT * FROM i_row UNION ALL SELECT * FROM r_row)
+        ORDER BY scenario"""
+
   /** Shared oracle CTE chain for the binary-IVF 2D sweep (16 cells,
     * queries vec_id < 5, k=10, probe depths 2/4/8 x shortlists 25/50)
     * ending in the `frontier` CTE — shared by q_binary_ivf_sweep (the
@@ -714,6 +784,44 @@ object VectorQueries {
           shortlists = Seq(25, 50), k = 10, exact = binaryTruth(s, dir))
       }
       Similarity.pickBinaryIvfConfig(sweep, minRecall = 0.5)
+    },
+
+    // Drift monitor for the PINNED coarse quantizer every IVF-shaped
+    // index encodes against (the sinks deliberately never retrain —
+    // doing so would silently reassign every stored cell). Two scenarios
+    // in one report: disjoint iid halves of the corpus (the healthy
+    // steady state a monitor must NOT page on — the alarm's
+    // sampling-noise floor exists exactly for this row) and a
+    // diagonally-shifted corpus (x -> x + 0.5 in every dimension: the
+    // "new modality" drift — every vector moves AWAY from the day-0
+    // centroid cloud, so quantization error jumps and occupancy
+    // concentrates into the shift-side cells). The oracle replays both
+    // scenarios' assignment, occupancy TVD (integer numerator — no
+    // per-cell double shares are summed), noise floor, and mean
+    // quantized L2 from scratch.
+    QueryDef(
+      "q_quantizer_drift",
+      "pinned-quantizer drift report: occupancy TVD + quantization-error ratio, iid halves vs shifted corpus",
+      quantizerDriftSql) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      def cent = Memo.parquetArtifact(s, dir, "binary_ivf_cent") {
+        Similarity.coarseCentroids(emb, "vec_id", "embedding", nCells = 16)
+      }
+      def report(label: String, base: org.apache.spark.sql.DataFrame,
+                 cur: org.apache.spark.sql.DataFrame) =
+        Similarity.quantizerDriftStats(base, cur, "vec_id", "embedding", cent,
+            maxTvd = DriftMaxTvd, maxQerrRatio = DriftMaxQerrRatio)
+          .select(lit(label).as("scenario"), col("*"))
+      // shift in DOUBLE space (the quantized kernels widen floats to
+      // double before any arithmetic, so the oracle's `x + 0.5e0` over
+      // its double dims view matches bit-for-bit)
+      val shifted = emb.select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"), x => x + lit(0.5))
+          .as("embedding"))
+      report("iid_halves",
+          emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1))
+        .unionByName(report("shifted", emb, shifted))
+        .orderBy(col("scenario"))
     },
 
     // The binary path's acceptance metric, same loop as q_ann_recall for

@@ -460,6 +460,47 @@ object CorpusStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** binaryIvfIndexSink plus the decay instrument the pinned-quantizer
+    * contract demands: the centroids deliberately never retrain (moving
+    * them would silently reassign every stored cell), so each epoch ALSO
+    * appends one quantizerDriftStats row — this batch vs the persisted
+    * day-0 baseline sample at `baselinePath` (the corpus the centroids
+    * were trained from, committed via EtlCli.writeTable) — to the
+    * epoch-partitioned log at `driftLogPath`, tagged with its epoch.
+    * Ingest never blocks on an alarm (a drifted batch is still correctly
+    * encoded and probeable — recall just decays); the monitor cadence
+    * runs `EtlCli.checkDrift(driftLogPath)`, which fails loudly naming
+    * the alarmed epochs so retrain+re-encode is an explicit, evidenced
+    * decision. Replay safety: the drift row is a pure function of
+    * (baseline, centroids, batch), so a replayed batch re-appends ITS
+    * OWN epoch of both tables idempotently. */
+  def binaryIvfIndexSinkWithDrift(incoming: DataFrame, idCol: String,
+                                  vecCol: String, indexPath: String,
+                                  checkpointDir: String, dims: Int,
+                                  centroidsPath: String, baselinePath: String,
+                                  driftLogPath: String, maxTvd: Double,
+                                  maxQerrRatio: Double): StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cent = EtlCli.readTable(batch.sparkSession, centroidsPath)
+        val vecs = batch.select(col(idCol), col(vecCol))
+        EtlCli.appendEpoch(
+          graft.operators.Similarity.binaryIvfIndexBuild(
+            vecs, idCol, vecCol, dims, cent),
+          indexPath, batchId)
+        EtlCli.appendEpoch(
+          graft.operators.Similarity.quantizerDriftStats(
+              EtlCli.readTable(batch.sparkSession, baselinePath), vecs,
+              idCol, vecCol, cent, maxTvd, maxQerrRatio)
+            .withColumn("epoch", lit(batchId)),
+          driftLogPath, batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Rewrite the accreted epoch union into the read-optimized layout the
     * cell-pruned probe scans: one table PARTITIONED BY cell at
     * `outPath`. The epoch layout optimizes the WRITE path (O(batch)

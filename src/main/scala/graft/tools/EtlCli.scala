@@ -69,9 +69,10 @@ object EtlCli {
     case Seq("sweep-binary", indexTable, outTable, nQueries, idCol, vecCol) =>
       sweepBinary(spark, indexTable, outTable, nQueries.toInt,
         idCol = idCol, vecCol = vecCol).show(truncate = false)
+    case Seq("check-drift", driftLog) => checkDrift(spark, driftLog)
     case other =>
       sys.error("usage: init|ingest|quality|stats|export|learn-bpe|versions|" +
-        s"vacuum|diff|verify-export|sweep-lsh|sweep-binary ... (got $other)")
+        s"vacuum|diff|verify-export|sweep-lsh|sweep-binary|check-drift ... (got $other)")
   }
 
   /** Build and COMMIT the LSH band-sweep artifact the streaming ingest's
@@ -116,6 +117,24 @@ object EtlCli {
     * index (binaryIndexSink's layout) or a flat table; dims infer from
     * the stored vectors. This is the periodic re-sweep a recall monitor
     * triggers when the corpus distribution drifts. */
+  /** The drift monitor's read side: scan the per-epoch quantizer-drift
+    * log a binaryIvfIndexSinkWithDrift maintains and FAIL naming every
+    * alarmed epoch — the signal that the pinned day-0 centroids no
+    * longer fit the corpus and a retrain + full re-encode is due. Quiet
+    * logs print a one-line all-clear. Driver-side work is bounded by the
+    * epoch count (one boolean filter over an nEpochs-row table). */
+  def checkDrift(spark: SparkSession, driftLog: String): Unit = {
+    val log = readEpochTable(spark, driftLog)
+    val alarmed = log.filter(col("drift_alarm"))
+      .select(col("epoch").cast("long")).collect().map(_.getLong(0)).sorted
+    if (alarmed.nonEmpty)
+      sys.error(s"quantizer drift alarm in epoch(s) ${alarmed.mkString(", ")} " +
+        s"of $driftLog — the pinned coarse centroids no longer fit the " +
+        "corpus; retrain them and re-encode the index (probe recall decays " +
+        "silently otherwise)")
+    println(s"no drift alarms across ${log.count()} epoch(s) at $driftLog")
+  }
+
   def sweepBinary(spark: SparkSession, indexTable: String, outTable: String,
                   nQueries: Int = 5, k: Int = 10,
                   shortlists: Seq[Int] = Seq(25, 50, 100, 200),

@@ -609,4 +609,41 @@ class SimilaritySpec extends SparkSpec {
       .select(col("n_probe"), col("shortlist")).as[(Int, Int)].head()
     assert(pick == ((2, 10)), s"picker must take the cheapest grid point: $pick")
   }
+
+  test("quantizerDriftStats: identical frames are driftless; planted shift alarms; degenerate baseline safe") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cent = Similarity.coarseCentroids(emb, "vec_id", "embedding", nCells = 8)
+    def stats(base: org.apache.spark.sql.DataFrame,
+              cur: org.apache.spark.sql.DataFrame) =
+      Similarity.quantizerDriftStats(base, cur, "vec_id", "embedding", cent,
+          maxTvd = 0.1, maxQerrRatio = 1.25)
+        .select(col("n_base"), col("n_cur"), col("qerr_ratio"), col("tvd"),
+          col("noise_floor"), col("drift_alarm"))
+        .as[(Long, Long, Option[Double], Double, Double, Boolean)].head()
+    // a corpus vs itself: zero TVD, unit error ratio, no alarm
+    val same = stats(emb, emb)
+    assert(same._1 == same._2 && same._3.contains(1.0) && same._4 == 0.0 && !same._6,
+      s"self-comparison must be driftless: $same")
+    // disjoint iid halves: TVD is pure sampling noise — it must sit
+    // under the noise floor the alarm adds to its threshold
+    val halves = stats(emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1))
+    assert(!halves._6, s"iid halves must not page the monitor: $halves")
+    assert(halves._4 < 0.1 + halves._5,
+      s"iid TVD ${halves._4} vs floored threshold ${0.1 + halves._5}")
+    // planted diagonal shift: every vector moves away from the day-0
+    // centroid cloud — the error ratio alone must trip the alarm
+    val shifted = stats(emb, emb.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"), x => x + lit(0.5))
+        .as("embedding")))
+    assert(shifted._6 && shifted._3.exists(_ > 1.25),
+      s"planted shift must alarm via the error ratio: $shifted")
+    // degenerate baseline: the centroids THEMSELVES (qerr_base = 0) —
+    // ratio is null, not a division blowup, and the TVD side still works
+    val seeds = emb.join(cent.select(col("cc").as("vec_id")), Seq("vec_id"))
+    val degen = stats(seeds, seeds)
+    assert(degen._3.isEmpty && degen._4 == 0.0 && !degen._6,
+      s"zero-error baseline must yield a null ratio, not an alarm: $degen")
+  }
 }

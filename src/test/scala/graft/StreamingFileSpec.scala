@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Similarity
 import graft.streaming.EventStreams
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -1009,6 +1010,56 @@ class StreamingFileSpec extends SparkSpec {
     sweep2((2, 20, 300L, 60L, 0.5))
     val ex2 = intercept[IllegalArgumentException] { probe2() }
     assert(ex2.getMessage.contains("re-sweep"), ex2.getMessage)
+  }
+
+  test("binaryIvfIndexSinkWithDrift: per-epoch drift log; shifted epoch alarms; check-drift fails naming it") {
+    import graft.streaming.CorpusStreams
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("bivf_drift")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectory(in)
+    def paths(n: String) = root.resolve(n).toString
+    // day-0 artifacts: the baseline sample the centroids were trained on
+    graft.tools.EtlCli.writeTable(
+      Similarity.coarseCentroids(emb, "vec_id", "embedding", nCells = 8),
+      paths("centroids"))
+    graft.tools.EtlCli.writeTable(emb, paths("baseline"))
+    def stage(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, in.resolve(name + ".parquet"))
+    }
+    // epoch 0: an iid re-draw of the day-0 distribution (fresh ids);
+    // epoch 1: the diagonal shift — the "new modality" batch
+    stage("b0", emb.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    stage("b1", emb.select((col("vec_id") + 200000).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.5f)).as("embedding")))
+    CorpusStreams.binaryIvfIndexSinkWithDrift(
+      spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+        .parquet(in.toString),
+      "vec_id", "embedding", paths("index"), paths("chk"), dims = 64,
+      paths("centroids"), paths("baseline"), paths("drift"),
+      maxTvd = 0.1, maxQerrRatio = 1.25).awaitTermination(120000)
+    // the index side is untouched by the instrumentation
+    assert(graft.tools.EtlCli.committedEpochs(spark, paths("index")) == Seq(0L, 1L))
+    assert(graft.tools.EtlCli.readEpochTable(spark, paths("index")).count()
+      == 2 * emb.count())
+    // one drift row per epoch: quiet for the iid batch, alarmed for the shift
+    val log = graft.tools.EtlCli.readEpochTable(spark, paths("drift"))
+      .select(col("epoch"), col("drift_alarm"), col("qerr_ratio"))
+      .as[(Long, Boolean, Double)].collect().sortBy(_._1)
+    assert(log.map(r => (r._1, r._2)).toSeq == Seq((0L, false), (1L, true)),
+      s"drift log: ${log.toSeq}")
+    assert(log(1)._3 > 1.25, s"shift must show in the error ratio: ${log(1)._3}")
+    // the monitor: fails loudly naming the alarmed epoch
+    val ex = intercept[RuntimeException] {
+      graft.tools.EtlCli.checkDrift(spark, paths("drift"))
+    }
+    assert(ex.getMessage.contains("epoch(s) 1") && ex.getMessage.contains("retrain"),
+      ex.getMessage)
   }
 
   test("checkpointed parquet sink resumes exactly-once across restarts") {
