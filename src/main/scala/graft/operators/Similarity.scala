@@ -1386,27 +1386,40 @@ object Similarity {
     * so the report is bit-identical across partitionings and engines.
     * qerr_ratio is null when the baseline error is zero (degenerate:
     * every baseline vector IS a centroid). */
+  /** Per-cell occupancy + summed quantized L2 to the assigned centroid
+    * for one frame: (cell, n, qerr_sum), nCells rows. The drift report's
+    * building block, and a cell-balance dashboard row on its own. The
+    * corpus side is map-only (in-row argmin against the one-row
+    * broadcast centroid table, centroid vector re-joined by broadcast);
+    * the single hash exchange carries per-partition aggregation
+    * PARTIALS — at most partitions x nCells rows whatever the corpus
+    * size (GrowthSpec measures this flat under 10x growth). qerr_sum is
+    * a decimal sum of the per-row quantized-L2 longs: exact,
+    * order-independent, engine-portable. */
+  def quantizerCellStats(df: DataFrame, vecCol: String,
+                         cent: DataFrame): DataFrame =
+    graft.core.Tables.ensureParallelism(df)
+      .select(dvec(col(vecCol)).as("v"))
+      .crossJoin(broadcast(centOneRow(cent)))
+      .select(col("v"), argminCell(col("v"), col("cents")).as("cell"))
+      .join(broadcast(cent.select(col("cc").cast(LongType).as("cell"),
+        col("cv"))), Seq("cell"))
+      .select(col("cell"),
+        pcol(graft.plans.QuantizedL2Sum(pexpr(col("v")), pexpr(col("cv"))))
+          .cast(DecimalType(38, 0)).as("qerr"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum(col("qerr")).as("qerr_sum"))
+
   def quantizerDriftStats(baseline: DataFrame, current: DataFrame,
-                          idCol: String, vecCol: String, cent: DataFrame,
+                          vecCol: String, cent: DataFrame,
                           maxTvd: Double, maxQerrRatio: Double): DataFrame = {
     require(maxTvd >= 0 && maxTvd <= 1, s"maxTvd must be in [0,1], got $maxTvd")
     require(maxQerrRatio > 0, s"maxQerrRatio must be > 0, got $maxQerrRatio")
-    // (cell, n, summed quantized L2) per frame — nCells rows
-    def perCell(df: DataFrame): DataFrame =
-      graft.core.Tables.ensureParallelism(df)
-        .select(dvec(col(vecCol)).as("v"))
-        .crossJoin(broadcast(centOneRow(cent)))
-        .select(col("v"), argminCell(col("v"), col("cents")).as("cell"))
-        .join(broadcast(cent.select(col("cc").cast(LongType).as("cell"),
-          col("cv"))), Seq("cell"))
-        .select(col("cell"),
-          pcol(graft.plans.QuantizedL2Sum(pexpr(col("v")), pexpr(col("cv"))))
-            .cast(DecimalType(38, 0)).as("qerr"))
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n"), sum(col("qerr")).as("qs"))
     val zero = lit(0).cast(DecimalType(38, 0))
-    val b = perCell(baseline).select(col("cell"), col("n").as("nb"), col("qs").as("qb"))
-    val c = perCell(current).select(col("cell"), col("n").as("nc"), col("qs").as("qc"))
+    val b = quantizerCellStats(baseline, vecCol, cent)
+      .select(col("cell"), col("n").as("nb"), col("qerr_sum").as("qb"))
+    val c = quantizerCellStats(current, vecCol, cent)
+      .select(col("cell"), col("n").as("nc"), col("qerr_sum").as("qc"))
     // outer-join on the full cell set: a cell emptied (or newly filled)
     // by drift must still contribute its |share| term to the TVD
     val per = graft.core.Materialize.pin(

@@ -809,7 +809,7 @@ object VectorQueries {
       }
       def report(label: String, base: org.apache.spark.sql.DataFrame,
                  cur: org.apache.spark.sql.DataFrame) =
-        Similarity.quantizerDriftStats(base, cur, "vec_id", "embedding", cent,
+        Similarity.quantizerDriftStats(base, cur, "embedding", cent,
             maxTvd = DriftMaxTvd, maxQerrRatio = DriftMaxQerrRatio)
           .select(lit(label).as("scenario"), col("*"))
       // shift in DOUBLE space (the quantized kernels widen floats to

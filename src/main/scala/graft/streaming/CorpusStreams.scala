@@ -493,7 +493,7 @@ object CorpusStreams {
         EtlCli.appendEpoch(
           graft.operators.Similarity.quantizerDriftStats(
               EtlCli.readTable(batch.sparkSession, baselinePath), vecs,
-              idCol, vecCol, cent, maxTvd, maxQerrRatio)
+              vecCol, cent, maxTvd, maxQerrRatio)
             .withColumn("epoch", lit(batchId)),
           driftLogPath, batchId)
         ()

@@ -70,9 +70,13 @@ object EtlCli {
       sweepBinary(spark, indexTable, outTable, nQueries.toInt,
         idCol = idCol, vecCol = vecCol).show(truncate = false)
     case Seq("check-drift", driftLog) => checkDrift(spark, driftLog)
+    case Seq("retrain-binary-ivf", indexTable, centOut, idxOut, baseOut, nCells, dims) =>
+      retrainBinaryIvf(spark, indexTable, centOut, idxOut, baseOut,
+        nCells.toInt, dims.toInt)
     case other =>
       sys.error("usage: init|ingest|quality|stats|export|learn-bpe|versions|" +
-        s"vacuum|diff|verify-export|sweep-lsh|sweep-binary|check-drift ... (got $other)")
+        s"vacuum|diff|verify-export|sweep-lsh|sweep-binary|check-drift|" +
+        s"retrain-binary-ivf ... (got $other)")
   }
 
   /** Build and COMMIT the LSH band-sweep artifact the streaming ingest's
@@ -133,6 +137,54 @@ object EtlCli {
         "corpus; retrain them and re-encode the index (probe recall decays " +
         "silently otherwise)")
     println(s"no drift alarms across ${log.count()} epoch(s) at $driftLog")
+  }
+
+  /** The remedial action checkDrift names: retrain the coarse quantizer
+    * on the CURRENT corpus and re-encode the whole index under it. The
+    * index itself carries the vectors (id, cell, words, vec), so the
+    * corpus needs no separate table — accepts the epoch layout a
+    * binaryIvf sink accretes or the cell-partitioned read-optimized
+    * layout. Writes three NEW artifacts (blue/green — probes keep
+    * serving the old index until the deployment switches paths):
+    *  - `centroidsOut`: fresh hash-rank coarse centroids over the corpus
+    *  - `indexOut`: the full re-encode, committed directly in the
+    *    read-optimized cell-partitioned probe layout (a retrain is the
+    *    one event that invalidates EVERY stored cell, so there is no
+    *    epoch history worth preserving — the new index IS epoch zero)
+    *  - `baselineOut`: the new drift baseline — a deterministic
+    *    1/samplePeriod hash-free id sample of the corpus the quantizer
+    *    now fits, so the monitor's next epochs compare against the
+    *    post-retrain distribution (comparing against the stale baseline
+    *    would re-alarm forever)
+    * This is deliberately a FULL O(corpus) rebuild: the pinned-centroid
+    * design trades cheap O(batch) epoch appends for exactly this
+    * explicit, monitor-evidenced re-encode when the distribution moves. */
+  def retrainBinaryIvf(spark: SparkSession, indexTable: String,
+                       centroidsOut: String, indexOut: String,
+                       baselineOut: String, nCells: Int, dims: Int,
+                       samplePeriod: Int = 1, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    require(samplePeriod >= 1, s"sample period must be >= 1, got $samplePeriod")
+    val index = scala.util.Try(readEpochTable(spark, indexTable))
+      .getOrElse(spark.read.parquet(indexTable))
+    val missing = Seq(idCol, vecCol).filterNot(index.columns.contains)
+    if (missing.nonEmpty)
+      sys.error(s"index at $indexTable lacks column(s) ${missing.mkString(", ")} " +
+        s"— pass the id/vector column names it was built with (got: " +
+        s"${index.columns.mkString(", ")})")
+    val corpus = index.select(col(idCol), col(vecCol))
+    if (corpus.isEmpty)
+      sys.error(s"index at $indexTable is empty — nothing to retrain on")
+    val cent = graft.operators.Similarity.coarseCentroids(
+      corpus, idCol, vecCol, nCells)
+    writeTable(cent, centroidsOut)
+    writeTable(corpus.filter(pmod(col(idCol), lit(samplePeriod.toLong)) === 0),
+      baselineOut)
+    graft.operators.Similarity
+      .binaryIvfIndexBuild(corpus, idCol, vecCol, dims,
+        readTable(spark, centroidsOut))
+      .write.mode("overwrite").partitionBy("cell").parquet(indexOut)
   }
 
   def sweepBinary(spark: SparkSession, indexTable: String, outTable: String,

@@ -435,4 +435,50 @@ class GrowthSpec extends SparkSpec {
     assert(sr10 <= sr1 * 2 + 100,
       s"shortlist exchange grew with the index: $sr1 -> $sr10 records")
   }
+
+  test("(i) quantizer drift cell stats: hash exchange stays O(cells x partitions) as the corpus grows 10x") {
+    // The drift monitor's scale claim, measured: the assignment is in-row
+    // (argmin over the one-row broadcast centroid table) and the single
+    // hash exchange carries per-partition aggregation PARTIALS — at most
+    // partitions x nCells rows whatever the corpus size. A regression
+    // that shuffled assigned rows before aggregating would read ~10x
+    // here. Hash-partitioned exchanges only: the ensureParallelism
+    // round-robin spread is corpus-sized by design.
+    import graft.operators.Similarity
+    val baseEmb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def embAt(copies: Int): DataFrame =
+      (0 until copies).map(i => baseEmb.select(
+        (col("vec_id") + lit(i * Stride)).as("vec_id"), col("embedding")))
+        .reduce(_ unionAll _)
+    val cent = Similarity.coarseCentroids(baseEmb, "vec_id", "embedding",
+      nCells = 8)
+    def hashShuffled(df: DataFrame): Long = {
+      df.queryExecution.toRdd.count()
+      df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] =>
+          e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+      }.sum
+    }
+    def recsAt(scale: Int): (Long, Long) = {
+      val stats = Similarity.quantizerCellStats(embAt(scale), "embedding", cent)
+      val recs = hashShuffled(stats)
+      val n = stats.count()
+      info(s"corpus ${scale}x: cell rows=$n, hash-shuffled=$recs records")
+      (n, recs)
+    }
+    val (n1, r1, n10, r10) = withConf("spark.sql.adaptive.enabled" -> "false") {
+      val (a, b) = recsAt(1)
+      val (c, d) = recsAt(10)
+      (a, b, c, d)
+    }
+    // every cell occupied at both scales; the output never widens
+    assert(n1 == 8L && n10 == 8L, s"expected 8 cell rows: $n1 / $n10")
+    assert(r1 > 0, "expected the cell aggregation to exchange partials")
+    // partials are bounded by partitions x cells — corpus-independent
+    assert(r10 <= r1 * 2 + 100,
+      s"cell-stats exchange grew with the corpus: $r1 -> $r10 records")
+  }
 }

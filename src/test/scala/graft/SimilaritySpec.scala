@@ -616,7 +616,7 @@ class SimilaritySpec extends SparkSpec {
     val cent = Similarity.coarseCentroids(emb, "vec_id", "embedding", nCells = 8)
     def stats(base: org.apache.spark.sql.DataFrame,
               cur: org.apache.spark.sql.DataFrame) =
-      Similarity.quantizerDriftStats(base, cur, "vec_id", "embedding", cent,
+      Similarity.quantizerDriftStats(base, cur, "embedding", cent,
           maxTvd = 0.1, maxQerrRatio = 1.25)
         .select(col("n_base"), col("n_cur"), col("qerr_ratio"), col("tvd"),
           col("noise_floor"), col("drift_alarm"))

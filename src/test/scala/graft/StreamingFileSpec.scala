@@ -1060,6 +1060,39 @@ class StreamingFileSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("epoch(s) 1") && ex.getMessage.contains("retrain"),
       ex.getMessage)
+
+    // ---- the remedial action the alarm names: retrain + re-encode ----
+    graft.tools.EtlCli.retrainBinaryIvf(spark, paths("index"),
+      paths("cent2"), paths("index2"), paths("base2"), nCells = 8, dims = 64)
+    val corpus = graft.tools.EtlCli.readEpochTable(spark, paths("index"))
+      .select(col("vec_id"), col("embedding"))
+    val cent2 = graft.tools.EtlCli.readTable(spark, paths("cent2"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id").cast("long"), col("cell").cast("long"), col("words"))
+      .as[(Long, Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    // the new index IS the from-scratch build under the new quantizer
+    assert(rows(spark.read.parquet(paths("index2"))) ==
+      rows(Similarity.binaryIvfIndexBuild(corpus, "vec_id", "embedding",
+        dims = 64, cent2)),
+      "retrained index diverges from the from-scratch build")
+    // the error alarm resolves: the retrained quantizer COVERS the
+    // drifted mode, so the previously-alarmed batch's quantization error
+    // reads normal against the new baseline (occupancy still differs —
+    // one batch is one mode of a now-bimodal corpus — which is exactly
+    // why the error axis exists)
+    val shiftedBatch = spark.read.parquet(in.resolve("b1.parquet").toString)
+    val ratio = Similarity.quantizerDriftStats(
+        graft.tools.EtlCli.readTable(spark, paths("base2")), shiftedBatch,
+        "embedding", cent2, maxTvd = 0.1, maxQerrRatio = 1.25)
+      .select(col("qerr_ratio")).as[Double].head()
+    assert(ratio < 1.25, s"retrain must clear the error alarm: ratio $ratio")
+    // the baseline sampling knob bounds the monitor artifact
+    graft.tools.EtlCli.retrainBinaryIvf(spark, paths("index"),
+      paths("cent3"), paths("index3"), paths("base3"), nCells = 8, dims = 64,
+      samplePeriod = 2)
+    val nBase = graft.tools.EtlCli.readTable(spark, paths("base3")).count()
+    assert(nBase > 0 && nBase < corpus.count(),
+      s"sampled baseline should be a strict subset: $nBase of ${corpus.count()}")
   }
 
   test("checkpointed parquet sink resumes exactly-once across restarts") {
