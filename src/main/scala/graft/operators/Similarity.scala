@@ -1416,18 +1416,36 @@ object Similarity {
     require(maxTvd >= 0 && maxTvd <= 1, s"maxTvd must be in [0,1], got $maxTvd")
     require(maxQerrRatio > 0, s"maxQerrRatio must be > 0, got $maxQerrRatio")
     val zero = lit(0).cast(DecimalType(38, 0))
-    val b = quantizerCellStats(baseline, vecCol, cent)
-      .select(col("cell"), col("n").as("nb"), col("qerr_sum").as("qb"))
-    val c = quantizerCellStats(current, vecCol, cent)
-      .select(col("cell"), col("n").as("nc"), col("qerr_sum").as("qc"))
-    // outer-join on the full cell set: a cell emptied (or newly filled)
-    // by drift must still contribute its |share| term to the TVD
+    // both frames assign in ONE tagged-union pass (same math as two
+    // quantizerCellStats calls — the per-(side, cell) sums are the
+    // identical integers — at half the corpus passes and stages), then
+    // reshape the <= 2 x nCells partials side-by-side with conditional
+    // aggregation. Outer-join on the full cell set: a cell emptied (or
+    // newly filled) by drift must still contribute its |share| term to
+    // the TVD.
+    def tag(df: DataFrame, side: Int): DataFrame =
+      df.select(dvec(col(vecCol)).as("v"), lit(side).as("side"))
+    val bySideCell =
+      graft.core.Tables.ensureParallelism(tag(baseline, 0).unionByName(tag(current, 1)))
+        .crossJoin(broadcast(centOneRow(cent)))
+        .select(col("v"), col("side"), argminCell(col("v"), col("cents")).as("cell"))
+        .join(broadcast(cent.select(col("cc").cast(LongType).as("cell"),
+          col("cv"))), Seq("cell"))
+        .select(col("side"), col("cell"),
+          pcol(graft.plans.QuantizedL2Sum(pexpr(col("v")), pexpr(col("cv"))))
+            .cast(DecimalType(38, 0)).as("qerr"))
+        .groupBy("side", "cell")
+        .agg(count(lit(1)).as("n"), sum(col("qerr")).as("qs"))
+    def side(s: Int, c: Column) = sum(when(col("side") === s, c))
     val per = graft.core.Materialize.pin(
       cent.select(col("cc").cast(LongType).as("cell"))
-        .join(b, Seq("cell"), "left_outer").join(c, Seq("cell"), "left_outer")
+        .join(bySideCell.groupBy("cell").agg(
+            side(0, col("n")).as("nb0"), side(0, col("qs")).as("qb0"),
+            side(1, col("n")).as("nc0"), side(1, col("qs")).as("qc0")),
+          Seq("cell"), "left_outer")
         .select(
-          coalesce(col("nb"), lit(0L)).as("nb"), coalesce(col("qb"), zero).as("qb"),
-          coalesce(col("nc"), lit(0L)).as("nc"), coalesce(col("qc"), zero).as("qc")))
+          coalesce(col("nb0"), lit(0L)).as("nb"), coalesce(col("qb0"), zero).as("qb"),
+          coalesce(col("nc0"), lit(0L)).as("nc"), coalesce(col("qc0"), zero).as("qc")))
     val totals = per.agg(
       sum(col("nb")).as("n_base"), sum(col("nc")).as("n_cur"),
       sum(col("qb")).as("qsb"), sum(col("qc")).as("qsc"),
