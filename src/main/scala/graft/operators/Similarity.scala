@@ -1385,7 +1385,11 @@ object Similarity {
     * |n_b*N_c - n_c*N_b| so no per-cell double shares are ever added),
     * so the report is bit-identical across partitionings and engines.
     * qerr_ratio is null when the baseline error is zero (degenerate:
-    * every baseline vector IS a centroid). */
+    * every baseline vector IS a centroid). An EMPTY current frame
+    * yields NaN tvd / null ratio / alarm=false — visible emptiness,
+    * never a crash (streaming can deliver empty batches). Quantizer-
+    * generic: works against any (cc, cv) centroid table, so the same
+    * report instruments the IVF-PQ family's pinned quantizer too. */
   /** Per-cell occupancy + summed quantized L2 to the assigned centroid
     * for one frame: (cell, n, qerr_sum), nCells rows. The drift report's
     * building block, and a cell-balance dashboard row on its own. The

@@ -392,6 +392,9 @@ object CorpusStreams {
     * re-deriving hash-rank seeds over the grown corpus would shift the
     * seed set and silently invalidate every stored cell assignment —
     * retrain and re-encode explicitly when the quantizer should move.
+    * "When" is a measurement, not a guess: quantizerDriftStats against
+    * the day-0 baseline instruments this family's pinned centroids the
+    * same way binaryIvfIndexSinkWithDrift instruments the binary one.
     *
     * Replay safety: codes are a pure function of (centroids, codebook,
     * vector), so a replayed batch re-appends ITS OWN epoch idempotently
