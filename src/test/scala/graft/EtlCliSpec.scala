@@ -450,6 +450,36 @@ class EtlCliSpec extends SparkSpec {
       EtlCli.readTable(spark, s"$root/sweep"), minRecall = 0.0).count() == 1)
   }
 
+  test("check-drift: quiet log prints all-clear; retrain-binary-ivf precheck errors are explicit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("drift_cli").toString
+    // quiet drift log: no alarm row -> the monitor must NOT throw
+    EtlCli.appendEpoch(
+      Seq((0L, false, 0.01)).toDF("epoch", "drift_alarm", "tvd"),
+      s"$root/drift", 0L)
+    EtlCli.run(spark, Seq("check-drift", s"$root/drift"))
+    // retrain prechecks: a misnamed column set and an empty index both
+    // die with actionable messages, never an opaque analysis error
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    EtlCli.appendEpoch(graft.operators.Similarity.binaryIvfIndexBuild(
+        emb, "vec_id", "embedding", 64,
+        graft.operators.Similarity.coarseCentroids(emb, "vec_id", "embedding", 8)),
+      s"$root/index", 0L)
+    val exCols = intercept[RuntimeException] {
+      EtlCli.retrainBinaryIvf(spark, s"$root/index", s"$root/c", s"$root/i",
+        s"$root/b", nCells = 8, dims = 64, idCol = "id", vecCol = "vec")
+    }
+    assert(exCols.getMessage.contains("lacks column(s) id, vec"), exCols.getMessage)
+    EtlCli.appendEpoch(emb.limit(0).select(col("vec_id"), col("embedding")),
+      s"$root/empty", 0L)
+    val exEmpty = intercept[RuntimeException] {
+      EtlCli.retrainBinaryIvf(spark, s"$root/empty", s"$root/c", s"$root/i",
+        s"$root/b", nCells = 8, dims = 64)
+    }
+    assert(exEmpty.getMessage.contains("empty"), exEmpty.getMessage)
+  }
+
   test("diffVersions reports exactly the churn: added, removed, changed; unchanged dropped") {
     import graft.tools.EtlCli
     import spark.implicits._
