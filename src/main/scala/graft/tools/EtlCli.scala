@@ -69,14 +69,31 @@ object EtlCli {
     case Seq("sweep-binary", indexTable, outTable, nQueries, idCol, vecCol) =>
       sweepBinary(spark, indexTable, outTable, nQueries.toInt,
         idCol = idCol, vecCol = vecCol).show(truncate = false)
+    case Seq("sweep-binary-ivf", indexTable, centPath, outTable) =>
+      sweepBinaryIvf(spark, indexTable, centPath, outTable)
+        .show(numRows = 100, truncate = false)
+    case Seq("sweep-binary-ivf", indexTable, centPath, outTable, nQueries) =>
+      sweepBinaryIvf(spark, indexTable, centPath, outTable, nQueries.toInt)
+        .show(numRows = 100, truncate = false)
+    case Seq("sweep-binary-ivf", indexTable, centPath, outTable, nQueries, idCol, vecCol) =>
+      sweepBinaryIvf(spark, indexTable, centPath, outTable, nQueries.toInt,
+        idCol = idCol, vecCol = vecCol).show(numRows = 100, truncate = false)
     case Seq("check-drift", driftLog) => checkDrift(spark, driftLog)
     case Seq("retrain-binary-ivf", indexTable, centOut, idxOut, baseOut, nCells, dims) =>
       retrainBinaryIvf(spark, indexTable, centOut, idxOut, baseOut,
         nCells.toInt, dims.toInt)
+    case Seq("retrain-binary-ivf", indexTable, centOut, idxOut, baseOut, nCells, dims,
+             samplePeriod) =>
+      retrainBinaryIvf(spark, indexTable, centOut, idxOut, baseOut,
+        nCells.toInt, dims.toInt, samplePeriod.toInt)
+    case Seq("retrain-binary-ivf", indexTable, centOut, idxOut, baseOut, nCells, dims,
+             samplePeriod, idCol, vecCol) =>
+      retrainBinaryIvf(spark, indexTable, centOut, idxOut, baseOut,
+        nCells.toInt, dims.toInt, samplePeriod.toInt, idCol, vecCol)
     case other =>
       sys.error("usage: init|ingest|quality|stats|export|learn-bpe|versions|" +
-        s"vacuum|diff|verify-export|sweep-lsh|sweep-binary|check-drift|" +
-        s"retrain-binary-ivf ... (got $other)")
+        s"vacuum|diff|verify-export|sweep-lsh|sweep-binary|sweep-binary-ivf|" +
+        s"check-drift|retrain-binary-ivf ... (got $other)")
   }
 
   /** Build and COMMIT the LSH band-sweep artifact the streaming ingest's
@@ -152,10 +169,18 @@ object EtlCli {
     *    one event that invalidates EVERY stored cell, so there is no
     *    epoch history worth preserving — the new index IS epoch zero)
     *  - `baselineOut`: the new drift baseline — a deterministic
-    *    1/samplePeriod hash-free id sample of the corpus the quantizer
-    *    now fits, so the monitor's next epochs compare against the
-    *    post-retrain distribution (comparing against the stale baseline
-    *    would re-alarm forever)
+    *    1/samplePeriod hash-rank id sample of the corpus the quantizer
+    *    now fits (xxhash64 of the id AS STRING, so arbitrary id types
+    *    sample uniformly — the bottomKSample idiom), so the monitor's
+    *    next epochs compare against the post-retrain distribution
+    *    (comparing against the stale baseline would re-alarm forever)
+    * All three commit via the versioned-marker protocol (the index in the
+    * cell-partitioned layout), so a probe reading concurrently with the
+    * retrain never sees a half-written directory. A retrain also
+    * invalidates every sweep measured against the OLD quantizer: sweeps
+    * carry the centroid identity ([[sweepBinaryIvf]]) and the probe
+    * refuses an identity mismatch, so run `sweep-binary-ivf` against the
+    * new artifacts before switching the deployment.
     * This is deliberately a FULL O(corpus) rebuild: the pinned-centroid
     * design trades cheap O(batch) epoch appends for exactly this
     * explicit, monitor-evidenced re-encode when the distribution moves. */
@@ -179,12 +204,68 @@ object EtlCli {
     val cent = graft.operators.Similarity.coarseCentroids(
       corpus, idCol, vecCol, nCells)
     writeTable(cent, centroidsOut)
-    writeTable(corpus.filter(pmod(col(idCol), lit(samplePeriod.toLong)) === 0),
+    // hash-based 1/samplePeriod sample: id-type agnostic (string ids
+    // sample exactly like numeric ones) and deterministic, so a re-run
+    // commits the identical baseline
+    writeTable(corpus.filter(
+        pmod(xxhash64(col(idCol).cast("string")), lit(samplePeriod.toLong)) === 0),
       baselineOut)
-    graft.operators.Similarity
-      .binaryIvfIndexBuild(corpus, idCol, vecCol, dims,
-        readTable(spark, centroidsOut))
-      .write.mode("overwrite").partitionBy("cell").parquet(indexOut)
+    writeTable(
+      graft.operators.Similarity.binaryIvfIndexBuild(corpus, idCol, vecCol,
+        dims, readTable(spark, centroidsOut)),
+      indexOut, partitionBy = Seq("cell"))
+  }
+
+  /** Build and COMMIT the binary-IVF 2D sweep artifact the production
+    * probe consumes (`CorpusStreams.binaryIvfProbeWithSweep` /
+    * `pickBinaryIvfConfig`) — the sweep-binary sibling for the
+    * cell-pruned family, and the re-sweep step of the retrain runbook:
+    * sample nQueries query vectors by deterministic hash rank, build
+    * exact cosine truth for them over the index, sweep the
+    * (nProbe, shortlist) grid against that truth, and commit the
+    * frontier stamped with the IDENTITY of the quantizer it was measured
+    * against (Similarity.quantizerIdentity over `centroidsPath`). The
+    * stamp is the stale-sweep guard: recall was measured under THESE
+    * cells, so probing a retrained index with this artifact must refuse
+    * — exactly as the LSH pick refuses a shingle-k mismatch. Accepts the
+    * epoch layout a binaryIvf sink accretes, a versioned table (the
+    * retrain/read-optimize output), or a raw directory. */
+  def sweepBinaryIvf(spark: SparkSession, indexTable: String,
+                     centroidsPath: String, outTable: String,
+                     nQueries: Int = 5, k: Int = 10,
+                     nProbes: Seq[Int] = Seq(1, 2, 4, 8),
+                     shortlists: Seq[Int] = Seq(25, 50, 100, 200),
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(nQueries >= 1, s"need at least one query vector, got $nQueries")
+    val index = scala.util.Try(readEpochTable(spark, indexTable))
+      .orElse(scala.util.Try(readTable(spark, indexTable)))
+      .getOrElse(spark.read.parquet(indexTable))
+    Seq(idCol, vecCol, "cell", "words").foreach(c =>
+      require(index.columns.contains(c),
+        s"index at $indexTable has no '$c' column (columns: " +
+          s"${index.columns.mkString(", ")}) — sweep-binary-ivf runs over a " +
+          "binaryIvfIndexBuild layout (id, cell, words, vec)"))
+    val firstVec = index.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(firstVec.nonEmpty,
+      s"index at $indexTable is empty — nothing to sweep; ingest at least " +
+        "one epoch before calibrating the probe knobs")
+    val dims = firstVec.head.getInt(0)
+    val cent = readTable(spark, centroidsPath)
+    val qids = index.select(col(idCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(nQueries)
+    val queries = index.join(qids, idCol).select(col(idCol), col(vecCol))
+    val exact = graft.operators.Similarity.bruteForceTopK(
+        index.select(col(idCol), col(vecCol)), queries, idCol, vecCol, k)
+      .select(col("qid"), col("cid"))
+    val sweep = graft.operators.Similarity.binaryIvfSweep(
+      index.select(col(idCol), col("cell"), col("words")),
+      index.select(col(idCol), col(vecCol)),
+      queries, idCol, vecCol, dims, cent, nProbes, shortlists, k, exact)
+    writeTable(sweep.withColumn("quantizer_id",
+      lit(graft.operators.Similarity.quantizerIdentity(cent))), outTable)
+    readTable(spark, outTable)
   }
 
   def sweepBinary(spark: SparkSession, indexTable: String, outTable: String,
@@ -526,11 +607,24 @@ object EtlCli {
   /** Stage the next version's data dir WITHOUT committing it (the spec's
     * crash-simulation seam; writeBack = stage + commit + prune). */
   private[graft] def stage(df: DataFrame, path: String,
-                           format: String = "parquet"): Long = {
+                           format: String = "parquet",
+                           partitionBy: Seq[String] = Nil): Long = {
     val next = committedVersion(df.sparkSession, path).getOrElse(0L) + 1
-    df.write.mode(SaveMode.Overwrite).format(format).save(s"$path/data_v$next")
+    df.write.mode(SaveMode.Overwrite).format(format)
+      .partitionBy(partitionBy: _*).save(s"$path/data_v$next")
     next
   }
+
+  /** The current committed data dir of a versioned table — for consumers
+    * that must read by PATH rather than DataFrame (the cell-partitioned
+    * index probes prune partitions off a static path filter). A path with
+    * no commit marker resolves to ITSELF, so raw directory layouts (run-
+    * scoped memo artifacts, legacy indexes) keep working unchanged. */
+  def resolveDataDir(spark: SparkSession, path: String): String =
+    committedVersion(spark, path) match {
+      case Some(v) => s"$path/data_v$v"
+      case None    => path
+    }
 
   /** All committed versions at `path`, ascending. */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
@@ -622,11 +716,14 @@ object EtlCli {
     * the same commit protocol as the ETL. `format` is parquet or orc —
     * readers sniff it back, so the choice is per-version, not per-table.
     * `retain` keeps that many committed versions readable via readTableAt
-    * (time travel); the default keeps only the new current. */
+    * (time travel); the default keeps only the new current. `partitionBy`
+    * lays the staged data out hive-partitioned (e.g. the binary-IVF probe
+    * layout partitioned by cell) — readTable discovers the partitions;
+    * path-based probes resolve the dir via [[resolveDataDir]]. */
   def writeTable(df: DataFrame, path: String, format: String = "parquet",
-                 retain: Int = 1): Unit = {
+                 retain: Int = 1, partitionBy: Seq[String] = Nil): Unit = {
     require(graft.core.Store.Formats(format), s"unsupported table format $format")
-    commit(df.sparkSession, path, stage(df, path, format), retain)
+    commit(df.sparkSession, path, stage(df, path, format, partitionBy), retain)
   }
 
   // ---- epoch-partitioned versioned tables --------------------------------

@@ -645,5 +645,43 @@ class SimilaritySpec extends SparkSpec {
     val degen = stats(seeds, seeds)
     assert(degen._3.isEmpty && degen._4 == 0.0 && !degen._6,
       s"zero-error baseline must yield a null ratio, not an alarm: $degen")
+    // EMPTY frame (streaming delivers empty batches): under ANSI every
+    // division by the zero count would THROW — the metrics must read
+    // null, the counts must stay visible, and the alarm must read false
+    // (an unguarded empty batch would crash the drift sink or page the
+    // monitor and fail check-drift spuriously)
+    def optStats(base: org.apache.spark.sql.DataFrame,
+                 cur: org.apache.spark.sql.DataFrame) =
+      Similarity.quantizerDriftStats(base, cur, "embedding", cent,
+          maxTvd = 0.1, maxQerrRatio = 1.25)
+        .select(col("n_base"), col("n_cur"), col("qerr_ratio"), col("tvd"),
+          col("noise_floor"), col("drift_alarm"))
+        .as[(Long, Long, Option[Double], Option[Double], Option[Double], Boolean)]
+        .head()
+    val empty = optStats(emb, emb.limit(0))
+    assert(empty._2 == 0L, s"emptiness must stay visible: $empty")
+    assert(empty._3.isEmpty && empty._4.isEmpty,
+      s"empty-frame metrics must read null: $empty")
+    assert(!empty._6, s"an empty batch must never alarm: $empty")
+    val emptyBase = optStats(emb.limit(0), emb)
+    assert(emptyBase._1 == 0L && !emptyBase._6,
+      s"an empty baseline must never alarm: $emptyBase")
+    // hot-cell skew axis: a frame forced into ONE cell reads
+    // max_cell_share = 1.0; the full corpus reads well under it; an
+    // empty frame reads null (no concentration to report)
+    def share(base: org.apache.spark.sql.DataFrame,
+              cur: org.apache.spark.sql.DataFrame) =
+      Similarity.quantizerDriftStats(base, cur, "embedding", cent,
+          maxTvd = 0.1, maxQerrRatio = 1.25)
+        .select(col("max_cell_share")).as[Option[Double]].head()
+    val oneCellId = emb.select(col("vec_id")).orderBy("vec_id").limit(1)
+    val oneCell = emb.join(oneCellId, Seq("vec_id"))
+    assert(share(emb, oneCell).contains(1.0),
+      "a single-vector frame concentrates into one cell")
+    val full = share(emb, emb)
+    assert(full.exists(s => s > 0.0 && s < 1.0),
+      s"full-corpus hot-cell share out of range: $full")
+    assert(share(emb, emb.limit(0)).isEmpty,
+      "empty frame must report a null hot-cell share")
   }
 }

@@ -970,8 +970,12 @@ class StreamingFileSpec extends SparkSpec {
     def topk(df: org.apache.spark.sql.DataFrame) = df
       .select(col("qid").cast("long"), col("cid").cast("long"), col("rank"))
       .as[(Long, Long, Int)].collect().toSet
+    // read-optimize commits via the versioned protocol; path-based probes
+    // resolve the committed data dir (binaryIvfProbeWithSweep does this
+    // internally — the direct probe resolves explicitly here)
     val viaOpt = topk(graft.operators.Similarity.binaryIvfProbeIndex(spark,
-      paths("opt"), queries, "vec_id", "embedding", dims = 64,
+      graft.tools.EtlCli.resolveDataDir(spark, paths("opt")),
+      queries, "vec_id", "embedding", dims = 64,
       graft.tools.EtlCli.readTable(spark, paths("centroids")),
       nProbe = 2, shortlist = 20, k = 5))
     val viaUnion = topk(graft.operators.Similarity.binaryIvfProbeTopK(
@@ -1071,7 +1075,8 @@ class StreamingFileSpec extends SparkSpec {
       .select(col("vec_id").cast("long"), col("cell").cast("long"), col("words"))
       .as[(Long, Long, Seq[Long])].collect().toSeq.sortBy(_._1)
     // the new index IS the from-scratch build under the new quantizer
-    assert(rows(spark.read.parquet(paths("index2"))) ==
+    // (committed via the versioned protocol, cell-partitioned)
+    assert(rows(graft.tools.EtlCli.readTable(spark, paths("index2"))) ==
       rows(Similarity.binaryIvfIndexBuild(corpus, "vec_id", "embedding",
         dims = 64, cent2)),
       "retrained index diverges from the from-scratch build")
@@ -1093,6 +1098,44 @@ class StreamingFileSpec extends SparkSpec {
     val nBase = graft.tools.EtlCli.readTable(spark, paths("base3")).count()
     assert(nBase > 0 && nBase < corpus.count(),
       s"sampled baseline should be a strict subset: $nBase of ${corpus.count()}")
+
+    // ---- sweep invalidation + re-sweep: the rest of the runbook ----
+    // a sweep measured against the DAY-0 quantizer (stamped with its
+    // identity by sweep-binary-ivf) ...
+    graft.tools.EtlCli.sweepBinaryIvf(spark, paths("index"),
+      paths("centroids"), paths("sweep_old"), nQueries = 3, k = 5,
+      nProbes = Seq(1, 2, 4), shortlists = Seq(10, 25, 50))
+    assert(graft.tools.EtlCli.readTable(spark, paths("sweep_old"))
+        .select(col("quantizer_id")).distinct().count() == 1,
+      "sweep artifact must carry exactly one quantizer identity")
+    // ... must REFUSE to deploy against the retrained centroids: every
+    // stored cell moved, so its recall floor was never measured there
+    val exStale = intercept[IllegalArgumentException] {
+      graft.streaming.CorpusStreams.binaryIvfProbeWithSweep(spark,
+        paths("index2"), paths("cent2"), paths("sweep_old"),
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", dims = 64,
+        minRecall = 0.0, k = 5)
+    }
+    assert(exStale.getMessage.contains("identity")
+        && exStale.getMessage.contains("sweep-binary-ivf"),
+      exStale.getMessage)
+    // re-sweep against the new artifacts; the probe then serves with the
+    // re-swept knobs riding the output — the loop is closed
+    graft.tools.EtlCli.sweepBinaryIvf(spark, paths("index2"),
+      paths("cent2"), paths("sweep_new"), nQueries = 3, k = 5,
+      nProbes = Seq(1, 2, 4), shortlists = Seq(10, 25, 50))
+    val served = graft.streaming.CorpusStreams.binaryIvfProbeWithSweep(spark,
+      paths("index2"), paths("cent2"), paths("sweep_new"),
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", dims = 64,
+      minRecall = 0.0, k = 5)
+    val knobs = served.select(col("n_probe"), col("shortlist")).distinct()
+      .as[(Int, Int)].collect().toSeq
+    val expect = Similarity.pickBinaryIvfConfig(
+        graft.tools.EtlCli.readTable(spark, paths("sweep_new")), minRecall = 0.0)
+      .select(col("n_probe").cast("int"), col("shortlist").cast("int"))
+      .as[(Int, Int)].collect().toSeq
+    assert(knobs == expect, s"served knobs $knobs != swept choice $expect")
+    assert(served.count() > 0, "re-swept probe must serve results")
   }
 
   test("checkpointed parquet sink resumes exactly-once across restarts") {
