@@ -85,6 +85,14 @@ object Bench {
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val warmupTotal = if (warmups.nonEmpty) warmups.values.sum else 0.0
+    // Contention canary: the mins of trivial, code-stable queries whose
+    // floors haven't moved in rounds. Cross-round comparisons can
+    // normalize by the canary ratio instead of re-deriving "was the
+    // machine busy" from scratch — a run whose canary reads 2x the
+    // committed floor is contended, not regressed (see BASELINE.md).
+    val CanaryQueries = Seq("q_f2_ilike_search", "q_cart_totals")
+    def canaryOf(m: Map[String, Double]): Map[String, Double] =
+      CanaryQueries.flatMap(n => m.get(n).map(n -> _)).toMap
     // Full-precision per-query timings go to a FILE: the driver's capture
     // keeps only the last 2000 chars of stdout, and 96 query names alone
     // overflow that — a single printed line can never carry the whole map.
@@ -92,7 +100,8 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath
     val fullJson =
-      (s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},""" +
+      (s"""{"metric":"total","value":$total,"unit":"sec","canary":${jmap(canaryOf(results))},""" +
+        s""""queries":${jmap(results)},""" +
         s""""warmup_total":$warmupTotal,"warmup":${jmap(warmups)},"sf":"$sfDir"}""" + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     java.nio.file.Files.write(fullPath, fullJson)
@@ -156,6 +165,7 @@ object Bench {
         bestTotal = Some(t)
         val bestJson =
           (s"""{"metric":"best_of_total","value":$t,"unit":"sec","n_runs":${runs.length},""" +
+            s""""canary":${jmap(canaryOf(best))},""" +
             s""""queries":${jmap(best)},"sf":"$sfDir"}""" + "\n")
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"BENCH_BEST_r${"%02d".format(round)}.json").toAbsolutePath,

@@ -1424,43 +1424,71 @@ object Similarity {
 
   def quantizerDriftStats(baseline: DataFrame, current: DataFrame,
                           vecCol: String, cent: DataFrame,
-                          maxTvd: Double, maxQerrRatio: Double): DataFrame = {
+                          maxTvd: Double, maxQerrRatio: Double): DataFrame =
+    driftReport(baseline, current, vecCol, cent, maxTvd, maxQerrRatio, None)
+      .drop("resid_base", "resid_cur", "resid_ratio")
+
+  /** The shared drift-report core behind [[quantizerDriftStats]] and
+    * [[codebookDriftStats]]: both frames assign in ONE tagged-union pass
+    * (same math as two quantizerCellStats calls — the per-(side, cell)
+    * sums are the identical integers — at half the corpus passes and
+    * stages); with a codebook given, the SAME projection also computes
+    * each row's residual-ADC error (in-row zip_with residual + the fused
+    * min-quantized-L2 kernel), so the PQ report costs one corpus pass,
+    * not two. The <= 2 x nCells partials reshape side-by-side with
+    * conditional aggregation; outer-join on the full cell set — a cell
+    * emptied (or newly filled) by drift must still contribute its
+    * |share| term to the TVD. */
+  private def driftReport(baseline: DataFrame, current: DataFrame,
+                          vecCol: String, cent: DataFrame,
+                          maxTvd: Double, maxQerrRatio: Double,
+                          codebook: Option[(DataFrame, Int, Double)]): DataFrame = {
     require(maxTvd >= 0 && maxTvd <= 1, s"maxTvd must be in [0,1], got $maxTvd")
     require(maxQerrRatio > 0, s"maxQerrRatio must be > 0, got $maxQerrRatio")
     val zero = lit(0).cast(DecimalType(38, 0))
-    // both frames assign in ONE tagged-union pass (same math as two
-    // quantizerCellStats calls — the per-(side, cell) sums are the
-    // identical integers — at half the corpus passes and stages), then
-    // reshape the <= 2 x nCells partials side-by-side with conditional
-    // aggregation. Outer-join on the full cell set: a cell emptied (or
-    // newly filled) by drift must still contribute its |share| term to
-    // the TVD.
     def tag(df: DataFrame, side: Int): DataFrame =
       df.select(dvec(col(vecCol)).as("v"), lit(side).as("side"))
-    val bySideCell =
+    val assigned =
       graft.core.Tables.ensureParallelism(tag(baseline, 0).unionByName(tag(current, 1)))
         .crossJoin(broadcast(centOneRow(cent)))
         .select(col("v"), col("side"), argminCell(col("v"), col("cents")).as("cell"))
         .join(broadcast(cent.select(col("cc").cast(LongType).as("cell"),
-          col("cv"))), Seq("cell"))
-        .select(col("side"), col("cell"),
-          pcol(graft.plans.QuantizedL2Sum(pexpr(col("v")), pexpr(col("cv"))))
-            .cast(DecimalType(38, 0)).as("qerr"))
-        .groupBy("side", "cell")
-        .agg(count(lit(1)).as("n"), sum(col("qerr")).as("qs"))
+          dvec(col("cv")).as("cv"))), Seq("cell"))
+    val qerr = pcol(graft.plans.QuantizedL2Sum(pexpr(col("v")), pexpr(col("cv"))))
+      .cast(DecimalType(38, 0))
+    val perRow = codebook match {
+      case Some((cb, m, _)) =>
+        assigned.crossJoin(broadcast(cbOneRow(cb)))
+          .select(col("side"), col("cell"), qerr.as("qerr"),
+            pcol(graft.plans.PqAdcErrExpr(
+                pexpr(zip_with(col("v"), col("cv"), (a, b) => a - b)),
+                pexpr(col("cb")), m))
+              .cast(DecimalType(38, 0)).as("aerr"))
+      case None =>
+        assigned.select(col("side"), col("cell"), qerr.as("qerr"), zero.as("aerr"))
+    }
+    val bySideCell = perRow
+      .groupBy("side", "cell")
+      .agg(count(lit(1)).as("n"), sum(col("qerr")).as("qs"),
+        sum(col("aerr")).as("asum"))
     def side(s: Int, c: Column) = sum(when(col("side") === s, c))
     val per = graft.core.Materialize.pin(
       cent.select(col("cc").cast(LongType).as("cell"))
         .join(bySideCell.groupBy("cell").agg(
             side(0, col("n")).as("nb0"), side(0, col("qs")).as("qb0"),
-            side(1, col("n")).as("nc0"), side(1, col("qs")).as("qc0")),
+            side(0, col("asum")).as("ab0"),
+            side(1, col("n")).as("nc0"), side(1, col("qs")).as("qc0"),
+            side(1, col("asum")).as("ac0")),
           Seq("cell"), "left_outer")
         .select(
           coalesce(col("nb0"), lit(0L)).as("nb"), coalesce(col("qb0"), zero).as("qb"),
-          coalesce(col("nc0"), lit(0L)).as("nc"), coalesce(col("qc0"), zero).as("qc")))
+          coalesce(col("ab0"), zero).as("ab"),
+          coalesce(col("nc0"), lit(0L)).as("nc"), coalesce(col("qc0"), zero).as("qc"),
+          coalesce(col("ac0"), zero).as("ac")))
     val totals = per.agg(
       sum(col("nb")).as("n_base"), sum(col("nc")).as("n_cur"),
       sum(col("qb")).as("qsb"), sum(col("qc")).as("qsc"),
+      sum(col("ab")).as("asb"), sum(col("ac")).as("asc"),
       count(lit(1)).as("n_cells"), max(col("nc")).as("max_nc"))
     // integer TVD numerator: sum_cells |n_b * N_c - n_c * N_b| (decimal —
     // the cross products overflow longs at corpus scale)
@@ -1477,19 +1505,29 @@ object Similarity {
     // off — reserved for measured drift. CaseWhen evaluates branches
     // lazily, so the guarded division never executes on the empty path.
     val emptyFrame = col("n_base") === 0 || col("n_cur") === 0
-    val qerrB = when(col("n_base") === 0, lit(null).cast(DoubleType))
+    val nullD = lit(null).cast(DoubleType)
+    val qerrB = when(col("n_base") === 0, nullD)
       .otherwise((col("qsb").cast(DoubleType) / col("n_base")) / lit(VScale))
-    val qerrC = when(col("n_cur") === 0, lit(null).cast(DoubleType))
+    val qerrC = when(col("n_cur") === 0, nullD)
       .otherwise((col("qsc").cast(DoubleType) / col("n_cur")) / lit(VScale))
+    val residB = when(col("n_base") === 0, nullD)
+      .otherwise((col("asb").cast(DoubleType) / col("n_base")) / lit(VScale))
+    val residC = when(col("n_cur") === 0, nullD)
+      .otherwise((col("asc").cast(DoubleType) / col("n_cur")) / lit(VScale))
+    val residAlarm = codebook match {
+      case Some((_, _, maxResidRatio)) =>
+        coalesce(col("resid_ratio") > maxResidRatio, lit(false))
+      case None => lit(false)
+    }
     broadcast(totals).crossJoin(broadcast(tvdNum))
       .select(col("n_base"), col("n_cur"),
         qerrB.as("qerr_base"), qerrC.as("qerr_cur"),
-        when(emptyFrame || qerrB === 0, lit(null).cast(DoubleType))
+        when(emptyFrame || qerrB === 0, nullD)
           .otherwise(qerrC / qerrB).as("qerr_ratio"),
-        when(emptyFrame, lit(null).cast(DoubleType))
+        when(emptyFrame, nullD)
           .otherwise(col("tvd_num").cast(DoubleType)
             / (lit(2.0) * col("n_base") * col("n_cur"))).as("tvd"),
-        when(emptyFrame, lit(null).cast(DoubleType))
+        when(emptyFrame, nullD)
           .otherwise(sqrt(col("n_cells").cast(DoubleType)
             * (lit(1.0) / col("n_base") + lit(1.0) / col("n_cur"))))
           .as("noise_floor"),
@@ -1500,13 +1538,62 @@ object Similarity {
         // moves — this column lets the monitor name the cost cliff
         // (GrowthSpec measures the degradation on a planted hot mode).
         // A balanced quantizer reads ~1/n_cells; null on an empty frame.
-        when(col("n_cur") === 0, lit(null).cast(DoubleType))
+        when(col("n_cur") === 0, nullD)
           .otherwise(col("max_nc").cast(DoubleType) / col("n_cur"))
-          .as("max_cell_share"))
+          .as("max_cell_share"),
+        residB.as("resid_base"), residC.as("resid_cur"),
+        when(emptyFrame || residB === 0, nullD)
+          .otherwise(residC / residB).as("resid_ratio"))
       .withColumn("drift_alarm",
         when(col("n_base") === 0 || col("n_cur") === 0, lit(false))
           .otherwise(col("tvd") > lit(maxTvd) + col("noise_floor")
-            || coalesce(col("qerr_ratio") > maxQerrRatio, lit(false))))
+            || coalesce(col("qerr_ratio") > maxQerrRatio, lit(false))
+            || residAlarm))
+  }
+
+  /** Per-vector coarse-cell assignment against a GIVEN centroid table —
+    * the IVF assignment stage as a public surface: (idCol, cell).
+    * Map-only (in-row argmin against the one-row broadcast centroid
+    * table); ties break to the lower cc exactly like every IVF build
+    * here, so the output matches the cells a binaryIvfIndexBuild /
+    * ivfPqResidualEncode would store. */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+                  cent: DataFrame): DataFrame =
+    graft.core.Tables.ensureParallelism(df)
+      .select(col(idCol), dvec(col(vecCol)).as("__v"))
+      .crossJoin(broadcast(centOneRow(cent)))
+      .select(col(idCol), argminCell(col("__v"), col("cents")).as("cell"))
+
+  /** quantizerDriftStats for the RESIDUAL-PQ family — the same
+    * occupancy/coarse-error report PLUS the decay axis PQ uniquely has:
+    * mean residual quantization error (each vector's residual vs the
+    * NEAREST codebook entry per subspace — the ADC error an exact-argmin
+    * encode commits) as a ratio vs the day-0 baseline. Occupancy TVD and
+    * coarse qerr can both stay quiet while residual DIRECTIONS rotate
+    * off the trained codebook — reconstruction degrades and ADC rankings
+    * get noisier with no signal on the coarse axes — so the monitor for
+    * a pinned (centroids, codebook) pair must watch all three.
+    * `resid_*` is the mean per-vector Σ-over-subspaces min quantized L2
+    * (one fused in-row kernel, plans.PqAdcErrExpr — raw integer sums, so
+    * the aggregation is exact and engine-portable); `resid_ratio` is
+    * null on a zero-error baseline (every baseline residual IS a
+    * codebook entry) or an empty frame. `drift_alarm` = the occupancy/
+    * coarse alarm OR resid_ratio > maxResidRatio, guarded off for empty
+    * frames exactly like the base report. Cost: ONE tagged-union
+    * map-only pass over (baseline ∪ current) — the shared driftReport
+    * core computes the residual-ADC error in the same projection as the
+    * occupancy/coarse partials — ending in one bounded aggregation.
+    * A retrain here must move centroids AND codebook and re-encode: the
+    * codebook is trained on residuals against the OLD centroids, so
+    * retraining centroids alone invalidates both (the invalidation
+    * cascade — EtlCli.retrainIvfPq is the blue/green remedial). */
+  def codebookDriftStats(baseline: DataFrame, current: DataFrame,
+                         vecCol: String, cent: DataFrame, codebook: DataFrame,
+                         m: Int, maxTvd: Double, maxQerrRatio: Double,
+                         maxResidRatio: Double): DataFrame = {
+    require(maxResidRatio > 0, s"maxResidRatio must be > 0, got $maxResidRatio")
+    driftReport(baseline, current, vecCol, cent, maxTvd, maxQerrRatio,
+      Some((codebook, m, maxResidRatio)))
   }
 
   /** Deterministic identity of a (cc, cv) centroid table: bit-XOR of the

@@ -211,6 +211,73 @@ object PqCodesExpr {
   }
 }
 
+/** The residual/ADC QUANTIZATION ERROR of an exact-argmin PQ encode, in
+  * one fused per-row loop: Σ over subspaces of the MINIMUM quantized-L2
+  * integer (raw sum at QuantizedVec.Scale, NOT divided) between the
+  * vector's s-th slice and any codebook entry of subspace s. Same inputs
+  * as [[PqCodesExpr]] (the one-row reshaped codebook on a broadcast
+  * crossJoin), same slice bounds; the min is taken on the RAW integer
+  * sums — an unambiguous total order, and a valid argmin under the
+  * divided-double ordering too (division by a positive constant is
+  * monotone). Returning the integer keeps downstream aggregation exact
+  * (decimal sums), so the codebook-drift report is bit-identical across
+  * partitionings and engines. A subspace with no codebook entries
+  * contributes 0 (the degenerate-codebook case — visible via the
+  * encode path, not an error here). */
+case class PqAdcErrExpr(left: Expression, right: Expression, m: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(m >= 1, "m subspaces must be >= 1")
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq[DataType](ArrayType(DoubleType),
+    ArrayType(StructType(Seq(StructField("sub", IntegerType),
+      StructField("cc", LongType), StructField("cv", ArrayType(DoubleType))))))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_err"
+
+  override protected def nullSafeEval(v: Any, cb: Any): Any =
+    PqAdcErrExpr.err(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData], m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c) =>
+      "graft.plans.PqAdcErrExpr$.MODULE$.err(" + v + ", " + c + ", " + m + ")")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcErrExpr =
+    copy(left = l, right = r)
+}
+object PqAdcErrExpr {
+  def err(v: ArrayData, cb: ArrayData, m: Int): Long = {
+    val n = v.numElements()
+    val dsub = n / m
+    val k = cb.numElements()
+    val best = Array.fill(m)(Long.MaxValue)
+    var i = 0
+    while (i < k) {
+      val row = cb.getStruct(i, 3)
+      val s = row.getInt(0)
+      if (s >= 0 && s < m) {
+        val cv = row.getArray(2)
+        val len = math.min(dsub, cv.numElements())
+        var sum = 0L
+        var j = 0
+        while (j < len) {
+          val d = v.getDouble(s * dsub + j) - cv.getDouble(j)
+          sum += math.floor(d * d * QuantizedVec.Scale + 0.5).toLong
+          j += 1
+        }
+        if (sum < best(s)) best(s) = sum
+      }
+      i += 1
+    }
+    var total = 0L
+    var s = 0
+    while (s < m) {
+      if (best(s) != Long.MaxValue) total += best(s)
+      s += 1
+    }
+    total
+  }
+}
+
 object SignLshBucketExpr {
   final val MaxBits = 62
   final val MaxDim = 1024

@@ -260,6 +260,86 @@ object VectorQueries {
         FROM (SELECT * FROM i_row UNION ALL SELECT * FROM r_row)
         ORDER BY scenario"""
 
+  /** q_codebook_drift's residual-axis alarm bound (a 25% rise in mean
+    * ADC error pages; the planted scale-up reads ~4x). */
+  private val CodebookMaxResidRatio = 1.25
+
+  /** DuckDB replay of the RESIDUAL-ADC axis of
+    * Similarity.codebookDriftStats for one scenario `p` (its occupancy/
+    * coarse axes come from [[quantizerDriftScenarioSql]], whose
+    * ${p}_${f}vd CTEs this reuses for the per-vector cell assignment).
+    * Per frame f: residual vs the assigned centroid, per (vector,
+    * subspace) the MIN raw quantized-L2 over that subspace's codebook
+    * entries (m=8, dsub=8 over 64 dims — sub = d // 8, in-sub position
+    * d % 8), summed exactly as BIGINTs before the one double division. */
+  private def codebookDriftScenarioSql(p: String): String = {
+    def frame(f: String): String =
+      s"""${p}_${f}cell AS (
+            SELECT vec_id, cc AS cell FROM (
+              SELECT vec_id, cc,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY rawd2, cc) AS rn
+              FROM ${p}_${f}vd) WHERE rn = 1),
+          ${p}_${f}res AS (
+            SELECT v.vec_id, v.d, v.x - c.cx AS rx
+            FROM ${p}_$f v JOIN ${p}_${f}cell a ON a.vec_id = v.vec_id
+                 JOIN cdimsC c ON c.cc = a.cell AND c.d = v.d),
+          ${p}_${f}sube AS (
+            SELECT r.vec_id, cb.sub, cb.cc,
+                   CAST(SUM(CAST(FLOOR(((r.rx - cb.cv[(r.d % 8) + 1]) * (r.rx - cb.cv[(r.d % 8) + 1])) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS rawd2
+            FROM ${p}_${f}res r JOIN cb ON cb.sub = r.d // 8
+            GROUP BY 1, 2, 3),
+          ${p}_${f}min AS (
+            SELECT vec_id, sub, MIN(rawd2) AS md FROM ${p}_${f}sube GROUP BY 1, 2),
+          ${p}_${f}rtot AS (
+            SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS rn,
+                   CAST(COALESCE(SUM(md), 0) AS BIGINT) AS res FROM ${p}_${f}min)"""
+    s"""${frame("b")},
+          ${frame("c")},
+          ${p}_crow AS (
+            SELECT w.*,
+                   (CAST(b.res AS DOUBLE) / b.rn) / 1000000000000.0 AS resid_base,
+                   (CAST(c.res AS DOUBLE) / c.rn) / 1000000000000.0 AS resid_cur,
+                   CASE WHEN (CAST(b.res AS DOUBLE) / b.rn) / 1000000000000.0 = 0 THEN NULL
+                        ELSE ((CAST(c.res AS DOUBLE) / c.rn) / 1000000000000.0)
+                             / ((CAST(b.res AS DOUBLE) / b.rn) / 1000000000000.0) END AS resid_ratio
+            FROM ${p}_row w, ${p}_brtot b, ${p}_crtot c)"""
+  }
+
+  private lazy val codebookDriftSql: String =
+    s"""WITH dims AS ($dimsSql),
+          cdimsC AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id IN ${seedIdsSql(16)}),
+          cellsC AS (SELECT DISTINCT cc AS cell FROM cdimsC),
+          cb AS (SELECT sub, cc, list_transform(cv, x -> CAST(x AS DOUBLE)) AS cv
+                 FROM read_parquet('${annArtifactRoot}/ivfpqres/codebook/*.parquet')),
+          i_b AS (SELECT * FROM dims WHERE vec_id % 2 = 0),
+          i_c AS (SELECT * FROM dims WHERE vec_id % 2 = 1),
+          r_b AS (SELECT * FROM dims),
+          all_vd AS (
+            SELECT v.vec_id, c.cc,
+                   CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS rawd2
+            FROM dims v JOIN cdimsC c ON v.d = c.d GROUP BY 1, 2),
+          all_cells AS (
+            SELECT vec_id, cc AS cell FROM (
+              SELECT vec_id, cc,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY rawd2, cc) AS rn
+              FROM all_vd) WHERE rn = 1),
+          r_c AS (
+            SELECT v.vec_id, v.d, v.x * 2e0 - c.cx AS x
+            FROM dims v JOIN all_cells a ON a.vec_id = v.vec_id
+                 JOIN cdimsC c ON c.cc = a.cell AND c.d = v.d),
+          ${quantizerDriftScenarioSql("i", "iid_halves")},
+          ${quantizerDriftScenarioSql("r", "resid_scaled")},
+          ${codebookDriftScenarioSql("i")},
+          ${codebookDriftScenarioSql("r")}
+        SELECT scenario, n_base, n_cur, qerr_base, qerr_cur, qerr_ratio, tvd, noise_floor,
+               max_cell_share, resid_base, resid_cur, resid_ratio,
+               CASE WHEN n_base = 0 OR n_cur = 0 THEN FALSE
+                    ELSE (tvd > ${DriftMaxTvd}e0 + noise_floor)
+                         OR COALESCE(qerr_ratio > ${DriftMaxQerrRatio}e0, FALSE)
+                         OR COALESCE(resid_ratio > ${CodebookMaxResidRatio}e0, FALSE) END AS drift_alarm
+        FROM (SELECT * FROM i_crow UNION ALL SELECT * FROM r_crow)
+        ORDER BY scenario"""
+
   /** Shared oracle CTE chain for the binary-IVF 2D sweep (16 cells,
     * queries vec_id < 5, k=10, probe depths 2/4/8 x shortlists 25/50)
     * ending in the `frontier` CTE — shared by q_binary_ivf_sweep (the
@@ -827,6 +907,50 @@ object VectorQueries {
       report("iid_halves",
           emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1))
         .unionByName(report("shifted", emb, shifted))
+        .orderBy(col("scenario"))
+    },
+
+    // Drift monitor for the pinned (centroids, codebook) PAIR the
+    // residual IVF-PQ index encodes against — the quantizer report plus
+    // the decay axis PQ uniquely has: mean residual ADC error (each
+    // residual vs its nearest codebook entry per subspace) as a ratio vs
+    // baseline. The planted scenario scales every vector's RESIDUAL x2
+    // around its assigned day-0 centroid: occupancy barely moves (the
+    // TVD stays under the floored threshold) while coarse error and
+    // residual ADC error both read ~4x — the drift mode that silently
+    // degrades ADC rankings. The oracle takes the persisted codebook as
+    // given (the q_pq_adc pattern) and replays assignment, residuals,
+    // per-subspace min quantized L2, and all three ratios from scratch.
+    QueryDef(
+      "q_codebook_drift",
+      "pinned-codebook drift report: occupancy TVD + coarse-error + residual-ADC-error ratios, iid halves vs residual scale-up",
+      codebookDriftSql) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      def cent = Memo.parquetArtifact(s, dir, "binary_ivf_cent") {
+        Similarity.coarseCentroids(emb, "vec_id", "embedding", nCells = 16)
+      }
+      val cb = s.read.parquet(s"${ensureResidualShared(s, dir)}/codebook")
+      def report(label: String, base: org.apache.spark.sql.DataFrame,
+                 cur: org.apache.spark.sql.DataFrame) =
+        Similarity.codebookDriftStats(base, cur, "embedding", cent, cb, m = 8,
+            maxTvd = DriftMaxTvd, maxQerrRatio = DriftMaxQerrRatio,
+            maxResidRatio = CodebookMaxResidRatio)
+          .select(lit(label).as("scenario"), col("*"))
+      // residual scale-up around the ASSIGNED day-0 centroid, in DOUBLE
+      // space (v' = 2v - cv elementwise — same multiply-then-subtract
+      // the oracle replays, so the frames match bit-for-bit)
+      val cells = Similarity.assignCells(emb, "vec_id", "embedding", cent)
+      val scaled = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .join(cells, "vec_id")
+        .join(broadcast(cent.select(col("cc").cast("long").as("cell"),
+          col("cv").cast("array<double>").as("cv"))), "cell")
+        .select(col("vec_id"),
+          zip_with(col("v"), col("cv"), (a, b) => a * lit(2.0) - b)
+            .as("embedding"))
+      report("iid_halves",
+          emb.filter(col("vec_id") % 2 === 0), emb.filter(col("vec_id") % 2 === 1))
+        .unionByName(report("resid_scaled", emb, scaled))
         .orderBy(col("scenario"))
     },
 

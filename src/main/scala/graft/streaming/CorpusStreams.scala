@@ -628,6 +628,51 @@ object CorpusStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** annIndexSink plus the decay instrument the pinned (centroids,
+    * codebook) PAIR demands — the IVF-PQ sibling of
+    * [[binaryIvfIndexSinkWithDrift]]: each epoch also appends one
+    * codebookDriftStats row (this batch vs the persisted day-0 baseline
+    * at `baselinePath`) to the epoch-partitioned log at `driftLogPath`.
+    * Beyond the occupancy/coarse-error axes the report carries
+    * `resid_ratio`: mean residual ADC error vs baseline — the decay mode
+    * PQ uniquely has (residual directions rotating off the trained
+    * codebook degrade reconstruction while both coarse axes stay
+    * quiet). Ingest never blocks on an alarm; `EtlCli.checkDrift`
+    * surfaces alarmed epochs on the monitor cadence. A retrain here must
+    * move centroids AND codebook and re-encode the codes table — the
+    * codebook is trained on residuals against the old centroids, so the
+    * invalidation cascades (see the codebookDriftStats scaladoc).
+    * Replay-idempotent for the same reason as every drift row: a pure
+    * function of (baseline, centroids, codebook, batch). */
+  def annIndexSinkWithDrift(incoming: DataFrame, idCol: String, vecCol: String,
+                            centroidsPath: String, codebookPath: String,
+                            codesPath: String, checkpointDir: String, m: Int,
+                            baselinePath: String, driftLogPath: String,
+                            maxTvd: Double, maxQerrRatio: Double,
+                            maxResidRatio: Double): StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val cent = EtlCli.readTable(spark, centroidsPath)
+        val cb = EtlCli.readTable(spark, codebookPath)
+        val vecs = batch.select(col(idCol), col(vecCol))
+        EtlCli.appendEpoch(
+          graft.operators.Similarity.ivfPqResidualEncode(
+            vecs, idCol, vecCol, cent, cb, m),
+          codesPath, batchId)
+        EtlCli.appendEpoch(
+          graft.operators.Similarity.codebookDriftStats(
+              EtlCli.readTable(spark, baselinePath), vecs,
+              vecCol, cent, cb, m, maxTvd, maxQerrRatio, maxResidRatio)
+            .withColumn("epoch", lit(batchId)),
+          driftLogPath, batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming count-min sketch maintenance: each micro-batch appends its
     * own (j, bucket, cnt) partial cells as ITS epoch partition; the live
     * sketch is the cell-wise sum over epochs (readCmsSketch). CMS cells

@@ -90,10 +90,23 @@ object EtlCli {
              samplePeriod, idCol, vecCol) =>
       retrainBinaryIvf(spark, indexTable, centOut, idxOut, baseOut,
         nCells.toInt, dims.toInt, samplePeriod.toInt, idCol, vecCol)
+    case Seq("retrain-ivfpq", vecsTable, centOut, cbOut, codesOut, baseOut,
+             nCells, m, ksub, iters) =>
+      retrainIvfPq(spark, vecsTable, centOut, cbOut, codesOut, baseOut,
+        nCells.toInt, m.toInt, ksub.toInt, iters.toInt)
+    case Seq("retrain-ivfpq", vecsTable, centOut, cbOut, codesOut, baseOut,
+             nCells, m, ksub, iters, samplePeriod) =>
+      retrainIvfPq(spark, vecsTable, centOut, cbOut, codesOut, baseOut,
+        nCells.toInt, m.toInt, ksub.toInt, iters.toInt, samplePeriod.toInt)
+    case Seq("retrain-ivfpq", vecsTable, centOut, cbOut, codesOut, baseOut,
+             nCells, m, ksub, iters, samplePeriod, idCol, vecCol) =>
+      retrainIvfPq(spark, vecsTable, centOut, cbOut, codesOut, baseOut,
+        nCells.toInt, m.toInt, ksub.toInt, iters.toInt, samplePeriod.toInt,
+        idCol, vecCol)
     case other =>
       sys.error("usage: init|ingest|quality|stats|export|learn-bpe|versions|" +
         s"vacuum|diff|verify-export|sweep-lsh|sweep-binary|sweep-binary-ivf|" +
-        s"check-drift|retrain-binary-ivf ... (got $other)")
+        s"check-drift|retrain-binary-ivf|retrain-ivfpq ... (got $other)")
   }
 
   /** Build and COMMIT the LSH band-sweep artifact the streaming ingest's
@@ -230,6 +243,53 @@ object EtlCli {
     * — exactly as the LSH pick refuses a shingle-k mismatch. Accepts the
     * epoch layout a binaryIvf sink accretes, a versioned table (the
     * retrain/read-optimize output), or a raw directory. */
+  /** The remedial action a CODEBOOK-drift alarm names, for the residual
+    * IVF-PQ family — the invalidation-CASCADE retrain: fresh coarse
+    * centroids over the current corpus, a fresh residual codebook trained
+    * against them (the old codebook encodes residuals vs the OLD
+    * centroids, so retraining centroids alone invalidates the codebook
+    * too — both must move together), and a full re-encode — all committed
+    * blue/green via the versioned protocol, probes keep serving the old
+    * artifacts until the deployment switches paths. `vectorsTable`
+    * supplies (idCol, vecCol): unlike the binary index the PQ codes table
+    * deliberately does NOT carry vectors (8-byte codes ARE the point), so
+    * the retrain reads the corpus table the embedding pipeline maintains
+    * (epoch-partitioned, versioned, or a raw parquet dir).
+    * `baselineOut` gets the hash-rank 1/samplePeriod sample the monitor's
+    * next epochs compare against — same contract as retrainBinaryIvf. */
+  def retrainIvfPq(spark: SparkSession, vectorsTable: String,
+                   centroidsOut: String, codebookOut: String,
+                   codesOut: String, baselineOut: String,
+                   nCells: Int, m: Int, ksub: Int, iters: Int,
+                   samplePeriod: Int = 1, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Unit = {
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    require(samplePeriod >= 1, s"sample period must be >= 1, got $samplePeriod")
+    val vecs = scala.util.Try(readEpochTable(spark, vectorsTable))
+      .orElse(scala.util.Try(readTable(spark, vectorsTable)))
+      .getOrElse(spark.read.parquet(vectorsTable))
+    val missing = Seq(idCol, vecCol).filterNot(vecs.columns.contains)
+    if (missing.nonEmpty)
+      sys.error(s"vectors at $vectorsTable lack column(s) ${missing.mkString(", ")} " +
+        s"— pass the id/vector column names (got: ${vecs.columns.mkString(", ")})")
+    val corpus = vecs.select(col(idCol), col(vecCol))
+    if (corpus.isEmpty)
+      sys.error(s"vectors at $vectorsTable are empty — nothing to retrain on")
+    // ivfPqResidualBuild derives its coarse seeds from the corpus by the
+    // same deterministic hash-rank rule as coarseCentroids, so the
+    // persisted centroid table below IS the quantizer the codebook and
+    // codes were trained under — bit-for-bit
+    writeTable(graft.operators.Similarity.coarseCentroids(
+      corpus, idCol, vecCol, nCells), centroidsOut)
+    val (cb, codes) = graft.operators.Similarity.ivfPqResidualBuild(
+      corpus, idCol, vecCol, nCells, m, ksub, iters)
+    writeTable(cb, codebookOut)
+    writeTable(codes, codesOut)
+    writeTable(corpus.filter(
+        pmod(xxhash64(col(idCol).cast("string")), lit(samplePeriod.toLong)) === 0),
+      baselineOut)
+  }
+
   def sweepBinaryIvf(spark: SparkSession, indexTable: String,
                      centroidsPath: String, outTable: String,
                      nQueries: Int = 5, k: Int = 10,

@@ -481,4 +481,66 @@ class GrowthSpec extends SparkSpec {
     assert(r10 <= r1 * 2 + 100,
       s"cell-stats exchange grew with the corpus: $r1 -> $r10 records")
   }
+
+  test("(j) hot-cell skew: a concentrated corpus balloons stage-1 probe cost; max_cell_share names it first") {
+    // The cell-pruned probe's cost model assumes balanced cells: stage-1
+    // n_cand ~ nProbe/nCells of the corpus. A drifted (or naturally
+    // clustered) corpus concentrates codes into few cells, and ONE hot
+    // probed cell degrades n_cand toward the flat scan — a cost cliff
+    // recall metrics never see. This axis measures the cliff on a
+    // planted 80%-one-mode corpus AND asserts the drift report's
+    // max_cell_share column names it, so the monitor pages before a
+    // deployment discovers the regression as probe latency.
+    import graft.operators.Similarity
+    val baseEmb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // collapse 80% of the corpus into one tight mode around vector 0
+    // (deterministic: v' = mode + 0.01 * (v - mode)); the remaining 20%
+    // keeps its day-0 spread
+    val mode = baseEmb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("mv"))
+    val concentrated = baseEmb.crossJoin(broadcast(mode))
+      .select(col("vec_id"),
+        when(col("vec_id") % 5 === 0, col("embedding").cast("array<double>"))
+          .otherwise(zip_with(col("embedding").cast("array<double>"), col("mv"),
+            (a, b) => b + (a - b) * lit(0.01)))
+          .as("embedding"))
+    // day-0 quantizer, trained on the BALANCED corpus — pinned, as deployed
+    val cent = Similarity.coarseCentroids(baseEmb, "vec_id", "embedding",
+      nCells = 16)
+    val qIds = Seq(1L, 2L, 3L, 4L, 6L) // mode members after the collapse
+    def nCand(corpus: DataFrame): Long = {
+      val index = Similarity.binaryIvfIndexBuild(corpus, "vec_id", "embedding",
+        dims = 64, cent)
+      Similarity.binaryIvfCandidates(index,
+        corpus.filter(col("vec_id").isin(qIds: _*)),
+        "vec_id", "embedding", dims = 64, cent, nProbe = 2).count()
+    }
+    val balanced = nCand(baseEmb)
+    val hot = nCand(concentrated)
+    info(s"stage-1 candidates: balanced=$balanced concentrated=$hot")
+    assert(balanced > 0, "balanced probe must score candidates")
+    // the cliff is real: mode queries probing the hot cell score a large
+    // multiple of the balanced cost at the SAME (nCells, nProbe, |corpus|)
+    assert(hot >= 3 * balanced,
+      s"expected the hot cell to balloon stage-1 cost: $balanced -> $hot")
+    // ...and the monitor names it BEFORE the probe feels it: the drift
+    // report against the day-0 baseline reads the concentration directly
+    import spark.implicits._
+    val (shareBase, shareHot, alarm) = Similarity.quantizerDriftStats(
+        baseEmb, concentrated, "embedding", cent,
+        maxTvd = 0.1, maxQerrRatio = 1.25)
+      .select(col("max_cell_share"), col("max_cell_share"), col("drift_alarm"))
+      .as[(Double, Double, Boolean)].head() match {
+        case (_, s, a) =>
+          val b = Similarity.quantizerDriftStats(baseEmb, baseEmb, "embedding",
+              cent, maxTvd = 0.1, maxQerrRatio = 1.25)
+            .select(col("max_cell_share")).as[Double].head()
+          (b, s, a)
+      }
+    info(f"max_cell_share: balanced=$shareBase%.3f concentrated=$shareHot%.3f")
+    assert(shareHot >= 0.7, s"hot-cell share must expose the mode: $shareHot")
+    assert(shareBase <= 0.4, s"balanced corpus should spread: $shareBase")
+    assert(alarm, "an 80%-one-mode corpus must page the drift monitor")
+  }
 }

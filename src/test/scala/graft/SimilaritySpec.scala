@@ -684,4 +684,45 @@ class SimilaritySpec extends SparkSpec {
     assert(share(emb, emb.limit(0)).isEmpty,
       "empty frame must report a null hot-cell share")
   }
+
+  test("codebookDriftStats: residual-ADC axis quiet on self, alarmed by residual scale-up, empty-safe") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cent = Similarity.coarseCentroids(emb, "vec_id", "embedding", nCells = 8)
+      .transform(graft.core.Materialize.pin)
+    val (cb, _) = Similarity.ivfPqResidualBuild(emb, "vec_id", "embedding",
+      nCells = 8, m = 8, ksub = 8, iters = 1)
+    def stats(base: org.apache.spark.sql.DataFrame,
+              cur: org.apache.spark.sql.DataFrame) =
+      Similarity.codebookDriftStats(base, cur, "embedding", cent, cb, m = 8,
+          maxTvd = 0.1, maxQerrRatio = 1.25, maxResidRatio = 1.25)
+        .select(col("n_cur"), col("qerr_ratio"), col("resid_base"),
+          col("resid_cur"), col("resid_ratio"), col("drift_alarm"))
+        .as[(Long, Option[Double], Option[Double], Option[Double],
+             Option[Double], Boolean)].head()
+    // self-comparison: every axis reads 1.0/quiet
+    val same = stats(emb, emb)
+    assert(same._5.contains(1.0) && !same._6,
+      s"self-comparison must be driftless on the residual axis: $same")
+    // residual scale-up around the ASSIGNED centroid (v' = 2v - cv):
+    // coarse error AND residual ADC error read ~4x; the alarm fires even
+    // with the occupancy axis quiet
+    val cells = Similarity.assignCells(emb, "vec_id", "embedding", cent)
+    val scaled = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .join(cells, "vec_id")
+      .join(broadcast(cent.select(col("cc").cast("long").as("cell"),
+        col("cv").cast("array<double>").as("cv"))), "cell")
+      .select(col("vec_id"),
+        zip_with(col("v"), col("cv"), (a, b) => a * lit(2.0) - b).as("embedding"))
+    val up = stats(emb, scaled)
+    assert(up._6 && up._5.exists(_ > 1.25),
+      s"residual scale-up must alarm via resid_ratio: $up")
+    assert(up._5.exists(r => r > 2.0 && r < 8.0),
+      s"doubled residuals should read ~4x ADC error: ${up._5}")
+    // empty current frame: null metrics, no alarm, no ANSI crash
+    val empty = stats(emb, emb.limit(0))
+    assert(empty._1 == 0L && empty._4.isEmpty && empty._5.isEmpty && !empty._6,
+      s"empty frame must be visible and quiet: $empty")
+  }
 }

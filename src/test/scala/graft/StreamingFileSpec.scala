@@ -837,6 +837,92 @@ class StreamingFileSpec extends SparkSpec {
     assert(walk(new java.io.File(paths("codes"))).sorted == before)
   }
 
+  test("annIndexSinkWithDrift: per-epoch codebook drift log; shifted epoch alarms all axes; check-drift names it") {
+    import graft.streaming.CorpusStreams
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("ann_drift")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectory(in)
+    def paths(n: String) = root.resolve(n).toString
+    // day-0 artifacts: pinned centroids + codebook + the baseline they
+    // were trained from
+    val (cb0, _) = graft.operators.Similarity.ivfPqResidualBuild(
+      emb, "vec_id", "embedding", nCells = 8, m = 8, ksub = 8, iters = 1)
+    graft.tools.EtlCli.writeTable(
+      graft.operators.Similarity.coarseCentroids(emb, "vec_id", "embedding", 8),
+      paths("centroids"))
+    graft.tools.EtlCli.writeTable(cb0, paths("codebook"))
+    graft.tools.EtlCli.writeTable(emb, paths("baseline"))
+    def stage(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, in.resolve(name + ".parquet"))
+    }
+    // epoch 0: iid re-draw (fresh ids); epoch 1: the diagonal shift
+    stage("b0", emb.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    stage("b1", emb.select((col("vec_id") + 200000).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.5f)).as("embedding")))
+    CorpusStreams.annIndexSinkWithDrift(
+      spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+        .parquet(in.toString),
+      "vec_id", "embedding", paths("centroids"), paths("codebook"),
+      paths("codes"), paths("chk"), m = 8, paths("baseline"), paths("drift"),
+      maxTvd = 0.1, maxQerrRatio = 1.25, maxResidRatio = 1.25)
+      .awaitTermination(120000)
+    // the codes side is untouched by the instrumentation
+    assert(graft.tools.EtlCli.committedEpochs(spark, paths("codes")) == Seq(0L, 1L))
+    assert(graft.tools.EtlCli.readEpochTable(spark, paths("codes")).count()
+      == 2 * emb.count())
+    // one drift row per epoch, resid axis included: quiet iid, alarmed shift
+    val log = graft.tools.EtlCli.readEpochTable(spark, paths("drift"))
+      .select(col("epoch"), col("drift_alarm"), col("resid_ratio"))
+      .as[(Long, Boolean, Double)].collect().sortBy(_._1)
+    assert(log.map(r => (r._1, r._2)).toSeq == Seq((0L, false), (1L, true)),
+      s"drift log: ${log.toSeq}")
+    assert(log(1)._3 > 1.25,
+      s"shifted residuals must show in the ADC-error ratio: ${log(1)._3}")
+    val ex = intercept[RuntimeException] {
+      graft.tools.EtlCli.checkDrift(spark, paths("drift"))
+    }
+    assert(ex.getMessage.contains("epoch(s) 1"), ex.getMessage)
+
+    // ---- the remedial action: the invalidation-CASCADE retrain ----
+    // (codes don't carry vectors, so the retrain reads the corpus table
+    // the embedding pipeline maintains — here the two ingested batches)
+    val corpus = spark.read.parquet(in.toString)
+      .select(col("vec_id"), col("embedding"))
+    graft.tools.EtlCli.writeTable(corpus, paths("vecs"))
+    graft.tools.EtlCli.retrainIvfPq(spark, paths("vecs"), paths("cent2"),
+      paths("cb2"), paths("codes2"), paths("base2"),
+      nCells = 8, m = 8, ksub = 8, iters = 1)
+    // the committed re-encode equals a from-scratch encode under the new
+    // (centroids, codebook) pair — centroids/codebook/codes moved TOGETHER
+    def codesOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cid").cast("long"), col("cell").cast("long"),
+        col("codes").cast("array<long>"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .toSeq.sortBy(_._1)
+    assert(codesOf(graft.tools.EtlCli.readTable(spark, paths("codes2"))) ==
+      codesOf(graft.operators.Similarity.ivfPqResidualEncode(corpus,
+        "vec_id", "embedding",
+        graft.tools.EtlCli.readTable(spark, paths("cent2")),
+        graft.tools.EtlCli.readTable(spark, paths("cb2")), m = 8)),
+      "retrained codes diverge from a from-scratch encode")
+    // the previously-alarmed batch reads quiet against the new artifacts
+    val shifted = spark.read.parquet(in.resolve("b1.parquet").toString)
+    val post = graft.operators.Similarity.codebookDriftStats(
+        graft.tools.EtlCli.readTable(spark, paths("base2")), shifted,
+        "embedding", graft.tools.EtlCli.readTable(spark, paths("cent2")),
+        graft.tools.EtlCli.readTable(spark, paths("cb2")), m = 8,
+        maxTvd = 0.1, maxQerrRatio = 1.25, maxResidRatio = 1.25)
+      .select(col("qerr_ratio"), col("resid_ratio")).as[(Double, Double)].head()
+    assert(post._1 < 1.25 && post._2 < 1.25,
+      s"retrain must clear both error axes: $post")
+  }
+
   test("binaryIndexSink: streamed epoch union == batch build; probe equals the batch path") {
     import graft.streaming.CorpusStreams
     import spark.implicits._
