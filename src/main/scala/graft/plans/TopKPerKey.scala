@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -36,8 +36,15 @@ final case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOr
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning = child.outputPartitioning
 
+  // empty keys = GLOBAL top-k: every row shares the one (empty) heap key,
+  // the partial pass bounds each partition to k rows, and the final pass
+  // merges them in a single partition (AllTuples — ClusteredDistribution
+  // disallows an empty clustering). This is the case that matters most at
+  // scale: the window formulation of a global top-k is a single-partition
+  // FULL SORT of the input.
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
+    else if (keys.isEmpty) Seq(AllTuples)
     else Seq(ClusteredDistribution(keys))
 
   override protected def doExecute(): RDD[InternalRow] = {

@@ -18,7 +18,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * difference between a full-fact-table sort and a bounded heap scan.
   *
   * Fires only when provably safe:
-  *  - single row_number window expression, non-empty PARTITION BY;
+  *  - single row_number window expression; PARTITION BY may be EMPTY —
+  *    that is the GLOBAL top-k, where the window formulation is a
+  *    single-partition full sort and the bounded heap matters most.
+  *    (Spark 4's EliminateWindowPartitions folds constant partition
+  *    expressions to an empty spec, so a per-constant-group window —
+  *    e.g. a whole-corpus bottom-k sample — lands here too.)
   *  - the filter is `rn <= lit` / `rn < lit` (and nothing else) on the
   *    window's own rank attribute;
   *  - a projection ABOVE the filter drops the rank column and references
@@ -43,7 +48,7 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList, Filter(cond, w: Window))
-        if w.windowExpressions.size == 1 && w.partitionSpec.nonEmpty =>
+        if w.windowExpressions.size == 1 =>
       w.windowExpressions.head match {
         case alias @ Alias(WindowExpression(_: RowNumber,
             WindowSpecDefinition(_, orderSpec, _)), _) if orderSpec.nonEmpty =>

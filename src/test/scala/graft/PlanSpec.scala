@@ -439,4 +439,34 @@ class PlanSpec extends SparkSpec {
     val vecShuffles = "Exchange hashpartitioning\\([^)]*embedding".r.findAllIn(p).size
     assert(vecShuffles == 0, s"raw vectors crossed a shuffle:\n$p")
   }
+
+  test("GLOBAL top-k lowers to the bounded heap, not a single-partition sort") {
+    // Spark 4's EliminateWindowPartitions folds a CONSTANT partition
+    // column (e.g. bottomKSample's whole-corpus group) to an EMPTY
+    // window spec — which used to slip past the TopKRewrite guard and
+    // execute as a single-partition full sort of the input: the exact
+    // 100 TB failure mode the operator exists to prevent, silently
+    // reintroduced by an optimizer rule. The rewrite now accepts the
+    // empty spec (partial per-partition heaps -> AllTuples final heap).
+    import org.apache.spark.sql.functions._
+    val samp = graft.operators.Sketches.bottomKSample(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          lit("all").as("g")),
+      "doc_id", "n_chars", Seq("g"), k = 16)
+    val p = samp.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"),
+      s"constant-group bottom-k must lower to the bounded heap:\n$p")
+    assert(!p.contains("Window "), s"window formulation survived:\n$p")
+    // correctness vs the window formulation on the same frame
+    import spark.implicits._
+    val viaHeap = samp.select(col("doc_id").cast("long")).as[Long].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val viaWindow = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 16).select(col("doc_id").cast("long"))
+      .as[Long].collect().toSet
+    assert(viaHeap == viaWindow, s"global top-k diverged: $viaHeap vs $viaWindow")
+  }
 }

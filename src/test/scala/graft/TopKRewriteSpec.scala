@@ -43,19 +43,30 @@ class TopKRewriteSpec extends SparkSpec {
     assert(q.count() == 21)
   }
 
-  test("compound filter or global window -> no rewrite") {
+  test("compound filter -> no rewrite; GLOBAL window -> bounded-heap rewrite") {
     val w = Window.partitionBy("grp").orderBy(desc("ord"))
     val compound = fixture.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3 && col("ord") > 10)
       .select("grp", "ord")
     assert(!hasTopK(compound))
 
+    // an empty PARTITION BY is the global top-k — the case where the
+    // window formulation is a single-partition FULL SORT of the input
+    // and the bounded heap matters most (Spark 4's
+    // EliminateWindowPartitions also folds constant partition columns
+    // to this shape, e.g. a whole-corpus bottom-k sample)
     val globalW = Window.orderBy(desc("ord"))
     val global = fixture.withColumn("rn", row_number().over(globalW))
       .filter(col("rn") <= 3)
       .select("grp", "ord")
-    assert(!hasTopK(global))
+    assert(hasTopK(global), "global top-k must lower to the bounded heap")
     assert(global.count() == 3)
+    // same rows as the window formulation: ord is unique in the fixture,
+    // so the global top-3 is deterministic
+    import spark.implicits._
+    assert(global.select(col("ord").cast("long")).as[Long].collect().toSet ==
+      fixture.orderBy(desc("ord")).limit(3)
+        .select(col("ord").cast("long")).as[Long].collect().toSet)
   }
 
   test("strict-less-than bound rewrites with k-1") {
