@@ -609,6 +609,29 @@ object CorpusStreams {
       .withColumn("shortlist", lit(shortlist))
   }
 
+  /** The (centroids, codebook) PAIR-binding guard: a residual codebook is
+    * trained against ONE quantizer (codes encode v - centroid[cell]), so
+    * deploying retrained centroids with a stale codebook — or vice versa
+    * — encodes garbage codes with no error anywhere downstream. Codebooks
+    * stamped by `EtlCli.retrainIvfPq` carry the identity of the quantizer
+    * they were trained under; a mismatch against the deployed centroids
+    * refuses loudly, naming both. Legacy unstamped codebooks pass
+    * unchecked (same posture as the sweep stamps). */
+  private def requirePairedCodebook(cent: DataFrame, cb: DataFrame,
+                                    centroidsPath: String,
+                                    codebookPath: String): Unit =
+    if (cb.columns.contains("quantizer_id")) {
+      val stamped = cb.select(col("quantizer_id").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val live = graft.operators.Similarity.quantizerIdentity(cent)
+      require(stamped == Seq(live),
+        s"codebook at $codebookPath was trained against quantizer identity " +
+          s"${stamped.mkString(",")} but the centroids at $centroidsPath have " +
+          s"identity $live — retrain-ivfpq moves centroids and codebook " +
+          "together; encoding against a mismatched pair would store garbage " +
+          "codes silently")
+    }
+
   def annIndexSink(incoming: DataFrame, idCol: String, vecCol: String,
                    centroidsPath: String, codebookPath: String, codesPath: String,
                    checkpointDir: String, m: Int): StreamingQuery =
@@ -619,6 +642,7 @@ object CorpusStreams {
         val spark = batch.sparkSession
         val cent = EtlCli.readTable(spark, centroidsPath)
         val cb = EtlCli.readTable(spark, codebookPath)
+        requirePairedCodebook(cent, cb, centroidsPath, codebookPath)
         EtlCli.appendEpoch(
           graft.operators.Similarity.ivfPqResidualEncode(
             batch.select(col(idCol), col(vecCol)), idCol, vecCol, cent, cb, m),
@@ -657,6 +681,7 @@ object CorpusStreams {
         val spark = batch.sparkSession
         val cent = EtlCli.readTable(spark, centroidsPath)
         val cb = EtlCli.readTable(spark, codebookPath)
+        requirePairedCodebook(cent, cb, centroidsPath, codebookPath)
         val vecs = batch.select(col(idCol), col(vecCol))
         EtlCli.appendEpoch(
           graft.operators.Similarity.ivfPqResidualEncode(

@@ -283,7 +283,13 @@ object EtlCli {
       corpus, idCol, vecCol, nCells), centroidsOut)
     val (cb, codes) = graft.operators.Similarity.ivfPqResidualBuild(
       corpus, idCol, vecCol, nCells, m, ksub, iters)
-    writeTable(cb, codebookOut)
+    // stamp the codebook with the quantizer it was trained UNDER: the
+    // residual codebook is meaningless against any other centroids, and
+    // the streaming encode sinks refuse a mismatched pair (deploying new
+    // centroids with a stale codebook would encode garbage silently)
+    writeTable(cb.withColumn("quantizer_id",
+      lit(graft.operators.Similarity.quantizerIdentity(
+        readTable(spark, centroidsOut)))), codebookOut)
     writeTable(codes, codesOut)
     writeTable(corpus.filter(
         pmod(xxhash64(col(idCol).cast("string")), lit(samplePeriod.toLong)) === 0),

@@ -921,6 +921,25 @@ class StreamingFileSpec extends SparkSpec {
       .select(col("qerr_ratio"), col("resid_ratio")).as[(Double, Double)].head()
     assert(post._1 < 1.25 && post._2 < 1.25,
       s"retrain must clear both error axes: $post")
+
+    // pair-binding guard: the retrained codebook is STAMPED with the
+    // quantizer it was trained under — encoding against the OLD
+    // centroids (a half-switched deployment) must refuse, not store
+    // garbage codes silently
+    val in2 = root.resolve("in2"); java.nio.file.Files.createDirectory(in2)
+    java.nio.file.Files.copy(in.resolve("b0.parquet"), in2.resolve("b0.parquet"))
+    val exPair = intercept[Exception] {
+      CorpusStreams.annIndexSink(
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+          .parquet(in2.toString),
+        "vec_id", "embedding", paths("centroids"), paths("cb2"),
+        paths("codesX"), paths("chk2"), m = 8).awaitTermination(120000)
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(exPair).contains("identity"), messages(exPair))
+    // the mismatched batch must not have committed any codes
+    assert(graft.tools.EtlCli.committedEpochs(spark, paths("codesX")).isEmpty)
   }
 
   test("binaryIndexSink: streamed epoch union == batch build; probe equals the batch path") {
