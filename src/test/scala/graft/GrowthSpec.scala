@@ -482,6 +482,75 @@ class GrowthSpec extends SparkSpec {
       s"cell-stats exchange grew with the corpus: $r1 -> $r10 records")
   }
 
+  test("(k) codebook drift report: total shuffle stays O(cells x partitions) as the corpus grows 10x") {
+    // The PQ drift monitor's scale claim, measured: the shared driftReport
+    // core computes assignment + coarse error + residual-ADC error in ONE
+    // in-row projection (argmin cell, quantized L2, fused min-quantized-L2
+    // kernel against the broadcast codebook), so the only data-sized
+    // exchange is the (side, cell) aggregation's partials — bounded by
+    // partitions x 2 x nCells whatever the corpus size. A regression that
+    // shuffled residuals (or exploded subvectors) before aggregating would
+    // read ~10x here. The report pins an intermediate (a separate eager
+    // job), so plan-tree metrics miss its stages — a listener sums shuffle
+    // WRITE records across every job the report triggers instead; inputs
+    // are pre-pinned so the ensureParallelism round-robin spread (corpus-
+    // sized by design) stays outside the measurement.
+    import graft.operators.Similarity
+    val baseEmb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .transform(graft.core.Materialize.pin)
+    def embAt(copies: Int): DataFrame =
+      (0 until copies).map(i => baseEmb.select(
+        (col("vec_id") + lit(i * Stride)).as("vec_id"), col("embedding")))
+        .reduce(_ unionAll _)
+        .transform(graft.core.Materialize.pin)
+    val cent = Similarity.coarseCentroids(baseEmb, "vec_id", "embedding",
+      nCells = 8).transform(graft.core.Materialize.pin)
+    val cbP = Similarity.ivfPqResidualBuild(baseEmb, "vec_id", "embedding",
+      nCells = 8, m = 8, ksub = 8, iters = 1)._1
+      .transform(graft.core.Materialize.pin)
+    def shuffledDuring(thunk: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          acc.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        thunk
+        // listener delivery is async: poll until the counter stabilizes
+        var last = -1L; var same = 0
+        while (same < 5) {
+          Thread.sleep(100)
+          val cur = acc.get
+          if (cur == last) same += 1 else { same = 0; last = cur }
+        }
+        acc.get
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    def recsAt(cur: DataFrame, scale: Int): Long = {
+      val recs = shuffledDuring {
+        Similarity.codebookDriftStats(baseEmb, cur, "embedding", cent, cbP,
+            m = 8, maxTvd = 0.1, maxQerrRatio = 1.25, maxResidRatio = 1.25)
+          .collect()
+        ()
+      }
+      info(s"current frame ${scale}x: shuffled=$recs records across all jobs")
+      recs
+    }
+    // maxPartitionBytes=1 makes ensureParallelism's metadata estimate see
+    // "already parallel" — its round-robin spread is corpus-sized by
+    // design and proves nothing about the aggregation being measured
+    val (r1, r10) = withConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.files.maxPartitionBytes" -> "1") {
+      (recsAt(embAt(1), 1), recsAt(embAt(10), 10))
+    }
+    assert(r1 > 0, "expected the drift aggregation to exchange partials")
+    assert(r10 <= r1 * 2 + 100,
+      s"drift-report shuffle grew with the corpus: $r1 -> $r10 records")
+  }
+
   test("(j) hot-cell skew: a concentrated corpus balloons stage-1 probe cost; max_cell_share names it first") {
     // The cell-pruned probe's cost model assumes balanced cells: stage-1
     // n_cand ~ nProbe/nCells of the corpus. A drifted (or naturally
