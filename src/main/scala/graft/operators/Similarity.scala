@@ -82,6 +82,76 @@ object Similarity {
   private def argminCell(v: Column, cents: Column): Column =
     pcol(graft.plans.ArgminCellExpr(pexpr(v), pexpr(cents)))
 
+  /** A quantizer artifact in canonical tree form: (cc long, cv double[],
+    * parent long?, axis double[]?, plo long?, phi long?). Flat (cc, cv)
+    * tables — the pre-split common case — normalize to all-roots. A
+    * split root carries the slab `axis` its children partition along;
+    * each child carries its half-open projection interval [plo, phi)
+    * in raw quantized-dot units (exact longs — interval membership can
+    * never flap across engines or partitionings). */
+  private def normalizeTree(tree: DataFrame): DataFrame = {
+    def opt(df: DataFrame, c: String, v: Column): DataFrame =
+      if (df.columns.contains(c)) df.withColumn(c, v) else df.withColumn(c,
+        lit(null).cast(if (c == "axis") ArrayType(DoubleType): DataType
+                       else LongType))
+    var t = tree.withColumn("cc", col("cc").cast(LongType))
+      .withColumn("cv", dvec(col("cv")))
+    t = opt(t, "parent", col("parent").cast(LongType))
+    t = opt(t, "axis", dvec(col("axis")))
+    t = opt(t, "plo", col("plo").cast(LongType))
+    t = opt(t, "phi", col("phi").cast(LongType))
+    t.select(col("cc"), col("cv"), col("parent"), col("axis"),
+      col("plo"), col("phi"))
+  }
+
+  /** The probe-rankable rows of a quantizer artifact — the cells that
+    * STORE codes. A flat (cc, cv) table is all leaves; after
+    * [[splitHotCells]] the artifact carries a `parent` column and a split
+    * root only ROUTES (its children store), so it drops out here. Probe
+    * ranking, identity stamping ([[quantizerIdentity]]), live-row
+    * filtering, and the drift report's cell set all read THIS view. */
+  def leafCells(tree: DataFrame): DataFrame =
+    if (!tree.columns.contains("parent")) tree
+    else tree.join(
+      broadcast(tree.filter(col("parent").isNotNull)
+        .select(col("parent").cast(LongType).as("__pp")).distinct()),
+      tree("cc").cast(LongType) === col("__pp"), "left_anti")
+
+  /** Input columns plus `cell` assigned by the (possibly split)
+    * quantizer: argmin over the level-0 roots, then — when that root was
+    * split ([[splitHotCells]]) — the child whose half-open projection
+    * interval [plo, phi) contains the vector's raw quantized dot with the
+    * root's slab axis. A flat (cc, cv) table is pure level-0 (one argmin,
+    * the historical path and plan); either way assignment is map-only
+    * (broadcast one-row tables, in-row kernels) and a pure function of
+    * (tree, vector), so incremental appends still equal a from-scratch
+    * build row-for-row. The interval compare is on exact longs —
+    * boundary membership cannot flap. */
+  private def withTreeCell(df: DataFrame, v: Column, tree: DataFrame): DataFrame =
+    if (!tree.columns.contains("parent"))
+      df.crossJoin(broadcast(centOneRow(tree)))
+        .withColumn("cell", argminCell(v, col("cents")))
+        .drop("cents")
+    else {
+      val tn = normalizeTree(tree)
+      val kids = tn.filter(col("parent").isNotNull)
+        .groupBy(col("parent").as("__root"))
+        .agg(sort_array(collect_list(struct(col("plo"), col("phi"),
+          col("cc")))).as("__kids"))
+      val axes = tn.filter(col("parent").isNull && col("axis").isNotNull)
+        .select(col("cc").as("__root"), col("axis").as("__axis"))
+      val info = kids.join(axes, Seq("__root"))
+      val p = pcol(graft.plans.QuantizedDotSum(pexpr(v), pexpr(col("__axis"))))
+      df.crossJoin(broadcast(centOneRow(tn.filter(col("parent").isNull))))
+        .withColumn("__root", argminCell(v, col("cents"))).drop("cents")
+        .join(broadcast(info), Seq("__root"), "left_outer")
+        .withColumn("cell", when(col("__kids").isNull, col("__root"))
+          .otherwise(element_at(filter(col("__kids"),
+              k => p >= k.getField("plo") && p < k.getField("phi")), 1)
+            .getField("cc")))
+        .drop("__root", "__kids", "__axis")
+    }
+
   /** (id, d, x) exploded view of a vector column, x widened to double;
     * input is spread across the cluster first (the explode fans out 64x). */
   def explodeDims(df: DataFrame, idCol: String, vecCol: String): DataFrame =
@@ -1150,11 +1220,10 @@ object Similarity {
     * build row-for-row. */
   def binaryIvfIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
                           dims: Int, cent: DataFrame): DataFrame =
-    graft.core.Tables.ensureParallelism(corpus)
-      .select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centOneRow(cent)))
-      .select(col(idCol),
-        argminCell(dvec(col(vecCol)), col("cents")).as("cell"),
+    withTreeCell(
+        graft.core.Tables.ensureParallelism(corpus).select(col(idCol), col(vecCol)),
+        dvec(col(vecCol)), cent)
+      .select(col(idCol), col("cell"),
         packWords(col(vecCol), dims).as("words"),
         col(vecCol))
 
@@ -1171,10 +1240,14 @@ object Similarity {
                           vecCol: String, dims: Int, cent: DataFrame,
                           nProbe: Int): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    // probes rank LEAF cells only: after a hot-cell split the parent row
+    // routes appends but stores nothing live — probing it would resurrect
+    // the stale pre-split copies in old epochs as duplicate candidates
+    val leaves = leafCells(cent).select(col("cc"), col("cv"))
     val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"),
       packWords(col(vecCol), dims).as("qw"))
     val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cc"))
-    val probes = q.crossJoin(broadcast(cent))
+    val probes = q.crossJoin(broadcast(leaves))
       .select(col("qid"), col("qw"), col("cc"), ql2(col("qv"), col("cv")).as("d2"))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
@@ -1245,10 +1318,11 @@ object Similarity {
     require(shortlists.nonEmpty && shortlists.forall(_ >= k),
       s"every shortlist must cover k=$k, got $shortlists")
     import queries.sparkSession.implicits._
+    val leaves = leafCells(cent).select(col("cc"), col("cv"))
     val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"),
       packWords(col(vecCol), dims).as("qw"))
     val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cc"))
-    val probes = q.crossJoin(broadcast(cent))
+    val probes = q.crossJoin(broadcast(leaves))
       .select(col("qid"), col("qw"), col("qv"), col("cc"),
         ql2(col("qv"), col("cv")).as("d2"))
       .withColumn("rn", row_number().over(wProbe))
@@ -1341,7 +1415,7 @@ object Similarity {
                           k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
     val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cc"))
-    val probedCells = q.crossJoin(broadcast(cent))
+    val probedCells = q.crossJoin(broadcast(leafCells(cent).select(col("cc"), col("cv"))))
       .select(col("qid"), col("cc"), ql2(col("qv"), col("cv")).as("d2"))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
@@ -1410,11 +1484,10 @@ object Similarity {
     * order-independent, engine-portable. */
   def quantizerCellStats(df: DataFrame, vecCol: String,
                          cent: DataFrame): DataFrame =
-    graft.core.Tables.ensureParallelism(df)
-      .select(dvec(col(vecCol)).as("v"))
-      .crossJoin(broadcast(centOneRow(cent)))
-      .select(col("v"), argminCell(col("v"), col("cents")).as("cell"))
-      .join(broadcast(cent.select(col("cc").cast(LongType).as("cell"),
+    withTreeCell(
+        graft.core.Tables.ensureParallelism(df).select(dvec(col(vecCol)).as("v")),
+        col("v"), cent)
+      .join(broadcast(leafCells(cent).select(col("cc").cast(LongType).as("cell"),
         col("cv"))), Seq("cell"))
       .select(col("cell"),
         pcol(graft.plans.QuantizedL2Sum(pexpr(col("v")), pexpr(col("cv"))))
@@ -1448,11 +1521,13 @@ object Similarity {
     val zero = lit(0).cast(DecimalType(38, 0))
     def tag(df: DataFrame, side: Int): DataFrame =
       df.select(dvec(col(vecCol)).as("v"), lit(side).as("side"))
+    val leaves = leafCells(cent)
     val assigned =
-      graft.core.Tables.ensureParallelism(tag(baseline, 0).unionByName(tag(current, 1)))
-        .crossJoin(broadcast(centOneRow(cent)))
-        .select(col("v"), col("side"), argminCell(col("v"), col("cents")).as("cell"))
-        .join(broadcast(cent.select(col("cc").cast(LongType).as("cell"),
+      withTreeCell(
+          graft.core.Tables.ensureParallelism(
+            tag(baseline, 0).unionByName(tag(current, 1))),
+          col("v"), cent)
+        .join(broadcast(leaves.select(col("cc").cast(LongType).as("cell"),
           dvec(col("cv")).as("cv"))), Seq("cell"))
     val qerr = pcol(graft.plans.QuantizedL2Sum(pexpr(col("v")), pexpr(col("cv"))))
       .cast(DecimalType(38, 0))
@@ -1473,7 +1548,7 @@ object Similarity {
         sum(col("aerr")).as("asum"))
     def side(s: Int, c: Column) = sum(when(col("side") === s, c))
     val per = graft.core.Materialize.pin(
-      cent.select(col("cc").cast(LongType).as("cell"))
+      leaves.select(col("cc").cast(LongType).as("cell"))
         .join(bySideCell.groupBy("cell").agg(
             side(0, col("n")).as("nb0"), side(0, col("qs")).as("qb0"),
             side(0, col("asum")).as("ab0"),
@@ -1559,10 +1634,11 @@ object Similarity {
     * ivfPqResidualEncode would store. */
   def assignCells(df: DataFrame, idCol: String, vecCol: String,
                   cent: DataFrame): DataFrame =
-    graft.core.Tables.ensureParallelism(df)
-      .select(col(idCol), dvec(col(vecCol)).as("__v"))
-      .crossJoin(broadcast(centOneRow(cent)))
-      .select(col(idCol), argminCell(col("__v"), col("cents")).as("cell"))
+    withTreeCell(
+        graft.core.Tables.ensureParallelism(df)
+          .select(col(idCol), dvec(col(vecCol)).as("__v")),
+        col("__v"), cent)
+      .select(col(idCol), col("cell"))
 
   /** quantizerDriftStats for the RESIDUAL-PQ family — the same
     * occupancy/coarse-error report PLUS the decay axis PQ uniquely has:
@@ -1596,20 +1672,231 @@ object Similarity {
       Some((codebook, m, maxResidRatio)))
   }
 
-  /** Deterministic identity of a (cc, cv) centroid table: bit-XOR of the
-    * per-row xxhash64 over (cc, cv-as-double) — order-independent (XOR is
-    * commutative; rows are unique by cc) and layout-independent (floats
-    * widen to double exactly, matching every quantized kernel's view of
-    * the vectors). Recall claims are measured AGAINST a quantizer: a
-    * sweep artifact stamped with this identity can refuse to deploy
-    * against centroids it never measured (the stale-sweep-after-retrain
-    * hazard — see CorpusStreams.binaryIvfProbeWithSweep). Driver-side
-    * cost is one nCells-row aggregation. */
+  /** Deterministic identity of a quantizer artifact: bit-XOR of the
+    * per-LEAF-row xxhash64 over (cc, cv-as-double) — order-independent
+    * (XOR is commutative; rows are unique by cc) and layout-independent
+    * (floats widen to double exactly, matching every quantized kernel's
+    * view of the vectors). The hash covers [[leafCells]] — the
+    * probe-rankable set recall is actually measured against — so a flat
+    * table's identity is unchanged by normalization, and a
+    * [[splitHotCells]] flip (which moves the leaf set) invalidates every
+    * sweep stamped before it, exactly like a retrain does. Recall claims
+    * are measured AGAINST a quantizer: a sweep artifact stamped with this
+    * identity can refuse to deploy against centroids it never measured
+    * (the stale-sweep-after-retrain hazard — see
+    * CorpusStreams.binaryIvfProbeWithSweep). Driver-side cost is one
+    * nCells-row aggregation. */
   def quantizerIdentity(cent: DataFrame): Long =
-    cent.select(xxhash64(col("cc").cast(LongType),
+    leafCells(cent).select(xxhash64(col("cc").cast(LongType),
         dvec(col("cv"))).as("h"))
       .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("id"))
       .collect().head.getLong(0)
+
+  // ---- hot-cell split: the skew remedial -------------------------------
+  // quantizerDriftStats.max_cell_share names the cost cliff (a corpus
+  // concentrating into few cells degrades the cell-pruned probe's
+  // stage-1 n_cand toward the flat scan — GrowthSpec measures it); this
+  // is the remedial sized to the problem. A full retrain moves EVERY
+  // stored cell: O(corpus) re-encode and rewrite. A hot cell is local,
+  // so the fix is local — split ONLY the hot cells, append ONLY their
+  // relabeled rows, flip the quantizer artifact.
+
+  /** Split every leaf cell holding more than `maxShare` of the LIVE
+    * index into up to `branch` child cells — the hot-cell remedial,
+    * O(hot mass), never O(corpus).
+    *
+    * Mechanics (deterministic and engine-portable; the oracle replays
+    * the bisect in SQL). The split is a BALANCED projection slab, not a
+    * k-means step: the remedial's goal is probe-COST balance — a hot
+    * cell is hot because too many rows share one probe target — and a
+    * clustering step on a tight mode collapses back to one dominant
+    * child (measured: 2-means left stage-1 cost at 99% of the cliff),
+    * while rank-quantile slabs guarantee children within one row of
+    * hot/branch at build time.
+    *  - hot = leaf cells whose share of live rows exceeds `maxShare`
+    *    (live = stored under [[leafCells]]; stale parent copies from an
+    *    earlier split are dead weight probes never read, so counts must
+    *    not see them either).
+    *  - slab axis per hot cell: from the hash-rank-first member
+    *    ((md5(id), id) — the coarseSeeds idiom) to the member farthest
+    *    from it by quantized L2 (ties to the lower id) — the cell's
+    *    widest measured direction.
+    *  - every member's raw quantized dot with the axis is an exact long;
+    *    thresholds sit at the projection-rank quantiles (k·n/branch,
+    *    k = 1..branch-1), deduplicated and kept only above the cell
+    *    minimum, so every half-open interval [plo, phi) holds at least
+    *    one member and a cell of identical vectors yields NO threshold —
+    *    it does NOT split (no quantizer refinement rebalances one
+    *    point).
+    *  - membership IS the interval rule — a pure function of the stored
+    *    (axis, plo, phi): a from-scratch [[binaryIvfIndexBuild]] under
+    *    the new tree reproduces the relabeled rows bit-for-bit, and
+    *    boundary membership is an integer compare that can never flap.
+    *  - child centroid = exact-quantized coordinate mean of its slab
+    *    (integer sums, one double division) — used by probes to RANK
+    *    cells, never to assign.
+    *  - child ids are fresh (max cc + rank over (parent, slab)) and
+    *    the parent row STAYS as a routing node (`parent` column): future
+    *    appends assign root-then-child ([[assignCells]] /
+    *    [[binaryIvfIndexBuild]] are tree-aware), probes rank
+    *    [[leafCells]] — which no longer include the parent — so the
+    *    stale parent-cell rows in committed epochs become INVISIBLE
+    *    without rewriting one committed file. That is the 100 TB
+    *    contract: remediation cost scales with the hot mass (one
+    *    appended epoch + an nCells-row quantizer flip), and the next
+    *    read-optimize cadence reclaims the dead rows.
+    *
+    * Returns (newTree, relabeled): the tree to commit at the quantizer
+    * path — (cc, cv, parent); its [[quantizerIdentity]] covers leaves, so
+    * every sweep stamped against the old leaf set refuses — and the hot
+    * rows relabeled to child cells in index layout (id, cell, words,
+    * vec), to append as a new epoch BEFORE the tree flips: child cells
+    * are not leaves of the OLD tree, so a crash between the two commits
+    * leaves old readers exactly correct. `relabeled` is EMPTY when
+    * nothing is hot or nothing is splittable — the caller's no-op signal
+    * (`newTree` is then the input, unchanged). A hot cell that is
+    * already a CHILD refuses loudly: the local remedial is spent, and a
+    * persistently concentrated corpus needs the full retrain
+    * (EtlCli.retrainBinaryIvf). The reference has no ANN maintenance
+    * surface; the split shape follows the public FAISS IndexIVF
+    * discussion of bucket balance. */
+  def splitHotCells(index: DataFrame, idCol: String, vecCol: String,
+                    tree: DataFrame, maxShare: Double,
+                    branch: Int = 2): (DataFrame, DataFrame) = {
+    require(maxShare > 0 && maxShare < 1,
+      s"maxShare must be in (0,1), got $maxShare")
+    require(branch >= 2 && branch <= 256,
+      s"branch must be in [2,256], got $branch")
+    Seq(idCol, "cell", "words", vecCol).foreach(c =>
+      require(index.columns.contains(c),
+        s"index lacks column '$c' (columns: ${index.columns.mkString(", ")}) " +
+          "— splitHotCells runs over a binaryIvfIndexBuild layout " +
+          "(id, cell, words, vec)"))
+    val treeN = normalizeTree(tree)
+    val leaves = leafCells(treeN)
+    val emptyRelabel = index.select(col(idCol),
+      col("cell").cast(LongType).as("cell"), col("words"), col(vecCol)).limit(0)
+    // live occupancy over leaf cells: nLeaves rows, driver-resolved like
+    // the probe's cell set
+    val occ = index.select(col("cell").cast(LongType).as("cell"))
+      .join(broadcast(leaves.select(col("cc").as("cell"))), Seq("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = occ.map(_._2).sum
+    val hot = occ.filter { case (_, n) => n.toDouble > maxShare * total }
+      .map(_._1).sorted.toSeq
+    if (total == 0L || hot.isEmpty) return (tree, emptyRelabel)
+    val spentChildren = treeN.filter(col("parent").isNotNull)
+      .filter(col("cc").isin(hot: _*))
+      .select(col("cc")).collect().map(_.getLong(0)).sorted
+    if (spentChildren.nonEmpty)
+      sys.error(s"cell(s) ${spentChildren.mkString(", ")} are split children " +
+        s"and STILL hold more than $maxShare of the live index — the local " +
+        "split is spent; a persistently concentrated corpus needs the full " +
+        "retrain (retrain-binary-ivf: fresh quantizer, full re-encode)")
+    val spark0 = index.sparkSession
+    import spark0.implicits._
+    val members = graft.core.Materialize.pin(
+      graft.core.Tables.ensureParallelism(index)
+        .filter(col("cell").cast(LongType).isin(hot: _*))
+        .select(col(idCol), col("cell").cast(LongType).as("cell"),
+          col("words"), col(vecCol), dvec(col(vecCol)).as("__v")))
+    def rawl2(a: Column, b: Column): Column =
+      pcol(graft.plans.QuantizedL2Sum(pexpr(a), pexpr(b)))
+    def rawdot(a: Column, b: Column): Column =
+      pcol(graft.plans.QuantizedDotSum(pexpr(a), pexpr(b)))
+    // slab axis per hot cell: from the hash-rank-first member a to the
+    // member farthest from it b — the cell's widest measured direction,
+    // two bounded window passes over the pinned hot members
+    val w0 = Window.partitionBy("cell")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val aSeed = members
+      .withColumn("__rn", row_number().over(w0)).filter(col("__rn") === 1)
+      .select(col("cell"), col("__v").as("__av"))
+    val wFar = Window.partitionBy("cell").orderBy(desc("__d0"), col(idCol))
+    val axes = members
+      .join(broadcast(aSeed), Seq("cell"))
+      .select(col(idCol), col("cell"), col("__av"), col("__v"),
+        rawl2(col("__v"), col("__av")).as("__d0"))
+      .withColumn("__rn", row_number().over(wFar)).filter(col("__rn") === 1)
+      .select(col("cell"),
+        zip_with(col("__v"), col("__av"), (x, y) => x - y).as("__axis"))
+    // raw quantized projection per member (exact long — thresholds and
+    // membership can never disagree between engines or partitionings)
+    val pvals = graft.core.Materialize.pin(
+      members.join(broadcast(axes), Seq("cell"))
+        .withColumn("__p", rawdot(col("__v"), col("__axis"))))
+    // thresholds at the projection-rank quantiles: sorted distinct values
+    // above the cell minimum, so every interval holds >= 1 member and a
+    // one-point cell yields NO threshold (unsplittable, dropped). The
+    // collect is bounded by hot x branch rows — a quantizer-artifact-
+    // sized table, driver-resolved like the probe's cell set.
+    val wRank = Window.partitionBy("cell").orderBy(col("__p"), col(idCol))
+    val wCell = Window.partitionBy("cell")
+    val thrRows = pvals
+      .select(col("cell"), col("__p"), col(idCol))
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(wCell))
+      .withColumn("__mp", min(col("__p")).over(wCell))
+      .crossJoin(broadcast((1 until branch).map(_.toLong).toDF("__k")))
+      .filter(col("__rn") ===
+        floor(col("__k") * col("__n") / lit(branch.toLong)) + 1)
+      .filter(col("__p") > col("__mp"))
+      .select(col("cell"), col("__p").as("__t")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (thrRows.isEmpty) return (tree, emptyRelabel)
+    val thrByCell: Map[Long, Seq[Long]] =
+      thrRows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // fresh child ids + half-open intervals, ordered by (parent, slab)
+    val maxCc = treeN.agg(max(col("cc"))).collect().head.getLong(0)
+    var nextCc = maxCc
+    val kidRows = thrByCell.keys.toSeq.sorted.flatMap { cell =>
+      val ts = thrByCell(cell)
+      val bounds = (Long.MinValue +: ts) :+ Long.MaxValue
+      bounds.sliding(2).map { case Seq(lo, hi) =>
+        nextCc += 1
+        (nextCc, cell, lo, hi)
+      }.toSeq
+    }
+    val kids = kidRows.toDF("__kcc", "__kp", "__plo", "__phi")
+    val assigned = graft.core.Materialize.pin(
+      pvals.join(broadcast(kids),
+        pvals("cell") === col("__kp") && col("__p") >= col("__plo")
+          && col("__p") < col("__phi")))
+    val relabeled = assigned
+      .select(col(idCol), col("__kcc").as("cell"), col("words"), col(vecCol))
+    // child centroid = exact-quantized coordinate mean of its slab (for
+    // probe RANKING; membership is the interval rule, stored on the row)
+    val cvByCc: Map[Long, Seq[Double]] = assigned
+      .select(col("__kcc"), posexplode(col("__v")).as(Seq("d", "x")))
+      .groupBy("__kcc", "d")
+      .agg(sum(floor(col("x") * lit(VScale) + lit(0.5)).cast(LongType)
+        .cast(DecimalType(38, 0))).as("sx"), count(lit(1)).as("n"))
+      .select(col("__kcc"), col("d"),
+        (col("sx").cast(DoubleType) / col("n") / lit(VScale)).as("cx"))
+      .groupBy("__kcc")
+      .agg(collect_list(struct(col("d"), col("cx"))).as("dc"))
+      .select(col("__kcc"),
+        transform(array_sort(col("dc")), s => s.getField("cx")).as("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    val children = kidRows
+      .map { case (cc, parent, lo, hi) => (cc, cvByCc(cc), parent, lo, hi) }
+      .toDF("cc", "cv", "parent", "plo", "phi")
+      .select(col("cc"), col("cv"), col("parent"),
+        lit(null).cast(ArrayType(DoubleType)).as("axis"), col("plo"), col("phi"))
+    // the split parent keeps its row (it ROUTES appends) and gains the
+    // slab axis its children partition along
+    val axByCell: Map[Long, Seq[Double]] =
+      axes.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+        .filter { case (c, _) => thrByCell.contains(c) }
+    val axDF = axByCell.toSeq.toDF("__ac", "__av2")
+    val newTree = treeN
+      .join(broadcast(axDF), treeN("cc") === col("__ac"), "left_outer")
+      .select(col("cc"), col("cv"), col("parent"),
+        coalesce(col("__av2"), col("axis")).as("axis"), col("plo"), col("phi"))
+      .unionByName(children)
+    (newTree, relabeled)
+  }
 
   def pqTopK(corpusCodes: DataFrame, queries: DataFrame, codebook: DataFrame,
              idCol: String, vecCol: String, m: Int, k: Int): DataFrame = {

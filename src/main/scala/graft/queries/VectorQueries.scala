@@ -1747,5 +1747,188 @@ object VectorQueries {
           nBits = 8, minCosine = 0.2)
         .orderBy(col("id_a"), col("id_b"))
     },
+
+    // The hot-cell SKEW remedial (max_cell_share names the cost cliff;
+    // this closes it): split the hot cell locally into fresh child
+    // cells — O(hot mass), never the O(corpus) retrain. Fixture: 80% of
+    // the corpus collapsed into one tight mode around vector 0, day-0
+    // quantizer trained on the BALANCED corpus (as deployed), so exactly
+    // one cell crosses the 0.5 share bound. The oracle replays the
+    // WHOLE deterministic bisect from scratch: cell assignment, live
+    // occupancy, the hash-rank seed 0, the farthest-point seed 1, the
+    // one Lloyd step's exact-quantized coordinate means, the FINAL
+    // argmin-over-means membership, and the fresh child ids.
+    QueryDef(
+      "q_cell_split",
+      "hot-cell slab split: child centroids (exact-quantized means), fresh ids, and member counts for the planted 80% mode",
+      s"""$cellSplitCtesSql
+          SELECT k.parent, k.child_cc, n.n_members, c.d, c.cx
+          FROM kids k
+          JOIN cmean c ON c.cell = k.parent AND c.idx = k.idx
+          JOIN nmem n ON n.cell = k.parent AND n.idx = k.idx""") { (s, dir) =>
+      val tree = cellSplitTree(s, dir)
+      val conc = concentratedCorpus(s, dir)
+      val counts = Similarity.assignCells(conc, "vec_id", "embedding", tree)
+        .groupBy(col("cell").cast("long").as("cc"))
+        .agg(count(lit(1)).as("n_members"))
+      tree.filter(col("parent").isNotNull)
+        .select(col("parent").cast("long").as("parent"),
+          col("cc").cast("long").as("cc"), col("cv"))
+        .join(counts, Seq("cc"))
+        .select(col("parent"), col("cc").as("child_cc"), col("n_members"),
+          posexplode(col("cv")).as(Seq("d", "cx")))
+    },
+
+    // The assignment surface a split deployment stores and appends with:
+    // argmin over the level-0 roots, then argmin over the split root's
+    // children — the tree the quantizer artifact became. Every corpus
+    // row, so the oracle cross-checks the production path (what
+    // binaryIvfIndexBuild / the streaming sink would store) end to end.
+    QueryDef(
+      "q_tree_assign",
+      "tree-quantizer cell assignment after the hot-cell split: root argmin, then the slab interval for the split cell",
+      s"""$cellSplitCtesSql
+          SELECT a.vec_id, COALESCE(k.child_cc, a.cell) AS cell
+          FROM acell a
+          LEFT JOIN cidx f ON f.vec_id = a.vec_id AND f.cell = a.cell
+          LEFT JOIN kids k ON k.parent = f.cell AND k.idx = f.idx""") { (s, dir) =>
+      Similarity.assignCells(concentratedCorpus(s, dir), "vec_id", "embedding",
+          cellSplitTree(s, dir))
+        .select(col("vec_id"), col("cell"))
+    },
   )
+
+  /** The q_cell_split fixture corpus: 80% of the embeddings collapsed
+    * into a tight mode around vector 0 (v' = mode + 0.01 * (v - mode),
+    * in double space so the oracle's arithmetic matches bit-for-bit);
+    * vec_id % 5 == 0 keeps its day-0 spread. */
+  private def concentratedCorpus(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val mode = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("mv"))
+    emb.crossJoin(broadcast(mode))
+      .select(col("vec_id"),
+        when(col("vec_id") % 5 === 0, col("embedding").cast("array<double>"))
+          .otherwise(zip_with(col("embedding").cast("array<double>"), col("mv"),
+            (a, b) => b + (a - b) * lit(0.01)))
+          .as("embedding"))
+  }
+
+  /** One split per (JVM run, sf dir): the committed (cc, cv, parent)
+    * tree after Similarity.splitHotCells over the concentrated fixture
+    * (maxShare 0.5, branch 2 — the grid the oracle unrolls). Both split
+    * queries read this one artifact. */
+  private def cellSplitTree(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame =
+    Memo.parquetArtifact(s, dir, "cell_split_tree") {
+      val emb = t(s, dir, "embeddings")
+      val cent = Memo.parquetArtifact(s, dir, "binary_ivf_cent") {
+        Similarity.coarseCentroids(emb, "vec_id", "embedding", nCells = 16)
+      }
+      val index = Similarity.binaryIvfIndexBuild(
+        concentratedCorpus(s, dir), "vec_id", "embedding", dims = 64, cent)
+      Similarity.splitHotCells(index, "vec_id", "embedding", cent,
+        maxShare = 0.5, branch = CellSplitBranch)._1
+    }
+
+  /** q_cell_split's branch knob (bisect — the grid the oracle unrolls as
+    * rank-quantile disjuncts). `final` matters: `defs` initializes before
+    * this line runs, so only a compile-time constant reads correctly from
+    * the lazy SQL it forces. */
+  private final val CellSplitBranch = 2
+
+  /** Shared DuckDB replay of the deterministic hot-cell SLAB split (the
+    * q_cell_split / q_tree_assign CTE chain). Mirrors
+    * Similarity.splitHotCells exactly: raw quantized longs order like the
+    * divided doubles (division by a positive constant is monotone), the
+    * slab axis runs from the hash-rank-first member to the farthest
+    * member (ties to the lower id), thresholds sit at the
+    * projection-rank quantiles (distinct, above the cell minimum), and
+    * membership is the half-open interval rule — an exact integer
+    * compare. */
+  private lazy val cellSplitCtesSql: String = {
+    val rankHits = (1 until CellSplitBranch)
+      .map(k => s"r.rn = CAST(FLOOR($k * s.n / $CellSplitBranch) AS BIGINT) + 1")
+      .mkString("(", " OR ", ")")
+    s"""WITH dims AS ($dimsSql),
+          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id IN ${seedIdsSql(16)}),
+          mode AS (SELECT d, x AS mx FROM dims WHERE vec_id = 0),
+          conc AS (
+            SELECT v.vec_id, v.d,
+                   CASE WHEN v.vec_id % 5 = 0 THEN v.x
+                        ELSE m.mx + (v.x - m.mx) * 0.01e0 END AS x
+            FROM dims v JOIN mode m ON m.d = v.d),
+          vd AS (
+            SELECT v.vec_id, c.cc,
+                   CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS rawd2
+            FROM conc v JOIN cdims c ON v.d = c.d GROUP BY 1, 2),
+          acell AS (
+            SELECT vec_id, cc AS cell FROM (
+              SELECT vec_id, cc,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY rawd2, cc) AS rn
+              FROM vd) WHERE rn = 1),
+          occ AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM acell GROUP BY 1),
+          tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM occ),
+          hot AS (SELECT cell FROM occ, tot WHERE CAST(n AS DOUBLE) > 0.5e0 * total),
+          members AS (
+            SELECT a.vec_id, a.cell, c.d, c.x
+            FROM acell a JOIN hot h ON a.cell = h.cell
+            JOIN conc c ON c.vec_id = a.vec_id),
+          s0 AS (
+            SELECT cell, vec_id FROM (
+              SELECT cell, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+              FROM (SELECT DISTINCT cell, vec_id FROM members)) WHERE rn = 1),
+          s0v AS (SELECT m.cell, m.d, m.x AS sx FROM members m
+                  JOIN s0 ON s0.cell = m.cell AND s0.vec_id = m.vec_id),
+          d0 AS (
+            SELECT m.cell, m.vec_id,
+                   CAST(SUM(CAST(FLOOR(((m.x - s.sx) * (m.x - s.sx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS rawd2
+            FROM members m JOIN s0v s ON s.cell = m.cell AND s.d = m.d
+            GROUP BY 1, 2),
+          far AS (
+            SELECT cell, vec_id FROM (
+              SELECT cell, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY cell ORDER BY rawd2 DESC, vec_id) AS rn
+              FROM d0) WHERE rn = 1),
+          axis AS (
+            SELECT m.cell, m.d, m.x - s.sx AS ax
+            FROM members m JOIN far f ON f.cell = m.cell AND f.vec_id = m.vec_id
+            JOIN s0v s ON s.cell = m.cell AND s.d = m.d),
+          pv AS (
+            SELECT m.cell, m.vec_id,
+                   CAST(SUM(CAST(FLOOR((m.x * a.ax) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS p
+            FROM members m JOIN axis a ON a.cell = m.cell AND a.d = m.d
+            GROUP BY 1, 2),
+          pstats AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n, MIN(p) AS mp
+                     FROM pv GROUP BY 1),
+          ranked AS (
+            SELECT cell, vec_id, p,
+                   ROW_NUMBER() OVER (PARTITION BY cell ORDER BY p, vec_id) AS rn
+            FROM pv),
+          thr AS (
+            SELECT DISTINCT r.cell, r.p AS t
+            FROM ranked r JOIN pstats s ON s.cell = r.cell
+            WHERE $rankHits AND r.p > s.mp),
+          splittable AS (SELECT DISTINCT cell FROM thr),
+          cidx AS (
+            SELECT m.cell, m.vec_id, CAST(COUNT(t.t) AS BIGINT) AS idx
+            FROM pv m JOIN splittable sp ON sp.cell = m.cell
+            LEFT JOIN thr t ON t.cell = m.cell AND t.t <= m.p
+            GROUP BY 1, 2),
+          nmem AS (SELECT cell, idx, CAST(COUNT(*) AS BIGINT) AS n_members
+                   FROM cidx GROUP BY 1, 2),
+          cmean AS (
+            SELECT c.cell, c.idx, m.d,
+                   CAST(SUM(CAST(FLOOR(m.x * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / COUNT(*) / 1000000000000.0 AS cx
+            FROM cidx c JOIN members m ON m.cell = c.cell AND m.vec_id = c.vec_id
+            GROUP BY 1, 2, 3),
+          maxcc AS (SELECT MAX(cc) AS mcc FROM (SELECT DISTINCT cc FROM cdims)),
+          kids AS (
+            SELECT cell AS parent, idx,
+                   x.mcc + ROW_NUMBER() OVER (ORDER BY cell, idx) AS child_cc
+            FROM (SELECT DISTINCT cell, idx FROM cidx) CROSS JOIN maxcc x)"""
+  }
 }

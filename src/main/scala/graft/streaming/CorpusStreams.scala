@@ -523,6 +523,26 @@ object CorpusStreams {
     EtlCli.writeTable(EtlCli.readEpochTable(spark, indexPath), outPath,
       partitionBy = Seq("cell"))
 
+  /** binaryIvfReadOptimize with the quantizer in hand: additionally DROPS
+    * dead rows — copies stored under cells that are no longer leaves
+    * (the pre-split parent copies a [[EtlCli.splitHotCells]] leaves
+    * behind in old epochs; probes already prune them out, this reclaims
+    * the bytes). The compaction cadence is where that reclaim belongs:
+    * the split itself stays O(hot mass) and never rewrites committed
+    * files. */
+  def binaryIvfReadOptimize(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, outPath: String,
+                            centroidsPath: String): Unit = {
+    val index = EtlCli.readEpochTable(spark, indexPath)
+    val leaves = graft.operators.Similarity.leafCells(
+        EtlCli.readTable(spark, centroidsPath))
+      .select(col("cc").cast("long").as("__leaf"))
+    EtlCli.writeTable(
+      index.join(broadcast(leaves), index("cell").cast("long") === col("__leaf"),
+        "left_semi"),
+      outPath, partitionBy = Seq("cell"))
+  }
+
   /** Probe the streamed binary index at the SWEEP-CHOSEN shortlist depth
     * — the read-side last mile of the binary sweep→pick→deploy loop,
     * mirroring curatedIngestSink's sweepPath wiring on the LSH side (and

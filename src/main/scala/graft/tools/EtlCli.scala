@@ -103,10 +103,19 @@ object EtlCli {
       retrainIvfPq(spark, vecsTable, centOut, cbOut, codesOut, baseOut,
         nCells.toInt, m.toInt, ksub.toInt, iters.toInt, samplePeriod.toInt,
         idCol, vecCol)
+    case Seq("split-hot-cells", indexTable, centPath, maxShare) =>
+      splitHotCells(spark, indexTable, centPath, maxShare.toDouble)
+    case Seq("split-hot-cells", indexTable, centPath, maxShare, branch) =>
+      splitHotCells(spark, indexTable, centPath, maxShare.toDouble, branch.toInt)
+    case Seq("split-hot-cells", indexTable, centPath, maxShare, branch,
+             idCol, vecCol) =>
+      splitHotCells(spark, indexTable, centPath, maxShare.toDouble, branch.toInt,
+        idCol, vecCol)
     case other =>
       sys.error("usage: init|ingest|quality|stats|export|learn-bpe|versions|" +
         s"vacuum|diff|verify-export|sweep-lsh|sweep-binary|sweep-binary-ivf|" +
-        s"check-drift|retrain-binary-ivf|retrain-ivfpq ... (got $other)")
+        s"check-drift|retrain-binary-ivf|retrain-ivfpq|split-hot-cells ... " +
+        s"(got $other)")
   }
 
   /** Build and COMMIT the LSH band-sweep artifact the streaming ingest's
@@ -211,7 +220,10 @@ object EtlCli {
       sys.error(s"index at $indexTable lacks column(s) ${missing.mkString(", ")} " +
         s"— pass the id/vector column names it was built with (got: " +
         s"${index.columns.mkString(", ")})")
-    val corpus = index.select(col(idCol), col(vecCol))
+    // one copy per id: a hot-cell split leaves the pre-split rows in old
+    // epochs (dead weight probes prune away); both copies carry the same
+    // (id, vec), so the dedup is content-deterministic
+    val corpus = index.select(col(idCol), col(vecCol)).dropDuplicates(idCol)
     if (corpus.isEmpty)
       sys.error(s"index at $indexTable is empty — nothing to retrain on")
     val cent = graft.operators.Similarity.coarseCentroids(
@@ -296,6 +308,66 @@ object EtlCli {
       baselineOut)
   }
 
+  /** The remedial action a HOT `max_cell_share` names: split the hot
+    * cells locally and flip the quantizer — O(hot mass), against
+    * retrain-binary-ivf's O(corpus) re-encode. Reads the committed epoch
+    * index and the quantizer at `centroidsPath`, appends the relabeled
+    * hot rows as a fresh epoch FIRST (child cells are not leaves of the
+    * old tree, so a crash between the two commits leaves old readers
+    * exactly correct — the orphan epoch is invisible), then commits the
+    * (cc, cv, parent) tree as the next quantizer version. The flip moves
+    * the leaf identity, so every sweep stamped against the old quantizer
+    * refuses at probe time — run sweep-binary-ivf before switching the
+    * deployment, and let the next read-optimize cadence reclaim the dead
+    * parent rows. Replay-safe twice over: a crashed run's orphan epoch is
+    * detected (the recomputed split is deterministic, so its child cells
+    * name the same fresh ids) and only the tree flip is redone; a re-run
+    * AFTER a completed split measures the post-split leaf occupancy and
+    * no-ops. */
+  def splitHotCells(spark: SparkSession, indexTable: String,
+                    centroidsPath: String, maxShare: Double,
+                    branch: Int = 2, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val index = readEpochTable(spark, indexTable)
+    val tree = readTable(spark, centroidsPath)
+    val (newTree, relabeled) = graft.operators.Similarity.splitHotCells(
+      index, idCol, vecCol, tree, maxShare, branch)
+    val rel = graft.core.Materialize.pin(relabeled)
+    if (rel.isEmpty) {
+      println(s"no splittable leaf cell above share $maxShare at $indexTable " +
+        "— nothing to do")
+      return
+    }
+    val treeP = graft.core.Materialize.pin(newTree)
+    // fresh child ids can exist in the index ONLY as the orphan epoch of a
+    // run that crashed between its two commits (they exceed every cc the
+    // old tree could have assigned) — detect and finish the flip instead
+    // of appending a duplicate copy
+    val oldCells = tree.select(col("cc").cast("long")).collect().map(_.getLong(0)).toSet
+    val childCells = treeP.select(col("cc").cast("long")).collect()
+      .map(_.getLong(0)).filterNot(oldCells).sorted
+    val orphan = index.filter(col("cell").cast("long").isin(childCells: _*)).count()
+    val relCount = rel.count()
+    if (orphan == 0L) {
+      val epoch = committedEpochs(spark, indexTable).max + 1
+      appendEpoch(rel, indexTable, epoch)
+      println(s"split epoch $epoch committed: $relCount rows relabeled into " +
+        s"cell(s) ${childCells.mkString(", ")}")
+    } else if (orphan == relCount) {
+      println(s"found the orphan split epoch ($orphan rows already relabeled) " +
+        "— completing the quantizer flip only")
+    } else {
+      sys.error(s"index at $indexTable holds $orphan rows in unassigned " +
+        s"cell(s) ${childCells.mkString(", ")} but this split relabels " +
+        s"$relCount — the orphan epoch does not match a deterministic " +
+        "replay; inspect the epoch log before re-running")
+    }
+    writeTable(treeP, centroidsPath)
+    println(s"quantizer flipped at $centroidsPath: ${childCells.length} child " +
+      s"cell(s); re-sweep (sweep-binary-ivf) before probing — the old sweep's " +
+      "identity stamp now refuses")
+  }
+
   def sweepBinaryIvf(spark: SparkSession, indexTable: String,
                      centroidsPath: String, outTable: String,
                      nQueries: Int = 5, k: Int = 10,
@@ -318,16 +390,23 @@ object EtlCli {
         "one epoch before calibrating the probe knobs")
     val dims = firstVec.head.getInt(0)
     val cent = readTable(spark, centroidsPath)
-    val qids = index.select(col(idCol))
+    // sweep over LIVE rows only: after a hot-cell split the parent cell's
+    // pre-split copies remain in old epochs but probes never read them
+    // (the parent is no longer a leaf) — the exact truth and the swept
+    // index must see the same single copy of every vector
+    val live = index.join(broadcast(graft.operators.Similarity.leafCells(cent)
+        .select(col("cc").cast("long").as("__leaf"))),
+      index("cell").cast("long") === col("__leaf"), "left_semi")
+    val qids = live.select(col(idCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(nQueries)
-    val queries = index.join(qids, idCol).select(col(idCol), col(vecCol))
+    val queries = live.join(qids, idCol).select(col(idCol), col(vecCol))
     val exact = graft.operators.Similarity.bruteForceTopK(
-        index.select(col(idCol), col(vecCol)), queries, idCol, vecCol, k)
+        live.select(col(idCol), col(vecCol)), queries, idCol, vecCol, k)
       .select(col("qid"), col("cid"))
     val sweep = graft.operators.Similarity.binaryIvfSweep(
-      index.select(col(idCol), col("cell"), col("words")),
-      index.select(col(idCol), col(vecCol)),
+      live.select(col(idCol), col("cell"), col("words")),
+      live.select(col(idCol), col(vecCol)),
       queries, idCol, vecCol, dims, cent, nProbes, shortlists, k, exact)
     writeTable(sweep.withColumn("quantizer_id",
       lit(graft.operators.Similarity.quantizerIdentity(cent))), outTable)

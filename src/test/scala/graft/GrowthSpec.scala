@@ -612,4 +612,72 @@ class GrowthSpec extends SparkSpec {
     assert(shareBase <= 0.4, s"balanced corpus should spread: $shareBase")
     assert(alarm, "an 80%-one-mode corpus must page the drift monitor")
   }
+
+  test("(l) hot-cell split remediation: O(hot) append, stage-1 cost restored, skew axis reads quiet(er)") {
+    // Axis (j) measured the cliff; this axis measures the REMEDIAL's two
+    // scale claims. (1) Cost: the split appends exactly the hot cell's
+    // rows — O(hot mass), never the O(corpus) retrain re-encode — and
+    // rewrites zero committed rows (the parent's copies go dead by leaf
+    // arithmetic, not by I/O). (2) Effect: mode queries that probed the
+    // ONE hot cell now rank its children and probe only the nearest —
+    // stage-1 n_cand drops back toward the balanced cost at the same
+    // nProbe, and max_cell_share reads the post-split occupancy.
+    import graft.operators.Similarity
+    import spark.implicits._
+    val baseEmb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val mode = baseEmb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("mv"))
+    val concentrated = baseEmb.crossJoin(broadcast(mode))
+      .select(col("vec_id"),
+        when(col("vec_id") % 5 === 0, col("embedding").cast("array<double>"))
+          .otherwise(zip_with(col("embedding").cast("array<double>"), col("mv"),
+            (a, b) => b + (a - b) * lit(0.01)))
+          .as("embedding"))
+    val cent = Similarity.coarseCentroids(baseEmb, "vec_id", "embedding",
+        nCells = 16)
+      .transform(graft.core.Materialize.pin)
+    val index = Similarity.binaryIvfIndexBuild(concentrated, "vec_id",
+        "embedding", dims = 64, cent)
+      .transform(graft.core.Materialize.pin)
+    val total = index.count()
+    val hotMass = index.groupBy("cell").count()
+      .agg(max(col("count"))).as[Long].head()
+    val qIds = Seq(1L, 2L, 3L, 4L, 6L) // mode members after the collapse
+    val queries = concentrated.filter(col("vec_id").isin(qIds: _*))
+    def nCand(idx: DataFrame, quant: DataFrame): Long =
+      Similarity.binaryIvfCandidates(
+        idx.select(col("vec_id"), col("cell"), col("words")),
+        queries, "vec_id", "embedding", dims = 64, quant, nProbe = 2).count()
+    val before = nCand(index, cent)
+
+    val (tree, rel0) = Similarity.splitHotCells(index, "vec_id", "embedding",
+      cent, maxShare = 0.5, branch = 4)
+    val rel = rel0.transform(graft.core.Materialize.pin)
+    // (1) the append is the hot mass, not the corpus
+    assert(rel.count() == hotMass,
+      s"split must append exactly the hot rows: ${rel.count()} vs $hotMass")
+    assert(hotMass < total, "fixture sanity: the mode is not the whole corpus")
+    // the probe path reads (old epochs + split epoch) with ZERO rewrites:
+    // dead parent copies stay on disk, leaf pruning hides them
+    val union = index.unionByName(rel)
+    val after = nCand(union, tree)
+    info(s"stage-1 candidates at nProbe=2: before=$before after=$after " +
+      s"(hot mass $hotMass of $total)")
+    // (2) mode queries now probe ~2 of 4 children instead of the whole
+    // mode: the cliff recedes materially at the SAME probe depth
+    assert(after <= (before * 7) / 10,
+      s"split must restore stage-1 cost: $before -> $after")
+    assert(after > 0, "post-split probe must still score candidates")
+    // the monitor's skew axis reads the post-split occupancy: the max
+    // leaf share drops from the parent's ~0.8 to the largest child
+    def share(quant: DataFrame): Double =
+      Similarity.quantizerDriftStats(concentrated, concentrated, "embedding",
+          quant, maxTvd = 0.1, maxQerrRatio = 1.25)
+        .select(col("max_cell_share")).as[Double].head()
+    val (shareBefore, shareAfter) = (share(cent), share(tree))
+    info(f"max_cell_share: before=$shareBefore%.3f after=$shareAfter%.3f")
+    assert(shareAfter < shareBefore,
+      s"the split must reduce the hot-cell share: $shareBefore -> $shareAfter")
+  }
 }

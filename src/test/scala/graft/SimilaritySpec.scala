@@ -725,4 +725,135 @@ class SimilaritySpec extends SparkSpec {
     assert(empty._1 == 0L && empty._4.isEmpty && empty._5.isEmpty && !empty._6,
       s"empty frame must be visible and quiet: $empty")
   }
+
+  /** The GrowthSpec (j) fixture: 80% of the corpus collapsed into one
+    * tight mode around vector 0 — the hot-cell skew scenario the split
+    * remedial exists for. */
+  private def concentrated(emb: org.apache.spark.sql.DataFrame) = {
+    val mode = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("mv"))
+    emb.crossJoin(broadcast(mode))
+      .select(col("vec_id"),
+        when(col("vec_id") % 5 === 0, col("embedding").cast("array<double>"))
+          .otherwise(zip_with(col("embedding").cast("array<double>"), col("mv"),
+            (a, b) => b + (a - b) * lit(0.01)))
+          .as("embedding"))
+  }
+
+  test("splitHotCells: relabel equals a from-scratch tree build; parent routes, probes prune it out") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val conc = concentrated(emb)
+    // day-0 quantizer trained on the BALANCED corpus, as deployed
+    val cent = Similarity.coarseCentroids(emb, "vec_id", "embedding", nCells = 16)
+      .transform(graft.core.Materialize.pin)
+    val index = Similarity.binaryIvfIndexBuild(conc, "vec_id", "embedding",
+      dims = 64, cent).transform(graft.core.Materialize.pin)
+    val total = index.count()
+    val occ0 = index.groupBy("cell").count()
+      .as[(Long, Long)].collect().toMap
+    val hotCell = occ0.maxBy(_._2)._1
+    assert(occ0(hotCell).toDouble / total > 0.5, "fixture must plant a hot cell")
+
+    val (tree, rel0) = Similarity.splitHotCells(index, "vec_id", "embedding",
+      cent, maxShare = 0.5, branch = 4)
+    val rel = rel0.transform(graft.core.Materialize.pin)
+    // exactly the hot cell split: its members relabel, everything else is untouched
+    assert(rel.count() == occ0(hotCell),
+      "the relabel must cover exactly the hot cell's rows — O(hot), not O(corpus)")
+    val children = tree.filter(col("parent").isNotNull)
+      .select(col("cc").cast("long"), col("parent").cast("long"))
+      .as[(Long, Long)].collect().toSeq
+    assert(children.nonEmpty && children.forall(_._2 == hotCell),
+      s"children must hang off the hot cell: $children")
+    val maxOldCc = cent.agg(max(col("cc").cast("long"))).as[Long].head()
+    assert(children.forall(_._1 > maxOldCc), "child ids must be fresh")
+    val relCells = rel.select(col("cell")).distinct().as[Long].collect().toSet
+    assert(relCells.subsetOf(children.map(_._1).toSet),
+      s"relabeled rows must land in child cells only: $relCells")
+
+    // THE invariant: live rows (old epochs minus the dead parent, plus the
+    // split epoch) == a from-scratch build under the committed tree
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Seq[Long])] =
+      df.select(col("vec_id").cast("long"), col("cell").cast("long"),
+          col("words").cast("array<long>"))
+        .as[(Long, Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    val live = index.filter(col("cell") =!= hotCell).unionByName(rel)
+    val scratch = Similarity.binaryIvfIndexBuild(conc, "vec_id", "embedding",
+      dims = 64, tree)
+    assert(rows(live) == rows(scratch),
+      "live rows must equal the from-scratch tree build bit-for-bit")
+    // ...and the tree-aware assignment surface agrees with the stored cells
+    val assigned = Similarity.assignCells(conc, "vec_id", "embedding", tree)
+      .select(col("vec_id").cast("long"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(rows(live).forall { case (id, cell, _) => assigned(id) == cell },
+      "assignCells must reproduce the stored tree assignment")
+
+    // identity binding: the flip moves the leaf identity (stale sweeps
+    // refuse), and normalization alone does not
+    assert(Similarity.quantizerIdentity(tree) != Similarity.quantizerIdentity(cent),
+      "the split must move the quantizer identity")
+    assert(Similarity.leafCells(cent).count() == 16L,
+      "a flat table is all leaves")
+    assert(Similarity.leafCells(tree).filter(col("cc") === hotCell).isEmpty,
+      "the split parent must stop being a leaf")
+
+    // probes prune the parent out: the FULL index (old epochs + split
+    // epoch, dead copies included) probed under the new tree returns no
+    // duplicate candidates and never touches the parent cell
+    val union = index.unionByName(rel)
+    val queries = conc.filter(col("vec_id").isin(1L, 2L, 3L))
+    val cand = Similarity.binaryIvfCandidates(
+        union.select(col("vec_id"), col("cell"), col("words")),
+        queries, "vec_id", "embedding", dims = 64, tree,
+        nProbe = Similarity.leafCells(tree).count().toInt)
+      .select(col("qid").cast("long"), col("cid").cast("long"))
+      .as[(Long, Long)].collect().toSeq
+    assert(cand.size == cand.distinct.size,
+      "stale parent copies must never resurface as duplicate candidates")
+    assert(cand.groupBy(_._1).values.forall(_.size == total.toInt - 1),
+      "an all-leaves probe must still reach every live vector exactly once")
+  }
+
+  test("splitHotCells: balanced corpora and unsplittable cells no-op; a hot child refuses") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cent = Similarity.coarseCentroids(emb, "vec_id", "embedding", nCells = 16)
+      .transform(graft.core.Materialize.pin)
+    // balanced: nothing crosses the share bound — no-op, tree untouched
+    val balanced = Similarity.binaryIvfIndexBuild(emb, "vec_id", "embedding",
+      dims = 64, cent)
+    val (t1, r1) = Similarity.splitHotCells(balanced, "vec_id", "embedding",
+      cent, maxShare = 0.5)
+    assert(r1.isEmpty, "a balanced index must not split")
+    assert(Similarity.quantizerIdentity(t1) == Similarity.quantizerIdentity(cent),
+      "a no-op must leave the quantizer identity in place")
+    // unsplittable: every member of the hot cell is the SAME point — one
+    // seed, no children, no relabel (no refinement separates duplicates)
+    val dupe = emb.limit(1).select(col("embedding")).crossJoin(
+      emb.select(col("vec_id"))).select(col("vec_id"), col("embedding"))
+    val dupeIndex = Similarity.binaryIvfIndexBuild(dupe, "vec_id", "embedding",
+      dims = 64, cent)
+    val (t2, r2) = Similarity.splitHotCells(dupeIndex, "vec_id", "embedding",
+      cent, maxShare = 0.5)
+    assert(r2.isEmpty, "identical vectors cannot be split apart")
+    assert(Similarity.quantizerIdentity(t2) == Similarity.quantizerIdentity(cent))
+    // a hot CHILD refuses: the local remedial is spent — retrain territory
+    val conc = concentrated(emb)
+    val index = Similarity.binaryIvfIndexBuild(conc, "vec_id", "embedding",
+      dims = 64, cent)
+    val (tree, rel) = Similarity.splitHotCells(index, "vec_id", "embedding",
+      cent, maxShare = 0.5, branch = 4)
+    val live = index.join(Similarity.leafCells(tree).select(
+        col("cc").cast("long").as("cell")), Seq("cell"), "left_semi")
+      .unionByName(rel)
+    val ex = intercept[RuntimeException] {
+      Similarity.splitHotCells(live, "vec_id", "embedding", tree,
+        maxShare = 0.05, branch = 4)
+    }
+    assert(ex.getMessage.contains("retrain"), ex.getMessage)
+  }
 }

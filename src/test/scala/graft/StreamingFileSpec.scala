@@ -1280,4 +1280,135 @@ class StreamingFileSpec extends SparkSpec {
     runOnce()
     assert(spark.read.parquet(out.toString).count() == 2 * n)
   }
+
+  test("split-hot-cells runbook: skew alarm -> O(hot) split epoch -> stale sweep refused -> re-sweep -> probe serves; replay- and crash-safe") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.Similarity
+    import graft.tools.EtlCli
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("split_runbook")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectory(in)
+    def paths(n: String) = root.resolve(n).toString
+    // day-0 deployment: balanced quantizer + drift baseline
+    val cent0 = Similarity.coarseCentroids(emb, "vec_id", "embedding",
+      nCells = 16)
+    EtlCli.writeTable(cent0, paths("cent"))
+    EtlCli.writeTable(emb, paths("base"))
+    // the corpus drifts into one tight mode (80%), arriving as two epochs
+    val mode = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("mv"))
+    val conc = emb.crossJoin(broadcast(mode))
+      .select(col("vec_id"),
+        when(col("vec_id") % 5 === 0, col("embedding").cast("array<double>"))
+          .otherwise(zip_with(col("embedding").cast("array<double>"), col("mv"),
+            (a, b) => b + (a - b) * lit(0.01)))
+          .as("embedding"))
+    def stage(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, in.resolve(name + ".parquet"))
+    }
+    stage("b0", conc.filter(col("vec_id") % 2 === 0))
+    stage("b1", conc.filter(col("vec_id") % 2 === 1))
+    CorpusStreams.binaryIvfIndexSinkWithDrift(
+      spark.readStream.schema(conc.schema).option("maxFilesPerTrigger", 1)
+        .parquet(in.toString),
+      "vec_id", "embedding", paths("idx"), paths("chk"), dims = 64,
+      paths("cent"), paths("base"), paths("drift"),
+      maxTvd = 0.1, maxQerrRatio = 1.25).awaitTermination(120000)
+    // the monitor names the skew before any probe feels it
+    val shares = EtlCli.readEpochTable(spark, paths("drift"))
+      .select(col("max_cell_share")).as[Double].collect()
+    assert(shares.nonEmpty && shares.forall(_ > 0.7),
+      s"drift log must read the hot-cell concentration: ${shares.toSeq}")
+    val hotMass = EtlCli.readEpochTable(spark, paths("idx"))
+      .groupBy("cell").count().agg(max(col("count"))).as[Long].head()
+    // sweep at the (about-to-go-stale) day-0 quantizer
+    EtlCli.sweepBinaryIvf(spark, paths("idx"), paths("cent"), paths("sweep"),
+      nQueries = 3, k = 5, nProbes = Seq(4, 19), shortlists = Seq(50, 200))
+
+    // ---- THE REMEDIAL: local split, O(hot mass) ----
+    EtlCli.splitHotCells(spark, paths("idx"), paths("cent"), maxShare = 0.5,
+      branch = 4)
+    assert(EtlCli.committedEpochs(spark, paths("idx")) == Seq(0L, 1L, 2L),
+      "the split must land as ONE appended epoch")
+    val splitEpoch = EtlCli.readTableAt(spark, s"${paths("idx")}/epoch=2",
+      EtlCli.versions(spark, s"${paths("idx")}/epoch=2").max)
+    assert(splitEpoch.count() == hotMass,
+      "the split epoch must hold exactly the hot rows — O(hot), not O(corpus)")
+    val tree = EtlCli.readTable(spark, paths("cent"))
+    assert(Similarity.leafCells(tree).count() == 19L,
+      "16 cells - 1 split parent + 4 children = 19 leaves")
+
+    // the pre-split sweep is now a stale claim: refuse, naming identities
+    val q = conc.filter(col("vec_id").isin(1L, 2L))
+    val exStale = intercept[IllegalArgumentException] {
+      CorpusStreams.binaryIvfProbeWithSweep(spark, paths("idx"), paths("cent"),
+        paths("sweep"), q, "vec_id", "embedding", dims = 64,
+        minRecall = 0.3, k = 5)
+    }
+    assert(exStale.getMessage.contains("identity"), exStale.getMessage)
+
+    // re-sweep against the flipped quantizer; compaction with the
+    // quantizer in hand reclaims the dead parent copies
+    EtlCli.sweepBinaryIvf(spark, paths("idx"), paths("cent"), paths("sweep2"),
+      nQueries = 3, k = 5, nProbes = Seq(4, 19), shortlists = Seq(50, 200))
+    CorpusStreams.binaryIvfReadOptimize(spark, paths("idx"), paths("opt"),
+      paths("cent"))
+    assert(EtlCli.readTable(spark, paths("opt")).count() == emb.count(),
+      "compaction must drop the dead pre-split copies")
+    val served = CorpusStreams.binaryIvfProbeWithSweep(spark, paths("opt"),
+      paths("cent"), paths("sweep2"), q, "vec_id", "embedding", dims = 64,
+      minRecall = 0.3, k = 5)
+    val knobs = served.select(col("n_probe"), col("shortlist")).distinct()
+      .as[(Int, Int)].collect()
+    assert(knobs.length == 1, s"one deployed config expected: ${knobs.toSeq}")
+    // ...and the served result equals a from-scratch build + probe under
+    // the committed tree at the deployed knobs
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid").cast("long"), col("cid").cast("long"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    val scratch = Similarity.binaryIvfIndexBuild(conc, "vec_id", "embedding",
+      dims = 64, tree)
+    assert(topk(served.drop("n_probe", "shortlist")) ==
+      topk(Similarity.binaryIvfProbeTopK(scratch, scratch, q, "vec_id",
+        "embedding", dims = 64, tree, knobs.head._1, knobs.head._2, 5)),
+      "post-split probe must equal the from-scratch tree deployment")
+
+    // replay safety 1: a re-run sees the balanced post-split occupancy
+    // and no-ops — no new epoch, no identity flip
+    val idBefore = Similarity.quantizerIdentity(tree)
+    EtlCli.splitHotCells(spark, paths("idx"), paths("cent"), maxShare = 0.5,
+      branch = 4)
+    assert(EtlCli.committedEpochs(spark, paths("idx")) == Seq(0L, 1L, 2L),
+      "a completed split must replay as a no-op")
+    assert(Similarity.quantizerIdentity(
+      EtlCli.readTable(spark, paths("cent"))) == idBefore)
+
+    // replay safety 2: a run that crashed BETWEEN its two commits (split
+    // epoch landed, quantizer flip lost) leaves old readers correct —
+    // child cells are not leaves of the old tree — and a re-run detects
+    // the orphan epoch and completes ONLY the flip, never a second copy
+    EtlCli.writeTable(cent0, paths("cent2"))
+    EtlCli.appendEpoch(Similarity.binaryIvfIndexBuild(conc, "vec_id",
+      "embedding", dims = 64, cent0), paths("idx2"), 0)
+    val (tree2, rel2) = Similarity.splitHotCells(
+      EtlCli.readEpochTable(spark, paths("idx2")), "vec_id", "embedding",
+      EtlCli.readTable(spark, paths("cent2")), maxShare = 0.5, branch = 4)
+    EtlCli.appendEpoch(rel2, paths("idx2"), 1) // the crash point
+    // (capture before the flip: the CLI's commit vacuums the version this
+    // lazy plan reads)
+    val idExpected = Similarity.quantizerIdentity(tree2)
+    EtlCli.splitHotCells(spark, paths("idx2"), paths("cent2"), maxShare = 0.5,
+      branch = 4)
+    assert(EtlCli.committedEpochs(spark, paths("idx2")) == Seq(0L, 1L),
+      "recovery must not append a duplicate split epoch")
+    assert(Similarity.quantizerIdentity(EtlCli.readTable(spark, paths("cent2")))
+      == idExpected, "recovery must complete the deterministic flip")
+  }
 }
