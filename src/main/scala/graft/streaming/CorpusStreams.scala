@@ -520,7 +520,7 @@ object CorpusStreams {
     * EtlCli.resolveDataDir, so partition pruning still applies. */
   def binaryIvfReadOptimize(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String, outPath: String): Unit =
-    EtlCli.writeTable(EtlCli.readEpochTable(spark, indexPath), outPath,
+    EtlCli.writeTable(EtlCli.readIndexWithMaintenance(spark, indexPath), outPath,
       partitionBy = Seq("cell"))
 
   /** binaryIvfReadOptimize with the quantizer in hand: additionally DROPS
@@ -533,7 +533,7 @@ object CorpusStreams {
   def binaryIvfReadOptimize(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String, outPath: String,
                             centroidsPath: String): Unit = {
-    val index = EtlCli.readEpochTable(spark, indexPath)
+    val index = EtlCli.readIndexWithMaintenance(spark, indexPath)
     val leaves = graft.operators.Similarity.leafCells(
         EtlCli.readTable(spark, centroidsPath))
       .select(col("cc").cast("long").as("__leaf"))

@@ -79,6 +79,8 @@ object EtlCli {
       sweepBinaryIvf(spark, indexTable, centPath, outTable, nQueries.toInt,
         idCol = idCol, vecCol = vecCol).show(numRows = 100, truncate = false)
     case Seq("check-drift", driftLog) => checkDrift(spark, driftLog)
+    case Seq("check-drift", driftLog, maxCellShare) =>
+      checkDrift(spark, driftLog, maxCellShare.toDouble)
     case Seq("retrain-binary-ivf", indexTable, centOut, idxOut, baseOut, nCells, dims) =>
       retrainBinaryIvf(spark, indexTable, centOut, idxOut, baseOut,
         nCells.toInt, dims.toInt)
@@ -163,10 +165,18 @@ object EtlCli {
   /** The drift monitor's read side: scan the per-epoch quantizer-drift
     * log a binaryIvfIndexSinkWithDrift maintains and FAIL naming every
     * alarmed epoch — the signal that the pinned day-0 centroids no
-    * longer fit the corpus and a retrain + full re-encode is due. Quiet
-    * logs print a one-line all-clear. Driver-side work is bounded by the
+    * longer fit the corpus and a retrain + full re-encode is due. With
+    * `maxCellShare` set, ALSO fail on epochs whose hot-cell share
+    * crosses it, naming the cheaper remedial (split-hot-cells): skew is
+    * a COST cliff, not a recall cliff — the distribution alarm can stay
+    * quiet while one cell swallows the corpus, and the local split fixes
+    * that for O(hot mass) where the retrain pays O(corpus). Quiet logs
+    * print a one-line all-clear. Driver-side work is bounded by the
     * epoch count (one boolean filter over an nEpochs-row table). */
-  def checkDrift(spark: SparkSession, driftLog: String): Unit = {
+  def checkDrift(spark: SparkSession, driftLog: String,
+                 maxCellShare: Double = 1.0): Unit = {
+    require(maxCellShare > 0 && maxCellShare <= 1,
+      s"maxCellShare must be in (0,1], got $maxCellShare")
     val log = readEpochTable(spark, driftLog)
     val alarmed = log.filter(col("drift_alarm"))
       .select(col("epoch").cast("long")).collect().map(_.getLong(0)).sorted
@@ -175,6 +185,19 @@ object EtlCli {
         s"of $driftLog — the pinned coarse centroids no longer fit the " +
         "corpus; retrain them and re-encode the index (probe recall decays " +
         "silently otherwise)")
+    if (maxCellShare < 1.0) {
+      require(log.columns.contains("max_cell_share"),
+        s"drift log at $driftLog has no max_cell_share column — it predates " +
+          "the skew axis; bound skew on logs a current sink wrote")
+      val skewed = log.filter(col("max_cell_share") > maxCellShare)
+        .select(col("epoch").cast("long")).collect().map(_.getLong(0)).sorted
+      if (skewed.nonEmpty)
+        sys.error(s"hot-cell share above $maxCellShare in epoch(s) " +
+          s"${skewed.mkString(", ")} of $driftLog — the corpus is " +
+          "concentrating into one probe cell (stage-1 cost degrades toward " +
+          "the flat scan long before recall moves); run split-hot-cells on " +
+          "the index, then re-sweep")
+    }
     println(s"no drift alarms across ${log.count()} epoch(s) at $driftLog")
   }
 
@@ -213,7 +236,7 @@ object EtlCli {
                        vecCol: String = "embedding"): Unit = {
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
     require(samplePeriod >= 1, s"sample period must be >= 1, got $samplePeriod")
-    val index = scala.util.Try(readEpochTable(spark, indexTable))
+    val index = scala.util.Try(readIndexWithMaintenance(spark, indexTable))
       .getOrElse(spark.read.parquet(indexTable))
     val missing = Seq(idCol, vecCol).filterNot(index.columns.contains)
     if (missing.nonEmpty)
@@ -324,11 +347,33 @@ object EtlCli {
     * name the same fresh ids) and only the tree flip is redone; a re-run
     * AFTER a completed split measures the post-split leaf occupancy and
     * no-ops. */
+  /** Maintenance epochs (split relabels) live in their OWN epoch table
+    * under the index dir. They must NOT share the `epoch=` namespace:
+    * the streaming sink keys epochs by its checkpoint batchId, so a
+    * maintenance epoch at max+1 would be silently REPLACED by the
+    * stream's next batch (idempotent-replace is the sink's replay
+    * contract) — losing every relabeled row. The `maintenance` subdir is
+    * invisible to the `epoch=` lister, so no batchId can ever collide,
+    * and epoch compaction folds only the ingest epochs around it. */
+  private def maintenancePath(indexTable: String): String =
+    s"$indexTable/maintenance"
+
+  /** The committed live view of a binary-IVF epoch index: every ingest
+    * epoch plus every maintenance epoch (hot-cell split relabels), when
+    * any exist. Every full-index consumer — sweep, retrain,
+    * read-optimize, the split itself — reads THIS, never the ingest
+    * epochs alone. */
+  def readIndexWithMaintenance(spark: SparkSession, indexTable: String): DataFrame = {
+    val base = readEpochTable(spark, indexTable)
+    if (committedEpochs(spark, maintenancePath(indexTable)).isEmpty) base
+    else base.unionByName(readEpochTable(spark, maintenancePath(indexTable)))
+  }
+
   def splitHotCells(spark: SparkSession, indexTable: String,
                     centroidsPath: String, maxShare: Double,
                     branch: Int = 2, idCol: String = "vec_id",
                     vecCol: String = "embedding"): Unit = {
-    val index = readEpochTable(spark, indexTable)
+    val index = readIndexWithMaintenance(spark, indexTable)
     val tree = readTable(spark, centroidsPath)
     val (newTree, relabeled) = graft.operators.Similarity.splitHotCells(
       index, idCol, vecCol, tree, maxShare, branch)
@@ -349,10 +394,11 @@ object EtlCli {
     val orphan = index.filter(col("cell").cast("long").isin(childCells: _*)).count()
     val relCount = rel.count()
     if (orphan == 0L) {
-      val epoch = committedEpochs(spark, indexTable).max + 1
-      appendEpoch(rel, indexTable, epoch)
-      println(s"split epoch $epoch committed: $relCount rows relabeled into " +
-        s"cell(s) ${childCells.mkString(", ")}")
+      val maint = maintenancePath(indexTable)
+      val epoch = committedEpochs(spark, maint).maxOption.getOrElse(-1L) + 1
+      appendEpoch(rel, maint, epoch)
+      println(s"split committed as maintenance epoch $epoch: $relCount rows " +
+        s"relabeled into cell(s) ${childCells.mkString(", ")}")
     } else if (orphan == relCount) {
       println(s"found the orphan split epoch ($orphan rows already relabeled) " +
         "— completing the quantizer flip only")
@@ -376,7 +422,7 @@ object EtlCli {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     require(nQueries >= 1, s"need at least one query vector, got $nQueries")
-    val index = scala.util.Try(readEpochTable(spark, indexTable))
+    val index = scala.util.Try(readIndexWithMaintenance(spark, indexTable))
       .orElse(scala.util.Try(readTable(spark, indexTable)))
       .getOrElse(spark.read.parquet(indexTable))
     Seq(idCol, vecCol, "cell", "words").foreach(c =>

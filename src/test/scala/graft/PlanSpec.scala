@@ -419,6 +419,59 @@ class PlanSpec extends SparkSpec {
     assert(wordShuffles == 0, s"packed codes crossed a shuffle:\n$p")
   }
 
+  test("binary-IVF ANN after a hot-cell split: pruning holds, probed INSET carries child cells, parent never scanned") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    // a split deployment: concentrated corpus, day-0 quantizer, split,
+    // compacted to the cell-partitioned probe layout with the dead parent
+    // rows reclaimed — the production read path post-remediation
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val mv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("mv"))
+    val conc = emb.crossJoin(broadcast(mv))
+      .select(col("vec_id"),
+        when(col("vec_id") % 5 === 0, col("embedding").cast("array<double>"))
+          .otherwise(zip_with(col("embedding").cast("array<double>"), col("mv"),
+            (a, b) => b + (a - b) * lit(0.01)))
+          .as("embedding"))
+    val cent = Similarity.coarseCentroids(emb, "vec_id", "embedding", 16)
+      .transform(graft.core.Materialize.pin)
+    val index = Similarity.binaryIvfIndexBuild(conc, "vec_id", "embedding",
+      64, cent).transform(graft.core.Materialize.pin)
+    val (tree, rel) = Similarity.splitHotCells(index, "vec_id", "embedding",
+      cent, maxShare = 0.5, branch = 4)
+    val hotCell = index.groupBy("cell").count()
+      .orderBy(desc("count")).limit(1).collect().head.getLong(0)
+    val root = java.nio.file.Files.createTempDirectory("split_plan")
+    val live = index.filter(col("cell") =!= hotCell).unionByName(rel)
+    live.write.partitionBy("cell").parquet(s"$root/idx")
+    val queries = conc.filter(col("vec_id").isin(1L, 2L))
+    val probe = Similarity.binaryIvfProbeIndex(spark, s"$root/idx", queries,
+      "vec_id", "embedding", dims = 64, tree, nProbe = 2, shortlist = 20, k = 5)
+    val p = probe.queryExecution.executedPlan.toString
+    // both index scans still prune to the probed cells (a short probed
+    // set renders as IN (...), a long one as INSET — either is the static
+    // partition filter the 100 TB claim needs)
+    val cellFilter = "PartitionFilters: \\[cell#\\d+ IN(SET)? ?\\(?([-0-9, ]+)".r
+    val prunedScans = cellFilter.findAllMatchIn(p).toSeq
+    assert(prunedScans.size >= 2,
+      s"expected static cell filters on both index scans:\n$p")
+    // the probed set is LEAF cells: mode queries rank the hot cell's
+    // children — fresh ids above the day-0 range — and the dead parent id
+    // never appears in any partition filter
+    val probedSets = prunedScans.map(_.group(2).split("[^-0-9]+")
+      .filter(_.nonEmpty).map(_.toLong).toSet)
+    assert(probedSets.forall(!_.contains(hotCell)),
+      s"a probe must never list the split parent $hotCell:\n$probedSets")
+    val maxOld = cent.agg(max(col("cc").cast("long"))).collect().head.getLong(0)
+    assert(probedSets.forall(_.forall(_ > maxOld)),
+      s"mode queries must probe the child cells (> $maxOld):\n$probedSets")
+    // stage 1 still reads codes only
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,words:array<bigint>>"),
+      s"stage-1 scan not pruned to codes:\n$p")
+  }
+
   test("hybrid RRF: retrievers keep their bounded shapes inside the fused plan") {
     val p = plan("q_hybrid_rrf")
     // lexical side: global top-20 stays TakeOrderedAndProject (never a

@@ -1326,6 +1326,20 @@ class StreamingFileSpec extends SparkSpec {
       .select(col("max_cell_share")).as[Double].collect()
     assert(shares.nonEmpty && shares.forall(_ > 0.7),
       s"drift log must read the hot-cell concentration: ${shares.toSeq}")
+    // the monitor cadence NAMES the remedial: an in-distribution but
+    // skewed log (corpus vs itself — both drift axes quiet) crosses the
+    // share bound and check-drift fails pointing at split-hot-cells; the
+    // same log reads all-clear without the bound (skew is a cost policy,
+    // not a correctness alarm)
+    EtlCli.appendEpoch(
+      Similarity.quantizerDriftStats(conc, conc, "embedding", cent0,
+        maxTvd = 0.1, maxQerrRatio = 1.25).withColumn("epoch", lit(0L)),
+      paths("skewlog"), 0)
+    val exSkew = intercept[RuntimeException] {
+      EtlCli.checkDrift(spark, paths("skewlog"), maxCellShare = 0.7)
+    }
+    assert(exSkew.getMessage.contains("split-hot-cells"), exSkew.getMessage)
+    EtlCli.checkDrift(spark, paths("skewlog"))
     val hotMass = EtlCli.readEpochTable(spark, paths("idx"))
       .groupBy("cell").count().agg(max(col("count"))).as[Long].head()
     // sweep at the (about-to-go-stale) day-0 quantizer
@@ -1335,15 +1349,43 @@ class StreamingFileSpec extends SparkSpec {
     // ---- THE REMEDIAL: local split, O(hot mass) ----
     EtlCli.splitHotCells(spark, paths("idx"), paths("cent"), maxShare = 0.5,
       branch = 4)
-    assert(EtlCli.committedEpochs(spark, paths("idx")) == Seq(0L, 1L, 2L),
-      "the split must land as ONE appended epoch")
-    val splitEpoch = EtlCli.readTableAt(spark, s"${paths("idx")}/epoch=2",
-      EtlCli.versions(spark, s"${paths("idx")}/epoch=2").max)
-    assert(splitEpoch.count() == hotMass,
+    // the relabel lands as ONE maintenance epoch in its own namespace —
+    // NEVER as epoch=2, which the stream's next batchId would silently
+    // replace (idempotent-replace is the sink's replay contract)
+    assert(EtlCli.committedEpochs(spark, paths("idx")) == Seq(0L, 1L),
+      "ingest epochs must be untouched by the split")
+    val maint = s"${paths("idx")}/maintenance"
+    assert(EtlCli.committedEpochs(spark, maint) == Seq(0L),
+      "the split must land as ONE maintenance epoch")
+    assert(EtlCli.readEpochTable(spark, maint).count() == hotMass,
       "the split epoch must hold exactly the hot rows — O(hot), not O(corpus)")
     val tree = EtlCli.readTable(spark, paths("cent"))
     assert(Similarity.leafCells(tree).count() == 19L,
       "16 cells - 1 split parent + 4 children = 19 leaves")
+
+    // ingest CONTINUES after the split: the next micro-batch gets
+    // batchId 2 from the checkpoint — it must coexist with the split
+    // relabel, and its hot-mode rows must encode via the TREE (children,
+    // never the dead parent)
+    stage("b2", conc.select((col("vec_id") + 100000).as("vec_id"),
+      col("embedding")))
+    CorpusStreams.binaryIvfIndexSinkWithDrift(
+      spark.readStream.schema(conc.schema).option("maxFilesPerTrigger", 1)
+        .parquet(in.toString),
+      "vec_id", "embedding", paths("idx"), paths("chk"), dims = 64,
+      paths("cent"), paths("base"), paths("drift"),
+      maxTvd = 0.1, maxQerrRatio = 1.25).awaitTermination(120000)
+    assert(EtlCli.committedEpochs(spark, paths("idx")) == Seq(0L, 1L, 2L),
+      "post-split ingest must append as a normal epoch")
+    assert(EtlCli.readEpochTable(spark, maint).count() == hotMass,
+      "the ingest batch must never clobber the maintenance epoch")
+    val childSet = tree.filter(col("parent").isNotNull)
+      .select(col("cc").cast("long")).as[Long].collect().toSet
+    val b2Cells = EtlCli.readEpochTable(spark, paths("idx"))
+      .filter(col("vec_id") >= 100000L && col("vec_id") % 5 =!= 0)
+      .select(col("cell").cast("long")).distinct().as[Long].collect().toSet
+    assert(b2Cells.subsetOf(childSet),
+      s"post-split appends must route mode rows to child cells: $b2Cells")
 
     // the pre-split sweep is now a stale claim: refuse, naming identities
     val q = conc.filter(col("vec_id").isin(1L, 2L))
@@ -1360,7 +1402,9 @@ class StreamingFileSpec extends SparkSpec {
       nQueries = 3, k = 5, nProbes = Seq(4, 19), shortlists = Seq(50, 200))
     CorpusStreams.binaryIvfReadOptimize(spark, paths("idx"), paths("opt"),
       paths("cent"))
-    assert(EtlCli.readTable(spark, paths("opt")).count() == emb.count(),
+    // one copy per id (original 500 + the post-split batch's 500): the
+    // dead pre-split parent copies are gone
+    assert(EtlCli.readTable(spark, paths("opt")).count() == 2 * emb.count(),
       "compaction must drop the dead pre-split copies")
     val served = CorpusStreams.binaryIvfProbeWithSweep(spark, paths("opt"),
       paths("cent"), paths("sweep2"), q, "vec_id", "embedding", dims = 64,
@@ -1373,8 +1417,10 @@ class StreamingFileSpec extends SparkSpec {
     def topk(df: org.apache.spark.sql.DataFrame) = df
       .select(col("qid").cast("long"), col("cid").cast("long"), col("rank"))
       .as[(Long, Long, Int)].collect().toSet
-    val scratch = Similarity.binaryIvfIndexBuild(conc, "vec_id", "embedding",
-      dims = 64, tree)
+    val scratch = Similarity.binaryIvfIndexBuild(
+      conc.unionByName(conc.select((col("vec_id") + 100000).as("vec_id"),
+        col("embedding"))),
+      "vec_id", "embedding", dims = 64, tree)
     assert(topk(served.drop("n_probe", "shortlist")) ==
       topk(Similarity.binaryIvfProbeTopK(scratch, scratch, q, "vec_id",
         "embedding", dims = 64, tree, knobs.head._1, knobs.head._2, 5)),
@@ -1400,14 +1446,14 @@ class StreamingFileSpec extends SparkSpec {
     val (tree2, rel2) = Similarity.splitHotCells(
       EtlCli.readEpochTable(spark, paths("idx2")), "vec_id", "embedding",
       EtlCli.readTable(spark, paths("cent2")), maxShare = 0.5, branch = 4)
-    EtlCli.appendEpoch(rel2, paths("idx2"), 1) // the crash point
+    EtlCli.appendEpoch(rel2, s"${paths("idx2")}/maintenance", 0) // crash point
     // (capture before the flip: the CLI's commit vacuums the version this
     // lazy plan reads)
     val idExpected = Similarity.quantizerIdentity(tree2)
     EtlCli.splitHotCells(spark, paths("idx2"), paths("cent2"), maxShare = 0.5,
       branch = 4)
-    assert(EtlCli.committedEpochs(spark, paths("idx2")) == Seq(0L, 1L),
-      "recovery must not append a duplicate split epoch")
+    assert(EtlCli.committedEpochs(spark, s"${paths("idx2")}/maintenance")
+      == Seq(0L), "recovery must not append a duplicate split epoch")
     assert(Similarity.quantizerIdentity(EtlCli.readTable(spark, paths("cent2")))
       == idExpected, "recovery must complete the deterministic flip")
   }
