@@ -649,10 +649,24 @@ object Similarity {
                          m: Int, k: Int): DataFrame = {
     val vecs = graft.core.Tables.ensureParallelism(corpus)
       .select(col(idCol).as("vid"), dvec(col(vecCol)).as("v"))
-    val cent = coarseSeeds(vecs, nCells)
+    residualAdcTopK(coarseSeeds(vecs, nCells), codebook, codes, queries,
+      idCol, vecCol, m, nProbe, k)
+  }
+
+  /** The residual-ADC ranking against GIVEN artifacts — the shared tail
+    * of [[ivfPqResidualScore]] (cent re-derived from the corpus) and
+    * [[ivfPqResidualProbeIndex]] (cent read from the persisted quantizer,
+    * codes pre-pruned to probed cells). Probed-cell restriction is
+    * enforced by the (cell, sub, cc) table join either way — the
+    * probe-index path ADDITIONALLY prunes the SCAN. */
+  private def residualAdcTopK(cent: DataFrame, codebook: DataFrame,
+                              codes: DataFrame, queries: DataFrame,
+                              idCol: String, vecCol: String, m: Int,
+                              nProbe: Int, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
     val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cc"))
-    val probes = q.crossJoin(broadcast(cent))
+    val probes = q.crossJoin(broadcast(
+        cent.select(col("cc"), dvec(col("cv")).as("cv"))))
       .select(col("qid"), col("qv"), col("cc"), col("cv"),
         ql2(col("qv"), col("cv")).as("d2"))
       .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
@@ -662,7 +676,7 @@ object Similarity {
       .join(broadcast(codebook), "sub")
       .select(col("vid.qid").as("qid"), col("vid.cell").as("cell"),
         col("sub"), col("cc"), ql2(col("sv"), col("cv")).as("d2"))
-    val codesEx = codes.select(col("cid"), col("cell"),
+    val codesEx = codes.select(col("cid"), col("cell").cast(LongType).as("cell"),
       posexplode(col("codes")).as(Seq("sub", "cc")))
     val w = Window.partitionBy("qid").orderBy(col("adist"), col("cid"))
     codesEx.join(broadcast(table), Seq("cell", "sub", "cc"))
@@ -673,6 +687,117 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("cid"), col("adist"),
         col("rank").cast(IntegerType).as("rank"))
+  }
+
+  /** The production read path over a cell-PARTITIONED persisted codes
+    * table (CorpusStreams.annReadOptimize layout): resolve the probed
+    * cells first — bounded at min(|queries| x nProbe, nCells), a
+    * driver-side artifact like the binary probe's — then read the codes
+    * with a static cell filter, so partition pruning drops every unprobed
+    * cell's files before a byte is scanned. [[ivfPqResidualScore]] gets
+    * the same candidate SET via its table join, but its scan still reads
+    * the whole codes table; at 100 TB the static filter is the difference
+    * between listing nProbe directories and scanning every m-byte code.
+    * `cent` is the PERSISTED coarse quantizer the codes were encoded
+    * against (EtlCli.retrainIvfPq / coarseCentroids output) — identical
+    * math to the re-derived seeds, spec-asserted equal to the Score path.
+    * The scan also prunes columns to (cid, codes): the partition column
+    * rides the directory name, and this table stores no raw vectors at
+    * all — that is the point of PQ. */
+  def ivfPqResidualProbeIndex(spark: org.apache.spark.sql.SparkSession,
+                              codesPath: String, queries: DataFrame,
+                              idCol: String, vecCol: String, cent: DataFrame,
+                              codebook: DataFrame, m: Int, nProbe: Int,
+                              k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cc"))
+    val probedCells = q.crossJoin(broadcast(
+        cent.select(col("cc"), dvec(col("cv")).as("cv"))))
+      .select(col("qid"), col("cc"), ql2(col("qv"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
+      .select(col("cc").cast(LongType)).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val pruned = spark.read.parquet(codesPath)
+      .filter(col("cell").isin(probedCells: _*))
+    residualAdcTopK(cent, codebook,
+      pruned.select(col("cid"), col("cell"), col("codes")),
+      queries, idCol, vecCol, m, nProbe, k)
+  }
+
+  /** Recall/cost frontier over the residual IVF-PQ probe's depth knob —
+    * the sweep→floor→choice loop for the PQ family (LSH bands, IVF
+    * probes, flat binary, and binary-IVF each have theirs; this is the
+    * last ANN family without one). Per depth: n_scored (ADC-scored
+    * candidates — the scan-cost axis: members of probed cells, whose
+    * m-byte codes the probe reads) and micro recall@k of the ADC ranking
+    * against the given exact truth. Unlike the exact-rerank sweeps,
+    * recall here is NOT guaranteed monotone in depth — the FINAL ranking
+    * is approximate, so a far cell's candidate with an optimistic ADC
+    * distance can displace a true neighbor (measure it, don't assume
+    * it). Cost shape: cells rank once to max(nProbes), the ADC distance
+    * computes ONCE per max-depth candidate on a pinned table, and each
+    * depth is a filter + one bounded top-k window over it. Output
+    * (n_probe, n_scored, n_hit, n_denom, recall_micro) — the exact
+    * schema [[pickIvfConfig]] chooses from. */
+  def ivfPqResidualSweep(codes: DataFrame, codebook: DataFrame,
+                         cent: DataFrame, queries: DataFrame, idCol: String,
+                         vecCol: String, m: Int, nProbes: Seq[Int], k: Int,
+                         exact: DataFrame): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(_ >= 1),
+      s"probe depths must be positive, got $nProbes")
+    import queries.sparkSession.implicits._
+    val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cc"))
+    val probes = q.crossJoin(broadcast(
+        cent.select(col("cc"), dvec(col("cv")).as("cv"))))
+      .select(col("qid"), col("qv"), col("cc"), col("cv"),
+        ql2(col("qv"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbes.max)
+    val qrs = probes.select(struct(col("qid"), col("cc").as("cell")).as("qc"),
+      col("rn"), zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qr"))
+    val table = subvectors(qrs.select(col("qc"), col("qr")), "qc", "qr", m)
+      .join(broadcast(codebook), "sub")
+      .select(col("vid.qid").as("qid"), col("vid.cell").as("cell"),
+        col("sub"), col("cc"), ql2(col("sv"), col("cv")).as("d2"))
+    val rnOf = qrs.select(col("qc.qid").as("qid"),
+      col("qc.cell").as("cell"), col("rn"))
+    val codesEx = codes.select(col("cid"),
+      col("cell").cast(LongType).as("cell"),
+      posexplode(col("codes")).as(Seq("sub", "cc")))
+    // each candidate lives in ONE cell, so (qid, cid) occurs once and
+    // carries the probe rank that reaches it; ADC computes once here
+    val scored = codesEx.join(broadcast(table), Seq("cell", "sub", "cc"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy("qid", "cell", "cid")
+      .agg(vsum(col("d2")).as("adist"))
+      .join(broadcast(rnOf), Seq("qid", "cell"))
+      .select(col("qid"), col("cid"), col("adist"), col("rn"))
+      .transform(graft.core.Materialize.pin)
+    val cfg = nProbes.toDF("n_probe")
+    val perCfg = scored.crossJoin(broadcast(cfg))
+      .filter(col("rn") <= col("n_probe"))
+    val wK = Window.partitionBy("n_probe", "qid").orderBy(col("adist"), col("cid"))
+    val approx = perCfg.withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("n_probe"), col("qid"), col("cid"))
+    val hits = exact.select(col("qid"), col("cid"))
+      .join(approx, Seq("qid", "cid"))
+      .groupBy("n_probe").agg(count(lit(1)).as("n_hit"))
+    val nScored = perCfg.groupBy("n_probe").agg(count(lit(1)).as("n_scored"))
+    val denom = exact.groupBy("qid").agg(count(lit(1)).as("__d"))
+      .agg(coalesce(sum(least(lit(k.toLong), col("__d"))), lit(0L))
+        .cast(LongType).as("n_denom"))
+    cfg.join(nScored, Seq("n_probe"), "left_outer")
+      .join(hits, Seq("n_probe"), "left_outer")
+      .crossJoin(broadcast(denom))
+      .select(col("n_probe"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_denom"),
+        when(col("n_denom") === 0, lit(1.0))
+          .otherwise(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / col("n_denom"))
+          .as("recall_micro"))
   }
 
   // ---- semantic dedup (SemDeDup: Abbas et al., arXiv:2303.09540) -------
@@ -1688,6 +1813,20 @@ object Similarity {
     * nCells-row aggregation. */
   def quantizerIdentity(cent: DataFrame): Long =
     leafCells(cent).select(xxhash64(col("cc").cast(LongType),
+        dvec(col("cv"))).as("h"))
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("id"))
+      .collect().head.getLong(0)
+
+  /** [[quantizerIdentity]]'s sibling for a PQ codebook (sub, cc, cv):
+    * bit-XOR of the per-entry xxhash64 — order- and layout-independent.
+    * A residual sweep's recall was measured under ONE (centroids,
+    * codebook) pair; stamping both identities lets the deploy path
+    * refuse a sweep measured against artifacts that since retrained
+    * (EtlCli.sweepIvfPq / CorpusStreams.ivfPqProbeWithSweep). Ignores a
+    * `quantizer_id` stamp column if present (the stamp must not change
+    * the identity it rides with). */
+  def codebookIdentity(cb: DataFrame): Long =
+    cb.select(xxhash64(col("sub").cast(LongType), col("cc").cast(LongType),
         dvec(col("cv"))).as("h"))
       .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("id"))
       .collect().head.getLong(0)

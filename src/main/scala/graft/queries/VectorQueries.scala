@@ -97,14 +97,160 @@ object VectorQueries {
     resArtifactsFor.synchronized {
       val base = s"$annArtifactRoot/ivfpqres"
       if (resArtifactsFor.get != dir) {
-        val (cb0, codes0) = Similarity.ivfPqResidualBuild(t(s, dir, "embeddings"),
+        val emb = t(s, dir, "embeddings")
+        val (cb0, codes0) = Similarity.ivfPqResidualBuild(emb,
           "vec_id", "embedding", nCells = 16, m = 8, ksub = 16, iters = 2)
         cb0.write.mode("overwrite").parquet(s"$base/codebook")
-        codes0.write.mode("overwrite").parquet(s"$base/codes")
+        val codes = codes0.transform(graft.core.Materialize.pin)
+        codes.write.mode("overwrite").parquet(s"$base/codes")
+        // the production-probe artifacts: the persisted coarse quantizer
+        // (identical to the hash-rank seeds the build derived) and the
+        // codes in the cell-partitioned layout the static-filter probe
+        // scans (q_ann_ivfpq_probe)
+        Similarity.coarseCentroids(emb, "vec_id", "embedding", 16)
+          .write.mode("overwrite").parquet(s"$base/centroids")
+        codes.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$base/codes_bycell")
         resArtifactsFor.set(dir)
       }
       base
     }
+
+  /** The persisted residual probe-depth sweep both sweep queries read
+    * (one build per JVM run + sf dir, the binary_ivf_sweep pattern). */
+  private def ivfPqSweepArtifact(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame =
+    Memo.parquetArtifact(s, dir, "ivfpq_sweep") {
+      val emb = t(s, dir, "embeddings")
+      val base = ensureResidualShared(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceL2TopK(emb, q, "vec_id", "embedding", 10)
+        .select(col("qid"), col("cid"))
+      Similarity.ivfPqResidualSweep(s.read.parquet(s"$base/codes"),
+        s.read.parquet(s"$base/codebook"), s.read.parquet(s"$base/centroids"),
+        q, "vec_id", "embedding", m = 8, nProbes = Seq(1, 2, 4, 8), k = 10,
+        exact = exact)
+    }
+
+  /** Shared oracle CTE chain for the residual probe-depth sweep (16
+    * cells, queries vec_id < 5, k=10, depths 1/2/4/8): probe ranking to
+    * max depth -> per-cell query residual ADC tables -> per-candidate
+    * ADC distance tagged with its probe rank -> per-depth approx top-k
+    * vs exact-L2 truth. Shared by q_ivfpq_sweep (the frontier) and
+    * q_pick_ivfpq_config (the choice read off it). */
+  private lazy val ivfPqSweepCtesSql: String =
+    s"""WITH dims AS ($dimsSql),
+          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id IN ${seedIdsSql(16)}),
+          vdist AS (
+            SELECT v.vec_id, c.cc,
+                   CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS d2
+            FROM dims v JOIN cdims c ON v.d = c.d GROUP BY 1, 2),
+          probes AS (
+            SELECT vec_id AS qid, cc AS cell, rn FROM (
+              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+              FROM vdist WHERE vec_id < 5) WHERE rn <= 8),
+          cb AS (SELECT sub, cc, cv FROM read_parquet('${annArtifactRoot}/ivfpqres/codebook/*.parquet')),
+          cx AS (
+            SELECT cid, cell, r.sub AS sub, r.cc AS cc FROM (
+              SELECT cid, cell, unnest(list_transform(range(1, len(codes) + 1), i -> {'sub': i - 1, 'cc': codes[i]})) AS r
+              FROM read_parquet('${annArtifactRoot}/ivfpqres/codes/*.parquet'))),
+          qr AS (
+            SELECT p.qid, p.cell, v.d, v.x - c.cx AS rx
+            FROM probes p JOIN dims v ON v.vec_id = p.qid
+                 JOIN cdims c ON c.cc = p.cell AND c.d = v.d),
+          qsub AS (
+            SELECT qid, cell, CAST(d // 8 AS INT) AS sub, list(rx ORDER BY d) AS sv
+            FROM qr GROUP BY 1, 2, 3),
+          tbl AS (
+            SELECT qid, cell, sub, cb.cc,
+                   CAST(list_sum(list_transform(range(1, len(sv) + 1),
+                     i -> CAST(FLOOR(((sv[i] - cv[i]) * (sv[i] - cv[i])) * 1000000000000.0 + 0.5) AS BIGINT))) AS BIGINT) / 1000000000000.0 AS d2
+            FROM qsub JOIN cb USING (sub)),
+          adr AS (
+            SELECT t.qid, x.cid, x.cell,
+                   CAST(SUM(CAST(FLOOR(t.d2 * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS adist
+            FROM cx x JOIN tbl t ON t.cell = x.cell AND t.sub = x.sub AND t.cc = x.cc
+            WHERE t.qid <> x.cid
+            GROUP BY 1, 2, 3),
+          adrn AS (
+            SELECT a.qid, a.cid, a.adist, p.rn
+            FROM adr a JOIN probes p ON p.qid = a.qid AND p.cell = a.cell),
+          cfg(n_probe) AS (VALUES (1), (2), (4), (8)),
+          percfg AS (SELECT cfg.n_probe, a.qid, a.cid, a.adist
+                     FROM adrn a JOIN cfg ON a.rn <= cfg.n_probe),
+          approx AS (
+            SELECT n_probe, qid, cid FROM (
+              SELECT n_probe, qid, cid,
+                     ROW_NUMBER() OVER (PARTITION BY n_probe, qid ORDER BY adist, cid) AS rank
+              FROM percfg) WHERE rank <= 10),
+          d2x AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+                   CAST(SUM(CAST(FLOOR(((q.x - c.x) * (q.x - c.x)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS rawd2
+            FROM dims q JOIN dims c ON q.d = c.d AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 5
+            GROUP BY 1, 2),
+          exact AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rawd2, cid) AS rank
+              FROM d2x) WHERE rank <= 10),
+          hits AS (SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS n_hit
+                   FROM approx JOIN exact USING (qid, cid) GROUP BY 1),
+          nsc AS (SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS n_scored
+                  FROM percfg GROUP BY 1),
+          den AS (SELECT CAST(COALESCE(SUM(LEAST(10, d)), 0) AS BIGINT) AS n_denom
+                  FROM (SELECT qid, CAST(COUNT(*) AS BIGINT) AS d FROM exact GROUP BY qid)),
+          frontier AS (
+            SELECT cfg.n_probe,
+                   CAST(COALESCE(n_scored, 0) AS BIGINT) AS n_scored,
+                   CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit, n_denom,
+                   CASE WHEN n_denom = 0 THEN 1.0
+                        ELSE CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_denom END AS recall_micro
+            FROM cfg LEFT JOIN nsc USING (n_probe) LEFT JOIN hits USING (n_probe)
+            CROSS JOIN den)"""
+
+  /** DuckDB replay of the residual IVF-PQ ADC ranking at probe depth
+    * `nProbe`, from the persisted codebook + (flat) codes — shared by
+    * q_ann_ivfpq_res (the given-artifacts scorer) and q_ann_ivfpq_probe
+    * (the partition-pruned production path; values are
+    * layout-independent, so the oracle reads the flat copy). */
+  private def ivfPqResOracleSql(nProbe: Int): String =
+    s"""WITH dims AS ($dimsSql),
+          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id IN ${seedIdsSql(16)}),
+          vdist AS (
+            SELECT v.vec_id, c.cc,
+                   CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS d2
+            FROM dims v JOIN cdims c ON v.d = c.d GROUP BY 1, 2),
+          probes AS (
+            SELECT vec_id AS qid, cc AS cell FROM (
+              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+              FROM vdist WHERE vec_id < 5) WHERE rn <= $nProbe),
+          cb AS (SELECT sub, cc, cv FROM read_parquet('${annArtifactRoot}/ivfpqres/codebook/*.parquet')),
+          cx AS (
+            SELECT cid, cell, r.sub AS sub, r.cc AS cc FROM (
+              SELECT cid, cell, unnest(list_transform(range(1, len(codes) + 1), i -> {'sub': i - 1, 'cc': codes[i]})) AS r
+              FROM read_parquet('${annArtifactRoot}/ivfpqres/codes/*.parquet'))),
+          qr AS (
+            SELECT p.qid, p.cell, v.d, v.x - c.cx AS rx
+            FROM probes p JOIN dims v ON v.vec_id = p.qid
+                 JOIN cdims c ON c.cc = p.cell AND c.d = v.d),
+          qsub AS (
+            SELECT qid, cell, CAST(d // 8 AS INT) AS sub, list(rx ORDER BY d) AS sv
+            FROM qr GROUP BY 1, 2, 3),
+          tbl AS (
+            SELECT qid, cell, sub, cb.cc,
+                   CAST(list_sum(list_transform(range(1, len(sv) + 1),
+                     i -> CAST(FLOOR(((sv[i] - cv[i]) * (sv[i] - cv[i])) * 1000000000000.0 + 0.5) AS BIGINT))) AS BIGINT) / 1000000000000.0 AS d2
+            FROM qsub JOIN cb USING (sub)),
+          ad AS (
+            SELECT t.qid, x.cid,
+                   CAST(SUM(CAST(FLOOR(t.d2 * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS adist
+            FROM cx x JOIN tbl t ON t.cell = x.cell AND t.sub = x.sub AND t.cc = x.cc
+            WHERE t.qid <> x.cid
+            GROUP BY 1, 2)
+          SELECT qid, cid, adist, rank FROM (
+            SELECT qid, cid, adist,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS INT) AS rank
+            FROM ad) WHERE rank <= 10 ORDER BY qid, rank"""
 
   /** Run-scoped exact-L2 ground truth (k=10, queries vec_id < 5) shared
     * by q_ann_recall and q_ivf_sweep — ground truth is by nature computed
@@ -1632,43 +1778,7 @@ object VectorQueries {
     QueryDef(
       "q_ann_ivfpq_res",
       "residual IVF-PQ ANN: 16-cell coarse quantizer (hash-rank seeds), 2-probe search, per-cell residual ADC from persisted codes",
-      s"""WITH dims AS ($dimsSql),
-          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id IN ${seedIdsSql(16)}),
-          vdist AS (
-            SELECT v.vec_id, c.cc,
-                   CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS d2
-            FROM dims v JOIN cdims c ON v.d = c.d GROUP BY 1, 2),
-          probes AS (
-            SELECT vec_id AS qid, cc AS cell FROM (
-              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
-              FROM vdist WHERE vec_id < 5) WHERE rn <= 2),
-          cb AS (SELECT sub, cc, cv FROM read_parquet('${annArtifactRoot}/ivfpqres/codebook/*.parquet')),
-          cx AS (
-            SELECT cid, cell, r.sub AS sub, r.cc AS cc FROM (
-              SELECT cid, cell, unnest(list_transform(range(1, len(codes) + 1), i -> {'sub': i - 1, 'cc': codes[i]})) AS r
-              FROM read_parquet('${annArtifactRoot}/ivfpqres/codes/*.parquet'))),
-          qr AS (
-            SELECT p.qid, p.cell, v.d, v.x - c.cx AS rx
-            FROM probes p JOIN dims v ON v.vec_id = p.qid
-                 JOIN cdims c ON c.cc = p.cell AND c.d = v.d),
-          qsub AS (
-            SELECT qid, cell, CAST(d // 8 AS INT) AS sub, list(rx ORDER BY d) AS sv
-            FROM qr GROUP BY 1, 2, 3),
-          tbl AS (
-            SELECT qid, cell, sub, cb.cc,
-                   CAST(list_sum(list_transform(range(1, len(sv) + 1),
-                     i -> CAST(FLOOR(((sv[i] - cv[i]) * (sv[i] - cv[i])) * 1000000000000.0 + 0.5) AS BIGINT))) AS BIGINT) / 1000000000000.0 AS d2
-            FROM qsub JOIN cb USING (sub)),
-          ad AS (
-            SELECT t.qid, x.cid,
-                   CAST(SUM(CAST(FLOOR(t.d2 * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS adist
-            FROM cx x JOIN tbl t ON t.cell = x.cell AND t.sub = x.sub AND t.cc = x.cc
-            WHERE t.qid <> x.cid
-            GROUP BY 1, 2)
-          SELECT qid, cid, adist, rank FROM (
-            SELECT qid, cid, adist,
-                   CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, cid) AS INT) AS rank
-            FROM ad) WHERE rank <= 10 ORDER BY qid, rank""") { (s, dir) =>
+      ivfPqResOracleSql(nProbe = 2)) { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val base = ensureResidualShared(s, dir)
       Similarity.ivfPqResidualScore(emb, emb.filter(col("vec_id") < 5),
@@ -1676,6 +1786,61 @@ object VectorQueries {
           s.read.parquet(s"$base/codes"), s.read.parquet(s"$base/codebook"),
           m = 8, k = 10)
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // The residual family's PRODUCTION read path: the persisted codes in
+    // the cell-partitioned layout (annReadOptimize), scanned with a
+    // static cell filter resolved driver-side from the PERSISTED coarse
+    // quantizer — partition pruning drops every unprobed cell's files,
+    // and the files carry only (cid, codes): m bytes per vector, no raw
+    // vectors anywhere on the read path. Same ADC math as
+    // q_ann_ivfpq_res (the oracle recomputes everything from the flat
+    // codes — values are layout-independent), at probe depth 4.
+    QueryDef(
+      "q_ann_ivfpq_probe",
+      "residual IVF-PQ production probe: static cell filter over cell-partitioned persisted codes, 4-probe ADC from the persisted quantizer",
+      ivfPqResOracleSql(nProbe = 4)) { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val base = ensureResidualShared(s, dir)
+      Similarity.ivfPqResidualProbeIndex(s, s"$base/codes_bycell",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          s.read.parquet(s"$base/centroids"),
+          s.read.parquet(s"$base/codebook"), m = 8, nProbe = 4, k = 10)
+        .orderBy(col("qid"), col("rank"))
+    },
+
+    // The residual family's sweep→floor→choice loop (every other ANN
+    // family has one): recall/cost frontier over the probe depth, ADC
+    // against the persisted (centroids, codebook) pair, exact-L2 truth.
+    // Unlike the exact-rerank sweeps, ADC recall is NOT monotone in
+    // depth by construction — which is exactly why it gets measured.
+    QueryDef(
+      "q_ivfpq_sweep",
+      "residual IVF-PQ probe-depth sweep: ADC-scored candidates and recall@10 vs exact L2, depths 1/2/4/8",
+      s"""$ivfPqSweepCtesSql
+          SELECT n_probe, n_scored, n_hit, n_denom, recall_micro
+          FROM frontier ORDER BY n_probe""") { (s, dir) =>
+      ivfPqSweepArtifact(s, dir).orderBy(col("n_probe"))
+    },
+
+    // The CHOICE read off the residual sweep (cheapest ADC cost first).
+    // The floor is deliberately low: the fixture embeddings are
+    // near-random — the hard case for PQ, where ADC noise swamps the
+    // concentrated L2 gaps — so absolute recall sits in the 0.05-0.25
+    // band and DECREASES with depth at sf0.1 (optimistic far-cell ADC
+    // distances displace true neighbors): exactly the non-monotonicity
+    // that makes measuring the frontier mandatory before deploying a
+    // depth. The oracle recomputes the full frontier from scratch.
+    QueryDef(
+      "q_pick_ivfpq_config",
+      "cheapest residual-PQ probe depth clearing the recall floor, off the persisted sweep",
+      s"""$ivfPqSweepCtesSql
+          SELECT n_probe, n_scored, n_hit, n_denom, recall_micro
+          FROM frontier WHERE recall_micro >= 0.05
+          ORDER BY n_scored, n_probe LIMIT 1""") { (s, dir) =>
+      Similarity.pickIvfConfig(ivfPqSweepArtifact(s, dir), minRecall = 0.05)
+        .select(col("n_probe"), col("n_scored"), col("n_hit"), col("n_denom"),
+          col("recall_micro"))
     },
 
     // SemDeDup (Abbas et al. 2023): coarse-quantizer cells bound the pair

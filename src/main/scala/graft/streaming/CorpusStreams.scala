@@ -523,6 +523,17 @@ object CorpusStreams {
     EtlCli.writeTable(EtlCli.readIndexWithMaintenance(spark, indexPath), outPath,
       partitionBy = Seq("cell"))
 
+  /** binaryIvfReadOptimize's sibling for the residual IVF-PQ codes an
+    * annIndexSink accretes: rewrite the epoch union into the
+    * cell-partitioned layout Similarity.ivfPqResidualProbeIndex scans
+    * with a static cell filter (partition pruning to the probed cells;
+    * the files store only (cid, codes) — m bytes per vector, the PQ
+    * promise). Same versioned commit, same write-then-compact split. */
+  def annReadOptimize(spark: org.apache.spark.sql.SparkSession,
+                      codesPath: String, outPath: String): Unit =
+    EtlCli.writeTable(EtlCli.readEpochTable(spark, codesPath), outPath,
+      partitionBy = Seq("cell"))
+
   /** binaryIvfReadOptimize with the quantizer in hand: additionally DROPS
     * dead rows — copies stored under cells that are no longer leaves
     * (the pre-split parent copies a [[EtlCli.splitHotCells]] leaves
@@ -627,6 +638,54 @@ object CorpusStreams {
         idCol, vecCol, dims, cent, nProbe, shortlist, k)
       .withColumn("n_probe", lit(nProbe))
       .withColumn("shortlist", lit(shortlist))
+  }
+
+  /** Probe the persisted residual IVF-PQ index at the SWEEP-CHOSEN depth
+    * — binaryIvfProbeWithSweep's sibling for the PQ family, closing its
+    * sweep→pick→deploy loop. `codesPath` is the cell-partitioned
+    * read-optimized layout ([[annReadOptimize]]) so the probe's static
+    * cell filter prunes the scan. Refuses, naming both identities, when
+    * the sweep at `sweepPath` was measured under a DIFFERENT coarse
+    * quantizer or codebook than the deployed pair (EtlCli.sweepIvfPq
+    * stamps both; residual-ADC recall depends on the pair, so a
+    * retrain-ivfpq invalidates every older sweep), and when the deployed
+    * (centroids, codebook) pair itself mismatches. The chosen depth
+    * rides the output as an `n_probe` column. m infers from the
+    * codebook. */
+  def ivfPqProbeWithSweep(spark: org.apache.spark.sql.SparkSession,
+                          codesPath: String, centroidsPath: String,
+                          codebookPath: String, sweepPath: String,
+                          queries: DataFrame, idCol: String, vecCol: String,
+                          minRecall: Double, k: Int): DataFrame = {
+    val cent = EtlCli.readTable(spark, centroidsPath)
+    val cb = EtlCli.readTable(spark, codebookPath)
+    requirePairedCodebook(cent, cb, centroidsPath, codebookPath)
+    val sweep = EtlCli.readTable(spark, sweepPath)
+    def checkStamp(column: String, live: Long, what: String): Unit =
+      if (sweep.columns.contains(column)) {
+        val swept = sweep.select(col(column).cast("long"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        require(swept == Seq(live),
+          s"sweep at $sweepPath was measured against $what identity " +
+            s"${swept.mkString(",")} but the deployed artifact has identity " +
+            s"$live — a retrain invalidates every old sweep; run sweep-ivfpq " +
+            "against the deployed pair before probing")
+      }
+    checkStamp("quantizer_id",
+      graft.operators.Similarity.quantizerIdentity(cent), "quantizer")
+    checkStamp("codebook_id",
+      graft.operators.Similarity.codebookIdentity(cb), "codebook")
+    val pick = graft.operators.Similarity.pickIvfConfig(sweep, minRecall)
+      .select(col("n_probe").cast("int")).collect()
+    require(pick.nonEmpty,
+      s"no probe depth at $sweepPath clears recall >= $minRecall — " +
+        "re-sweep deeper (or retrain) before probing")
+    val nProbe = pick.head.getInt(0)
+    val m = cb.agg(max(col("sub").cast("int"))).collect().head.getInt(0) + 1
+    graft.operators.Similarity.ivfPqResidualProbeIndex(spark,
+        EtlCli.resolveDataDir(spark, codesPath), queries, idCol, vecCol,
+        cent, cb.drop("quantizer_id"), m, nProbe, k)
+      .withColumn("n_probe", lit(nProbe))
   }
 
   /** The (centroids, codebook) PAIR-binding guard: a residual codebook is

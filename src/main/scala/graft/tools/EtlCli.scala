@@ -105,6 +105,28 @@ object EtlCli {
       retrainIvfPq(spark, vecsTable, centOut, cbOut, codesOut, baseOut,
         nCells.toInt, m.toInt, ksub.toInt, iters.toInt, samplePeriod.toInt,
         idCol, vecCol)
+    case Seq("sweep-ivfpq", codesTable, centPath, cbPath, vecsTable, outTable) =>
+      sweepIvfPq(spark, codesTable, centPath, cbPath, vecsTable, outTable)
+        .show(numRows = 100, truncate = false)
+    case Seq("sweep-ivfpq", codesTable, centPath, cbPath, vecsTable, outTable,
+             nQueries) =>
+      sweepIvfPq(spark, codesTable, centPath, cbPath, vecsTable, outTable,
+        nQueries.toInt).show(numRows = 100, truncate = false)
+    case Seq("sweep-ivfpq", codesTable, centPath, cbPath, vecsTable, outTable,
+             nQueries, idCol, vecCol) =>
+      sweepIvfPq(spark, codesTable, centPath, cbPath, vecsTable, outTable,
+        nQueries.toInt, idCol = idCol, vecCol = vecCol)
+        .show(numRows = 100, truncate = false)
+    case Seq("read-optimize-binary-ivf", indexTable, outPath) =>
+      graft.streaming.CorpusStreams.binaryIvfReadOptimize(spark, indexTable, outPath)
+      println(s"binary-IVF index compacted to the cell-partitioned layout at $outPath")
+    case Seq("read-optimize-binary-ivf", indexTable, outPath, centPath) =>
+      graft.streaming.CorpusStreams.binaryIvfReadOptimize(spark, indexTable,
+        outPath, centPath)
+      println(s"binary-IVF index compacted (dead non-leaf rows reclaimed) at $outPath")
+    case Seq("read-optimize-ivfpq", codesTable, outPath) =>
+      graft.streaming.CorpusStreams.annReadOptimize(spark, codesTable, outPath)
+      println(s"IVF-PQ codes compacted to the cell-partitioned layout at $outPath")
     case Seq("split-hot-cells", indexTable, centPath, maxShare) =>
       splitHotCells(spark, indexTable, centPath, maxShare.toDouble)
     case Seq("split-hot-cells", indexTable, centPath, maxShare, branch) =>
@@ -116,7 +138,8 @@ object EtlCli {
     case other =>
       sys.error("usage: init|ingest|quality|stats|export|learn-bpe|versions|" +
         s"vacuum|diff|verify-export|sweep-lsh|sweep-binary|sweep-binary-ivf|" +
-        s"check-drift|retrain-binary-ivf|retrain-ivfpq|split-hot-cells ... " +
+        s"check-drift|retrain-binary-ivf|retrain-ivfpq|sweep-ivfpq|" +
+        s"split-hot-cells|read-optimize-binary-ivf|read-optimize-ivfpq ... " +
         s"(got $other)")
   }
 
@@ -456,6 +479,76 @@ object EtlCli {
       queries, idCol, vecCol, dims, cent, nProbes, shortlists, k, exact)
     writeTable(sweep.withColumn("quantizer_id",
       lit(graft.operators.Similarity.quantizerIdentity(cent))), outTable)
+    readTable(spark, outTable)
+  }
+
+  /** Build and COMMIT the residual IVF-PQ probe-depth sweep the deploy
+    * path consumes (`CorpusStreams.ivfPqProbeWithSweep` /
+    * `Similarity.pickIvfConfig`) — the last ANN family's
+    * sweep→floor→choice loop. The codes table carries no raw vectors
+    * (that is the point of PQ), so `vectorsTable` supplies (idCol,
+    * vecCol) for the hash-rank query sample and the exact-L2 truth —
+    * the corpus table the embedding pipeline maintains, exactly as
+    * retrain-ivfpq reads it. The committed frontier is STAMPED with BOTH
+    * identities it was measured under — the coarse quantizer's and the
+    * codebook's — because residual-ADC recall depends on the pair: after
+    * a retrain-ivfpq the probe refuses the stale sweep naming the moved
+    * identity. The codebook must itself pair with the centroids
+    * (refused otherwise, same posture as the encode sinks). m infers
+    * from the stored code width. */
+  def sweepIvfPq(spark: SparkSession, codesTable: String,
+                 centroidsPath: String, codebookPath: String,
+                 vectorsTable: String, outTable: String,
+                 nQueries: Int = 5, k: Int = 10,
+                 nProbes: Seq[Int] = Seq(1, 2, 4, 8),
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(nQueries >= 1, s"need at least one query vector, got $nQueries")
+    val codes = scala.util.Try(readEpochTable(spark, codesTable))
+      .orElse(scala.util.Try(readTable(spark, codesTable)))
+      .getOrElse(spark.read.parquet(codesTable))
+    Seq("cid", "cell", "codes").foreach(c =>
+      require(codes.columns.contains(c),
+        s"codes at $codesTable have no '$c' column (columns: " +
+          s"${codes.columns.mkString(", ")}) — sweep-ivfpq runs over an " +
+          "ivfPqResidualEncode layout (cid, cell, codes)"))
+    val cent = readTable(spark, centroidsPath)
+    val cb = readTable(spark, codebookPath)
+    if (cb.columns.contains("quantizer_id")) {
+      val stamped = cb.select(col("quantizer_id").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val live = graft.operators.Similarity.quantizerIdentity(cent)
+      require(stamped == Seq(live),
+        s"codebook at $codebookPath was trained against quantizer identity " +
+          s"${stamped.mkString(",")} but the centroids at $centroidsPath " +
+          s"have identity $live — a sweep against a mismatched pair would " +
+          "measure recall of an index that cannot exist")
+    }
+    val firstCode = codes.select(size(col("codes")).as("m")).limit(1).collect()
+    require(firstCode.nonEmpty,
+      s"codes at $codesTable are empty — nothing to sweep; encode at least " +
+        "one epoch before calibrating the probe depth")
+    val m = firstCode.head.getInt(0)
+    val vecs = scala.util.Try(readEpochTable(spark, vectorsTable))
+      .orElse(scala.util.Try(readTable(spark, vectorsTable)))
+      .getOrElse(spark.read.parquet(vectorsTable))
+      .select(col(idCol), col(vecCol))
+    val qids = vecs.select(col(idCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(nQueries)
+    val queries = vecs.join(qids, idCol)
+    val exact = graft.operators.Similarity.bruteForceL2TopK(
+        vecs, queries, idCol, vecCol, k)
+      .select(col("qid"), col("cid"))
+    val sweep = graft.operators.Similarity.ivfPqResidualSweep(
+      codes.select(col("cid"), col("cell"), col("codes")),
+      cb.drop("quantizer_id"), cent, queries, idCol, vecCol, m, nProbes, k,
+      exact)
+    writeTable(sweep
+      .withColumn("quantizer_id",
+        lit(graft.operators.Similarity.quantizerIdentity(cent)))
+      .withColumn("codebook_id",
+        lit(graft.operators.Similarity.codebookIdentity(cb))), outTable)
     readTable(spark, outTable)
   }
 

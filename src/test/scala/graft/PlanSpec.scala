@@ -472,6 +472,22 @@ class PlanSpec extends SparkSpec {
       s"stage-1 scan not pruned to codes:\n$p")
   }
 
+  test("residual IVF-PQ production probe: static cell filter prunes the codes scan; files carry only m-byte codes") {
+    val p = plan("q_ann_ivfpq_probe")
+    // the probed-cell set resolves driver-side and lands as a STATIC
+    // partition filter — at 100 TB this is listing nProbe directories
+    // instead of scanning every code
+    assert("PartitionFilters: \\[cell#\\d+ IN".r.findFirstIn(p).isDefined,
+      s"expected a static cell filter on the codes scan:\n$p")
+    // the codes table stores no raw vectors at all (that is the PQ
+    // promise): the scan reads (cid, codes), cell rides the directory
+    assert(p.contains("ReadSchema: struct<cid:bigint,codes:array<bigint>>"),
+      s"codes scan must read only (cid, codes):\n$p")
+    // ADC table broadcasts; the codes side never hash-shuffles its rows
+    val codeShuffles = "Exchange hashpartitioning\\([^)]*codes".r.findAllIn(p).size
+    assert(codeShuffles == 0, s"codes crossed a shuffle:\n$p")
+  }
+
   test("hybrid RRF: retrievers keep their bounded shapes inside the fused plan") {
     val p = plan("q_hybrid_rrf")
     // lexical side: global top-20 stays TakeOrderedAndProject (never a

@@ -817,6 +817,73 @@ class SimilaritySpec extends SparkSpec {
       "an all-leaves probe must still reach every live vector exactly once")
   }
 
+  test("ivfPqResidualProbeIndex: partition-pruned probe equals the given-artifacts scorer") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (cb, codes0) = Similarity.ivfPqResidualBuild(emb, "vec_id", "embedding",
+      nCells = 16, m = 8, ksub = 8, iters = 1)
+    val codes = codes0.transform(graft.core.Materialize.pin)
+    val root = java.nio.file.Files.createTempDirectory("pq_probe")
+    codes.write.partitionBy("cell").parquet(s"$root/codes")
+    // the persisted quantizer: identical to the seeds the build derived
+    val cent = Similarity.coarseCentroids(emb, "vec_id", "embedding", 16)
+    val q = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid").cast("long"), col("cid").cast("long"),
+        col("adist"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    val viaIndex = rows(Similarity.ivfPqResidualProbeIndex(spark,
+      s"$root/codes", q, "vec_id", "embedding", cent, cb,
+      m = 8, nProbe = 4, k = 10))
+    val viaScore = rows(Similarity.ivfPqResidualScore(emb, q,
+      "vec_id", "embedding", nCells = 16, nProbe = 4, codes, cb,
+      m = 8, k = 10))
+    assert(viaIndex.nonEmpty && viaIndex == viaScore,
+      "the partition-pruned probe must equal the full-scan scorer bit-for-bit")
+  }
+
+  test("ivfPqResidualSweep: cost axis monotone and exact at full depth; frontier consistent with the scorer") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (cb, codes0) = Similarity.ivfPqResidualBuild(emb, "vec_id", "embedding",
+      nCells = 16, m = 8, ksub = 16, iters = 1)
+    val codes = codes0.transform(graft.core.Materialize.pin)
+    val cent = Similarity.coarseCentroids(emb, "vec_id", "embedding", 16)
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceL2TopK(emb, q, "vec_id", "embedding", 10)
+      .select(col("qid"), col("cid"))
+      .transform(graft.core.Materialize.pin)
+    val sweep = Similarity.ivfPqResidualSweep(codes, cb, cent, q,
+        "vec_id", "embedding", m = 8, nProbes = Seq(1, 2, 4, 16), k = 10,
+        exact = exact)
+      .orderBy(col("n_probe"))
+      .select(col("n_probe"), col("n_scored"), col("n_hit"), col("n_denom"),
+        col("recall_micro"))
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    assert(sweep.map(_._1) == Seq(1, 2, 4, 16))
+    // scan cost is monotone in depth, and full depth scores everything
+    assert(sweep.map(_._2) == sweep.map(_._2).sorted,
+      s"n_scored must be monotone in depth: $sweep")
+    assert(sweep.last._2 == 5L * (emb.count() - 1),
+      "probing every cell must ADC-score the whole corpus per query")
+    // frontier consistency: the full-depth row's hits equal the hits the
+    // given-artifacts scorer produces at the same depth
+    val scoreHits = Similarity.ivfPqResidualScore(emb, q, "vec_id", "embedding",
+        nCells = 16, nProbe = 16, codes, cb, m = 8, k = 10)
+      .select(col("qid"), col("cid"))
+      .join(exact, Seq("qid", "cid")).count()
+    assert(sweep.last._3 == scoreHits,
+      s"sweep full-depth hits ${sweep.last._3} != scorer hits $scoreHits")
+    assert(sweep.last._4 == 50L, "5 queries x k=10 ground truth")
+    // picker reads the same schema the IVF sweep emits
+    val pick = Similarity.pickIvfConfig(
+      Similarity.ivfPqResidualSweep(codes, cb, cent, q, "vec_id", "embedding",
+        m = 8, nProbes = Seq(1, 2, 4, 16), k = 10, exact = exact),
+      minRecall = 0.0)
+    assert(pick.count() == 1, "a zero floor must always pick the cheapest depth")
+    assert(pick.select(col("n_probe").cast("int")).as[Int].head() == 1)
+  }
+
   test("splitHotCells: balanced corpora and unsplittable cells no-op; a hot child refuses") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

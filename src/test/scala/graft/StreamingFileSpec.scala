@@ -1281,6 +1281,98 @@ class StreamingFileSpec extends SparkSpec {
     assert(spark.read.parquet(out.toString).count() == 2 * n)
   }
 
+  test("ivfpq sweep -> pick -> deploy loop: probe serves the swept depth; a retrain refuses the stale sweep on both identities") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.Similarity
+    import graft.tools.EtlCli
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("pq_loop")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectory(in)
+    def paths(n: String) = root.resolve(n).toString
+    // day-0 pair: persisted centroids + codebook STAMPED with its quantizer
+    val cent0 = Similarity.coarseCentroids(emb, "vec_id", "embedding", 16)
+      .transform(graft.core.Materialize.pin)
+    val (cb0, _) = Similarity.ivfPqResidualBuild(emb, "vec_id", "embedding",
+      nCells = 16, m = 8, ksub = 16, iters = 1)
+    EtlCli.writeTable(cent0, paths("cent"))
+    EtlCli.writeTable(cb0.withColumn("quantizer_id",
+      lit(Similarity.quantizerIdentity(cent0))), paths("cb"))
+    EtlCli.writeTable(emb, paths("vecs"))
+    def stage(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, in.resolve(name + ".parquet"))
+    }
+    stage("b0", emb.filter(col("vec_id") % 2 === 0))
+    stage("b1", emb.filter(col("vec_id") % 2 === 1))
+    CorpusStreams.annIndexSink(
+      spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+        .parquet(in.toString),
+      "vec_id", "embedding", paths("cent"), paths("cb"), paths("codes"),
+      paths("chk"), m = 8).awaitTermination(120000)
+    // read-optimize to the cell-partitioned probe layout + sweep + deploy
+    CorpusStreams.annReadOptimize(spark, paths("codes"), paths("opt"))
+    EtlCli.sweepIvfPq(spark, paths("codes"), paths("cent"), paths("cb"),
+      paths("vecs"), paths("sweep"), nQueries = 3, k = 5,
+      nProbes = Seq(1, 4, 16))
+    val q = emb.filter(col("vec_id").isin(1L, 2L))
+    val served = CorpusStreams.ivfPqProbeWithSweep(spark, paths("opt"),
+      paths("cent"), paths("cb"), paths("sweep"), q, "vec_id", "embedding",
+      minRecall = 0.0, k = 5)
+    val depth = served.select(col("n_probe")).distinct().as[Int].collect()
+    assert(depth.length == 1 && depth.head == 1,
+      s"a zero floor must deploy the cheapest swept depth: ${depth.toSeq}")
+    // the served result equals the given-artifacts scorer at that depth
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid").cast("long"), col("cid").cast("long"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    val scoreRef = Similarity.ivfPqResidualScore(emb, q, "vec_id", "embedding",
+      nCells = 16, nProbe = depth.head, EtlCli.readEpochTable(spark, paths("codes")),
+      EtlCli.readTable(spark, paths("cb")).drop("quantizer_id"), m = 8, k = 5)
+    assert(topk(served.drop("n_probe")) == topk(scoreRef),
+      "deployed probe must equal the scorer at the swept depth")
+    // an unreachable floor refuses — never the best loser
+    val exFloor = intercept[IllegalArgumentException] {
+      CorpusStreams.ivfPqProbeWithSweep(spark, paths("opt"), paths("cent"),
+        paths("cb"), paths("sweep"), q, "vec_id", "embedding",
+        minRecall = 1.01, k = 5)
+    }
+    assert(exFloor.getMessage.contains("re-sweep"), exFloor.getMessage)
+
+    // ---- retrain: BOTH identities move; the stale sweep refuses ----
+    EtlCli.retrainIvfPq(spark, paths("vecs"), paths("cent2"), paths("cb2"),
+      paths("codes2"), paths("base2"), nCells = 8, m = 8, ksub = 8, iters = 1)
+    val exStale = intercept[IllegalArgumentException] {
+      CorpusStreams.ivfPqProbeWithSweep(spark, paths("codes2"), paths("cent2"),
+        paths("cb2"), paths("sweep"), q, "vec_id", "embedding",
+        minRecall = 0.0, k = 5)
+    }
+    assert(exStale.getMessage.contains("identity"), exStale.getMessage)
+    // re-sweep against the new pair: the loop closes (sweep-ivfpq also
+    // accepts the retrain's versioned codes layout)
+    EtlCli.sweepIvfPq(spark, paths("codes2"), paths("cent2"), paths("cb2"),
+      paths("vecs"), paths("sweep2"), nQueries = 3, k = 5,
+      nProbes = Seq(1, 8))
+    val served2 = CorpusStreams.ivfPqProbeWithSweep(spark, paths("codes2"),
+      paths("cent2"), paths("cb2"), paths("sweep2"), q, "vec_id", "embedding",
+      minRecall = 0.0, k = 5)
+    assert(served2.count() == 2 * 5, "re-swept deployment must serve top-5 per query")
+    // ...and a half-switched pair (new codebook, old centroids) refuses
+    // at the probe too, same guard as the encode sinks
+    val exPair = intercept[IllegalArgumentException] {
+      CorpusStreams.ivfPqProbeWithSweep(spark, paths("codes2"), paths("cent"),
+        paths("cb2"), paths("sweep2"), q, "vec_id", "embedding",
+        minRecall = 0.0, k = 5)
+    }
+    assert(exPair.getMessage.contains("pair") ||
+      exPair.getMessage.contains("identity"), exPair.getMessage)
+  }
+
   test("split-hot-cells runbook: skew alarm -> O(hot) split epoch -> stale sweep refused -> re-sweep -> probe serves; replay- and crash-safe") {
     import graft.streaming.CorpusStreams
     import graft.operators.Similarity
