@@ -884,6 +884,57 @@ class SimilaritySpec extends SparkSpec {
     assert(pick.select(col("n_probe").cast("int")).as[Int].head() == 1)
   }
 
+  test("splitHotCells: two hot cells split in one call; fresh ids stay disjoint across parents") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // two tight modes (~40% each) around vectors 0 and 1
+    val modes = emb.filter(col("vec_id") < 2)
+      .groupBy().agg(
+        max(when(col("vec_id") === 0, col("embedding").cast("array<double>")))
+          .as("ma"),
+        max(when(col("vec_id") === 1, col("embedding").cast("array<double>")))
+          .as("mb"))
+    val conc = emb.crossJoin(broadcast(modes))
+      .select(col("vec_id"),
+        when(col("vec_id") % 5 === 0, col("embedding").cast("array<double>"))
+          .when(col("vec_id") % 5 <= 2,
+            zip_with(col("embedding").cast("array<double>"), col("ma"),
+              (a, b) => b + (a - b) * lit(0.01)))
+          .otherwise(
+            zip_with(col("embedding").cast("array<double>"), col("mb"),
+              (a, b) => b + (a - b) * lit(0.01)))
+          .as("embedding"))
+    val cent = Similarity.coarseCentroids(emb, "vec_id", "embedding", nCells = 16)
+      .transform(graft.core.Materialize.pin)
+    val index = Similarity.binaryIvfIndexBuild(conc, "vec_id", "embedding",
+      dims = 64, cent).transform(graft.core.Materialize.pin)
+    val occ = index.groupBy("cell").count().as[(Long, Long)].collect().toMap
+    val total = occ.values.sum
+    val hot = occ.filter(_._2.toDouble > 0.3 * total).keySet
+    assert(hot.size == 2, s"fixture must plant two hot cells: $occ")
+
+    val (tree, rel0) = Similarity.splitHotCells(index, "vec_id", "embedding",
+      cent, maxShare = 0.3, branch = 2)
+    val rel = rel0.transform(graft.core.Materialize.pin)
+    assert(rel.count() == hot.toSeq.map(occ).sum,
+      "both hot cells' members relabel, nothing else")
+    val children = tree.filter(col("parent").isNotNull)
+      .select(col("cc").cast("long"), col("parent").cast("long"))
+      .as[(Long, Long)].collect().toSeq
+    assert(children.map(_._2).toSet == hot, s"children must cover both parents")
+    assert(children.size == 4 && children.map(_._1).distinct.size == 4,
+      s"2 parents x branch 2 = 4 DISTINCT fresh ids: $children")
+    // THE invariant still holds across a multi-cell split
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id").cast("long"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    val live = index.filter(!col("cell").isin(hot.toSeq: _*)).unionByName(rel)
+    assert(rows(live) == rows(Similarity.binaryIvfIndexBuild(conc, "vec_id",
+      "embedding", dims = 64, tree)),
+      "multi-cell split must still equal the from-scratch tree build")
+  }
+
   test("splitHotCells: balanced corpora and unsplittable cells no-op; a hot child refuses") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
