@@ -433,4 +433,59 @@ class PropertySpec extends SparkSpec {
       } else assert(!fused.contains(id), s"id $id ranked by no system yet fused")
     }
   }
+
+  test("splitHotCells laws: relabel+untouched == tree build; identity moves iff something split; no empty child") {
+    import graft.operators.Similarity
+    // random small corpora with DUPLICATE-heavy clusters — the ties,
+    // degenerate cells, and boundary projections the slab math must
+    // survive. Three seeded draws (single batched Spark jobs each).
+    val dims = 8
+    def corpusGen(seed: Long): Seq[(Long, Seq[Double])] = {
+      val g = Gen.listOfN(40,
+        Gen.zip(Gen.chooseNum(0, 3), Gen.listOfN(dims, Gen.chooseNum(-5, 5))))
+      g.apply(Gen.Parameters.default, Seed(seed)).get.zipWithIndex.map {
+        case ((cluster, noise), i) =>
+          // 4 tight clusters; duplicates arise when noise repeats
+          (i.toLong, noise.map(n => cluster * 10.0 + n * 0.01))
+      }
+    }
+    for (seed <- Seq(7L, 11L, 13L)) {
+      val corpus = corpusGen(seed).toDF("vec_id", "embedding")
+      val cent = Similarity.coarseCentroids(corpus, "vec_id", "embedding",
+          nCells = 2)
+        .transform(graft.core.Materialize.pin)
+      val index = Similarity.binaryIvfIndexBuild(corpus, "vec_id", "embedding",
+          dims, cent)
+        .transform(graft.core.Materialize.pin)
+      val (tree, rel0) = Similarity.splitHotCells(index, "vec_id", "embedding",
+        cent, maxShare = 0.3, branch = 3)
+      val rel = rel0.transform(graft.core.Materialize.pin)
+      val split = rel.count() > 0
+      // law 1: identity moves iff the split changed the leaf set
+      assert((Similarity.quantizerIdentity(tree) !=
+        Similarity.quantizerIdentity(cent)) == split, s"seed $seed")
+      // law 2: untouched + relabeled rows == a from-scratch build under
+      // the committed tree, whatever the data (duplicates included)
+      val parents = tree.filter(col("parent").isNotNull)
+        .select(col("parent").cast("long")).distinct()
+        .as[Long].collect().toSet
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("vec_id").cast("long"), col("cell").cast("long"))
+        .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+      val live = index.filter(!col("cell").isin(parents.toSeq: _*))
+        .unionByName(rel)
+      assert(rows(live) == rows(Similarity.binaryIvfIndexBuild(corpus,
+        "vec_id", "embedding", dims, tree)), s"seed $seed: invariant broke")
+      // law 3: every committed child stores at least one row (thresholds
+      // are deduped above the cell minimum, so no interval can be empty)
+      if (split) {
+        val childCells = tree.filter(col("parent").isNotNull)
+          .select(col("cc").cast("long")).as[Long].collect().toSet
+        val occupied = rel.select(col("cell").cast("long"))
+          .distinct().as[Long].collect().toSet
+        assert(childCells == occupied,
+          s"seed $seed: empty child interval: ${childCells -- occupied}")
+      }
+    }
+  }
 }

@@ -1373,6 +1373,53 @@ class StreamingFileSpec extends SparkSpec {
       exPair.getMessage.contains("identity"), exPair.getMessage)
   }
 
+  test("epoch compaction folds around maintenance epochs: split relabels survive, nothing double-counts") {
+    import graft.operators.Similarity
+    import graft.tools.EtlCli
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("split_compact")
+    def paths(n: String) = root.resolve(n).toString
+    val mode = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("mv"))
+    val conc = emb.crossJoin(broadcast(mode))
+      .select(col("vec_id"),
+        when(col("vec_id") % 5 === 0, col("embedding").cast("array<double>"))
+          .otherwise(zip_with(col("embedding").cast("array<double>"), col("mv"),
+            (a, b) => b + (a - b) * lit(0.01)))
+          .as("embedding"))
+    val cent0 = Similarity.coarseCentroids(emb, "vec_id", "embedding", 16)
+      .transform(graft.core.Materialize.pin)
+    EtlCli.writeTable(cent0, paths("cent"))
+    EtlCli.appendEpoch(Similarity.binaryIvfIndexBuild(
+      conc.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", 64, cent0),
+      paths("idx"), 0)
+    EtlCli.appendEpoch(Similarity.binaryIvfIndexBuild(
+      conc.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", 64, cent0),
+      paths("idx"), 1)
+    EtlCli.splitHotCells(spark, paths("idx"), paths("cent"), maxShare = 0.5,
+      branch = 4)
+    val before = EtlCli.readIndexWithMaintenance(spark, paths("idx"))
+      .select(col("vec_id").cast("long"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    // fold the INGEST epochs; the maintenance namespace is untouched and
+    // the union reader sees the identical rows afterwards
+    EtlCli.compactEpochs(spark, paths("idx"))
+    assert(EtlCli.committedEpochs(spark, s"${paths("idx")}/maintenance")
+      == Seq(0L), "compaction must not fold or drop the maintenance epoch")
+    val after = EtlCli.readIndexWithMaintenance(spark, paths("idx"))
+      .select(col("vec_id").cast("long"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(after == before,
+      "compaction must be a pure re-layout of the maintained index")
+    // ...and a post-compaction read-optimize still reclaims dead copies
+    graft.streaming.CorpusStreams.binaryIvfReadOptimize(spark, paths("idx"),
+      paths("opt"), paths("cent"))
+    assert(EtlCli.readTable(spark, paths("opt")).count() == emb.count())
+  }
+
   test("split-hot-cells runbook: skew alarm -> O(hot) split epoch -> stale sweep refused -> re-sweep -> probe serves; replay- and crash-safe") {
     import graft.streaming.CorpusStreams
     import graft.operators.Similarity
