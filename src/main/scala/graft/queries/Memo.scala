@@ -20,16 +20,36 @@ private[queries] object Memo {
     * the layout it was BUILT with: a second call site reusing the name
     * with a different partitionBy would silently read the first layout
     * (defeating the partition pruning it asked for), so a layout
-    * mismatch fails loudly — one artifact name, one layout. */
+    * mismatch fails loudly — one artifact name, one layout.
+    *
+    * Builds run under ONE reentrant monitor, NOT inside the map's
+    * computeIfAbsent: builders legitimately nest (cell_split_tree builds
+    * binary_ivf_cent; binary_ivf_sweep builds binary_ivf_index), and a
+    * nested computeIfAbsent on the same ConcurrentHashMap is a contract
+    * violation that throws "Recursive update" whenever the two keys land
+    * in one bin. `synchronized` is reentrant on the builder's own
+    * thread, so nesting is safe; builds are rare, heavyweight parquet
+    * writes, so serializing them across threads costs nothing real. */
   def parquetArtifactPath(s: SparkSession, dir: String, name: String,
                           partitionBy: Seq[String] = Nil)
                          (build: => DataFrame): String = {
-    val (p, layout) = written.computeIfAbsent(s"$name|$dir", { _ =>
-      val p = s"${VectorQueries.annArtifactRoot}/$name/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-      build.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(p)
-      (p, partitionBy)
-    })
+    val key = s"$name|$dir"
+    val (p, layout) = {
+      val hit = written.get(key)
+      if (hit != null) hit
+      else synchronized {
+        val again = written.get(key) // double-checked under the monitor
+        if (again != null) again
+        else {
+          val p = s"${VectorQueries.annArtifactRoot}/$name/" +
+            dir.replaceAll("[^A-Za-z0-9.]", "_")
+          build.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(p)
+          val entry = (p, partitionBy)
+          written.put(key, entry)
+          entry
+        }
+      }
+    }
     require(layout == partitionBy,
       s"artifact '$name' was built partitioned by [${layout.mkString(",")}] " +
         s"but this call requests [${partitionBy.mkString(",")}] — use a " +

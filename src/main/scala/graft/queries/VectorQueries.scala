@@ -116,6 +116,98 @@ object VectorQueries {
       base
     }
 
+  /** q_knn_graph knobs: k neighbors, NN-descent rounds, init LSH bits. */
+  private final val KnnK = 5
+  private final val KnnRounds = 2
+
+  /** DuckDB replay of Similarity.nnDescentGraph (k=5, rounds=2, 8-bit
+    * LSH init + 4-bit safety net + salted-hash exploration rings):
+    * bucketed ring init, then each unrolled round scores current ∪
+    * reversed ∪ neighbors-of-neighbors ∪ the round's exploration ring
+    * and keeps the quantized-cosine top-k per node (ties to the lower
+    * neighbor id). Built from generator functions so the ring and
+    * scoring shapes exist once. */
+  private lazy val knnGraphSql: String = {
+    val offs = (1 to KnnK).mkString("[", ", ", "]")
+    // nBits-bit LSH bucket CTEs (prefix_proj, prefix_b) — the
+    // lshBucketsCtes shape, parameterized
+    def lshCtes(prefix: String, bits: Int): String =
+      s"""${prefix}_proj AS (
+            SELECT vec_id,
+                   ${(0 until bits).map { h =>
+                     s"CAST(SUM(CAST(FLOOR((x * (CASE WHEN substr(md5('$h:' || CAST(d AS VARCHAR)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS p_$h"
+                   }.mkString(", ")}
+            FROM dims GROUP BY vec_id),
+          ${prefix}_b AS (
+            SELECT vec_id,
+                   CAST(${(0 until bits).map(h => s"CASE WHEN p_$h > 0 THEN ${1L << h} ELSE 0 END").mkString(" + ")} AS BIGINT) AS bucket
+            FROM ${prefix}_proj)"""
+    // ring edges over a bucketed CTE (columns vec_id, bucket), salted rank
+    def ringCtes(prefix: String, bucketed: String, salt: String): String =
+      s"""${prefix}_mem AS (
+            SELECT bucket, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY md5(CAST(vec_id AS VARCHAR) || '$salt'), vec_id) AS pos,
+                   COUNT(*) OVER (PARTITION BY bucket) AS m
+            FROM $bucketed),
+          ${prefix}_e AS (
+            SELECT ma.vec_id AS a, mb.vec_id AS b
+            FROM ${prefix}_mem ma
+            JOIN (SELECT UNNEST($offs) AS off) o ON o.off < ma.m
+            JOIN ${prefix}_mem mb ON mb.bucket = ma.bucket
+                 AND mb.pos = ((ma.pos - 1 + o.off) % ma.m) + 1)"""
+    // score a candidate-pair CTE and keep the per-node top-k
+    def topkCtes(prefix: String, cand: String): String =
+      s"""${prefix}_s AS (
+            SELECT c.a, c.b,
+                   (CAST(SUM(CAST(FLOOR((da.x * db.x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0)
+                     / (na.nrm * nb.nrm) AS cosine
+            FROM $cand c
+            JOIN dims da ON da.vec_id = c.a
+            JOIN dims db ON db.vec_id = c.b AND db.d = da.d
+            JOIN nrm na ON na.vec_id = c.a JOIN nrm nb ON nb.vec_id = c.b
+            GROUP BY c.a, c.b, na.nrm, nb.nrm),
+          ${prefix}_cur AS (
+            SELECT a, b, cosine FROM (
+              SELECT a, b, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY a ORDER BY cosine DESC, b) AS rn
+              FROM ${prefix}_s) WHERE rn <= $KnnK)"""
+    // one NN-descent round over the previous top-k
+    def roundCtes(prefix: String, prev: String, r: Int): String =
+      s"""${prefix}_h AS (
+            SELECT vec_id, substr(md5(CAST(vec_id AS VARCHAR) || ':$r'), 1, 1) AS bucket
+            FROM embeddings),
+          ${ringCtes(s"${prefix}_x", s"${prefix}_h", s":$r")},
+          ${prefix}_cand AS (
+            SELECT DISTINCT a, b FROM (
+              SELECT a, b FROM $prev
+              UNION ALL SELECT b AS a, a AS b FROM $prev
+              UNION ALL
+              SELECT u1.a, u2.b FROM
+                (SELECT a, b FROM $prev UNION ALL SELECT b, a FROM $prev) u1
+                JOIN
+                (SELECT a, b FROM $prev UNION ALL SELECT b, a FROM $prev) u2
+                ON u1.b = u2.a
+              UNION ALL SELECT a, b FROM ${prefix}_x_e)
+            WHERE a <> b),
+          ${topkCtes(prefix, s"${prefix}_cand")}"""
+    s"""WITH dims AS ($dimsSql),
+          nrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(FLOOR((x * x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0) AS nrm
+                  FROM dims GROUP BY vec_id),
+          ${lshCtes("l8", 8)},
+          ${lshCtes("l4", 4)},
+          ${ringCtes("r8", "l8_b", "")},
+          ${ringCtes("r4", "l4_b", "")},
+          init_cand AS (
+            SELECT DISTINCT a, b FROM (
+              SELECT a, b FROM r8_e UNION ALL SELECT a, b FROM r4_e)),
+          ${topkCtes("g0", "init_cand")},
+          ${(1 to KnnRounds).map(r => roundCtes(s"g$r", s"g${r - 1}_cur", r))
+            .mkString(",\n          ")}
+        SELECT a AS vec_id, b AS nid, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY cosine DESC, b) AS INT) AS rank
+        FROM g${KnnRounds}_cur ORDER BY vec_id, rank"""
+  }
+
   /** The persisted residual probe-depth sweep both sweep queries read
     * (one build per JVM run + sf dir, the binary_ivf_sweep pattern). */
   private def ivfPqSweepArtifact(s: org.apache.spark.sql.SparkSession,
@@ -132,14 +224,16 @@ object VectorQueries {
         exact = exact)
     }
 
-  /** Shared oracle CTE chain for the residual probe-depth sweep (16
-    * cells, queries vec_id < 5, k=10, depths 1/2/4/8): probe ranking to
-    * max depth -> per-cell query residual ADC tables -> per-candidate
-    * ADC distance tagged with its probe rank -> per-depth approx top-k
-    * vs exact-L2 truth. Shared by q_ivfpq_sweep (the frontier) and
-    * q_pick_ivfpq_config (the choice read off it). */
-  private lazy val ivfPqSweepCtesSql: String =
-    s"""WITH dims AS ($dimsSql),
+  /** The shared ADC oracle prefix (probe depth parameterized): 16-cell
+    * hash-rank quantizer, queries vec_id < 5, probe ranking to `maxProbe`
+    * (rank kept), persisted codebook + flat codes, per-(query, probed
+    * cell) residual ADC tables. ONE copy of the residual math —
+    * q_ann_ivfpq_res / q_ann_ivfpq_probe append the ranking tail,
+    * q_ivfpq_sweep / q_pick_ivfpq_config the per-depth frontier tail —
+    * so a quantization or seed change can never desynchronize the
+    * oracles. */
+  private def ivfPqAdcCtes(maxProbe: Int): String =
+    s"""dims AS ($dimsSql),
           cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id IN ${seedIdsSql(16)}),
           vdist AS (
             SELECT v.vec_id, c.cc,
@@ -148,7 +242,7 @@ object VectorQueries {
           probes AS (
             SELECT vec_id AS qid, cc AS cell, rn FROM (
               SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
-              FROM vdist WHERE vec_id < 5) WHERE rn <= 8),
+              FROM vdist WHERE vec_id < 5) WHERE rn <= $maxProbe),
           cb AS (SELECT sub, cc, cv FROM read_parquet('${annArtifactRoot}/ivfpqres/codebook/*.parquet')),
           cx AS (
             SELECT cid, cell, r.sub AS sub, r.cc AS cc FROM (
@@ -165,7 +259,13 @@ object VectorQueries {
             SELECT qid, cell, sub, cb.cc,
                    CAST(list_sum(list_transform(range(1, len(sv) + 1),
                      i -> CAST(FLOOR(((sv[i] - cv[i]) * (sv[i] - cv[i])) * 1000000000000.0 + 0.5) AS BIGINT))) AS BIGINT) / 1000000000000.0 AS d2
-            FROM qsub JOIN cb USING (sub)),
+            FROM qsub JOIN cb USING (sub))"""
+
+  /** Per-depth frontier tail over the shared prefix: ADC distances
+    * tagged with their probe rank, approx top-k per depth, exact-L2
+    * truth. Shared by q_ivfpq_sweep and q_pick_ivfpq_config. */
+  private lazy val ivfPqSweepCtesSql: String =
+    s"""WITH ${ivfPqAdcCtes(maxProbe = 8)},
           adr AS (
             SELECT t.qid, x.cid, x.cell,
                    CAST(SUM(CAST(FLOOR(t.d2 * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS adist
@@ -212,35 +312,10 @@ object VectorQueries {
     * `nProbe`, from the persisted codebook + (flat) codes — shared by
     * q_ann_ivfpq_res (the given-artifacts scorer) and q_ann_ivfpq_probe
     * (the partition-pruned production path; values are
-    * layout-independent, so the oracle reads the flat copy). */
+    * layout-independent, so the oracle reads the flat copy). One ranking
+    * tail over the shared [[ivfPqAdcCtes]] prefix. */
   private def ivfPqResOracleSql(nProbe: Int): String =
-    s"""WITH dims AS ($dimsSql),
-          cdims AS (SELECT vec_id AS cc, d, x AS cx FROM ($dimsSql) WHERE vec_id IN ${seedIdsSql(16)}),
-          vdist AS (
-            SELECT v.vec_id, c.cc,
-                   CAST(SUM(CAST(FLOOR(((v.x - c.cx) * (v.x - c.cx)) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS d2
-            FROM dims v JOIN cdims c ON v.d = c.d GROUP BY 1, 2),
-          probes AS (
-            SELECT vec_id AS qid, cc AS cell FROM (
-              SELECT vec_id, cc, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
-              FROM vdist WHERE vec_id < 5) WHERE rn <= $nProbe),
-          cb AS (SELECT sub, cc, cv FROM read_parquet('${annArtifactRoot}/ivfpqres/codebook/*.parquet')),
-          cx AS (
-            SELECT cid, cell, r.sub AS sub, r.cc AS cc FROM (
-              SELECT cid, cell, unnest(list_transform(range(1, len(codes) + 1), i -> {'sub': i - 1, 'cc': codes[i]})) AS r
-              FROM read_parquet('${annArtifactRoot}/ivfpqres/codes/*.parquet'))),
-          qr AS (
-            SELECT p.qid, p.cell, v.d, v.x - c.cx AS rx
-            FROM probes p JOIN dims v ON v.vec_id = p.qid
-                 JOIN cdims c ON c.cc = p.cell AND c.d = v.d),
-          qsub AS (
-            SELECT qid, cell, CAST(d // 8 AS INT) AS sub, list(rx ORDER BY d) AS sv
-            FROM qr GROUP BY 1, 2, 3),
-          tbl AS (
-            SELECT qid, cell, sub, cb.cc,
-                   CAST(list_sum(list_transform(range(1, len(sv) + 1),
-                     i -> CAST(FLOOR(((sv[i] - cv[i]) * (sv[i] - cv[i])) * 1000000000000.0 + 0.5) AS BIGINT))) AS BIGINT) / 1000000000000.0 AS d2
-            FROM qsub JOIN cb USING (sub)),
+    s"""WITH ${ivfPqAdcCtes(maxProbe = nProbe)},
           ad AS (
             SELECT t.qid, x.cid,
                    CAST(SUM(CAST(FLOOR(t.d2 * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS adist
@@ -1843,6 +1918,24 @@ object VectorQueries {
           col("recall_micro"))
     },
 
+    // The all-nodes k-NN GRAPH a SemDeDup-style pipeline or graph
+    // retrieval wants is O(n^2) exact — NN-Descent (Dong et al., WWW'11)
+    // builds it in O(n*k^2) per round: LSH-ring init, then score current
+    // ∪ reversed ∪ neighbors-of-neighbors ∪ a salted exploration ring
+    // and keep the best k per node (monotone by construction; the
+    // exploration rings break the local-optimum plateau pure
+    // hill-climbing measured on this fixture). The oracle replays the
+    // whole construction — buckets, rings, both unrolled rounds, the
+    // quantized-cosine scoring, and every tie — from scratch.
+    QueryDef(
+      "q_knn_graph",
+      "approximate k-NN graph by NN-Descent: LSH-ring init + 2 rounds of neighbors-of-neighbors with exploration, top-5 per node",
+      knnGraphSql) { (s, dir) =>
+      Similarity.nnDescentGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = KnnK, rounds = KnnRounds)
+        .orderBy(col("vec_id"), col("rank"))
+    },
+
     // SemDeDup (Abbas et al. 2023): coarse-quantizer cells bound the pair
     // space, within-cell quantized cosine verifies, lowest-id wins. The
     // query emits the DROPPED vectors — the side semanticDedup removes.
@@ -1918,11 +2011,13 @@ object VectorQueries {
     // cells — O(hot mass), never the O(corpus) retrain. Fixture: 80% of
     // the corpus collapsed into one tight mode around vector 0, day-0
     // quantizer trained on the BALANCED corpus (as deployed), so exactly
-    // one cell crosses the 0.5 share bound. The oracle replays the
-    // WHOLE deterministic bisect from scratch: cell assignment, live
-    // occupancy, the hash-rank seed 0, the farthest-point seed 1, the
-    // one Lloyd step's exact-quantized coordinate means, the FINAL
-    // argmin-over-means membership, and the fresh child ids.
+    // one cell crosses the 0.5 share bound. The oracle replays the WHOLE
+    // deterministic slab bisect from scratch: cell assignment, live
+    // occupancy, the hash-rank-first member, the farthest member (their
+    // difference is the slab axis), every member's exact-integer
+    // projection, the rank-quantile thresholds, the half-open-interval
+    // membership, the per-slab exact-quantized centroid means (probe
+    // RANKING vectors — never the membership rule), and the fresh ids.
     QueryDef(
       "q_cell_split",
       "hot-cell slab split: child centroids (exact-quantized means), fresh ids, and member counts for the planted 80% mode",

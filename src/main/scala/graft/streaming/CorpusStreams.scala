@@ -614,16 +614,12 @@ object CorpusStreams {
     // every stored cell moved. Refuse loudly, naming both identities —
     // the same posture as the LSH pick's shingle-k refusal. Legacy
     // artifacts without the column predate the stamp and pass unchecked.
-    if (sweep.columns.contains("quantizer_id")) {
-      val swept = sweep.select(col("quantizer_id").cast("long"))
-        .distinct().collect().map(_.getLong(0)).toSeq
-      val live = graft.operators.Similarity.quantizerIdentity(cent)
-      require(swept == Seq(live),
-        s"sweep at $sweepPath was measured against quantizer identity " +
-          s"${swept.mkString(",")} but the centroids at $centroidsPath have " +
-          s"identity $live — a retrain invalidates every old sweep; run " +
-          "sweep-binary-ivf against the deployed centroids before probing")
-    }
+    EtlCli.requireStamp(sweep, "quantizer_id",
+      graft.operators.Similarity.quantizerIdentity(cent),
+      s"sweep at $sweepPath was measured against quantizer",
+      s"the centroids at $centroidsPath",
+      "a retrain invalidates every old sweep; run sweep-binary-ivf against " +
+        "the deployed centroids before probing")
     val pick = graft.operators.Similarity.pickBinaryIvfConfig(sweep, minRecall)
       .select(col("n_probe").cast("int"), col("shortlist").cast("int")).collect()
     require(pick.nonEmpty,
@@ -661,20 +657,16 @@ object CorpusStreams {
     val cb = EtlCli.readTable(spark, codebookPath)
     requirePairedCodebook(cent, cb, centroidsPath, codebookPath)
     val sweep = EtlCli.readTable(spark, sweepPath)
-    def checkStamp(column: String, live: Long, what: String): Unit =
-      if (sweep.columns.contains(column)) {
-        val swept = sweep.select(col(column).cast("long"))
-          .distinct().collect().map(_.getLong(0)).toSeq
-        require(swept == Seq(live),
-          s"sweep at $sweepPath was measured against $what identity " +
-            s"${swept.mkString(",")} but the deployed artifact has identity " +
-            s"$live — a retrain invalidates every old sweep; run sweep-ivfpq " +
-            "against the deployed pair before probing")
-      }
-    checkStamp("quantizer_id",
-      graft.operators.Similarity.quantizerIdentity(cent), "quantizer")
-    checkStamp("codebook_id",
-      graft.operators.Similarity.codebookIdentity(cb), "codebook")
+    val staleHint = "a retrain invalidates every old sweep; run sweep-ivfpq " +
+      "against the deployed pair before probing"
+    EtlCli.requireStamp(sweep, "quantizer_id",
+      graft.operators.Similarity.quantizerIdentity(cent),
+      s"sweep at $sweepPath was measured against quantizer",
+      s"the centroids at $centroidsPath", staleHint)
+    EtlCli.requireStamp(sweep, "codebook_id",
+      graft.operators.Similarity.codebookIdentity(cb),
+      s"sweep at $sweepPath was measured against codebook",
+      s"the codebook at $codebookPath", staleHint)
     val pick = graft.operators.Similarity.pickIvfConfig(sweep, minRecall)
       .select(col("n_probe").cast("int")).collect()
     require(pick.nonEmpty,
@@ -699,17 +691,12 @@ object CorpusStreams {
   private def requirePairedCodebook(cent: DataFrame, cb: DataFrame,
                                     centroidsPath: String,
                                     codebookPath: String): Unit =
-    if (cb.columns.contains("quantizer_id")) {
-      val stamped = cb.select(col("quantizer_id").cast("long"))
-        .distinct().collect().map(_.getLong(0)).toSeq
-      val live = graft.operators.Similarity.quantizerIdentity(cent)
-      require(stamped == Seq(live),
-        s"codebook at $codebookPath was trained against quantizer identity " +
-          s"${stamped.mkString(",")} but the centroids at $centroidsPath have " +
-          s"identity $live — retrain-ivfpq moves centroids and codebook " +
-          "together; encoding against a mismatched pair would store garbage " +
-          "codes silently")
-    }
+    EtlCli.requireStamp(cb, "quantizer_id",
+      graft.operators.Similarity.quantizerIdentity(cent),
+      s"codebook at $codebookPath was trained against quantizer",
+      s"the centroids at $centroidsPath",
+      "retrain-ivfpq moves centroids and codebook together; encoding " +
+        "against a mismatched pair would store garbage codes silently")
 
   def annIndexSink(incoming: DataFrame, idCol: String, vecCol: String,
                    centroidsPath: String, codebookPath: String, codesPath: String,

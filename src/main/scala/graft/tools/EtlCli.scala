@@ -200,7 +200,10 @@ object EtlCli {
                  maxCellShare: Double = 1.0): Unit = {
     require(maxCellShare > 0 && maxCellShare <= 1,
       s"maxCellShare must be in (0,1], got $maxCellShare")
-    val log = readEpochTable(spark, driftLog)
+    // merge schemas: a log whose early epochs predate the skew column
+    // must still expose it (nulls for the old rows), not flap on which
+    // file supplies the footer
+    val log = readEpochTable(spark, driftLog, mergeSchema = true)
     val alarmed = log.filter(col("drift_alarm"))
       .select(col("epoch").cast("long")).collect().map(_.getLong(0)).sorted
     if (alarmed.nonEmpty)
@@ -267,9 +270,14 @@ object EtlCli {
         s"— pass the id/vector column names it was built with (got: " +
         s"${index.columns.mkString(", ")})")
     // one copy per id: a hot-cell split leaves the pre-split rows in old
-    // epochs (dead weight probes prune away); both copies carry the same
-    // (id, vec), so the dedup is content-deterministic
-    val corpus = index.select(col(idCol), col(vecCol)).dropDuplicates(idCol)
+    // epochs (dead weight probes prune away) with IDENTICAL (id, vec);
+    // an id RE-INGESTED with an updated vector can also appear twice.
+    // max-by-vector (arrays order lexicographically) keeps the rerun
+    // deterministic either way — dropDuplicates would keep whichever
+    // copy a partition delivered first and break the "re-run commits the
+    // identical baseline" contract below
+    val corpus = index.select(col(idCol), col(vecCol))
+      .groupBy(col(idCol)).agg(max(col(vecCol)).as(vecCol))
     if (corpus.isEmpty)
       sys.error(s"index at $indexTable is empty — nothing to retrain on")
     val cent = graft.operators.Similarity.coarseCentroids(
@@ -396,6 +404,16 @@ object EtlCli {
                     centroidsPath: String, maxShare: Double,
                     branch: Int = 2, idCol: String = "vec_id",
                     vecCol: String = "embedding"): Unit = {
+    // the split's O(hot) story is the maintenance-epoch APPEND, and the
+    // probe's read path only unions maintenance epochs over the EPOCH
+    // layout — a versioned (retrain / read-optimize output) or raw table
+    // can't host one, so refuse with the actual remedial instead of
+    // readEpochTable's misleading "nothing ingested yet"
+    if (committedEpochs(spark, indexTable).isEmpty)
+      sys.error(s"index at $indexTable has no committed ingest epochs — " +
+        "split-hot-cells operates on the epoch log the streaming sink " +
+        "accretes (the read-optimize INPUT); run it against that index, " +
+        "then re-run read-optimize-binary-ivf so probes see the children")
     val index = readIndexWithMaintenance(spark, indexTable)
     val tree = readTable(spark, centroidsPath)
     val (newTree, relabeled) = graft.operators.Similarity.splitHotCells(
@@ -496,6 +514,23 @@ object EtlCli {
     * identity. The codebook must itself pair with the centroids
     * (refused otherwise, same posture as the encode sinks). m infers
     * from the stored code width. */
+  /** THE identity-stamp guard, shared by every deploy-time binding check
+    * (sweep↔quantizer, sweep↔codebook, codebook↔quantizer): when `df`
+    * carries the stamp column, its distinct value must equal the live
+    * identity or the deployment refuses, naming both sides and the
+    * remedial. Unstamped (legacy) artifacts pass unchecked — stamps are
+    * additive. */
+  def requireStamp(df: DataFrame, column: String, live: Long,
+                   stampedDesc: String, liveDesc: String,
+                   hint: String): Unit =
+    if (df.columns.contains(column)) {
+      val stamped = df.select(col(column).cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      require(stamped == Seq(live),
+        s"$stampedDesc identity ${stamped.mkString(",")} but $liveDesc has " +
+          s"identity $live — $hint")
+    }
+
   def sweepIvfPq(spark: SparkSession, codesTable: String,
                  centroidsPath: String, codebookPath: String,
                  vectorsTable: String, outTable: String,
@@ -514,16 +549,12 @@ object EtlCli {
           "ivfPqResidualEncode layout (cid, cell, codes)"))
     val cent = readTable(spark, centroidsPath)
     val cb = readTable(spark, codebookPath)
-    if (cb.columns.contains("quantizer_id")) {
-      val stamped = cb.select(col("quantizer_id").cast("long"))
-        .distinct().collect().map(_.getLong(0)).toSeq
-      val live = graft.operators.Similarity.quantizerIdentity(cent)
-      require(stamped == Seq(live),
-        s"codebook at $codebookPath was trained against quantizer identity " +
-          s"${stamped.mkString(",")} but the centroids at $centroidsPath " +
-          s"have identity $live — a sweep against a mismatched pair would " +
-          "measure recall of an index that cannot exist")
-    }
+    requireStamp(cb, "quantizer_id",
+      graft.operators.Similarity.quantizerIdentity(cent),
+      s"codebook at $codebookPath was trained against quantizer",
+      s"the centroids at $centroidsPath",
+      "a sweep against a mismatched pair would measure recall of an index " +
+        "that cannot exist")
     val firstCode = codes.select(size(col("codes")).as("m")).limit(1).collect()
     require(firstCode.nonEmpty,
       s"codes at $codesTable are empty — nothing to sweep; encode at least " +
@@ -1077,7 +1108,8 @@ object EtlCli {
     * epoch-partitioned analog of readTable): the newest compaction's
     * folded data, plus every epoch appended after it. Errors when no epoch
     * has ever committed. */
-  def readEpochTable(spark: SparkSession, path: String): DataFrame = {
+  def readEpochTable(spark: SparkSession, path: String,
+                     mergeSchema: Boolean = false): DataFrame = {
     val compacted = epochsCompactedThrough(spark, path).map { e =>
       val p = s"$path/compact=$e"
       s"$p/data_v${committedVersion(spark, p).get}"
@@ -1087,7 +1119,12 @@ object EtlCli {
       s"$p/data_v${committedVersion(spark, p).get}"
     }
     if (dirs.isEmpty) sys.error(s"no committed epochs at $path — nothing ingested yet")
-    spark.read.format(sniffFormat(spark, dirs.head)).load(dirs: _*)
+    // mergeSchema: for SMALL evolving tables (the drift log grew
+    // max_cell_share mid-stream) where the default pick-one-footer schema
+    // would make column visibility depend on which epoch's file wins;
+    // indexes stay on the cheap path — their schema never evolves
+    spark.read.format(sniffFormat(spark, dirs.head))
+      .option("mergeSchema", mergeSchema.toString).load(dirs: _*)
   }
 
   /** Fold every visible epoch (plus any prior compaction) of the table at

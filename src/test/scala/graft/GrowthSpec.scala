@@ -680,4 +680,59 @@ class GrowthSpec extends SparkSpec {
     assert(shareAfter < shareBefore,
       s"the split must reduce the hot-cell share: $shareBefore -> $shareAfter")
   }
+
+  test("(m) NN-descent k-NN graph: per-round work grows linearly with the corpus, never quadratically") {
+    // The graph op's reason to exist: the exact k-NN graph is an O(n^2)
+    // self-join (a 4x corpus costs 16x), NN-descent bounds each round at
+    // n * (2k)^2 candidate scores plus n*k exploration edges — linear in
+    // n at fixed k. Measured as edge/candidate-bearing shuffle records
+    // across every job of a 1-round build, 1x vs 4x replicated corpora:
+    // a silently quadratic candidate stage would read ~16x.
+    import graft.operators.Similarity
+    val baseEmb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .transform(graft.core.Materialize.pin)
+    def embAt(copies: Int): DataFrame =
+      (0 until copies).map(i => baseEmb.select(
+        (col("vec_id") + lit(i * Stride)).as("vec_id"), col("embedding")))
+        .reduce(_ unionAll _)
+        .transform(graft.core.Materialize.pin)
+    def shuffledDuring(thunk: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          acc.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        thunk
+        var last = -1L; var same = 0
+        while (same < 5) {
+          Thread.sleep(100)
+          val cur = acc.get
+          if (cur == last) same += 1 else { same = 0; last = cur }
+        }
+        acc.get
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    def recsAt(copies: Int): Long = {
+      val corpus = embAt(copies)
+      val recs = shuffledDuring {
+        Similarity.nnDescentGraph(corpus, "vec_id", "embedding",
+          k = 5, rounds = 1).collect()
+        ()
+      }
+      info(s"${copies}x corpus: shuffled=$recs records across the build")
+      recs
+    }
+    val (r1, r4) = withConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.files.maxPartitionBytes" -> "1") {
+      (recsAt(1), recsAt(4))
+    }
+    assert(r1 > 0, "the build must shuffle candidate records")
+    // linear with headroom (4x data -> <= ~6x records); quadratic reads ~16x
+    assert(r4 <= 6 * r1 + 1000,
+      s"NN-descent round work grew superlinearly: $r1 -> $r4 records")
+  }
 }

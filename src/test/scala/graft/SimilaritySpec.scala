@@ -817,6 +817,51 @@ class SimilaritySpec extends SparkSpec {
       "an all-leaves probe must still reach every live vector exactly once")
   }
 
+  test("nnDescentGraph: rounds monotonically improve the graph; every node keeps neighbors; recall climbs toward exact") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    def graph(rounds: Int) = Similarity.nnDescentGraph(emb, "vec_id",
+      "embedding", k = 5, rounds = rounds)
+    val (g0, g1, g2) = (graph(0), graph(1), graph(2))
+    // totality: the dual-granularity init reaches every node
+    assert(g2.select(col("vec_id")).distinct().count() == n,
+      "every node must carry neighbors")
+    assert(g2.groupBy("vec_id").count().agg(max(col("count")))
+      .as[Long].head() <= 5L, "no node may exceed k neighbors")
+    // keep-best monotonicity: each round's candidate set contains the
+    // current edges, so the per-node top-k cosine sum never decreases
+    def quality(g: org.apache.spark.sql.DataFrame): Map[Long, Double] = g
+      .groupBy(col("vec_id").cast("long").as("id"))
+      .agg(sum(col("cosine")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    val (q0, q1, q2) = (quality(g0), quality(g1), quality(g2))
+    q2.keys.foreach { id =>
+      assert(q1.getOrElse(id, -99.0) >= q0.getOrElse(id, -99.0) - 1e-12 &&
+        q2(id) >= q1.getOrElse(id, -99.0) - 1e-12,
+        s"node $id lost neighbor quality across rounds")
+    }
+    // acceptance is GRAPH QUALITY vs the exact graph, not edge recall:
+    // on the near-isotropic fixture the exact top-5 is barely separated
+    // from rank-50 (cosines concentrate), so edge recall stays low even
+    // at near-optimal quality — same fixture ceiling the binary recall
+    // row documents. Total top-k cosine is the objective NN-descent
+    // optimizes and the comparable number.
+    val exactQ = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding",
+      k = 5).agg(sum(col("cosine"))).as[Double].head()
+    val g4q = graph(4).agg(sum(col("cosine"))).as[Double].head()
+    info(f"knn-graph quality: round4=${g4q / exactQ}%.3f of the exact graph " +
+      f"(init=${q0.values.sum / exactQ}%.3f)")
+    assert(g4q >= 0.8 * exactQ,
+      s"four rounds should reach >= 80% of exact-graph quality: " +
+        s"${g4q / exactQ}")
+    // ...and the exploration candidates keep rounds from plateauing: the
+    // measured hill-climb-only variant stalled at 67% of exact
+    assert(g4q > q2.values.sum,
+      "round 4 must improve on round 2 (no plateau)")
+  }
+
   test("ivfPqResidualProbeIndex: partition-pruned probe equals the given-artifacts scorer") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
