@@ -117,6 +117,10 @@ object EtlCli {
       sweepIvfPq(spark, codesTable, centPath, cbPath, vecsTable, outTable,
         nQueries.toInt, idCol = idCol, vecCol = vecCol)
         .show(numRows = 100, truncate = false)
+    case Seq("knn-graph", vecsTable, outTable, k, rounds) =>
+      knnGraph(spark, vecsTable, outTable, k.toInt, rounds.toInt)
+    case Seq("knn-graph", vecsTable, outTable, k, rounds, idCol, vecCol) =>
+      knnGraph(spark, vecsTable, outTable, k.toInt, rounds.toInt, idCol, vecCol)
     case Seq("read-optimize-binary-ivf", indexTable, outPath) =>
       graft.streaming.CorpusStreams.binaryIvfReadOptimize(spark, indexTable, outPath)
       println(s"binary-IVF index compacted to the cell-partitioned layout at $outPath")
@@ -139,7 +143,8 @@ object EtlCli {
       sys.error("usage: init|ingest|quality|stats|export|learn-bpe|versions|" +
         s"vacuum|diff|verify-export|sweep-lsh|sweep-binary|sweep-binary-ivf|" +
         s"check-drift|retrain-binary-ivf|retrain-ivfpq|sweep-ivfpq|" +
-        s"split-hot-cells|read-optimize-binary-ivf|read-optimize-ivfpq ... " +
+        s"split-hot-cells|read-optimize-binary-ivf|read-optimize-ivfpq|" +
+        s"knn-graph ... " +
         s"(got $other)")
   }
 
@@ -331,9 +336,7 @@ object EtlCli {
                    vecCol: String = "embedding"): Unit = {
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
     require(samplePeriod >= 1, s"sample period must be >= 1, got $samplePeriod")
-    val vecs = scala.util.Try(readEpochTable(spark, vectorsTable))
-      .orElse(scala.util.Try(readTable(spark, vectorsTable)))
-      .getOrElse(spark.read.parquet(vectorsTable))
+    val vecs = readAnyTable(spark, vectorsTable)
     val missing = Seq(idCol, vecCol).filterNot(vecs.columns.contains)
     if (missing.nonEmpty)
       sys.error(s"vectors at $vectorsTable lack column(s) ${missing.mkString(", ")} " +
@@ -464,8 +467,7 @@ object EtlCli {
                      vecCol: String = "embedding"): DataFrame = {
     require(nQueries >= 1, s"need at least one query vector, got $nQueries")
     val index = scala.util.Try(readIndexWithMaintenance(spark, indexTable))
-      .orElse(scala.util.Try(readTable(spark, indexTable)))
-      .getOrElse(spark.read.parquet(indexTable))
+      .getOrElse(readAnyTable(spark, indexTable))
     Seq(idCol, vecCol, "cell", "words").foreach(c =>
       require(index.columns.contains(c),
         s"index at $indexTable has no '$c' column (columns: " +
@@ -514,6 +516,33 @@ object EtlCli {
     * identity. The codebook must itself pair with the centroids
     * (refused otherwise, same posture as the encode sinks). m infers
     * from the stored code width. */
+  /** Read a table in whatever layout it was maintained in: the epoch log
+    * a streaming sink accretes, a versioned flat table (retrain /
+    * read-optimize output), or a raw parquet dir — the acceptance
+    * contract of every artifact-consuming CLI arm. */
+  def readAnyTable(spark: SparkSession, table: String): DataFrame =
+    scala.util.Try(readEpochTable(spark, table))
+      .orElse(scala.util.Try(readTable(spark, table)))
+      .getOrElse(spark.read.parquet(table))
+
+  /** Build and COMMIT the approximate k-NN graph
+    * (Similarity.nnDescentGraph) over a corpus table — the batch
+    * maintenance job a SemDeDup-style pipeline or graph-retrieval
+    * deployment schedules. Versioned commit, blue/green like every
+    * maintained artifact. */
+  def knnGraph(spark: SparkSession, vecsTable: String, outTable: String,
+               k: Int, rounds: Int, idCol: String = "vec_id",
+               vecCol: String = "embedding"): Unit = {
+    val vecs = readAnyTable(spark, vecsTable)
+    val missing = Seq(idCol, vecCol).filterNot(vecs.columns.contains)
+    if (missing.nonEmpty)
+      sys.error(s"vectors at $vecsTable lack column(s) ${missing.mkString(", ")} " +
+        s"— pass the id/vector column names (got: ${vecs.columns.mkString(", ")})")
+    writeTable(graft.operators.Similarity.nnDescentGraph(
+      vecs.select(col(idCol), col(vecCol)), idCol, vecCol, k, rounds), outTable)
+    println(s"k-NN graph (k=$k, $rounds NN-descent rounds) committed at $outTable")
+  }
+
   /** THE identity-stamp guard, shared by every deploy-time binding check
     * (sweep↔quantizer, sweep↔codebook, codebook↔quantizer): when `df`
     * carries the stamp column, its distinct value must equal the live
@@ -539,9 +568,7 @@ object EtlCli {
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
     require(nQueries >= 1, s"need at least one query vector, got $nQueries")
-    val codes = scala.util.Try(readEpochTable(spark, codesTable))
-      .orElse(scala.util.Try(readTable(spark, codesTable)))
-      .getOrElse(spark.read.parquet(codesTable))
+    val codes = readAnyTable(spark, codesTable)
     Seq("cid", "cell", "codes").foreach(c =>
       require(codes.columns.contains(c),
         s"codes at $codesTable have no '$c' column (columns: " +
@@ -560,10 +587,7 @@ object EtlCli {
       s"codes at $codesTable are empty — nothing to sweep; encode at least " +
         "one epoch before calibrating the probe depth")
     val m = firstCode.head.getInt(0)
-    val vecs = scala.util.Try(readEpochTable(spark, vectorsTable))
-      .orElse(scala.util.Try(readTable(spark, vectorsTable)))
-      .getOrElse(spark.read.parquet(vectorsTable))
-      .select(col(idCol), col(vecCol))
+    val vecs = readAnyTable(spark, vectorsTable).select(col(idCol), col(vecCol))
     val qids = vecs.select(col(idCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(nQueries)
@@ -1058,6 +1082,14 @@ object EtlCli {
   // content) and a crash mid-append leaves every other epoch readable.
   // This is the 100 TB ingest posture: the flat-table alternative
   // (union + rewrite per batch) is O(|corpus|) per increment.
+  //
+  // NAMESPACE RULE: `epoch=N` ids belong to the INGEST stream (N = the
+  // checkpoint batchId; idempotent replace is the replay contract).
+  // Maintenance jobs (hot-cell split relabels) must never write there —
+  // the stream's next batch would silently replace them — so they get
+  // their own epoch table under `<table>/maintenance` (invisible to this
+  // lister, untouched by compaction) and full-index readers go through
+  // readIndexWithMaintenance.
 
   /** Append `df` as ingest epoch `epoch` of the table at `path` — an
     * atomic commit scoped to that one epoch's directory. Re-appending an

@@ -500,4 +500,27 @@ class EtlCliSpec extends SparkSpec {
     assert(got == Map(2L -> "changed", 3L -> "removed",
       4L -> "changed", 5L -> "added"))
   }
+
+  test("knn-graph CLI: commits the NN-descent graph; equals the operator; column precheck is explicit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("knn_cli")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    graft.tools.EtlCli.writeTable(emb, s"$root/vecs")
+    graft.tools.EtlCli.run(spark,
+      Seq("knn-graph", s"$root/vecs", s"$root/graph", "5", "1"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id").cast("long"), col("nid").cast("long"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    val committed = rows(graft.tools.EtlCli.readTable(spark, s"$root/graph"))
+    assert(committed == rows(graft.operators.Similarity.nnDescentGraph(
+      emb, "vec_id", "embedding", k = 5, rounds = 1)),
+      "committed graph diverges from the operator")
+    val ex = intercept[RuntimeException] {
+      graft.tools.EtlCli.run(spark,
+        Seq("knn-graph", s"$root/vecs", s"$root/g2", "5", "1", "doc", "emb"))
+    }
+    assert(ex.getMessage.contains("lack column"), ex.getMessage)
+  }
 }
