@@ -817,7 +817,7 @@ class SimilaritySpec extends SparkSpec {
       "an all-leaves probe must still reach every live vector exactly once")
   }
 
-  test("nnDescentGraph: rounds monotonically improve the graph; every node keeps neighbors; recall climbs toward exact") {
+  test("nnDescentGraph: rounds monotonically improve the graph; every node keeps neighbors; quality approaches the exact graph") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
