@@ -523,4 +523,25 @@ class EtlCliSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("lack column"), ex.getMessage)
   }
+
+  test("split-hot-cells refuses a versioned (non-epoch) index with the actual remedial, not a misleading error") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("split_refuse")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cent = graft.operators.Similarity.coarseCentroids(
+      emb, "vec_id", "embedding", 16)
+    graft.tools.EtlCli.writeTable(cent, s"$root/cent")
+    // a retrain / read-optimize OUTPUT: versioned flat layout, no epoch=
+    graft.tools.EtlCli.writeTable(
+      graft.operators.Similarity.binaryIvfIndexBuild(emb, "vec_id",
+        "embedding", 64, cent),
+      s"$root/idx", partitionBy = Seq("cell"))
+    val ex = intercept[RuntimeException] {
+      graft.tools.EtlCli.splitHotCells(spark, s"$root/idx", s"$root/cent",
+        maxShare = 0.5)
+    }
+    assert(ex.getMessage.contains("epoch log") &&
+      !ex.getMessage.contains("nothing ingested"), ex.getMessage)
+  }
 }
