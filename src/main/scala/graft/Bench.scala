@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The round a bench run belongs to (for the per-round archive name).
+    * The driver's PROGRESS.jsonl stamps the LIVE round on every
+    * heartbeat, so its last parsable line is authoritative; the
+    * 1 + max(BENCH_r{N}.json) heuristic is only the fallback — alone it
+    * misfiles a run on a tree where the driver already committed this
+    * round's headline artifact (a judge's re-run at the end of round N
+    * archived as N+1 — the round-12 naming hiccup). SPARK_GRAFT_ROUND
+    * still overrides both. */
+  def currentRound(progressLines: Seq[String], rootNames: Seq[String]): Int = {
+    val roundRx = "\"round\"\\s*:\\s*(\\d+)".r
+    progressLines.reverseIterator
+      .flatMap(l => roundRx.findFirstMatchIn(l).map(_.group(1).toInt))
+      .nextOption()
+      .getOrElse {
+        val rx = "BENCH_r(\\d+)\\.json".r
+        val seen = rootNames.collect { case rx(n) => n.toInt }
+        if (seen.isEmpty) 1 else seen.max + 1
+      }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Measurement protocol (see BASELINE.md): warmup pass, then N measured
@@ -122,11 +141,13 @@ object Bench {
     var bestTotal = Option.empty[Double]
     if (only.isEmpty) scala.util.Try {
       val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).getOrElse {
-        val rx = "BENCH_r(\\d+)\\.json".r
-        val dir = java.nio.file.Paths.get(".").toAbsolutePath
-        val seen = Option(dir.toFile.list()).getOrElse(Array.empty[String])
-          .collect { case rx(n) => n.toInt }
-        if (seen.isEmpty) 1 else seen.max + 1
+        val cwd = java.nio.file.Paths.get(".").toAbsolutePath
+        val names = Option(cwd.toFile.list()).getOrElse(Array.empty[String]).toSeq
+        val progress = scala.util.Try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.readAllLines(cwd.resolve("PROGRESS.jsonl")).asScala.toSeq
+        }.getOrElse(Seq.empty)
+        currentRound(progress, names)
       }
       // archives live under bench/ (30+ per round; the repo root is for
       // the per-round headline artifacts, not the whole run history)

@@ -309,6 +309,151 @@ object Similarity {
       .select(col("a").as(idCol), col("b").as("nid"), col("cosine"), col("rank"))
   }
 
+  /** Deterministic identity of an embedding CORPUS: bit-XOR of per-row
+    * xxhash64 over (id-as-string, vec-as-double) — order-independent
+    * (rows are unique by id), layout-independent (exact float→double
+    * widening), and id-type agnostic (string cast, the hash-rank-sample
+    * idiom). This is [[quantizerIdentity]]'s sibling for the k-NN graph
+    * family: a committed graph names the corpus it was built OVER, and a
+    * consumer holding a re-embedded corpus (new model, new epochs) must
+    * refuse the stale graph instead of silently mining degraded
+    * neighbors. XOR over disjoint row sets COMPOSES — identity(old ∪
+    * batch) = identity(old) XOR identity(batch) — which is what lets the
+    * streaming graph sink maintain the stamp in O(batch) per epoch
+    * (duplicate (id, vec) rows would XOR out, so identity is taken over
+    * one-copy-per-id views, which every caller here already maintains). */
+  def corpusIdentity(df: DataFrame, idCol: String, vecCol: String): Long =
+    df.select(xxhash64(col(idCol).cast("string"), dvec(col(vecCol))).as("h"))
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("id"))
+      .collect().head.getLong(0)
+
+  /** The NN-descent ring-bucket knob, derived from corpus size: nBits
+    * such that the 2^nBits fine LSH buckets hold ~targetBucketSize
+    * members each — the same "buckets scale with the corpus" posture as
+    * the IVF families' cells (GrowthSpec g). The per-bucket ring windows
+    * sort bucket memberships, so a FIXED nBits at a growing corpus means
+    * n/2^nBits rows sorted per window partition — the bound this
+    * derivation keeps ~flat (GrowthSpec axis). Clamped to [2, 24]:
+    * below, the rings degenerate to near-global windows; above, 16M+
+    * buckets exceed any corpus this hyperplane family separates. */
+  def nnDescentNBits(n: Long, targetBucketSize: Int = 64): Int = {
+    require(targetBucketSize >= 1,
+      s"targetBucketSize must be >= 1, got $targetBucketSize")
+    val buckets = math.max(1.0, n.toDouble / targetBucketSize)
+    math.min(24, math.max(2, math.ceil(math.log(buckets) / math.log(2.0)).toInt))
+  }
+
+  /** Incrementally EXTEND a committed k-NN graph with a batch of new
+    * nodes — the O(batch) maintenance move that spares a daily-ingest
+    * corpus the from-scratch [[nnDescentGraph]] rebuild (the one
+    * remaining O(corpus) maintenance path after round 12).
+    *
+    * Candidates per new node (all bounded, no corpus-keyed shuffle):
+    *  - LSH bucket mates at BOTH ring granularities (nBits fine,
+    *    nBits/2 coarse — the same two-level init as the batch build):
+    *    the batch's occupied-bucket set broadcasts (O(batch) values), so
+    *    the corpus side is a map-only bucket projection + filter.
+    *  - the committed NEIGHBORS of those mates (probing the existing
+    *    edges — NN-descent's transitivity step, one hop): the mate set
+    *    broadcasts (O(batch x bucket occupancy), bucket occupancy held
+    *    ~targetBucketSize by [[nnDescentNBits]]), so the committed graph
+    *    is likewise a map-only filtered scan.
+    * Scoring joins the bounded candidate set BROADCAST against one
+    * map-only pass over the node vectors; top-k per new node is a
+    * bounded window.
+    *
+    * Old nodes TOUCHED by the batch (they appeared as a scored
+    * candidate of some new node) re-converge locally: their updated
+    * neighborhood is top-k over (their committed k edges ∪ the reverse
+    * scored pairs) — stored cosines are reused, nothing rescores, and
+    * per-node quality is monotone by construction exactly as in the
+    * batch build's rounds.
+    *
+    * NOT pure-function-equivalent to a rebuild — insertion order matters
+    * (NN-descent is iterative refinement) — so unlike the sign/code
+    * sinks the streaming contract is a measured QUALITY RATIO vs the
+    * batch build (CorpusStreams.knnGraphSink logs it; the spec asserts
+    * the floor), not bit-equality. The arithmetic itself is
+    * deterministic: a replayed batch over the same committed state
+    * recomputes the identical epoch.
+    *
+    * A re-ingested id (present in `oldNodes` AND `batch`) is treated as
+    * updated: the batch copy wins, and its neighborhood recomputes from
+    * scratch; its STALE incoming edges elsewhere in the graph keep their
+    * stored cosine until those nodes are next touched — the quality
+    * monitor is the instrument that decides when that staleness has
+    * accumulated into a rebuild.
+    *
+    * Returns FULL replacement neighborhoods (idCol, nid, cosine, rank)
+    * for new nodes ∪ touched old nodes — exactly the rows a
+    * latest-epoch-wins read view supersedes; untouched nodes produce no
+    * rows. */
+  def nnDescentExtend(oldNodes: DataFrame, oldGraph: DataFrame,
+                      batch: DataFrame, idCol: String, vecCol: String,
+                      k: Int, nBits: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // one copy per id in the batch (deterministic max-vec tiebreak), and
+    // the batch copy supersedes a re-ingested old one
+    val b = graft.core.Materialize.pin(batch
+      .select(col(idCol), dvec(col(vecCol)).as("__v"))
+      .groupBy(col(idCol)).agg(max(col("__v")).as("__v")))
+    val old = oldNodes.select(col(idCol), dvec(col(vecCol)).as("__v"))
+      .join(b.select(col(idCol)), Seq(idCol), "left_anti")
+    val all = old.unionByName(b)
+    def buckets(df: DataFrame, bits: Int): DataFrame =
+      df.select(col(idCol),
+        pcol(graft.plans.SignLshBucketExpr(pexpr(col("__v")), bits)).as("bucket"))
+    // bucket mates at both granularities: batch-side buckets broadcast,
+    // corpus side stays one map-only projection per granularity
+    val mates = Seq(nBits, 1.max(nBits / 2)).map { bits =>
+      buckets(all, bits).join(
+          broadcast(buckets(b, bits).select(col(idCol).as("a"), col("bucket"))),
+          Seq("bucket"))
+        .select(col("a"), col(idCol).as("b"))
+    }.reduce(_ unionByName _).filter(col("a") =!= col("b")).distinct()
+    val matesP = graft.core.Materialize.pin(mates)
+    // one transitivity hop over the COMMITTED edges: neighbors of mates.
+    // The mate set is bounded (batch x ~targetBucketSize x 2), so the
+    // committed graph scan is map-only filtered, never corpus-shuffled.
+    val mateIds = matesP.select(col("b")).distinct()
+    val hop = matesP.join(
+        broadcast(mateIds).join(
+            oldGraph.select(col(idCol).as("b"), col("nid")), Seq("b"))
+          .select(col("b"), col("nid")),
+        Seq("b"))
+      .select(col("a"), col("nid").as("b"))
+    val cand = matesP.unionByName(hop)
+      .filter(col("a") =!= col("b")).distinct()
+    // score: candidate pairs (with the batch-side vector attached)
+    // broadcast against one map-only pass over the node vectors
+    val candV = cand.join(b.select(col(idCol).as("a"), col("__v").as("__va")),
+      Seq("a"))
+    val scored = graft.core.Materialize.pin(
+      all.select(col(idCol).as("b"), col("__v").as("__vb"))
+        .join(broadcast(candV), Seq("b"))
+        .select(col("a"), col("b"),
+          (qdot(col("__va"), col("__vb"))
+            / (qnorm(col("__va")) * qnorm(col("__vb")))).as("cosine")))
+    val wK = Window.partitionBy("a").orderBy(desc("cosine"), col("b"))
+    def topK(df: DataFrame): DataFrame =
+      df.withColumn("rank", row_number().over(wK).cast(IntegerType))
+        .filter(col("rank") <= k)
+    val newHoods = topK(scored)
+    // touched old nodes: reverse the scored pairs, union their committed
+    // edges (stored cosines — nothing rescores), keep top-k
+    val rev = scored.join(b.select(col(idCol).as("b")), Seq("b"), "left_anti")
+      .select(col("b").as("a"), col("a").as("b"), col("cosine"))
+    val touched = rev.select(col("a")).distinct()
+    val oldEdges = oldGraph
+      .join(broadcast(touched), oldGraph(idCol) === touched("a"))
+      .select(oldGraph(idCol).as("a"), col("nid").as("b"), col("cosine"))
+    val updated = topK(rev.unionByName(oldEdges)
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(max(col("cosine")).as("cosine")))
+    newHoods.unionByName(updated)
+      .select(col("a").as(idCol), col("b").as("nid"), col("cosine"), col("rank"))
+  }
+
   /** nBits-bit sign-LSH bucket id per vector: bit h = [dot(v, plane_h) > 0]
     * with deterministic hyperplane signs (the high bit of md5("h:d")'s
     * first hex char — portable across engines; precomputed inside the
@@ -1896,25 +2041,42 @@ object Similarity {
       Some((codebook, m, maxResidRatio)))
   }
 
-  /** Deterministic identity of a quantizer artifact: bit-XOR of the
-    * per-LEAF-row xxhash64 over (cc, cv-as-double) — order-independent
-    * (XOR is commutative; rows are unique by cc) and layout-independent
-    * (floats widen to double exactly, matching every quantized kernel's
-    * view of the vectors). The hash covers [[leafCells]] — the
-    * probe-rankable set recall is actually measured against — so a flat
-    * table's identity is unchanged by normalization, and a
-    * [[splitHotCells]] flip (which moves the leaf set) invalidates every
-    * sweep stamped before it, exactly like a retrain does. Recall claims
-    * are measured AGAINST a quantizer: a sweep artifact stamped with this
+  /** Deterministic identity of a quantizer artifact: bit-XOR of
+    * per-row xxhash64 — order-independent (XOR is commutative; rows are
+    * unique by cc) and layout-independent (floats widen to double
+    * exactly, matching every quantized kernel's view of the vectors).
+    * For a FLAT (cc, cv) table the hash covers the leaf rows as
+    * (cc, cv), so historical stamps stay valid. For a TREE
+    * ([[splitHotCells]] output, `parent` column present) the hash covers
+    * EVERY row — routing parents included — and folds the routing
+    * parameters (parent, axis, plo, phi, each null-safe via an explicit
+    * null flag: plo/phi legitimately take Long.MinValue, so a sentinel
+    * cannot stand in for null): cell ASSIGNMENT is a function of the
+    * split root's cv + axis and the children's slab intervals, so two
+    * trees with identical leaf centroids but different intervals assign
+    * differently and MUST NOT share an identity (a sweep stamped under
+    * one would otherwise deploy under the other). Recall claims are
+    * measured AGAINST a quantizer: a sweep artifact stamped with this
     * identity can refuse to deploy against centroids it never measured
     * (the stale-sweep-after-retrain hazard — see
     * CorpusStreams.binaryIvfProbeWithSweep). Driver-side cost is one
     * nCells-row aggregation. */
-  def quantizerIdentity(cent: DataFrame): Long =
-    leafCells(cent).select(xxhash64(col("cc").cast(LongType),
-        dvec(col("cv"))).as("h"))
-      .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("id"))
+  def quantizerIdentity(cent: DataFrame): Long = {
+    val rows =
+      if (!cent.columns.contains("parent"))
+        leafCells(cent).select(xxhash64(col("cc").cast(LongType),
+          dvec(col("cv"))).as("h"))
+      else normalizeTree(cent).select(xxhash64(
+        col("cc"), col("cv"),
+        coalesce(col("parent"), lit(-1L)),
+        col("parent").isNull.cast(LongType),
+        coalesce(col("axis"), array().cast(ArrayType(DoubleType))),
+        col("axis").isNull.cast(LongType),
+        coalesce(col("plo"), lit(0L)), col("plo").isNull.cast(LongType),
+        coalesce(col("phi"), lit(0L)), col("phi").isNull.cast(LongType)).as("h"))
+    rows.agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("id"))
       .collect().head.getLong(0)
+  }
 
   /** [[quantizerIdentity]]'s sibling for a PQ codebook (sub, cc, cv):
     * bit-XOR of the per-entry xxhash64 — order- and layout-independent.

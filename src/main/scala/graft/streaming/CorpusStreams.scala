@@ -540,13 +540,32 @@ object CorpusStreams {
     * behind in old epochs; probes already prune them out, this reclaims
     * the bytes). The compaction cadence is where that reclaim belongs:
     * the split itself stays O(hot mass) and never rewrites committed
-    * files. */
+    * files. Rows under cells the tree does not know AT ALL — neither
+    * leaf nor routing parent — are NOT dead weight: that is exactly the
+    * orphan epoch of a splitHotCells run that crashed between its
+    * relabel commit and its quantizer flip, and silently semi-joining
+    * them away here would make the eventual flip serve child cells whose
+    * rows this compaction just deleted. Refuse loudly with the remedial
+    * (finish or inspect the split) instead. */
   def binaryIvfReadOptimize(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String, outPath: String,
                             centroidsPath: String): Unit = {
     val index = EtlCli.readIndexWithMaintenance(spark, indexPath)
-    val leaves = graft.operators.Similarity.leafCells(
-        EtlCli.readTable(spark, centroidsPath))
+    val tree = EtlCli.readTable(spark, centroidsPath)
+    // bounded: distinct stored cells ∖ tree cells — quantizer-sized
+    val unknown = index.select(col("cell").cast("long").as("__c")).distinct()
+      .join(broadcast(tree.select(col("cc").cast("long").as("__c"))),
+        Seq("__c"), "left_anti")
+      .collect().map(_.getLong(0)).sorted
+    if (unknown.nonEmpty)
+      sys.error(s"index at $indexPath holds rows in cell(s) " +
+        s"${unknown.mkString(", ")} that the quantizer at $centroidsPath " +
+        "does not know — an interrupted split-hot-cells left its orphan " +
+        "maintenance epoch without flipping the tree; re-run " +
+        "split-hot-cells to complete the flip (or inspect the epoch log) " +
+        "before compacting, or this rewrite would silently delete the " +
+        "relabeled hot mass")
+    val leaves = graft.operators.Similarity.leafCells(tree)
       .select(col("cc").cast("long").as("__leaf"))
     EtlCli.writeTable(
       index.join(broadcast(leaves), index("cell").cast("long") === col("__leaf"),
@@ -945,4 +964,164 @@ object CorpusStreams {
       EtlCli.readEpochTable(spark, samplePath).drop("epoch"),
       idCol, groupCols, k)
       .drop("__kmv_k")
+
+  // ---- incremental k-NN graph maintenance ------------------------------
+  // The graph was the one committed artifact a daily-ingest corpus could
+  // only maintain by O(corpus) rebuild (EtlCli knn-graph). This sink
+  // extends it per micro-batch via Similarity.nnDescentExtend — O(batch)
+  // candidate generation against the committed LSH buckets + edges —
+  // under the sub-layout at `graphPath`:
+  //
+  //   nodes/    epoch table (idCol, vecCol)        — the covered corpus
+  //   graph/    epoch table (idCol, nid, cosine, rank) — FULL replacement
+  //             neighborhoods of the nodes each batch touched; the read
+  //             view is latest-epoch-per-node ([[readKnnGraph]])
+  //   identity/ versioned 1-row (corpus_id, last_epoch, k, n_bits) — the
+  //             stale-graph guard, maintained by O(batch) XOR fold
+  //   quality/  epoch log (epoch, n_nodes, n_edges, mean_cosine) — the
+  //             monitor's trend instrument
+  //
+  // Unlike the sign/code sinks the result is NOT bit-equal to a
+  // from-scratch build (NN-descent is iterative; insertion order
+  // matters), so the acceptance contract is a measured QUALITY RATIO vs
+  // the batch build — spec-asserted on the fixture, trended in
+  // production via quality/ — plus replay idempotence (each epoch is a
+  // pure function of the committed state before it).
+
+  private def graphNodesPath(graphPath: String) = s"$graphPath/nodes"
+  private def graphEdgesPath(graphPath: String) = s"$graphPath/graph"
+  private def graphIdentityPath(graphPath: String) = s"$graphPath/identity"
+  private def graphQualityPath(graphPath: String) = s"$graphPath/quality"
+
+  /** Latest committed copy of every node ingested in epochs < `before`
+    * (latest epoch wins on a re-ingested id, vector as the deterministic
+    * same-epoch tiebreak — the retrain dedupe contract). */
+  private def nodesBefore(spark: org.apache.spark.sql.SparkSession,
+                          graphPath: String, before: Long,
+                          idCol: String, vecCol: String): DataFrame =
+    EtlCli.readEpochTableTagged(spark, graphNodesPath(graphPath))
+      .filter(col("__epoch") < before)
+      .groupBy(col(idCol))
+      .agg(max_by(col(vecCol), struct(col("__epoch"), col(vecCol))).as(vecCol))
+
+  private def edgesBefore(spark: org.apache.spark.sql.SparkSession,
+                          graphPath: String, before: Long,
+                          idCol: String): DataFrame = {
+    val t = EtlCli.readEpochTableTagged(spark, graphEdgesPath(graphPath))
+      .filter(col("__epoch") < before)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    t.withColumn("__m", max(col("__epoch")).over(w))
+      .filter(col("__epoch") === col("__m"))
+      .select(col(idCol), col("nid"), col("cosine"), col("rank"))
+  }
+
+  /** The committed live view of an incrementally-maintained k-NN graph:
+    * each node's neighborhood from the LAST epoch that touched it
+    * (epochs write full replacement neighborhoods, so latest-epoch-wins
+    * is exact). Columns (idCol, nid, cosine, rank). */
+  def readKnnGraph(spark: org.apache.spark.sql.SparkSession,
+                   graphPath: String, idCol: String = "vec_id"): DataFrame =
+    edgesBefore(spark, graphPath, Long.MaxValue, idCol)
+
+  /** The corpus identity the committed graph currently covers — compare
+    * against `Similarity.corpusIdentity` of the corpus a consumer holds
+    * (see [[requireKnnGraphCurrent]]). */
+  def knnGraphIdentity(spark: org.apache.spark.sql.SparkSession,
+                       graphPath: String): Long =
+    EtlCli.readTable(spark, graphIdentityPath(graphPath))
+      .select(col("corpus_id").cast("long"))
+      .collect().head.getLong(0)
+
+  /** The stale-graph guard, [[binaryIvfProbeWithSweep]]'s posture for the
+    * graph family: a committed graph consumed after the corpus was
+    * re-embedded (new model, new epochs) would silently mine degraded
+    * neighbors — refuse loudly naming both identities instead. */
+  def requireKnnGraphCurrent(spark: org.apache.spark.sql.SparkSession,
+                             graphPath: String, corpus: DataFrame,
+                             idCol: String, vecCol: String): Unit = {
+    val stamped = knnGraphIdentity(spark, graphPath)
+    val live = graft.operators.Similarity.corpusIdentity(corpus, idCol, vecCol)
+    require(stamped == live,
+      s"graph at $graphPath covers corpus identity $stamped but the live " +
+        s"corpus has identity $live — the embeddings moved since the graph " +
+        "was built (re-embedding, re-ingest); rebuild (knn-graph) or " +
+        "re-stream the changed vectors through knnGraphSink before " +
+        "consuming neighbors")
+  }
+
+  /** Start the incremental k-NN graph sink (layout and contract above).
+    * The FIRST batch bootstraps with the full NN-descent build
+    * (`rounds` descent rounds); every later batch extends in O(batch)
+    * via [[graft.operators.Similarity.nnDescentExtend]]. `nBits` must
+    * stay fixed across the graph's life (it keys the candidate buckets);
+    * size it for the EXPECTED corpus via `Similarity.nnDescentNBits`.
+    * Replay safety: every epoch recomputes from `epochs < batchId` only,
+    * so a redelivered batch re-appends byte-identical content, and the
+    * identity row's `last_epoch` fencepost keeps the XOR fold from
+    * double-applying. */
+  def knnGraphSink(incoming: DataFrame, idCol: String, vecCol: String,
+                   graphPath: String, checkpointDir: String, k: Int,
+                   rounds: Int = 2, nBits: Int = 8): StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        import graft.operators.Similarity
+        // one copy per id inside the batch, deterministic tiebreak
+        val batch = graft.core.Materialize.pin(
+          batch0.select(col(idCol), col(vecCol))
+            .groupBy(col(idCol)).agg(max(col(vecCol)).as(vecCol)))
+        val prior = scala.util.Try(
+          EtlCli.committedEpochs(spark, graphNodesPath(graphPath))
+            .filter(_ < batchId)).getOrElse(Seq.empty)
+        val hoods = graft.core.Materialize.pin(
+          if (prior.isEmpty)
+            Similarity.nnDescentGraph(batch, idCol, vecCol, k, rounds, nBits)
+          else
+            Similarity.nnDescentExtend(
+              nodesBefore(spark, graphPath, batchId, idCol, vecCol),
+              edgesBefore(spark, graphPath, batchId, idCol),
+              batch, idCol, vecCol, k, nBits))
+        EtlCli.appendEpoch(batch, graphNodesPath(graphPath), batchId)
+        EtlCli.appendEpoch(hoods, graphEdgesPath(graphPath), batchId)
+        // identity: prev XOR fold(batch view) XOR fold(old copies the
+        // batch superseded) — O(batch), exactly corpusIdentity of the
+        // post-batch one-copy-per-id view because XOR composes over the
+        // disjoint row-set difference. last_epoch fenceposts the replay.
+        val cur = scala.util.Try(
+          EtlCli.readTable(spark, graphIdentityPath(graphPath))
+            .select(col("corpus_id").cast("long"), col("last_epoch").cast("long"))
+            .collect().headOption).toOption.flatten
+        if (!cur.exists(_.getLong(1) >= batchId)) {
+          val prev = cur.map(_.getLong(0)).getOrElse(0L)
+          val superseded =
+            if (prior.isEmpty) 0L
+            else Similarity.corpusIdentity(
+              nodesBefore(spark, graphPath, batchId, idCol, vecCol)
+                .join(broadcast(batch.select(col(idCol))), Seq(idCol)),
+              idCol, vecCol)
+          val next = prev ^ Similarity.corpusIdentity(batch, idCol, vecCol) ^
+            superseded
+          import spark.implicits._
+          EtlCli.writeTable(
+            Seq((next, batchId, k, nBits))
+              .toDF("corpus_id", "last_epoch", "k", "n_bits"),
+            graphIdentityPath(graphPath))
+        }
+        // quality trend: one bounded row per epoch (exact-integer mean,
+        // replay-identical). A falling mean_cosine across epochs is the
+        // monitor's rebuild signal — the staleness NN-descent extension
+        // accumulates that bit-equality cannot measure.
+        val q = hoods.agg(
+            count(lit(1)).as("n_edges"),
+            countDistinct(col(idCol)).as("n_nodes"),
+            (sum(floor(col("cosine") * lit(1e12) + lit(0.5)).cast("long"))
+              .cast("double") / lit(1e12) / count(lit(1))).as("mean_cosine"))
+          .withColumn("epoch", lit(batchId))
+        EtlCli.appendEpoch(q, graphQualityPath(graphPath), batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -12,6 +12,13 @@ object DiagIvfPq {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // hard cap: the exact-truth pass below is a deliberate O(n^2)
+    // crossJoin + driver collect — a dev diagnostic for the sf0.001/0.01
+    // fixtures, never a query path. Refuse anything corpus-sized.
+    val n = emb.count()
+    require(n <= 10000, s"DiagIvfPq computes brute-force exact truth " +
+      s"(O(n^2) crossJoin + collect) — refusing $n rows (cap 10000); " +
+      "point it at the small fixtures only")
     val queries = emb.filter(col("vec_id") < 5)
     val (nCells, nProbe, m, ksub, k) = (16, 2, 8, 16, 10)
     import org.apache.spark.sql.expressions.Window

@@ -4,6 +4,7 @@ import graft.core.Graft
 import graft.operators.{Audit, CorpusPipeline, Export, MarvelTransform, Relational}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** The reference's ETL CLI (`python -m etl.etl {initdb,marvel,quality,
   * stats}` — starter:etl/etl.py:70-93) rebuilt on the Spark engine over a
@@ -119,8 +120,14 @@ object EtlCli {
         .show(numRows = 100, truncate = false)
     case Seq("knn-graph", vecsTable, outTable, k, rounds) =>
       knnGraph(spark, vecsTable, outTable, k.toInt, rounds.toInt)
+    case Seq("knn-graph", vecsTable, outTable, k, rounds, nBits) =>
+      knnGraph(spark, vecsTable, outTable, k.toInt, rounds.toInt,
+        nBits = Some(nBits.toInt))
     case Seq("knn-graph", vecsTable, outTable, k, rounds, idCol, vecCol) =>
       knnGraph(spark, vecsTable, outTable, k.toInt, rounds.toInt, idCol, vecCol)
+    case Seq("knn-graph", vecsTable, outTable, k, rounds, nBits, idCol, vecCol) =>
+      knnGraph(spark, vecsTable, outTable, k.toInt, rounds.toInt, idCol, vecCol,
+        Some(nBits.toInt))
     case Seq("read-optimize-binary-ivf", indexTable, outPath) =>
       graft.streaming.CorpusStreams.binaryIvfReadOptimize(spark, indexTable, outPath)
       println(s"binary-IVF index compacted to the cell-partitioned layout at $outPath")
@@ -267,22 +274,31 @@ object EtlCli {
                        vecCol: String = "embedding"): Unit = {
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
     require(samplePeriod >= 1, s"sample period must be >= 1, got $samplePeriod")
-    val index = scala.util.Try(readIndexWithMaintenance(spark, indexTable))
-      .getOrElse(spark.read.parquet(indexTable))
+    val index = scala.util.Try {
+        val base = readEpochTableTagged(spark, indexTable)
+        if (committedEpochs(spark, maintenancePath(indexTable)).isEmpty) base
+        else base.unionByName(
+          readEpochTableTagged(spark, maintenancePath(indexTable)))
+      }.getOrElse(spark.read.parquet(indexTable).withColumn("__epoch", lit(0L)))
     val missing = Seq(idCol, vecCol).filterNot(index.columns.contains)
     if (missing.nonEmpty)
       sys.error(s"index at $indexTable lacks column(s) ${missing.mkString(", ")} " +
         s"— pass the id/vector column names it was built with (got: " +
         s"${index.columns.mkString(", ")})")
-    // one copy per id: a hot-cell split leaves the pre-split rows in old
-    // epochs (dead weight probes prune away) with IDENTICAL (id, vec);
-    // an id RE-INGESTED with an updated vector can also appear twice.
-    // max-by-vector (arrays order lexicographically) keeps the rerun
-    // deterministic either way — dropDuplicates would keep whichever
-    // copy a partition delivered first and break the "re-run commits the
-    // identical baseline" contract below
-    val corpus = index.select(col(idCol), col(vecCol))
-      .groupBy(col(idCol)).agg(max(col(vecCol)).as(vecCol))
+    // one copy per id, LATEST EPOCH WINS: an id RE-INGESTED with an
+    // updated vector must retrain on the newest copy (max-by-vector
+    // alone would keep the lexicographically-largest — deterministic but
+    // possibly the STALE vector). The vector is the deterministic
+    // tiebreak inside one epoch (and for same-vec duplicates — hot-cell
+    // split relabels carry IDENTICAL (id, vec), and maintenance epochs
+    // number independently of ingest epochs, which is safe exactly
+    // because relabels never change the vector). dropDuplicates would
+    // keep whichever copy a partition delivered first and break the
+    // "re-run commits the identical baseline" contract below.
+    val corpus = index.select(col(idCol), col(vecCol),
+        col("__epoch").cast(LongType).as("__epoch"))
+      .groupBy(col(idCol))
+      .agg(max_by(col(vecCol), struct(col("__epoch"), col(vecCol))).as(vecCol))
     if (corpus.isEmpty)
       sys.error(s"index at $indexTable is empty — nothing to retrain on")
     val cent = graft.operators.Similarity.coarseCentroids(
@@ -300,20 +316,6 @@ object EtlCli {
       indexOut, partitionBy = Seq("cell"))
   }
 
-  /** Build and COMMIT the binary-IVF 2D sweep artifact the production
-    * probe consumes (`CorpusStreams.binaryIvfProbeWithSweep` /
-    * `pickBinaryIvfConfig`) — the sweep-binary sibling for the
-    * cell-pruned family, and the re-sweep step of the retrain runbook:
-    * sample nQueries query vectors by deterministic hash rank, build
-    * exact cosine truth for them over the index, sweep the
-    * (nProbe, shortlist) grid against that truth, and commit the
-    * frontier stamped with the IDENTITY of the quantizer it was measured
-    * against (Similarity.quantizerIdentity over `centroidsPath`). The
-    * stamp is the stale-sweep guard: recall was measured under THESE
-    * cells, so probing a retrained index with this artifact must refuse
-    * — exactly as the LSH pick refuses a shingle-k mismatch. Accepts the
-    * epoch layout a binaryIvf sink accretes, a versioned table (the
-    * retrain/read-optimize output), or a raw directory. */
   /** The remedial action a CODEBOOK-drift alarm names, for the residual
     * IVF-PQ family — the invalidation-CASCADE retrain: fresh coarse
     * centroids over the current corpus, a fresh residual codebook trained
@@ -365,22 +367,6 @@ object EtlCli {
       baselineOut)
   }
 
-  /** The remedial action a HOT `max_cell_share` names: split the hot
-    * cells locally and flip the quantizer — O(hot mass), against
-    * retrain-binary-ivf's O(corpus) re-encode. Reads the committed epoch
-    * index and the quantizer at `centroidsPath`, appends the relabeled
-    * hot rows as a fresh epoch FIRST (child cells are not leaves of the
-    * old tree, so a crash between the two commits leaves old readers
-    * exactly correct — the orphan epoch is invisible), then commits the
-    * (cc, cv, parent) tree as the next quantizer version. The flip moves
-    * the leaf identity, so every sweep stamped against the old quantizer
-    * refuses at probe time — run sweep-binary-ivf before switching the
-    * deployment, and let the next read-optimize cadence reclaim the dead
-    * parent rows. Replay-safe twice over: a crashed run's orphan epoch is
-    * detected (the recomputed split is deterministic, so its child cells
-    * name the same fresh ids) and only the tree flip is redone; a re-run
-    * AFTER a completed split measures the post-split leaf occupancy and
-    * no-ops. */
   /** Maintenance epochs (split relabels) live in their OWN epoch table
     * under the index dir. They must NOT share the `epoch=` namespace:
     * the streaming sink keys epochs by its checkpoint batchId, so a
@@ -403,6 +389,23 @@ object EtlCli {
     else base.unionByName(readEpochTable(spark, maintenancePath(indexTable)))
   }
 
+  /** The remedial action a HOT `max_cell_share` names: split the hot
+    * cells locally and flip the quantizer — O(hot mass), against
+    * retrain-binary-ivf's O(corpus) re-encode. Reads the committed epoch
+    * index and the quantizer at `centroidsPath`, appends the relabeled
+    * hot rows as a fresh epoch FIRST (child cells are not leaves of the
+    * old tree, so a crash between the two commits leaves old readers
+    * exactly correct — the orphan epoch is invisible), then commits the
+    * (cc, cv, parent) tree as the next quantizer version. The flip moves
+    * the leaf identity, so every sweep stamped against the old quantizer
+    * refuses at probe time — run sweep-binary-ivf before switching the
+    * deployment, and let the next read-optimize cadence reclaim the dead
+    * parent rows. Replay-safe twice over: a crashed run's orphan epoch is
+    * detected (the recomputed split is deterministic, so its child cells
+    * name the same fresh ids AND relabel the same (id, cell) set —
+    * content-checked, not just counted) and only the tree flip is
+    * redone; a re-run AFTER a completed split measures the post-split
+    * leaf occupancy and no-ops. */
   def splitHotCells(spark: SparkSession, indexTable: String,
                     centroidsPath: String, maxShare: Double,
                     branch: Int = 2, idCol: String = "vec_id",
@@ -435,22 +438,37 @@ object EtlCli {
     val oldCells = tree.select(col("cc").cast("long")).collect().map(_.getLong(0)).toSet
     val childCells = treeP.select(col("cc").cast("long")).collect()
       .map(_.getLong(0)).filterNot(oldCells).sorted
-    val orphan = index.filter(col("cell").cast("long").isin(childCells: _*)).count()
-    val relCount = rel.count()
+    // content-hash of an (id, cell) assignment: order-independent XOR of
+    // per-row xxhash64 — counts alone can collide (a corpus whose shape
+    // changed between crash and re-run can make a DIFFERENT cell hot
+    // with coincidentally equal mass, and completing the flip over it
+    // would commit a tree whose intervals disagree with the rows already
+    // stored in those child cells — silent index corruption)
+    def assignHash(df: DataFrame): (Long, Long) = {
+      val r = df.agg(coalesce(expr("bit_xor(xxhash64(cast(" + idCol +
+          " as string), cast(cell as long)))"), lit(0L)).as("h"),
+        count(lit(1)).as("n")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (orphanHash, orphan) = assignHash(
+      index.filter(col("cell").cast("long").isin(childCells: _*)))
+    val (relHash, relCount) = assignHash(rel)
     if (orphan == 0L) {
       val maint = maintenancePath(indexTable)
       val epoch = committedEpochs(spark, maint).maxOption.getOrElse(-1L) + 1
       appendEpoch(rel, maint, epoch)
       println(s"split committed as maintenance epoch $epoch: $relCount rows " +
         s"relabeled into cell(s) ${childCells.mkString(", ")}")
-    } else if (orphan == relCount) {
-      println(s"found the orphan split epoch ($orphan rows already relabeled) " +
+    } else if (orphan == relCount && orphanHash == relHash) {
+      println(s"found the orphan split epoch ($orphan rows already relabeled, " +
+        "(id, cell) content hash matches the deterministic replay) " +
         "— completing the quantizer flip only")
     } else {
       sys.error(s"index at $indexTable holds $orphan rows in unassigned " +
         s"cell(s) ${childCells.mkString(", ")} but this split relabels " +
-        s"$relCount — the orphan epoch does not match a deterministic " +
-        "replay; inspect the epoch log before re-running")
+        s"$relCount (content hashes $orphanHash vs $relHash) — the orphan " +
+        "epoch does not match a deterministic replay; inspect the epoch " +
+        "log before re-running")
     }
     writeTable(treeP, centroidsPath)
     println(s"quantizer flipped at $centroidsPath: ${childCells.length} child " +
@@ -458,6 +476,20 @@ object EtlCli {
       "identity stamp now refuses")
   }
 
+  /** Build and COMMIT the binary-IVF 2D sweep artifact the production
+    * probe consumes (`CorpusStreams.binaryIvfProbeWithSweep` /
+    * `pickBinaryIvfConfig`) — the sweep-binary sibling for the
+    * cell-pruned family, and the re-sweep step of the retrain runbook:
+    * sample nQueries query vectors by deterministic hash rank, build
+    * exact cosine truth for them over the index, sweep the
+    * (nProbe, shortlist) grid against that truth, and commit the
+    * frontier stamped with the IDENTITY of the quantizer it was measured
+    * against (Similarity.quantizerIdentity over `centroidsPath`). The
+    * stamp is the stale-sweep guard: recall was measured under THESE
+    * cells, so probing a retrained index with this artifact must refuse
+    * — exactly as the LSH pick refuses a shingle-k mismatch. Accepts the
+    * epoch layout a binaryIvf sink accretes, a versioned table (the
+    * retrain/read-optimize output), or a raw directory. */
   def sweepBinaryIvf(spark: SparkSession, indexTable: String,
                      centroidsPath: String, outTable: String,
                      nQueries: Int = 5, k: Int = 10,
@@ -502,20 +534,6 @@ object EtlCli {
     readTable(spark, outTable)
   }
 
-  /** Build and COMMIT the residual IVF-PQ probe-depth sweep the deploy
-    * path consumes (`CorpusStreams.ivfPqProbeWithSweep` /
-    * `Similarity.pickIvfConfig`) — the last ANN family's
-    * sweep→floor→choice loop. The codes table carries no raw vectors
-    * (that is the point of PQ), so `vectorsTable` supplies (idCol,
-    * vecCol) for the hash-rank query sample and the exact-L2 truth —
-    * the corpus table the embedding pipeline maintains, exactly as
-    * retrain-ivfpq reads it. The committed frontier is STAMPED with BOTH
-    * identities it was measured under — the coarse quantizer's and the
-    * codebook's — because residual-ADC recall depends on the pair: after
-    * a retrain-ivfpq the probe refuses the stale sweep naming the moved
-    * identity. The codebook must itself pair with the centroids
-    * (refused otherwise, same posture as the encode sinks). m infers
-    * from the stored code width. */
   /** Read a table in whatever layout it was maintained in: the epoch log
     * a streaming sink accretes, a versioned flat table (retrain /
     * read-optimize output), or a raw parquet dir — the acceptance
@@ -532,15 +550,27 @@ object EtlCli {
     * maintained artifact. */
   def knnGraph(spark: SparkSession, vecsTable: String, outTable: String,
                k: Int, rounds: Int, idCol: String = "vec_id",
-               vecCol: String = "embedding"): Unit = {
+               vecCol: String = "embedding", nBits: Option[Int] = None): Unit = {
     val vecs = readAnyTable(spark, vecsTable)
     val missing = Seq(idCol, vecCol).filterNot(vecs.columns.contains)
     if (missing.nonEmpty)
       sys.error(s"vectors at $vecsTable lack column(s) ${missing.mkString(", ")} " +
         s"— pass the id/vector column names (got: ${vecs.columns.mkString(", ")})")
+    val corpus = vecs.select(col(idCol), col(vecCol))
+    // ring-bucket knob: derived from the corpus size unless pinned — a
+    // FIXED bucket count at a growing corpus turns the per-bucket ring
+    // windows into near-global sorts (Similarity.nnDescentNBits)
+    val bits = nBits.getOrElse(
+      graft.operators.Similarity.nnDescentNBits(corpus.count()))
+    // stamp: the corpus identity the graph was built OVER — consumers
+    // (hard-negative mining, curation) refuse a re-embedded corpus via
+    // requireStamp instead of silently mining degraded neighbors
+    val cid = graft.operators.Similarity.corpusIdentity(corpus, idCol, vecCol)
     writeTable(graft.operators.Similarity.nnDescentGraph(
-      vecs.select(col(idCol), col(vecCol)), idCol, vecCol, k, rounds), outTable)
-    println(s"k-NN graph (k=$k, $rounds NN-descent rounds) committed at $outTable")
+        corpus, idCol, vecCol, k, rounds, bits)
+      .withColumn("corpus_id", lit(cid)), outTable)
+    println(s"k-NN graph (k=$k, $rounds NN-descent rounds, nBits=$bits) " +
+      s"committed at $outTable, stamped corpus_id=$cid")
   }
 
   /** THE identity-stamp guard, shared by every deploy-time binding check
@@ -560,6 +590,20 @@ object EtlCli {
           s"identity $live — $hint")
     }
 
+  /** Build and COMMIT the residual IVF-PQ probe-depth sweep the deploy
+    * path consumes (`CorpusStreams.ivfPqProbeWithSweep` /
+    * `Similarity.pickIvfConfig`) — the last ANN family's
+    * sweep→floor→choice loop. The codes table carries no raw vectors
+    * (that is the point of PQ), so `vectorsTable` supplies (idCol,
+    * vecCol) for the hash-rank query sample and the exact-L2 truth —
+    * the corpus table the embedding pipeline maintains, exactly as
+    * retrain-ivfpq reads it. The committed frontier is STAMPED with BOTH
+    * identities it was measured under — the coarse quantizer's and the
+    * codebook's — because residual-ADC recall depends on the pair: after
+    * a retrain-ivfpq the probe refuses the stale sweep naming the moved
+    * identity. The codebook must itself pair with the centroids
+    * (refused otherwise, same posture as the encode sinks). m infers
+    * from the stored code width. */
   def sweepIvfPq(spark: SparkSession, codesTable: String,
                  centroidsPath: String, codebookPath: String,
                  vectorsTable: String, outTable: String,
@@ -1157,6 +1201,30 @@ object EtlCli {
     // indexes stay on the cheap path — their schema never evolves
     spark.read.format(sniffFormat(spark, dirs.head))
       .option("mergeSchema", mergeSchema.toString).load(dirs: _*)
+  }
+
+  /** [[readEpochTable]] with each row tagged by the ingest epoch it
+    * arrived in (`__epoch`) — the latest-wins ordering a retrain's
+    * one-copy-per-id dedupe needs (an id RE-INGESTED with an updated
+    * vector must retrain on the newest copy, not the lexicographically
+    * largest). Rows folded behind a compaction fencepost E carry E:
+    * per-row origin is not recoverable post-fold, but every epoch still
+    * visible alongside the fold is > E by the compaction protocol, so
+    * cross-fold ordering is exact and only same-fold duplicates fall
+    * back to the caller's tiebreak. */
+  private[graft] def readEpochTableTagged(spark: SparkSession, path: String): DataFrame = {
+    val dirs = epochsCompactedThrough(spark, path).map { e =>
+      val p = s"$path/compact=$e"
+      (e, s"$p/data_v${committedVersion(spark, p).get}")
+    }.toSeq ++ committedEpochs(spark, path).map { e =>
+      val p = s"$path/epoch=$e"
+      (e, s"$p/data_v${committedVersion(spark, p).get}")
+    }
+    if (dirs.isEmpty) sys.error(s"no committed epochs at $path — nothing ingested yet")
+    dirs.map { case (e, d) =>
+      spark.read.format(sniffFormat(spark, d)).load(d)
+        .withColumn("__epoch", lit(e))
+    }.reduce(_ unionByName _)
   }
 
   /** Fold every visible epoch (plus any prior compaction) of the table at

@@ -513,10 +513,34 @@ class EtlCliSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .select(col("vec_id").cast("long"), col("nid").cast("long"), col("rank"))
       .as[(Long, Long, Int)].collect().toSet
-    val committed = rows(graft.tools.EtlCli.readTable(spark, s"$root/graph"))
-    assert(committed == rows(graft.operators.Similarity.nnDescentGraph(
-      emb, "vec_id", "embedding", k = 5, rounds = 1)),
-      "committed graph diverges from the operator")
+    val committedDf = graft.tools.EtlCli.readTable(spark, s"$root/graph")
+    // the CLI derives nBits from the corpus size (fixed buckets at a
+    // growing corpus = near-global ring windows); the committed graph
+    // equals the operator at the DERIVED knob
+    val bits = graft.operators.Similarity.nnDescentNBits(emb.count())
+    assert(rows(committedDf) == rows(graft.operators.Similarity.nnDescentGraph(
+      emb, "vec_id", "embedding", k = 5, rounds = 1, nBits = bits)),
+      "committed graph diverges from the operator at the derived nBits")
+    // pinned nBits arm: equals the operator at the pinned knob
+    graft.tools.EtlCli.run(spark,
+      Seq("knn-graph", s"$root/vecs", s"$root/g8", "5", "1", "8"))
+    assert(rows(graft.tools.EtlCli.readTable(spark, s"$root/g8")) ==
+      rows(graft.operators.Similarity.nnDescentGraph(
+        emb, "vec_id", "embedding", k = 5, rounds = 1, nBits = 8)),
+      "pinned-nBits arm diverges from the operator")
+    // identity stamp: the graph names the corpus it was built over, and
+    // a consumer holding a RE-EMBEDDED corpus refuses it (requireStamp)
+    val cid = graft.operators.Similarity.corpusIdentity(emb, "vec_id", "embedding")
+    graft.tools.EtlCli.requireStamp(committedDf, "corpus_id", cid,
+      "graph was built over corpus", "the live corpus", "rebuild")
+    val reEmbedded = emb.withColumn("embedding",
+      transform(col("embedding"), x => x * lit(1.01f)))
+    val stale = intercept[IllegalArgumentException] {
+      graft.tools.EtlCli.requireStamp(committedDf, "corpus_id",
+        graft.operators.Similarity.corpusIdentity(reEmbedded, "vec_id", "embedding"),
+        "graph was built over corpus", "the live corpus", "rebuild (knn-graph)")
+    }
+    assert(stale.getMessage.contains("rebuild"), stale.getMessage)
     val ex = intercept[RuntimeException] {
       graft.tools.EtlCli.run(spark,
         Seq("knn-graph", s"$root/vecs", s"$root/g2", "5", "1", "doc", "emb"))

@@ -735,4 +735,104 @@ class GrowthSpec extends SparkSpec {
     assert(r4 <= 6 * r1 + 1000,
       s"NN-descent round work grew superlinearly: $r1 -> $r4 records")
   }
+
+  test("(n) incremental knn-graph extension: per-batch shuffle stays ~flat as the committed corpus grows 4x with scaled buckets") {
+    // The knnGraphSink's O(batch) claim, measured: extending a committed
+    // graph with a FIXED-SIZE batch shuffles candidate-bounded records —
+    // batch x (bucket occupancy + k) — never corpus-bounded, PROVIDED the
+    // ring-bucket knob scales with the corpus (nnDescentNBits holds
+    // occupancy ~targetBucketSize). The corpus and its graph enter only
+    // as map-only broadcast-filtered scans; an extension that shuffled
+    // either would read ~4x here.
+    import graft.operators.Similarity
+    val baseEmb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .transform(graft.core.Materialize.pin)
+    def embAt(copies: Int): DataFrame =
+      (0 until copies).map(i => baseEmb.select(
+        (col("vec_id") + lit(i * Stride)).as("vec_id"), col("embedding")))
+        .reduce(_ unionAll _)
+        .transform(graft.core.Materialize.pin)
+    // the batch: same rows at every scale, fresh ids
+    val batch = baseEmb.select((col("vec_id") + lit(77 * Stride)).as("vec_id"),
+        col("embedding"))
+      .transform(graft.core.Materialize.pin)
+    def shuffledDuring(thunk: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          acc.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        thunk
+        var last = -1L; var same = 0
+        while (same < 5) {
+          Thread.sleep(100)
+          val cur = acc.get
+          if (cur == last) same += 1 else { same = 0; last = cur }
+        }
+        acc.get
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    def recsAt(copies: Int): Long = {
+      val corpus = embAt(copies)
+      val bits = Similarity.nnDescentNBits(corpus.count())
+      val g = Similarity.nnDescentGraph(corpus, "vec_id", "embedding",
+          k = 5, rounds = 1, nBits = bits)
+        .transform(graft.core.Materialize.pin)
+      val recs = shuffledDuring {
+        Similarity.nnDescentExtend(corpus, g, batch, "vec_id", "embedding",
+          k = 5, nBits = bits).collect()
+        ()
+      }
+      info(s"${copies}x committed corpus (nBits=$bits): " +
+        s"extension shuffled=$recs records")
+      recs
+    }
+    val (r1, r4) = withConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.files.maxPartitionBytes" -> "1") {
+      (recsAt(1), recsAt(4))
+    }
+    assert(r1 > 0, "the extension must shuffle candidate records")
+    assert(r4 <= (2.5 * r1).toLong + 1000,
+      s"per-batch extension shuffle grew with the corpus: $r1 -> $r4 records")
+  }
+
+  test("(o) ring-window bound: per-bucket membership stays ~flat when nBits scales with the corpus, grows linearly when fixed") {
+    // The NN-descent rings sort per-bucket memberships inside windows —
+    // the one stage whose partition size is data-dependent. A FIXED
+    // nBits at a growing corpus means n/2^nBits rows per window
+    // partition (the 100 TB failure mode); the derived knob
+    // (nnDescentNBits) keeps the bound ~targetBucketSize. Replication
+    // duplicates vectors (copies share a sign bucket by construction),
+    // so the scaled knob's extra hyperplanes thin each bucket's DISTINCT
+    // membership — the measured bound must stay ~flat, not 4x.
+    import graft.operators.Similarity
+    val baseEmb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .transform(graft.core.Materialize.pin)
+    def embAt(copies: Int): DataFrame =
+      (0 until copies).map(i => baseEmb.select(
+        (col("vec_id") + lit(i * Stride)).as("vec_id"), col("embedding")))
+        .reduce(_ unionAll _)
+    def maxBucket(corpus: DataFrame, bits: Int): Long =
+      Similarity.signLshBuckets(corpus, "vec_id", "embedding", bits)
+        .groupBy("bucket").count().agg(max(col("count")))
+        .head().getLong(0)
+    val (c1, c4) = (embAt(1), embAt(4))
+    val b1 = Similarity.nnDescentNBits(c1.count())
+    val b4 = Similarity.nnDescentNBits(c4.count())
+    assert(b4 > b1, s"the derived knob must grow with the corpus: $b1 -> $b4")
+    val m1 = maxBucket(c1, b1)
+    val m4fixed = maxBucket(c4, b1)
+    val m4scaled = maxBucket(c4, b4)
+    info(s"max ring-window partition: 1x/bits=$b1 -> $m1; " +
+      s"4x/fixed=$m4fixed; 4x/bits=$b4 -> $m4scaled")
+    assert(m4fixed >= 3 * m1,
+      s"fixed bits should let the window bound grow: $m1 -> $m4fixed")
+    assert(m4scaled <= (2.5 * m1).toLong + 10,
+      s"scaled bits failed to hold the window bound: $m1 -> $m4scaled")
+  }
 }

@@ -862,6 +862,84 @@ class SimilaritySpec extends SparkSpec {
       "round 4 must improve on round 2 (no plateau)")
   }
 
+  test("nnDescentExtend: incremental batches reach a measured quality floor of the batch build; touched nodes never lose quality") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val bits = Similarity.nnDescentNBits(n)
+    val parts = (0 to 2).map(i => emb.filter(col("vec_id") % 3 === i))
+    def quality(g: org.apache.spark.sql.DataFrame): Map[Long, Double] = g
+      .groupBy(col("vec_id").cast("long").as("id"))
+      .agg(sum(col("cosine")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    // bootstrap = batch build over the first slice; then extend per batch
+    var nodes = parts(0)
+    var g = Similarity.nnDescentGraph(parts(0), "vec_id", "embedding",
+      k = 5, rounds = 2, nBits = bits)
+    for (b <- parts.drop(1)) {
+      val before = quality(g)
+      val updated = graft.core.Materialize.pin(Similarity.nnDescentExtend(
+        nodes, g, b, "vec_id", "embedding", k = 5, nBits = bits))
+      // full replacement neighborhoods: latest-wins merge
+      g = graft.core.Materialize.pin(
+        g.join(updated.select(col("vec_id")).distinct(), Seq("vec_id"),
+            "left_anti")
+          .unionByName(updated))
+      nodes = nodes.unionByName(b)
+      // touched old nodes re-converge over (their edges ∪ reverse pairs):
+      // per-node quality is monotone by construction
+      val after = quality(g)
+      before.keys.foreach { id =>
+        assert(after.getOrElse(id, -99.0) >= before(id) - 1e-9,
+          s"node $id lost quality during an incremental extension")
+      }
+    }
+    // totality + shape of the final incremental graph
+    assert(g.select(col("vec_id")).distinct().count() == n,
+      "every node must carry neighbors after the last extension")
+    assert(g.groupBy("vec_id").count().agg(max(col("count")))
+      .as[Long].head() <= 5L, "no node may exceed k neighbors")
+    // acceptance: QUALITY RATIO vs the from-scratch batch build on the
+    // same final corpus (bit-equality is impossible — insertion order
+    // matters; same metric the batch build's exploration rings were
+    // justified with)
+    val incQ = g.agg(sum(col("cosine"))).as[Double].head()
+    val batchQ = Similarity.nnDescentGraph(emb, "vec_id", "embedding",
+        k = 5, rounds = 2, nBits = bits)
+      .agg(sum(col("cosine"))).as[Double].head()
+    info(f"incremental/batch quality ratio: ${incQ / batchQ}%.3f")
+    assert(incQ >= 0.85 * batchQ,
+      s"incremental build fell below the 0.85 quality floor: ${incQ / batchQ}")
+  }
+
+  test("corpusIdentity: XOR-composes over disjoint slices; order-independent; moves on a re-embed") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val whole = Similarity.corpusIdentity(emb, "vec_id", "embedding")
+    val even = Similarity.corpusIdentity(
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+    val odd = Similarity.corpusIdentity(
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    assert(whole == (even ^ odd),
+      "identity must XOR-compose over disjoint row sets (the O(batch) " +
+        "incremental-stamp contract)")
+    assert(Similarity.corpusIdentity(emb.orderBy(desc("vec_id")),
+      "vec_id", "embedding") == whole, "identity must be order-independent")
+    val moved = Similarity.corpusIdentity(emb.withColumn("embedding",
+      transform(col("embedding"), x => x * lit(1.01f))), "vec_id", "embedding")
+    assert(moved != whole, "a re-embedded corpus must change identity")
+  }
+
+  test("nnDescentNBits: buckets scale with the corpus at ~targetBucketSize, clamped") {
+    assert(Similarity.nnDescentNBits(0L) == 2)
+    assert(Similarity.nnDescentNBits(60L) == 2)           // one bucket's worth
+    assert(Similarity.nnDescentNBits(64L * 16) == 4)      // 16 buckets
+    assert(Similarity.nnDescentNBits(64L * 256) == 8)     // the old default
+    assert(Similarity.nnDescentNBits(1L << 40) == 24)     // clamped high
+    assert(Similarity.nnDescentNBits(1000L, targetBucketSize = 10) == 7)
+  }
+
   test("ivfPqResidualProbeIndex: partition-pruned probe equals the given-artifacts scorer") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -1121,6 +1121,92 @@ class StreamingFileSpec extends SparkSpec {
     assert(ex2.getMessage.contains("re-sweep"), ex2.getMessage)
   }
 
+  test("knnGraphSink: incremental epochs reach the quality floor of the batch build; identity tracks the corpus; replay adds nothing") {
+    import graft.streaming.CorpusStreams
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val bits = graft.operators.Similarity.nnDescentNBits(n)
+    val root = java.nio.file.Files.createTempDirectory("knn_sink")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectory(in)
+    val graphPath = root.resolve("graph").toString
+    def stage(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, in.resolve(name + ".parquet"))
+    }
+    stage("b0", emb.filter(col("vec_id") % 3 === 0))
+    stage("b1", emb.filter(col("vec_id") % 3 === 1))
+    stage("b2", emb.filter(col("vec_id") % 3 === 2))
+    def runStream(): Unit =
+      CorpusStreams.knnGraphSink(
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+          .parquet(in.toString),
+        "vec_id", "embedding", graphPath, root.resolve("chk").toString,
+        k = 5, rounds = 2, nBits = bits).awaitTermination(180000)
+    runStream()
+    assert(graft.tools.EtlCli.committedEpochs(spark, s"$graphPath/nodes").size == 3)
+    assert(graft.tools.EtlCli.committedEpochs(spark, s"$graphPath/graph").size == 3)
+    // read view: every node covered, neighborhoods bounded at k
+    val view = CorpusStreams.readKnnGraph(spark, graphPath, "vec_id")
+    assert(view.select(col("vec_id")).distinct().count() == n,
+      "the live view must cover every streamed node")
+    assert(view.groupBy("vec_id").count().agg(max(col("count")))
+      .as[Long].head() <= 5L, "no node may exceed k neighbors")
+    // acceptance: measured QUALITY RATIO vs the from-scratch batch build
+    // on the same final corpus (the sink's contract — NOT bit-equality,
+    // insertion order matters in NN-descent)
+    def q(g: org.apache.spark.sql.DataFrame): Double =
+      g.agg(sum(col("cosine"))).as[Double].head()
+    val ratio = q(view) / q(graft.operators.Similarity.nnDescentGraph(
+      emb, "vec_id", "embedding", k = 5, rounds = 2, nBits = bits))
+    info(f"streamed/batch quality ratio: $ratio%.3f")
+    assert(ratio >= 0.85, s"streamed graph fell below the quality floor: $ratio")
+    // identity: the O(batch) XOR fold equals the from-scratch corpus
+    // identity — and a consumer holding a re-embedded corpus refuses
+    assert(CorpusStreams.knnGraphIdentity(spark, graphPath) ==
+      graft.operators.Similarity.corpusIdentity(emb, "vec_id", "embedding"),
+      "incrementally-maintained identity diverges from the corpus fold")
+    CorpusStreams.requireKnnGraphCurrent(spark, graphPath, emb,
+      "vec_id", "embedding")
+    val stale = intercept[IllegalArgumentException] {
+      CorpusStreams.requireKnnGraphCurrent(spark, graphPath,
+        emb.withColumn("embedding",
+          transform(col("embedding"), x => x * lit(1.01f))),
+        "vec_id", "embedding")
+    }
+    assert(stale.getMessage.contains("re-embed"), stale.getMessage)
+    // quality log: one bounded trend row per epoch
+    val qlog = graft.tools.EtlCli.readEpochTable(spark, s"$graphPath/quality")
+    assert(qlog.count() == 3 &&
+      qlog.agg(min(col("mean_cosine"))).as[Double].head() > 0.0,
+      "each epoch must log its quality trend row")
+    // replay with the same checkpoint and no new files: zero new commits
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f.getPath)
+    val before = walk(new java.io.File(graphPath)).sorted
+    runStream()
+    assert(walk(new java.io.File(graphPath)).sorted == before,
+      "a replay with nothing new must commit nothing")
+    // RE-INGEST: stream an updated copy of some existing vectors — the
+    // identity must track the superseded copies (XOR removes them), and
+    // the view must serve the re-ingested nodes' fresh neighborhoods
+    val reIng = emb.filter(col("vec_id") < 5).withColumn("embedding",
+      transform(col("embedding"), x => x * lit(1.01f)))
+    stage("b3", reIng)
+    runStream()
+    val merged = emb.filter(col("vec_id") >= 5).unionByName(reIng)
+    assert(CorpusStreams.knnGraphIdentity(spark, graphPath) ==
+      graft.operators.Similarity.corpusIdentity(merged, "vec_id", "embedding"),
+      "re-ingest must move the identity to the post-update corpus view")
+    CorpusStreams.requireKnnGraphCurrent(spark, graphPath, merged,
+      "vec_id", "embedding")
+  }
+
   test("binaryIvfIndexSinkWithDrift: per-epoch drift log; shifted epoch alarms; check-drift fails naming it") {
     import graft.streaming.CorpusStreams
     import spark.implicits._
