@@ -309,6 +309,36 @@ object Similarity {
       .select(col("a").as(idCol), col("b").as("nid"), col("cosine"), col("rank"))
   }
 
+  /** Graph-powered contrastive hard-negative mining — the committed k-NN
+    * graph's first consumer, replacing [[hardNegatives]]' per-query
+    * broadcast x corpus scan for the every-node mining a contrastive
+    * training run wants: each node's negatives are its GRAPH neighbors
+    * with a different label, re-ranked over the already-scored edges.
+    * Cost is a key join + bounded window over O(|nodes| x k) edge rows —
+    * no vector is touched and no corpus pass runs, which is the point of
+    * committing the graph. Negatives per node are bounded by the graph's
+    * k (a node whose neighborhood is single-label yields fewer than
+    * `k` rows — mine with a larger graph k than the training k, exactly
+    * as retrieval over-fetches a shortlist). The brute operator stays as
+    * the oracle cross-check; consumers of a COMMITTED graph must refuse
+    * a stale corpus first (EtlCli.requireStamp over `corpus_id` /
+    * CorpusStreams.requireKnnGraphCurrent). */
+  def hardNegativesFromGraph(graph: DataFrame, labels: DataFrame,
+                             idCol: String, labelCol: String,
+                             k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val l = labels.select(col(idCol), col(labelCol))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("cid"))
+    graph.select(col(idCol).as("qid"), col("nid").as("cid"), col("cosine"))
+      .join(l.select(col(idCol).as("qid"), col(labelCol).as("q_label")), Seq("qid"))
+      .join(l.select(col(idCol).as("cid"), col(labelCol).as("c_label")), Seq("cid"))
+      .filter(col("q_label") =!= col("c_label"))
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("q_label"), col("cid"), col("c_label"),
+        col("cosine"), col("rank"))
+  }
+
   /** Deterministic identity of an embedding CORPUS: bit-XOR of per-row
     * xxhash64 over (id-as-string, vec-as-double) — order-independent
     * (rows are unique by id), layout-independent (exact float→double

@@ -1023,6 +1023,30 @@ object CorpusStreams {
                    graphPath: String, idCol: String = "vec_id"): DataFrame =
     edgesBefore(spark, graphPath, Long.MaxValue, idCol)
 
+  /** Fold the graph's epoch log into the read-optimized FLAT layout: the
+    * latest-per-node view materialized once, stamped with the covered
+    * corpus identity as a `corpus_id` column — so batch consumers
+    * (EtlCli.mineHardNegatives and anything else going through
+    * requireStamp) read one table, refuse staleness, and never pay the
+    * per-read latest-epoch window again. THIS is the graph log's
+    * compaction move; the generic epoch compaction must never run on
+    * `graph/` — it UNIONS epochs, and latest-epoch-wins needs the
+    * per-row provenance a union-fold erases (a node touched twice would
+    * keep both neighborhoods). Versioned commit, the same
+    * write-then-compact split as binaryIvfReadOptimize. */
+  def knnGraphReadOptimize(spark: org.apache.spark.sql.SparkSession,
+                           graphPath: String, outPath: String): Unit = {
+    val sample = EtlCli.readEpochTable(spark, graphEdgesPath(graphPath))
+    val idCol = sample.columns
+      .filterNot(Set("nid", "cosine", "rank", "epoch")).headOption
+      .getOrElse(sys.error(s"graph at $graphPath has no id column " +
+        s"(columns: ${sample.columns.mkString(", ")})"))
+    EtlCli.writeTable(
+      readKnnGraph(spark, graphPath, idCol)
+        .withColumn("corpus_id", lit(knnGraphIdentity(spark, graphPath))),
+      outPath)
+  }
+
   /** The corpus identity the committed graph currently covers — compare
     * against `Similarity.corpusIdentity` of the corpus a consumer holds
     * (see [[requireKnnGraphCurrent]]). */

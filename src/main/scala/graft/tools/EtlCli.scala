@@ -128,6 +128,19 @@ object EtlCli {
     case Seq("knn-graph", vecsTable, outTable, k, rounds, nBits, idCol, vecCol) =>
       knnGraph(spark, vecsTable, outTable, k.toInt, rounds.toInt, idCol, vecCol,
         Some(nBits.toInt))
+    case Seq("read-optimize-knn-graph", graphPath, outPath) =>
+      graft.streaming.CorpusStreams.knnGraphReadOptimize(spark, graphPath, outPath)
+      println(s"k-NN graph compacted to the stamped flat layout at $outPath")
+    case Seq("check-graph-quality", graphPath) =>
+      checkGraphQuality(spark, graphPath)
+    case Seq("check-graph-quality", graphPath, minRatio) =>
+      checkGraphQuality(spark, graphPath, minRatio.toDouble)
+    case Seq("hard-negatives", graphTable, vecsTable, outTable, k) =>
+      mineHardNegatives(spark, graphTable, vecsTable, outTable, k.toInt)
+    case Seq("hard-negatives", graphTable, vecsTable, outTable, k,
+             idCol, vecCol, labelCol) =>
+      mineHardNegatives(spark, graphTable, vecsTable, outTable, k.toInt,
+        idCol, vecCol, labelCol)
     case Seq("read-optimize-binary-ivf", indexTable, outPath) =>
       graft.streaming.CorpusStreams.binaryIvfReadOptimize(spark, indexTable, outPath)
       println(s"binary-IVF index compacted to the cell-partitioned layout at $outPath")
@@ -571,6 +584,62 @@ object EtlCli {
       .withColumn("corpus_id", lit(cid)), outTable)
     println(s"k-NN graph (k=$k, $rounds NN-descent rounds, nBits=$bits) " +
       s"committed at $outTable, stamped corpus_id=$cid")
+  }
+
+  /** The graph family's monitor arm, checkDrift's sibling: read the
+    * quality trend log a knnGraphSink appends (one exact-integer
+    * mean-cosine row per epoch) and alarm when any epoch's mean falls
+    * below `minRatio` of the BOOTSTRAP epoch's — the accumulated
+    * staleness signal incremental NN-descent uniquely has (extensions
+    * are order-dependent, so no bit-equality check can see decay; the
+    * trend can). The remedial is explicit: rebuild from scratch
+    * (knn-graph over the nodes table) and resume the sink. */
+  def checkGraphQuality(spark: SparkSession, graphPath: String,
+                        minRatio: Double = 0.8): Unit = {
+    require(minRatio > 0 && minRatio <= 1,
+      s"minRatio must be in (0,1], got $minRatio")
+    val rows = readEpochTable(spark, s"$graphPath/quality")
+      .select(col("epoch").cast("long"), col("mean_cosine").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val base = rows.head._2
+    val alarmed = rows.filter(_._2 < minRatio * base).map(_._1)
+    if (alarmed.nonEmpty)
+      sys.error(f"graph quality collapsed in epoch(s) ${alarmed.mkString(", ")} " +
+        f"of $graphPath — mean neighbor cosine fell below $minRatio%.2f of " +
+        f"the bootstrap epoch's ($base%.4f); incremental extension " +
+        "staleness accumulated. Rebuild the graph from the nodes table " +
+        "(knn-graph) and resume the sink")
+    println(f"graph quality steady across ${rows.length} epoch(s) at " +
+      f"$graphPath (bootstrap mean $base%.4f)")
+  }
+
+  /** The committed graph's first consumer — graph-powered contrastive
+    * hard-negative mining (Similarity.hardNegativesFromGraph): per node,
+    * the cosine-nearest different-label graph neighbors, a key join +
+    * bounded re-rank over already-scored edges instead of a corpus scan
+    * per query. Refuses a graph stamped for a DIFFERENT corpus identity
+    * than the live vectors table (the re-embedded-corpus staleness the
+    * stamp exists for) before reading one edge. */
+  def mineHardNegatives(spark: SparkSession, graphTable: String,
+                        vecsTable: String, outTable: String, k: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        labelCol: String = "label"): Unit = {
+    val graph = readAnyTable(spark, graphTable)
+    val vecs = readAnyTable(spark, vecsTable)
+    val missing = Seq(idCol, vecCol, labelCol).filterNot(vecs.columns.contains)
+    if (missing.nonEmpty)
+      sys.error(s"vectors at $vecsTable lack column(s) ${missing.mkString(", ")} " +
+        s"— pass the id/vector/label column names (got: ${vecs.columns.mkString(", ")})")
+    requireStamp(graph, "corpus_id",
+      graft.operators.Similarity.corpusIdentity(vecs, idCol, vecCol),
+      s"graph at $graphTable was built over corpus",
+      s"the vectors at $vecsTable",
+      "the embeddings moved since the graph was built — rebuild " +
+        "(knn-graph) or re-stream the changed vectors through " +
+        "knnGraphSink before mining")
+    writeTable(graft.operators.Similarity.hardNegativesFromGraph(
+      graph, vecs, idCol, labelCol, k), outTable)
+    println(s"graph-mined hard negatives (top-$k per node) committed at $outTable")
   }
 
   /** THE identity-stamp guard, shared by every deploy-time binding check

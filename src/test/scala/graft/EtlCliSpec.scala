@@ -548,6 +548,64 @@ class EtlCliSpec extends SparkSpec {
     assert(ex.getMessage.contains("lack column"), ex.getMessage)
   }
 
+  test("check-graph-quality: steady trend prints all-clear; a collapsed epoch alarms naming the rebuild") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("gq_cli")
+    val qp = s"$root/g/quality"
+    def row(e: Long, mc: Double) =
+      Seq((100L, 50L, mc, e)).toDF("n_edges", "n_nodes", "mean_cosine", "epoch")
+    graft.tools.EtlCli.appendEpoch(row(0, 0.80), qp, 0)
+    graft.tools.EtlCli.appendEpoch(row(1, 0.78), qp, 1)
+    graft.tools.EtlCli.run(spark, Seq("check-graph-quality", s"$root/g"))
+    // an epoch whose mean collapses below 0.8x the bootstrap alarms
+    graft.tools.EtlCli.appendEpoch(row(2, 0.40), qp, 2)
+    val ex = intercept[RuntimeException] {
+      graft.tools.EtlCli.run(spark, Seq("check-graph-quality", s"$root/g"))
+    }
+    assert(ex.getMessage.contains("Rebuild") &&
+      ex.getMessage.contains("2"), ex.getMessage)
+    // a tighter floor flags the mild sag too
+    val ex2 = intercept[RuntimeException] {
+      graft.tools.EtlCli.run(spark,
+        Seq("check-graph-quality", s"$root/g", "0.99"))
+    }
+    assert(ex2.getMessage.contains("1, 2"), ex2.getMessage)
+  }
+
+  test("hard-negatives CLI: graph-mined negatives equal the operator; a re-embedded corpus refuses the stale graph") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("hneg_cli")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    graft.tools.EtlCli.writeTable(emb, s"$root/vecs")
+    graft.tools.EtlCli.run(spark,
+      Seq("knn-graph", s"$root/vecs", s"$root/graph", "5", "2"))
+    graft.tools.EtlCli.run(spark,
+      Seq("hard-negatives", s"$root/graph", s"$root/vecs", s"$root/negs", "3"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid").cast("long"), col("cid").cast("long"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(rows(graft.tools.EtlCli.readTable(spark, s"$root/negs")) ==
+      rows(graft.operators.Similarity.hardNegativesFromGraph(
+        graft.tools.EtlCli.readTable(spark, s"$root/graph"),
+        emb, "vec_id", "label", k = 3)),
+      "CLI-mined negatives diverge from the operator")
+    // negatives are graph edges with the label inequality: never empty,
+    // never same-label (the fixture has multiple labels)
+    val negs = graft.tools.EtlCli.readTable(spark, s"$root/negs")
+    assert(negs.count() > 0 &&
+      negs.filter(col("q_label") === col("c_label")).count() == 0)
+    // stale-graph refusal: the corpus re-embeds, the stamp mismatches
+    graft.tools.EtlCli.writeTable(emb.withColumn("embedding",
+      transform(col("embedding"), x => x * lit(1.01f))), s"$root/vecs2")
+    val ex = intercept[IllegalArgumentException] {
+      graft.tools.EtlCli.run(spark,
+        Seq("hard-negatives", s"$root/graph", s"$root/vecs2", s"$root/n2", "3"))
+    }
+    assert(ex.getMessage.contains("rebuild"), ex.getMessage)
+  }
+
   test("split-hot-cells refuses a versioned (non-epoch) index with the actual remedial, not a misleading error") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("split_refuse")

@@ -913,6 +913,62 @@ class SimilaritySpec extends SparkSpec {
       s"incremental build fell below the 0.85 quality floor: ${incQ / batchQ}")
   }
 
+  test("hybrid RRF over the production ANN arm: swept probe serves the dense side; fused recall vs exact-dense fusion measured") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("rrf_ann")
+    // the production loop: committed cell-partitioned index + a REAL
+    // sweep (recall measured on the fixture, quantizer-stamped), then
+    // the swept probe serves retrieval's dense arm
+    val cent = Similarity.coarseCentroids(emb, "vec_id", "embedding", 16)
+    graft.tools.EtlCli.writeTable(cent, s"$root/cent")
+    graft.tools.EtlCli.writeTable(
+      Similarity.binaryIvfIndexBuild(emb, "vec_id", "embedding", 64, cent),
+      s"$root/idx", partitionBy = Seq("cell"))
+    graft.tools.EtlCli.sweepBinaryIvf(spark, s"$root/idx", s"$root/cent",
+      s"$root/sweep", nQueries = 3, k = 20)
+    val queries = emb.filter(col("vec_id") === 0)
+    val lex = graft.operators.TextAnalysis.bm25(docs, "doc_id", "text",
+        Seq("vector", "spark", "filter"), k1 = 1.2, b = 0.75, topK = 20)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(desc("score"), col("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+    def denseAnn(minRecall: Double) =
+      graft.streaming.CorpusStreams.binaryIvfProbeWithSweep(
+          spark, s"$root/idx", s"$root/cent", s"$root/sweep", queries,
+          "vec_id", "embedding", dims = 64, minRecall = minRecall, k = 20)
+        .select(col("cid").as("doc_id"), col("rank"))
+    val denseExact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 20)
+      .select(col("cid").as("doc_id"), col("rank"))
+    def top10(dense: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Similarity.rrfFuse(Seq(lex, dense), "doc_id", "rank", kRrf = 60,
+          topK = 10)
+        .select(col("doc_id").cast("long")).as[Long].collect().toSeq
+    val fExact = top10(denseExact)
+    // the sweep's recall floor is a PER-ARM claim; whether it survives
+    // rank fusion is a separate question — measured, not assumed (the
+    // ivfPqResidualSweep lesson). Measured here: the CHEAPEST config
+    // clearing a 0.5 arm floor fuses measurably worse than the config a
+    // 0.9 floor picks — the fusion consumer must demand a deeper floor
+    // than its arm would need standalone.
+    def fusedRecall(minRecall: Double): Double = {
+      val f = top10(denseAnn(minRecall))
+      assert(f.size == 10, "fusion must fill top-10")
+      (f.toSet intersect fExact.toSet).size / 10.0
+    }
+    val (shallow, deep) = (fusedRecall(0.5), fusedRecall(0.9))
+    info(f"fused top-10 recall vs exact-dense fusion: arm floor 0.5 -> " +
+      f"$shallow%.2f, arm floor 0.9 -> $deep%.2f")
+    assert(deep >= shallow,
+      s"a deeper swept config must not fuse worse: $shallow -> $deep")
+    assert(deep >= 0.8,
+      s"the 0.9-floor swept arm degraded the fused ranking below 0.8: $deep")
+  }
+
   test("corpusIdentity: XOR-composes over disjoint slices; order-independent; moves on a re-embed") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))

@@ -1205,6 +1205,24 @@ class StreamingFileSpec extends SparkSpec {
       "re-ingest must move the identity to the post-update corpus view")
     CorpusStreams.requireKnnGraphCurrent(spark, graphPath, merged,
       "vec_id", "embedding")
+    // read-optimize: the stamped flat layout equals the live view and
+    // carries the identity, so batch consumers skip the epoch window
+    // AND refuse staleness through the ordinary requireStamp path
+    CorpusStreams.knnGraphReadOptimize(spark, graphPath,
+      root.resolve("opt").toString)
+    val opt = graft.tools.EtlCli.readTable(spark, root.resolve("opt").toString)
+    def gRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id").cast("long"), col("nid").cast("long"),
+        col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(gRows(opt) == gRows(
+      CorpusStreams.readKnnGraph(spark, graphPath, "vec_id")),
+      "read-optimized graph diverges from the live view")
+    graft.tools.EtlCli.requireStamp(opt, "corpus_id",
+      CorpusStreams.knnGraphIdentity(spark, graphPath),
+      "optimized graph covers corpus", "the live graph", "recompact")
+    // quality monitor: this healthy run reads quiet
+    graft.tools.EtlCli.run(spark, Seq("check-graph-quality", graphPath))
   }
 
   test("binaryIvfIndexSinkWithDrift: per-epoch drift log; shifted epoch alarms; check-drift fails naming it") {
