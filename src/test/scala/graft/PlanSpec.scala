@@ -500,6 +500,28 @@ class PlanSpec extends SparkSpec {
     assert(vecShuffles == 0, s"raw vectors crossed a shuffle:\n$p")
   }
 
+  test("hybrid RRF over the production arm: the probe's partition pruning survives inside the fused plan") {
+    // the point of q_hybrid_rrf_ann: the deployed dense arm keeps its
+    // at-scale properties when composed under rank fusion — the index
+    // scans still carry the probed-cell INSET filters (fusion must not
+    // force a full-index read) and neither codes nor vectors shuffle
+    val p = plan("q_hybrid_rrf_ann")
+    // one query x nProbe=4 keeps the probed-cell list under the InSet
+    // conversion threshold, so the static filter prints IN (not INSET)
+    val insets = "PartitionFilters: \\[cell#\\d+ IN".r.findAllIn(p).size
+    assert(insets >= 2,
+      s"fused plan lost the probe's static cell partition filters:\n$p")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,words:array<bigint>>"),
+      s"fused plan lost the stage-1 codes-only column pruning:\n$p")
+    val vecShuffles = "Exchange hashpartitioning\\([^)]*embedding".r.findAllIn(p).size
+    assert(vecShuffles == 0, s"raw vectors crossed a shuffle:\n$p")
+    val wordShuffles = "Exchange hashpartitioning\\([^)]*words".r.findAllIn(p).size
+    assert(wordShuffles == 0, s"packed codes crossed a shuffle:\n$p")
+    // lexical side keeps its bounded global top-k
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bm25 top-k lost its bounded operator:\n$p")
+  }
+
   test("vector curation composition: no exchange ever carries the embedding array") {
     // the dedup stage shuffles exploded (vec_id, d, x) dim rows and the
     // balance stage shuffles (vec_id, cell) pairs — the raw array column
