@@ -422,14 +422,41 @@ object Similarity {
                       batch: DataFrame, idCol: String, vecCol: String,
                       k: Int, nBits: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // Inputs may be RAW epoch unions carrying an `__epoch` column with
+    // multiple committed copies per id (the sink's read shape): deduping
+    // a corpus-sized table per batch would be exactly the O(corpus)
+    // shuffle this operator exists to avoid, so duplicates are resolved
+    // only where they become BOUNDED — after a broadcast filter to a
+    // candidate-sized id set. A stale copy can at worst ADD bucket
+    // candidates (its vector may bucket elsewhere); every candidate is
+    // scored against the LATEST vector, so the candidate superset never
+    // degrades the result. Un-tagged inputs mean one-copy-per-id.
+    def tagged(df: DataFrame): DataFrame =
+      if (df.columns.contains("__epoch"))
+        df.withColumn("__epoch", col("__epoch").cast(LongType))
+      else df.withColumn("__epoch", lit(0L))
     // one copy per id in the batch (deterministic max-vec tiebreak), and
     // the batch copy supersedes a re-ingested old one
     val b = graft.core.Materialize.pin(batch
       .select(col(idCol), dvec(col(vecCol)).as("__v"))
       .groupBy(col(idCol)).agg(max(col("__v")).as("__v")))
-    val old = oldNodes.select(col(idCol), dvec(col(vecCol)).as("__v"))
-      .join(b.select(col(idCol)), Seq(idCol), "left_anti")
-    val all = old.unionByName(b)
+    val old = tagged(oldNodes)
+      .select(col(idCol), dvec(col(vecCol)).as("__v"), col("__epoch"))
+      .join(broadcast(b.select(col(idCol))), Seq(idCol), "left_anti")
+    val all = old.unionByName(
+      b.withColumn("__epoch", lit(Long.MaxValue)))
+    val gT = tagged(oldGraph)
+      .select(col(idCol), col("nid"), col("cosine"), col("__epoch"))
+    // latest committed neighborhood of a BOUNDED id set: broadcast-filter
+    // the raw epoch rows first (map-only over the graph), dedupe after —
+    // the latest-epoch window runs over candidate-sized rows only
+    def latestHoods(ids: DataFrame): DataFrame = {
+      val sub = gT.join(broadcast(ids), gT(idCol) === ids("__id")).drop("__id")
+      val w = Window.partitionBy(col(idCol))
+      sub.withColumn("__m", max(col("__epoch")).over(w))
+        .filter(col("__epoch") === col("__m"))
+        .select(col(idCol), col("nid"), col("cosine"))
+    }
     def buckets(df: DataFrame, bits: Int): DataFrame =
       df.select(col(idCol),
         pcol(graft.plans.SignLshBucketExpr(pexpr(col("__v")), bits)).as("bucket"))
@@ -445,22 +472,25 @@ object Similarity {
     // one transitivity hop over the COMMITTED edges: neighbors of mates.
     // The mate set is bounded (batch x ~targetBucketSize x 2), so the
     // committed graph scan is map-only filtered, never corpus-shuffled.
-    val mateIds = matesP.select(col("b")).distinct()
     val hop = matesP.join(
-        broadcast(mateIds).join(
-            oldGraph.select(col(idCol).as("b"), col("nid")), Seq("b"))
-          .select(col("b"), col("nid")),
+        latestHoods(matesP.select(col("b").as("__id")).distinct())
+          .select(col(idCol).as("b"), col("nid")),
         Seq("b"))
       .select(col("a"), col("nid").as("b"))
     val cand = matesP.unionByName(hop)
       .filter(col("a") =!= col("b")).distinct()
     // score: candidate pairs (with the batch-side vector attached)
-    // broadcast against one map-only pass over the node vectors
+    // broadcast against the latest vector of each BOUNDED candidate id
+    // (broadcast-filter the node epochs map-only, then a bounded dedupe)
+    val candIds = cand.select(col("b").as("__id")).distinct()
+    val latestVecs = all.join(broadcast(candIds), all(idCol) === candIds("__id"))
+      .groupBy(col(idCol))
+      .agg(max_by(col("__v"), struct(col("__epoch"), col("__v"))).as("__vb"))
+      .select(col(idCol).as("b"), col("__vb"))
     val candV = cand.join(b.select(col(idCol).as("a"), col("__v").as("__va")),
       Seq("a"))
     val scored = graft.core.Materialize.pin(
-      all.select(col(idCol).as("b"), col("__v").as("__vb"))
-        .join(broadcast(candV), Seq("b"))
+      latestVecs.join(broadcast(candV), Seq("b"))
         .select(col("a"), col("b"),
           (qdot(col("__va"), col("__vb"))
             / (qnorm(col("__va")) * qnorm(col("__vb")))).as("cosine")))
@@ -474,9 +504,8 @@ object Similarity {
     val rev = scored.join(b.select(col(idCol).as("b")), Seq("b"), "left_anti")
       .select(col("b").as("a"), col("a").as("b"), col("cosine"))
     val touched = rev.select(col("a")).distinct()
-    val oldEdges = oldGraph
-      .join(broadcast(touched), oldGraph(idCol) === touched("a"))
-      .select(oldGraph(idCol).as("a"), col("nid").as("b"), col("cosine"))
+    val oldEdges = latestHoods(touched.select(col("a").as("__id")))
+      .select(col(idCol).as("a"), col("nid").as("b"), col("cosine"))
     val updated = topK(rev.unionByName(oldEdges)
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b")).agg(max(col("cosine")).as("cosine")))

@@ -993,35 +993,33 @@ object CorpusStreams {
   private def graphIdentityPath(graphPath: String) = s"$graphPath/identity"
   private def graphQualityPath(graphPath: String) = s"$graphPath/quality"
 
-  /** Latest committed copy of every node ingested in epochs < `before`
-    * (latest epoch wins on a re-ingested id, vector as the deterministic
-    * same-epoch tiebreak — the retrain dedupe contract). */
-  private def nodesBefore(spark: org.apache.spark.sql.SparkSession,
-                          graphPath: String, before: Long,
-                          idCol: String, vecCol: String): DataFrame =
+  /** RAW node rows of epochs < `before`, `__epoch`-tagged, possibly
+    * several copies of a re-ingested id — deliberately NOT deduped: a
+    * per-batch corpus-wide groupBy is the O(corpus) shuffle the
+    * incremental path exists to avoid, and nnDescentExtend dedupes after
+    * its broadcast-bounded filters instead. */
+  private def nodesRawBefore(spark: org.apache.spark.sql.SparkSession,
+                             graphPath: String, before: Long): DataFrame =
     EtlCli.readEpochTableTagged(spark, graphNodesPath(graphPath))
       .filter(col("__epoch") < before)
-      .groupBy(col(idCol))
-      .agg(max_by(col(vecCol), struct(col("__epoch"), col(vecCol))).as(vecCol))
 
-  private def edgesBefore(spark: org.apache.spark.sql.SparkSession,
-                          graphPath: String, before: Long,
-                          idCol: String): DataFrame = {
+  /** The committed live view of an incrementally-maintained k-NN graph:
+    * each node's neighborhood from the LAST epoch that touched it
+    * (epochs write full replacement neighborhoods, so latest-epoch-wins
+    * is exact). Columns (idCol, nid, cosine, rank). This is the READ
+    * path — its latest-epoch window is graph-sized, which is fine per
+    * consumer read and is exactly what [[knnGraphReadOptimize]] folds
+    * away on the compaction cadence; the SINK never calls it (per-batch
+    * state is read raw and deduped only after broadcast-bounded
+    * filters). */
+  def readKnnGraph(spark: org.apache.spark.sql.SparkSession,
+                   graphPath: String, idCol: String = "vec_id"): DataFrame = {
     val t = EtlCli.readEpochTableTagged(spark, graphEdgesPath(graphPath))
-      .filter(col("__epoch") < before)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     t.withColumn("__m", max(col("__epoch")).over(w))
       .filter(col("__epoch") === col("__m"))
       .select(col(idCol), col("nid"), col("cosine"), col("rank"))
   }
-
-  /** The committed live view of an incrementally-maintained k-NN graph:
-    * each node's neighborhood from the LAST epoch that touched it
-    * (epochs write full replacement neighborhoods, so latest-epoch-wins
-    * is exact). Columns (idCol, nid, cosine, rank). */
-  def readKnnGraph(spark: org.apache.spark.sql.SparkSession,
-                   graphPath: String, idCol: String = "vec_id"): DataFrame =
-    edgesBefore(spark, graphPath, Long.MaxValue, idCol)
 
   /** Fold the graph's epoch log into the read-optimized FLAT layout: the
     * latest-per-node view materialized once, stamped with the covered
@@ -1104,8 +1102,9 @@ object CorpusStreams {
             Similarity.nnDescentGraph(batch, idCol, vecCol, k, rounds, nBits)
           else
             Similarity.nnDescentExtend(
-              nodesBefore(spark, graphPath, batchId, idCol, vecCol),
-              edgesBefore(spark, graphPath, batchId, idCol),
+              nodesRawBefore(spark, graphPath, batchId),
+              EtlCli.readEpochTableTagged(spark, graphEdgesPath(graphPath))
+                .filter(col("__epoch") < batchId),
               batch, idCol, vecCol, k, nBits))
         EtlCli.appendEpoch(batch, graphNodesPath(graphPath), batchId)
         EtlCli.appendEpoch(hoods, graphEdgesPath(graphPath), batchId)
@@ -1119,11 +1118,17 @@ object CorpusStreams {
             .collect().headOption).toOption.flatten
         if (!cur.exists(_.getLong(1) >= batchId)) {
           val prev = cur.map(_.getLong(0)).getOrElse(0L)
+          // old copies the batch superseded: broadcast-filter the raw
+          // epochs to the batch's ids (map-only), THEN dedupe the bounded
+          // remainder — never a corpus-wide groupBy per batch
           val superseded =
             if (prior.isEmpty) 0L
             else Similarity.corpusIdentity(
-              nodesBefore(spark, graphPath, batchId, idCol, vecCol)
-                .join(broadcast(batch.select(col(idCol))), Seq(idCol)),
+              nodesRawBefore(spark, graphPath, batchId)
+                .join(broadcast(batch.select(col(idCol))), Seq(idCol))
+                .groupBy(col(idCol))
+                .agg(max_by(col(vecCol), struct(col("__epoch"), col(vecCol)))
+                  .as(vecCol)),
               idCol, vecCol)
           val next = prev ^ Similarity.corpusIdentity(batch, idCol, vecCol) ^
             superseded

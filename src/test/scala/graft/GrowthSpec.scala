@@ -779,12 +779,19 @@ class GrowthSpec extends SparkSpec {
     def recsAt(copies: Int): Long = {
       val corpus = embAt(copies)
       val bits = Similarity.nnDescentNBits(corpus.count())
+      // feed the SINK's exact read shape: raw __epoch-tagged unions, no
+      // pre-dedupe, no pre-folded view — the extension itself must keep
+      // every corpus-sized input behind a map-only broadcast filter
+      val taggedCorpus = corpus
+        .withColumn("__epoch", (col("vec_id") % 3).cast("long"))
+        .transform(graft.core.Materialize.pin)
       val g = Similarity.nnDescentGraph(corpus, "vec_id", "embedding",
           k = 5, rounds = 1, nBits = bits)
+        .withColumn("__epoch", lit(0L))
         .transform(graft.core.Materialize.pin)
       val recs = shuffledDuring {
-        Similarity.nnDescentExtend(corpus, g, batch, "vec_id", "embedding",
-          k = 5, nBits = bits).collect()
+        Similarity.nnDescentExtend(taggedCorpus, g, batch, "vec_id",
+          "embedding", k = 5, nBits = bits).collect()
         ()
       }
       info(s"${copies}x committed corpus (nBits=$bits): " +
