@@ -2093,6 +2093,35 @@ object VectorQueries {
         .orderBy(col("qid"), col("rank"))
     },
 
+    // The graph's second consumer — SemDeDup's drop rule served off the
+    // COMMITTED graph instead of a fresh coarse-cell pass: a node drops
+    // when any graph neighbor (undirected view — edges are each node's
+    // top-k, so near-dup evidence can sit on either side) clears the
+    // cosine threshold with a LOWER id (keep-lowest, the q_semantic_dedup
+    // rule). A maintained graph makes the daily dedup sweep a filter
+    // over already-scored edges — no quantizer, no pair tower, no vector
+    // touched. Candidate recall is bounded by the graph's k exactly as
+    // SemDeDup's is by its cell partition — both are documented
+    // approximations of the O(n^2) truth.
+    QueryDef(
+      "q_graph_neardup",
+      "SemDeDup drop rule over the committed k-NN graph: nodes with a lower-id neighbor at cosine >= 0.35",
+      s"""WITH $knnGraphCtes,
+          und AS (SELECT a, b, cosine FROM g${KnnRounds}_cur
+                  UNION ALL
+                  SELECT b AS a, a AS b, cosine FROM g${KnnRounds}_cur)
+          SELECT DISTINCT a AS vec_id FROM und
+          WHERE cosine >= 0.35 AND b < a
+          ORDER BY vec_id""") { (s, dir) =>
+      val g = knnGraphArtifact(s, dir)
+      val und = g.select(col("vec_id"), col("nid"), col("cosine"))
+        .unionByName(g.select(col("nid").as("vec_id"),
+          col("vec_id").as("nid"), col("cosine")))
+      und.filter(col("cosine") >= 0.35 && col("nid") < col("vec_id"))
+        .select(col("vec_id")).distinct()
+        .orderBy(col("vec_id"))
+    },
+
     // SemDeDup (Abbas et al. 2023): coarse-quantizer cells bound the pair
     // space, within-cell quantized cosine verifies, lowest-id wins. The
     // query emits the DROPPED vectors — the side semanticDedup removes.
