@@ -1225,6 +1225,66 @@ class StreamingFileSpec extends SparkSpec {
     graft.tools.EtlCli.run(spark, Seq("check-graph-quality", graphPath))
   }
 
+  test("graph maintenance runbook: stream -> monitor -> optimize -> mine; a re-embed refuses the stale graph; rebuild restores service") {
+    import graft.streaming.CorpusStreams
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val bits = graft.operators.Similarity.nnDescentNBits(emb.count())
+    val root = java.nio.file.Files.createTempDirectory("knn_runbook")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectory(in)
+    val graphPath = root.resolve("graph").toString
+    def stage(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, in.resolve(name + ".parquet"))
+    }
+    stage("b0", emb.filter(col("vec_id") % 2 === 0))
+    stage("b1", emb.filter(col("vec_id") % 2 === 1))
+    CorpusStreams.knnGraphSink(
+      spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+        .parquet(in.toString),
+      "vec_id", "embedding", graphPath, root.resolve("chk").toString,
+      k = 5, rounds = 2, nBits = bits).awaitTermination(180000)
+    // 1. monitor quiet, 2. compact to the stamped flat layout
+    graft.tools.EtlCli.run(spark, Seq("check-graph-quality", graphPath))
+    graft.tools.EtlCli.run(spark,
+      Seq("read-optimize-knn-graph", graphPath, s"$root/opt"))
+    // 3. the consumer serves off the OPTIMIZED artifact (stamp matches
+    // the corpus table the training pipeline holds) and equals the
+    // operator over the live view
+    graft.tools.EtlCli.writeTable(emb, s"$root/vecs")
+    graft.tools.EtlCli.run(spark,
+      Seq("hard-negatives", s"$root/opt", s"$root/vecs", s"$root/negs", "3"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid").cast("long"), col("cid").cast("long"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(rows(graft.tools.EtlCli.readTable(spark, s"$root/negs")) ==
+      rows(graft.operators.Similarity.hardNegativesFromGraph(
+        CorpusStreams.readKnnGraph(spark, graphPath, "vec_id"),
+        emb, "vec_id", "label", k = 3)),
+      "optimized-artifact mining diverges from the live-view operator")
+    // 4. the corpus re-embeds: the stale graph REFUSES before one edge
+    // is read — the failure mode the stamp exists for
+    graft.tools.EtlCli.writeTable(emb.withColumn("embedding",
+      transform(col("embedding"), x => x * lit(1.01f))), s"$root/vecs2")
+    val stale = intercept[IllegalArgumentException] {
+      graft.tools.EtlCli.run(spark,
+        Seq("hard-negatives", s"$root/opt", s"$root/vecs2", s"$root/n2", "3"))
+    }
+    assert(stale.getMessage.contains("rebuild"), stale.getMessage)
+    // 5. the remedial the refusal names: rebuild over the re-embedded
+    // corpus; mining serves again
+    graft.tools.EtlCli.run(spark,
+      Seq("knn-graph", s"$root/vecs2", s"$root/g2", "5", "2"))
+    graft.tools.EtlCli.run(spark,
+      Seq("hard-negatives", s"$root/g2", s"$root/vecs2", s"$root/n3", "3"))
+    assert(graft.tools.EtlCli.readTable(spark, s"$root/n3").count() > 0,
+      "rebuilt graph must serve the miner")
+  }
+
   test("binaryIvfIndexSinkWithDrift: per-epoch drift log; shifted epoch alarms; check-drift fails naming it") {
     import graft.streaming.CorpusStreams
     import spark.implicits._
