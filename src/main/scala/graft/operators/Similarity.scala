@@ -281,12 +281,17 @@ object Similarity {
     // optimum when the data has little neighborhood transitivity (random
     // vectors are the worst case — measured 67% of the exact graph's
     // quality); k fresh deterministic candidates per node per round keep
-    // the search moving. Bucket count matches 2^(nBits/2) so window
-    // bounds scale exactly like the init's.
+    // the search moving. Exploration buckets scale as 16^ceil(nBits/8)
+    // hex chars — coarser than the init's 2^nBits (hex granularity), but
+    // monotone in the derived knob so a corpus-scaled nBits also bounds
+    // THESE windows (ceil, not integer-div: nBits 9-15 must already read
+    // two chars, or the derived knob would leave a 32k-node corpus's
+    // exploration windows at n/16). nBits <= 8 keeps the historical one
+    // char, so committed oracles replay unchanged.
     def hashRing(salt: String): DataFrame =
       ring(df.select(col(idCol),
         substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1,
-          1.max(nBits / 8)).as("bucket")), salt)
+          1.max((nBits + 7) / 8)).as("bucket")), salt)
     // init: LSH-bucket locality at two granularities — nBits for signal,
     // nBits/2 as the safety net (a node alone in its fine bucket would
     // otherwise start, and stay, isolated: nothing links to it, so no

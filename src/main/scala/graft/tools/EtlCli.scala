@@ -598,9 +598,18 @@ object EtlCli {
                         minRatio: Double = 0.8): Unit = {
     require(minRatio > 0 && minRatio <= 1,
       s"minRatio must be in (0,1], got $minRatio")
+    // an EMPTY micro-batch logs a null mean (no edges to average — the
+    // empty-frame guard, not a signal): skip those epochs rather than
+    // reading 0-quality into the trend
     val rows = readEpochTable(spark, s"$graphPath/quality")
+      .filter(col("mean_cosine").isNotNull)
       .select(col("epoch").cast("long"), col("mean_cosine").cast("double"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    if (rows.isEmpty) {
+      println(s"graph quality log at $graphPath holds only empty epochs — " +
+        "nothing to trend yet")
+      return
+    }
     val base = rows.head._2
     val alarmed = rows.filter(_._2 < minRatio * base).map(_._1)
     if (alarmed.nonEmpty)

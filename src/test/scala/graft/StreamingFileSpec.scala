@@ -1205,6 +1205,21 @@ class StreamingFileSpec extends SparkSpec {
       "re-ingest must move the identity to the post-update corpus view")
     CorpusStreams.requireKnnGraphCurrent(spark, graphPath, merged,
       "vec_id", "embedding")
+    // EMPTY micro-batch: must commit a harmless epoch — identity
+    // unchanged (XOR with the empty fold is 0), no neighborhoods, a
+    // null-mean quality row instead of an ANSI 0/0 crash (the
+    // empty-frame class the drift guards closed in r12)
+    val idBefore = CorpusStreams.knnGraphIdentity(spark, graphPath)
+    val viewBefore = CorpusStreams.readKnnGraph(spark, graphPath, "vec_id").count()
+    stage("b4", emb.limit(0))
+    runStream()
+    assert(CorpusStreams.knnGraphIdentity(spark, graphPath) == idBefore,
+      "an empty batch must not move the corpus identity")
+    assert(CorpusStreams.readKnnGraph(spark, graphPath, "vec_id").count()
+      == viewBefore, "an empty batch must not change the view")
+    // ...and the monitor skips the null-mean epoch instead of crashing
+    // or trending it as zero quality
+    graft.tools.EtlCli.run(spark, Seq("check-graph-quality", graphPath))
     // read-optimize: the stamped flat layout equals the live view and
     // carries the identity, so batch consumers skip the epoch window
     // AND refuse staleness through the ordinary requireStamp path
