@@ -1088,69 +1088,83 @@ object CorpusStreams {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        val spark = batch0.sparkSession
-        import graft.operators.Similarity
-        // one copy per id inside the batch, deterministic tiebreak
-        val batch = graft.core.Materialize.pin(
-          batch0.select(col(idCol), col(vecCol))
-            .groupBy(col(idCol)).agg(max(col(vecCol)).as(vecCol)))
-        val prior = scala.util.Try(
-          EtlCli.committedEpochs(spark, graphNodesPath(graphPath))
-            .filter(_ < batchId)).getOrElse(Seq.empty)
-        val hoods = graft.core.Materialize.pin(
-          if (prior.isEmpty)
-            Similarity.nnDescentGraph(batch, idCol, vecCol, k, rounds, nBits)
-          else
-            Similarity.nnDescentExtend(
-              nodesRawBefore(spark, graphPath, batchId),
-              EtlCli.readEpochTableTagged(spark, graphEdgesPath(graphPath))
-                .filter(col("__epoch") < batchId),
-              batch, idCol, vecCol, k, nBits))
-        EtlCli.appendEpoch(batch, graphNodesPath(graphPath), batchId)
-        EtlCli.appendEpoch(hoods, graphEdgesPath(graphPath), batchId)
-        // identity: prev XOR fold(batch view) XOR fold(old copies the
-        // batch superseded) — O(batch), exactly corpusIdentity of the
-        // post-batch one-copy-per-id view because XOR composes over the
-        // disjoint row-set difference. last_epoch fenceposts the replay.
-        val cur = scala.util.Try(
-          EtlCli.readTable(spark, graphIdentityPath(graphPath))
-            .select(col("corpus_id").cast("long"), col("last_epoch").cast("long"))
-            .collect().headOption).toOption.flatten
-        if (!cur.exists(_.getLong(1) >= batchId)) {
-          val prev = cur.map(_.getLong(0)).getOrElse(0L)
-          // old copies the batch superseded: broadcast-filter the raw
-          // epochs to the batch's ids (map-only), THEN dedupe the bounded
-          // remainder — never a corpus-wide groupBy per batch
-          val superseded =
-            if (prior.isEmpty) 0L
-            else Similarity.corpusIdentity(
-              nodesRawBefore(spark, graphPath, batchId)
-                .join(broadcast(batch.select(col(idCol))), Seq(idCol))
-                .groupBy(col(idCol))
-                .agg(max_by(col(vecCol), struct(col("__epoch"), col(vecCol)))
-                  .as(vecCol)),
-              idCol, vecCol)
-          val next = prev ^ Similarity.corpusIdentity(batch, idCol, vecCol) ^
-            superseded
-          import spark.implicits._
-          EtlCli.writeTable(
-            Seq((next, batchId, k, nBits))
-              .toDF("corpus_id", "last_epoch", "k", "n_bits"),
-            graphIdentityPath(graphPath))
-        }
-        // quality trend: one bounded row per epoch (exact-integer mean,
-        // replay-identical). A falling mean_cosine across epochs is the
-        // monitor's rebuild signal — the staleness NN-descent extension
-        // accumulates that bit-equality cannot measure.
-        val q = hoods.agg(
-            count(lit(1)).as("n_edges"),
-            countDistinct(col(idCol)).as("n_nodes"),
-            (sum(floor(col("cosine") * lit(1e12) + lit(0.5)).cast("long"))
-              .cast("double") / lit(1e12) / count(lit(1))).as("mean_cosine"))
-          .withColumn("epoch", lit(batchId))
-        EtlCli.appendEpoch(q, graphQualityPath(graphPath), batchId)
-        ()
+        knnGraphCommitBatch(batch0, batchId, graphPath, idCol, vecCol,
+          k, rounds, nBits)
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Commit ONE epoch of the incremental graph — the shared body of
+    * [[knnGraphSink]] (batchId = the stream's checkpoint batch) and
+    * `EtlCli extend-knn-graph` (batchId = next free epoch): bootstrap or
+    * extend, append nodes + neighborhoods, fold the identity, log the
+    * quality row. Pure function of (committed state < batchId, batch),
+    * so a replay re-commits byte-identical content. */
+  private[graft] def knnGraphCommitBatch(batch0: DataFrame, batchId: Long,
+                                         graphPath: String, idCol: String,
+                                         vecCol: String, k: Int, rounds: Int,
+                                         nBits: Int): Unit = {
+    val spark = batch0.sparkSession
+    import graft.operators.Similarity
+    // one copy per id inside the batch, deterministic tiebreak
+    val batch = graft.core.Materialize.pin(
+      batch0.select(col(idCol), col(vecCol))
+        .groupBy(col(idCol)).agg(max(col(vecCol)).as(vecCol)))
+    val prior = scala.util.Try(
+      EtlCli.committedEpochs(spark, graphNodesPath(graphPath))
+        .filter(_ < batchId)).getOrElse(Seq.empty)
+    val hoods = graft.core.Materialize.pin(
+      if (prior.isEmpty)
+        Similarity.nnDescentGraph(batch, idCol, vecCol, k, rounds, nBits)
+      else
+        Similarity.nnDescentExtend(
+          nodesRawBefore(spark, graphPath, batchId),
+          EtlCli.readEpochTableTagged(spark, graphEdgesPath(graphPath))
+            .filter(col("__epoch") < batchId),
+          batch, idCol, vecCol, k, nBits))
+    EtlCli.appendEpoch(batch, graphNodesPath(graphPath), batchId)
+    EtlCli.appendEpoch(hoods, graphEdgesPath(graphPath), batchId)
+    // identity: prev XOR fold(batch view) XOR fold(old copies the
+    // batch superseded) — O(batch), exactly corpusIdentity of the
+    // post-batch one-copy-per-id view because XOR composes over the
+    // disjoint row-set difference. last_epoch fenceposts the replay.
+    val cur = scala.util.Try(
+      EtlCli.readTable(spark, graphIdentityPath(graphPath))
+        .select(col("corpus_id").cast("long"), col("last_epoch").cast("long"))
+        .collect().headOption).toOption.flatten
+    if (!cur.exists(_.getLong(1) >= batchId)) {
+      val prev = cur.map(_.getLong(0)).getOrElse(0L)
+      // old copies the batch superseded: broadcast-filter the raw
+      // epochs to the batch's ids (map-only), THEN dedupe the bounded
+      // remainder — never a corpus-wide groupBy per batch
+      val superseded =
+        if (prior.isEmpty) 0L
+        else Similarity.corpusIdentity(
+          nodesRawBefore(spark, graphPath, batchId)
+            .join(broadcast(batch.select(col(idCol))), Seq(idCol))
+            .groupBy(col(idCol))
+            .agg(max_by(col(vecCol), struct(col("__epoch"), col(vecCol)))
+              .as(vecCol)),
+          idCol, vecCol)
+      val next = prev ^ Similarity.corpusIdentity(batch, idCol, vecCol) ^
+        superseded
+      import spark.implicits._
+      EtlCli.writeTable(
+        Seq((next, batchId, k, nBits))
+          .toDF("corpus_id", "last_epoch", "k", "n_bits"),
+        graphIdentityPath(graphPath))
+    }
+    // quality trend: one bounded row per epoch (exact-integer mean,
+    // replay-identical). A falling mean_cosine across epochs is the
+    // monitor's rebuild signal — the staleness NN-descent extension
+    // accumulates that bit-equality cannot measure.
+    val q = hoods.agg(
+        count(lit(1)).as("n_edges"),
+        countDistinct(col(idCol)).as("n_nodes"),
+        (sum(floor(col("cosine") * lit(1e12) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e12) / count(lit(1))).as("mean_cosine"))
+      .withColumn("epoch", lit(batchId))
+    EtlCli.appendEpoch(q, graphQualityPath(graphPath), batchId)
+    ()
+  }
 }

@@ -128,6 +128,17 @@ object EtlCli {
     case Seq("knn-graph", vecsTable, outTable, k, rounds, nBits, idCol, vecCol) =>
       knnGraph(spark, vecsTable, outTable, k.toInt, rounds.toInt, idCol, vecCol,
         Some(nBits.toInt))
+    case Seq("extend-knn-graph", vecsTable, graphPath) =>
+      extendKnnGraph(spark, vecsTable, graphPath)
+    case Seq("extend-knn-graph", vecsTable, graphPath, k, rounds) =>
+      extendKnnGraph(spark, vecsTable, graphPath, Some(k.toInt), rounds.toInt)
+    case Seq("extend-knn-graph", vecsTable, graphPath, k, rounds, nBits) =>
+      extendKnnGraph(spark, vecsTable, graphPath, Some(k.toInt), rounds.toInt,
+        Some(nBits.toInt))
+    case Seq("extend-knn-graph", vecsTable, graphPath, k, rounds, nBits,
+             idCol, vecCol) =>
+      extendKnnGraph(spark, vecsTable, graphPath, Some(k.toInt), rounds.toInt,
+        Some(nBits.toInt), idCol, vecCol)
     case Seq("read-optimize-knn-graph", graphPath, outPath) =>
       graft.streaming.CorpusStreams.knnGraphReadOptimize(spark, graphPath, outPath)
       println(s"k-NN graph compacted to the stamped flat layout at $outPath")
@@ -584,6 +595,56 @@ object EtlCli {
       .withColumn("corpus_id", lit(cid)), outTable)
     println(s"k-NN graph (k=$k, $rounds NN-descent rounds, nBits=$bits) " +
       s"committed at $outTable, stamped corpus_id=$cid")
+  }
+
+  /** Batch-mode sibling of CorpusStreams.knnGraphSink for corpora
+    * maintained by scheduled jobs rather than streams: commit ONE epoch
+    * of the incremental graph at `graphPath` from a new-vectors table —
+    * bootstrap (full NN-descent build) when no graph exists, O(batch)
+    * extension otherwise. The graph's build params are IDENTITY: `k`
+    * sizes every committed neighborhood and `nBits` keys the candidate
+    * buckets, so an extension must reuse the committed values — stored
+    * in the identity table, re-read here, and a conflicting explicit
+    * argument refuses naming both. Bootstrap requires `k`; nBits
+    * derives from the corpus size unless pinned. */
+  def extendKnnGraph(spark: SparkSession, vecsTable: String, graphPath: String,
+                     k: Option[Int] = None, rounds: Int = 2,
+                     nBits: Option[Int] = None, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit = {
+    val vecs = readAnyTable(spark, vecsTable)
+    val missing = Seq(idCol, vecCol).filterNot(vecs.columns.contains)
+    if (missing.nonEmpty)
+      sys.error(s"vectors at $vecsTable lack column(s) ${missing.mkString(", ")} " +
+        s"— pass the id/vector column names (got: ${vecs.columns.mkString(", ")})")
+    val stored = scala.util.Try(readTable(spark, s"$graphPath/identity")
+      .select(col("k").cast("int"), col("n_bits").cast("int"))
+      .collect().headOption).toOption.flatten
+    val (kk, bits) = stored match {
+      case Some(r) =>
+        val (k0, b0) = (r.getInt(0), r.getInt(1))
+        k.filter(_ != k0).foreach(x => sys.error(
+          s"graph at $graphPath was built with k=$k0 but this extension " +
+            s"passes k=$x — mixing neighborhood sizes corrupts the view; " +
+            s"omit k (the committed value is reused) or rebuild"))
+        nBits.filter(_ != b0).foreach(x => sys.error(
+          s"graph at $graphPath was built with nBits=$b0 but this " +
+            s"extension passes nBits=$x — the knob keys the candidate " +
+            "buckets and must stay fixed for the graph's life; omit it " +
+            "or rebuild"))
+        (k0, b0)
+      case None =>
+        val kk = k.getOrElse(sys.error(s"no committed graph at $graphPath " +
+          "— a bootstrap needs k (and optionally rounds / nBits)"))
+        (kk, nBits.getOrElse(
+          graft.operators.Similarity.nnDescentNBits(vecs.count())))
+    }
+    val next = committedEpochs(spark, s"$graphPath/nodes")
+      .maxOption.getOrElse(-1L) + 1
+    graft.streaming.CorpusStreams.knnGraphCommitBatch(
+      vecs.select(col(idCol), col(vecCol)), next, graphPath, idCol, vecCol,
+      kk, rounds, bits)
+    println(s"graph at $graphPath ${if (next == 0) "bootstrapped" else "extended"} " +
+      s"as epoch $next (k=$kk, nBits=$bits)")
   }
 
   /** The graph family's monitor arm, checkDrift's sibling: read the

@@ -548,6 +548,41 @@ class EtlCliSpec extends SparkSpec {
     assert(ex.getMessage.contains("lack column"), ex.getMessage)
   }
 
+  test("extend-knn-graph CLI: bootstrap then O(batch) extension; committed build params are identity; mismatched knobs refuse") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("extg_cli")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (s0, s1) = (emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1))
+    graft.tools.EtlCli.writeTable(s0, s"$root/v0")
+    graft.tools.EtlCli.writeTable(s1, s"$root/v1")
+    // bootstrap (epoch 0), then extend (epoch 1)
+    graft.tools.EtlCli.run(spark,
+      Seq("extend-knn-graph", s"$root/v0", s"$root/g", "5", "2"))
+    graft.tools.EtlCli.run(spark,
+      Seq("extend-knn-graph", s"$root/v1", s"$root/g"))
+    val view = graft.streaming.CorpusStreams.readKnnGraph(spark, s"$root/g",
+      "vec_id")
+    assert(view.select(col("vec_id")).distinct().count() == emb.count(),
+      "the extended graph must cover both batches")
+    assert(graft.streaming.CorpusStreams.knnGraphIdentity(spark, s"$root/g") ==
+      graft.operators.Similarity.corpusIdentity(emb, "vec_id", "embedding"),
+      "two batch commits must fold to the full-corpus identity")
+    // build params are identity: a conflicting k or nBits refuses
+    val exK = intercept[RuntimeException] {
+      graft.tools.EtlCli.run(spark,
+        Seq("extend-knn-graph", s"$root/v1", s"$root/g", "7", "2"))
+    }
+    assert(exK.getMessage.contains("k=5"), exK.getMessage)
+    val exB = intercept[RuntimeException] {
+      graft.tools.EtlCli.run(spark,
+        Seq("extend-knn-graph", s"$root/v1", s"$root/g", "5", "2", "9"))
+    }
+    assert(exB.getMessage.contains("nBits"), exB.getMessage)
+  }
+
   test("check-graph-quality: steady trend prints all-clear; a collapsed epoch alarms naming the rebuild") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("gq_cli")
