@@ -638,8 +638,31 @@ object EtlCli {
         (kk, nBits.getOrElse(
           graft.operators.Similarity.nnDescentNBits(vecs.count())))
     }
-    val next = committedEpochs(spark, s"$graphPath/nodes")
-      .maxOption.getOrElse(-1L) + 1
+    // Epoch choice is correctness, not bookkeeping: a run that crashed
+    // after its nodes append but before the identity write left an epoch
+    // whose ids are in the corpus reads but not in the identity fold. A
+    // re-run at max+1 would see its own batch's prior copies as
+    // "superseded" and XOR them back out — the ids would be missing from
+    // the identity FOREVER. Detect the half-committed epoch (nodes
+    // present but graph or identity missing) and REUSE its id: the
+    // commit body recomputes from strictly-earlier state (the streaming
+    // sink's checkpoint-replay semantics) and idempotently replaces the
+    // crashed appends.
+    val next = committedEpochs(spark, s"$graphPath/nodes").maxOption match {
+      case None => 0L
+      case Some(n) =>
+        val graphDone = committedEpochs(spark, s"$graphPath/graph").contains(n)
+        val idDone = scala.util.Try(readTable(spark, s"$graphPath/identity")
+            .select(col("last_epoch").cast("long"))
+            .collect().headOption.exists(_.getLong(0) >= n))
+          .getOrElse(false)
+        if (graphDone && idDone) n + 1
+        else {
+          println(s"epoch $n at $graphPath is half-committed (a prior run " +
+            "crashed mid-commit) — replaying it instead of opening a new one")
+          n
+        }
+    }
     graft.streaming.CorpusStreams.knnGraphCommitBatch(
       vecs.select(col(idCol), col(vecCol)), next, graphPath, idCol, vecCol,
       kk, rounds, bits)

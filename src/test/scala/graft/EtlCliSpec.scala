@@ -581,6 +581,24 @@ class EtlCliSpec extends SparkSpec {
         Seq("extend-knn-graph", s"$root/v1", s"$root/g", "5", "2", "9"))
     }
     assert(exB.getMessage.contains("nBits"), exB.getMessage)
+    // crash replay: a run that died after its nodes append (before the
+    // graph/identity commits) must be FINISHED at the same epoch, not
+    // skipped past — a fresh epoch would XOR the batch's own orphan
+    // copies back out of the identity and lose those ids forever
+    val s2 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 10)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(1.5f)))
+      .select(col("vec_id"), col("embedding"))
+    graft.tools.EtlCli.writeTable(s2, s"$root/v2")
+    graft.tools.EtlCli.appendEpoch(s2, s"$root/g/nodes", 2) // simulated crash
+    graft.tools.EtlCli.run(spark,
+      Seq("extend-knn-graph", s"$root/v2", s"$root/g"))
+    assert(graft.tools.EtlCli.committedEpochs(spark, s"$root/g/graph")
+      == Seq(0L, 1L, 2L), "the half-committed epoch must be replayed, not skipped")
+    val mergedView = emb.filter(col("vec_id") >= 10).unionByName(s2)
+    assert(graft.streaming.CorpusStreams.knnGraphIdentity(spark, s"$root/g") ==
+      graft.operators.Similarity.corpusIdentity(mergedView, "vec_id", "embedding"),
+      "replaying the crashed epoch must fold the identity exactly once")
   }
 
   test("check-graph-quality: steady trend prints all-clear; a collapsed epoch alarms naming the rebuild") {
