@@ -1124,6 +1124,21 @@ object CorpusStreams {
           batch, idCol, vecCol, k, nBits))
     EtlCli.appendEpoch(batch, graphNodesPath(graphPath), batchId)
     EtlCli.appendEpoch(hoods, graphEdgesPath(graphPath), batchId)
+    // Both sub-logs read latest-epoch-wins (graph/: one neighborhood per
+    // node; nodes/: one copy per re-ingested id) — the GENERIC epoch
+    // fold erases the per-row provenance that ordering needs, so plant
+    // the refusal marker compactEpochs honors. The graph's blessed fold
+    // is read-optimize-knn-graph; the logs themselves stay append-only
+    // for the graph's life (a rebuild resets them wholesale).
+    EtlCli.markCompactionUnsafe(spark, graphEdgesPath(graphPath),
+      "latest-epoch-wins neighborhoods; folding epochs would keep " +
+        "superseded copies in every read — compact with " +
+        "read-optimize-knn-graph instead")
+    EtlCli.markCompactionUnsafe(spark, graphNodesPath(graphPath),
+      "latest-epoch-wins node copies (re-ingest supersedes); folding " +
+        "epochs would let a stale vector win the dedupe tiebreak — the " +
+        "log stays append-only for the graph's life, a rebuild " +
+        "(knn-graph) resets it")
     // identity: prev XOR fold(batch view) XOR fold(old copies the
     // batch superseded) — O(batch), exactly corpusIdentity of the
     // post-batch one-copy-per-id view because XOR composes over the

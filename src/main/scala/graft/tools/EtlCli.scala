@@ -1410,9 +1410,35 @@ object EtlCli {
     * content whose rows compact=E already holds. Superseded dirs are
     * reclaimed lazily by vacuumEpochs, never inline, so concurrent readers
     * mid-plan keep their files. */
+  /** Marker a sink plants in an epoch table whose READ semantics are
+    * latest-epoch-wins (not union-of-epochs): the generic fold below
+    * erases per-row epoch provenance, so compacting such a table keeps
+    * superseded copies alive in every read — silent corruption, refused
+    * here by reading the marker's own message. The marker's CONTENT
+    * names the table's blessed fold. */
+  private[graft] val CompactionUnsafeMarker = "_compaction_unsafe"
+
+  private[graft] def markCompactionUnsafe(spark: SparkSession, path: String,
+                                          reason: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$CompactionUnsafeMarker")
+    val f = fs(spark, path)
+    if (!f.exists(p)) {
+      val out = f.create(p, true)
+      out.write(reason.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
+  }
+
   def compactEpochs(spark: SparkSession, path: String,
                     format: String = "parquet",
                     targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$path/$CompactionUnsafeMarker")
+    if (fs(spark, path).exists(marker)) {
+      val in = fs(spark, path).open(marker)
+      val reason = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+      sys.error(s"epoch table at $path is marked compaction-unsafe: $reason")
+    }
     val live = committedEpochs(spark, path)
     if (live.isEmpty) return // nothing appended since the last fold
     val upTo = live.max

@@ -599,6 +599,17 @@ class EtlCliSpec extends SparkSpec {
     assert(graft.streaming.CorpusStreams.knnGraphIdentity(spark, s"$root/g") ==
       graft.operators.Similarity.corpusIdentity(mergedView, "vec_id", "embedding"),
       "replaying the crashed epoch must fold the identity exactly once")
+    // the generic epoch fold REFUSES both latest-epoch-wins sub-logs —
+    // folding would keep superseded neighborhoods / stale node copies
+    // alive in every read; the marker's message names the blessed fold
+    val exC = intercept[RuntimeException] {
+      graft.tools.EtlCli.compactEpochs(spark, s"$root/g/graph")
+    }
+    assert(exC.getMessage.contains("read-optimize-knn-graph"), exC.getMessage)
+    val exN = intercept[RuntimeException] {
+      graft.tools.EtlCli.compactEpochs(spark, s"$root/g/nodes")
+    }
+    assert(exN.getMessage.contains("append-only"), exN.getMessage)
   }
 
   test("check-graph-quality: steady trend prints all-clear; a collapsed epoch alarms naming the rebuild") {
