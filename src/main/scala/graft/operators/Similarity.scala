@@ -511,9 +511,18 @@ object Similarity {
     val touched = rev.select(col("a")).distinct()
     val oldEdges = latestHoods(touched.select(col("a").as("__id")))
       .select(col(idCol).as("a"), col("nid").as("b"), col("cosine"))
-    val updated = topK(rev.unionByName(oldEdges)
+    // on an (a, b) collision the FRESH rev score wins (max_by over a
+    // freshness flag), never max(cosine): a neighbor re-ingested with a
+    // moved vector must be able to pull the stored edge DOWN — under
+    // max(cosine) edge scores could only ratchet upward, and the quality
+    // monitor (which alarms on a FALLING mean) would be blind to exactly
+    // this staleness mode
+    val updated = topK(rev.withColumn("__fresh", lit(1))
+      .unionByName(oldEdges.withColumn("__fresh", lit(0)))
       .filter(col("a") =!= col("b"))
-      .groupBy(col("a"), col("b")).agg(max(col("cosine")).as("cosine")))
+      .groupBy(col("a"), col("b"))
+      .agg(max_by(col("cosine"), struct(col("__fresh"), col("cosine")))
+        .as("cosine")))
     newHoods.unionByName(updated)
       .select(col("a").as(idCol), col("b").as("nid"), col("cosine"), col("rank"))
   }

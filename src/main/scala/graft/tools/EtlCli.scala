@@ -298,12 +298,17 @@ object EtlCli {
                        vecCol: String = "embedding"): Unit = {
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
     require(samplePeriod >= 1, s"sample period must be >= 1, got $samplePeriod")
-    val index = scala.util.Try {
-        val base = readEpochTableTagged(spark, indexTable)
-        if (committedEpochs(spark, maintenancePath(indexTable)).isEmpty) base
-        else base.unionByName(
-          readEpochTableTagged(spark, maintenancePath(indexTable)))
-      }.getOrElse(spark.read.parquet(indexTable).withColumn("__epoch", lit(0L)))
+    // INGEST epochs only — maintenance epochs (hot-cell split relabels)
+    // are deliberately EXCLUDED from the retrain corpus: every relabeled
+    // row copies an ingest row's (id, vec) verbatim (only `cell` moves,
+    // and retrain ignores the old cell entirely), so they add nothing —
+    // while their epoch numbers count in an INDEPENDENT namespace that
+    // also starts at 0. Folding both namespaces into one max_by ordering
+    // would let a relabel at maintenance epoch m outrank a GENUINE
+    // re-ingest at ingest epoch e <= m and silently train on the stale
+    // vector.
+    val index = scala.util.Try(readEpochTableTagged(spark, indexTable))
+      .getOrElse(spark.read.parquet(indexTable).withColumn("__epoch", lit(0L)))
     val missing = Seq(idCol, vecCol).filterNot(index.columns.contains)
     if (missing.nonEmpty)
       sys.error(s"index at $indexTable lacks column(s) ${missing.mkString(", ")} " +
@@ -313,12 +318,9 @@ object EtlCli {
     // updated vector must retrain on the newest copy (max-by-vector
     // alone would keep the lexicographically-largest — deterministic but
     // possibly the STALE vector). The vector is the deterministic
-    // tiebreak inside one epoch (and for same-vec duplicates — hot-cell
-    // split relabels carry IDENTICAL (id, vec), and maintenance epochs
-    // number independently of ingest epochs, which is safe exactly
-    // because relabels never change the vector). dropDuplicates would
-    // keep whichever copy a partition delivered first and break the
-    // "re-run commits the identical baseline" contract below.
+    // tiebreak inside one epoch. dropDuplicates would keep whichever
+    // copy a partition delivered first and break the "re-run commits
+    // the identical baseline" contract below.
     val corpus = index.select(col(idCol), col(vecCol),
         col("__epoch").cast(LongType).as("__epoch"))
       .groupBy(col(idCol))
@@ -695,6 +697,16 @@ object EtlCli {
       return
     }
     val base = rows.head._2
+    // cosine lives in [-1, 1]: a zero or NEGATIVE bootstrap mean makes
+    // the ratio threshold degenerate (negative base RAISES the bar above
+    // base itself, alarming on epochs that improved) — a trend needs a
+    // positive anchor, so refuse loudly instead of paging nonsense
+    if (base <= 0)
+      sys.error(f"graph quality bootstrap epoch at $graphPath has " +
+        f"non-positive mean neighbor cosine ($base%.4f) — a ratio trend " +
+        "has no meaningful anchor; the bootstrap graph itself looks " +
+        "degenerate (near-orthogonal or inverted neighborhoods). Rebuild " +
+        "the graph (knn-graph) before trending its quality")
     val alarmed = rows.filter(_._2 < minRatio * base).map(_._1)
     if (alarmed.nonEmpty)
       sys.error(f"graph quality collapsed in epoch(s) ${alarmed.mkString(", ")} " +

@@ -636,6 +636,54 @@ class EtlCliSpec extends SparkSpec {
     assert(ex2.getMessage.contains("1, 2"), ex2.getMessage)
   }
 
+  test("retrain-binary-ivf trains on the latest INGEST copy: a maintenance relabel cannot outrank a later re-ingest") {
+    import spark.implicits._
+    // Maintenance epochs number independently of ingest epochs (both
+    // start at 0), and a hot-cell split relabel copies (id, vec)
+    // verbatim with only `cell` moved. Folding both namespaces into one
+    // latest-epoch-wins ordering would let the relabeled STALE vector
+    // (maintenance epoch 1, vec chosen lexicographically ABOVE the fresh
+    // one) outrank a genuine re-ingest at ingest epoch 1. The retrain
+    // must read ingest epochs only.
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("retrain_ns")
+    val idx = s"$root/index"
+    val vecA = Seq(0.9, 0.9, 0.9, 0.9) // original (and relabeled) vector
+    val vecB = Seq(0.1, 0.1, 0.1, 0.1) // the re-ingested truth (sorts BELOW vecA)
+    graft.tools.EtlCli.appendEpoch(
+      Seq((1L, vecA, 0L)).toDF("vec_id", "embedding", "cell"), idx, 0)
+    // split relabel at maintenance epoch 1: same (id, vec), new cell
+    graft.tools.EtlCli.appendEpoch(
+      Seq((1L, vecA, 7L)).toDF("vec_id", "embedding", "cell"),
+      s"$idx/maintenance", 1)
+    // genuine re-ingest at ingest epoch 1: the vector MOVED
+    graft.tools.EtlCli.appendEpoch(
+      Seq((1L, vecB, 0L)).toDF("vec_id", "embedding", "cell"), idx, 1)
+    graft.tools.EtlCli.retrainBinaryIvf(spark, idx, s"$root/cent",
+      s"$root/out", s"$root/base", nCells = 1, dims = 4)
+    val trained = graft.tools.EtlCli.readTable(spark, s"$root/base")
+      .select(col("embedding")).as[Seq[Double]].collect()
+    assert(trained.toSeq == Seq(vecB),
+      s"retrain corpus must hold the re-ingested vector, got $trained")
+  }
+
+  test("check-graph-quality refuses a non-positive bootstrap mean instead of trending against a degenerate anchor") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("gq_base")
+    val qp = s"$root/g/quality"
+    def row(e: Long, mc: Double) =
+      Seq((100L, 50L, mc, e)).toDF("n_edges", "n_nodes", "mean_cosine", "epoch")
+    // cosine lives in [-1, 1]: a NEGATIVE base would raise the ratio
+    // threshold above the base itself, alarming on epochs that IMPROVED
+    graft.tools.EtlCli.appendEpoch(row(0, -0.20), qp, 0)
+    graft.tools.EtlCli.appendEpoch(row(1, 0.50), qp, 1) // improved!
+    val ex = intercept[RuntimeException] {
+      graft.tools.EtlCli.run(spark, Seq("check-graph-quality", s"$root/g"))
+    }
+    assert(ex.getMessage.contains("non-positive") &&
+      ex.getMessage.contains("Rebuild"), ex.getMessage)
+  }
+
   test("hard-negatives CLI: graph-mined negatives equal the operator; a re-embedded corpus refuses the stale graph") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -913,6 +913,39 @@ class SimilaritySpec extends SparkSpec {
       s"incremental build fell below the 0.85 quality floor: ${incQ / batchQ}")
   }
 
+  test("nnDescentExtend: a re-ingested neighbor's FRESH score supersedes the stored edge — scores can fall, not just ratchet") {
+    // The staleness mode max(cosine) would hide: node X holds a committed
+    // edge to Y at a high stored cosine; Y re-ingests with a MOVED vector
+    // less aligned to X. The touched-node merge must keep the freshly
+    // rescored (lower) cosine — under max(cosine) the stale high score
+    // survives forever, inflating the quality trend the rebuild monitor
+    // watches (it alarms only on a FALLING mean).
+    val oldNodes = Seq(
+      (10L, Seq(1.0, 1.0)),   // X
+      (11L, Seq(1.0, 0.9)),   // Y (old vector)
+      (12L, Seq(1.0, 0.2))    // Z: same vector as Y's re-ingest, so Y' and
+    ).toDF("vec_id", "embedding") //  Z share every LSH bucket by construction
+    // committed edges: X<->Y carry an (artificially high) stored cosine;
+    // Z->X provides the transitivity hop that makes X a candidate of Y'
+    // regardless of which side of the hyperplanes the vectors land on
+    val oldGraph = Seq(
+      (10L, 11L, 0.999, 1), (11L, 10L, 0.999, 1), (12L, 10L, 0.9, 1)
+    ).toDF("vec_id", "nid", "cosine", "rank")
+    val batch = Seq((11L, Seq(1.0, 0.2))).toDF("vec_id", "embedding") // Y'
+    val out = Similarity.nnDescentExtend(oldNodes, oldGraph, batch,
+        "vec_id", "embedding", k = 1, nBits = 2)
+      .select(col("vec_id").cast("long"), col("nid").cast("long"),
+        col("cosine"))
+      .as[(Long, Long, Double)].collect()
+    val xEdge = out.filter(r => r._1 == 10L && r._2 == 11L)
+    assert(xEdge.nonEmpty, s"X must be touched and keep its edge to Y: " +
+      s"${out.toSeq}")
+    // cos((1,1), (1,0.2)) = 1.2 / (sqrt(2) * sqrt(1.04)) ~ 0.832
+    assert(xEdge.head._3 < 0.9,
+      s"stored stale cosine survived the re-ingest: ${xEdge.head._3}")
+    assert(xEdge.head._3 > 0.8, s"unexpected fresh score: ${xEdge.head._3}")
+  }
+
   test("hybrid RRF over the production ANN arm: swept probe serves the dense side; fused recall vs exact-dense fusion measured") {
     import org.apache.spark.sql.expressions.Window
     val dir = "/root/testdata/sf0.001"
