@@ -220,6 +220,35 @@ object Similarity {
   // best k per node. Every stage is a key join + bounded per-node top-k,
   // exactly the shapes that scale on Spark.
 
+  /** Exploration-ring formula versions (see [[explorationBucketCol]]).
+    * The version is GRAPH IDENTITY: a committed graph replays
+    * bit-identically only under the formula that built it, so the
+    * incremental family records it (identity row `ring_version`) and an
+    * extension or rebuild must reuse the committed value. */
+  final val RingVersions: Set[Int] = Set(1, 2)
+
+  /** The per-round exploration-ring bucket of one node id.
+    *
+    *  - v1 (historical): hex chars of md5 — 16^ceil(nBits/8) buckets.
+    *    The hex floor jumps at multiples of 8: a derived nBits in 9..15
+    *    (32k-4M nodes at target 64) gets only 256 buckets, i.e.
+    *    exploration windows of n/256 — parallel and salted-uniform, but
+    *    heavy. Kept bit-identical forever: committed graphs and the
+    *    q_knn_graph oracle replay under it.
+    *  - v2 (default for NEW graphs): pmod(xxhash64(id || salt), 2^nBits)
+    *    — full 2^nBits granularity, so the exploration windows track the
+    *    derived knob exactly like the LSH init rings do (GrowthSpec
+    *    measures the bound across nBits 9..15). */
+  def explorationBucketCol(id: Column, nBits: Int, salt: String,
+                           ringVersion: Int): Column = ringVersion match {
+    case 1 => substring(md5(concat(id.cast("string"), lit(salt))), 1,
+      1.max((nBits + 7) / 8))
+    case 2 => pmod(xxhash64(concat(id.cast("string"), lit(salt))),
+      lit(1L << nBits))
+    case v => throw new IllegalArgumentException(
+      s"ring formula version must be one of $RingVersions, got $v")
+  }
+
   /** Approximate k-NN graph by NN-Descent: (vec_id, nid, cosine, rank),
     * up to k neighbors per node, ranked by quantized cosine (ties to the
     * lower nid — deterministic and oracle-replayable end to end).
@@ -240,9 +269,12 @@ object Similarity {
     * The reference has no graph surface; the operator follows the public
     * NN-Descent paper shape. */
   def nnDescentGraph(df: DataFrame, idCol: String, vecCol: String,
-                     k: Int, rounds: Int, nBits: Int = 8): DataFrame = {
+                     k: Int, rounds: Int, nBits: Int = 8,
+                     ringVersion: Int = 1): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    require(RingVersions(ringVersion),
+      s"ring formula version must be one of $RingVersions, got $ringVersion")
     import df.sparkSession.implicits._
     val vecs = graft.core.Tables.ensureParallelism(df)
       .select(col(idCol).as("__nid"), dvec(col(vecCol)).as("__nv"))
@@ -290,8 +322,8 @@ object Similarity {
     // char, so committed oracles replay unchanged.
     def hashRing(salt: String): DataFrame =
       ring(df.select(col(idCol),
-        substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1,
-          1.max((nBits + 7) / 8)).as("bucket")), salt)
+        explorationBucketCol(col(idCol), nBits, salt, ringVersion)
+          .as("bucket")), salt)
     // init: LSH-bucket locality at two granularities — nBits for signal,
     // nBits/2 as the safety net (a node alone in its fine bucket would
     // otherwise start, and stay, isolated: nothing links to it, so no
@@ -378,6 +410,75 @@ object Similarity {
     math.min(24, math.max(2, math.ceil(math.log(buckets) / math.log(2.0)).toInt))
   }
 
+  // ---- incremental graph maintenance: pruned state readers -------------
+
+  /** Pluggable PRUNED readers over a committed graph's state — how
+    * [[nnDescentExtend]] reads the nodes and edge logs without scanning
+    * every committed byte per micro-batch.
+    *
+    *  - `nodes(coarseBuckets, idHashBuckets)`: node rows `(id, vec,
+    *    __epoch)`. Both filters are SUPERSET hints: the reader may return
+    *    more rows than the filter names (extra rows only add candidates,
+    *    every score runs against the latest vector), but must never drop
+    *    a row the filter covers. `coarseBuckets` names sign-LSH buckets
+    *    at [[nnDescentCoarseBits]] granularity (the read-optimized
+    *    layout's partition column); `idHashBuckets` names
+    *    [[GraphStateReaders.idHash]] partitions (the re-ingest /
+    *    superseded-copy lookup axis).
+    *  - `edges(srcBuckets)`: committed edge rows
+    *    `(id, nid, cosine, rank[, nid_bucket, src_bucket], __epoch)`,
+    *    filtered by the SOURCE node's coarse bucket. The layout invariant
+    *    that makes this a lossless prune: a hood is always committed
+    *    under its source's CURRENT-vector bucket (a re-ingest recomputes
+    *    the hood in the same epoch that moves the vector), and every
+    *    lookup derives the bucket from the same current vector.
+    *
+    * [[GraphStateReaders.raw]] wraps plain frames (ad-hoc state, the raw
+    * epoch union) with filter-blind readers — correct, just unpruned;
+    * `CorpusStreams.graphStateReaders` builds the pruning pair over the
+    * bucket-partitioned read-optimized layouts + the raw epoch tail. */
+  final case class GraphStateReaders(
+      nodes: (Option[Seq[Long]], Option[Seq[Long]]) => DataFrame,
+      edges: Option[Seq[Long]] => DataFrame)
+
+  object GraphStateReaders {
+    /** id-hash fan-out of the nodes layout's second partition axis — a
+      * PROTOCOL constant (the compactor writes it, readers compute filter
+      * values with it; the opt_meta row records it so a reader facing a
+      * foreign fan-out falls back to unpruned id lookups rather than
+      * pruning wrong). Serves only the superseded-copy lookup, which the
+      * seen-ids bloom already reduces to re-ingest batches — 16 cuts
+      * those to ~1/16 of the layout without multiplying the per-bucket
+      * file count the mate scan pays on every batch. */
+    final val IdHashBuckets = 16L
+
+    /** The id-hash partition of one id — deterministic, id-type agnostic
+      * (string cast, the hash-rank idiom). */
+    def idHash(c: Column): Column =
+      pmod(xxhash64(c.cast("string")), lit(IdHashBuckets))
+
+    /** Filter-blind readers over plain frames: every filter is ignored
+      * (a legal superset), so callers holding raw state keep the exact
+      * pre-pruning semantics. */
+    def raw(oldNodes: DataFrame, oldGraph: DataFrame): GraphStateReaders =
+      GraphStateReaders((_, _) => oldNodes, _ => oldGraph)
+  }
+
+  /** The SAFETY-NET ring granularity derived from the fine knob — and the
+    * partition granularity of the graph's read-optimized nodes layout.
+    * The coarse bucket is a pure bit-PROJECTION of the fine bucket (bit h
+    * tests plane h regardless of nBits), so two vectors sharing a fine
+    * bucket always share the coarse one — which is exactly why ONE
+    * coarse-partitioned layout serves the mate scan at BOTH
+    * granularities. */
+  def nnDescentCoarseBits(nBits: Int): Int = 1.max(nBits / 2)
+
+  /** The sign-LSH bucket of one vector column (the expression
+    * [[signLshBuckets]] projects), exposed for layouts that store the
+    * bucket as a partition column. */
+  def signLshBucketCol(vec: Column, nBits: Int): Column =
+    pcol(graft.plans.SignLshBucketExpr(pexpr(dvec(vec)), nBits))
+
   /** Incrementally EXTEND a committed k-NN graph with a batch of new
     * nodes — the O(batch) maintenance move that spares a daily-ingest
     * corpus the from-scratch [[nnDescentGraph]] rebuild (the one
@@ -387,22 +488,34 @@ object Similarity {
     *  - LSH bucket mates at BOTH ring granularities (nBits fine,
     *    nBits/2 coarse — the same two-level init as the batch build):
     *    the batch's occupied-bucket set broadcasts (O(batch) values), so
-    *    the corpus side is a map-only bucket projection + filter.
+    *    the corpus side is a map-only bucket projection + filter — and
+    *    because the coarse bucket is a bit-projection of the fine one,
+    *    the SAME coarse-bucket filter passed to `readers.nodes` prunes
+    *    the scan for both granularities (a fine-bucket mate shares the
+    *    coarse bucket by construction).
     *  - the committed NEIGHBORS of those mates (probing the existing
     *    edges — NN-descent's transitivity step, one hop): the mate set
     *    broadcasts (O(batch x bucket occupancy), bucket occupancy held
     *    ~targetBucketSize by [[nnDescentNBits]]), so the committed graph
-    *    is likewise a map-only filtered scan.
+    *    is likewise a map-only filtered scan, id-hash-pruned when the
+    *    reader has the partitioned layout.
     * Scoring joins the bounded candidate set BROADCAST against one
-    * map-only pass over the node vectors; top-k per new node is a
-    * bounded window.
+    * map-only pass over the node vectors; the vector fetch is pruned to
+    * (batch buckets ∪ the hop edges' stored `nid_bucket` hints). A hint
+    * can be STALE — a neighbor re-ingested with a moved vector after its
+    * edge was written may bucket elsewhere and be skipped as a hop
+    * candidate until next touched — the same staleness class as stored
+    * cosines, watched by the same quality monitor; when ANY hop edge
+    * lacks a hint the fetch falls back to unpruned (superset, never a
+    * wrong miss).
     *
     * Old nodes TOUCHED by the batch (they appeared as a scored
     * candidate of some new node) re-converge locally: their updated
     * neighborhood is top-k over (their committed k edges ∪ the reverse
-    * scored pairs) — stored cosines are reused, nothing rescores, and
-    * per-node quality is monotone by construction exactly as in the
-    * batch build's rounds.
+    * scored pairs) — stored cosines are reused, nothing rescores, and on
+    * an (a, b) collision the FRESH rev score supersedes the stored one
+    * (a moved neighbor can pull an edge down; max(cosine) would let
+    * scores only ratchet upward, invisible to the falling-mean monitor).
     *
     * NOT pure-function-equivalent to a rebuild — insertion order matters
     * (NN-descent is iterative refinement) — so unlike the sign/code
@@ -412,21 +525,28 @@ object Similarity {
     * deterministic: a replayed batch over the same committed state
     * recomputes the identical epoch.
     *
-    * A re-ingested id (present in `oldNodes` AND `batch`) is treated as
-    * updated: the batch copy wins, and its neighborhood recomputes from
-    * scratch; its STALE incoming edges elsewhere in the graph keep their
-    * stored cosine until those nodes are next touched — the quality
-    * monitor is the instrument that decides when that staleness has
-    * accumulated into a rebuild.
+    * A re-ingested id (present in the committed nodes AND `batch`) is
+    * treated as updated: the batch copy wins, and its neighborhood
+    * recomputes from scratch; its STALE incoming edges elsewhere in the
+    * graph keep their stored cosine until those nodes are next touched —
+    * the quality monitor is the instrument that decides when that
+    * staleness has accumulated into a rebuild.
     *
-    * Returns FULL replacement neighborhoods (idCol, nid, cosine, rank)
-    * for new nodes ∪ touched old nodes — exactly the rows a
+    * Returns FULL replacement neighborhoods (idCol, nid, cosine, rank,
+    * nid_bucket, src_bucket) for new nodes ∪ touched old nodes — exactly the rows a
     * latest-epoch-wins read view supersedes; untouched nodes produce no
-    * rows. */
-  def nnDescentExtend(oldNodes: DataFrame, oldGraph: DataFrame,
-                      batch: DataFrame, idCol: String, vecCol: String,
+    * rows. `nid_bucket` records each neighbor's coarse bucket AT SCORE
+    * TIME (stored edges keep their stored hint) — the hop-fetch pruning
+    * hint above. `src_bucket` is the SOURCE node's current-vector coarse
+    * bucket — the edge layout's partition axis (see
+    * [[GraphStateReaders]]): always current, because the only event that
+    * moves a node's bucket (a re-ingest) recomputes its hood in the same
+    * epoch. */
+  def nnDescentExtend(readers: GraphStateReaders, batch: DataFrame,
+                      idCol: String, vecCol: String,
                       k: Int, nBits: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val coarse = nnDescentCoarseBits(nBits)
     // Inputs may be RAW epoch unions carrying an `__epoch` column with
     // multiple committed copies per id (the sink's read shape): deduping
     // a corpus-sized table per batch would be exactly the O(corpus)
@@ -445,29 +565,41 @@ object Similarity {
     val b = graft.core.Materialize.pin(batch
       .select(col(idCol), dvec(col(vecCol)).as("__v"))
       .groupBy(col(idCol)).agg(max(col("__v")).as("__v")))
-    val old = tagged(oldNodes)
-      .select(col(idCol), dvec(col(vecCol)).as("__v"), col("__epoch"))
-      .join(broadcast(b.select(col(idCol))), Seq(idCol), "left_anti")
-    val all = old.unionByName(
-      b.withColumn("__epoch", lit(Long.MaxValue)))
-    val gT = tagged(oldGraph)
-      .select(col(idCol), col("nid"), col("cosine"), col("__epoch"))
-    // latest committed neighborhood of a BOUNDED id set: broadcast-filter
-    // the raw epoch rows first (map-only over the graph), dedupe after —
-    // the latest-epoch window runs over candidate-sized rows only
-    def latestHoods(ids: DataFrame): DataFrame = {
+    // the batch's occupied COARSE buckets — a bounded driver artifact
+    // (<= |batch| values), the static filter the pruned mate scan runs on
+    val batchCoarse: Seq[Long] = b
+      .select(signLshBucketCol(col("__v"), coarse).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    def nodesView(bf: Option[Seq[Long]], ihf: Option[Seq[Long]]): DataFrame =
+      tagged(readers.nodes(bf, ihf))
+        .select(col(idCol), dvec(col(vecCol)).as("__v"), col("__epoch"))
+        .join(broadcast(b.select(col(idCol))), Seq(idCol), "left_anti")
+        .unionByName(b.withColumn("__epoch", lit(Long.MaxValue)))
+    val all = nodesView(Some(batchCoarse), None)
+    // latest committed neighborhood of a BOUNDED id set whose current
+    // coarse buckets are KNOWN: read the edges pruned to those source
+    // buckets (lossless — hoods commit under their source's
+    // current-vector bucket), broadcast-filter the rows (map-only),
+    // dedupe after — the latest-epoch window runs over candidate-sized
+    // rows only
+    def latestHoods(ids: DataFrame, srcBuckets: Option[Seq[Long]]): DataFrame = {
+      val e0 = tagged(readers.edges(srcBuckets))
+      val eNb = if (e0.columns.contains("nid_bucket")) e0
+                else e0.withColumn("nid_bucket", lit(null).cast(LongType))
+      val gT = eNb.select(col(idCol), col("nid"), col("cosine"),
+        col("nid_bucket").cast(LongType).as("__nb"), col("__epoch"))
       val sub = gT.join(broadcast(ids), gT(idCol) === ids("__id")).drop("__id")
       val w = Window.partitionBy(col(idCol))
       sub.withColumn("__m", max(col("__epoch")).over(w))
         .filter(col("__epoch") === col("__m"))
-        .select(col(idCol), col("nid"), col("cosine"))
+        .select(col(idCol), col("nid"), col("cosine"), col("__nb"))
     }
-    def buckets(df: DataFrame, bits: Int): DataFrame =
-      df.select(col(idCol),
-        pcol(graft.plans.SignLshBucketExpr(pexpr(col("__v")), bits)).as("bucket"))
     // bucket mates at both granularities: batch-side buckets broadcast,
-    // corpus side stays one map-only projection per granularity
-    val mates = Seq(nBits, 1.max(nBits / 2)).map { bits =>
+    // corpus side stays one map-only projection per granularity over the
+    // coarse-pruned scan
+    def buckets(df: DataFrame, bits: Int): DataFrame =
+      df.select(col(idCol), signLshBucketCol(col("__v"), bits).as("bucket"))
+    val mates = Seq(nBits, coarse).map { bits =>
       buckets(all, bits).join(
           broadcast(buckets(b, bits).select(col(idCol).as("a"), col("bucket"))),
           Seq("bucket"))
@@ -477,18 +609,32 @@ object Similarity {
     // one transitivity hop over the COMMITTED edges: neighbors of mates.
     // The mate set is bounded (batch x ~targetBucketSize x 2), so the
     // committed graph scan is map-only filtered, never corpus-shuffled.
-    val hop = matesP.join(
-        latestHoods(matesP.select(col("b").as("__id")).distinct())
-          .select(col(idCol).as("b"), col("nid")),
+    // a mate shares a coarse bucket with some batch node (that IS how it
+    // became a mate), so batchCoarse covers every mate's current bucket
+    val hopNb = graft.core.Materialize.pin(matesP.join(
+        latestHoods(matesP.select(col("b").as("__id")).distinct(),
+          Some(batchCoarse))
+          .select(col(idCol).as("b"), col("nid"), col("__nb")),
         Seq("b"))
-      .select(col("a"), col("nid").as("b"))
-    val cand = matesP.unionByName(hop)
+      .select(col("a"), col("nid").as("b"), col("__nb")))
+    val cand = matesP.unionByName(hopNb.select(col("a"), col("b")))
       .filter(col("a") =!= col("b")).distinct()
+    // vector-fetch pruning: batch buckets cover every mate (shared-bucket
+    // membership is how they became mates); hop candidates are covered by
+    // their edges' stored nid_bucket hints — unless any hint is missing
+    // (legacy edges), in which case the fetch reads unpruned
+    val nbVals = hopNb.select(col("__nb")).distinct().collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val fetchFilter: Option[Seq[Long]] =
+      if (nbVals.exists(_.isEmpty)) None
+      else Some((batchCoarse ++ nbVals.toSeq.flatten).distinct.sorted)
     // score: candidate pairs (with the batch-side vector attached)
     // broadcast against the latest vector of each BOUNDED candidate id
     // (broadcast-filter the node epochs map-only, then a bounded dedupe)
     val candIds = cand.select(col("b").as("__id")).distinct()
-    val latestVecs = all.join(broadcast(candIds), all(idCol) === candIds("__id"))
+    val fetchAll = nodesView(fetchFilter, None)
+    val latestVecs = fetchAll
+      .join(broadcast(candIds), fetchAll(idCol) === candIds("__id"))
       .groupBy(col(idCol))
       .agg(max_by(col("__v"), struct(col("__epoch"), col("__v"))).as("__vb"))
       .select(col(idCol).as("b"), col("__vb"))
@@ -498,19 +644,32 @@ object Similarity {
       latestVecs.join(broadcast(candV), Seq("b"))
         .select(col("a"), col("b"),
           (qdot(col("__va"), col("__vb"))
-            / (qnorm(col("__va")) * qnorm(col("__vb")))).as("cosine")))
+            / (qnorm(col("__va")) * qnorm(col("__vb")))).as("cosine"),
+          signLshBucketCol(col("__vb"), coarse).as("__nb"),
+          signLshBucketCol(col("__va"), coarse).as("__nbA")))
     val wK = Window.partitionBy("a").orderBy(desc("cosine"), col("b"))
     def topK(df: DataFrame): DataFrame =
       df.withColumn("rank", row_number().over(wK).cast(IntegerType))
         .filter(col("rank") <= k)
-    val newHoods = topK(scored)
+    val newHoods = topK(scored.select(col("a"), col("b"), col("cosine"),
+      col("__nb"), col("__nbA").as("__sb")))
     // touched old nodes: reverse the scored pairs, union their committed
     // edges (stored cosines — nothing rescores), keep top-k
-    val rev = scored.join(b.select(col(idCol).as("b")), Seq("b"), "left_anti")
-      .select(col("b").as("a"), col("a").as("b"), col("cosine"))
-    val touched = rev.select(col("a")).distinct()
-    val oldEdges = latestHoods(touched.select(col("a").as("__id")))
-      .select(col(idCol).as("a"), col("nid").as("b"), col("cosine"))
+    val nonBatch = scored.join(b.select(col(idCol).as("b")), Seq("b"),
+      "left_anti")
+    val rev = nonBatch
+      .select(col("b").as("a"), col("a").as("b"), col("cosine"),
+        col("__nbA").as("__nb"))
+    // a touched node's current coarse bucket is the one its fetched
+    // latest vector hashes to (scored.__nb) — deterministic per id
+    val touched = graft.core.Materialize.pin(
+      nonBatch.select(col("b").as("a"), col("__nb").as("__sb")).distinct())
+    val touchedBkts = touched.select(col("__sb")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val oldEdges = latestHoods(touched.select(col("a").as("__id")),
+        Some(touchedBkts))
+      .select(col(idCol).as("a"), col("nid").as("b"), col("cosine"),
+        col("__nb"))
     // on an (a, b) collision the FRESH rev score wins (max_by over a
     // freshness flag), never max(cosine): a neighbor re-ingested with a
     // moved vector must be able to pull the stored edge DOWN — under
@@ -521,11 +680,25 @@ object Similarity {
       .unionByName(oldEdges.withColumn("__fresh", lit(0)))
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b"))
-      .agg(max_by(col("cosine"), struct(col("__fresh"), col("cosine")))
-        .as("cosine")))
+      .agg(max_by(struct(col("cosine"), col("__nb")),
+        struct(col("__fresh"), col("cosine"))).as("__s"))
+      .select(col("a"), col("b"), col("__s.cosine").as("cosine"),
+        col("__s.__nb").as("__nb")))
+      .join(broadcast(touched), Seq("a"))
     newHoods.unionByName(updated)
-      .select(col("a").as(idCol), col("b").as("nid"), col("cosine"), col("rank"))
+      .select(col("a").as(idCol), col("b").as("nid"), col("cosine"),
+        col("rank"), col("__nb").as("nid_bucket"),
+        col("__sb").as("src_bucket"))
   }
+
+  /** [[nnDescentExtend]] over plain committed-state frames (the raw epoch
+    * unions, or any ad-hoc state) — filter-blind readers, identical
+    * semantics, no pruning. */
+  def nnDescentExtend(oldNodes: DataFrame, oldGraph: DataFrame,
+                      batch: DataFrame, idCol: String, vecCol: String,
+                      k: Int, nBits: Int): DataFrame =
+    nnDescentExtend(GraphStateReaders.raw(oldNodes, oldGraph), batch,
+      idCol, vecCol, k, nBits)
 
   /** nBits-bit sign-LSH bucket id per vector: bit h = [dot(v, plane_h) > 0]
     * with deterministic hyperplane signs (the high bit of md5("h:d")'s

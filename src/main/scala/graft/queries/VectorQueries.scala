@@ -2122,6 +2122,52 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     },
 
+    // The graph family's GROUND-TRUTH probe (CorpusStreams.
+    // knnGraphRecallProbe's math, oracle-checked): hash-rank sample 5
+    // nodes, exact cosine top-5 from scratch, recall of the committed
+    // neighborhoods against it. The bootstrap-relative cosine trend is
+    // distribution-sensitive; this axis is not — a falling row is
+    // staleness, full stop. Shares the ONE construction CTE body with
+    // q_knn_graph, so probe and graph can never desynchronize.
+    QueryDef(
+      "q_graph_recall",
+      "sampled exact-recall probe of the committed k-NN graph: 5 hash-rank nodes, exact top-5 vs graph neighborhoods",
+      s"""WITH $knnGraphCtes,
+          smp AS (SELECT vec_id FROM embeddings
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 5),
+          xdots AS (
+            SELECT dq.vec_id AS qid, dc.vec_id AS cid,
+                   CAST(SUM(CAST(FLOOR((dq.x * dc.x) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) / 1000000000000.0 AS dot
+            FROM dims dq JOIN dims dc ON dc.d = dq.d AND dc.vec_id <> dq.vec_id
+            WHERE dq.vec_id IN (SELECT vec_id FROM smp)
+            GROUP BY 1, 2),
+          xact AS (
+            SELECT qid, cid FROM (
+              SELECT qid, cid,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (nq.nrm * nc.nrm) DESC, cid) AS rn
+              FROM xdots JOIN nrm nq ON nq.vec_id = qid
+                         JOIN nrm nc ON nc.vec_id = cid)
+            WHERE rn <= $KnnK),
+          hits AS (SELECT x.qid, COUNT(*) AS n FROM xact x
+                   JOIN g${KnnRounds}_cur g ON g.a = x.qid AND g.b = x.cid
+                   GROUP BY x.qid),
+          den AS (SELECT qid, COUNT(*) AS d FROM xact GROUP BY qid)
+          SELECT den.qid AS qid, CAST(COALESCE(n, 0) AS BIGINT) AS n_hit,
+                 CAST(COALESCE(n, 0) AS DOUBLE) / LEAST($KnnK, d) AS recall
+          FROM den LEFT JOIN hits ON hits.qid = den.qid
+          ORDER BY qid""") { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(5)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+          "embedding", KnnK)
+        .select(col("qid"), col("cid"))
+      val approx = knnGraphArtifact(s, dir)
+        .join(queries.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .select(col("vec_id").as("qid"), col("nid").as("cid"))
+      Similarity.annRecallAtK(approx, exact, KnnK).orderBy(col("qid"))
+    },
+
     // SemDeDup (Abbas et al. 2023): coarse-quantizer cells bound the pair
     // space, within-cell quantized cosine verifies, lowest-id wins. The
     // query emits the DROPPED vectors — the side semanticDedup removes.

@@ -973,13 +973,23 @@ object CorpusStreams {
   // under the sub-layout at `graphPath`:
   //
   //   nodes/    epoch table (idCol, vecCol)        — the covered corpus
-  //   graph/    epoch table (idCol, nid, cosine, rank) — FULL replacement
-  //             neighborhoods of the nodes each batch touched; the read
-  //             view is latest-epoch-per-node ([[readKnnGraph]])
-  //   identity/ versioned 1-row (corpus_id, last_epoch, k, n_bits) — the
-  //             stale-graph guard, maintained by O(batch) XOR fold
-  //   quality/  epoch log (epoch, n_nodes, n_edges, mean_cosine) — the
-  //             monitor's trend instrument
+  //   graph/    epoch table (idCol, nid, cosine, rank, nid_bucket,
+  //             src_bucket) — FULL replacement neighborhoods of the
+  //             nodes each batch touched; the read view is
+  //             latest-epoch-per-node ([[readKnnGraph]])
+  //   identity/ versioned 1-row (corpus_id, last_epoch, k, n_bits,
+  //             ring_version) — the stale-graph guard, maintained by
+  //             O(batch) XOR fold; the build knobs and ring formula
+  //             version are graph-lifetime identity
+  //   quality/  epoch log (epoch, n_nodes, n_edges, mean_cosine,
+  //             max_bucket_members_fine/_coarse) — the monitor's trend
+  //             instrument + the candidate-bound skew axis
+  //   nodes_opt/ graph_opt/ opt_meta/ — the sink's READ-OPTIMIZED layouts
+  //             ([[knnGraphCompact]]): latest-copy folds of nodes/ and
+  //             graph/, partitioned so the per-batch reads PRUNE files
+  //             (nodes_opt by (coarse LSH bucket, id-hash); graph_opt by
+  //             the source node's coarse bucket). Without them every batch scans every committed
+  //             byte map-only — the I/O-layout gap at 100 TB.
   //
   // Unlike the sign/code sinks the result is NOT bit-equal to a
   // from-scratch build (NN-descent is iterative; insertion order
@@ -992,6 +1002,26 @@ object CorpusStreams {
   private def graphEdgesPath(graphPath: String) = s"$graphPath/graph"
   private def graphIdentityPath(graphPath: String) = s"$graphPath/identity"
   private def graphQualityPath(graphPath: String) = s"$graphPath/quality"
+  private def graphNodesOptPath(graphPath: String) = s"$graphPath/nodes_opt"
+  private def graphEdgesOptPath(graphPath: String) = s"$graphPath/graph_opt"
+  private def graphOptMetaPath(graphPath: String) = s"$graphPath/opt_meta"
+  private def graphSeenIdsPath(graphPath: String) = s"$graphPath/seen_ids"
+
+  // seen-ids bloom sidecar: one OR-mergeable partial per epoch over the
+  // batch's node ids. The identity fold's superseded-copy lookup probes
+  // it BEFORE touching the nodes layout — an append-mostly batch (no
+  // re-ingested ids) then skips the corpus read entirely, and a re-ingest
+  // batch reads only the possibly-known ids' hash partitions. False
+  // positives cost an extra bucket read, never a wrong fold (the lookup
+  // still joins on actual ids); false negatives cannot happen, which is
+  // the property the fold's correctness rides on. Width is a protocol
+  // constant recorded per row (m_bits); partials at a foreign width make
+  // the probe fall back to the full lookup rather than risk a missed
+  // membership. Sized for ~100k-id test corpora at fp << 1%; a 1e9-id
+  // production graph would saturate it and gracefully degrade to the
+  // pre-bloom full lookup (fp -> 1), never to corruption.
+  private val GraphSeenIdsBits = 62 * 8192
+  private val GraphSeenIdsHashes = 4
 
   /** RAW node rows of epochs < `before`, `__epoch`-tagged, possibly
     * several copies of a re-ingested id — deliberately NOT deduped: a
@@ -1002,6 +1032,150 @@ object CorpusStreams {
                              graphPath: String, before: Long): DataFrame =
     EtlCli.readEpochTableTagged(spark, graphNodesPath(graphPath))
       .filter(col("__epoch") < before)
+
+  /** Fold the graph's append-only logs into the SINK's read-optimized
+    * layouts — the maintenance move that makes the incremental
+    * extension's per-batch reads prune files instead of scanning every
+    * committed byte (the `binaryIvfReadOptimize` posture, applied to the
+    * graph family):
+    *
+    *  - `nodes_opt/`: latest copy per id of nodes/, partitioned by
+    *    (`bucket`, `id_bucket`) — the coarse sign-LSH bucket
+    *    ([[graft.operators.Similarity.nnDescentCoarseBits]] of the
+    *    committed nBits; a bit-projection of the fine bucket, so ONE
+    *    layout serves the mate scan at both ring granularities) and the
+    *    id-hash partition (the superseded-copy lookup axis). Each row
+    *    keeps its origin `epoch` so latest-wins dedupes exactly against
+    *    the raw tail.
+    *  - `graph_opt/`: latest neighborhood per node of graph/,
+    *    partitioned by `src_bucket` (the source node's current-vector
+    *    coarse bucket, carried on every committed edge row) — the
+    *    `latestHoods` lookup axis. Lossless by the layout invariant: a
+    *    re-ingest that moves a node's bucket recomputes its hood in the
+    *    same epoch, so a lookup keyed on the current vector's bucket
+    *    always lands on the hood's partition.
+    *  - `opt_meta/`: 1 row (covered_nodes, covered_edges,
+    *    id_hash_buckets) — the COMMIT POINT readers key off. It writes
+    *    LAST: a crash after either data table but before the meta leaves
+    *    readers on the prior meta (older covered epochs), which merely
+    *    re-reads some epochs through the raw tail — duplicate copies the
+    *    downstream latest-wins dedupes already resolve, never a miss.
+    *    A reader facing a foreign id_hash_buckets fan-out skips id-hash
+    *    pruning (superset) rather than pruning wrong.
+    *
+    * Safe against a concurrently-running sink exactly like compactEpochs:
+    * only epochs committed at fold time are covered, newer epochs stay
+    * visible through the raw tail, and a checkpoint-replayed epoch <=
+    * covered makes readers fall back to the raw log (the fold may
+    * already contain LATER state than the replay is allowed to see).
+    * The raw logs themselves stay append-only for the graph's life —
+    * this fold writes SEPARATE tables and never moves the
+    * compaction-unsafe markers planted on nodes/ and graph/. */
+  def knnGraphCompact(spark: org.apache.spark.sql.SparkSession,
+                      graphPath: String): Unit = {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val nodesP = graphNodesPath(graphPath)
+    val edgesP = graphEdgesPath(graphPath)
+    val nodeEpochs = EtlCli.committedEpochs(spark, nodesP)
+    require(nodeEpochs.nonEmpty,
+      s"no committed graph epochs at $graphPath — nothing to compact")
+    val nBits = scala.util.Try(
+        EtlCli.readTable(spark, graphIdentityPath(graphPath))
+          .select(col("n_bits").cast("int")).collect().headOption)
+      .toOption.flatten
+      .getOrElse(sys.error(s"graph at $graphPath has no identity row — " +
+        "the bucket granularity is derived from the committed n_bits; " +
+        "let a commit finish before compacting"))
+      .getInt(0)
+    val coarse = Similarity.nnDescentCoarseBits(nBits)
+    // ONE consistent snapshot per log: fold only epochs committed by the
+    // listing that defined `covered` (the compactEpochs discipline)
+    val coveredN = nodeEpochs.max
+    val nodesRaw = EtlCli.readEpochTableTagged(spark, nodesP)
+      .filter(col("__epoch") <= coveredN)
+    val Array(idCol, vecCol) = nodesRaw.columns.filterNot(_ == "__epoch")
+    val latestNodes = nodesRaw.groupBy(col(idCol))
+      .agg(max_by(struct(col(vecCol).as("v"), col("__epoch").as("e")),
+        struct(col("__epoch"), col(vecCol))).as("__s"))
+      .select(col(idCol), col("__s.v").as(vecCol), col("__s.e").as("epoch"))
+    EtlCli.writeTable(
+      latestNodes
+        .withColumn("bucket", Similarity.signLshBucketCol(col(vecCol), coarse))
+        .withColumn("id_bucket",
+          Similarity.GraphStateReaders.idHash(col(idCol))),
+      graphNodesOptPath(graphPath), partitionBy = Seq("bucket", "id_bucket"))
+    val coveredE = EtlCli.committedEpochs(spark, edgesP).max
+    val edgesRaw = EtlCli.readEpochTableTagged(spark, edgesP)
+      .filter(col("__epoch") <= coveredE)
+    val w = Window.partitionBy(col(idCol))
+    val latestEdges = edgesRaw
+      .withColumn("__m", max(col("__epoch")).over(w))
+      .filter(col("__epoch") === col("__m")).drop("__m")
+      .withColumnRenamed("__epoch", "epoch")
+    EtlCli.writeTable(latestEdges, graphEdgesOptPath(graphPath),
+      partitionBy = Seq("src_bucket"))
+    // the commit point — LAST, after both data tables landed
+    import spark.implicits._
+    EtlCli.writeTable(
+      Seq((coveredN, coveredE, Similarity.GraphStateReaders.IdHashBuckets))
+        .toDF("covered_nodes", "covered_edges", "id_hash_buckets"),
+      graphOptMetaPath(graphPath))
+    println(s"graph at $graphPath compacted: nodes_opt through epoch " +
+      s"$coveredN (bucket granularity $coarse bits), graph_opt through " +
+      s"epoch $coveredE")
+  }
+
+  /** PRUNED committed-state readers for one epoch commit: the
+    * read-optimized layouts filtered by their partition columns, plus the
+    * raw epoch tail after each fold's covered epoch. Falls back to the
+    * raw logs when no fold exists, when the fold's id-hash fan-out is
+    * foreign (filters skipped, superset), or when REPLAYING an epoch the
+    * fold already covers (the fold may contain later state than the
+    * replay may see — raw honors `< before` exactly). */
+  private[graft] def graphStateReaders(
+      spark: org.apache.spark.sql.SparkSession, graphPath: String,
+      before: Long): graft.operators.Similarity.GraphStateReaders = {
+    import graft.operators.Similarity.GraphStateReaders
+    val meta = scala.util.Try(
+      EtlCli.readTable(spark, graphOptMetaPath(graphPath))
+        .select(col("covered_nodes").cast("long"),
+          col("covered_edges").cast("long"),
+          col("id_hash_buckets").cast("long"))
+        .collect().headOption).toOption.flatten
+    val idHashOk = meta.exists(_.getLong(2) == GraphStateReaders.IdHashBuckets)
+    def pruned(df: DataFrame, c: String, f: Option[Seq[Long]]): DataFrame =
+      f.fold(df)(vs =>
+        if (vs.isEmpty) df.limit(0) else df.filter(col(c).isin(vs: _*)))
+    GraphStateReaders(
+      nodes = (bucketF, idHashF) => meta match {
+        case Some(m) if m.getLong(0) < before =>
+          val opt = pruned(
+              pruned(EtlCli.readTable(spark, graphNodesOptPath(graphPath)),
+                "bucket", bucketF),
+              "id_bucket", if (idHashOk) idHashF else None)
+            .drop("bucket", "id_bucket")
+            .withColumnRenamed("epoch", "__epoch")
+          opt.unionByName(
+            nodesRawBefore(spark, graphPath, before)
+              .filter(col("__epoch") > m.getLong(0)))
+        case _ => nodesRawBefore(spark, graphPath, before)
+      },
+      edges = srcBucketF => meta match {
+        case Some(m) if m.getLong(1) < before =>
+          val opt = pruned(
+              EtlCli.readTable(spark, graphEdgesOptPath(graphPath)),
+              "src_bucket", srcBucketF)
+            .withColumnRenamed("epoch", "__epoch")
+          opt.unionByName(
+            EtlCli.readEpochTableTagged(spark, graphEdgesPath(graphPath))
+              .filter(col("__epoch") > m.getLong(1) &&
+                col("__epoch") < before))
+        case _ =>
+          EtlCli.readEpochTableTagged(spark, graphEdgesPath(graphPath))
+            .filter(col("__epoch") < before)
+      })
+  }
 
   /** The committed live view of an incrementally-maintained k-NN graph:
     * each node's neighborhood from the LAST epoch that touched it
@@ -1036,7 +1210,8 @@ object CorpusStreams {
                            graphPath: String, outPath: String): Unit = {
     val sample = EtlCli.readEpochTable(spark, graphEdgesPath(graphPath))
     val idCol = sample.columns
-      .filterNot(Set("nid", "cosine", "rank", "epoch")).headOption
+      .filterNot(Set("nid", "cosine", "rank", "nid_bucket", "src_bucket",
+        "epoch")).headOption
       .getOrElse(sys.error(s"graph at $graphPath has no id column " +
         s"(columns: ${sample.columns.mkString(", ")})"))
     EtlCli.writeTable(
@@ -1044,6 +1219,64 @@ object CorpusStreams {
         .withColumn("corpus_id", lit(knnGraphIdentity(spark, graphPath))),
       outPath)
   }
+
+  /** GROUND-TRUTH quality probe for the incrementally-maintained graph —
+    * sampled exact recall, the q_ann_recall pattern applied to the graph
+    * family: hash-rank sample `nQueries` nodes from the one-copy corpus
+    * view, brute-force their EXACT cosine top-k, compare against the
+    * committed neighborhoods, and append one row to `recall/` keyed by
+    * the max committed graph epoch (re-probing the same state replaces
+    * it idempotently). The mean-cosine trend the sink logs is
+    * distribution-sensitive in BOTH directions — an epoch of
+    * legitimately more diverse vectors reads as decay, a denser corpus
+    * can mask real staleness — while recall vs the exact graph separates
+    * the two: distribution shift moves the cosine trend but not recall;
+    * extension staleness moves recall. O(sample x corpus) by
+    * construction — a monitor-cadence probe, never a per-batch cost. */
+  def knnGraphRecallProbe(spark: org.apache.spark.sql.SparkSession,
+                          graphPath: String,
+                          nQueries: Int = 16): DataFrame = {
+    import graft.operators.Similarity
+    require(nQueries >= 1, s"need at least one probe query, got $nQueries")
+    val edgeEpochs = EtlCli.committedEpochs(spark, graphEdgesPath(graphPath))
+    require(edgeEpochs.nonEmpty,
+      s"no committed graph at $graphPath — nothing to probe")
+    val probeEpoch = edgeEpochs.max
+    val kk = EtlCli.readTable(spark, graphIdentityPath(graphPath))
+      .select(col("k").cast("int")).collect().headOption
+      .getOrElse(sys.error(s"graph at $graphPath has no identity row — " +
+        "let a commit finish before probing"))
+      .getInt(0)
+    val raw = EtlCli.readEpochTableTagged(spark, graphNodesPath(graphPath))
+    val Array(idCol, vecCol) = raw.columns.filterNot(_ == "__epoch")
+    val corpus = graft.core.Materialize.pin(raw.groupBy(col(idCol))
+      .agg(max_by(col(vecCol), struct(col("__epoch"), col(vecCol)))
+        .as(vecCol)))
+    val queries = corpus
+      .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(nQueries)
+    val exact = Similarity.bruteForceTopK(corpus, queries, idCol, vecCol, kk)
+      .select(col("qid"), col("cid"))
+    val approx = readKnnGraph(spark, graphPath, idCol)
+      .join(queries.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("qid"), col("nid").as("cid"))
+    val row = Similarity.annRecallAtK(approx, exact, kk)
+      .agg(count(lit(1)).as("n_queries"), sum(col("n_hit")).as("n_hit"))
+    // micro denominator: per-query exact count capped at k — exact
+    // integers end to end, so the logged row replays bit-identically
+    val denom = exact.groupBy(col("qid"))
+      .agg(least(lit(kk.toLong), count(lit(1))).as("__d"))
+      .agg(coalesce(sum(col("__d")), lit(0L)).as("n_denom"))
+    val out = row.crossJoin(denom)
+      .select(lit(probeEpoch).as("epoch"), lit(kk).as("k"),
+        col("n_queries"), col("n_hit"), col("n_denom"),
+        when(col("n_denom") === 0, lit(1.0))
+          .otherwise(col("n_hit").cast("double") / col("n_denom"))
+          .as("recall_micro"))
+    EtlCli.appendEpoch(out, graphRecallPath(graphPath), probeEpoch)
+    EtlCli.readTable(spark, s"${graphRecallPath(graphPath)}/epoch=$probeEpoch")
+  }
+
+  private def graphRecallPath(graphPath: String) = s"$graphPath/recall"
 
   /** The corpus identity the committed graph currently covers — compare
     * against `Similarity.corpusIdentity` of the corpus a consumer holds
@@ -1083,13 +1316,14 @@ object CorpusStreams {
     * double-applying. */
   def knnGraphSink(incoming: DataFrame, idCol: String, vecCol: String,
                    graphPath: String, checkpointDir: String, k: Int,
-                   rounds: Int = 2, nBits: Int = 8): StreamingQuery =
+                   rounds: Int = 2, nBits: Int = 8,
+                   ringVersion: Int = 2): StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         knnGraphCommitBatch(batch0, batchId, graphPath, idCol, vecCol,
-          k, rounds, nBits)
+          k, rounds, nBits, ringVersion)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -1103,7 +1337,10 @@ object CorpusStreams {
   private[graft] def knnGraphCommitBatch(batch0: DataFrame, batchId: Long,
                                          graphPath: String, idCol: String,
                                          vecCol: String, k: Int, rounds: Int,
-                                         nBits: Int): Unit = {
+                                         nBits: Int, ringVersion: Int = 2,
+                                         readersWrap: graft.operators.Similarity.GraphStateReaders =>
+                                           graft.operators.Similarity.GraphStateReaders =
+                                             identity): Unit = {
     val spark = batch0.sparkSession
     import graft.operators.Similarity
     // one copy per id inside the batch, deterministic tiebreak
@@ -1113,15 +1350,37 @@ object CorpusStreams {
     val prior = scala.util.Try(
       EtlCli.committedEpochs(spark, graphNodesPath(graphPath))
         .filter(_ < batchId)).getOrElse(Seq.empty)
+    val readers = readersWrap(graphStateReaders(spark, graphPath, batchId))
+    val coarse = Similarity.nnDescentCoarseBits(nBits)
+    // bootstrap epochs carry nid_bucket too (each neighbor's coarse
+    // bucket), so every edge epoch shares ONE schema and the extension's
+    // hop-fetch pruning can use the hint whatever epoch an edge came from
+    // the ring formula is BOOTSTRAP-FIXED identity: once the identity row
+    // records a version, every later commit (and a sink restarted with a
+    // different default) must keep it — the version exists so rebuilds
+    // and replays use the formula that actually built the committed graph
+    val storedRing = scala.util.Try {
+        val t = EtlCli.readTable(spark, graphIdentityPath(graphPath))
+        if (t.columns.contains("ring_version"))
+          t.select(col("ring_version").cast("int")).collect()
+            .headOption.map(_.getInt(0))
+        else Some(1) // pre-versioning identity rows committed under v1
+      }.toOption.flatten
+    val ring = storedRing.getOrElse(ringVersion)
     val hoods = graft.core.Materialize.pin(
       if (prior.isEmpty)
-        Similarity.nnDescentGraph(batch, idCol, vecCol, k, rounds, nBits)
+        Similarity.nnDescentGraph(batch, idCol, vecCol, k, rounds, nBits,
+          ring)
+          .join(batch.select(col(idCol).as("nid"),
+            Similarity.signLshBucketCol(col(vecCol), coarse)
+              .as("nid_bucket")), Seq("nid"))
+          .join(batch.select(col(idCol),
+            Similarity.signLshBucketCol(col(vecCol), coarse)
+              .as("src_bucket")), Seq(idCol))
+          .select(col(idCol), col("nid"), col("cosine"), col("rank"),
+            col("nid_bucket"), col("src_bucket"))
       else
-        Similarity.nnDescentExtend(
-          nodesRawBefore(spark, graphPath, batchId),
-          EtlCli.readEpochTableTagged(spark, graphEdgesPath(graphPath))
-            .filter(col("__epoch") < batchId),
-          batch, idCol, vecCol, k, nBits))
+        Similarity.nnDescentExtend(readers, batch, idCol, vecCol, k, nBits))
     EtlCli.appendEpoch(batch, graphNodesPath(graphPath), batchId)
     EtlCli.appendEpoch(hoods, graphEdgesPath(graphPath), batchId)
     // Both sub-logs read latest-epoch-wins (graph/: one neighborhood per
@@ -1152,11 +1411,43 @@ object CorpusStreams {
       // old copies the batch superseded: broadcast-filter the raw
       // epochs to the batch's ids (map-only), THEN dedupe the bounded
       // remainder — never a corpus-wide groupBy per batch
+      // seen-ids fast path: ids the bloom definitely never saw have no
+      // superseded copy — an append-mostly batch skips the lookup
+      // entirely. A partial log at a foreign width (or none) degrades to
+      // probing every batch id, never to a missed membership.
+      val seen: Option[Array[Long]] = {
+        val eps = scala.util.Try(
+          EtlCli.committedEpochs(spark, graphSeenIdsPath(graphPath))
+            .filter(_ < batchId)).getOrElse(Seq.empty)
+        if (eps.isEmpty) { if (prior.isEmpty) Some(new Array[Long](GraphSeenIdsBits / 62)) else None }
+        else {
+          val t = EtlCli.readEpochTableTagged(spark, graphSeenIdsPath(graphPath))
+            .filter(col("__epoch") < batchId)
+          val widths = t.select(col("m_bits").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSeq
+          if (widths != Seq(GraphSeenIdsBits.toLong)) None
+          else Some(graft.operators.Sketches.bloomWords(
+            t.groupBy(col("word")).agg(expr("bit_or(bits)").as("bits")),
+            GraphSeenIdsBits))
+        }
+      }
+      val maybeKnown = graft.core.Materialize.pin(seen match {
+        case Some(ws) => batch.filter(graft.operators.Sketches.bloomHit(
+          col(idCol).cast("string"), ws, GraphSeenIdsBits,
+          GraphSeenIdsHashes) === 1)
+        case None => batch
+      })
+      // the lookup prunes to the possibly-known ids' hash partitions when
+      // the read-optimized layout exists (a point lookup, never a corpus
+      // scan)
+      val batchIdHashes = maybeKnown.select(
+          Similarity.GraphStateReaders.idHash(col(idCol)).as("hb"))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted
       val superseded =
-        if (prior.isEmpty) 0L
+        if (prior.isEmpty || batchIdHashes.isEmpty) 0L
         else Similarity.corpusIdentity(
-          nodesRawBefore(spark, graphPath, batchId)
-            .join(broadcast(batch.select(col(idCol))), Seq(idCol))
+          readers.nodes(None, Some(batchIdHashes))
+            .join(broadcast(maybeKnown.select(col(idCol))), Seq(idCol))
             .groupBy(col(idCol))
             .agg(max_by(col(vecCol), struct(col("__epoch"), col(vecCol)))
               .as(vecCol)),
@@ -1165,19 +1456,60 @@ object CorpusStreams {
         superseded
       import spark.implicits._
       EtlCli.writeTable(
-        Seq((next, batchId, k, nBits))
-          .toDF("corpus_id", "last_epoch", "k", "n_bits"),
+        Seq((next, batchId, k, nBits, ring))
+          .toDF("corpus_id", "last_epoch", "k", "n_bits", "ring_version"),
         graphIdentityPath(graphPath))
     }
+    // the batch's seen-ids bloom partial — idempotent epoch replace, so a
+    // replay rewrites identical bits
+    EtlCli.appendEpoch(
+      graft.operators.Sketches.bloomBuild(batch, col(idCol).cast("string"),
+          GraphSeenIdsBits, GraphSeenIdsHashes)
+        .withColumn("m_bits", lit(GraphSeenIdsBits)),
+      graphSeenIdsPath(graphPath), batchId)
     // quality trend: one bounded row per epoch (exact-integer mean,
     // replay-identical). A falling mean_cosine across epochs is the
     // monitor's rebuild signal — the staleness NN-descent extension
     // accumulates that bit-equality cannot measure.
+    //
+    // max_bucket_members_*: the SKEW instrument — max distinct-id
+    // occupancy among the BATCH-occupied ring buckets at each
+    // granularity, i.e. the bound the extension's broadcast mate set
+    // actually depends on (candidates per new node ~ occupancy of its
+    // buckets). nnDescentNBits assumes ~targetBucketSize; a
+    // near-dup-heavy corpus piles into one bucket and blows that bound
+    // up LINEARLY in the pile — this measures it per epoch so
+    // check-graph-quality can name the remedial (rebuild at a finer
+    // derived nBits) before a batch pays the cliff. Computed over the
+    // PRUNED scan ∪ batch, so the instrument itself stays O(batch x
+    // occupancy).
+    val batchCoarse = Similarity
+      .signLshBuckets(batch, idCol, vecCol, coarse)
+      .select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val occView = graft.core.Materialize.pin({
+      val base = batch.select(col(idCol), col(vecCol))
+      if (prior.isEmpty) base
+      else base.unionByName(
+        readers.nodes(Some(batchCoarse), None)
+          .select(col(idCol), col(vecCol)))
+    })
+    def occAt(bits: Int): Long = {
+      val qb = Similarity.signLshBuckets(batch, idCol, vecCol, bits)
+        .select(col("bucket")).distinct()
+      val m = Similarity.signLshBuckets(occView, idCol, vecCol, bits)
+        .join(broadcast(qb), Seq("bucket"))
+        .groupBy(col("bucket")).agg(countDistinct(col(idCol)).as("n"))
+        .agg(max(col("n"))).collect().head
+      if (m.isNullAt(0)) 0L else m.getLong(0)
+    }
     val q = hoods.agg(
         count(lit(1)).as("n_edges"),
         countDistinct(col(idCol)).as("n_nodes"),
         (sum(floor(col("cosine") * lit(1e12) + lit(0.5)).cast("long"))
           .cast("double") / lit(1e12) / count(lit(1))).as("mean_cosine"))
+      .withColumn("max_bucket_members_fine", lit(occAt(nBits)))
+      .withColumn("max_bucket_members_coarse", lit(occAt(coarse)))
       .withColumn("epoch", lit(batchId))
     EtlCli.appendEpoch(q, graphQualityPath(graphPath), batchId)
     ()

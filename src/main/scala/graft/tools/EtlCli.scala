@@ -142,10 +142,25 @@ object EtlCli {
     case Seq("read-optimize-knn-graph", graphPath, outPath) =>
       graft.streaming.CorpusStreams.knnGraphReadOptimize(spark, graphPath, outPath)
       println(s"k-NN graph compacted to the stamped flat layout at $outPath")
+    case Seq("compact-knn-graph", graphPath) =>
+      graft.streaming.CorpusStreams.knnGraphCompact(spark, graphPath)
     case Seq("check-graph-quality", graphPath) =>
       checkGraphQuality(spark, graphPath)
     case Seq("check-graph-quality", graphPath, minRatio) =>
       checkGraphQuality(spark, graphPath, minRatio.toDouble)
+    case Seq("check-graph-quality", graphPath, minRatio, maxOccupancy) =>
+      checkGraphQuality(spark, graphPath, minRatio.toDouble,
+        Some(maxOccupancy.toLong))
+    case Seq("check-graph-quality", graphPath, minRatio, maxOccupancy,
+             minRecall) =>
+      checkGraphQuality(spark, graphPath, minRatio.toDouble,
+        Some(maxOccupancy.toLong), Some(minRecall.toDouble))
+    case Seq("probe-graph-recall", graphPath) =>
+      graft.streaming.CorpusStreams.knnGraphRecallProbe(spark, graphPath)
+        .show(truncate = false)
+    case Seq("probe-graph-recall", graphPath, nQueries) =>
+      graft.streaming.CorpusStreams.knnGraphRecallProbe(spark, graphPath,
+        nQueries.toInt).show(truncate = false)
     case Seq("hard-negatives", graphTable, vecsTable, outTable, k) =>
       mineHardNegatives(spark, graphTable, vecsTable, outTable, k.toInt)
     case Seq("hard-negatives", graphTable, vecsTable, outTable, k,
@@ -576,7 +591,8 @@ object EtlCli {
     * maintained artifact. */
   def knnGraph(spark: SparkSession, vecsTable: String, outTable: String,
                k: Int, rounds: Int, idCol: String = "vec_id",
-               vecCol: String = "embedding", nBits: Option[Int] = None): Unit = {
+               vecCol: String = "embedding", nBits: Option[Int] = None,
+               ringVersion: Int = 2): Unit = {
     val vecs = readAnyTable(spark, vecsTable)
     val missing = Seq(idCol, vecCol).filterNot(vecs.columns.contains)
     if (missing.nonEmpty)
@@ -593,10 +609,10 @@ object EtlCli {
     // requireStamp instead of silently mining degraded neighbors
     val cid = graft.operators.Similarity.corpusIdentity(corpus, idCol, vecCol)
     writeTable(graft.operators.Similarity.nnDescentGraph(
-        corpus, idCol, vecCol, k, rounds, bits)
+        corpus, idCol, vecCol, k, rounds, bits, ringVersion)
       .withColumn("corpus_id", lit(cid)), outTable)
-    println(s"k-NN graph (k=$k, $rounds NN-descent rounds, nBits=$bits) " +
-      s"committed at $outTable, stamped corpus_id=$cid")
+    println(s"k-NN graph (k=$k, $rounds NN-descent rounds, nBits=$bits, " +
+      s"ring v$ringVersion) committed at $outTable, stamped corpus_id=$cid")
   }
 
   /** Batch-mode sibling of CorpusStreams.knnGraphSink for corpora
@@ -612,18 +628,24 @@ object EtlCli {
   def extendKnnGraph(spark: SparkSession, vecsTable: String, graphPath: String,
                      k: Option[Int] = None, rounds: Int = 2,
                      nBits: Option[Int] = None, idCol: String = "vec_id",
-                     vecCol: String = "embedding"): Unit = {
+                     vecCol: String = "embedding",
+                     ringVersion: Option[Int] = None): Unit = {
     val vecs = readAnyTable(spark, vecsTable)
     val missing = Seq(idCol, vecCol).filterNot(vecs.columns.contains)
     if (missing.nonEmpty)
       sys.error(s"vectors at $vecsTable lack column(s) ${missing.mkString(", ")} " +
         s"— pass the id/vector column names (got: ${vecs.columns.mkString(", ")})")
-    val stored = scala.util.Try(readTable(spark, s"$graphPath/identity")
-      .select(col("k").cast("int"), col("n_bits").cast("int"))
-      .collect().headOption).toOption.flatten
-    val (kk, bits) = stored match {
+    val stored = scala.util.Try {
+        val t = readTable(spark, s"$graphPath/identity")
+        val withRing = if (t.columns.contains("ring_version")) t
+          else t.withColumn("ring_version", lit(1)) // pre-versioning = v1
+        withRing.select(col("k").cast("int"), col("n_bits").cast("int"),
+          col("ring_version").cast("int"))
+          .collect().headOption
+      }.toOption.flatten
+    val (kk, bits, ring) = stored match {
       case Some(r) =>
-        val (k0, b0) = (r.getInt(0), r.getInt(1))
+        val (k0, b0, rv0) = (r.getInt(0), r.getInt(1), r.getInt(2))
         k.filter(_ != k0).foreach(x => sys.error(
           s"graph at $graphPath was built with k=$k0 but this extension " +
             s"passes k=$x — mixing neighborhood sizes corrupts the view; " +
@@ -633,12 +655,19 @@ object EtlCli {
             s"extension passes nBits=$x — the knob keys the candidate " +
             "buckets and must stay fixed for the graph's life; omit it " +
             "or rebuild"))
-        (k0, b0)
+        ringVersion.filter(_ != rv0).foreach(x => sys.error(
+          s"graph at $graphPath was bootstrapped under ring formula " +
+            s"v$rv0 but this run passes v$x — the exploration-ring " +
+            "formula is graph-lifetime identity (a committed graph " +
+            "replays bit-identically only under the formula that built " +
+            "it); omit it (the committed version is reused) or rebuild"))
+        (k0, b0, rv0)
       case None =>
         val kk = k.getOrElse(sys.error(s"no committed graph at $graphPath " +
           "— a bootstrap needs k (and optionally rounds / nBits)"))
         (kk, nBits.getOrElse(
-          graft.operators.Similarity.nnDescentNBits(vecs.count())))
+          graft.operators.Similarity.nnDescentNBits(vecs.count())),
+          ringVersion.getOrElse(2))
     }
     // Epoch choice is correctness, not bookkeeping: a run that crashed
     // after its nodes append but before the identity write left an epoch
@@ -667,9 +696,9 @@ object EtlCli {
     }
     graft.streaming.CorpusStreams.knnGraphCommitBatch(
       vecs.select(col(idCol), col(vecCol)), next, graphPath, idCol, vecCol,
-      kk, rounds, bits)
+      kk, rounds, bits, ring)
     println(s"graph at $graphPath ${if (next == 0) "bootstrapped" else "extended"} " +
-      s"as epoch $next (k=$kk, nBits=$bits)")
+      s"as epoch $next (k=$kk, nBits=$bits, ring v$ring)")
   }
 
   /** The graph family's monitor arm, checkDrift's sibling: read the
@@ -681,13 +710,71 @@ object EtlCli {
     * trend can). The remedial is explicit: rebuild from scratch
     * (knn-graph over the nodes table) and resume the sink. */
   def checkGraphQuality(spark: SparkSession, graphPath: String,
-                        minRatio: Double = 0.8): Unit = {
+                        minRatio: Double = 0.8,
+                        maxOccupancy: Option[Long] = None,
+                        minRecall: Option[Double] = None): Unit = {
     require(minRatio > 0 && minRatio <= 1,
       s"minRatio must be in (0,1], got $minRatio")
+    require(maxOccupancy.forall(_ >= 1),
+      s"maxOccupancy must be >= 1, got $maxOccupancy")
+    require(minRecall.forall(r => r > 0 && r <= 1),
+      s"minRecall must be in (0,1], got $minRecall")
+    // ground-truth axis first when asked for: the sampled exact-recall
+    // probe log (CorpusStreams.knnGraphRecallProbe) — unlike the
+    // bootstrap-relative cosine trend below it is distribution-blind, so
+    // a low row is STALENESS, not a merely more diverse corpus
+    minRecall.foreach { floor =>
+      val probed = scala.util.Try(
+          readEpochTable(spark, s"$graphPath/recall", mergeSchema = true))
+        .toOption
+      probed match {
+        case None => println(s"no recall probe log at $graphPath — run " +
+          "probe-graph-recall to add the ground-truth axis")
+        case Some(t) =>
+          val bad = t.filter(col("recall_micro") < floor)
+            .select(col("epoch").cast("long"),
+              col("recall_micro").cast("double"))
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+          if (bad.nonEmpty)
+            sys.error("graph exact-recall probe fell below " +
+              f"$floor%.2f at epoch(s) " +
+              bad.map { case (e, r) => f"$e (recall $r%.3f)" }.mkString(", ") +
+              s" of $graphPath — incremental-extension staleness against " +
+              "the EXACT ground truth, not a distribution artifact. " +
+              "Rebuild the graph from the nodes table (knn-graph) and " +
+              "resume the sink")
+      }
+    }
+    // mergeSchema: the quality log EVOLVES (the occupancy columns arrived
+    // mid-family) — the default pick-one-footer schema would make column
+    // visibility depend on which epoch's file wins
+    val log = readEpochTable(spark, s"$graphPath/quality", mergeSchema = true)
+    // bucket-skew axis first: the candidate bound the extension's
+    // broadcast mate set rides is ~occupancy of the batch's buckets —
+    // a near-dup-heavy corpus piles into one bucket, and the per-batch
+    // cost cliff arrives LONG before the cosine trend moves. Alarm with
+    // the remedial: rebuild at a finer derived nBits (more hyperplanes
+    // thin the pile), or split/dedup the near-identical mass first.
+    maxOccupancy.foreach { cap =>
+      if (log.columns.contains("max_bucket_members_fine")) {
+        val hot = log.filter(col("max_bucket_members_fine") > cap)
+          .select(col("epoch").cast("long"),
+            col("max_bucket_members_fine").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        if (hot.nonEmpty)
+          sys.error(s"graph ring-bucket occupancy blew past $cap in epoch(s) " +
+            hot.map { case (e, m) => s"$e (max $m)" }.mkString(", ") +
+            s" at $graphPath — the extension's per-batch candidate bound is " +
+            "occupancy-linear, so batches touching the hot bucket pay it in " +
+            "full. Rebuild the graph at a FINER derived nBits (knn-graph; " +
+            "nnDescentNBits with a smaller targetBucketSize), or near-dup " +
+            "the piled mass away before it enters the corpus")
+      }
+    }
     // an EMPTY micro-batch logs a null mean (no edges to average — the
     // empty-frame guard, not a signal): skip those epochs rather than
     // reading 0-quality into the trend
-    val rows = readEpochTable(spark, s"$graphPath/quality")
+    val rows = log
       .filter(col("mean_cosine").isNotNull)
       .select(col("epoch").cast("long"), col("mean_cosine").cast("double"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)

@@ -518,15 +518,19 @@ class EtlCliSpec extends SparkSpec {
     // growing corpus = near-global ring windows); the committed graph
     // equals the operator at the DERIVED knob
     val bits = graft.operators.Similarity.nnDescentNBits(emb.count())
+    // NEW graphs build under ring-formula v2 (v1 is the committed-oracle
+    // formula q_knn_graph replays bit-identically)
     assert(rows(committedDf) == rows(graft.operators.Similarity.nnDescentGraph(
-      emb, "vec_id", "embedding", k = 5, rounds = 1, nBits = bits)),
+      emb, "vec_id", "embedding", k = 5, rounds = 1, nBits = bits,
+      ringVersion = 2)),
       "committed graph diverges from the operator at the derived nBits")
     // pinned nBits arm: equals the operator at the pinned knob
     graft.tools.EtlCli.run(spark,
       Seq("knn-graph", s"$root/vecs", s"$root/g8", "5", "1", "8"))
     assert(rows(graft.tools.EtlCli.readTable(spark, s"$root/g8")) ==
       rows(graft.operators.Similarity.nnDescentGraph(
-        emb, "vec_id", "embedding", k = 5, rounds = 1, nBits = 8)),
+        emb, "vec_id", "embedding", k = 5, rounds = 1, nBits = 8,
+        ringVersion = 2)),
       "pinned-nBits arm diverges from the operator")
     // identity stamp: the graph names the corpus it was built over, and
     // a consumer holding a RE-EMBEDDED corpus refuses it (requireStamp)
@@ -581,6 +585,20 @@ class EtlCliSpec extends SparkSpec {
         Seq("extend-knn-graph", s"$root/v1", s"$root/g", "5", "2", "9"))
     }
     assert(exB.getMessage.contains("nBits"), exB.getMessage)
+    // ...and so is the exploration-ring formula version: a bootstrap
+    // defaults to v2 and records it; a conflicting explicit version
+    // refuses naming both (a committed graph replays bit-identically
+    // only under the formula that built it)
+    assert(graft.tools.EtlCli.readTable(spark, s"$root/g/identity")
+      .select(col("ring_version").cast("int"))
+      .as[Int].collect().toSeq == Seq(2),
+      "bootstrap must record the ring-formula version as identity")
+    val exR = intercept[RuntimeException] {
+      graft.tools.EtlCli.extendKnnGraph(spark, s"$root/v1", s"$root/g",
+        ringVersion = Some(1))
+    }
+    assert(exR.getMessage.contains("v2") && exR.getMessage.contains("v1"),
+      exR.getMessage)
     // crash replay: a run that died after its nodes append (before the
     // graph/identity commits) must be FINISHED at the same epoch, not
     // skipped past — a fresh epoch would XOR the batch's own orphan

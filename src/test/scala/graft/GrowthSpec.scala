@@ -807,6 +807,207 @@ class GrowthSpec extends SparkSpec {
       s"per-batch extension shuffle grew with the corpus: $r1 -> $r4 records")
   }
 
+  test("(p) incremental knn-graph extension: per-batch BYTES READ prune with the compacted layouts — sub-linear under 4x corpus, a fraction of the raw-scan bill") {
+    // The I/O-layout claim behind compact-knn-graph, measured in BYTES
+    // (GrowthSpec (n) measures shuffle records — the reads were O(corpus)
+    // map-only and invisible to it): after compaction a batch's commit
+    // reads the batch-occupied coarse-bucket partitions of nodes_opt, the
+    // mate ids' hash partitions of graph_opt, and the (tiny) bloom
+    // sidecar — never the whole committed byte log. Exact flatness is
+    // not the contract: the coarse safety-net granularity is nBits/2, so
+    // per-coarse-bucket occupancy grows ~sqrt(corpus) even with the
+    // scaled knob (2^(bits/2) buckets), and the fixed id-hash fan-out
+    // reads a constant FRACTION per looked-up id — both documented, both
+    // asserted sub-linear here, against the raw path's linear bill.
+    import graft.operators.Similarity
+    import graft.streaming.CorpusStreams
+    val baseEmb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .transform(graft.core.Materialize.pin)
+    // per-copy perturbation keeps the copies' VECTORS distinct — plain
+    // replication dictionary-encodes so well that the raw log's physical
+    // bytes barely grow, which would understate the raw-scan bill this
+    // axis compares against
+    def embAt(copies: Int): DataFrame =
+      (0 until copies).map(i => baseEmb.select(
+        (col("vec_id") + lit(i * Stride)).as("vec_id"),
+        transform(col("embedding"),
+          x => x + lit(i * 0.37f) * signum(x)).as("embedding")))
+        .reduce(_ unionAll _)
+        .transform(graft.core.Materialize.pin)
+    // 8 new ids sharing one direction (positive scaling shares every
+    // sign bucket): the batch occupies ONE coarse bucket, so the pruned
+    // mate scan reads one partition — the sharpest read of the claim
+    val batch = (1 to 8).map(i => baseEmb.filter(col("vec_id") === 0)
+        .select((col("vec_id") + lit(888 * Stride + i)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(i.toFloat)).as("embedding")))
+      .reduce(_ unionAll _)
+      .transform(graft.core.Materialize.pin)
+    // bytes each committed-state scan SELECTS after partition pruning —
+    // the scan's own pruned file listing, summed over every state frame
+    // the commit builds. Deterministic (no page-cache or read-path
+    // noise), and it measures exactly the claim: which committed FILES a
+    // batch's commit touches. Non-state reads (identity row, opt meta,
+    // bloom partials) are bounded by construction and excluded.
+    def selectedBytes(df: DataFrame): Long =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+            .flatMap(_.files).map(_.getLen).sum
+      }.sum
+    val root = java.nio.file.Files.createTempDirectory("knn_bytes")
+    def commitBytes(copies: Int, compact: Boolean): Long = {
+      val corpus = embAt(copies)
+      val bits = Similarity.nnDescentNBits(corpus.count())
+      val gp = s"$root/g_${copies}_$compact"
+      CorpusStreams.knnGraphCommitBatch(corpus, 0L, gp, "vec_id",
+        "embedding", k = 5, rounds = 1, nBits = bits)
+      if (compact) graft.tools.EtlCli.run(spark, Seq("compact-knn-graph", gp))
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      CorpusStreams.knnGraphCommitBatch(batch, 1L, gp, "vec_id",
+        "embedding", k = 5, rounds = 1, nBits = bits,
+        readersWrap = base => Similarity.GraphStateReaders(
+          nodes = (bf, ihf) => {
+            val df = base.nodes(bf, ihf); bytes.addAndGet(selectedBytes(df)); df
+          },
+          edges = ihf => {
+            val df = base.edges(ihf); bytes.addAndGet(selectedBytes(df)); df
+          }))
+      bytes.get
+    }
+    val p1 = commitBytes(1, compact = true)
+    val p4 = commitBytes(4, compact = true)
+    val r4 = commitBytes(4, compact = false)
+    info(f"per-batch bytes read: compacted 1x ${p1 / 1024}%d KiB, " +
+      f"compacted 4x ${p4 / 1024}%d KiB, raw 4x ${r4 / 1024}%d KiB " +
+      f"(pruned/raw at 4x = ${p4.toDouble / r4}%.2f)")
+    assert(p1 > 0, "the pruned commit must still read committed bytes")
+    // sub-linear: a 4x committed corpus must not cost 4x the batch reads
+    assert(p4 <= 3 * p1 + 512 * 1024,
+      s"pruned per-batch reads grew ~linearly with the corpus: $p1 -> $p4")
+    // and the fold must cut the absolute bill vs scanning the raw logs
+    assert(p4 * 10 <= r4 * 6,
+      s"compaction failed to cut the per-batch read bill: pruned $p4 vs raw $r4")
+  }
+
+  test("(q) bucket-skew cliff: a piled corpus blows the extension's occupancy-linear candidate bound; the instrument names it before the cosine trend moves") {
+    // nnDescentExtend's broadcast mate set is bounded by the occupancy of
+    // the batch's buckets — nnDescentNBits ASSUMES ~targetBucketSize. A
+    // near-dup-heavy corpus piles into one sign bucket (scaled copies of
+    // one direction share every hyperplane side), so a batch landing
+    // there pays candidates ~ |pile|, not ~64 — measured here as the
+    // extension's shuffle bill against an equal-size uniform corpus. The
+    // quality log's max_bucket_members_fine reads the pile BEFORE any
+    // batch pays it, and check-graph-quality names the remedial.
+    import graft.operators.Similarity
+    import graft.streaming.CorpusStreams
+    val baseEmb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .transform(graft.core.Materialize.pin)
+    val v0 = baseEmb.filter(col("vec_id") === 0)
+    def scaledPile(n: Int, idBase: Long): DataFrame =
+      (1 to n).map(i => v0.select((lit(idBase + i)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(i.toFloat)).as("embedding")))
+        .reduce(_ unionAll _)
+    val hot = baseEmb.filter(col("vec_id") < 100)
+      .unionAll(scaledPile(400, 10 * Stride))
+      .transform(graft.core.Materialize.pin) // 500 rows, 80% one bucket
+    val uni = baseEmb                        // 500 rows, fixture spread
+    val batch = scaledPile(4, 20 * Stride)
+      .transform(graft.core.Materialize.pin) // lands in the pile's bucket
+    def shuffledDuring(thunk: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          acc.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        thunk
+        var last = -1L; var same = 0
+        while (same < 5) {
+          Thread.sleep(100)
+          val cur = acc.get
+          if (cur == last) same += 1 else { same = 0; last = cur }
+        }
+        acc.get
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val root = java.nio.file.Files.createTempDirectory("knn_skew")
+    // a GENEROUS pinned knob, so the uniform baseline's buckets are tight
+    // — and the pile still defeats it: scaled copies of one direction
+    // share every hyperplane side at ANY nBits, which is exactly why the
+    // remedial is near-dup'ing the mass away (or a finer knob for merely
+    // CORRELATED — not identical-direction — pile-ups)
+    val bits = 12
+    def commitRecs(name: String, corpus: DataFrame): Long = {
+      val gp = s"$root/$name"
+      CorpusStreams.knnGraphCommitBatch(corpus, 0L, gp, "vec_id",
+        "embedding", k = 5, rounds = 1, nBits = bits)
+      shuffledDuring {
+        CorpusStreams.knnGraphCommitBatch(batch, 1L, gp, "vec_id",
+          "embedding", k = 5, rounds = 1, nBits = bits)
+      }
+    }
+    val (uniRecs, hotRecs) = (commitRecs("uni", uni), commitRecs("hot", hot))
+    info(s"extension shuffle records: uniform corpus $uniRecs, " +
+      s"80%-piled corpus $hotRecs (${hotRecs.toDouble / uniRecs}x)")
+    assert(hotRecs >= 3 * uniRecs,
+      s"the planted pile should blow the candidate bound: $uniRecs -> $hotRecs")
+    // the instrument read the pile — at bootstrap, before the batch paid
+    import spark.implicits._
+    val occ = graft.tools.EtlCli
+      .readEpochTable(spark, s"$root/hot/quality", mergeSchema = true)
+      .agg(max(col("max_bucket_members_fine"))).as[Long].head()
+    assert(occ >= 300, s"occupancy instrument missed the planted pile: $occ")
+    // ...and the monitor names the remedial while the uniform graph passes
+    val ex = intercept[RuntimeException] {
+      graft.tools.EtlCli.run(spark,
+        Seq("check-graph-quality", s"$root/hot", "0.8", "128"))
+    }
+    assert(ex.getMessage.contains("FINER") ||
+      ex.getMessage.contains("finer"), ex.getMessage)
+    graft.tools.EtlCli.run(spark,
+      Seq("check-graph-quality", s"$root/uni", "0.8", "128"))
+  }
+
+  test("(r) exploration-ring granularity: v2 tracks 2^nBits across the derived 9-15 range where v1's hex floor pins 256 buckets") {
+    // The v1 formula reads hex chars of md5: 16^ceil(nBits/8) buckets, a
+    // FLOOR that jumps only at multiples of 8 — so every derived nBits in
+    // 9..15 (32k-4M nodes at target 64) got 256 exploration buckets and
+    // per-round windows of n/256. v1 is frozen (committed graphs and the
+    // q_knn_graph oracle replay it bit-identically); NEW graphs build
+    // under v2, whose pmod(xxhash64) buckets track 2^nBits exactly like
+    // the LSH init rings do. Measured: the max per-round ring window.
+    import graft.operators.Similarity
+    import spark.implicits._
+    val n = 51200L
+    val ids = spark.range(n).select(col("id").as("vec_id"))
+    def maxWindow(bits: Int, v: Int): Long =
+      ids.select(Similarity.explorationBucketCol(col("vec_id"), bits,
+          ":1", v).as("b"))
+        .groupBy("b").count().agg(max(col("count"))).as[Long].head()
+    val shrink = Map(9 -> 1.4, 11 -> 3.0, 13 -> 10.0, 15 -> 16.0)
+    Seq(9, 11, 13, 15).foreach { bits =>
+      val (m1, m2) = (maxWindow(bits, 1), maxWindow(bits, 2))
+      info(s"nBits=$bits: max ring window v1=$m1 v2=$m2")
+      // the hex floor: v1 cannot get below ~n/256 in this whole range
+      assert(m1 >= n / 256,
+        s"v1 at nBits=$bits should sit at the 256-bucket floor: $m1")
+      assert(m2 * shrink(bits) <= m1.toDouble,
+        s"v2 at nBits=$bits failed to shrink the ring window: $m1 -> $m2")
+    }
+    // and v1 replays bit-identically forever: a pinned sample of the
+    // committed formula's buckets (the q_knn_graph oracle's contract)
+    val v1Sample = ids.filter(col("vec_id") < 4)
+      .select(Similarity.explorationBucketCol(col("vec_id"), 9, ":1", 1)
+        .cast("string").as("b"))
+      .as[String].collect().toSeq
+    assert(v1Sample == Seq("81", "d0", "6a", "1e"),
+      s"v1 ring buckets moved — committed graphs no longer replay: $v1Sample")
+  }
+
   test("(o) ring-window bound: per-bucket membership stays ~flat when nBits scales with the corpus, grows linearly when fixed") {
     // The NN-descent rings sort per-bucket memberships inside windows —
     // the one stage whose partition size is data-dependent. A FIXED

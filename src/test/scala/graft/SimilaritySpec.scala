@@ -862,6 +862,33 @@ class SimilaritySpec extends SparkSpec {
       "round 4 must improve on round 2 (no plateau)")
   }
 
+  test("nnDescentGraph ring v2: same construction contract as v1 — full coverage, k-bounded, quality parity on the fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val bits = Similarity.nnDescentNBits(n)
+    def build(v: Int) = Similarity.nnDescentGraph(emb, "vec_id", "embedding",
+      k = 5, rounds = 2, nBits = bits, ringVersion = v)
+    def q(g: org.apache.spark.sql.DataFrame): Double =
+      g.agg(sum(col("cosine"))).as[Double].head()
+    val g2 = build(2)
+    assert(g2.select(col("vec_id")).distinct().count() == n,
+      "v2 build must cover every node")
+    assert(g2.groupBy("vec_id").count().agg(max(col("count")))
+      .as[Long].head() <= 5L, "v2 build must bound neighborhoods at k")
+    val (q1, q2) = (q(build(1)), q(g2))
+    info(f"quality sum: ring v1 $q1%.2f, ring v2 $q2%.2f (${q2 / q1}%.3f)")
+    // the formulas differ only in how the per-round exploration set is
+    // bucketed — converged quality must be interchangeable
+    assert(q2 >= 0.9 * q1, s"ring v2 degraded converged quality: $q1 -> $q2")
+    val bad = intercept[IllegalArgumentException] {
+      Similarity.nnDescentGraph(emb, "vec_id", "embedding", 5, 1, bits,
+        ringVersion = 3)
+    }
+    assert(bad.getMessage.contains("version"), bad.getMessage)
+  }
+
   test("nnDescentExtend: incremental batches reach a measured quality floor of the batch build; touched nodes never lose quality") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -885,7 +912,7 @@ class SimilaritySpec extends SparkSpec {
       g = graft.core.Materialize.pin(
         g.join(updated.select(col("vec_id")).distinct(), Seq("vec_id"),
             "left_anti")
-          .unionByName(updated))
+          .unionByName(updated.drop("nid_bucket", "src_bucket")))
       nodes = nodes.unionByName(b)
       // touched old nodes re-converge over (their edges ∪ reverse pairs):
       // per-node quality is monotone by construction

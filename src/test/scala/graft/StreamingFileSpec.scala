@@ -1240,6 +1240,154 @@ class StreamingFileSpec extends SparkSpec {
     graft.tools.EtlCli.run(spark, Seq("check-graph-quality", graphPath))
   }
 
+  test("knnGraphCompact: pruned extension equals raw; old-epoch replay falls back; stale meta tolerated; generic fold still refused") {
+    import graft.streaming.CorpusStreams
+    import graft.tools.EtlCli
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val bits = graft.operators.Similarity.nnDescentNBits(emb.count())
+    val root = java.nio.file.Files.createTempDirectory("knn_compact")
+    def vecs(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      val p = s"$root/$name"; df.write.parquet(p); p
+    }
+    val parts = (0 to 2).map(i =>
+      vecs(s"p$i", emb.filter(col("vec_id") % 3 === i)))
+    // re-ingest slice: positive scaling keeps every sign-LSH projection,
+    // so stored nid_bucket hints stay valid and pruned must equal raw
+    // BIT-FOR-BIT (a moved-bucket re-ingest is the documented staleness
+    // class, monitored — not this test's claim)
+    val reIng = vecs("p3", emb.filter(col("vec_id") < 5)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(1.01f))))
+    val (gA, gB) = (s"$root/gA", s"$root/gB")
+    def extend(gp: String, vecsPath: String, bootstrap: Boolean): Unit =
+      if (bootstrap)
+        EtlCli.extendKnnGraph(spark, vecsPath, gp, Some(5), 2, Some(bits))
+      else EtlCli.extendKnnGraph(spark, vecsPath, gp)
+    Seq(gA, gB).foreach { gp =>
+      extend(gp, parts(0), bootstrap = true)
+      extend(gp, parts(1), bootstrap = false)
+      extend(gp, parts(2), bootstrap = false)
+    }
+    // A compacts to the partitioned read layouts; B stays raw
+    EtlCli.run(spark, Seq("compact-knn-graph", gA))
+    def edgeRows(gp: String, epoch: Long) = EtlCli
+      .readTable(spark, s"$gp/graph/epoch=$epoch")
+      .select(col("vec_id").cast("long"), col("nid").cast("long"),
+        col("cosine"), col("rank"), col("nid_bucket").cast("long"))
+      .as[(Long, Long, Double, Int, Long)].collect().toSet
+    val a1Before = edgeRows(gA, 1)
+    // identical batch through the PRUNED path (A) and the raw path (B):
+    // with valid bucket hints the extension is the same pure function of
+    // the committed state, so epoch content must match exactly
+    extend(gA, reIng, bootstrap = false)
+    extend(gB, reIng, bootstrap = false)
+    assert(edgeRows(gA, 3) == edgeRows(gB, 3),
+      "pruned extension diverged from the raw-scan extension")
+    assert(CorpusStreams.knnGraphIdentity(spark, gA) ==
+      CorpusStreams.knnGraphIdentity(spark, gB),
+      "pruned superseded-copy lookup broke the identity fold")
+    def viewRows(gp: String) = CorpusStreams.readKnnGraph(spark, gp, "vec_id")
+      .select(col("vec_id").cast("long"), col("nid").cast("long"), col("rank"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viewRows(gA) == viewRows(gB), "live views diverged")
+    // REPLAY of an epoch the fold already covers: readers must fall back
+    // to the raw log (the fold holds LATER state than the replay may
+    // see) and recommit byte-identical content
+    CorpusStreams.knnGraphCommitBatch(
+      spark.read.parquet(parts(1)), 1L, gA, "vec_id", "embedding",
+      k = 5, rounds = 2, nBits = bits)
+    assert(edgeRows(gA, 1) == a1Before,
+      "replaying a fold-covered epoch changed its content")
+    // CRASH INTERPLAY: a compactor that died after rewriting the data
+    // tables but before the meta leaves a STALE meta over newer opt data
+    // — readers re-read some epochs through the raw tail (duplicates the
+    // latest-wins dedupes resolve), never missing rows
+    val staleMeta = EtlCli.readTable(spark, s"$gA/opt_meta")
+      .select(col("covered_nodes").cast("long"),
+        col("covered_edges").cast("long"), col("id_hash_buckets").cast("long"))
+      .as[(Long, Long, Long)].collect().head
+    val p4 = vecs("p4", emb.filter(col("vec_id") % 3 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(1000000)))
+    extend(gA, p4, bootstrap = false)
+    extend(gB, p4, bootstrap = false)
+    EtlCli.run(spark, Seq("compact-knn-graph", gA)) // covers through 4
+    EtlCli.writeTable(Seq(staleMeta)
+        .toDF("covered_nodes", "covered_edges", "id_hash_buckets"),
+      s"$gA/opt_meta") // the crash: data ahead of meta
+    val p5 = vecs("p5", emb.filter(col("vec_id") % 3 === 1)
+      .withColumn("vec_id", col("vec_id") + lit(2000000)))
+    extend(gA, p5, bootstrap = false)
+    extend(gB, p5, bootstrap = false)
+    assert(edgeRows(gA, 5) == edgeRows(gB, 5),
+      "stale opt_meta (crash between data and meta commits) corrupted the extension")
+    assert(CorpusStreams.knnGraphIdentity(spark, gA) ==
+      CorpusStreams.knnGraphIdentity(spark, gB),
+      "stale opt_meta corrupted the identity fold")
+    // the skew instrument rides the quality log
+    val qcols = EtlCli.readEpochTable(spark, s"$gA/quality").columns.toSet
+    assert(qcols.contains("max_bucket_members_fine") &&
+      qcols.contains("max_bucket_members_coarse"), qcols.toString)
+    assert(EtlCli.readEpochTable(spark, s"$gA/quality")
+      .agg(max(col("max_bucket_members_fine"))).as[Long].head() >= 1L)
+    // the GENERIC epoch fold stays refused on both raw logs — the
+    // blessed folds are compact-knn-graph (sink layouts) and
+    // read-optimize-knn-graph (consumer artifact)
+    Seq(s"$gA/nodes", s"$gA/graph").foreach { p =>
+      val ex = intercept[RuntimeException] { EtlCli.compactEpochs(spark, p) }
+      assert(ex.getMessage.contains("compaction-unsafe"), ex.getMessage)
+    }
+  }
+
+  test("knnGraphRecallProbe: sampled exact recall reads healthy on a fresh build, collapses on planted staleness, and the monitor names the rebuild") {
+    import graft.streaming.CorpusStreams
+    import graft.tools.EtlCli
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("knn_recall")
+    emb.write.parquet(s"$root/vecs")
+    val gp = s"$root/g"
+    EtlCli.extendKnnGraph(spark, s"$root/vecs", gp, Some(5), 2)
+    val rec = CorpusStreams.knnGraphRecallProbe(spark, gp, nQueries = 8)
+      .select(col("epoch").cast("long"), col("n_queries").cast("long"),
+        col("recall_micro").cast("double"))
+      .as[(Long, Long, Double)].collect().head
+    info(f"fresh-build sampled exact recall: ${rec._3}%.3f")
+    assert(rec._1 == 0L && rec._2 == 8L, rec.toString)
+    // NOTE the calibration: on this near-tie-heavy synthetic fixture a
+    // healthy NN-descent build probes ~0.2-0.4 exact recall@5 (it
+    // maximizes cosine MASS; the exact top-5 SET is weakly separated) —
+    // the monitor's value is the per-epoch TREND against the build's own
+    // baseline, so the floor deploys below the healthy reading
+    assert(rec._3 > 0.15 && rec._3 <= 1.0,
+      s"fresh NN-descent build should probe healthy: ${rec._3}")
+    // healthy graph passes the full monitor (trend + occupancy + recall)
+    EtlCli.run(spark, Seq("check-graph-quality", gp, "0.8", "100000", "0.15"))
+    // PLANTED STALENESS: a garbage epoch supersedes every neighborhood
+    // (far-away neighbors with confidently wrong stored cosines) while
+    // the node vectors are untouched. The cosine trend reads the STORED
+    // scores — which lie — so only the exact-recall axis can see this.
+    val garbage = emb.select(col("vec_id"),
+        ((col("vec_id") + lit(250)) % lit(500)).as("nid"),
+        lit(0.99).as("cosine"), lit(1).as("rank"),
+        lit(0L).as("nid_bucket"), lit(0L).as("src_bucket"))
+      .filter(col("vec_id") =!= col("nid"))
+    EtlCli.appendEpoch(garbage, s"$gp/graph", 1)
+    val stale = CorpusStreams.knnGraphRecallProbe(spark, gp, nQueries = 8)
+      .select(col("recall_micro").cast("double")).as[Double].collect().head
+    info(f"post-staleness sampled exact recall: $stale%.3f")
+    assert(stale < 0.1, s"planted staleness must collapse probe recall: $stale")
+    // the cosine trend alone stays quiet (stored scores lie high)...
+    EtlCli.run(spark, Seq("check-graph-quality", gp, "0.8"))
+    // ...the ground-truth axis alarms, naming the rebuild
+    val ex = intercept[RuntimeException] {
+      EtlCli.run(spark, Seq("check-graph-quality", gp, "0.8", "100000", "0.15"))
+    }
+    assert(ex.getMessage.contains("Rebuild") &&
+      ex.getMessage.contains("staleness"), ex.getMessage)
+  }
+
   test("graph maintenance runbook: stream -> monitor -> optimize -> mine; a re-embed refuses the stale graph; rebuild restores service") {
     import graft.streaming.CorpusStreams
     import spark.implicits._
