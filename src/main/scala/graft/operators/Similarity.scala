@@ -2006,6 +2006,156 @@ object Similarity {
     * corpus scale), then stage-2 reranks, then (n_probe, shortlist) for
     * determinism. One row, or none when nothing qualifies (re-sweep
     * deeper/wider — never deploy the best loser). */
+  /** Fused-recall sweep over the binary-IVF (nProbe, shortlist) grid —
+    * the calibration the hybrid-RRF consumer deploys from. The round-13
+    * measurement showed a sweep's PER-ARM recall floor does not survive
+    * rank fusion (an arm clearing 0.5 fused at 0.60 of exact-dense
+    * fusion; 0.9 fused at 0.90), so a fusion deployment picking off the
+    * ARM frontier claims a floor nobody measured. This sweep measures
+    * the quantity the consumer actually serves: for each grid point, the
+    * overlap of RRF(lex, probe-arm top-armK) top-topK with RRF(lex,
+    * exact-dense top-armK) top-topK, micro-averaged over the query
+    * sample. Cost axes (n_cand stage-1 Hamming evals, n_scored stage-2
+    * reranks) are binaryIvfSweep's counters, so the cheapest-first
+    * picker ordering carries over unchanged.
+    *
+    * `lex` is the shared lexical ranking (doc_id, rank) every query
+    * fuses with — the retrieval-stack calibration shape (per-request
+    * lexical arms vary in production, but the sweep calibrates the DENSE
+    * knobs; the lex arm rides along fixed exactly as in the measured
+    * r13 spec). `exactArm` is the exact-dense top-armK (qid, cid, rank)
+    * ground truth, supplied like binaryIvfSweep's `exact`. All fusion
+    * arithmetic is the quantized rrfFuse sum, ties (rrf desc, doc_id) —
+    * oracle-recomputable bit-for-bit. */
+  def fusedRrfSweep(codes: DataFrame, vecs: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, dims: Int, cent: DataFrame,
+                    lex: DataFrame, exactArm: DataFrame,
+                    nProbes: Seq[Int], shortlists: Seq[Int],
+                    armK: Int, kRrf: Int, topK: Int): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(_ >= 1),
+      s"probe depths must be positive, got $nProbes")
+    require(shortlists.nonEmpty && shortlists.forall(_ >= armK),
+      s"every shortlist must cover the arm depth $armK, got $shortlists")
+    require(armK >= 1 && kRrf >= 1 && topK >= 1,
+      s"armK/kRrf/topK must be positive, got $armK/$kRrf/$topK")
+    import queries.sparkSession.implicits._
+    // ---- the arm per grid point: binaryIvfSweep's pinned-candidate
+    // shape (cells rank once, Hamming once, rerank cosine only inside
+    // some grid point)
+    val leaves = leafCells(cent).select(col("cc"), col("cv"))
+    val q = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"),
+      packWords(col(vecCol), dims).as("qw"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cc"))
+    val probes = q.crossJoin(broadcast(leaves))
+      .select(col("qid"), col("qw"), col("cc"),
+        ql2(col("qv"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbes.max)
+      .select(col("qid"), col("qw"),
+        col("cc").cast(LongType).as("cell"), col("rn"))
+    val cw = codes.select(col(idCol).as("cid"),
+      col("cell").cast(LongType).as("cell"), col("words").as("cw"))
+    val cv = vecs.select(col(idCol).as("cid"), dvec(col(vecCol)).as("cv"))
+    val cand = broadcast(probes).join(cw, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("rn"),
+        hammingDist(col("qw"), col("cw")).as("hamming"))
+      .transform(graft.core.Materialize.pin)
+    val cfgP = nProbes.toDF("n_probe")
+    val cfgS = shortlists.toDF("shortlist")
+    val perP = cand.crossJoin(broadcast(cfgP)).filter(col("rn") <= col("n_probe"))
+    val wS = Window.partitionBy("n_probe", "qid").orderBy(col("hamming"), col("cid"))
+    val ranked = perP.withColumn("srn", row_number().over(wS))
+      .filter(col("srn") <= shortlists.max)
+    val qv = queries.select(col(idCol).as("qid"), dvec(col(vecCol)).as("qv"))
+    val scored = ranked.join(cv, "cid").join(broadcast(qv), "qid")
+      .select(col("n_probe"), col("qid"), col("cid"), col("srn"),
+        (qdot(col("qv"), col("cv")) / (qnorm(col("qv")) * qnorm(col("cv"))))
+          .as("cosine"))
+    val perPS = scored.crossJoin(broadcast(cfgS)).filter(col("srn") <= col("shortlist"))
+    val wA = Window.partitionBy("n_probe", "shortlist", "qid")
+      .orderBy(desc("cosine"), col("cid"))
+    // pinned: configs x queries x armK rows — and the pin keeps the
+    // fusion layers below from stacking Catalyst recursion on top of the
+    // whole sweep plan (the unpinned composition overflowed the driver
+    // stack at analysis time)
+    val arm = graft.core.Materialize.pin(
+      perPS.withColumn("rank", row_number().over(wA).cast(IntegerType))
+        .filter(col("rank") <= armK)
+        .select(col("n_probe"), col("shortlist"), col("qid"),
+          col("cid").as("doc_id"), col("rank")))
+    // ---- fusion per (grid point, query): quantized rrf sum, ties
+    // (rrf desc, doc_id) — the rrfFuse arithmetic inlined so one plan
+    // fuses every grid point
+    def contrib(rank: Column): Column =
+      lit(1.0) / (lit(kRrf).cast(DoubleType) + rank.cast(DoubleType))
+    val cq = cfgP.crossJoin(cfgS)
+      .crossJoin(queries.select(col(idCol).as("qid")))
+    val fc = cq.join(broadcast(lex.select(col("doc_id"),
+          contrib(col("rank")).as("contrib"))), // shared lex arm, every (cfg, qid)
+        lit(true))
+      .select(col("n_probe"), col("shortlist"), col("qid"), col("doc_id"),
+        col("contrib"))
+      .unionByName(arm.select(col("n_probe"), col("shortlist"), col("qid"),
+        col("doc_id"), contrib(col("rank")).as("contrib")))
+    val wF = Window.partitionBy("n_probe", "shortlist", "qid")
+      .orderBy(desc("rrf"), col("doc_id"))
+    val ftop = graft.core.Materialize.pin(
+      fc.groupBy(col("n_probe"), col("shortlist"), col("qid"),
+          col("doc_id"))
+        .agg(vsum(col("contrib")).as("rrf"))
+        .withColumn("rk", row_number().over(wF))
+        .filter(col("rk") <= topK)
+        .select(col("n_probe"), col("shortlist"), col("qid"), col("doc_id")))
+    // ---- the exact-dense fusion truth per query
+    val xc = queries.select(col(idCol).as("qid"))
+      .join(broadcast(lex.select(col("doc_id"),
+        contrib(col("rank")).as("contrib"))), lit(true))
+      .select(col("qid"), col("doc_id"), col("contrib"))
+      .unionByName(exactArm.select(col("qid"), col("cid").as("doc_id"),
+        contrib(col("rank")).as("contrib")))
+    val wX = Window.partitionBy("qid").orderBy(desc("rrf"), col("doc_id"))
+    val xtop = graft.core.Materialize.pin(
+      xc.groupBy(col("qid"), col("doc_id"))
+        .agg(vsum(col("contrib")).as("rrf"))
+        .withColumn("rk", row_number().over(wX))
+        .filter(col("rk") <= topK)
+        .select(col("qid"), col("doc_id")))
+    // ---- frontier
+    val nCand = perP.groupBy("n_probe").agg(count(lit(1)).as("n_cand"))
+    val nScored = perPS.groupBy("n_probe", "shortlist")
+      .agg(count(lit(1)).as("n_scored"))
+    val hits = ftop.join(xtop, Seq("qid", "doc_id"))
+      .groupBy("n_probe", "shortlist").agg(count(lit(1)).as("n_hit"))
+    val denom = xtop.groupBy(col("qid")).agg(count(lit(1)).as("__d"))
+      .agg(coalesce(sum(least(lit(topK.toLong), col("__d"))), lit(0L))
+        .cast(LongType).as("n_denom"))
+    cfgP.crossJoin(cfgS)
+      .join(nCand, Seq("n_probe"), "left_outer")
+      .join(nScored, Seq("n_probe", "shortlist"), "left_outer")
+      .join(hits, Seq("n_probe", "shortlist"), "left_outer")
+      .crossJoin(broadcast(denom))
+      .select(col("n_probe"), col("shortlist"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_denom"),
+        when(col("n_denom") === 0, lit(1.0))
+          .otherwise(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / col("n_denom"))
+          .as("fused_recall"))
+  }
+
+  /** The CHOICE the fused sweep exists to make: the cheapest grid point
+    * clearing the FUSED-recall floor — the same cost ordering as
+    * [[pickBinaryIvfConfig]] (stage-1 Hamming evals dominate at corpus
+    * scale, then reranks, then the knobs for determinism). One row, or
+    * none when nothing qualifies (re-sweep deeper/wider — never deploy
+    * the best loser). */
+  def pickFusedRrfConfig(sweep: DataFrame, minFusedRecall: Double): DataFrame =
+    sweep.filter(col("fused_recall") >= minFusedRecall)
+      .orderBy(col("n_cand"), col("n_scored"), col("n_probe"), col("shortlist"))
+      .limit(1)
+
   def pickBinaryIvfConfig(sweep: DataFrame, minRecall: Double): DataFrame =
     sweep.filter(col("recall_micro") >= minRecall)
       .orderBy(col("n_cand"), col("n_scored"), col("n_probe"), col("shortlist"))

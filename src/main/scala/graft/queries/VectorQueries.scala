@@ -226,6 +226,34 @@ object VectorQueries {
         k = KnnK, rounds = KnnRounds)
     }
 
+  /** The persisted fused-recall sweep both fusion-picker queries read
+    * (one build per JVM run + sf dir, the binary_ivf_sweep pattern). */
+  private def fusedSweepArtifact(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame =
+    Memo.parquetArtifact(s, dir, "fused_sweep") {
+      val emb = t(s, dir, "embeddings")
+      def cent = Memo.parquetArtifact(s, dir, "binary_ivf_cent") {
+        Similarity.coarseCentroids(emb, "vec_id", "embedding", nCells = 16)
+      }
+      def index = s.read.parquet(Memo.parquetArtifactPath(s, dir,
+        "binary_ivf_index", partitionBy = Seq("cell")) {
+        Similarity.binaryIvfIndexBuild(emb, "vec_id", "embedding", dims = 64, cent)
+      })
+      val queries = emb.filter(col("vec_id") < 5)
+      val exactArm = Similarity.bruteForceTopK(emb, queries, "vec_id",
+          "embedding", k = 20)
+        .select(col("qid"), col("cid"), col("rank"))
+      val lex = TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
+          Seq("vector", "spark", "filter"), k1 = 1.2, b = 0.75, topK = 20)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(pmod(length(md5(col("doc_id").cast("string"))), lit(32)))
+            .orderBy(desc("score"), col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      Similarity.fusedRrfSweep(index, index, queries, "vec_id", "embedding",
+        dims = 64, cent, lex, exactArm, nProbes = Seq(2, 4, 8),
+        shortlists = Seq(25, 50), armK = 20, kRrf = 60, topK = 10)
+    }
+
   /** The persisted residual probe-depth sweep both sweep queries read
     * (one build per JVM run + sf dir, the binary_ivf_sweep pattern). */
   private def ivfPqSweepArtifact(s: org.apache.spark.sql.SparkSession,
@@ -578,6 +606,109 @@ object VectorQueries {
                          OR COALESCE(resid_ratio > ${CodebookMaxResidRatio}e0, FALSE) END AS drift_alarm
         FROM (SELECT * FROM i_crow UNION ALL SELECT * FROM r_crow)
         ORDER BY scenario"""
+
+  /** Shared BM25 lexical-arm oracle CTEs (terms vector/spark/filter,
+    * k1=1.2, b=0.75, top-20 ranked (score desc, doc_id)) ending in the
+    * `lex` CTE — ONE copy of the lexical replay, shared by
+    * q_hybrid_rrf_ann and the fused-sweep family so the arm can never
+    * desynchronize across the fusion oracles. */
+  private lazy val bm25LexCtesSql: String =
+    """tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                         unnest(string_split(text, ' ')) AS t FROM documents),
+          stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS dl_sum
+                    FROM documents),
+          tf AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
+                 FROM tok WHERE t IN ('vector', 'spark', 'filter')
+                 GROUP BY doc_id, dl, t),
+          dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+          lexscored AS (
+            SELECT doc_id,
+                   ((n_docs - df + 0.5e0) / (df + 0.5e0))
+                     * ((tf * 2.2e0)
+                        / (tf + 1.2e0 * (0.25e0 + 0.75e0 * (dl / (dl_sum / n_docs))))) AS contrib
+            FROM tf JOIN dfq USING (t) CROSS JOIN stats),
+          lexs AS (SELECT doc_id,
+                          CAST(SUM(CAST(FLOOR(contrib * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                            / 1000000.0 AS score
+                   FROM lexscored GROUP BY doc_id),
+          lex AS (SELECT doc_id, rank FROM (
+                    SELECT doc_id,
+                           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+                    FROM lexs) WHERE rank <= 20)"""
+
+
+  /** Fused-sweep oracle: the binary-IVF sweep chain (per-config arms,
+    * cost counters) + the shared BM25 lex arm + quantized RRF fusion per
+    * (grid point, query) vs exact-dense fusion — ending in `ffrontier`.
+    * Shared by q_fused_sweep and q_pick_fused_config. */
+  private lazy val fusedSweepCtesSql: String =
+    s"""$binaryIvfSweepCtesSql,
+          armk AS (
+            SELECT n_probe, shortlist, qid, cid, rank FROM (
+              SELECT p.n_probe, p.shortlist, p.qid, p.cid,
+                     ROW_NUMBER() OVER (PARTITION BY p.n_probe, p.shortlist, p.qid
+                                        ORDER BY d.dot / (qn.nrm * cn.nrm) DESC, p.cid) AS rank
+              FROM perps p JOIN dotsx d ON d.qid = p.qid AND d.cid = p.cid
+              JOIN nrm qn ON qn.vec_id = p.qid JOIN nrm cn ON cn.vec_id = p.cid)
+            WHERE rank <= 20),
+          xarm AS (
+            SELECT qid, cid, rank FROM (
+              SELECT qid, cid,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (qn.nrm * cn.nrm) DESC, cid) AS rank
+              FROM dotsx JOIN nrm qn ON qn.vec_id = qid JOIN nrm cn ON cn.vec_id = cid)
+            WHERE rank <= 20),
+          $bm25LexCtesSql,
+          qq AS (SELECT DISTINCT qid FROM probes),
+          cq AS (SELECT n_probe, shortlist, qid
+                 FROM cfgp CROSS JOIN cfgs CROSS JOIN qq),
+          fc AS (SELECT cq.n_probe, cq.shortlist, cq.qid, l.doc_id,
+                        1.0 / (60 + l.rank) AS contrib
+                 FROM cq CROSS JOIN lex l
+                 UNION ALL
+                 SELECT n_probe, shortlist, qid, cid AS doc_id,
+                        1.0 / (60 + rank) AS contrib
+                 FROM armk),
+          fagg AS (SELECT n_probe, shortlist, qid, doc_id,
+                          CAST(SUM(CAST(FLOOR(contrib * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                            / 1000000000000.0 AS rrf
+                   FROM fc GROUP BY 1, 2, 3, 4),
+          ftop AS (SELECT n_probe, shortlist, qid, doc_id FROM (
+                     SELECT n_probe, shortlist, qid, doc_id,
+                            ROW_NUMBER() OVER (PARTITION BY n_probe, shortlist, qid
+                                               ORDER BY rrf DESC, doc_id) AS rk
+                     FROM fagg) WHERE rk <= 10),
+          xc AS (SELECT q.qid, l.doc_id, 1.0 / (60 + l.rank) AS contrib
+                 FROM qq q CROSS JOIN lex l
+                 UNION ALL
+                 SELECT qid, cid AS doc_id, 1.0 / (60 + rank) AS contrib
+                 FROM xarm),
+          xagg AS (SELECT qid, doc_id,
+                          CAST(SUM(CAST(FLOOR(contrib * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                            / 1000000000000.0 AS rrf
+                   FROM xc GROUP BY 1, 2),
+          xtop AS (SELECT qid, doc_id FROM (
+                     SELECT qid, doc_id,
+                            ROW_NUMBER() OVER (PARTITION BY qid
+                                               ORDER BY rrf DESC, doc_id) AS rk
+                     FROM xagg) WHERE rk <= 10),
+          fhits AS (SELECT f.n_probe, f.shortlist, CAST(COUNT(*) AS BIGINT) AS n_hit
+                    FROM ftop f JOIN xtop x ON x.qid = f.qid AND x.doc_id = f.doc_id
+                    GROUP BY 1, 2),
+          fden AS (SELECT CAST(COALESCE(SUM(LEAST(10, d)), 0) AS BIGINT) AS n_denom
+                   FROM (SELECT qid, CAST(COUNT(*) AS BIGINT) AS d FROM xtop GROUP BY qid)),
+          ffrontier AS (
+            SELECT cfgp.n_probe, cfgs.shortlist,
+                   CAST(COALESCE(n_cand, 0) AS BIGINT) AS n_cand,
+                   CAST(COALESCE(n_scored, 0) AS BIGINT) AS n_scored,
+                   CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit, n_denom,
+                   CASE WHEN n_denom = 0 THEN 1.0
+                        ELSE CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_denom END AS fused_recall
+            FROM cfgp CROSS JOIN cfgs
+            LEFT JOIN ncand USING (n_probe)
+            LEFT JOIN nsc USING (n_probe, shortlist)
+            LEFT JOIN fhits USING (n_probe, shortlist)
+            CROSS JOIN fden)"""
 
   /** Shared oracle CTE chain for the binary-IVF 2D sweep (16 cells,
     * queries vec_id < 5, k=10, probe depths 2/4/8 x shortlists 25/50)
@@ -1111,6 +1242,36 @@ object VectorQueries {
       Similarity.pickBinaryIvfConfig(sweep, minRecall = 0.5)
     },
 
+    // The FUSED-recall sweep (r13's measured lesson operationalized): a
+    // per-arm recall floor does not survive rank fusion, so the hybrid
+    // consumer's config must be picked off a frontier measured on the
+    // FUSED ranking — RRF(BM25, probe arm) vs RRF(BM25, exact dense) per
+    // grid point, same stage-cost axes as the binary sweep. The oracle
+    // replays the whole chain: per-config arms, the shared BM25 CTEs,
+    // quantized RRF fusion on both sides, and the overlap counts.
+    QueryDef(
+      "q_fused_sweep",
+      "fused-recall sweep: RRF(BM25, probe arm) top-10 overlap vs RRF(BM25, exact dense), per (n_probe, shortlist) with stage costs",
+      s"""$fusedSweepCtesSql
+          SELECT n_probe, shortlist, n_cand, n_scored, n_hit, n_denom, fused_recall
+          FROM ffrontier ORDER BY n_probe, shortlist""") { (s, dir) =>
+      fusedSweepArtifact(s, dir).orderBy(col("n_probe"), col("shortlist"))
+    },
+
+    // The CHOICE read off the fused sweep — the deployment rule the r13
+    // verdict recorded in prose, as an artifact + picker: cheapest
+    // (stage-1 evals first) grid point clearing the FUSED floor.
+    QueryDef(
+      "q_pick_fused_config",
+      "cheapest (n_probe, shortlist) clearing the 0.5 FUSED-recall floor, off the persisted fused sweep",
+      s"""$fusedSweepCtesSql
+          SELECT n_probe, shortlist, n_cand, n_scored, n_hit, n_denom, fused_recall
+          FROM ffrontier WHERE fused_recall >= 0.5
+          ORDER BY n_cand, n_scored, n_probe, shortlist LIMIT 1""") { (s, dir) =>
+      Similarity.pickFusedRrfConfig(fusedSweepArtifact(s, dir),
+        minFusedRecall = 0.5)
+    },
+
     // Drift monitor for the PINNED coarse quantizer every IVF-shaped
     // index encodes against (the sinks deliberately never retrain —
     // doing so would silently reassign every stored cell). Two scenarios
@@ -1323,29 +1484,7 @@ object VectorQueries {
                      CAST(ROW_NUMBER() OVER (ORDER BY dot / (qn.nrm * cn.nrm) DESC, cid) AS INT) AS rank
               FROM dots JOIN nrm qn ON qn.vec_id = qid JOIN nrm cn ON cn.vec_id = cid)
             WHERE rank <= 20),
-          tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
-                         unnest(string_split(text, ' ')) AS t FROM documents),
-          stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS dl_sum
-                    FROM documents),
-          tf AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
-                 FROM tok WHERE t IN ('vector', 'spark', 'filter')
-                 GROUP BY doc_id, dl, t),
-          dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
-          lexscored AS (
-            SELECT doc_id,
-                   ((n_docs - df + 0.5e0) / (df + 0.5e0))
-                     * ((tf * 2.2e0)
-                        / (tf + 1.2e0 * (0.25e0 + 0.75e0 * (dl / (dl_sum / n_docs))))) AS contrib
-            FROM tf JOIN dfq USING (t) CROSS JOIN stats),
-          lexs AS (SELECT doc_id,
-                          CAST(SUM(CAST(FLOOR(contrib * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
-                            / 1000000.0 AS score
-                   FROM lexscored GROUP BY doc_id),
-          lex AS (SELECT doc_id, rank FROM (
-                    SELECT doc_id,
-                           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
-                    FROM lexs) WHERE rank <= 20),
+          ${bm25LexCtesSql},
           fusedc AS (SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM lex
                      UNION ALL
                      SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM dense),
@@ -1430,29 +1569,7 @@ object VectorQueries {
                      CAST(ROW_NUMBER() OVER (ORDER BY dot / (qn.nrm * cn.nrm) DESC, cid) AS INT) AS rank
               FROM ddots JOIN nrm qn ON qn.vec_id = qid JOIN nrm cn ON cn.vec_id = cid)
             WHERE rank <= 20),
-          tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
-                         unnest(string_split(text, ' ')) AS t FROM documents),
-          stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS dl_sum
-                    FROM documents),
-          tf AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
-                 FROM tok WHERE t IN ('vector', 'spark', 'filter')
-                 GROUP BY doc_id, dl, t),
-          dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
-          lexscored AS (
-            SELECT doc_id,
-                   ((n_docs - df + 0.5e0) / (df + 0.5e0))
-                     * ((tf * 2.2e0)
-                        / (tf + 1.2e0 * (0.25e0 + 0.75e0 * (dl / (dl_sum / n_docs))))) AS contrib
-            FROM tf JOIN dfq USING (t) CROSS JOIN stats),
-          lexs AS (SELECT doc_id,
-                          CAST(SUM(CAST(FLOOR(contrib * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
-                            / 1000000.0 AS score
-                   FROM lexscored GROUP BY doc_id),
-          lex AS (SELECT doc_id, rank FROM (
-                    SELECT doc_id,
-                           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
-                    FROM lexs) WHERE rank <= 20),
+          ${bm25LexCtesSql},
           fusedc AS (SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM lex
                      UNION ALL
                      SELECT doc_id, 1.0 / (60 + rank) AS contrib FROM dense),

@@ -655,6 +655,53 @@ object CorpusStreams {
       .withColumn("shortlist", lit(shortlist))
   }
 
+  /** Serve hybrid RRF retrieval at the FUSED-sweep-chosen dense config —
+    * the deployment arm of `EtlCli.sweepFusedRrf`, closing the loop the
+    * r13 measurement opened: a per-arm recall floor does not survive
+    * rank fusion, so the consumer picks the cheapest (nProbe, shortlist)
+    * clearing a floor measured ON THE FUSED RANKING (pickFusedRrfConfig)
+    * and serves the exact fused shape the sweep measured (arm_k / k_rrf
+    * / top_k ride the artifact). Refuses a sweep stamped under a
+    * different quantizer than the deployed centroids — a retrain moves
+    * every stored cell and invalidates the fused measurement — naming
+    * both identities. `lex` is the request's lexical ranking
+    * (doc_id, rank); `indexPath` the read-optimized cell-partitioned
+    * layout so the probe's partition pruning applies. */
+  def hybridRrfWithFusedSweep(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, centroidsPath: String,
+                              sweepPath: String, queries: DataFrame,
+                              lex: DataFrame, idCol: String, vecCol: String,
+                              dims: Int, minFusedRecall: Double): DataFrame = {
+    val cent = EtlCli.readTable(spark, centroidsPath)
+    val sweep = EtlCli.readTable(spark, sweepPath)
+    EtlCli.requireStamp(sweep, "quantizer_id",
+      graft.operators.Similarity.quantizerIdentity(cent),
+      s"fused sweep at $sweepPath was measured against quantizer",
+      s"the centroids at $centroidsPath",
+      "a retrain invalidates every old sweep; run sweep-fused-rrf against " +
+        "the deployed centroids before serving fusion")
+    val pick = graft.operators.Similarity
+      .pickFusedRrfConfig(sweep, minFusedRecall)
+      .select(col("n_probe").cast("int"), col("shortlist").cast("int"),
+        col("arm_k").cast("int"), col("k_rrf").cast("int"),
+        col("top_k").cast("int"))
+      .collect()
+    require(pick.nonEmpty,
+      s"no (n_probe, shortlist) at $sweepPath clears FUSED recall >= " +
+        s"$minFusedRecall — re-sweep deeper/wider before serving fusion")
+    val (nProbe, shortlist, armK, kRrf, topK) =
+      (pick.head.getInt(0), pick.head.getInt(1), pick.head.getInt(2),
+        pick.head.getInt(3), pick.head.getInt(4))
+    val dense = graft.operators.Similarity.binaryIvfProbeIndex(spark,
+        EtlCli.resolveDataDir(spark, indexPath), queries,
+        idCol, vecCol, dims, cent, nProbe, shortlist, armK)
+      .select(col("cid").as("doc_id"), col("rank"))
+    graft.operators.Similarity.rrfFuse(Seq(lex, dense), "doc_id", "rank",
+        kRrf, topK)
+      .withColumn("n_probe", lit(nProbe))
+      .withColumn("shortlist", lit(shortlist))
+  }
+
   /** Probe the persisted residual IVF-PQ index at the SWEEP-CHOSEN depth
     * — binaryIvfProbeWithSweep's sibling for the PQ family, closing its
     * sweep→pick→deploy loop. `codesPath` is the cell-partitioned
@@ -1310,6 +1357,18 @@ object CorpusStreams {
     * via [[graft.operators.Similarity.nnDescentExtend]]. `nBits` must
     * stay fixed across the graph's life (it keys the candidate buckets);
     * size it for the EXPECTED corpus via `Similarity.nnDescentNBits`.
+    *
+    * Rebuild-threshold guidance (the measured extension-quality CURVE,
+    * SimilaritySpec, fixture corpus): the incremental/batch quality
+    * ratio does not degrade with batch size or epoch count — one batch
+    * at 10% of the committed corpus measures 1.08, at 50% 1.20, and 20
+    * accumulated 4% epochs 1.23 (extensions rescore candidates the
+    * one-shot build never revisits, so quality can exceed 1.0). The
+    * 0.85 monitor floor therefore signals genuine pathology (staleness
+    * from re-embeds, a piled bucket, a distribution break), not an
+    * expected operating regime — alarm first, diagnose with
+    * `probe-graph-recall` (exact ground truth) and the occupancy axis,
+    * and rebuild (`knn-graph`) when either confirms.
     * Replay safety: every epoch recomputes from `epochs < batchId` only,
     * so a redelivered batch re-appends byte-identical content, and the
     * identity row's `last_epoch` fencepost keeps the XOR fold from

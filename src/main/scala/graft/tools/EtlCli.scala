@@ -79,6 +79,15 @@ object EtlCli {
     case Seq("sweep-binary-ivf", indexTable, centPath, outTable, nQueries, idCol, vecCol) =>
       sweepBinaryIvf(spark, indexTable, centPath, outTable, nQueries.toInt,
         idCol = idCol, vecCol = vecCol).show(numRows = 100, truncate = false)
+    case Seq("sweep-fused-rrf", indexTable, centPath, docsTable, outTable,
+             terms) =>
+      sweepFusedRrf(spark, indexTable, centPath, docsTable, outTable,
+        terms.split(",").toSeq).show(numRows = 100, truncate = false)
+    case Seq("sweep-fused-rrf", indexTable, centPath, docsTable, outTable,
+             terms, nQueries) =>
+      sweepFusedRrf(spark, indexTable, centPath, docsTable, outTable,
+        terms.split(",").toSeq, nQueries.toInt)
+        .show(numRows = 100, truncate = false)
     case Seq("check-drift", driftLog) => checkDrift(spark, driftLog)
     case Seq("check-drift", driftLog, maxCellShare) =>
       checkDrift(spark, driftLog, maxCellShare.toDouble)
@@ -572,6 +581,76 @@ object EtlCli {
       queries, idCol, vecCol, dims, cent, nProbes, shortlists, k, exact)
     writeTable(sweep.withColumn("quantizer_id",
       lit(graft.operators.Similarity.quantizerIdentity(cent))), outTable)
+    readTable(spark, outTable)
+  }
+
+  /** Build and COMMIT the FUSED-recall sweep the hybrid-RRF consumer
+    * deploys from (`CorpusStreams.hybridRrfWithFusedSweep`) — the
+    * measured r13 rule ("fusion consumers must sweep against a deeper
+    * floor than their arm needs standalone") turned into an artifact +
+    * picker instead of prose. For each (nProbe, shortlist) grid point,
+    * the committed frontier carries the recall of RRF(BM25 lex,
+    * probe-arm) against RRF(BM25 lex, exact-dense) at the same fusion
+    * knobs, measured over a hash-rank query sample of the live index.
+    * Stamped with the quantizer identity (a retrain moves every stored
+    * cell, invalidating the measurement) plus the fusion knobs
+    * (arm_k / k_rrf / top_k) so the consumer serves the exact fused
+    * shape that was measured. */
+  def sweepFusedRrf(spark: SparkSession, indexTable: String,
+                    centroidsPath: String, docsTable: String,
+                    outTable: String, terms: Seq[String],
+                    nQueries: Int = 3, armK: Int = 20, kRrf: Int = 60,
+                    topK: Int = 10,
+                    nProbes: Seq[Int] = Seq(1, 2, 4, 8),
+                    shortlists: Seq[Int] = Seq(25, 50, 100, 200),
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(nQueries >= 1, s"need at least one query vector, got $nQueries")
+    require(terms.nonEmpty, "the lexical arm needs at least one term")
+    val index = scala.util.Try(readIndexWithMaintenance(spark, indexTable))
+      .getOrElse(readAnyTable(spark, indexTable))
+    Seq(idCol, vecCol, "cell", "words").foreach(c =>
+      require(index.columns.contains(c),
+        s"index at $indexTable has no '$c' column (columns: " +
+          s"${index.columns.mkString(", ")}) — sweep-fused-rrf runs over a " +
+          "binaryIvfIndexBuild layout (id, cell, words, vec)"))
+    val firstVec = index.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(firstVec.nonEmpty,
+      s"index at $indexTable is empty — nothing to sweep")
+    val dims = firstVec.head.getInt(0)
+    val cent = readTable(spark, centroidsPath)
+    val live = index.join(broadcast(graft.operators.Similarity.leafCells(cent)
+        .select(col("cc").cast("long").as("__leaf"))),
+      index("cell").cast("long") === col("__leaf"), "left_semi")
+    val qids = live.select(col(idCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(nQueries)
+    val queries = live.join(qids, idCol).select(col(idCol), col(vecCol))
+    val exactArm = graft.operators.Similarity.bruteForceTopK(
+        live.select(col(idCol), col(vecCol)), queries, idCol, vecCol, armK)
+      .select(col("qid"), col("cid"), col("rank"))
+    val docs = readAnyTable(spark, docsTable)
+    // the shared lexical arm: BM25 top-armK over the docs table, ranked
+    // with the bounded constant-partition window (the hybrid query's
+    // exact shape)
+    val lex = graft.operators.TextAnalysis.bm25(docs, "doc_id", "text",
+        terms, k1 = 1.2, b = 0.75, topK = armK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(length(md5(col("doc_id").cast("string"))), lit(32)))
+          .orderBy(desc("score"), col("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+    val sweep = graft.operators.Similarity.fusedRrfSweep(
+      live.select(col(idCol), col("cell"), col("words")),
+      live.select(col(idCol), col(vecCol)),
+      queries, idCol, vecCol, dims, cent, lex, exactArm,
+      nProbes, shortlists, armK, kRrf, topK)
+    writeTable(sweep
+      .withColumn("quantizer_id",
+        lit(graft.operators.Similarity.quantizerIdentity(cent)))
+      .withColumn("arm_k", lit(armK))
+      .withColumn("k_rrf", lit(kRrf))
+      .withColumn("top_k", lit(topK)), outTable)
     readTable(spark, outTable)
   }
 

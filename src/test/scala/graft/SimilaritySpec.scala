@@ -973,6 +973,68 @@ class SimilaritySpec extends SparkSpec {
     assert(xEdge.head._3 > 0.8, s"unexpected fresh score: ${xEdge.head._3}")
   }
 
+  test("nnDescentExtend quality CURVE: ratio vs batch fraction (10%/50%) and under 20 accumulated small epochs") {
+    // The 0.85 floor was asserted at one point (thirds of the corpus) —
+    // this measures the curve the monitor's rebuild threshold rests on:
+    // how the incremental/batch quality ratio behaves as ONE batch grows
+    // to 10% / 50% of the committed corpus, and as MANY small epochs
+    // accumulate (20 sequential 4%-batches after a 20% bootstrap — the
+    // daily-ingest year). Guidance recorded in knnGraphSink's scaladoc.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .transform(graft.core.Materialize.pin)
+    val n = emb.count()
+    val bits = Similarity.nnDescentNBits(n)
+    def q(g: org.apache.spark.sql.DataFrame): Double =
+      g.agg(sum(col("cosine"))).as[Double].head()
+    val batchQ = q(Similarity.nnDescentGraph(emb, "vec_id", "embedding",
+      k = 5, rounds = 2, nBits = bits))
+    // localCheckpoint CARRIES plan statistics, and the size-only join
+    // estimator multiplies them — with `g` reused in several join
+    // branches per extension the carried estimate exponentiates across
+    // 20 iterations until BigInteger overflows (and computing those
+    // numbers dominates wall time). The production sink never hits this
+    // (committed state re-reads from DISK each batch, stats reset to
+    // file sizes); this in-memory chain resets them explicitly.
+    def resetStats(df: org.apache.spark.sql.DataFrame) =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    def incremental(parts: Seq[org.apache.spark.sql.DataFrame]): Double = {
+      var nodes = parts.head
+      var g = resetStats(graft.core.Materialize.pin(Similarity.nnDescentGraph(
+        parts.head, "vec_id", "embedding", k = 5, rounds = 2, nBits = bits)))
+      parts.tail.foreach { b =>
+        val updated = graft.core.Materialize.pin(Similarity.nnDescentExtend(
+          nodes, g, b, "vec_id", "embedding", k = 5, nBits = bits))
+        g = resetStats(graft.core.Materialize.pin(
+          g.join(updated.select(col("vec_id")).distinct(), Seq("vec_id"),
+              "left_anti")
+            .unionByName(updated.drop("nid_bucket", "src_bucket"))))
+        nodes = resetStats(nodes.unionByName(b))
+      }
+      q(g) / batchQ
+    }
+    def below(t: Long) = emb.filter(col("vec_id") < t)
+    def from(t: Long) = emb.filter(col("vec_id") >= t)
+    val r10 = incremental(Seq(from(n / 10), below(n / 10)))
+    val r50 = incremental(Seq(from(n / 2), below(n / 2)))
+    val smallBatches = (0 until 20).map { i =>
+      emb.filter(col("vec_id") >= n / 5 + i * (4 * n / 100) &&
+        col("vec_id") < n / 5 + (i + 1) * (4 * n / 100))
+    }
+    val r20 = incremental(from(n / 5 + 20 * (4 * n / 100)) // the remainder tail
+      .unionByName(below(n / 5)) +: smallBatches)
+    info(f"incremental/batch quality ratio: one 10%% batch $r10%.3f, " +
+      f"one 50%% batch $r50%.3f, 20 accumulated 4%% epochs $r20%.3f")
+    // the committed monitor floor must hold across the whole curve — a
+    // regression in any regime (big batches degrade via candidate
+    // locality, many epochs via accumulated order-dependence) fails here
+    // before it fails in production
+    Seq("10%" -> r10, "50%" -> r50, "20 epochs" -> r20).foreach {
+      case (label, r) =>
+        assert(r >= 0.85, f"$label extension fell below the floor: $r%.3f")
+    }
+  }
+
   test("hybrid RRF over the production ANN arm: swept probe serves the dense side; fused recall vs exact-dense fusion measured") {
     import org.apache.spark.sql.expressions.Window
     val dir = "/root/testdata/sf0.001"

@@ -1700,6 +1700,88 @@ class StreamingFileSpec extends SparkSpec {
       exPair.getMessage.contains("identity"), exPair.getMessage)
   }
 
+  test("fused sweep -> pick -> deploy loop: hybrid serves the fused-floor config; a quantizer change refuses the stale fused sweep") {
+    import graft.streaming.CorpusStreams
+    import graft.tools.EtlCli
+    import graft.operators.Similarity
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val root = java.nio.file.Files.createTempDirectory("fused_loop")
+    val cent = Similarity.coarseCentroids(emb, "vec_id", "embedding", 16)
+    EtlCli.writeTable(cent, s"$root/cent")
+    EtlCli.writeTable(Similarity.binaryIvfIndexBuild(emb, "vec_id",
+      "embedding", 64, cent), s"$root/idx", partitionBy = Seq("cell"))
+    EtlCli.writeTable(docs, s"$root/docs")
+    // the sweep commits with the quantizer stamp + the fusion knobs
+    EtlCli.run(spark, Seq("sweep-fused-rrf", s"$root/idx", s"$root/cent",
+      s"$root/docs", s"$root/sweep", "vector,spark,filter", "3"))
+    val sweep = EtlCli.readTable(spark, s"$root/sweep")
+    assert(sweep.select(col("quantizer_id")).distinct().count() == 1)
+    assert(Set("arm_k", "k_rrf", "top_k").subsetOf(sweep.columns.toSet))
+    // the consumer serves at the picker's choice and equals the direct
+    // fusion at that config
+    val lex = graft.operators.TextAnalysis.bm25(docs, "doc_id", "text",
+        Seq("vector", "spark", "filter"), k1 = 1.2, b = 0.75, topK = 20)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(pmod(length(md5(col("doc_id").cast("string"))), lit(32)))
+          .orderBy(desc("score"), col("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+    val queries = emb.filter(col("vec_id") === 0)
+    val served = CorpusStreams.hybridRrfWithFusedSweep(spark, s"$root/idx",
+      s"$root/cent", s"$root/sweep", queries, lex, "vec_id", "embedding",
+      dims = 64, minFusedRecall = 0.5)
+    val pick = Similarity.pickFusedRrfConfig(sweep, 0.5)
+      .select(col("n_probe").cast("int"), col("shortlist").cast("int"))
+      .as[(Int, Int)].collect().head
+    assert(served.select(col("n_probe").cast("int"),
+        col("shortlist").cast("int")).distinct()
+      .as[(Int, Int)].collect().toSeq == Seq(pick),
+      "the consumer must serve the picker's choice")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id").cast("long"), col("rank")).as[(Long, Int)]
+      .collect().toSet
+    val direct = Similarity.rrfFuse(Seq(lex,
+      Similarity.binaryIvfProbeIndex(spark,
+          EtlCli.resolveDataDir(spark, s"$root/idx"), queries, "vec_id",
+          "embedding", 64, cent, pick._1, pick._2, 20)
+        .select(col("cid").as("doc_id"), col("rank"))), "doc_id", "rank", 60, 10)
+    assert(rows(served) == rows(direct),
+      "swept fusion diverges from direct fusion at the picked config")
+    // a floor nothing clears refuses with the remedial, never best-loser
+    // (a degraded committed frontier, so the refusal is forced whatever
+    // recall the 3-query sample reached)
+    EtlCli.writeTable(sweep.withColumn("fused_recall",
+      col("fused_recall") * lit(0.1)), s"$root/sweep_low")
+    val none = intercept[IllegalArgumentException] {
+      CorpusStreams.hybridRrfWithFusedSweep(spark, s"$root/idx",
+        s"$root/cent", s"$root/sweep_low", queries, lex, "vec_id",
+        "embedding", dims = 64, minFusedRecall = 0.5)
+    }
+    assert(none.getMessage.contains("re-sweep"), none.getMessage)
+    // the quantizer moves (retrain): the stale fused sweep REFUSES naming
+    // the remedial; re-sweeping against the new pair serves again
+    val cent2 = Similarity.coarseCentroids(emb, "vec_id", "embedding", 8)
+    EtlCli.writeTable(cent2, s"$root/cent2")
+    EtlCli.writeTable(Similarity.binaryIvfIndexBuild(emb, "vec_id",
+      "embedding", 64, cent2), s"$root/idx2", partitionBy = Seq("cell"))
+    val stale = intercept[IllegalArgumentException] {
+      CorpusStreams.hybridRrfWithFusedSweep(spark, s"$root/idx2",
+        s"$root/cent2", s"$root/sweep", queries, lex, "vec_id", "embedding",
+        dims = 64, minFusedRecall = 0.5)
+    }
+    assert(stale.getMessage.contains("sweep-fused-rrf"), stale.getMessage)
+    EtlCli.run(spark, Seq("sweep-fused-rrf", s"$root/idx2", s"$root/cent2",
+      s"$root/docs", s"$root/sweep2", "vector,spark,filter", "3"))
+    assert(CorpusStreams.hybridRrfWithFusedSweep(spark, s"$root/idx2",
+      s"$root/cent2", s"$root/sweep2", queries, lex, "vec_id", "embedding",
+      dims = 64, minFusedRecall = 0.5).count() == 10,
+      "re-swept fusion must serve after the retrain")
+  }
+
   test("epoch compaction folds around maintenance epochs: split relabels survive, nothing double-counts") {
     import graft.operators.Similarity
     import graft.tools.EtlCli
