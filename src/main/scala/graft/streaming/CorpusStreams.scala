@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.operators.Dedup
 import graft.tools.EtlCli
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
@@ -1031,12 +1031,13 @@ object CorpusStreams {
   //   quality/  epoch log (epoch, n_nodes, n_edges, mean_cosine,
   //             max_bucket_members_fine/_coarse) — the monitor's trend
   //             instrument + the candidate-bound skew axis
-  //   nodes_opt/ graph_opt/ opt_meta/ — the sink's READ-OPTIMIZED layouts
-  //             ([[knnGraphCompact]]): latest-copy folds of nodes/ and
-  //             graph/, partitioned so the per-batch reads PRUNE files
-  //             (nodes_opt by (coarse LSH bucket, id-hash); graph_opt by
-  //             the source node's coarse bucket). Without them every batch scans every committed
-  //             byte map-only — the I/O-layout gap at 100 TB.
+  //   nodes_opt/ graph_opt/ — the sink's READ-OPTIMIZED layouts
+  //             ([[knnGraphCompact]]): self-describing latest-copy folds
+  //             of nodes/ and graph/, partitioned so the per-batch reads
+  //             PRUNE files (nodes_opt by (coarse LSH bucket, id-hash);
+  //             graph_opt by the source node's coarse bucket). Without
+  //             them every batch scans every committed byte map-only —
+  //             the I/O-layout gap at 100 TB.
   //
   // Unlike the sign/code sinks the result is NOT bit-equal to a
   // from-scratch build (NN-descent is iterative; insertion order
@@ -1051,7 +1052,6 @@ object CorpusStreams {
   private def graphQualityPath(graphPath: String) = s"$graphPath/quality"
   private def graphNodesOptPath(graphPath: String) = s"$graphPath/nodes_opt"
   private def graphEdgesOptPath(graphPath: String) = s"$graphPath/graph_opt"
-  private def graphOptMetaPath(graphPath: String) = s"$graphPath/opt_meta"
   private def graphSeenIdsPath(graphPath: String) = s"$graphPath/seen_ids"
 
   // seen-ids bloom sidecar: one OR-mergeable partial per epoch over the
@@ -1101,23 +1101,28 @@ object CorpusStreams {
     *    re-ingest that moves a node's bucket recomputes its hood in the
     *    same epoch, so a lookup keyed on the current vector's bucket
     *    always lands on the hood's partition.
-    *  - `opt_meta/`: 1 row (covered_nodes, covered_edges,
-    *    id_hash_buckets) — the COMMIT POINT readers key off. It writes
-    *    LAST: a crash after either data table but before the meta leaves
-    *    readers on the prior meta (older covered epochs), which merely
-    *    re-reads some epochs through the raw tail — duplicate copies the
-    *    downstream latest-wins dedupes already resolve, never a miss.
-    *    A reader facing a foreign id_hash_buckets fan-out skips id-hash
-    *    pruning (superset) rather than pruning wrong.
+    * Each table is SELF-DESCRIBING: its `covered_epoch` (and the nodes
+    * layout's `id_hash_buckets` fan-out) ride every row, committed
+    * atomically WITH the data by the versioned protocol. An earlier
+    * design kept them in a separate meta table written last — which
+    * opened a replay hole: a compactor crash between the data and meta
+    * writes leaves opt DATA ahead of the recorded covered epoch, so a
+    * checkpoint replay of an old batch (gated only on the stale meta)
+    * would read FUTURE state through the bucket scans. With the covered
+    * epoch in-row, each reader gates on exactly the fold generation it
+    * is holding; the only crash window (between the two table writes)
+    * leaves two self-consistent tables of different generations, which
+    * the per-table gates handle independently.
     *
     * Safe against a concurrently-running sink exactly like compactEpochs:
     * only epochs committed at fold time are covered, newer epochs stay
     * visible through the raw tail, and a checkpoint-replayed epoch <=
-    * covered makes readers fall back to the raw log (the fold may
-    * already contain LATER state than the replay is allowed to see).
-    * The raw logs themselves stay append-only for the graph's life —
-    * this fold writes SEPARATE tables and never moves the
-    * compaction-unsafe markers planted on nodes/ and graph/. */
+    * covered makes readers fall back to the raw log (the fold holds
+    * LATER state than the replay is allowed to see). A reader facing a
+    * foreign id_hash_buckets fan-out skips id-hash pruning (superset)
+    * rather than pruning wrong. The raw logs themselves stay append-only
+    * for the graph's life — this fold writes SEPARATE tables and never
+    * moves the compaction-unsafe markers planted on nodes/ and graph/. */
   def knnGraphCompact(spark: org.apache.spark.sql.SparkSession,
                       graphPath: String): Unit = {
     import graft.operators.Similarity
@@ -1150,9 +1155,18 @@ object CorpusStreams {
       latestNodes
         .withColumn("bucket", Similarity.signLshBucketCol(col(vecCol), coarse))
         .withColumn("id_bucket",
-          Similarity.GraphStateReaders.idHash(col(idCol))),
+          Similarity.GraphStateReaders.idHash(col(idCol)))
+        .withColumn("covered_epoch", lit(coveredN))
+        .withColumn("id_hash_buckets",
+          lit(Similarity.GraphStateReaders.IdHashBuckets)),
       graphNodesOptPath(graphPath), partitionBy = Seq("bucket", "id_bucket"))
-    val coveredE = EtlCli.committedEpochs(spark, edgesP).max
+    val edgeEpochs = EtlCli.committedEpochs(spark, edgesP)
+    require(edgeEpochs.nonEmpty,
+      s"graph at $graphPath has committed nodes but no committed " +
+        "neighborhood epochs (a half-committed bootstrap) — replay the " +
+        "crashed commit (extend-knn-graph / restart the sink) before " +
+        "compacting")
+    val coveredE = edgeEpochs.max
     val edgesRaw = EtlCli.readEpochTableTagged(spark, edgesP)
       .filter(col("__epoch") <= coveredE)
     val w = Window.partitionBy(col(idCol))
@@ -1160,14 +1174,9 @@ object CorpusStreams {
       .withColumn("__m", max(col("__epoch")).over(w))
       .filter(col("__epoch") === col("__m")).drop("__m")
       .withColumnRenamed("__epoch", "epoch")
+      .withColumn("covered_epoch", lit(coveredE))
     EtlCli.writeTable(latestEdges, graphEdgesOptPath(graphPath),
       partitionBy = Seq("src_bucket"))
-    // the commit point — LAST, after both data tables landed
-    import spark.implicits._
-    EtlCli.writeTable(
-      Seq((coveredN, coveredE, Similarity.GraphStateReaders.IdHashBuckets))
-        .toDF("covered_nodes", "covered_edges", "id_hash_buckets"),
-      graphOptMetaPath(graphPath))
     println(s"graph at $graphPath compacted: nodes_opt through epoch " +
       s"$coveredN (bucket granularity $coarse bits), graph_opt through " +
       s"epoch $coveredE")
@@ -1184,44 +1193,46 @@ object CorpusStreams {
       spark: org.apache.spark.sql.SparkSession, graphPath: String,
       before: Long): graft.operators.Similarity.GraphStateReaders = {
     import graft.operators.Similarity.GraphStateReaders
-    val meta = scala.util.Try(
-      EtlCli.readTable(spark, graphOptMetaPath(graphPath))
-        .select(col("covered_nodes").cast("long"),
-          col("covered_edges").cast("long"),
-          col("id_hash_buckets").cast("long"))
-        .collect().headOption).toOption.flatten
-    val idHashOk = meta.exists(_.getLong(2) == GraphStateReaders.IdHashBuckets)
+    // each fold table is gated by ITS OWN in-row covered_epoch (atomic
+    // with the data — see knnGraphCompact) so a half-crashed compaction
+    // can never make a replay read future state
+    def fold(path: String, extra: Seq[String]): Option[(DataFrame, Row)] =
+      scala.util.Try {
+        val t = EtlCli.readTable(spark, path)
+        t.select((col("covered_epoch").cast("long") +: extra.map(c =>
+          col(c).cast("long"))): _*).limit(1).collect().headOption.map(t -> _)
+      }.toOption.flatten
     def pruned(df: DataFrame, c: String, f: Option[Seq[Long]]): DataFrame =
       f.fold(df)(vs =>
         if (vs.isEmpty) df.limit(0) else df.filter(col(c).isin(vs: _*)))
     GraphStateReaders(
-      nodes = (bucketF, idHashF) => meta match {
-        case Some(m) if m.getLong(0) < before =>
-          val opt = pruned(
-              pruned(EtlCli.readTable(spark, graphNodesOptPath(graphPath)),
-                "bucket", bucketF),
-              "id_bucket", if (idHashOk) idHashF else None)
-            .drop("bucket", "id_bucket")
-            .withColumnRenamed("epoch", "__epoch")
-          opt.unionByName(
-            nodesRawBefore(spark, graphPath, before)
-              .filter(col("__epoch") > m.getLong(0)))
-        case _ => nodesRawBefore(spark, graphPath, before)
-      },
-      edges = srcBucketF => meta match {
-        case Some(m) if m.getLong(1) < before =>
-          val opt = pruned(
-              EtlCli.readTable(spark, graphEdgesOptPath(graphPath)),
-              "src_bucket", srcBucketF)
-            .withColumnRenamed("epoch", "__epoch")
-          opt.unionByName(
+      nodes = (bucketF, idHashF) =>
+        fold(graphNodesOptPath(graphPath), Seq("id_hash_buckets")) match {
+          case Some((t, r)) if r.getLong(0) < before =>
+            val idHashOk = r.getLong(1) == GraphStateReaders.IdHashBuckets
+            val opt = pruned(pruned(t, "bucket", bucketF),
+                "id_bucket", if (idHashOk) idHashF else None)
+              .drop("bucket", "id_bucket", "covered_epoch", "id_hash_buckets")
+              .withColumnRenamed("epoch", "__epoch")
+            opt.unionByName(
+              nodesRawBefore(spark, graphPath, before)
+                .filter(col("__epoch") > r.getLong(0)))
+          case _ => nodesRawBefore(spark, graphPath, before)
+        },
+      edges = srcBucketF =>
+        fold(graphEdgesOptPath(graphPath), Nil) match {
+          case Some((t, r)) if r.getLong(0) < before =>
+            val opt = pruned(t, "src_bucket", srcBucketF)
+              .drop("covered_epoch")
+              .withColumnRenamed("epoch", "__epoch")
+            opt.unionByName(
+              EtlCli.readEpochTableTagged(spark, graphEdgesPath(graphPath))
+                .filter(col("__epoch") > r.getLong(0) &&
+                  col("__epoch") < before))
+          case _ =>
             EtlCli.readEpochTableTagged(spark, graphEdgesPath(graphPath))
-              .filter(col("__epoch") > m.getLong(1) &&
-                col("__epoch") < before))
-        case _ =>
-          EtlCli.readEpochTableTagged(spark, graphEdgesPath(graphPath))
-            .filter(col("__epoch") < before)
-      })
+              .filter(col("__epoch") < before)
+        })
   }
 
   /** The committed live view of an incrementally-maintained k-NN graph:
@@ -1411,9 +1422,6 @@ object CorpusStreams {
         .filter(_ < batchId)).getOrElse(Seq.empty)
     val readers = readersWrap(graphStateReaders(spark, graphPath, batchId))
     val coarse = Similarity.nnDescentCoarseBits(nBits)
-    // bootstrap epochs carry nid_bucket too (each neighbor's coarse
-    // bucket), so every edge epoch shares ONE schema and the extension's
-    // hop-fetch pruning can use the hint whatever epoch an edge came from
     // the ring formula is BOOTSTRAP-FIXED identity: once the identity row
     // records a version, every later commit (and a sink restarted with a
     // different default) must keep it — the version exists so rebuilds
@@ -1426,6 +1434,9 @@ object CorpusStreams {
         else Some(1) // pre-versioning identity rows committed under v1
       }.toOption.flatten
     val ring = storedRing.getOrElse(ringVersion)
+    // bootstrap epochs carry nid_bucket/src_bucket too (each endpoint's
+    // coarse bucket), so every edge epoch shares ONE schema and the
+    // extension's pruning hints work whatever epoch an edge came from
     val hoods = graft.core.Materialize.pin(
       if (prior.isEmpty)
         Similarity.nnDescentGraph(batch, idCol, vecCol, k, rounds, nBits,

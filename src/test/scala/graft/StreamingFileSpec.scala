@@ -1240,7 +1240,7 @@ class StreamingFileSpec extends SparkSpec {
     graft.tools.EtlCli.run(spark, Seq("check-graph-quality", graphPath))
   }
 
-  test("knnGraphCompact: pruned extension equals raw; old-epoch replay falls back; stale meta tolerated; generic fold still refused") {
+  test("knnGraphCompact: pruned extension equals raw; old-epoch replay falls back; mixed-generation folds tolerated; generic fold still refused") {
     import graft.streaming.CorpusStreams
     import graft.tools.EtlCli
     import spark.implicits._
@@ -1299,31 +1299,31 @@ class StreamingFileSpec extends SparkSpec {
       k = 5, rounds = 2, nBits = bits)
     assert(edgeRows(gA, 1) == a1Before,
       "replaying a fold-covered epoch changed its content")
-    // CRASH INTERPLAY: a compactor that died after rewriting the data
-    // tables but before the meta leaves a STALE meta over newer opt data
-    // — readers re-read some epochs through the raw tail (duplicates the
-    // latest-wins dedupes resolve), never missing rows
-    val staleMeta = EtlCli.readTable(spark, s"$gA/opt_meta")
-      .select(col("covered_nodes").cast("long"),
-        col("covered_edges").cast("long"), col("id_hash_buckets").cast("long"))
-      .as[(Long, Long, Long)].collect().head
+    // CRASH INTERPLAY: a compactor that died between its two table
+    // writes leaves MIXED-GENERATION folds (here: nodes_opt from the
+    // newer compaction, graph_opt still from the older one). Each table
+    // is self-describing — its covered_epoch committed atomically WITH
+    // its data — so the readers gate per table: the older fold's gap is
+    // re-read through the raw tail (duplicates the latest-wins dedupes
+    // resolve), never a miss and never future state.
+    val gen1Edges = s"$root/gen1_edges"
+    EtlCli.readTable(spark, s"$gA/graph_opt").write.parquet(gen1Edges)
     val p4 = vecs("p4", emb.filter(col("vec_id") % 3 === 0)
       .withColumn("vec_id", col("vec_id") + lit(1000000)))
     extend(gA, p4, bootstrap = false)
     extend(gB, p4, bootstrap = false)
     EtlCli.run(spark, Seq("compact-knn-graph", gA)) // covers through 4
-    EtlCli.writeTable(Seq(staleMeta)
-        .toDF("covered_nodes", "covered_edges", "id_hash_buckets"),
-      s"$gA/opt_meta") // the crash: data ahead of meta
+    EtlCli.writeTable(spark.read.parquet(gen1Edges), s"$gA/graph_opt",
+      partitionBy = Seq("src_bucket")) // the crash: edges fold one gen behind
     val p5 = vecs("p5", emb.filter(col("vec_id") % 3 === 1)
       .withColumn("vec_id", col("vec_id") + lit(2000000)))
     extend(gA, p5, bootstrap = false)
     extend(gB, p5, bootstrap = false)
     assert(edgeRows(gA, 5) == edgeRows(gB, 5),
-      "stale opt_meta (crash between data and meta commits) corrupted the extension")
+      "mixed-generation folds (crash between the two table writes) corrupted the extension")
     assert(CorpusStreams.knnGraphIdentity(spark, gA) ==
       CorpusStreams.knnGraphIdentity(spark, gB),
-      "stale opt_meta corrupted the identity fold")
+      "mixed-generation folds corrupted the identity fold")
     // the skew instrument rides the quality log
     val qcols = EtlCli.readEpochTable(spark, s"$gA/quality").columns.toSet
     assert(qcols.contains("max_bucket_members_fine") &&
