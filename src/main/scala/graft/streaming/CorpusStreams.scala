@@ -1387,13 +1387,23 @@ object CorpusStreams {
   def knnGraphSink(incoming: DataFrame, idCol: String, vecCol: String,
                    graphPath: String, checkpointDir: String, k: Int,
                    rounds: Int = 2, nBits: Int = 8,
-                   ringVersion: Int = 2): StreamingQuery =
+                   ringVersion: Int = 2,
+                   compactEvery: Int = 0): StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         knnGraphCommitBatch(batch0, batchId, graphPath, idCol, vecCol,
           k, rounds, nBits, ringVersion)
+        // self-maintenance cadence: unlike the ANN families (whose
+        // read-optimized layouts serve only the PROBES), the graph sink
+        // consumes its own fold every batch — so it can keep the raw
+        // tail short itself. Runs AFTER the epoch commit (a crash
+        // mid-fold leaves the committed epoch intact and the
+        // self-describing tables per-generation consistent); 0 = manual
+        // compact-knn-graph only.
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          knnGraphCompact(batch0.sparkSession, graphPath)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -1339,6 +1339,52 @@ class StreamingFileSpec extends SparkSpec {
     }
   }
 
+  test("knnGraphSink compactEvery: the sink self-maintains its read layouts on cadence; the view matches a manual-compaction twin") {
+    import graft.streaming.CorpusStreams
+    import graft.tools.EtlCli
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val bits = graft.operators.Similarity.nnDescentNBits(emb.count())
+    val root = java.nio.file.Files.createTempDirectory("knn_autocompact")
+    val in = root.resolve("in"); java.nio.file.Files.createDirectory(in)
+    def stage(name: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = root.resolve(name + "_tmp")
+      rows.coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, in.resolve(name + ".parquet"))
+    }
+    (0 to 3).foreach(i => stage(s"b$i", emb.filter(col("vec_id") % 4 === i)))
+    val gp = root.resolve("g").toString
+    CorpusStreams.knnGraphSink(
+      spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+        .parquet(in.toString),
+      "vec_id", "embedding", gp, root.resolve("chk").toString,
+      k = 5, rounds = 2, nBits = bits, compactEvery = 2)
+      .awaitTermination(180000)
+    // the cadence ran: the fold tables exist and cover at least epoch 2
+    val covered = EtlCli.readTable(spark, s"$gp/nodes_opt")
+      .select(col("covered_epoch").cast("long")).limit(1)
+      .as[Long].collect().head
+    assert(covered >= 2L, s"cadence compaction should have covered >= 2: $covered")
+    // and the maintained graph equals an uncompacted twin fed the same
+    // batches (pruned-equals-raw, through the sink end to end)
+    val gp2 = root.resolve("g2").toString
+    CorpusStreams.knnGraphSink(
+      spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+        .parquet(in.toString),
+      "vec_id", "embedding", gp2, root.resolve("chk2").toString,
+      k = 5, rounds = 2, nBits = bits)
+      .awaitTermination(180000)
+    def view(g: String) = CorpusStreams.readKnnGraph(spark, g, "vec_id")
+      .select(col("vec_id").cast("long"), col("nid").cast("long"),
+        col("cosine"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(view(gp) == view(gp2),
+      "cadence-compacted sink diverged from the uncompacted twin")
+  }
+
   test("knnGraphRecallProbe: sampled exact recall reads healthy on a fresh build, collapses on planted staleness, and the monitor names the rebuild") {
     import graft.streaming.CorpusStreams
     import graft.tools.EtlCli
