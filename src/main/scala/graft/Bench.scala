@@ -20,8 +20,34 @@ object Bench {
         if (seen.isEmpty) 1 else seen.max + 1
       }
   }
+  /** The round-headline scale factor. A run at any OTHER sf dir is a dev
+    * iteration, never the round's record — see [[bestArtifactName]]. */
+  final val DefaultSfDir = "/root/testdata/sf0.1"
+
+  /** The BEST artifact name for a (round, sfDir) pair. Non-default sf dirs
+    * get the dir's basename branded into the filename, so a dev run at
+    * sf0.01 can NEVER silently occupy the round's headline slot
+    * (`BENCH_BEST_r{NN}.json` is reserved for [[DefaultSfDir]] runs —
+    * round 14's nine sf0.01 runs clobbered the sf0.1 headline and made the
+    * round's cross-round ratio compare a 10x-smaller corpus). */
+  def bestArtifactName(round: Int, sfDir: String): String = {
+    val base = s"BENCH_BEST_r${"%02d".format(round)}"
+    if (sfDir == DefaultSfDir) s"$base.json"
+    else {
+      val label = java.nio.file.Paths.get(sfDir).getFileName.toString
+        .replaceAll("[^A-Za-z0-9._-]", "_")
+      s"${base}_$label.json"
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", DefaultSfDir)
+    val nonDefaultSf = sfDir != DefaultSfDir
+    if (nonDefaultSf)
+      System.err.println(
+        s"[bench] *** NON-DEFAULT SF DIR: $sfDir — this run is a dev " +
+          s"iteration; its BEST artifact is sf-branded and it is NOT the " +
+          s"round headline (default: $DefaultSfDir) ***")
     // Measurement protocol (see BASELINE.md): warmup pass, then N measured
     // passes per query, min-of-N. Single unwarmed runs on a shared VM are
     // contention noise, not signal — rounds 1-3 driver totals all were.
@@ -112,6 +138,15 @@ object Bench {
     val CanaryQueries = Seq("q_f2_ilike_search", "q_cart_totals")
     def canaryOf(m: Map[String, Double]): Map[String, Double] =
       CanaryQueries.flatMap(n => m.get(n).map(n -> _)).toMap
+    // Scale canary: a code-stable full-corpus scan whose min TRACKS corpus
+    // size (~3.3x between sf0.01 and sf0.1, measured r14) — the contention
+    // canaries above are constant-cost by design, so they read "at floor"
+    // even on a 10x smaller corpus and cannot detect an sf mix. A best-of
+    // whose scale canary sits far below the committed sf0.1 floor (~0.7s)
+    // was folded from the wrong corpus, whatever its sf field claims.
+    val ScaleCanaryQueries = Seq("q_text_stats")
+    def scaleCanaryOf(m: Map[String, Double]): Map[String, Double] =
+      ScaleCanaryQueries.flatMap(n => m.get(n).map(n -> _)).toMap
     // Full-precision per-query timings go to a FILE: the driver's capture
     // keeps only the last 2000 chars of stdout, and 96 query names alone
     // overflow that — a single printed line can never carry the whole map.
@@ -120,6 +155,7 @@ object Bench {
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath
     val fullJson =
       (s"""{"metric":"total","value":$total,"unit":"sec","canary":${jmap(canaryOf(results))},""" +
+        s""""scale_canary":${jmap(scaleCanaryOf(results))},"nondefault_sf":$nonDefaultSf,""" +
         s""""queries":${jmap(results)},""" +
         s""""warmup_total":$warmupTotal,"warmup":${jmap(warmups)},"sf":"$sfDir"}""" + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -187,9 +223,10 @@ object Bench {
         val bestJson =
           (s"""{"metric":"best_of_total","value":$t,"unit":"sec","n_runs":${runs.length},""" +
             s""""canary":${jmap(canaryOf(best))},""" +
+            s""""scale_canary":${jmap(scaleCanaryOf(best))},"nondefault_sf":$nonDefaultSf,""" +
             s""""queries":${jmap(best)},"sf":"$sfDir"}""" + "\n")
         java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"BENCH_BEST_r${"%02d".format(round)}.json").toAbsolutePath,
+          java.nio.file.Paths.get(bestArtifactName(round, sfDir)).toAbsolutePath,
           bestJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     }.failed.foreach(e => System.err.println(s"[bench] archive skipped: $e"))
@@ -209,7 +246,10 @@ object Bench {
       .map { case (n, w, _) => s""""$n":${d3(w)}""" }
       .mkString("{", ",", "}")
     val bestPart = bestTotal.map(t => s""""best_total":${d3(t)},""").getOrElse("")
-    val head = s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${results.size},$bestPart"warmup_total":${d3(warmupTotal)},"build_warmup_top":$buildHeavy,"full":"$fullPath","sf":"$sfDir","queries":{"""
+    val scalePart = scaleCanaryOf(results).values.headOption
+      .map(v => s""""scale_canary":${d3(v)},""").getOrElse("")
+    val sfFlag = if (nonDefaultSf) s""""nondefault_sf":true,""" else ""
+    val head = s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${results.size},$bestPart$scalePart$sfFlag"warmup_total":${d3(warmupTotal)},"build_warmup_top":$buildHeavy,"full":"$fullPath","sf":"$sfDir","queries":{"""
     val tailStr = "}}"
     val budget = 1800 - head.length - tailStr.length
     val entries = scala.collection.mutable.ListBuffer.empty[String]

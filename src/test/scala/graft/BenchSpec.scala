@@ -36,4 +36,31 @@ class BenchSpec extends AnyFunSuite {
       Seq("BENCH_r09.json", "BENCH_r10.json", "BENCH_BEST_r10.json")) == 11)
     assert(Bench.currentRound(Seq.empty, Seq.empty) == 1)
   }
+
+  // --- SF guard: a non-default-SF run can never occupy the round's
+  // headline BEST slot (round 14: nine sf0.01 dev runs clobbered
+  // BENCH_BEST_r14.json and the round's cross-round ratio silently
+  // compared a 10x-smaller corpus).
+
+  test("default-SF runs own the unbranded headline artifact name") {
+    assert(Bench.bestArtifactName(15, Bench.DefaultSfDir) == "BENCH_BEST_r15.json")
+    assert(Bench.bestArtifactName(7, Bench.DefaultSfDir) == "BENCH_BEST_r07.json")
+  }
+
+  test("non-default SF dirs are branded into the BEST artifact name") {
+    assert(Bench.bestArtifactName(15, "/root/testdata/sf0.01")
+      == "BENCH_BEST_r15_sf0.01.json")
+    assert(Bench.bestArtifactName(15, "/root/testdata/sf0.001")
+      == "BENCH_BEST_r15_sf0.001.json")
+    // an sf dir that happens to share the default's basename but lives
+    // elsewhere is still non-default (string identity, not basename)
+    assert(Bench.bestArtifactName(15, "/tmp/copy/sf0.1")
+      == "BENCH_BEST_r15_sf0.1.json")
+  }
+
+  test("branded labels are filename-safe") {
+    val name = Bench.bestArtifactName(15, "/weird/dir/sf 0.01$x")
+    assert(name == "BENCH_BEST_r15_sf_0.01_x.json")
+    assert(!name.exists(c => c == ' ' || c == '$' || c == '/'))
+  }
 }
