@@ -444,9 +444,10 @@ object Similarity {
   object GraphStateReaders {
     /** id-hash fan-out of the nodes layout's second partition axis — a
       * PROTOCOL constant (the compactor writes it, readers compute filter
-      * values with it; the opt_meta row records it so a reader facing a
-      * foreign fan-out falls back to unpruned id lookups rather than
-      * pruning wrong). Serves only the superseded-copy lookup, which the
+      * values with it; each fold row records the fan-out it was written
+      * under, so a reader facing a foreign fan-out falls back to unpruned
+      * id lookups rather than pruning wrong). Serves only the
+      * superseded-copy lookup, which the
       * seen-ids bloom already reduces to re-ingest batches — 16 cuts
       * those to ~1/16 of the layout without multiplying the per-bucket
       * file count the mate scan pays on every batch. */
@@ -542,9 +543,22 @@ object Similarity {
     * [[GraphStateReaders]]): always current, because the only event that
     * moves a node's bucket (a re-ingest) recomputes its hood in the same
     * epoch. */
+  /** @param extraHoodBuckets additional coarse buckets the committed-hood
+    *        lookup must cover beyond the batch's own: the PRE-BATCH
+    *        current buckets of batch ids that are re-ingests. A re-ingest
+    *        whose vector moved buckets keeps its committed hood under the
+    *        OLD bucket (the hood only moves when this very epoch commits
+    *        its replacement); without the old bucket in the filter, a
+    *        fold-resident hood is pruned away and its hop candidates
+    *        silently drop relative to the raw readers. The sink derives
+    *        these from the superseded-copy lookup it already pays for the
+    *        identity fold (bloom-gated, id-hash-pruned — free on
+    *        append-mostly batches); filter-blind raw readers ignore the
+    *        hint entirely. */
   def nnDescentExtend(readers: GraphStateReaders, batch: DataFrame,
                       idCol: String, vecCol: String,
-                      k: Int, nBits: Int): DataFrame = {
+                      k: Int, nBits: Int,
+                      extraHoodBuckets: Seq[Long] = Nil): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val coarse = nnDescentCoarseBits(nBits)
     // Inputs may be RAW epoch unions carrying an `__epoch` column with
@@ -609,11 +623,19 @@ object Similarity {
     // one transitivity hop over the COMMITTED edges: neighbors of mates.
     // The mate set is bounded (batch x ~targetBucketSize x 2), so the
     // committed graph scan is map-only filtered, never corpus-shuffled.
-    // a mate shares a coarse bucket with some batch node (that IS how it
-    // became a mate), so batchCoarse covers every mate's current bucket
+    // Hood-filter coverage: a NON-batch mate's committed hood is always
+    // reachable — either its latest hood post-dates the fold (raw tail,
+    // unpruned) or its current fold copy bucketed into batchCoarse (that
+    // is how it became a mate) and its hood lives under that same bucket
+    // by the layout invariant. The one gap is a BATCH re-ingest whose
+    // vector moved buckets: its committed hood still sits under the
+    // pre-batch bucket, covered here by extraHoodBuckets (the sink's
+    // superseded-copy lookup supplies them; Nil + raw readers = the
+    // exact unpruned semantics).
+    val hoodBuckets = (batchCoarse ++ extraHoodBuckets).distinct.sorted
     val hopNb = graft.core.Materialize.pin(matesP.join(
         latestHoods(matesP.select(col("b").as("__id")).distinct(),
-          Some(batchCoarse))
+          Some(hoodBuckets))
           .select(col(idCol).as("b"), col("nid"), col("__nb")),
         Seq("b"))
       .select(col("a"), col("nid").as("b"), col("__nb")))

@@ -1061,14 +1061,127 @@ object CorpusStreams {
   // batch reads only the possibly-known ids' hash partitions. False
   // positives cost an extra bucket read, never a wrong fold (the lookup
   // still joins on actual ids); false negatives cannot happen, which is
-  // the property the fold's correctness rides on. Width is a protocol
-  // constant recorded per row (m_bits); partials at a foreign width make
-  // the probe fall back to the full lookup rather than risk a missed
-  // membership. Sized for ~100k-id test corpora at fp << 1%; a 1e9-id
-  // production graph would saturate it and gracefully degrade to the
-  // pre-bloom full lookup (fp -> 1), never to corruption.
-  private val GraphSeenIdsBits = 62 * 8192
+  // the property the fold's correctness rides on — so the words are used
+  // ONLY when the committed entries cover every node epoch < the batch
+  // (see seenIdsState: gaps heal from the node log, uncoverable state
+  // degrades to the full lookup, never to a missed membership).
+  //
+  // Width is CORPUS-DERIVED, not a constant: chosen at bootstrap from
+  // the bootstrap batch with ~10x growth headroom, re-chosen by
+  // knnGraphCompact from the actual folded corpus, and recorded per row
+  // (m_bits) so mixed widths stay safe across the transition. Beyond
+  // GraphSeenIdsMaxBits the filter saturates gracefully (fp -> 1 = the
+  // pre-bloom full lookup), never corrupts.
+  private[graft] val GraphSeenIdsMinBits = 62 * 8192        // ~508 Kbit
+  private[graft] val GraphSeenIdsMaxBits = 62 * (1 << 21)   // ~130 Mbit (16 MB words)
+  private[graft] val GraphSeenIdsBitsPerId = 96L            // fp ~1.4% at 10x growth
   private val GraphSeenIdsHashes = 4
+
+  /** The sidecar width for an `n`-id corpus: ~[[GraphSeenIdsBitsPerId]]
+    * bits per id (enough headroom that a corpus 10x the estimate still
+    * probes at ~9.6 bits/id, fp ~1.4% with 4 hashes), clamped to
+    * [Min, Max] and packed to 62-bit words. */
+  private[graft] def graphSeenIdsBitsFor(n: Long): Int = {
+    // overflow-safe: compare by division before multiplying
+    val want =
+      if (n >= GraphSeenIdsMaxBits.toLong / GraphSeenIdsBitsPerId)
+        GraphSeenIdsMaxBits.toLong
+      else math.max(GraphSeenIdsMinBits.toLong, n * GraphSeenIdsBitsPerId)
+    (((want + 61) / 62) * 62).toInt
+  }
+
+  /** Committed seen-ids state for the batch about to commit as `batchId`:
+    * (width, words). `words` is Some ONLY when the entries at the chosen
+    * width COVER every node epoch < batchId — a gap would be a false
+    * NEGATIVE (a superseded copy never XOR-removed drifts corpus_id
+    * permanently, and requireKnnGraphCurrent then refuses genuinely
+    * current consumers forever), so coverage is verified against the node
+    * log, and missing epochs are HEALED by rebuilding their partial from
+    * the node log first (a partial is a pure function of that epoch's
+    * committed batch, so healing is replay-idempotent). The crash window
+    * this closes: the sidecar append runs after the identity write and
+    * outside the last_epoch fencepost by design, so a batch-mode crash
+    * between the two left a permanent per-epoch gap the old
+    * epochs-exist check never saw.
+    *
+    * Entry model: each epoch slot holds rows (word, bits, m_bits
+    * [, covers_through]); covers_through null = a partial covering
+    * exactly its own epoch, C = a compaction fold covering ALL node
+    * epochs <= C (knnGraphCompact writes it, sharing the slot with the
+    * original partial so neither width loses coverage). Width choice is
+    * the newest fold's width (corpus-fit by construction), else the
+    * newest entry's, else derived from the committed corpus (a legacy
+    * graph with no sidecar pays one O(corpus) heal and gets the fast
+    * path for life). Entries from epochs/folds AHEAD of batchId (an
+    * async compaction seen by a replay) are safe to fold in: extra bits
+    * only add false POSITIVES, which cost a pruned lookup of ids the
+    * committed-state join then drops. */
+  private[graft] def seenIdsState(spark: org.apache.spark.sql.SparkSession,
+                                  graphPath: String, idCol: String,
+                                  prior: Seq[Long], batchId: Long,
+                                  bootstrap: Boolean,
+                                  bootstrapN: => Long): (Int, Option[Array[Long]]) = {
+    val seenP = graphSeenIdsPath(graphPath)
+    def withCovers(t: DataFrame): DataFrame =
+      if (t.columns.contains("covers_through")) t
+      else t.withColumn("covers_through", lit(null).cast("long"))
+    // bounded metadata: one (epoch, m_bits, covers_through) row per entry
+    def entries(): Seq[(Long, Long, Option[Long])] = scala.util.Try {
+      withCovers(EtlCli.readEpochTableTagged(spark, seenP))
+        .select(col("__epoch"), col("m_bits").cast("long"),
+          col("covers_through").cast("long"))
+        .distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    }.getOrElse(Seq.empty)
+    // a true bootstrap (nothing committed) starts a fresh zero filter; an
+    // empty PRIOR alone does not — a fully-vacuumed graph has no raw
+    // epochs but its fold entries below are the committed membership
+    if (bootstrap) {
+      val w = graphSeenIdsBitsFor(bootstrapN)
+      return (w, Some(new Array[Long](w / 62)))
+    }
+    val es0 = entries()
+    val w: Long = es0.filter(_._3.isDefined)
+      .sortBy(e => (e._3.get, e._2)).lastOption.map(_._2)
+      .orElse(es0.sortBy(e => (e._1, e._2)).lastOption.map(_._2))
+      .getOrElse {
+        val n = nodesRawBefore(spark, graphPath, batchId)
+          .select(col(idCol)).distinct().count()
+        graphSeenIdsBitsFor(n).toLong
+      }
+    val need = prior.toSet
+    def covered(es: Seq[(Long, Long, Option[Long])]): Set[Long] = {
+      val at = es.filter(_._2 == w)
+      val foldThrough = at.flatMap(_._3).maxOption.getOrElse(Long.MinValue)
+      need.filter(e => e <= foldThrough ||
+        at.exists(en => en._3.isEmpty && en._1 == e))
+    }
+    val missing = (need -- covered(es0)).toSeq.sorted
+    missing.foreach { e =>
+      val part = graft.operators.Sketches.bloomBuild(
+          EtlCli.readTable(spark, s"${graphNodesPath(graphPath)}/epoch=$e")
+            .select(col(idCol)),
+          col(idCol).cast("string"), w.toInt, GraphSeenIdsHashes)
+        .withColumn("m_bits", lit(w))
+        .withColumn("covers_through", lit(null).cast("long"))
+      // preserve the slot's rows at OTHER widths (coverage per width)
+      val keep = scala.util.Try(
+          EtlCli.readTable(spark, s"$seenP/epoch=$e")).toOption
+        .map(t => withCovers(t)
+          .select(col("word"), col("bits"), col("m_bits").cast("long"),
+            col("covers_through").cast("long"))
+          .filter(col("m_bits") =!= lit(w)))
+      EtlCli.appendEpoch(keep.fold(part)(part.unionByName(_)), seenP, e)
+    }
+    val es1 = if (missing.isEmpty) es0 else entries()
+    if ((need -- covered(es1)).nonEmpty) (w.toInt, None)
+    else (w.toInt, Some(graft.operators.Sketches.bloomWords(
+      withCovers(EtlCli.readEpochTableTagged(spark, seenP))
+        .filter(col("m_bits").cast("long") === lit(w))
+        .groupBy(col("word")).agg(expr("bit_or(bits)").as("bits")),
+      w.toInt)))
+  }
 
   /** RAW node rows of epochs < `before`, `__epoch`-tagged, possibly
     * several copies of a re-ingested id — deliberately NOT deduped: a
@@ -1120,9 +1233,12 @@ object CorpusStreams {
     * covered makes readers fall back to the raw log (the fold holds
     * LATER state than the replay is allowed to see). A reader facing a
     * foreign id_hash_buckets fan-out skips id-hash pruning (superset)
-    * rather than pruning wrong. The raw logs themselves stay append-only
-    * for the graph's life — this fold writes SEPARATE tables and never
-    * moves the compaction-unsafe markers planted on nodes/ and graph/. */
+    * rather than pruning wrong. This fold writes SEPARATE tables and
+    * never moves the compaction-unsafe markers planted on nodes/ and
+    * graph/; it is INCREMENTAL (the previous fold unions in as base
+    * state), which is what lets [[vacuumKnnGraph]] reclaim fold-covered
+    * raw epochs afterwards — the raw tail then exists only for replays
+    * past the fencepost and for the next fold's delta. */
   def knnGraphCompact(spark: org.apache.spark.sql.SparkSession,
                       graphPath: String): Unit = {
     import graft.operators.Similarity
@@ -1142,15 +1258,31 @@ object CorpusStreams {
       .getInt(0)
     val coarse = Similarity.nnDescentCoarseBits(nBits)
     // ONE consistent snapshot per log: fold only epochs committed by the
-    // listing that defined `covered` (the compactEpochs discipline)
-    val coveredN = nodeEpochs.max
-    val nodesRaw = EtlCli.readEpochTableTagged(spark, nodesP)
-      .filter(col("__epoch") <= coveredN)
-    val Array(idCol, vecCol) = nodesRaw.columns.filterNot(_ == "__epoch")
-    val latestNodes = nodesRaw.groupBy(col(idCol))
+    // listing that defined `covered` (the compactEpochs discipline).
+    // INCREMENTAL: the previous fold is unioned in (tagged by each row's
+    // origin epoch) — after vacuum-knn-graph reclaims fold-covered raw
+    // epochs, the previous fold IS the only copy of that state; before
+    // any vacuum the union merely duplicates rows the latest-wins dedupe
+    // resolves to the same answer.
+    val (prevN, prevE) = knnGraphFoldCovered(spark, graphPath)
+    val coveredN = math.max(nodeEpochs.max, prevN.getOrElse(Long.MinValue))
+    // fold-covered raw epochs are EXCLUDED from the union, not deduped
+    // after: the fold already holds their latest state, and keeping both
+    // would duplicate same-epoch rows past the latest-wins window
+    val rawNodes = EtlCli.readEpochTableTagged(spark, nodesP)
+      .filter(col("__epoch") <= coveredN &&
+        col("__epoch") > prevN.getOrElse(Long.MinValue))
+    val Array(idCol, vecCol) = rawNodes.columns.filterNot(_ == "__epoch")
+    val nodesRaw = prevN.fold(rawNodes)(_ => rawNodes.unionByName(
+      EtlCli.readTable(spark, graphNodesOptPath(graphPath))
+        .select(col(idCol), col(vecCol), col("epoch").as("__epoch"))))
+    // pinned: the plan reads the PREVIOUS nodes fold, and writing the new
+    // fold prunes that version — every later re-execution (legacy fill,
+    // seen-ids fold) must run off materialized rows, not the deleted files
+    val latestNodes = graft.core.Materialize.pin(nodesRaw.groupBy(col(idCol))
       .agg(max_by(struct(col(vecCol).as("v"), col("__epoch").as("e")),
         struct(col("__epoch"), col(vecCol))).as("__s"))
-      .select(col(idCol), col("__s.v").as(vecCol), col("__s.e").as("epoch"))
+      .select(col(idCol), col("__s.v").as(vecCol), col("__s.e").as("epoch")))
     EtlCli.writeTable(
       latestNodes
         .withColumn("bucket", Similarity.signLshBucketCol(col(vecCol), coarse))
@@ -1166,20 +1298,190 @@ object CorpusStreams {
         "neighborhood epochs (a half-committed bootstrap) — replay the " +
         "crashed commit (extend-knn-graph / restart the sink) before " +
         "compacting")
-    val coveredE = edgeEpochs.max
-    val edgesRaw = EtlCli.readEpochTableTagged(spark, edgesP)
-      .filter(col("__epoch") <= coveredE)
+    val coveredE = math.max(edgeEpochs.max, prevE.getOrElse(Long.MinValue))
+    val rawEdges = EtlCli.readEpochTableTagged(spark, edgesP)
+      .filter(col("__epoch") <= coveredE &&
+        col("__epoch") > prevE.getOrElse(Long.MinValue))
+    val edgesRaw = prevE.fold(rawEdges)(_ => rawEdges.unionByName(
+      EtlCli.readTable(spark, graphEdgesOptPath(graphPath))
+        .drop("covered_epoch").withColumnRenamed("epoch", "__epoch"),
+      allowMissingColumns = true))
     val w = Window.partitionBy(col(idCol))
-    val latestEdges = edgesRaw
+    val latestEdges0 = edgesRaw
       .withColumn("__m", max(col("__epoch")).over(w))
       .filter(col("__epoch") === col("__m")).drop("__m")
       .withColumnRenamed("__epoch", "epoch")
       .withColumn("covered_epoch", lit(coveredE))
+    // Legacy-graph repair: edge epochs committed before the bucket
+    // columns existed carry null nid_bucket/src_bucket (the union pads
+    // them). Recompute from the folded nodes' latest vectors — src_bucket
+    // by the layout invariant (a hood lives under its source's
+    // current-vector bucket; a fold row whose source re-ingested after
+    // coveredE is superseded through the raw tail, so the coveredN-fresh
+    // bucket is safe), nid_bucket as a fresh hint (hints tolerate
+    // staleness by the documented monitor contract; fresher-than-stored
+    // only narrows the accepted class). Gated on nulls actually existing
+    // so a modern graph's compaction pays one column-pruned existence
+    // probe, never the two corpus joins.
+    val latestEdges = {
+      val ensured = Seq("nid_bucket", "src_bucket").foldLeft(latestEdges0)(
+        (d, c) => if (d.columns.contains(c)) d
+                  else d.withColumn(c, lit(null).cast("long")))
+      val hasLegacy = !ensured
+        .filter(col("src_bucket").isNull || col("nid_bucket").isNull)
+        .isEmpty
+      if (!hasLegacy) ensured
+      else {
+        val nb = latestNodes.select(col(idCol),
+          Similarity.signLshBucketCol(col(vecCol), coarse).as("__b"))
+        ensured
+          .join(nb.select(col(idCol), col("__b").as("__sb")), Seq(idCol), "left")
+          .join(nb.select(col(idCol).as("nid"), col("__b").as("__nb")),
+            Seq("nid"), "left")
+          .withColumn("src_bucket",
+            coalesce(col("src_bucket"), col("__sb")).cast("long"))
+          .withColumn("nid_bucket",
+            coalesce(col("nid_bucket"), col("__nb")).cast("long"))
+          .drop("__sb", "__nb")
+          .select(ensured.columns.map(col): _*)
+      }
+    }
     EtlCli.writeTable(latestEdges, graphEdgesOptPath(graphPath),
       partitionBy = Seq("src_bucket"))
+    // Re-choose the seen-ids sidecar width from the ACTUAL corpus and
+    // fold the whole filter into one covers_through entry: the bootstrap
+    // estimate ages as the graph grows, and a saturated filter silently
+    // costs the full lookup every batch. The fold shares the coveredN
+    // epoch slot with the original partial (other-width rows kept) so no
+    // width loses coverage; partials <= coveredN become redundant at the
+    // new width and are vacuum fodder, not correctness state. ids never
+    // leave the corpus (re-ingest supersedes in place), so the distinct
+    // ids through coveredN are exactly latestNodes'.
+    val seenW = graphSeenIdsBitsFor(latestNodes.count())
+    val seenFold = graft.operators.Sketches.bloomBuild(
+        latestNodes.select(col(idCol)), col(idCol).cast("string"),
+        seenW, GraphSeenIdsHashes)
+      .withColumn("m_bits", lit(seenW.toLong))
+      .withColumn("covers_through", lit(coveredN))
+    val seenKeep = scala.util.Try(
+        EtlCli.readTable(spark, s"${graphSeenIdsPath(graphPath)}/epoch=$coveredN"))
+      .toOption.map { t =>
+        val tc = if (t.columns.contains("covers_through")) t
+                 else t.withColumn("covers_through", lit(null).cast("long"))
+        tc.select(col("word"), col("bits"), col("m_bits").cast("long"),
+            col("covers_through").cast("long"))
+          .filter(col("m_bits") =!= lit(seenW.toLong))
+      }
+    EtlCli.appendEpoch(seenKeep.fold(seenFold)(seenFold.unionByName(_)),
+      graphSeenIdsPath(graphPath), coveredN)
     println(s"graph at $graphPath compacted: nodes_opt through epoch " +
       s"$coveredN (bucket granularity $coarse bits), graph_opt through " +
-      s"epoch $coveredE")
+      s"epoch $coveredE, seen-ids folded at $seenW bits")
+  }
+
+  /** Reclaim the graph's fold-covered raw epochs — the move that stops
+    * nodes/ and graph/ growing forever (daily batches at corpus scale
+    * compound listing and storage cost without bound; the folds already
+    * hold the latest state, the raw tail exists only for replays and the
+    * next incremental fold).
+    *
+    * Deletes raw epochs <= V where V = min(nodes fold covered, edges
+    * fold covered, seen-ids fold covers_through, the replay fencepost).
+    * The fencepost is the streaming checkpoint's max committed batch when
+    * `checkpointDir` is given (the stream can replay any batch after its
+    * committed offset, and a replay whose epoch a fold already covers
+    * reads the RAW tail — per-table gating in graphStateReaders — so
+    * nothing at or below a possible replay's view may go); for a
+    * CLI-maintained graph (no checkpoint) every fully-committed epoch is
+    * final — the CLI only ever replays a half-committed max epoch, which
+    * is refused below. A STREAMING graph's owner must pass the
+    * checkpoint; vacuuming one without it forfeits exactly the replay
+    * the checkpoint would have demanded.
+    *
+    * Refusals (matching the vacuumVersions posture — refuse, never guess):
+    * no fold / no folded sidecar -> compact first; half-committed max
+    * epoch -> replay it first; a fold covering PAST the fencepost -> let
+    * the stream commit first (a replay between them needs the raw tail).
+    * Returns bytes reclaimed. Idempotent; a crash mid-delete just leaves
+    * fewer epochs for the next run. */
+  def vacuumKnnGraph(spark: org.apache.spark.sql.SparkSession,
+                     graphPath: String,
+                     checkpointDir: Option[String] = None): Long = {
+    val nodesP = graphNodesPath(graphPath)
+    val edgesP = graphEdgesPath(graphPath)
+    val seenP = graphSeenIdsPath(graphPath)
+    val (prevN, prevE) = knnGraphFoldCovered(spark, graphPath)
+    val coveredN = prevN.getOrElse(sys.error(s"graph at $graphPath has " +
+      "no nodes fold — run compact-knn-graph first; vacuum reclaims only " +
+      "fold-covered epochs"))
+    val coveredE = prevE.getOrElse(sys.error(s"graph at $graphPath has " +
+      "no edges fold — run compact-knn-graph first"))
+    val seenEntries: Seq[(Long, Option[Long])] = scala.util.Try {
+      val t0 = EtlCli.readEpochTableTagged(spark, seenP)
+      val t = if (t0.columns.contains("covers_through")) t0
+              else t0.withColumn("covers_through", lit(null).cast("long"))
+      t.select(col("__epoch"), col("covers_through").cast("long"))
+        .distinct().collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    }.getOrElse(Seq.empty)
+    val seenCover = seenEntries.flatMap(_._2).maxOption.getOrElse(
+      sys.error(s"graph at $graphPath has no folded seen-ids sidecar — " +
+        "re-run compact-knn-graph (an older fold predates the sidecar " +
+        "fold); vacuuming the partials without it would blind the " +
+        "superseded-copy fast path"))
+    // a half-committed max epoch is the one epoch the CLI itself replays
+    EtlCli.committedEpochs(spark, nodesP).maxOption.foreach { n =>
+      val graphDone =
+        EtlCli.committedEpochs(spark, edgesP).contains(n) || coveredE >= n
+      val idDone = scala.util.Try(
+        EtlCli.readTable(spark, graphIdentityPath(graphPath))
+          .select(col("last_epoch").cast("long"))
+          .collect().headOption.exists(_.getLong(0) >= n)).getOrElse(false)
+      require(graphDone && idDone, s"epoch $n at $graphPath is " +
+        "half-committed — replay it (extend-knn-graph / restart the " +
+        "sink) before vacuuming: the replay reads the raw tail this " +
+        "vacuum deletes")
+    }
+    val fencepost: Long = checkpointDir match {
+      case Some(d) =>
+        val commits = new org.apache.hadoop.fs.Path(s"$d/commits")
+        val f = commits.getFileSystem(spark.sessionState.newHadoopConf())
+        val ids =
+          if (!f.exists(commits)) Seq.empty
+          else f.listStatus(commits).toSeq.map(_.getPath.getName)
+            .flatMap(_.toLongOption)
+        ids.maxOption.getOrElse(sys.error(s"checkpoint at $d has no " +
+          "committed batch — nothing is provably beyond replay yet"))
+      case None =>
+        math.max(
+          EtlCli.committedEpochs(spark, nodesP).maxOption
+            .getOrElse(Long.MinValue),
+          math.max(coveredN, coveredE))
+    }
+    require(coveredN <= fencepost && coveredE <= fencepost &&
+      seenCover <= fencepost,
+      s"a fold at $graphPath covers past the replay fencepost $fencepost " +
+        "— a replayed batch between them must read the raw tail this " +
+        "vacuum deletes; let the stream commit (or pass its checkpoint)")
+    val v = Seq(coveredN, coveredE, seenCover, fencepost).min
+    def reclaim(path: String, keep: Long => Boolean): Long =
+      EtlCli.committedEpochs(spark, path).filter(e => e <= v && !keep(e))
+        .map { e =>
+          val p = new org.apache.hadoop.fs.Path(s"$path/epoch=$e")
+          val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+          val bytes = f.getContentSummary(p).getLength
+          f.delete(p, true)
+          bytes
+        }.sum
+    // the sidecar slot holding the CURRENT fold survives whatever its
+    // epoch number; superseded folds and covered partials go
+    val freed = reclaim(nodesP, _ => false) + reclaim(edgesP, _ => false) +
+      reclaim(seenP, e => seenEntries.exists(en =>
+        en._1 == e && en._2.contains(seenCover)))
+    println(s"graph at $graphPath vacuumed through epoch $v: " +
+      s"$freed bytes reclaimed")
+    freed
   }
 
   /** PRUNED committed-state readers for one epoch commit: the
@@ -1202,9 +1504,22 @@ object CorpusStreams {
         t.select((col("covered_epoch").cast("long") +: extra.map(c =>
           col(c).cast("long"))): _*).limit(1).collect().headOption.map(t -> _)
       }.toOption.flatten
+    // null partition values are KEPT under any filter: a legacy fold row
+    // whose bucket could not be recomputed must degrade to "read it"
+    // (superset semantics), never to "silently dropped" — isin(null) is
+    // null, which filter() would drop
     def pruned(df: DataFrame, c: String, f: Option[Seq[Long]]): DataFrame =
       f.fold(df)(vs =>
-        if (vs.isEmpty) df.limit(0) else df.filter(col(c).isin(vs: _*)))
+        if (vs.isEmpty) df.filter(col(c).isNull)
+        else df.filter(col(c).isNull || col(c).isin(vs: _*)))
+    // the raw tail may be EMPTY once vacuum-knn-graph has reclaimed every
+    // fold-covered epoch — an empty log is then complete state, not an
+    // error, and the fold alone serves the read (schema borrowed from the
+    // fold frame). The foldless fallbacks still require raw epochs: a
+    // graph with neither is simply not committed.
+    def tailOr(path: String, shape: DataFrame)(read: => DataFrame): DataFrame =
+      if (EtlCli.committedEpochs(spark, path).isEmpty) shape.limit(0)
+      else read
     GraphStateReaders(
       nodes = (bucketF, idHashF) =>
         fold(graphNodesOptPath(graphPath), Seq("id_hash_buckets")) match {
@@ -1214,9 +1529,10 @@ object CorpusStreams {
                 "id_bucket", if (idHashOk) idHashF else None)
               .drop("bucket", "id_bucket", "covered_epoch", "id_hash_buckets")
               .withColumnRenamed("epoch", "__epoch")
-            opt.unionByName(
+            opt.unionByName(tailOr(graphNodesPath(graphPath), opt) {
               nodesRawBefore(spark, graphPath, before)
-                .filter(col("__epoch") > r.getLong(0)))
+                .filter(col("__epoch") > r.getLong(0))
+            })
           case _ => nodesRawBefore(spark, graphPath, before)
         },
       edges = srcBucketF =>
@@ -1225,15 +1541,33 @@ object CorpusStreams {
             val opt = pruned(t, "src_bucket", srcBucketF)
               .drop("covered_epoch")
               .withColumnRenamed("epoch", "__epoch")
-            opt.unionByName(
+            opt.unionByName(tailOr(graphEdgesPath(graphPath), opt) {
               EtlCli.readEpochTableTagged(spark, graphEdgesPath(graphPath))
                 .filter(col("__epoch") > r.getLong(0) &&
-                  col("__epoch") < before))
+                  col("__epoch") < before)
+            })
           case _ =>
             EtlCli.readEpochTableTagged(spark, graphEdgesPath(graphPath))
               .filter(col("__epoch") < before)
         })
   }
+
+  /** covered_epoch of a graph fold table, None when the fold does not
+    * exist yet (one-row probe — the value rides every row). */
+  private def foldCovered(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Option[Long] =
+    scala.util.Try(EtlCli.readTable(spark, path)
+      .select(col("covered_epoch").cast("long")).limit(1).collect()
+      .headOption.map(_.getLong(0))).toOption.flatten
+
+  /** (nodes fold covered, edges fold covered) — the epoch bookkeeping a
+    * caller needs to reason about a possibly-vacuumed graph (the raw max
+    * alone under-counts once epochs are reclaimed). */
+  private[graft] def knnGraphFoldCovered(
+      spark: org.apache.spark.sql.SparkSession,
+      graphPath: String): (Option[Long], Option[Long]) =
+    (foldCovered(spark, graphNodesOptPath(graphPath)),
+      foldCovered(spark, graphEdgesOptPath(graphPath)))
 
   /** The committed live view of an incrementally-maintained k-NN graph:
     * each node's neighborhood from the LAST epoch that touched it
@@ -1243,10 +1577,12 @@ object CorpusStreams {
     * consumer read and is exactly what [[knnGraphReadOptimize]] folds
     * away on the compaction cadence; the SINK never calls it (per-batch
     * state is read raw and deduped only after broadcast-bounded
-    * filters). */
+    * filters). Reads fold ∪ raw tail (equivalent to the whole raw log
+    * while it exists, and the only complete view after vacuum-knn-graph
+    * reclaims fold-covered epochs). */
   def readKnnGraph(spark: org.apache.spark.sql.SparkSession,
                    graphPath: String, idCol: String = "vec_id"): DataFrame = {
-    val t = EtlCli.readEpochTableTagged(spark, graphEdgesPath(graphPath))
+    val t = graphStateReaders(spark, graphPath, Long.MaxValue).edges(None)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     t.withColumn("__m", max(col("__epoch")).over(w))
       .filter(col("__epoch") === col("__m"))
@@ -1266,10 +1602,10 @@ object CorpusStreams {
     * write-then-compact split as binaryIvfReadOptimize. */
   def knnGraphReadOptimize(spark: org.apache.spark.sql.SparkSession,
                            graphPath: String, outPath: String): Unit = {
-    val sample = EtlCli.readEpochTable(spark, graphEdgesPath(graphPath))
+    val sample = graphStateReaders(spark, graphPath, Long.MaxValue).edges(None)
     val idCol = sample.columns
       .filterNot(Set("nid", "cosine", "rank", "nid_bucket", "src_bucket",
-        "epoch")).headOption
+        "epoch", "__epoch")).headOption
       .getOrElse(sys.error(s"graph at $graphPath has no id column " +
         s"(columns: ${sample.columns.mkString(", ")})"))
     EtlCli.writeTable(
@@ -1296,16 +1632,16 @@ object CorpusStreams {
                           nQueries: Int = 16): DataFrame = {
     import graft.operators.Similarity
     require(nQueries >= 1, s"need at least one probe query, got $nQueries")
-    val edgeEpochs = EtlCli.committedEpochs(spark, graphEdgesPath(graphPath))
-    require(edgeEpochs.nonEmpty,
-      s"no committed graph at $graphPath — nothing to probe")
-    val probeEpoch = edgeEpochs.max
+    // fold-aware max: the raw tail alone under-counts on a vacuumed graph
+    val probeEpoch = (EtlCli.committedEpochs(spark, graphEdgesPath(graphPath))
+        ++ knnGraphFoldCovered(spark, graphPath)._2).maxOption
+      .getOrElse(sys.error(s"no committed graph at $graphPath — nothing to probe"))
     val kk = EtlCli.readTable(spark, graphIdentityPath(graphPath))
       .select(col("k").cast("int")).collect().headOption
       .getOrElse(sys.error(s"graph at $graphPath has no identity row — " +
         "let a commit finish before probing"))
       .getInt(0)
-    val raw = EtlCli.readEpochTableTagged(spark, graphNodesPath(graphPath))
+    val raw = graphStateReaders(spark, graphPath, Long.MaxValue).nodes(None, None)
     val Array(idCol, vecCol) = raw.columns.filterNot(_ == "__epoch")
     val corpus = graft.core.Materialize.pin(raw.groupBy(col(idCol))
       .agg(max_by(col(vecCol), struct(col("__epoch"), col(vecCol)))
@@ -1383,7 +1719,16 @@ object CorpusStreams {
     * Replay safety: every epoch recomputes from `epochs < batchId` only,
     * so a redelivered batch re-appends byte-identical content, and the
     * identity row's `last_epoch` fencepost keeps the XOR fold from
-    * double-applying. */
+    * double-applying.
+    *
+    * Storage runbook: `compactEvery` keeps the raw TAIL short (pruned
+    * reads), but the raw logs themselves only shrink when
+    * `vacuum-knn-graph <graphPath> <checkpointDir>` reclaims the
+    * fold-covered epochs behind this sink's committed checkpoint batch —
+    * run it on the compaction cadence (never more often than a fold
+    * lands) and ALWAYS pass this sink's checkpoint dir; without it the
+    * vacuum assumes CLI-only maintenance and may delete raw epochs a
+    * pending stream replay still needs. */
   def knnGraphSink(incoming: DataFrame, idCol: String, vecCol: String,
                    graphPath: String, checkpointDir: String, k: Int,
                    rounds: Int = 2, nBits: Int = 8,
@@ -1430,6 +1775,14 @@ object CorpusStreams {
     val prior = scala.util.Try(
       EtlCli.committedEpochs(spark, graphNodesPath(graphPath))
         .filter(_ < batchId)).getOrElse(Seq.empty)
+    // bootstrap = NOTHING committed, not "no raw epochs": after
+    // vacuum-knn-graph reclaims every fold-covered epoch the raw tail is
+    // legitimately empty while the graph lives on in the folds — the
+    // identity row (committed by every bootstrap before any vacuum can
+    // run) is the discriminator
+    val bootstrap = prior.isEmpty && !scala.util.Try(
+      EtlCli.readTable(spark, graphIdentityPath(graphPath))
+        .limit(1).collect().nonEmpty).getOrElse(false)
     val readers = readersWrap(graphStateReaders(spark, graphPath, batchId))
     val coarse = Similarity.nnDescentCoarseBits(nBits)
     // the ring formula is BOOTSTRAP-FIXED identity: once the identity row
@@ -1444,11 +1797,50 @@ object CorpusStreams {
         else Some(1) // pre-versioning identity rows committed under v1
       }.toOption.flatten
     val ring = storedRing.getOrElse(ringVersion)
+    // --- superseded-copy lookup, SHARED by the extension's hood filter
+    // and the identity fold (one id-hash-pruned point read serves both,
+    // so the hood-coverage fix costs zero extra I/O). seen-ids fast
+    // path: ids the bloom definitely never saw have no committed copy —
+    // an append-mostly batch skips the lookup entirely. Runs before the
+    // epoch append so a replay recomputes the identical hoods.
+    val (seenWidth, seenWords) = seenIdsState(spark, graphPath, idCol,
+      prior, batchId, bootstrap, batch.count())
+    val maybeKnown = graft.core.Materialize.pin(seenWords match {
+      case Some(ws) => batch.filter(graft.operators.Sketches.bloomHit(
+        col(idCol).cast("string"), ws, seenWidth,
+        GraphSeenIdsHashes) === 1)
+      case None => batch
+    })
+    // the lookup prunes to the possibly-known ids' hash partitions when
+    // the read-optimized layout exists (a point lookup, never a corpus
+    // scan)
+    val batchIdHashes = maybeKnown.select(
+        Similarity.GraphStateReaders.idHash(col(idCol)).as("hb"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    // latest COMMITTED copy per re-ingested batch id: broadcast-filter
+    // the pruned node read (map-only), THEN dedupe the bounded remainder
+    // — never a corpus-wide groupBy per batch
+    val oldCopies: Option[DataFrame] =
+      if (bootstrap || batchIdHashes.isEmpty) None
+      else Some(graft.core.Materialize.pin(
+        readers.nodes(None, Some(batchIdHashes))
+          .join(broadcast(maybeKnown.select(col(idCol))), Seq(idCol))
+          .groupBy(col(idCol))
+          .agg(max_by(col(vecCol), struct(col("__epoch"), col(vecCol)))
+            .as(vecCol))))
+    // the PRE-BATCH current buckets of the batch's re-ingests: a moved
+    // vector's committed hood still lives under the old bucket — the
+    // extension's hood lookup must cover it (see nnDescentExtend's
+    // extraHoodBuckets). Bounded driver artifact (<= re-ingested ids).
+    val extraHoodBuckets: Seq[Long] = oldCopies.map(
+        _.select(Similarity.signLshBucketCol(col(vecCol), coarse).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq.sorted)
+      .getOrElse(Nil)
     // bootstrap epochs carry nid_bucket/src_bucket too (each endpoint's
     // coarse bucket), so every edge epoch shares ONE schema and the
     // extension's pruning hints work whatever epoch an edge came from
     val hoods = graft.core.Materialize.pin(
-      if (prior.isEmpty)
+      if (bootstrap)
         Similarity.nnDescentGraph(batch, idCol, vecCol, k, rounds, nBits,
           ring)
           .join(batch.select(col(idCol).as("nid"),
@@ -1460,24 +1852,25 @@ object CorpusStreams {
           .select(col(idCol), col("nid"), col("cosine"), col("rank"),
             col("nid_bucket"), col("src_bucket"))
       else
-        Similarity.nnDescentExtend(readers, batch, idCol, vecCol, k, nBits))
+        Similarity.nnDescentExtend(readers, batch, idCol, vecCol, k, nBits,
+          extraHoodBuckets))
     EtlCli.appendEpoch(batch, graphNodesPath(graphPath), batchId)
     EtlCli.appendEpoch(hoods, graphEdgesPath(graphPath), batchId)
     // Both sub-logs read latest-epoch-wins (graph/: one neighborhood per
     // node; nodes/: one copy per re-ingested id) — the GENERIC epoch
     // fold erases the per-row provenance that ordering needs, so plant
-    // the refusal marker compactEpochs honors. The graph's blessed fold
-    // is read-optimize-knn-graph; the logs themselves stay append-only
-    // for the graph's life (a rebuild resets them wholesale).
+    // the refusal marker compactEpochs honors. The graph's blessed
+    // maintenance is compact-knn-graph (sink layouts, incremental) +
+    // vacuum-knn-graph (reclaims fold-covered epochs behind the replay
+    // fencepost); a rebuild (knn-graph) resets the logs wholesale.
     EtlCli.markCompactionUnsafe(spark, graphEdgesPath(graphPath),
       "latest-epoch-wins neighborhoods; folding epochs would keep " +
         "superseded copies in every read — compact with " +
-        "read-optimize-knn-graph instead")
+        "compact-knn-graph, reclaim with vacuum-knn-graph")
     EtlCli.markCompactionUnsafe(spark, graphNodesPath(graphPath),
       "latest-epoch-wins node copies (re-ingest supersedes); folding " +
-        "epochs would let a stale vector win the dedupe tiebreak — the " +
-        "log stays append-only for the graph's life, a rebuild " +
-        "(knn-graph) resets it")
+        "epochs would let a stale vector win the dedupe tiebreak — " +
+        "compact with compact-knn-graph, reclaim with vacuum-knn-graph")
     // identity: prev XOR fold(batch view) XOR fold(old copies the
     // batch superseded) — O(batch), exactly corpusIdentity of the
     // post-batch one-copy-per-id view because XOR composes over the
@@ -1488,50 +1881,9 @@ object CorpusStreams {
         .collect().headOption).toOption.flatten
     if (!cur.exists(_.getLong(1) >= batchId)) {
       val prev = cur.map(_.getLong(0)).getOrElse(0L)
-      // old copies the batch superseded: broadcast-filter the raw
-      // epochs to the batch's ids (map-only), THEN dedupe the bounded
-      // remainder — never a corpus-wide groupBy per batch
-      // seen-ids fast path: ids the bloom definitely never saw have no
-      // superseded copy — an append-mostly batch skips the lookup
-      // entirely. A partial log at a foreign width (or none) degrades to
-      // probing every batch id, never to a missed membership.
-      val seen: Option[Array[Long]] = {
-        val eps = scala.util.Try(
-          EtlCli.committedEpochs(spark, graphSeenIdsPath(graphPath))
-            .filter(_ < batchId)).getOrElse(Seq.empty)
-        if (eps.isEmpty) { if (prior.isEmpty) Some(new Array[Long](GraphSeenIdsBits / 62)) else None }
-        else {
-          val t = EtlCli.readEpochTableTagged(spark, graphSeenIdsPath(graphPath))
-            .filter(col("__epoch") < batchId)
-          val widths = t.select(col("m_bits").cast("long")).distinct()
-            .collect().map(_.getLong(0)).toSeq
-          if (widths != Seq(GraphSeenIdsBits.toLong)) None
-          else Some(graft.operators.Sketches.bloomWords(
-            t.groupBy(col("word")).agg(expr("bit_or(bits)").as("bits")),
-            GraphSeenIdsBits))
-        }
-      }
-      val maybeKnown = graft.core.Materialize.pin(seen match {
-        case Some(ws) => batch.filter(graft.operators.Sketches.bloomHit(
-          col(idCol).cast("string"), ws, GraphSeenIdsBits,
-          GraphSeenIdsHashes) === 1)
-        case None => batch
-      })
-      // the lookup prunes to the possibly-known ids' hash partitions when
-      // the read-optimized layout exists (a point lookup, never a corpus
-      // scan)
-      val batchIdHashes = maybeKnown.select(
-          Similarity.GraphStateReaders.idHash(col(idCol)).as("hb"))
-        .distinct().collect().map(_.getLong(0)).toSeq.sorted
-      val superseded =
-        if (prior.isEmpty || batchIdHashes.isEmpty) 0L
-        else Similarity.corpusIdentity(
-          readers.nodes(None, Some(batchIdHashes))
-            .join(broadcast(maybeKnown.select(col(idCol))), Seq(idCol))
-            .groupBy(col(idCol))
-            .agg(max_by(col(vecCol), struct(col("__epoch"), col(vecCol)))
-              .as(vecCol)),
-          idCol, vecCol)
+      val superseded = oldCopies
+        .map(oc => Similarity.corpusIdentity(oc, idCol, vecCol))
+        .getOrElse(0L)
       val next = prev ^ Similarity.corpusIdentity(batch, idCol, vecCol) ^
         superseded
       import spark.implicits._
@@ -1540,12 +1892,24 @@ object CorpusStreams {
           .toDF("corpus_id", "last_epoch", "k", "n_bits", "ring_version"),
         graphIdentityPath(graphPath))
     }
-    // the batch's seen-ids bloom partial — idempotent epoch replace, so a
-    // replay rewrites identical bits
-    EtlCli.appendEpoch(
-      graft.operators.Sketches.bloomBuild(batch, col(idCol).cast("string"),
-          GraphSeenIdsBits, GraphSeenIdsHashes)
-        .withColumn("m_bits", lit(GraphSeenIdsBits)),
+    // the batch's seen-ids bloom partial, at the reader-established width
+    // — an epoch replace, so a replay rewrites identical bits (or, after
+    // an intervening width change, re-establishes the epoch at the NEW
+    // width, whose fold already covers it — seenIdsState's coverage
+    // check keeps every consumer exact either way). FOLD rows sharing the
+    // slot are preserved: knnGraphCompact writes its fold at the covered
+    // max epoch, and a replay of exactly that epoch must not destroy it.
+    val seenPart = graft.operators.Sketches.bloomBuild(batch,
+        col(idCol).cast("string"), seenWidth, GraphSeenIdsHashes)
+      .withColumn("m_bits", lit(seenWidth.toLong))
+      .withColumn("covers_through", lit(null).cast("long"))
+    val seenKeep = scala.util.Try(EtlCli.readTable(spark,
+        s"${graphSeenIdsPath(graphPath)}/epoch=$batchId")).toOption
+      .filter(_.columns.contains("covers_through"))
+      .map(_.select(col("word"), col("bits"), col("m_bits").cast("long"),
+          col("covers_through").cast("long"))
+        .filter(col("covers_through").isNotNull))
+    EtlCli.appendEpoch(seenKeep.fold(seenPart)(seenPart.unionByName(_)),
       graphSeenIdsPath(graphPath), batchId)
     // quality trend: one bounded row per epoch (exact-integer mean,
     // replay-identical). A falling mean_cosine across epochs is the
@@ -1569,7 +1933,7 @@ object CorpusStreams {
       .collect().map(_.getLong(0)).toSeq.sorted
     val occView = graft.core.Materialize.pin({
       val base = batch.select(col(idCol), col(vecCol))
-      if (prior.isEmpty) base
+      if (bootstrap) base
       else base.unionByName(
         readers.nodes(Some(batchCoarse), None)
           .select(col(idCol), col(vecCol)))

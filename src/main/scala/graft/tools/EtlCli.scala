@@ -153,6 +153,11 @@ object EtlCli {
       println(s"k-NN graph compacted to the stamped flat layout at $outPath")
     case Seq("compact-knn-graph", graphPath) =>
       graft.streaming.CorpusStreams.knnGraphCompact(spark, graphPath)
+    case Seq("vacuum-knn-graph", graphPath) =>
+      graft.streaming.CorpusStreams.vacuumKnnGraph(spark, graphPath)
+    case Seq("vacuum-knn-graph", graphPath, checkpointDir) =>
+      graft.streaming.CorpusStreams.vacuumKnnGraph(spark, graphPath,
+        Some(checkpointDir))
     case Seq("check-graph-quality", graphPath) =>
       checkGraphQuality(spark, graphPath)
     case Seq("check-graph-quality", graphPath, minRatio) =>
@@ -199,7 +204,8 @@ object EtlCli {
         s"vacuum|diff|verify-export|sweep-lsh|sweep-binary|sweep-binary-ivf|" +
         s"check-drift|retrain-binary-ivf|retrain-ivfpq|sweep-ivfpq|" +
         s"split-hot-cells|read-optimize-binary-ivf|read-optimize-ivfpq|" +
-        s"knn-graph ... " +
+        s"knn-graph|extend-knn-graph|compact-knn-graph|vacuum-knn-graph|" +
+        s"probe-graph-recall|check-graph-quality ... " +
         s"(got $other)")
   }
 
@@ -645,12 +651,29 @@ object EtlCli {
       live.select(col(idCol), col(vecCol)),
       queries, idCol, vecCol, dims, cent, lex, exactArm,
       nProbes, shortlists, armK, kRrf, topK)
+    // lexical-arm provenance: the frontier was measured under ONE fixed
+    // lex arm while production requests vary theirs — record the arm's
+    // identity (order-independent fold over its ranked rows) and terms
+    // so a reader can tell WHICH arm calibrated the committed pick.
+    // Measured sensitivity (SimilaritySpec "lexical-arm sensitivity"):
+    // across three disjoint term sets the per-grid-point fused recall
+    // moved at most 0.07 — the dense knobs the sweep calibrates barely
+    // feel the lexical fixture (RRF's rank-only fusion bounds any one
+    // arm's pull), so the committed pick transfers to production's
+    // varying arms; the stamp exists for provenance and drift forensics,
+    // not as a refusal key.
+    val lexId = lex.agg(coalesce(expr(
+        "bit_xor(xxhash64(concat(cast(doc_id as string), ':', " +
+          "cast(rank as string))))"), lit(0L)))
+      .collect().head.getLong(0)
     writeTable(sweep
       .withColumn("quantizer_id",
         lit(graft.operators.Similarity.quantizerIdentity(cent)))
       .withColumn("arm_k", lit(armK))
       .withColumn("k_rrf", lit(kRrf))
-      .withColumn("top_k", lit(topK)), outTable)
+      .withColumn("top_k", lit(topK))
+      .withColumn("lex_id", lit(lexId))
+      .withColumn("lex_terms", lit(terms.mkString(","))), outTable)
     readTable(spark, outTable)
   }
 
@@ -758,10 +781,18 @@ object EtlCli {
     // commit body recomputes from strictly-earlier state (the streaming
     // sink's checkpoint-replay semantics) and idempotently replaces the
     // crashed appends.
-    val next = committedEpochs(spark, s"$graphPath/nodes").maxOption match {
+    // fold-aware max: after vacuum-knn-graph the raw tail may start past
+    // (or be empty at) the folds' covered epochs — the next epoch must
+    // never collide with a reclaimed one
+    val (foldN, foldE) = graft.streaming.CorpusStreams
+      .knnGraphFoldCovered(spark, graphPath)
+    val next = (committedEpochs(spark, s"$graphPath/nodes").maxOption
+        ++ foldN).maxOption match {
       case None => 0L
       case Some(n) =>
-        val graphDone = committedEpochs(spark, s"$graphPath/graph").contains(n)
+        val graphDone =
+          committedEpochs(spark, s"$graphPath/graph").contains(n) ||
+            foldE.exists(_ >= n)
         val idDone = scala.util.Try(readTable(spark, s"$graphPath/identity")
             .select(col("last_epoch").cast("long"))
             .collect().headOption.exists(_.getLong(0) >= n))
@@ -1561,10 +1592,18 @@ object EtlCli {
       (e, s"$p/data_v${committedVersion(spark, p).get}")
     }
     if (dirs.isEmpty) sys.error(s"no committed epochs at $path — nothing ingested yet")
+    // allowMissingColumns: epoch logs evolve (the graph's edge log grew
+    // nid_bucket/src_bucket mid-life) and a log is immutable history — a
+    // strict union would make every read of a pre-evolution table throw
+    // the moment one new-schema epoch lands, bricking the incremental
+    // path for exactly the graphs that predate the upgrade. Rows from
+    // pre-evolution epochs carry null in the new columns; every consumer
+    // of an evolved column treats null as "absent" (the pruning hints'
+    // unpruned fallback, the compactor's recompute-from-nodes fill).
     dirs.map { case (e, d) =>
       spark.read.format(sniffFormat(spark, d)).load(d)
         .withColumn("__epoch", lit(e))
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Fold every visible epoch (plus any prior compaction) of the table at

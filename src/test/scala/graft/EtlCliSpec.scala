@@ -623,11 +623,11 @@ class EtlCliSpec extends SparkSpec {
     val exC = intercept[RuntimeException] {
       graft.tools.EtlCli.compactEpochs(spark, s"$root/g/graph")
     }
-    assert(exC.getMessage.contains("read-optimize-knn-graph"), exC.getMessage)
+    assert(exC.getMessage.contains("compact-knn-graph"), exC.getMessage)
     val exN = intercept[RuntimeException] {
       graft.tools.EtlCli.compactEpochs(spark, s"$root/g/nodes")
     }
-    assert(exN.getMessage.contains("append-only"), exN.getMessage)
+    assert(exN.getMessage.contains("vacuum-knn-graph"), exN.getMessage)
   }
 
   test("check-graph-quality: steady trend prints all-clear; a collapsed epoch alarms naming the rebuild") {

@@ -1043,4 +1043,102 @@ class GrowthSpec extends SparkSpec {
     assert(m4scaled <= (2.5 * m1).toLong + 10,
       s"scaled bits failed to hold the window bound: $m1 -> $m4scaled")
   }
+
+  test("(t) vacuum-knn-graph: reclaimed bytes track the corpus while the surviving raw tail stays batch-sized — the raw log's growth is bounded by the compaction cadence, not the graph's lifetime") {
+    import graft.streaming.CorpusStreams
+    import graft.tools.EtlCli
+    val baseEmb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .transform(graft.core.Materialize.pin)
+    def embAt(copies: Int): DataFrame =
+      (0 until copies).map(i => baseEmb.select(
+        (col("vec_id") + lit(i * Stride)).as("vec_id"),
+        transform(col("embedding"),
+          x => x + lit(i * 0.37f) * signum(x)).as("embedding")))
+        .reduce(_ unionAll _)
+        .transform(graft.core.Materialize.pin)
+    val batch = baseEmb.filter(col("vec_id") < 8)
+      .select((col("vec_id") + lit(777 * Stride)).as("vec_id"),
+        col("embedding"))
+      .transform(graft.core.Materialize.pin)
+    def dirBytes(path: String): Long = {
+      val f = new java.io.File(path)
+      if (!f.exists) 0L
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(f.toPath).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+      }
+    }
+    val root = java.nio.file.Files.createTempDirectory("knn_vac_bytes")
+    def measure(copies: Int): (Long, Long) = {
+      val corpus = embAt(copies)
+      val bits = graft.operators.Similarity.nnDescentNBits(corpus.count())
+      val gp = s"$root/g$copies"
+      CorpusStreams.knnGraphCommitBatch(corpus, 0L, gp, "vec_id",
+        "embedding", k = 5, rounds = 1, nBits = bits)
+      EtlCli.run(spark, Seq("compact-knn-graph", gp)) // folds cover 0
+      CorpusStreams.knnGraphCommitBatch(batch, 1L, gp, "vec_id",
+        "embedding", k = 5, rounds = 1, nBits = bits) // the tail
+      val freed = CorpusStreams.vacuumKnnGraph(spark, gp)
+      val residual = dirBytes(s"$gp/nodes") + dirBytes(s"$gp/graph")
+      (freed, residual)
+    }
+    val (f1, r1) = measure(1)
+    val (f4, r4) = measure(4)
+    info(s"1x corpus: reclaimed $f1 B, residual tail $r1 B; " +
+      s"4x: reclaimed $f4 B, residual tail $r4 B")
+    assert(f1 > 0 && f4 > 0, "vacuum reclaimed nothing")
+    // the reclaimed bill tracks the corpus (the unbounded growth this
+    // closes); the residual is ONE tail epoch — batch-sized nodes plus
+    // the touched-node hoods (O(batch x bucket occupancy) by the
+    // extension's contract, measured per-batch by axes (n)/(p)) — and
+    // must stay a small FRACTION of the corpus-sized log the vacuum
+    // reclaimed
+    assert(f4 >= 2 * f1, s"reclaimed bytes did not track the corpus: $f1 -> $f4")
+    assert(r1 * 4 < f1 && r4 * 4 < f4,
+      s"the surviving tail is not a small fraction of the reclaimed log: " +
+        s"$r1/$f1, $r4/$f4")
+  }
+
+  test("(s) seen-ids sidecar width: corpus-derived sizing keeps the fast path alive at 10x the bootstrap estimate; the old fixed width saturates") {
+    // The knob behind graphSeenIdsBitsFor: the sidecar's whole value is
+    // skipping the superseded-copy lookup on append-mostly batches, and
+    // a saturated filter (fp -> 1) silently degrades every batch to the
+    // full lookup exactly where the corpus got big enough to care. Sized
+    // from the bootstrap batch at ~96 bits/id, a corpus 10x the estimate
+    // still probes at ~9.6 bits/id — fp a few percent, fast path alive.
+    import graft.streaming.CorpusStreams
+    import graft.operators.Sketches
+    val n = 20000L // bootstrap estimate, above the min-width clamp
+    val w = CorpusStreams.graphSeenIdsBitsFor(n)
+    assert(w % 62 == 0, s"width must pack 62-bit words, got $w")
+    assert(w >= n * CorpusStreams.GraphSeenIdsBitsPerId,
+      s"corpus-derived width $w under-sizes $n ids")
+    assert(CorpusStreams.graphSeenIdsBitsFor(1L) ==
+      CorpusStreams.GraphSeenIdsMinBits, "tiny corpora clamp to the floor")
+    assert(CorpusStreams.graphSeenIdsBitsFor(Long.MaxValue / 2) ==
+      CorpusStreams.GraphSeenIdsMaxBits, "huge corpora clamp to the cap")
+    val inserted = spark.range(10 * n)
+      .select(col("id").cast("string").as("v"))
+    val fresh = spark.range(10 * n, 10 * n + 20000)
+      .select(col("id").cast("string").as("v"))
+    def fpAt(width: Int): Double = {
+      val words = Sketches.bloomWords(
+        Sketches.bloomBuild(inserted, col("v"), width, 4), width)
+      fresh.select(Sketches.bloomHit(col("v"), words, width, 4).as("h"))
+        .agg(avg(col("h"))).head().getDouble(0)
+    }
+    val fpDerived = fpAt(w)
+    val fpFixed = fpAt(CorpusStreams.GraphSeenIdsMinBits)
+    info(f"10x the estimate: derived width $w fp=$fpDerived%.4f; " +
+      f"fixed ${CorpusStreams.GraphSeenIdsMinBits} fp=$fpFixed%.4f")
+    assert(fpDerived < 0.15,
+      f"derived width saturated at 10x the estimate: fp=$fpDerived%.3f")
+    assert(fpFixed > 0.3 && fpFixed > 10 * fpDerived,
+      f"the fixed width was expected to degrade an order of magnitude " +
+        f"past the derived one here (fixed fp=$fpFixed%.3f vs derived " +
+        f"$fpDerived%.4f) — if it no longer does, this axis needs a bigger load")
+  }
 }

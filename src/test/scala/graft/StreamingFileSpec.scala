@@ -1339,6 +1339,333 @@ class StreamingFileSpec extends SparkSpec {
     }
   }
 
+  test("legacy graph (pre-bucket-column edge epochs): extension, compaction, and pruned reads survive mixed schemas") {
+    import graft.streaming.CorpusStreams
+    import graft.tools.EtlCli
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val bits = graft.operators.Similarity.nnDescentNBits(emb.count())
+    val root = java.nio.file.Files.createTempDirectory("knn_legacy")
+    def vecs(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      val p = s"$root/$name"; df.write.parquet(p); p
+    }
+    val parts = (0 to 3).map(i =>
+      vecs(s"p$i", emb.filter(col("vec_id") % 4 === i)))
+    val (gA, gB) = (s"$root/gA", s"$root/gB")
+    def extend(gp: String, vecsPath: String, bootstrap: Boolean): Unit =
+      if (bootstrap)
+        EtlCli.extendKnnGraph(spark, vecsPath, gp, Some(5), 2, Some(bits))
+      else EtlCli.extendKnnGraph(spark, vecsPath, gp)
+    Seq(gA, gB).foreach { gp =>
+      extend(gp, parts(0), bootstrap = true)
+      extend(gp, parts(1), bootstrap = false)
+      // simulate a pre-upgrade graph: strip the bucket columns from every
+      // committed edge epoch (they did not exist before the
+      // read-optimized layouts landed; the epoch-replace rewrite stands
+      // in for a graph whose whole history predates them)
+      Seq(0L, 1L).foreach { e =>
+        val legacy = EtlCli.readTable(spark, s"$gp/graph/epoch=$e")
+          .drop("nid_bucket", "src_bucket")
+        EtlCli.appendEpoch(legacy, s"$gp/graph", e)
+      }
+      // a post-upgrade extension appends a NEW-schema epoch: the log is
+      // now mixed-schema — this call threw AnalysisException under the
+      // strict unionByName read
+      extend(gp, parts(2), bootstrap = false)
+    }
+    // compaction folds the mixed log; legacy rows get their buckets
+    // recomputed from the folded nodes' latest vectors
+    EtlCli.run(spark, Seq("compact-knn-graph", gA))
+    val optNulls = EtlCli.readTable(spark, s"$gA/graph_opt")
+      .filter(col("src_bucket").isNull || col("nid_bucket").isNull).count()
+    assert(optNulls == 0,
+      s"compaction left $optNulls legacy fold rows without recomputed buckets")
+    // pruned extension over the legacy-derived fold equals the raw twin
+    extend(gA, parts(3), bootstrap = false)
+    extend(gB, parts(3), bootstrap = false)
+    def edgeRows(gp: String, epoch: Long) = EtlCli
+      .readTable(spark, s"$gp/graph/epoch=$epoch")
+      .select(col("vec_id").cast("long"), col("nid").cast("long"),
+        col("cosine"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(edgeRows(gA, 3) == edgeRows(gB, 3),
+      "pruned extension over a legacy-derived fold diverged from the raw twin")
+    assert(CorpusStreams.knnGraphIdentity(spark, gA) ==
+      CorpusStreams.knnGraphIdentity(spark, gB),
+      "legacy mixed-schema epochs corrupted the identity fold")
+    // the live view reads the mixed log and still covers every id
+    val viewIds = CorpusStreams.readKnnGraph(spark, gA, "vec_id")
+      .select(col("vec_id")).distinct().count()
+    assert(viewIds == emb.count(),
+      s"live view covers $viewIds of ${emb.count()} ids over the mixed-schema log")
+  }
+
+  test("seen-ids crash gap heals: a lost sidecar partial (crash between identity write and bloom append) is rebuilt from the node log, never a false negative") {
+    import graft.streaming.CorpusStreams
+    import graft.tools.EtlCli
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val bits = graft.operators.Similarity.nnDescentNBits(emb.count())
+    val root = java.nio.file.Files.createTempDirectory("knn_seen_gap")
+    def vecs(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      val p = s"$root/$name"; df.write.parquet(p); p
+    }
+    val p0 = vecs("p0", emb.filter(col("vec_id") % 2 === 0))
+    val p1 = vecs("p1", emb.filter(col("vec_id") % 2 === 1))
+    // re-ingest of epoch-1 ids with changed vectors: their old copies
+    // must be XOR-removed from the identity — exactly what a bloom
+    // false negative would silently skip
+    val reIng = vecs("p2", emb.filter(col("vec_id") % 2 === 1)
+      .filter(col("vec_id") < 40)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(1.01f))))
+    val (gA, gB) = (s"$root/gA", s"$root/gB")
+    Seq(gA, gB).foreach { gp =>
+      EtlCli.extendKnnGraph(spark, p0, gp, Some(5), 2, Some(bits))
+      EtlCli.extendKnnGraph(spark, p1, gp)
+    }
+    // the crash: gA's epoch-1 sidecar append never landed (it runs after
+    // the identity write, outside the last_epoch fencepost)
+    def rmr(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+    }
+    rmr(java.nio.file.Paths.get(s"$gA/seen_ids/epoch=1"))
+    assert(!EtlCli.committedEpochs(spark, s"$gA/seen_ids").contains(1L))
+    EtlCli.extendKnnGraph(spark, reIng, gA)
+    EtlCli.extendKnnGraph(spark, reIng, gB)
+    assert(CorpusStreams.knnGraphIdentity(spark, gA) ==
+      CorpusStreams.knnGraphIdentity(spark, gB),
+      "the seen-ids gap became a bloom false negative: the superseded " +
+        "copies were never XOR-removed and corpus_id drifted")
+    // the heal rewrote the missing partial from the node log
+    assert(EtlCli.committedEpochs(spark, s"$gA/seen_ids").contains(1L),
+      "the gap epoch's partial was not healed back into the sidecar")
+    // and a compaction folds the sidecar: the fold entry carries
+    // covers_through and subsequent state reads stay on the fast path
+    EtlCli.run(spark, Seq("compact-knn-graph", gA))
+    val folded = EtlCli.readTable(spark, s"$gA/seen_ids/epoch=2")
+    assert(folded.columns.contains("covers_through") &&
+      folded.filter(col("covers_through") === 2L).count() > 0,
+      "compaction did not fold the seen-ids sidecar")
+    val prior = EtlCli.committedEpochs(spark, s"$gA/nodes").filter(_ < 3L)
+    val (w, words) = CorpusStreams.seenIdsState(spark, gA, "vec_id",
+      prior, 3L, bootstrap = false, 0L)
+    assert(words.isDefined,
+      s"post-compaction seen-ids state degraded to the full lookup (width $w)")
+  }
+
+  test("batch re-ingest that MOVES coarse buckets: pruned extension still equals the raw twin (the old-bucket hood is covered by the superseded-copy lookup)") {
+    import graft.streaming.CorpusStreams
+    import graft.tools.EtlCli
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // a pinned, finer-than-derived knob: coarse = nBits/2 planes must be
+    // numerous enough that a mild drift crosses a boundary (the derived
+    // knob at ~600 ids gives ~2 coarse planes - moves would be rare)
+    val bits = 10
+    val root = java.nio.file.Files.createTempDirectory("knn_moved")
+    def vecs(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      val p = s"$root/$name"; df.write.parquet(p); p
+    }
+    val parts = (0 to 2).map(i =>
+      vecs(s"p$i", emb.filter(col("vec_id") % 3 === i)))
+    // MILD moves: each re-ingest drifts toward one shared far direction —
+    // enough to cross coarse-bucket boundaries (so the committed hood
+    // sits in a fold partition OUTSIDE the batch's own buckets — the
+    // exact gap extraHoodBuckets covers) while staying close to its old
+    // neighborhood (so the old hood's hop candidates remain top-k
+    // RELEVANT and a dropped candidate changes the output; a wild move
+    // like negation makes the old neighbors so distant the prune is
+    // invisible in the final top-k)
+    val farVec = emb.filter(col("vec_id") === 100)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val farLit = array(farVec.map(f => lit(f)): _*)
+    val reIngDf = emb.filter(col("vec_id") < 8)
+      .withColumn("embedding", zip_with(col("embedding"), farLit,
+        (a, b) => a * lit(0.8f) + b * lit(0.6f)))
+    val reIng = vecs("p3", reIngDf)
+    // fixture precondition: the drift actually moves coarse buckets
+    val coarseBits = graft.operators.Similarity.nnDescentCoarseBits(bits)
+    val movedN = graft.operators.Similarity
+      .signLshBuckets(emb.filter(col("vec_id") < 8), "vec_id", "embedding", coarseBits)
+      .withColumnRenamed("bucket", "old_b")
+      .join(graft.operators.Similarity
+        .signLshBuckets(reIngDf, "vec_id", "embedding", coarseBits)
+        .withColumnRenamed("bucket", "new_b"), Seq("vec_id"))
+      .filter(col("old_b") =!= col("new_b")).count()
+    assert(movedN >= 2, s"fixture too tame: only $movedN of 8 re-ingests moved coarse bucket")
+    val (gA, gB) = (s"$root/gA", s"$root/gB")
+    Seq(gA, gB).foreach { gp =>
+      EtlCli.extendKnnGraph(spark, parts(0), gp, Some(5), 2, Some(bits))
+      EtlCli.extendKnnGraph(spark, parts(1), gp)
+      EtlCli.extendKnnGraph(spark, parts(2), gp)
+    }
+    EtlCli.run(spark, Seq("compact-knn-graph", gA)) // A pruned, B raw
+    EtlCli.extendKnnGraph(spark, reIng, gA)
+    EtlCli.extendKnnGraph(spark, reIng, gB)
+    def edgeRows(gp: String) = EtlCli
+      .readTable(spark, s"$gp/graph/epoch=3")
+      .select(col("vec_id").cast("long"), col("nid").cast("long"),
+        col("cosine"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(edgeRows(gA) == edgeRows(gB),
+      "moved-bucket re-ingest: pruned extension dropped the old-bucket " +
+        "hood's hop candidates relative to the raw twin")
+    assert(CorpusStreams.knnGraphIdentity(spark, gA) ==
+      CorpusStreams.knnGraphIdentity(spark, gB),
+      "moved-bucket re-ingest corrupted the identity fold")
+  }
+
+  test("vacuum-knn-graph: fold-covered raw epochs reclaimed; extension, replay, live view, probe, and identity all survive — including over an EMPTY raw tail") {
+    import graft.streaming.CorpusStreams
+    import graft.tools.EtlCli
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val bits = graft.operators.Similarity.nnDescentNBits(emb.count())
+    val root = java.nio.file.Files.createTempDirectory("knn_vacuum")
+    def vecs(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      val p = s"$root/$name"; df.write.parquet(p); p
+    }
+    val parts = (0 to 4).map(i =>
+      vecs(s"p$i", emb.filter(col("vec_id") % 5 === i)))
+    val (gA, gB) = (s"$root/gA", s"$root/gB")
+    Seq(gA, gB).foreach { gp =>
+      EtlCli.extendKnnGraph(spark, parts(0), gp, Some(5), 2, Some(bits))
+      EtlCli.extendKnnGraph(spark, parts(1), gp)
+      EtlCli.extendKnnGraph(spark, parts(2), gp)
+    }
+    // refusal: no fold yet
+    val ex = intercept[RuntimeException] {
+      CorpusStreams.vacuumKnnGraph(spark, gB)
+    }
+    assert(ex.getMessage.contains("compact-knn-graph"), ex.getMessage)
+    EtlCli.run(spark, Seq("compact-knn-graph", gA)) // folds cover 0..2
+    EtlCli.extendKnnGraph(spark, parts(3), gA)      // epoch 3 = the tail
+    EtlCli.extendKnnGraph(spark, parts(3), gB)
+    val freed = CorpusStreams.vacuumKnnGraph(spark, gA) // v = 2
+    assert(freed > 0, "vacuum reclaimed nothing")
+    assert(EtlCli.committedEpochs(spark, s"$gA/nodes") == Seq(3L),
+      EtlCli.committedEpochs(spark, s"$gA/nodes").toString)
+    assert(EtlCli.committedEpochs(spark, s"$gA/graph") == Seq(3L))
+    def viewRows(gp: String) = CorpusStreams.readKnnGraph(spark, gp, "vec_id")
+      .select(col("vec_id").cast("long"), col("nid").cast("long"),
+        col("cosine"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(viewRows(gA) == viewRows(gB),
+      "live view diverged after vacuum (the fold must carry the reclaimed state)")
+    assert(CorpusStreams.knnGraphIdentity(spark, gA) ==
+      CorpusStreams.knnGraphIdentity(spark, gB))
+    // CRASH REPLAY against the vacuumed graph: the tail epoch's commit
+    // replays from fold(<=2) ∪ nothing — byte-identical content
+    def edgeRows(gp: String, epoch: Long) = EtlCli
+      .readTable(spark, s"$gp/graph/epoch=$epoch")
+      .select(col("vec_id").cast("long"), col("nid").cast("long"),
+        col("cosine"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val e3 = edgeRows(gA, 3)
+    CorpusStreams.knnGraphCommitBatch(
+      spark.read.parquet(parts(3)), 3L, gA, "vec_id", "embedding",
+      k = 5, rounds = 2, nBits = bits)
+    assert(edgeRows(gA, 3) == e3,
+      "replaying the tail epoch against the vacuumed graph changed its content")
+    // extension after vacuum equals the unvacuumed twin
+    EtlCli.extendKnnGraph(spark, parts(4), gA)
+    EtlCli.extendKnnGraph(spark, parts(4), gB)
+    assert(edgeRows(gA, 4) == edgeRows(gB, 4),
+      "post-vacuum extension diverged from the unvacuumed twin")
+    // incremental re-compaction folds fold ∪ tail; a second vacuum then
+    // empties the raw tail entirely
+    EtlCli.run(spark, Seq("compact-knn-graph", gA)) // covers 0..4
+    EtlCli.run(spark, Seq("vacuum-knn-graph", gA))  // v = 4
+    assert(EtlCli.committedEpochs(spark, s"$gA/nodes").isEmpty &&
+      EtlCli.committedEpochs(spark, s"$gA/graph").isEmpty,
+      "full vacuum should empty the raw tail once the folds cover everything")
+    assert(viewRows(gA) == viewRows(gB),
+      "live view diverged over an empty raw tail")
+    // ground-truth probe runs off the folds alone
+    val rec = CorpusStreams.knnGraphRecallProbe(spark, gA, nQueries = 4)
+    assert(rec.count() == 1)
+    // extension over the EMPTY tail: bootstrap detection must NOT fire,
+    // the next epoch must not collide with a reclaimed one
+    val reIng = vecs("p5", emb.filter(col("vec_id") < 10)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * lit(1.01f))))
+    EtlCli.extendKnnGraph(spark, reIng, gA)
+    EtlCli.extendKnnGraph(spark, reIng, gB)
+    assert(EtlCli.committedEpochs(spark, s"$gA/nodes") == Seq(5L),
+      EtlCli.committedEpochs(spark, s"$gA/nodes").toString)
+    assert(edgeRows(gA, 5) == edgeRows(gB, 5),
+      "extension over the empty raw tail diverged (re-ingest included)")
+    assert(CorpusStreams.knnGraphIdentity(spark, gA) ==
+      CorpusStreams.knnGraphIdentity(spark, gB),
+      "identity fold broke over the vacuumed graph")
+  }
+
+  test("vacuum-knn-graph fencepost: a fold past the checkpoint's committed batch refuses; behind it, vacuums stop at the committed batch") {
+    import graft.streaming.CorpusStreams
+    import graft.tools.EtlCli
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val bits = graft.operators.Similarity.nnDescentNBits(emb.count())
+    val root = java.nio.file.Files.createTempDirectory("knn_vac_fence")
+    val gp = s"$root/g"
+    val chk = s"$root/chk"
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    def drip(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$root/${name}_tmp"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$src/$name.parquet"))
+    }
+    drip(emb.filter(col("vec_id") % 2 === 0), "b0")
+    val stream = spark.readStream
+      .schema(emb.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    val q1 = CorpusStreams.knnGraphSink(stream, "vec_id", "embedding",
+      gp, chk, k = 5, rounds = 2, nBits = bits)
+    q1.awaitTermination()
+    drip(emb.filter(col("vec_id") % 2 === 1), "b1")
+    val q2 = CorpusStreams.knnGraphSink(stream, "vec_id", "embedding",
+      gp, chk, k = 5, rounds = 2, nBits = bits)
+    q2.awaitTermination() // checkpoint committed through batch 1
+    // THE crash the fencepost exists for: batch 2's foreachBatch body
+    // committed its epoch, then died before the checkpoint commit — the
+    // stream WILL replay batch 2, and that replay reads the raw tail
+    val b2 = emb.filter(col("vec_id") < 4)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(1.02f)))
+    CorpusStreams.knnGraphCommitBatch(b2, 2L, gp, "vec_id", "embedding",
+      k = 5, rounds = 2, nBits = bits)
+    EtlCli.run(spark, Seq("compact-knn-graph", gp)) // covers epoch 2 > committed 1
+    val ex = intercept[RuntimeException] {
+      CorpusStreams.vacuumKnnGraph(spark, gp, Some(chk))
+    }
+    assert(ex.getMessage.contains("fencepost"), ex.getMessage)
+    // the restarted sink replays batch 2 (idempotent) and commits the
+    // checkpoint past the fold — vacuum then proceeds
+    drip(b2, "b2")
+    val e2 = EtlCli.readTable(spark, s"$gp/graph/epoch=2")
+      .select(col("vec_id").cast("long"), col("nid").cast("long"), col("rank"))
+      .collect().toSet
+    val q3 = CorpusStreams.knnGraphSink(stream, "vec_id", "embedding",
+      gp, chk, k = 5, rounds = 2, nBits = bits)
+    q3.awaitTermination() // replayed batch 2, committed through 2
+    assert(EtlCli.readTable(spark, s"$gp/graph/epoch=2")
+      .select(col("vec_id").cast("long"), col("nid").cast("long"), col("rank"))
+      .collect().toSet == e2,
+      "the stream's replay of the crashed batch changed its content")
+    val freed = CorpusStreams.vacuumKnnGraph(spark, gp, Some(chk))
+    assert(freed > 0)
+    assert(EtlCli.committedEpochs(spark, s"$gp/nodes").forall(_ > 1L),
+      EtlCli.committedEpochs(spark, s"$gp/nodes").toString)
+  }
+
   test("knnGraphSink compactEvery: the sink self-maintains its read layouts on cadence; the view matches a manual-compaction twin") {
     import graft.streaming.CorpusStreams
     import graft.tools.EtlCli
