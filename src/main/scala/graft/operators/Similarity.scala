@@ -416,15 +416,21 @@ object Similarity {
     * [[nnDescentExtend]] reads the nodes and edge logs without scanning
     * every committed byte per micro-batch.
     *
-    *  - `nodes(coarseBuckets, idHashBuckets)`: node rows `(id, vec,
-    *    __epoch)`. Both filters are SUPERSET hints: the reader may return
-    *    more rows than the filter names (extra rows only add candidates,
-    *    every score runs against the latest vector), but must never drop
-    *    a row the filter covers. `coarseBuckets` names sign-LSH buckets
-    *    at [[nnDescentCoarseBits]] granularity (the read-optimized
-    *    layout's partition column); `idHashBuckets` names
+    *  - `nodes(coarseBuckets, idHashBuckets, fineBuckets)`: node rows
+    *    `(id, vec, __epoch)`. All filters are SUPERSET hints: the reader
+    *    may return more rows than the filter names (extra rows only add
+    *    candidates, every score runs against the latest vector), but
+    *    must never drop a row the filter covers. `coarseBuckets` names
+    *    sign-LSH buckets at [[nnDescentCoarseBits]] granularity (the
+    *    read-optimized layout's partition column); `idHashBuckets` names
     *    [[GraphStateReaders.idHash]] partitions (the re-ingest /
-    *    superseded-copy lookup axis).
+    *    superseded-copy lookup axis); `fineBuckets` names FULL-nBits
+    *    sign-LSH buckets — the layout's SECOND level, a fine_bucket
+    *    column the compactor sorts within each partition's files so the
+    *    filter prunes parquet row groups past the ~sqrt(n) coarse
+    *    occupancy (a directory level per fine bucket would be 2^nBits
+    *    leaf dirs at corpus scale — the sort order buys the same skip
+    *    without the listing bill).
     *  - `edges(srcBuckets)`: committed edge rows
     *    `(id, nid, cosine, rank[, nid_bucket, src_bucket], __epoch)`,
     *    filtered by the SOURCE node's coarse bucket. The layout invariant
@@ -438,7 +444,7 @@ object Similarity {
     * `CorpusStreams.graphStateReaders` builds the pruning pair over the
     * bucket-partitioned read-optimized layouts + the raw epoch tail. */
   final case class GraphStateReaders(
-      nodes: (Option[Seq[Long]], Option[Seq[Long]]) => DataFrame,
+      nodes: (Option[Seq[Long]], Option[Seq[Long]], Option[Seq[Long]]) => DataFrame,
       edges: Option[Seq[Long]] => DataFrame)
 
   object GraphStateReaders {
@@ -462,7 +468,7 @@ object Similarity {
       * (a legal superset), so callers holding raw state keep the exact
       * pre-pruning semantics. */
     def raw(oldNodes: DataFrame, oldGraph: DataFrame): GraphStateReaders =
-      GraphStateReaders((_, _) => oldNodes, _ => oldGraph)
+      GraphStateReaders((_, _, _) => oldNodes, _ => oldGraph)
   }
 
   /** The SAFETY-NET ring granularity derived from the fine knob — and the
@@ -486,14 +492,20 @@ object Similarity {
     * remaining O(corpus) maintenance path after round 12).
     *
     * Candidates per new node (all bounded, no corpus-keyed shuffle):
-    *  - LSH bucket mates at BOTH ring granularities (nBits fine,
-    *    nBits/2 coarse — the same two-level init as the batch build):
-    *    the batch's occupied-bucket set broadcasts (O(batch) values), so
-    *    the corpus side is a map-only bucket projection + filter — and
-    *    because the coarse bucket is a bit-projection of the fine one,
-    *    the SAME coarse-bucket filter passed to `readers.nodes` prunes
-    *    the scan for both granularities (a fine-bucket mate shares the
-    *    coarse bucket by construction).
+    *  - FINE-ring LSH bucket mates (full nBits) as the primary source:
+    *    the batch's occupied fine-bucket set broadcasts (O(batch)
+    *    values) and ALSO rides the reader as a fine-bucket filter, which
+    *    the compacted layout's sort-order second level turns into
+    *    parquet row-group skips — mate bytes track the batch's fine
+    *    buckets (~targetBucketSize each under the scaled knob), not the
+    *    ~sqrt(n) per-coarse-partition occupancy.
+    *  - a CONDITIONAL coarse ring (nBits/2) as the safety net, per batch
+    *    node, only when its fine ring cannot fill a k-neighborhood (the
+    *    bootstrap's isolation concern: a node alone in its fine bucket
+    *    would start isolated). An unconditional coarse ring would
+    *    re-read the coarse partitions every batch and add only
+    *    candidates the fine ring dominates — fine mates share every
+    *    plane coarse mates share, and more.
     *  - the committed NEIGHBORS of those mates (probing the existing
     *    edges — NN-descent's transitivity step, one hop): the mate set
     *    broadcasts (O(batch x bucket occupancy), bucket occupancy held
@@ -584,12 +596,15 @@ object Similarity {
     val batchCoarse: Seq[Long] = b
       .select(signLshBucketCol(col("__v"), coarse).as("bucket"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    def nodesView(bf: Option[Seq[Long]], ihf: Option[Seq[Long]]): DataFrame =
-      tagged(readers.nodes(bf, ihf))
+    val batchFine: Seq[Long] = b
+      .select(signLshBucketCol(col("__v"), nBits).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    def nodesView(bf: Option[Seq[Long]], ihf: Option[Seq[Long]],
+                  ff: Option[Seq[Long]] = None): DataFrame =
+      tagged(readers.nodes(bf, ihf, ff))
         .select(col(idCol), dvec(col(vecCol)).as("__v"), col("__epoch"))
         .join(broadcast(b.select(col(idCol))), Seq(idCol), "left_anti")
         .unionByName(b.withColumn("__epoch", lit(Long.MaxValue)))
-    val all = nodesView(Some(batchCoarse), None)
     // latest committed neighborhood of a BOUNDED id set whose current
     // coarse buckets are KNOWN: read the edges pruned to those source
     // buckets (lossless — hoods commit under their source's
@@ -608,17 +623,48 @@ object Similarity {
         .filter(col("__epoch") === col("__m"))
         .select(col(idCol), col("nid"), col("cosine"), col("__nb"))
     }
-    // bucket mates at both granularities: batch-side buckets broadcast,
-    // corpus side stays one map-only projection per granularity over the
-    // coarse-pruned scan
+    // FINE-FIRST bucket mates with a CONDITIONAL coarse safety net: the
+    // fine ring (full nBits) supplies the candidates — read through the
+    // fine-bucket filter, which the compacted layout turns into parquet
+    // row-group skips, so a batch's mate bytes track the batch's FINE
+    // buckets (~targetBucketSize each under the scaled knob), not the
+    // ~sqrt(n) coarse occupancy. The coarse ring exists for the
+    // bootstrap's isolation concern (a node alone in its fine bucket
+    // would get no mates) and fires PER BATCH NODE only when the fine
+    // ring is too sparse to fill a neighborhood — an unconditional
+    // coarse ring would re-read the coarse partitions every batch and
+    // add only candidates the fine ring already dominates (fine mates
+    // share every plane the coarse mates share, and more).
     def buckets(df: DataFrame, bits: Int): DataFrame =
       df.select(col(idCol), signLshBucketCol(col("__v"), bits).as("bucket"))
-    val mates = Seq(nBits, coarse).map { bits =>
-      buckets(all, bits).join(
-          broadcast(buckets(b, bits).select(col(idCol).as("a"), col("bucket"))),
-          Seq("bucket"))
+    val fineMates = buckets(nodesView(Some(batchCoarse), None,
+        Some(batchFine)), nBits)
+      .join(broadcast(buckets(b, nBits).select(col(idCol).as("a"),
+        col("bucket"))), Seq("bucket"))
+      .select(col("a"), col(idCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .transform(graft.core.Materialize.pin)
+    // needy = batch nodes whose fine ring cannot fill a k-neighborhood;
+    // bounded driver artifact (<= |batch| rows)
+    val needy = b.select(col(idCol).as("a"))
+      .join(fineMates.groupBy(col("a"))
+        .agg(countDistinct(col("b")).as("__c")), Seq("a"), "left_outer")
+      .filter(coalesce(col("__c"), lit(0L)) < k)
+      .select(col("a"))
+      .transform(graft.core.Materialize.pin)
+    val needyCoarse: Seq[Long] = needy
+      .join(b, needy("a") === b(idCol))
+      .select(signLshBucketCol(col("__v"), coarse).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val coarseMates =
+      if (needyCoarse.isEmpty) fineMates.limit(0)
+      else buckets(nodesView(Some(needyCoarse), None), coarse)
+        .join(broadcast(buckets(b, coarse)
+          .join(needy.withColumnRenamed("a", idCol), Seq(idCol))
+          .select(col(idCol).as("a"), col("bucket"))), Seq("bucket"))
         .select(col("a"), col(idCol).as("b"))
-    }.reduce(_ unionByName _).filter(col("a") =!= col("b")).distinct()
+        .filter(col("a") =!= col("b"))
+    val mates = fineMates.unionByName(coarseMates).distinct()
     val matesP = graft.core.Materialize.pin(mates)
     // one transitivity hop over the COMMITTED edges: neighbors of mates.
     // The mate set is bounded (batch x ~targetBucketSize x 2), so the

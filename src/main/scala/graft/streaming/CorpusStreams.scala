@@ -1283,15 +1283,47 @@ object CorpusStreams {
       .agg(max_by(struct(col(vecCol).as("v"), col("__epoch").as("e")),
         struct(col("__epoch"), col(vecCol))).as("__s"))
       .select(col(idCol), col("__s.v").as(vecCol), col("__s.e").as("epoch")))
+    // second layout level: a fine_bucket COLUMN, sorted within each
+    // (bucket, id_bucket) partition's files so a fine-bucket filter
+    // prunes parquet ROW GROUPS — the fine-first mate scan's bytes then
+    // track the batch's fine buckets (~targetBucketSize each), not the
+    // ~sqrt(n) coarse occupancy. A directory level per fine bucket would
+    // be 2^nBits leaf dirs at corpus scale; the sort order buys the same
+    // skip without the listing bill.
     EtlCli.writeTable(
       latestNodes
         .withColumn("bucket", Similarity.signLshBucketCol(col(vecCol), coarse))
+        .withColumn("fine_bucket",
+          Similarity.signLshBucketCol(col(vecCol), nBits))
         .withColumn("id_bucket",
           Similarity.GraphStateReaders.idHash(col(idCol)))
         .withColumn("covered_epoch", lit(coveredN))
         .withColumn("id_hash_buckets",
-          lit(Similarity.GraphStateReaders.IdHashBuckets)),
+          lit(Similarity.GraphStateReaders.IdHashBuckets))
+        .repartition(col("bucket"), col("id_bucket"))
+        .sortWithinPartitions(col("bucket"), col("id_bucket"),
+          col("fine_bucket")),
       graphNodesOptPath(graphPath), partitionBy = Seq("bucket", "id_bucket"))
+    // full-corpus ring occupancy at BOTH granularities — free while the
+    // fold holds every latest vector, and the COARSE axis's only home
+    // now that the per-batch quality row measures the fine ring only
+    // (the per-batch coarse read would re-widen the byte bill the
+    // fine-first extension just shed)
+    val fMax = latestNodes
+      .groupBy(Similarity.signLshBucketCol(col(vecCol), nBits))
+      .agg(countDistinct(col(idCol)).as("n")).agg(max(col("n")))
+      .collect().head.getLong(0)
+    val cMax = latestNodes
+      .groupBy(Similarity.signLshBucketCol(col(vecCol), coarse))
+      .agg(countDistinct(col(idCol)).as("n")).agg(max(col("n")))
+      .collect().head.getLong(0)
+    locally {
+      import spark.implicits._
+      EtlCli.appendEpoch(
+        Seq((coveredN, fMax, cMax)).toDF("epoch",
+          "max_bucket_members_fine", "max_bucket_members_coarse"),
+        s"$graphPath/occupancy", coveredN)
+    }
     val edgeEpochs = EtlCli.committedEpochs(spark, edgesP)
     require(edgeEpochs.nonEmpty,
       s"graph at $graphPath has committed nodes but no committed " +
@@ -1521,13 +1553,20 @@ object CorpusStreams {
       if (EtlCli.committedEpochs(spark, path).isEmpty) shape.limit(0)
       else read
     GraphStateReaders(
-      nodes = (bucketF, idHashF) =>
+      nodes = (bucketF, idHashF, fineF) =>
         fold(graphNodesOptPath(graphPath), Seq("id_hash_buckets")) match {
           case Some((t, r)) if r.getLong(0) < before =>
             val idHashOk = r.getLong(1) == GraphStateReaders.IdHashBuckets
-            val opt = pruned(pruned(t, "bucket", bucketF),
+            // fine_bucket is the layout's SORT-ORDER second level — a
+            // data filter parquet turns into row-group skips; a
+            // pre-upgrade fold without the column reads unpruned
+            // (superset), never wrong
+            val withFine = if (t.columns.contains("fine_bucket"))
+              pruned(t, "fine_bucket", fineF) else t
+            val opt = pruned(pruned(withFine, "bucket", bucketF),
                 "id_bucket", if (idHashOk) idHashF else None)
-              .drop("bucket", "id_bucket", "covered_epoch", "id_hash_buckets")
+              .drop("bucket", "fine_bucket", "id_bucket", "covered_epoch",
+                "id_hash_buckets")
               .withColumnRenamed("epoch", "__epoch")
             opt.unionByName(tailOr(graphNodesPath(graphPath), opt) {
               nodesRawBefore(spark, graphPath, before)
@@ -1641,7 +1680,8 @@ object CorpusStreams {
       .getOrElse(sys.error(s"graph at $graphPath has no identity row — " +
         "let a commit finish before probing"))
       .getInt(0)
-    val raw = graphStateReaders(spark, graphPath, Long.MaxValue).nodes(None, None)
+    val raw = graphStateReaders(spark, graphPath, Long.MaxValue)
+      .nodes(None, None, None)
     val Array(idCol, vecCol) = raw.columns.filterNot(_ == "__epoch")
     val corpus = graft.core.Materialize.pin(raw.groupBy(col(idCol))
       .agg(max_by(col(vecCol), struct(col("__epoch"), col(vecCol)))
@@ -1708,9 +1748,10 @@ object CorpusStreams {
     * Rebuild-threshold guidance (the measured extension-quality CURVE,
     * SimilaritySpec, fixture corpus): the incremental/batch quality
     * ratio does not degrade with batch size or epoch count — one batch
-    * at 10% of the committed corpus measures 1.08, at 50% 1.20, and 20
-    * accumulated 4% epochs 1.23 (extensions rescore candidates the
-    * one-shot build never revisits, so quality can exceed 1.0). The
+    * at 10% of the committed corpus measures 1.06, at 50% 1.11, and 20
+    * accumulated 4% epochs 1.12 under the fine-first conditional mate
+    * ring (extensions rescore candidates the one-shot build never
+    * revisits, so quality can exceed 1.0). The
     * 0.85 monitor floor therefore signals genuine pathology (staleness
     * from re-embeds, a piled bucket, a distribution break), not an
     * expected operating regime — alarm first, diagnose with
@@ -1823,7 +1864,7 @@ object CorpusStreams {
     val oldCopies: Option[DataFrame] =
       if (bootstrap || batchIdHashes.isEmpty) None
       else Some(graft.core.Materialize.pin(
-        readers.nodes(None, Some(batchIdHashes))
+        readers.nodes(None, Some(batchIdHashes), None)
           .join(broadcast(maybeKnown.select(col(idCol))), Seq(idCol))
           .groupBy(col(idCol))
           .agg(max_by(col(vecCol), struct(col("__epoch"), col(vecCol)))
@@ -1924,18 +1965,27 @@ object CorpusStreams {
     // near-dup-heavy corpus piles into one bucket and blows that bound
     // up LINEARLY in the pile — this measures it per epoch so
     // check-graph-quality can name the remedial (rebuild at a finer
-    // derived nBits) before a batch pays the cliff. Computed over the
-    // PRUNED scan ∪ batch, so the instrument itself stays O(batch x
-    // occupancy).
+    // derived nBits) before a batch pays the cliff. The per-batch axis
+    // is the FINE ring (what the fine-first extension actually pays; a
+    // near-dup pile shares every plane, so it lands in the fine axis
+    // first), computed over the fine-pruned scan ∪ batch — the same
+    // row-group-skipped read shape the extension uses, so the
+    // instrument never re-widens the batch's byte bill to the coarse
+    // partitions. The coarse axis moved to compaction cadence
+    // (knnGraphCompact logs it to occupancy/ for free while folding).
     val batchCoarse = Similarity
       .signLshBuckets(batch, idCol, vecCol, coarse)
+      .select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val batchFine = Similarity
+      .signLshBuckets(batch, idCol, vecCol, nBits)
       .select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     val occView = graft.core.Materialize.pin({
       val base = batch.select(col(idCol), col(vecCol))
       if (bootstrap) base
       else base.unionByName(
-        readers.nodes(Some(batchCoarse), None)
+        readers.nodes(Some(batchCoarse), None, Some(batchFine))
           .select(col(idCol), col(vecCol)))
     })
     def occAt(bits: Int): Long = {
@@ -1953,7 +2003,6 @@ object CorpusStreams {
         (sum(floor(col("cosine") * lit(1e12) + lit(0.5)).cast("long"))
           .cast("double") / lit(1e12) / count(lit(1))).as("mean_cosine"))
       .withColumn("max_bucket_members_fine", lit(occAt(nBits)))
-      .withColumn("max_bucket_members_coarse", lit(occAt(coarse)))
       .withColumn("epoch", lit(batchId))
     EtlCli.appendEpoch(q, graphQualityPath(graphPath), batchId)
     ()

@@ -866,10 +866,22 @@ object EtlCli {
     // the remedial: rebuild at a finer derived nBits (more hyperplanes
     // thin the pile), or split/dedup the near-identical mass first.
     maxOccupancy.foreach { cap =>
-      if (log.columns.contains("max_bucket_members_fine")) {
-        val hot = log.filter(col("max_bucket_members_fine") > cap)
-          .select(col("epoch").cast("long"),
-            col("max_bucket_members_fine").cast("long"))
+      // axes live in two logs: quality/ carries the per-batch FINE ring
+      // (what the fine-first extension pays; legacy rows may also carry
+      // a coarse column), occupancy/ carries the compact-cadence
+      // full-corpus stats at both granularities
+      val occLog = scala.util.Try(
+          readEpochTable(spark, s"$graphPath/occupancy", mergeSchema = true))
+        .toOption
+      val axes = (Seq(log) ++ occLog).flatMap { t =>
+        Seq("max_bucket_members_fine", "max_bucket_members_coarse")
+          .filter(t.columns.contains)
+          .map(c => t.select(col("epoch").cast("long"),
+            col(c).cast("long").as("__m")).filter(col("__m").isNotNull))
+      }
+      if (axes.nonEmpty) {
+        val hot = axes.reduce(_ unionByName _).filter(col("__m") > cap)
+          .groupBy(col("epoch")).agg(max(col("__m")).as("__m"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
         if (hot.nonEmpty)
           sys.error(s"graph ring-bucket occupancy blew past $cap in epoch(s) " +

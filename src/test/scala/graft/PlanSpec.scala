@@ -516,8 +516,8 @@ class PlanSpec extends SparkSpec {
     val base = graft.streaming.CorpusStreams.graphStateReaders(
       spark, s"$root/g", before = 1L)
     val probing = Similarity.GraphStateReaders(
-      nodes = (bf, ihf) => {
-        val df = base.nodes(bf, ihf)
+      nodes = (bf, ihf, ff) => {
+        val df = base.nodes(bf, ihf, ff)
         captured += (("nodes", df.queryExecution.executedPlan.toString)); df
       },
       edges = ihf => {
@@ -537,6 +537,14 @@ class PlanSpec extends SparkSpec {
       s"a nodes_opt scan carries no bucket partition filter:\n$p"))
     edgeScans.foreach(p => assert(idBucketF.findFirstIn(p).isDefined,
       s"a graph_opt scan carries no src_bucket partition filter:\n$p"))
+    // the layout's SECOND level: the fine-first mate scan pushes its
+    // fine_bucket filter into the parquet scan (row-group skipping
+    // within the sorted partition files) — both levels asserted inside
+    // the plan the sink actually executes
+    assert(nodeScans.exists(p =>
+      "PushedFilters: \\[[^\\]]*fine_bucket".r.findFirstIn(p).isDefined),
+      s"no nodes_opt scan pushes the fine_bucket data filter:\n" +
+        nodeScans.mkString("\n----\n"))
   }
 
   test("hybrid RRF: retrievers keep their bounded shapes inside the fused plan") {

@@ -1324,12 +1324,18 @@ class StreamingFileSpec extends SparkSpec {
     assert(CorpusStreams.knnGraphIdentity(spark, gA) ==
       CorpusStreams.knnGraphIdentity(spark, gB),
       "mixed-generation folds corrupted the identity fold")
-    // the skew instrument rides the quality log
+    // the skew instrument: the per-batch FINE axis rides the quality log
+    // (what the fine-first extension pays), the full-corpus COARSE axis
+    // rides the compact-cadence occupancy log
     val qcols = EtlCli.readEpochTable(spark, s"$gA/quality").columns.toSet
-    assert(qcols.contains("max_bucket_members_fine") &&
-      qcols.contains("max_bucket_members_coarse"), qcols.toString)
+    assert(qcols.contains("max_bucket_members_fine"), qcols.toString)
     assert(EtlCli.readEpochTable(spark, s"$gA/quality")
       .agg(max(col("max_bucket_members_fine"))).as[Long].head() >= 1L)
+    val ocols = EtlCli.readEpochTable(spark, s"$gA/occupancy").columns.toSet
+    assert(ocols.contains("max_bucket_members_fine") &&
+      ocols.contains("max_bucket_members_coarse"), ocols.toString)
+    assert(EtlCli.readEpochTable(spark, s"$gA/occupancy")
+      .agg(max(col("max_bucket_members_coarse"))).as[Long].head() >= 1L)
     // the GENERIC epoch fold stays refused on both raw logs — the
     // blessed folds are compact-knn-graph (sink layouts) and
     // read-optimize-knn-graph (consumer artifact)
@@ -1399,6 +1405,18 @@ class StreamingFileSpec extends SparkSpec {
       .select(col("vec_id")).distinct().count()
     assert(viewIds == emb.count(),
       s"live view covers $viewIds of ${emb.count()} ids over the mixed-schema log")
+    // a PRE-UPGRADE nodes fold (no fine_bucket sort-order level): the
+    // reader must skip fine pruning (superset) instead of filtering a
+    // missing column — extension still equals the raw twin
+    val stripped = EtlCli.readTable(spark, s"$gA/nodes_opt").drop("fine_bucket")
+    EtlCli.writeTable(stripped, s"$gA/nodes_opt",
+      partitionBy = Seq("bucket", "id_bucket"))
+    val p4b = vecs("p4", emb.filter(col("vec_id") < 12)
+      .withColumn("vec_id", col("vec_id") + lit(500000)))
+    extend(gA, p4b, bootstrap = false)
+    extend(gB, p4b, bootstrap = false)
+    assert(edgeRows(gA, 4) == edgeRows(gB, 4),
+      "extension over a pre-upgrade fold (no fine_bucket) diverged from the raw twin")
   }
 
   test("seen-ids crash gap heals: a lost sidecar partial (crash between identity write and bloom append) is rebuilt from the node log, never a false negative") {
