@@ -1824,6 +1824,25 @@ object CorpusStreams {
     val bootstrap = prior.isEmpty && !scala.util.Try(
       EtlCli.readTable(spark, graphIdentityPath(graphPath))
         .limit(1).collect().nonEmpty).getOrElse(false)
+    // Replaying a FOLD-COVERED epoch reads committed state < batchId
+    // through the raw tail alone (the fold holds later state than the
+    // replay may see — graphStateReaders' per-table gate). Vacuum only
+    // deletes epochs at or below the replay fencepost, so a legitimate
+    // replay always finds its tail — but a manual commit at an old
+    // batchId against a vacuumed graph would silently recompute from
+    // INCOMPLETE state. Epochs are sequential from 0, so completeness
+    // is checkable: refuse loudly instead of committing wrong bytes.
+    if (!bootstrap) {
+      val (fn, fe) = knnGraphFoldCovered(spark, graphPath)
+      if (fn.exists(_ >= batchId) || fe.exists(_ >= batchId)) {
+        val missing = (0L until batchId).filterNot(prior.contains)
+        require(missing.isEmpty, s"replay of epoch $batchId at " +
+          s"$graphPath needs raw node epochs ${missing.mkString(",")} " +
+          "which vacuum-knn-graph has reclaimed — this epoch is behind " +
+          "the vacuum fencepost and can no longer replay; it was fully " +
+          "committed when vacuumed, so no replay should be asking")
+      }
+    }
     val readers = readersWrap(graphStateReaders(spark, graphPath, batchId))
     val coarse = Similarity.nnDescentCoarseBits(nBits)
     // the ring formula is BOOTSTRAP-FIXED identity: once the identity row

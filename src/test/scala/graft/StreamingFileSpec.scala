@@ -1622,6 +1622,15 @@ class StreamingFileSpec extends SparkSpec {
     assert(CorpusStreams.knnGraphIdentity(spark, gA) ==
       CorpusStreams.knnGraphIdentity(spark, gB),
       "identity fold broke over the vacuumed graph")
+    // a manual commit at a RECLAIMED epoch must refuse loudly — its raw
+    // priors are gone and a fold-covered replay reads the tail only, so
+    // proceeding would silently recompute from incomplete state
+    val exReplay = intercept[IllegalArgumentException] {
+      CorpusStreams.knnGraphCommitBatch(
+        spark.read.parquet(parts(2)), 2L, gA, "vec_id", "embedding",
+        k = 5, rounds = 2, nBits = bits)
+    }
+    assert(exReplay.getMessage.contains("fencepost"), exReplay.getMessage)
   }
 
   test("vacuum-knn-graph fencepost: a fold past the checkpoint's committed batch refuses; behind it, vacuums stop at the committed batch") {
