@@ -69,7 +69,13 @@ object Bench {
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
+    // local-mode shuffle scratch on the fastest local storage (tmpfs when
+    // available) — see Graft.localScratchDir for the measurement and the
+    // cluster-safety reasoning; SPARK_GRAFT_LOCAL_DIR / SPARK_LOCAL_DIRS
+    // override.
+    graft.core.Graft.localScratchDir.foreach(d => builder0.config("spark.local.dir", d))
+    val spark = builder0
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -14,7 +14,9 @@ object Verify {
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
+    graft.core.Graft.localScratchDir.foreach(d => builder0.config("spark.local.dir", d))
+    val spark = builder0
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -11,12 +11,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Graft {
 
+  /** Scratch dir for shuffle files and spills in LOCAL mode.
+    *
+    * Measured (r15, jstack sampling of the sf0.1 bench): with the default
+    * /tmp (ext4-on-virtio here), 52% of runnable executor-thread samples sat
+    * in DiskBlockObjectWriter.initialize and another ~25% in the bypass
+    * writer's NIO concat — shuffle FILE MACHINERY, not bytes, dominates
+    * small-partition shuffles. Spark's own tuning guide says local dirs
+    * belong on the fastest local storage available; on this box that is
+    * tmpfs. Cluster deployments are untouched: SPARK_LOCAL_DIRS (which
+    * Spark gives precedence over spark.local.dir) or an explicit
+    * SPARK_GRAFT_LOCAL_DIR always win, and the tmpfs default only engages
+    * when /dev/shm exists and is writable. At 100 TB the equivalent knob is
+    * provisioning local NVMe for SPARK_LOCAL_DIRS — shuffle data must not
+    * live in RAM there; this default is sized for local-mode runs whose
+    * shuffle footprint is MiBs.
+    */
+  def localScratchDir: Option[String] =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+      if (sys.env.contains("SPARK_LOCAL_DIRS")) None
+      else {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) Some("/dev/shm/graft-spark-local")
+        else None
+      }
+    }
+
   /** Build a local session wired the way the engine expects.
     * (Reference keeps engine config in `etl/db.py:13-22`; ours is Spark conf.)
     */
   def session(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
+    localScratchDir.foreach(d => builder0.config("spark.local.dir", d))
+    val spark = builder0
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
