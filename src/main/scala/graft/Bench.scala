@@ -70,6 +70,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val builder0 = SparkSession.builder()
+      // the 100-entry default evicts across 153 queries, so every measured
+      // run re-pays janino compilation — see Graft.CodegenCacheMaxEntries
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.core.Graft.CodegenCacheMaxEntries)
     // local-mode shuffle scratch on the fastest local storage (tmpfs when
     // available) — see Graft.localScratchDir for the measurement and the
     // cluster-safety reasoning; SPARK_GRAFT_LOCAL_DIR / SPARK_LOCAL_DIRS

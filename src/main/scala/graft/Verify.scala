@@ -15,6 +15,8 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val builder0 = SparkSession.builder()
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.core.Graft.CodegenCacheMaxEntries)
     graft.core.Graft.localScratchDir.foreach(d => builder0.config("spark.local.dir", d))
     val spark = builder0
       .master(s"local[$cpus]")

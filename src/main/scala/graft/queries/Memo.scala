@@ -59,5 +59,8 @@ private[queries] object Memo {
 
   def parquetArtifact(s: SparkSession, dir: String, name: String)
                      (build: => DataFrame): DataFrame =
-    s.read.parquet(parquetArtifactPath(s, dir, name)(build))
+    // artifacts are schema-stable per JVM run: skip the per-read footer
+    // inference (driver-side) via the shared schema memo
+    graft.core.Tables.parquetStableSchema(s,
+      parquetArtifactPath(s, dir, name)(build))
 }

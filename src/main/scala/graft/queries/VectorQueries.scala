@@ -71,6 +71,12 @@ object VectorQueries {
     * dir switch — one JVM serving several scale factors sequentially
     * stays correct, matching the write-before-read contract of
     * annArtifactRoot. */
+
+  /** Artifact reads are schema-stable per JVM run — skip the per-read
+    * footer inference via the shared schema memo (Tables.parquetStableSchema). */
+  private def rp(s: org.apache.spark.sql.SparkSession, path: String) =
+    graft.core.Tables.parquetStableSchema(s, path)
+
   private val pqSharedBase: String = s"$annArtifactRoot/pq_shared"
   private val pqArtifactsFor = new java.util.concurrent.atomic.AtomicReference[String](null)
   private def ensurePqShared(s: org.apache.spark.sql.SparkSession, dir: String): String =
@@ -80,7 +86,7 @@ object VectorQueries {
         Similarity.pqCodebook(emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
           .write.mode("overwrite").parquet(s"$pqSharedBase/codebook")
         Similarity.pqEncode(emb, "vec_id", "embedding",
-            s.read.parquet(s"$pqSharedBase/codebook"), m = 8)
+            rp(s, s"$pqSharedBase/codebook"), m = 8)
           .write.mode("overwrite").parquet(s"$pqSharedBase/codes")
         pqArtifactsFor.set(dir)
       }
@@ -235,7 +241,7 @@ object VectorQueries {
       def cent = Memo.parquetArtifact(s, dir, "binary_ivf_cent") {
         Similarity.coarseCentroids(emb, "vec_id", "embedding", nCells = 16)
       }
-      def index = s.read.parquet(Memo.parquetArtifactPath(s, dir,
+      def index = rp(s, Memo.parquetArtifactPath(s, dir,
         "binary_ivf_index", partitionBy = Seq("cell")) {
         Similarity.binaryIvfIndexBuild(emb, "vec_id", "embedding", dims = 64, cent)
       })
@@ -264,8 +270,8 @@ object VectorQueries {
       val q = emb.filter(col("vec_id") < 5)
       val exact = Similarity.bruteForceL2TopK(emb, q, "vec_id", "embedding", 10)
         .select(col("qid"), col("cid"))
-      Similarity.ivfPqResidualSweep(s.read.parquet(s"$base/codes"),
-        s.read.parquet(s"$base/codebook"), s.read.parquet(s"$base/centroids"),
+      Similarity.ivfPqResidualSweep(rp(s, s"$base/codes"),
+        rp(s, s"$base/codebook"), rp(s, s"$base/centroids"),
         q, "vec_id", "embedding", m = 8, nProbes = Seq(1, 2, 4, 8), k = 10,
         exact = exact)
     }
@@ -1204,7 +1210,7 @@ object VectorQueries {
         Similarity.coarseCentroids(emb, "vec_id", "embedding", nCells = 16)
       }
       // the SAME cell-partitioned persisted index the probe queries scan
-      def index = s.read.parquet(Memo.parquetArtifactPath(s, dir,
+      def index = rp(s, Memo.parquetArtifactPath(s, dir,
         "binary_ivf_index", partitionBy = Seq("cell")) {
         Similarity.binaryIvfIndexBuild(emb, "vec_id", "embedding", dims = 64, cent)
       })
@@ -1231,7 +1237,7 @@ object VectorQueries {
         def cent = Memo.parquetArtifact(s, dir, "binary_ivf_cent") {
           Similarity.coarseCentroids(emb, "vec_id", "embedding", nCells = 16)
         }
-        def index = s.read.parquet(Memo.parquetArtifactPath(s, dir,
+        def index = rp(s, Memo.parquetArtifactPath(s, dir,
           "binary_ivf_index", partitionBy = Seq("cell")) {
           Similarity.binaryIvfIndexBuild(emb, "vec_id", "embedding", dims = 64, cent)
         })
@@ -1329,7 +1335,7 @@ object VectorQueries {
       def cent = Memo.parquetArtifact(s, dir, "binary_ivf_cent") {
         Similarity.coarseCentroids(emb, "vec_id", "embedding", nCells = 16)
       }
-      val cb = s.read.parquet(s"${ensureResidualShared(s, dir)}/codebook")
+      val cb = rp(s, s"${ensureResidualShared(s, dir)}/codebook")
       def report(label: String, base: org.apache.spark.sql.DataFrame,
                  cur: org.apache.spark.sql.DataFrame) =
         Similarity.codebookDriftStats(base, cur, "embedding", cent, cb, m = 8,
@@ -2027,8 +2033,8 @@ object VectorQueries {
             FROM ad) WHERE rank <= 10 ORDER BY qid, rank""") { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val base = ensurePqShared(s, dir)
-      Similarity.pqTopK(s.read.parquet(s"$base/codes"), emb.filter(col("vec_id") < 5),
-          s.read.parquet(s"$base/codebook"), "vec_id", "embedding", m = 8, k = 10)
+      Similarity.pqTopK(rp(s, s"$base/codes"), emb.filter(col("vec_id") < 5),
+          rp(s, s"$base/codebook"), "vec_id", "embedding", m = 8, k = 10)
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -2087,8 +2093,8 @@ object VectorQueries {
       val emb = t(s, dir, "embeddings")
       val base = ensurePqShared(s, dir)
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          nCells = 16, nProbe = 2, s.read.parquet(s"$base/codes"),
-          s.read.parquet(s"$base/codebook"), m = 8, k = 10)
+          nCells = 16, nProbe = 2, rp(s, s"$base/codes"),
+          rp(s, s"$base/codebook"), m = 8, k = 10)
         .orderBy(col("qid"), col("rank"))
     },
 
@@ -2105,7 +2111,7 @@ object VectorQueries {
       val base = ensureResidualShared(s, dir)
       Similarity.ivfPqResidualScore(emb, emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", nCells = 16, nProbe = 2,
-          s.read.parquet(s"$base/codes"), s.read.parquet(s"$base/codebook"),
+          rp(s, s"$base/codes"), rp(s, s"$base/codebook"),
           m = 8, k = 10)
         .orderBy(col("qid"), col("rank"))
     },
@@ -2126,8 +2132,8 @@ object VectorQueries {
       val base = ensureResidualShared(s, dir)
       Similarity.ivfPqResidualProbeIndex(s, s"$base/codes_bycell",
           emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          s.read.parquet(s"$base/centroids"),
-          s.read.parquet(s"$base/codebook"), m = 8, nProbe = 4, k = 10)
+          rp(s, s"$base/centroids"),
+          rp(s, s"$base/codebook"), m = 8, nProbe = 4, k = 10)
         .orderBy(col("qid"), col("rank"))
     },
 

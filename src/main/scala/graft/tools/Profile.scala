@@ -55,6 +55,8 @@ object Profile {
       .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
       .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
     val builder0 = SparkSession.builder()
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.core.Graft.CodegenCacheMaxEntries)
     graft.core.Graft.localScratchDir.foreach(d => builder0.config("spark.local.dir", d))
     extraConf.foreach { case (k, v) => builder0.config(k, v) }
     val spark = builder0
