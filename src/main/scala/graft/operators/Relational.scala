@@ -172,7 +172,15 @@ object Relational {
     val salted = fact.withColumn("__salt", pmod(hash(col(factIdCol)), lit(saltFactor)))
     val replicated = right.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    // Pin the SHUFFLE join shape: salting presupposes both sides exceed
+    // broadcast (that is why the caller salts), but on small fixtures the
+    // planner sees a few MB and flips to a broadcast hash join — which
+    // builds the saltFactor x replicated right side into one hash relation
+    // ON THE DRIVER, serially (measured r15: ~0.9 s of the demo query's
+    // 1.4 s wall, zero bytes shuffled). The hint keeps the plan the one
+    // this operator exists to demonstrate at any input size; results are
+    // identical either way (the oracle is the plain join).
+    salted.join(replicated.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
   }
 
   /** Per-key salt widths chosen FROM THE DATA instead of one static
@@ -210,7 +218,8 @@ object Relational {
     val replicated = withWidth(right)
       .withColumn("__salt", explode(sequence(lit(0), col("__w") - 1)))
       .drop("__w")
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    // same shuffle-shape pin as staticSaltedJoin — see the comment there
+    salted.join(replicated.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
   }
 
   /** Big-big range (interval) join as an EQUI join: each interval explodes
