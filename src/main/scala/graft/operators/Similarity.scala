@@ -2380,6 +2380,13 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("qerr")).as("qs"),
         sum(col("aerr")).as("asum"))
     def side(s: Int, c: Column) = sum(when(col("side") === s, c))
+    // Pinned deliberately (re-measured r15): `per` is 1 row per cell and
+    // is consumed ~4x downstream; de-pinning in favor of AQE runtime
+    // stage-cache reuse was tried and measured WORSE (tasks 93 -> 156,
+    // shuffle bytes 2.4 -> 4.7 MiB, min wall 0.91 -> 1.40 s on
+    // q_quantizer_drift) — the cache does not dedup every consumer's
+    // copy of the corpus-pass subtree. The eager pin's serializing
+    // effect on multi-arm callers costs less than the recompute.
     val per = graft.core.Materialize.pin(
       leaves.select(col("cc").cast(LongType).as("cell"))
         .join(bySideCell.groupBy("cell").agg(
